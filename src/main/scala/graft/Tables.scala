@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * One parquet file per table under `dir` (= an sf directory such as
+  * `/root/testdata/sf0.01`). All reads go through `spark.read.parquet`
+  * so Catalyst's vectorized reader, column pruning, predicate pushdown
+  * and partition-size splitting (`spark.sql.files.maxPartitionBytes`)
+  * apply unchanged at any scale — at 100 TB these become multi-file
+  * directory scans with the identical plan shape.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

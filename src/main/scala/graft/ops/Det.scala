@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine determinism helpers (SURVEY.md §7.5).
+  *
+  * The driver hash-compares our parquet output against DuckDB running
+  * `SparkEntry.oracleSql` on the same tables. Double-precision sums are
+  * order-dependent and the two engines add in different orders, so every
+  * money/measure aggregate goes through fixed-point decimal — exact,
+  * associative, engine-independent — and only the final rounded value is
+  * cast back to double. This costs nothing at scale: decimal sum is still
+  * a single-pass partial+final HashAggregate.
+  */
+object Det {
+  /** Fixed-point view of a double measure. 18 digits / 4 frac digits
+    * covers every value domain in the corpus (max ~5e5, 2dp inputs). */
+  private val Fixed = DecimalType(18, 4)
+
+  /** Exact sum of a double measure, rounded to 2dp, returned as double. */
+  def sum2(c: Column): Column =
+    round(sum(c.cast(Fixed)), 2).cast(DoubleType)
+
+  /** Exact average (decimal sum / count), rounded to 2dp, as double. */
+  def avg2(c: Column): Column =
+    round(sum(c.cast(Fixed)) / count(c), 2).cast(DoubleType)
+
+  /** Round a per-row double expression to 2dp (no aggregation hazard —
+    * per-row arithmetic is order-free and bit-identical across engines). */
+  def r2(c: Column): Column = round(c, 2)
+
+  /** DuckDB-side equivalents, for oracle SQL strings. */
+  def sqlSum2(x: String): String =
+    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
+  def sqlAvg2(x: String): String =
+    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))) / COUNT($x), 2) AS DOUBLE)"
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.1 scans + §2.2 filters/projections.
+  *
+  * All scans are plain `spark.read.parquet` + declarative select/filter so
+  * Catalyst pushes predicates into the vectorized parquet reader
+  * (row-group stats pruning) and prunes columns at the scan — verified via
+  * `.explain("formatted")` (`PushedFilters`, `ReadSchema`). At 100 TB the
+  * same plan shape prunes whole files/row-groups before any CPU is spent.
+  */
+object Relational {
+
+  /** Total order over every output column — `lineitem` has no unique key
+    * in this corpus (duplicate (l_orderkey, l_linenumber) pairs exist),
+    * so row-level lineitem results sort by the full row to be
+    * hash-comparable against the oracle. */
+  private def totalOrder(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+
+  /** Full lineitem scan, count-preserving projection. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(Tables(spark, dir).lineitem)
+
+  /** Column pruning: only 3 of 11 lineitem columns reach the scan. */
+  def scanProjection(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+
+  /** Predicate pushed into parquet row-group stats: ships before 1996. */
+  def scanPrunedFilter(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")))
+
+  /** Compound AND/OR/NOT + BETWEEN + IN-list, all codegen'd builtins. */
+  def filterPredicate(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(Tables(spark, dir).lineitem
+      .filter(
+        (col("l_quantity").between(10, 20) ||
+          col("l_returnflag").isin("A", "R")) &&
+          !(col("l_discount") > 0.05) &&
+          col("l_linestatus") === "F")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag")))
+
+  /** LIKE (translates to StartsWith/Contains pushdown) and RLIKE. */
+  def filterLikeRegexp(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .filter(col("p_name").like("%widget%") &&
+        col("p_type").rlike("^(ECONOMY|PROMO)$"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  /** NULL semantics: IS NULL / IS NOT NULL / null-safe equality.
+    * The corpus has no NULLs, so we inject them: a left join that fails
+    * for some rows (orders with status 'P' removed from the dim side),
+    * then filter with null-aware predicates. */
+  def filterNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val openOrders = t.orders.filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderkey").as("ok"), col("o_totalprice").as("tp"))
+    t.orders
+      .join(openOrders, col("o_orderkey") === col("ok"), "left_outer")
+      .select(
+        col("o_orderkey"),
+        col("tp").isNull.as("was_pending"),
+        col("tp").isNotNull.as("matched"),
+        (col("tp") <=> col("o_totalprice")).as("price_eq_nullsafe"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Multi-branch CASE WHEN derived column. */
+  def projectCaseWhen(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .when(col("o_orderstatus") === "F", "large_final")
+          .otherwise("large_open").as("bucket"))
+      .orderBy(col("o_orderkey"))
+}
