@@ -68,6 +68,144 @@ object Oracle {
           JOIN customer ON c_nationkey = n_nationkey
           JOIN orders ON o_custkey = c_custkey
           GROUP BY r_name, n_name
-          ORDER BY r_name, n_name"""
+          ORDER BY r_name, n_name""",
+
+    // §2.3 joins
+    "join_broadcast" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "join_shuffle_sortmerge" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+                 ${sqlSum2("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "join_full_outer" ->
+      """SELECT COALESCE(nk_c, nk_s) AS nationkey, n_cust, n_supp
+         FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust
+               FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp
+                    FROM supplier GROUP BY 1) s ON nk_c = nk_s
+         ORDER BY nationkey""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
+    "join_theta_range" ->
+      s"""SELECT bracket, count(*) AS n_lines,
+                 ${sqlSum2("l_extendedprice")} AS sum_price
+          FROM lineitem
+          JOIN (VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0),
+                       ('high', 35.0, 51.0)) b(bracket, lo, hi)
+            ON l_quantity >= lo AND l_quantity < hi
+          GROUP BY bracket ORDER BY bracket""",
+
+    "join_asof" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+                date_trunc('second', v.ts) AS prior_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events
+                    WHERE event_type IN ('signup','view')) v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p_id""",
+
+    "join_cross_limited" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
+
+    // §2.4 aggregations
+    "agg_hash_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${sqlSum2("l_quantity")} AS sum_qty,
+                 ${sqlSum2("l_extendedprice")} AS sum_base_price,
+                 CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
+                 CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(12,2))
+                   * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
+                 ${sqlAvg2("l_quantity")} AS avg_qty,
+                 ${sqlAvg2("l_extendedprice")} AS avg_price,
+                 ${sqlAvg2("l_discount")} AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(*) AS n_lines
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_rollup" ->
+      s"""SELECT r_name, n_name,
+                 CAST(GROUPING(r_name) AS INT) AS g_region,
+                 CAST(GROUPING(n_name) AS INT) AS g_nation,
+                 count(*) AS n_cust,
+                 ${sqlSum2("c_acctbal")} AS sum_bal
+          FROM region
+          JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY g_region, g_nation,
+                   r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+                 CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                 CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                 count(*) AS n_orders,
+                 ${sqlSum2("o_totalprice")} AS sum_price
+          FROM orders
+          GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          ORDER BY g_status, g_prio,
+                   o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                count(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio,
+                  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "agg_min_max_by" ->
+      """WITH ranked AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+           FROM orders)
+         SELECT a.o_custkey, a.o_orderkey AS best_order,
+                a.o_totalprice AS best_price, b.o_orderkey AS worst_order
+         FROM ranked a
+         JOIN ranked b ON a.o_custkey = b.o_custkey
+         WHERE a.rmax = 1 AND b.rmin = 1
+         ORDER BY a.o_custkey""",
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+         FROM orders WHERE o_orderstatus = 'P'
+         GROUP BY o_custkey ORDER BY o_custkey"""
   )
 }

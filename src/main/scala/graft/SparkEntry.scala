@@ -29,6 +29,26 @@ object SparkEntry {
     "filter_like_regexp"    -> (Relational.filterLikeRegexp _),
     "filter_null_semantics" -> (Relational.filterNullSemantics _),
     "project_case_when"     -> (Relational.projectCaseWhen _),
+    // §2.3 joins
+    "join_broadcast"         -> (Joins.joinBroadcast _),
+    "join_shuffle_sortmerge" -> (Joins.joinShuffleSortMerge _),
+    "join_left_outer"        -> (Joins.joinLeftOuter _),
+    "join_full_outer"        -> (Joins.joinFullOuter _),
+    "join_semi"              -> (Joins.joinSemi _),
+    "join_anti"              -> (Joins.joinAnti _),
+    "join_theta_range"       -> (Joins.joinThetaRange _),
+    "join_asof"              -> (Joins.joinAsof _),
+    "join_cross_limited"     -> (Joins.joinCrossLimited _),
+    // §2.4 aggregations
+    "agg_hash_groupby"    -> (Aggregations.aggHashGroupby _),
+    "agg_count_distinct"  -> (Aggregations.aggCountDistinct _),
+    "agg_approx_distinct" -> (Aggregations.aggApproxDistinct _),
+    "agg_rollup"          -> (Aggregations.aggRollup _),
+    "agg_cube"            -> (Aggregations.aggCube _),
+    "agg_grouping_sets"   -> (Aggregations.aggGroupingSets _),
+    "agg_min_max_by"      -> (Aggregations.aggMinMaxBy _),
+    "agg_collect_sorted"  -> (Aggregations.aggCollectSorted _),
+    "agg_custom_vecsum"   -> (Aggregations.aggCustomVecsum _),
     // §2.9 graph traversals
     "graph_traverse_3hop_agg" -> (GraphOps.traverse3hopAgg _)
   )

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet corpus (TESTDATA.md).
   *
@@ -22,7 +23,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
+    * int64 (legacy conf) and truncate ns→µs with integer division
+    * (double division would lose precision above 2^53). Downstream
+    * queries see a normal µs TimestampType column. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

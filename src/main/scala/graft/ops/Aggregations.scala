@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.VecSumAggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregation operators.
+  *
+  * All grouped aggregations here plan as two-phase HashAggregate
+  * (map-side partial + final after one shuffle on the group key) —
+  * verified with `.explain("formatted")`. Grouping keys are
+  * low-cardinality, so at 100 TB the shuffle moves one row per
+  * (partition × key): the scan dominates, which is the right shape.
+  */
+object Aggregations {
+
+  /** TPC-H Q1 shape: per (returnflag, linestatus) sums/avgs/counts with
+    * discount/tax arithmetic. Per-row double products are bit-identical
+    * across engines; only the sums need decimal-exact handling (Det). */
+  def aggHashGroupby(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .withColumn("disc_price",
+        Det.dec2(col("l_extendedprice")) * Det.dec2(lit(1) - col("l_discount")))
+      .withColumn("charge",
+        Det.dec2(col("l_extendedprice")) * Det.dec2(lit(1) - col("l_discount")) *
+          Det.dec2(lit(1) + col("l_tax")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.sum2(col("l_quantity")).as("sum_qty"),
+        Det.sum2(col("l_extendedprice")).as("sum_base_price"),
+        Det.sumd2(col("disc_price")).as("sum_disc_price"),
+        Det.sumd2(col("charge")).as("sum_charge"),
+        Det.avg2(col("l_quantity")).as("avg_qty"),
+        Det.avg2(col("l_extendedprice")).as("avg_price"),
+        Det.avg2(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact distinct count per group (Expand + two-phase aggregate). */
+  def aggCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ approximate distinct — oracle=no (sketch internals are
+    * engine-specific) but deterministic for a fixed dataset, covered by
+    * a relative-error bound in the test suite. At 100 TB this is the
+    * operator to reach for instead of exact distinct: constant memory,
+    * no Expand blow-up. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP(r_name, n_name): hierarchy subtotals + grand total.
+    * grouping() flags disambiguate real NULLs from subtotal rows. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    broadcast(t.region)
+      .join(broadcast(t.nation), col("n_regionkey") === col("r_regionkey"))
+      .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        count(lit(1)).as("n_cust"),
+        Det.sum2(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("g_region"), col("g_nation"),
+        col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE(o_orderstatus, o_orderpriority): all 2^2 grouping sets. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        Det.sum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Explicit GROUPING SETS through the SQL front-end. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                count(1) AS n_orders
+         FROM graft_orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio,
+                  o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** Arg-max per group: each customer's highest-value order. Tie-broken
+    * on (price, orderkey) via struct ordering so the result is total. */
+  def aggMinMaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+        max(col("o_totalprice")).as("best_price"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"))
+      .orderBy(col("o_custkey"))
+
+  /** Per-group sorted list aggregation. */
+  def aggCollectSorted(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+      .orderBy(col("o_custkey"))
+
+  /** Custom typed Aggregator (UDAF surface): element-wise vector sum of
+    * embeddings per label; output kept scalar (rounded vector norm +
+    * first component) for stability. oracle=no (float-sum order), but
+    * decimal-free double sums here are still deterministic per JVM run;
+    * the test suite checks against a sequential reference. */
+  def aggCustomVecsum(spark: SparkSession, dir: String): DataFrame = {
+    val vecsum = udaf(new VecSumAggregator(64))
+    Tables(spark, dir).embeddings
+      .groupBy(col("label"))
+      .agg(vecsum(col("embedding")).as("sumvec"))
+      .select(
+        col("label"),
+        round(sqrt(aggregate(col("sumvec"), lit(0.0d),
+          (acc, x) => acc + x * x)), 2).as("norm"),
+        round(element_at(col("sumvec"), 1), 2).as("first_dim"))
+      .orderBy(col("label"))
+  }
+}

@@ -23,17 +23,28 @@ object Det {
   def sum2(c: Column): Column =
     round(sum(c.cast(Fixed)), 2).cast(DoubleType)
 
-  /** Exact average (decimal sum / count), rounded to 2dp, as double. */
+  /** Average as (exact decimal sum → double) / count, rounded to 2dp.
+    * The division happens in double space on identical inputs in both
+    * engines (decimal division scale rules differ between engines). */
   def avg2(c: Column): Column =
-    round(sum(c.cast(Fixed)) / count(c), 2).cast(DoubleType)
+    round(sum(c.cast(Fixed)).cast(DoubleType) / count(c), 2)
 
   /** Round a per-row double expression to 2dp (no aggregation hazard —
     * per-row arithmetic is order-free and bit-identical across engines). */
   def r2(c: Column): Column = round(c, 2)
 
+  /** Every double column in the corpus is exactly 2dp (verified against
+    * the data), so this cast is unambiguous in both engines. Use it to
+    * build exact decimal arithmetic chains — chained double products
+    * cast to decimal at the end round differently across engines. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact decimal aggregate → rounded double (for decimal-typed c). */
+  def sumd2(c: Column): Column = round(sum(c), 2).cast(DoubleType)
+
   /** DuckDB-side equivalents, for oracle SQL strings. */
   def sqlSum2(x: String): String =
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
   def sqlAvg2(x: String): String =
-    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))) / COUNT($x), 2) AS DOUBLE)"
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x), 2)"
 }

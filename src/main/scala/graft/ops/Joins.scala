@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.3 join operators.
+  *
+  * Strategy notes for the 100 TB design point:
+  *  - dim⋈fact joins broadcast the dim (`broadcast()` hint where the dim
+  *    is bounded by construction, Catalyst/AQE threshold otherwise);
+  *  - fact⋈fact joins shuffle on the join key — at scale these become
+  *    sort-merge joins whose cost is one exchange per side; bucketing
+  *    both facts on the key at write time would eliminate it entirely;
+  *  - non-equi joins only ever appear with a broadcast-able side (the
+  *    bracket table is O(1) rows) so they plan as BroadcastNestedLoop
+  *    without a cartesian shuffle;
+  *  - the as-of join reduces to equi-join on the partition key +
+  *    per-key max, so it shuffles once on `user_id` — the same shape a
+  *    dedicated as-of operator would need.
+  */
+object Joins {
+
+  /** Fact⋈dim with an explicit broadcast hint (BroadcastHashJoin). */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Fact⋈fact with a merge hint → SortMergeJoin (the 100 TB default
+    * when neither side broadcasts). Aggregated output keeps the oracle
+    * payload small while still exercising the full shuffle. */
+  def joinShuffleSortMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.hint("merge")
+      .join(t.orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Det.sum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** All customers, with their orders when present (NULLs otherwise). */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Full outer on a partially-overlapping key: per-nation customer
+    * counts vs per-nation supplier counts (15 of 25 nations lack
+    * suppliers at small SF). */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custPerNation = t.customer.groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppPerNation = t.supplier.groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    custPerNation
+      .join(suppPerNation, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Customers having at least one order (EXISTS → left semi join). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Customers with no pending ('P') order (NOT EXISTS → left anti
+    * join). The filtered right side keeps the result non-empty at every
+    * SF, unlike customers-without-any-order which is empty from sf0.01
+    * up — a vacuous check. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Non-equi (theta) join against a tiny literal bracket table →
+    * BroadcastNestedLoopJoin; aggregated per bracket. */
+  def joinThetaRange(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val brackets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("low", 0.0, 15.0),
+        Row("mid", 15.0, 35.0),
+        Row("high", 35.0, 51.0)),
+      StructType(Seq(
+        StructField("bracket", StringType),
+        StructField("lo", DoubleType),
+        StructField("hi", DoubleType))))
+    t.lineitem
+      .join(broadcast(brackets),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("bracket"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Det.sum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("bracket"))
+  }
+
+  /** As-of join: each purchase event matched to the same user's latest
+    * prior signup/view. Spark has no native as-of operator; the
+    * equivalent plan is an equi-join on the partition key (`user_id`)
+    * plus a range predicate and per-key max — one shuffle, same as a
+    * dedicated as-of join would cost. DuckDB's native ASOF JOIN is the
+    * oracle. Timestamps are second-truncated on output (parquet stores
+    * ns; Spark reads µs — SURVEY.md §1.3 hazard). */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type").isin("signup", "view"))
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    purchases
+      .join(views,
+        col("p_user") === col("v_user") && col("v_ts") <= col("p_ts"))
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(max(col("v_ts")).as("matched_ts"))
+      .select(col("p_id"), col("p_user"),
+        date_trunc("second", col("matched_ts")).as("prior_ts"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Small bounded cartesian product. */
+  def joinCrossLimited(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.region.crossJoin(t.nation)
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+        col("n_name"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+  }
+}

@@ -24,7 +24,7 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, list):
+    if isinstance(v, list) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
     return v
 
