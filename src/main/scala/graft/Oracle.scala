@@ -206,6 +206,114 @@ object Oracle {
     "agg_collect_sorted" ->
       """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
          FROM orders WHERE o_orderstatus = 'P'
-         GROUP BY o_custkey ORDER BY o_custkey"""
+         GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // §2.5 windows
+    "window_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                rank() OVER w AS price_rank,
+                dense_rank() OVER w AS price_dense_rank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+         ORDER BY o_orderstatus, price_rank, o_orderkey""",
+
+    "window_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders) t
+         WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+
+    "window_lag_lead" ->
+      """SELECT user_id, event_id, ts_sec,
+                lag(ts_sec, 1) OVER w AS prev_ts,
+                lead(ts_sec, 1) OVER w AS next_ts,
+                CAST(date_diff('second', lag(ts_sec, 1) OVER w, ts_sec)
+                     AS BIGINT) AS gap_sec
+         FROM (SELECT user_id, event_id,
+                      date_trunc('second', ts) AS ts_sec FROM events) e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         ORDER BY user_id, ts_sec, event_id""",
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS order_date,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS cum_revenue
+         FROM orders
+         ORDER BY o_custkey, o_orderkey""",
+
+    "window_moving_avg" ->
+      """SELECT order_date,
+                CAST(ROUND(rev, 2) AS DOUBLE) AS day_revenue,
+                ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
+                      / COUNT(*) OVER w, 2) AS ma7
+         FROM (SELECT CAST(o_orderdate AS DATE) AS order_date,
+                      SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+               FROM orders GROUP BY 1) d
+         WINDOW w AS (ORDER BY order_date
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY order_date""",
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                count(*) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice
+                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+                  AS n_within_1000
+         FROM orders
+         ORDER BY o_orderkey""",
+
+    "window_ntile_percent" ->
+      """SELECT o_orderkey, o_orderstatus,
+                ntile(4) OVER w AS quartile,
+                ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                ROUND(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+
+    // §2.6 sorts / limits / set ops
+    "sort_multikey" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_nn,
+                o_orderpriority, o_totalprice
+         FROM orders
+         ORDER BY status_nn DESC NULLS FIRST, o_orderpriority ASC,
+                  o_orderkey DESC""",
+
+    "limit_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "set_union_all" ->
+      """SELECT 'customer' AS kind, c_custkey AS id, c_name AS name,
+                c_acctbal AS acctbal FROM customer
+         UNION ALL
+         SELECT 'supplier', s_suppkey, s_name, s_acctbal FROM supplier
+         ORDER BY kind, id""",
+
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION
+         SELECT s_nationkey FROM supplier
+         ORDER BY nationkey""",
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey FROM supplier
+         ORDER BY nationkey""",
+
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT
+         SELECT s_nationkey FROM supplier
+         ORDER BY nationkey"""
   )
 }

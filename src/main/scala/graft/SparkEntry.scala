@@ -49,6 +49,21 @@ object SparkEntry {
     "agg_min_max_by"      -> (Aggregations.aggMinMaxBy _),
     "agg_collect_sorted"  -> (Aggregations.aggCollectSorted _),
     "agg_custom_vecsum"   -> (Aggregations.aggCustomVecsum _),
+    // §2.5 windows
+    "window_rank"           -> (Windows.windowRank _),
+    "window_topk_per_group" -> (Windows.windowTopkPerGroup _),
+    "window_lag_lead"       -> (Windows.windowLagLead _),
+    "window_running_sum"    -> (Windows.windowRunningSum _),
+    "window_moving_avg"     -> (Windows.windowMovingAvg _),
+    "window_range_frame"    -> (Windows.windowRangeFrame _),
+    "window_ntile_percent"  -> (Windows.windowNtilePercent _),
+    // §2.6 sorts / limits / set ops
+    "sort_multikey"      -> (SetOps.sortMultikey _),
+    "limit_topk_global"  -> (SetOps.limitTopkGlobal _),
+    "set_union_all"      -> (SetOps.setUnionAll _),
+    "set_union_distinct" -> (SetOps.setUnionDistinct _),
+    "set_intersect"      -> (SetOps.setIntersect _),
+    "set_except"         -> (SetOps.setExcept _),
     // §2.9 graph traversals
     "graph_traverse_3hop_agg" -> (GraphOps.traverse3hopAgg _)
   )

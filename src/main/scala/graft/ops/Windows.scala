@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** §2.5 window functions.
+  *
+  * Every window here carries an explicit partition key (`o_orderstatus`,
+  * `o_custkey`, `user_id`) so the sort is per-partition after one hash
+  * exchange — the scalable shape. The single global window
+  * (`windowMovingAvg`) runs over an already-aggregated daily series whose
+  * cardinality is O(days), not O(rows), so a one-partition window is safe
+  * at any scale factor.
+  *
+  * Determinism: every window `orderBy` is tie-broken down to a unique key
+  * (orderkey / event_id) wherever the frame result depends on row order
+  * (row_number, ntile, running frames); rank/dense_rank tolerate ties by
+  * definition. Double sums inside frames go through decimal (see [[Det]]).
+  */
+object Windows {
+  private val Fixed = DecimalType(18, 4)
+
+  /** rank + dense_rank of orders by price within status. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc)
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rank().over(w).as("price_rank"),
+        dense_rank().over(w).as("price_dense_rank"))
+      .orderBy(col("o_orderstatus"), col("price_rank"), col("o_orderkey"))
+  }
+
+  /** Top-3 orders per customer (row_number ≤ 3, tie-broken on key).
+    * At scale this is the partial-sort-per-key pattern: one shuffle on
+    * the partition key, no global sort. */
+  def windowTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Per-user previous/next event and inter-event gap (lag/lead).
+    * Event times are second-truncated BEFORE ordering so both engines
+    * (µs-truncated Spark vs ns-native DuckDB — SURVEY.md §1.3) order
+    * identically; event_id breaks remaining ties. */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("ts_sec"),
+        lag(col("ts_sec"), 1).over(w).as("prev_ts"),
+        lead(col("ts_sec"), 1).over(w).as("next_ts"))
+      .withColumn("gap_sec",
+        (unix_timestamp(col("ts_sec")) - unix_timestamp(col("prev_ts")))
+          .cast("long"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** Cumulative revenue per customer in (date, key) order — running
+    * frame rowsBetween(unboundedPreceding, currentRow). */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        round(sum(col("o_totalprice").cast(Fixed)).over(w), 2)
+          .cast(DoubleType).as("cum_revenue"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** 7-row moving average over the daily revenue series. The global
+    * (unpartitioned) window is safe: input cardinality is O(distinct
+    * days) after the groupBy, constant in SF. */
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum(col("o_totalprice").cast(Fixed)).as("rev"))
+    val w = Window.orderBy(col("order_date")).rowsBetween(-6, 0)
+    daily
+      .select(col("order_date"),
+        round(col("rev"), 2).cast(DoubleType).as("day_revenue"),
+        round(sum(col("rev")).over(w).cast(DoubleType)
+          / count(lit(1)).over(w), 2).as("ma7"))
+      .orderBy(col("order_date"))
+  }
+
+  /** Value-range frame: how many orders of the same status fall within
+    * 1000 below this order's price (rangeBetween). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-1000, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_within_1000"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ntile / percent_rank / cume_dist quartile analytics per status.
+    * Ordering tie-broken on o_orderkey so bucket boundaries are total. */
+  def windowNtilePercent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+}
