@@ -314,6 +314,97 @@ object Oracle {
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT
          SELECT s_nationkey FROM supplier
-         ORDER BY nationkey"""
+         ORDER BY nationkey""",
+
+    // §2.7 scalar functions
+    "scalar_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS name_up,
+                lower(p_brand) AS brand_lo,
+                substr(p_name, 1, 5) AS name_pfx,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                trim('  ' || p_type || '  ') AS type_trim,
+                string_split(p_name, ' ') AS name_toks
+         FROM part ORDER BY p_partkey""",
+
+    "scalar_date" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                CAST(day(o_orderdate) AS BIGINT) AS o_day,
+                date_trunc('month', o_orderdate) AS month_start,
+                CAST(date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end
+         FROM orders ORDER BY o_orderkey""",
+
+    "scalar_math" ->
+      """SELECT o_orderkey,
+                ROUND(o_totalprice, 1) AS price_r1,
+                ROUND(abs(o_totalprice - 100000), 2) AS abs_diff,
+                ROUND(pow(o_totalprice / 100000, 2), 6) AS pow2,
+                ROUND(ln(o_totalprice), 6) AS ln_price,
+                ROUND(sqrt(o_totalprice), 6) AS sqrt_price,
+                CAST(sign(o_totalprice - 100000) AS DOUBLE) AS sign_diff,
+                o_orderkey // 7 AS div7,
+                o_orderkey % 7 AS mod7
+         FROM orders ORDER BY o_orderkey""",
+
+    "scalar_hash" ->
+      """SELECT doc_id,
+                sha256(text) AS sha_text,
+                md5(text) AS md5_text,
+                sha256(source || '#' || text) AS sha_salted
+         FROM documents ORDER BY doc_id""",
+
+    "array_basic" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                list_slice(embedding, 1, 4) AS head4,
+                list_sort(list_slice(embedding, 1, 4)) AS head4_sorted,
+                embedding[1] AS first_val
+         FROM embeddings ORDER BY vec_id""",
+
+    "array_higher_order" ->
+      """SELECT e.vec_id,
+                ROUND(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding AS DOUBLE[])[i]
+                     * CAST(p.embedding AS DOUBLE[])[i])), 4) AS dot,
+                CAST(len(list_filter(CAST(e.embedding AS DOUBLE[]),
+                  x -> x > 0)) AS BIGINT) AS n_pos
+         FROM embeddings e
+         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         ORDER BY e.vec_id""",
+
+    "map_ops" ->
+      """SELECT event_id,
+                CAST(props->>'k' AS BIGINT) AS k_val,
+                CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
+         FROM events ORDER BY event_id""",
+
+    "json_extract" ->
+      """SELECT event_id,
+                CAST(props->>'k' AS BIGINT) AS k_val,
+                props->>'k' AS k_str,
+                (props->>'missing') IS NULL AS no_such_key
+         FROM events ORDER BY event_id""",
+
+    "udf_scalar" ->
+      """SELECT o_orderkey,
+                list_sum(list_transform(
+                  range(1, length(CAST(o_orderkey AS VARCHAR)) + 1),
+                  i -> CAST(substr(CAST(o_orderkey AS VARCHAR), i, 1)
+                            AS BIGINT))) AS digit_sum
+         FROM orders ORDER BY o_orderkey""",
+
+    "udtf_explode" ->
+      """SELECT doc_id, t.u.pos AS pos, t.u.tok AS tok FROM (
+           SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                                        tok := x))) AS u
+           FROM documents) t
+         ORDER BY doc_id, pos"""
   )
 }

@@ -64,6 +64,17 @@ object SparkEntry {
     "set_union_distinct" -> (SetOps.setUnionDistinct _),
     "set_intersect"      -> (SetOps.setIntersect _),
     "set_except"         -> (SetOps.setExcept _),
+    // §2.7 scalar functions
+    "scalar_string"      -> (Scalars.scalarString _),
+    "scalar_date"        -> (Scalars.scalarDate _),
+    "scalar_math"        -> (Scalars.scalarMath _),
+    "scalar_hash"        -> (Scalars.scalarHash _),
+    "array_basic"        -> (Scalars.arrayBasic _),
+    "array_higher_order" -> (Scalars.arrayHigherOrder _),
+    "map_ops"            -> (Scalars.mapOps _),
+    "json_extract"       -> (Scalars.jsonExtract _),
+    "udf_scalar"         -> (Scalars.udfScalar _),
+    "udtf_explode"       -> (Scalars.udtfExplode _),
     // §2.9 graph traversals
     "graph_traverse_3hop_agg" -> (GraphOps.traverse3hopAgg _)
   )

@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+/** §2.7 scalar functions: string / date / math / array / map / JSON /
+  * UDF / generator surfaces.
+  *
+  * Everything except `udfScalar` stays on codegen'd builtins (including
+  * the higher-order array lambdas, which Catalyst compiles — no UDF
+  * serialization). `udfScalar` is the deliberate UDF exhibit; its
+  * Scaladoc notes the cost.
+  *
+  * Cross-engine numeric rules: transcendental outputs (`ln`, `pow`)
+  * round to 6dp (libm last-ulp drift between JVM and C); float vectors
+  * are cast to double BEFORE arithmetic so both engines multiply/add in
+  * identical IEEE-754 double ops; integer-valued outputs are cast to
+  * BIGINT on both sides (Spark's `length`/`size`/`year` return INT,
+  * DuckDB's return BIGINT).
+  */
+object Scalars {
+
+  /** substr/upper/lower/trim/concat_ws/length/split pipeline over part. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        lower(col("p_brand")).as("brand_lo"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_type"), lit("  "))).as("type_trim"),
+        split(col("p_name"), " ").as("name_toks"))
+      .orderBy(col("p_partkey"))
+
+  /** year/month/day/date_trunc/datediff/last_day over o_orderdate. */
+  def scalarDate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        month(col("o_orderdate")).cast(LongType).as("o_month"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast(LongType).as("days_since_95"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  /** round/abs/pow/ln/sqrt/sign + integer div/mod over orders. */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 1).as("price_r1"),
+        round(abs(col("o_totalprice") - 100000), 2).as("abs_diff"),
+        round(pow(col("o_totalprice") / 100000, 2), 6).as("pow2"),
+        round(log(col("o_totalprice")), 6).as("ln_price"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        signum(col("o_totalprice") - 100000).cast("double").as("sign_diff"),
+        expr("o_orderkey div 7").as("div7"),
+        (col("o_orderkey") % 7).as("mod7"))
+      .orderBy(col("o_orderkey"))
+
+  /** sha2-256 + md5 content keys over documents (dedup prerequisite). */
+  def scalarHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        sha2(col("text"), 256).as("sha_text"),
+        md5(col("text")).as("md5_text"),
+        sha2(concat_ws("#", col("source"), col("text")), 256)
+          .as("sha_salted"))
+      .orderBy(col("doc_id"))
+
+  /** size/slice/sort_array/element_at over the embedding vectors.
+    * Float values are stored, not computed, so exact equality holds. */
+  def arrayBasic(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+        element_at(col("embedding"), 1).as("first_val"))
+      .orderBy(col("vec_id"))
+
+  /** Higher-order lambdas: dot product vs a fixed probe vector
+    * (zip_with + aggregate) and positive-component count (filter).
+    * The probe (vec_id=0) is a 1-row broadcast — the same plan a
+    * similarity-scan against a query vector uses at scale. */
+  def arrayHigherOrder(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("probe_vec"))
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("v"), col("probe_vec"),
+          (x, y) => x * y), lit(0.0d), (acc, x) => acc + x), 4).as("dot"),
+        size(filter(col("v"), x => x > 0)).cast(LongType).as("n_pos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** JSON props → MapType; element_at / map_keys projections (the
+    * oracle-able view of map ops — raw map output isn't canonical
+    * across engines). */
+  def mapOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .select(col("event_id"),
+        element_at(col("m"), "k").as("k_val"),
+        size(map_keys(col("m"))).cast(LongType).as("n_keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"))
+      .orderBy(col("event_id"))
+
+  /** get_json_object path extraction, including a missing path → NULL. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.missing").isNull.as("no_such_key"))
+      .orderBy(col("event_id"))
+
+  /** Custom scalar UDF exhibit: digit sum of the order key. A UDF is a
+    * codegen black box (breaks whole-stage fusion, forces
+    * serialization) — production code should prefer builtins/HOFs; this
+    * exists to cover the extension surface. */
+  def udfScalar(spark: SparkSession, dir: String): DataFrame = {
+    val digitSum = udf { k: Long =>
+      var x = k; var s = 0L
+      while (x > 0) { s += x % 10; x /= 10 }
+      s
+    }
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), digitSum(col("o_orderkey")).as("digit_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Generator surface: tokens of documents.text with position
+    * (posexplode — the builtin UDTF; no custom Generator needed). */
+  def udtfExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+}
