@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Property graph derived from the star schema (SURVEY.md §1.2).
+  *
+  * Vertex IDs are namespaced by kind (`kindOffset + naturalKey`) so keys
+  * from different tables never collide: the offsets are 1e12 apart and
+  * every natural key in the corpus is far below 1e12 at any SF. The same
+  * arithmetic is reproducible in plain SQL, which keeps the edge/vertex
+  * builders oracle-checkable.
+  *
+  * Edge directions point child→parent (containment/ownership):
+  * nation—IN→region, customer—IN→nation, supplier—IN→nation,
+  * order—BY→customer, order—HAS→part, order—FROM→supplier (the last two
+  * from lineitem, kept as multi-edges — one per line).
+  *
+  * Scale note: the edge table is a union of projected scans — no shuffle
+  * at build time. Traversals join against it on `src`/`dst`; at 100 TB
+  * you would persist it bucketed by both columns to make every hop a
+  * shuffle-free join.
+  */
+object GraphModel {
+  val RegionOff   = 1000000000000L
+  val NationOff   = 2000000000000L
+  val CustomerOff = 3000000000000L
+  val SupplierOff = 4000000000000L
+  val PartOff     = 5000000000000L
+  val OrderOff    = 6000000000000L
+
+  /** All vertices: (id, kind, name). */
+  def vertices(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.region.select((lit(RegionOff) + col("r_regionkey")).as("id"),
+        lit("region").as("kind"), col("r_name").as("name"))
+      .unionByName(t.nation.select(
+        (lit(NationOff) + col("n_nationkey")).as("id"),
+        lit("nation").as("kind"), col("n_name").as("name")))
+      .unionByName(t.customer.select(
+        (lit(CustomerOff) + col("c_custkey")).as("id"),
+        lit("customer").as("kind"), col("c_name").as("name")))
+      .unionByName(t.supplier.select(
+        (lit(SupplierOff) + col("s_suppkey")).as("id"),
+        lit("supplier").as("kind"), col("s_name").as("name")))
+      .unionByName(t.part.select(
+        (lit(PartOff) + col("p_partkey")).as("id"),
+        lit("part").as("kind"), col("p_name").as("name")))
+      .unionByName(t.orders.select(
+        (lit(OrderOff) + col("o_orderkey")).as("id"),
+        lit("order").as("kind"),
+        col("o_orderkey").cast("string").as("name")))
+  }
+
+  /** All edges: (src, dst, rel). Multi-edges preserved. */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation.select((lit(NationOff) + col("n_nationkey")).as("src"),
+        (lit(RegionOff) + col("n_regionkey")).as("dst"), lit("IN").as("rel"))
+      .unionByName(t.customer.select(
+        (lit(CustomerOff) + col("c_custkey")).as("src"),
+        (lit(NationOff) + col("c_nationkey")).as("dst"), lit("IN").as("rel")))
+      .unionByName(t.supplier.select(
+        (lit(SupplierOff) + col("s_suppkey")).as("src"),
+        (lit(NationOff) + col("s_nationkey")).as("dst"), lit("IN").as("rel")))
+      .unionByName(t.orders.select(
+        (lit(OrderOff) + col("o_orderkey")).as("src"),
+        (lit(CustomerOff) + col("o_custkey")).as("dst"), lit("BY").as("rel")))
+      .unionByName(t.lineitem.select(
+        (lit(OrderOff) + col("l_orderkey")).as("src"),
+        (lit(PartOff) + col("l_partkey")).as("dst"), lit("HAS").as("rel")))
+      .unionByName(t.lineitem.select(
+        (lit(OrderOff) + col("l_orderkey")).as("src"),
+        (lit(SupplierOff) + col("l_suppkey")).as("dst"),
+        lit("FROM").as("rel")))
+  }
+
+  /** GraphX view (RDD world) — built only at the GraphX boundary; all
+    * relational work stays in Catalyst. Vertex attr = kind, edge attr =
+    * rel. */
+  def graphx(spark: SparkSession, dir: String)
+      : org.apache.spark.graphx.Graph[String, String] = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val vrdd = vertices(spark, dir).select("id", "kind").rdd
+      .map(r => (r.getLong(0), r.getString(1)))
+    val erdd = edges(spark, dir).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    Graph(vrdd, erdd, "unknown")
+  }
+}

@@ -13,6 +13,29 @@ import graft.ops.Det.{sqlAvg2, sqlSum2}
   */
 object Oracle {
 
+  /** Edge-table CTE mirroring [[graft.GraphModel.edges]] (namespaced
+    * vertex ids = kindOffset + naturalKey). */
+  private val EdgesCte =
+    """edges AS (
+         SELECT 2000000000000 + n_nationkey AS src,
+                1000000000000 + n_regionkey AS dst, 'IN' AS rel FROM nation
+         UNION ALL
+         SELECT 3000000000000 + c_custkey,
+                2000000000000 + c_nationkey, 'IN' FROM customer
+         UNION ALL
+         SELECT 4000000000000 + s_suppkey,
+                2000000000000 + s_nationkey, 'IN' FROM supplier
+         UNION ALL
+         SELECT 6000000000000 + o_orderkey,
+                3000000000000 + o_custkey, 'BY' FROM orders
+         UNION ALL
+         SELECT 6000000000000 + l_orderkey,
+                5000000000000 + l_partkey, 'HAS' FROM lineitem
+         UNION ALL
+         SELECT 6000000000000 + l_orderkey,
+                4000000000000 + l_suppkey, 'FROM' FROM lineitem
+       )"""
+
   val sql: Map[String, String] = Map(
     // lineitem has no unique key (dup (l_orderkey,l_linenumber) pairs) →
     // ORDER BY ALL output columns, matching the Spark side's totalOrder.
@@ -405,6 +428,83 @@ object Oracle {
                   (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT),
                                         tok := x))) AS u
            FROM documents) t
-         ORDER BY doc_id, pos"""
+         ORDER BY doc_id, pos""",
+
+    // §2.9 graph (edge-table ops; GraphX algos are oracle=no)
+    "graph_build_edges" ->
+      s"""WITH $EdgesCte
+          SELECT src, dst, rel FROM edges ORDER BY ALL""",
+
+    "graph_degree" ->
+      s"""WITH $EdgesCte,
+          outd AS (SELECT src AS id_o, count(*) AS out_deg
+                   FROM edges GROUP BY 1),
+          ind  AS (SELECT dst AS id_i, count(*) AS in_deg
+                   FROM edges GROUP BY 1)
+          SELECT COALESCE(id_o, id_i) AS id,
+                 COALESCE(out_deg, 0) AS out_deg,
+                 COALESCE(in_deg, 0) AS in_deg,
+                 COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS total_deg
+          FROM outd FULL JOIN ind ON id_o = id_i
+          ORDER BY id""",
+
+    "graph_neighbors_1hop" ->
+      s"""WITH $EdgesCte
+          SELECT src, dst, rel FROM edges
+          JOIN (SELECT 3000000000000 + c_custkey AS seed_id FROM customer
+                WHERE c_acctbal > 9000) s ON src = seed_id
+          ORDER BY src, dst, rel""",
+
+    "graph_traverse_2hop" ->
+      s"""WITH $EdgesCte
+          SELECT e1.dst AS region_id, e1.src AS nation_id,
+                 e2.src AS customer_id
+          FROM edges e1
+          JOIN edges e2 ON e2.dst = e1.src
+          WHERE e1.rel = 'IN' AND e1.src // 1000000000000 = 2
+            AND e2.rel = 'IN' AND e2.src // 1000000000000 = 3
+          ORDER BY region_id, nation_id, customer_id""",
+
+    "graph_pattern_motif" ->
+      """SELECT c_custkey, s_suppkey, c_nationkey AS nationkey,
+                count(*) AS n_links
+         FROM customer
+         JOIN supplier ON c_nationkey = s_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         GROUP BY c_custkey, s_suppkey, c_nationkey
+         ORDER BY c_custkey, s_suppkey""",
+
+    "graph_subgraph" ->
+      s"""WITH $EdgesCte,
+          vs AS (SELECT 3000000000000 + c_custkey AS id FROM customer
+                 WHERE c_acctbal > 5000
+                 UNION ALL
+                 SELECT 2000000000000 + n_nationkey FROM nation
+                 WHERE n_regionkey <= 1)
+          SELECT src, dst, rel FROM edges
+          JOIN (SELECT id AS sid FROM vs) a ON src = sid
+          JOIN (SELECT id AS did FROM vs) b ON dst = did
+          ORDER BY src, dst, rel""",
+
+    "graph_bfs_khop" ->
+      s"""WITH $EdgesCte,
+          s  AS (SELECT CAST(1000000000000 AS BIGINT) AS id),
+          h1 AS (SELECT DISTINCT e.src AS id FROM edges e
+                 JOIN s ON e.dst = s.id),
+          h2 AS (SELECT DISTINCT e.src AS id FROM edges e
+                 JOIN h1 ON e.dst = h1.id
+                 WHERE e.src NOT IN (SELECT id FROM s UNION ALL
+                                     SELECT id FROM h1)),
+          h3 AS (SELECT DISTINCT e.src AS id FROM edges e
+                 JOIN h2 ON e.dst = h2.id
+                 WHERE e.src NOT IN (SELECT id FROM s UNION ALL
+                                     SELECT id FROM h1 UNION ALL
+                                     SELECT id FROM h2))
+          SELECT id, 0 AS hop FROM s
+          UNION ALL SELECT id, 1 FROM h1
+          UNION ALL SELECT id, 2 FROM h2
+          UNION ALL SELECT id, 3 FROM h3
+          ORDER BY hop, id"""
   )
 }

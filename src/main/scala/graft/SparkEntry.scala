@@ -75,8 +75,21 @@ object SparkEntry {
     "json_extract"       -> (Scalars.jsonExtract _),
     "udf_scalar"         -> (Scalars.udfScalar _),
     "udtf_explode"       -> (Scalars.udtfExplode _),
-    // §2.9 graph traversals
-    "graph_traverse_3hop_agg" -> (GraphOps.traverse3hopAgg _)
+    // §2.9 graph traversals (DataFrame joins)
+    "graph_build_edges"       -> (GraphOps.buildEdges _),
+    "graph_degree"            -> (GraphOps.degree _),
+    "graph_neighbors_1hop"    -> (GraphOps.neighbors1hop _),
+    "graph_traverse_2hop"     -> (GraphOps.traverse2hop _),
+    "graph_traverse_3hop_agg" -> (GraphOps.traverse3hopAgg _),
+    "graph_pattern_motif"     -> (GraphOps.patternMotif _),
+    "graph_subgraph"          -> (GraphOps.subgraph _),
+    "graph_bfs_khop"          -> (GraphOps.bfsKhop _),
+    // §2.9 iterative analytics (GraphX, oracle=no)
+    "graph_pagerank"             -> (GraphXAlgos.pagerank _),
+    "graph_connected_components" -> (GraphXAlgos.connectedComponents _),
+    "graph_triangle_count"       -> (GraphXAlgos.triangleCount _),
+    "graph_shortest_paths"       -> (GraphXAlgos.shortestPaths _),
+    "graph_label_propagation"    -> (GraphXAlgos.labelPropagation _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

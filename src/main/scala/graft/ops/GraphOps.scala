@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{GraphModel, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,5 +31,119 @@ object GraphOps {
         count(lit(1)).as("n_orders"),
         Det.sum2(col("o_totalprice")).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Materialized typed edge table (multi-edges preserved). */
+  def buildEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.edges(spark, dir)
+    e.orderBy(e.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** In/out/total degree per vertex — two grouped counts full-outer
+    * joined on the vertex id. One shuffle per direction; at scale this
+    * is the standard degree-table build. */
+  def degree(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.edges(spark, dir)
+    val outDeg = e.groupBy(col("src").as("id_o"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("dst").as("id_i"))
+      .agg(count(lit(1)).as("in_deg"))
+    outDeg.join(inDeg, col("id_o") === col("id_i"), "full_outer")
+      .select(
+        coalesce(col("id_o"), col("id_i")).as("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        (coalesce(col("out_deg"), lit(0L))
+          + coalesce(col("in_deg"), lit(0L))).as("total_deg"))
+      .orderBy(col("id"))
+  }
+
+  /** Out-neighbors of a seed vertex set (rich customers) — one edge
+    * join; the frontier side broadcasts when small. */
+  def neighbors1hop(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables(spark, dir).customer
+      .filter(col("c_acctbal") > 9000)
+      .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("seed_id"))
+    GraphModel.edges(spark, dir)
+      .join(seeds, col("src") === col("seed_id"))
+      .select(col("src"), col("dst"), col("rel"))
+      .orderBy(col("src"), col("dst"), col("rel"))
+  }
+
+  /** 2-hop traversal region←nation←customer purely over the edge
+    * table (vertex kind recovered from the id namespace). */
+  def traverse2hop(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.edges(spark, dir)
+    val natToRegion = e.filter(col("rel") === "IN" &&
+        expr("src div 1000000000000 = 2"))
+      .select(col("src").as("nation_id"), col("dst").as("region_id"))
+    val custToNation = e.filter(col("rel") === "IN" &&
+        expr("src div 1000000000000 = 3"))
+      .select(col("src").as("customer_id"), col("dst").as("nid"))
+    custToNation
+      .join(broadcast(natToRegion), col("nid") === col("nation_id"))
+      .select(col("region_id"), col("nation_id"), col("customer_id"))
+      .orderBy(col("region_id"), col("nation_id"), col("customer_id"))
+  }
+
+  /** Motif / pattern match: customer and supplier co-located in the
+    * same nation AND connected through an order line (triangle-ish).
+    * Expressed as multi-way equi-joins — Catalyst picks broadcast for
+    * the dim-sized sides. */
+  def patternMotif(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.supplier, col("c_nationkey") === col("s_nationkey"))
+      .join(t.orders, col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_custkey"), col("s_suppkey"),
+        col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  /** Induced subgraph (Graph.subgraph semantics): vertex predicate =
+    * customers with acctbal > 5000 ∪ nations of regions 0–1; surviving
+    * edges have BOTH endpoints in the vertex set. */
+  def subgraph(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vs = t.customer.filter(col("c_acctbal") > 5000)
+      .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("id"))
+      .union(t.nation.filter(col("n_regionkey") <= 1)
+        .select((lit(GraphModel.NationOff) + col("n_nationkey")).as("id")))
+    val e = GraphModel.edges(spark, dir)
+    e.join(vs.withColumnRenamed("id", "sid"), col("src") === col("sid"))
+      .join(vs.withColumnRenamed("id", "did"), col("dst") === col("did"))
+      .select(col("src"), col("dst"), col("rel"))
+      .orderBy(col("src"), col("dst"), col("rel"))
+  }
+
+  /** k-hop BFS frontier expansion (k=3) from the region-0 vertex over
+    * REVERSED edges, as an iterative DataFrame join loop with a
+    * visited-set anti-join — the OLTP-traversal shape that beats Pregel
+    * for short walks. Each hop is one equi-join on `dst`; the frontier
+    * stays small relative to the edge table, so Catalyst/AQE broadcasts
+    * it. For deeper walks, localCheckpoint() every ~3 hops bounds
+    * lineage (not needed at k=3). */
+  def bfsKhop(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.edges(spark, dir)
+      .select(col("src"), col("dst")).persist()
+    val seed = spark.range(1).select(
+      lit(GraphModel.RegionOff).as("id"), lit(0).as("hop"))
+    var visited = seed
+    var frontier = seed.select(col("id"))
+    for (h <- 1 to 3) {
+      val next = e.join(frontier, e("dst") === frontier("id"))
+        .select(col("src").as("id")).distinct()
+        .join(visited.select(col("id").as("vid")),
+          col("id") === col("vid"), "left_anti")
+        .select(col("id"), lit(h).as("hop"))
+      visited = visited.unionByName(next)
+      frontier = next.select(col("id"))
+    }
+    val out = visited.orderBy(col("hop"), col("id"))
+    out
   }
 }
