@@ -505,6 +505,164 @@ object Oracle {
           UNION ALL SELECT id, 1 FROM h1
           UNION ALL SELECT id, 2 FROM h2
           UNION ALL SELECT id, 3 FROM h3
-          ORDER BY hop, id"""
+          ORDER BY hop, id""",
+
+    // §2.10 LLM-pipeline ops (oracle=yes subset)
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
+                min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "text_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         tri AS (SELECT doc_id,
+                        unnest(list_distinct(list_transform(
+                          range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+                 FROM toks),
+         sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          count(*) AS inter
+                   FROM tri a JOIN tri b
+                     ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT * FROM (
+           SELECT a_id, b_id,
+                  ROUND(CAST(inter AS DOUBLE)
+                        / (sa.n + sb.n - inter), 3) AS jaccard
+           FROM pairs
+           JOIN sz sa ON sa.doc_id = a_id
+           JOIN sz sb ON sb.doc_id = b_id)
+         WHERE jaccard >= 0.05
+         ORDER BY a_id, b_id""",
+
+    "text_tokenize_tf" ->
+      """SELECT lang, tok, count(*) AS cnt FROM (
+           SELECT lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents) t
+         GROUP BY lang, tok ORDER BY lang, tok""",
+
+    "text_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT tok, count(*) AS df FROM
+                  (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+         tot AS (SELECT count(*) AS d_total FROM documents),
+         scored AS (SELECT source, tf.tok AS tok,
+                           ROUND(tf * ln(CAST(d_total + 1 AS DOUBLE)
+                                         / (df + 1)), 6) AS tfidf
+                    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN tot)
+         SELECT source, tok, tfidf, rk FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY tfidf DESC, tok) AS INT) AS rk
+           FROM scored) r
+         WHERE rk <= 3 ORDER BY source, rk""",
+
+    "text_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+                 ${sqlAvg2("n_chars")} AS avg_chars,
+                 count(DISTINCT source) AS n_sources
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "text_quality_score" ->
+      """SELECT doc_id, n_tokens, n_stop, avg_tok_len, n_chars,
+                ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 3) AS stop_ratio,
+                ROUND(CAST(n_tokens - n_stop AS DOUBLE)
+                      / (n_tokens + 1), 4) AS quality
+         FROM (SELECT doc_id,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(t, x -> list_contains(
+                        ['the','a','of','to','and','in','is','it'], x)))
+                        AS BIGINT) AS n_stop,
+                      ROUND(CAST(list_sum(list_transform(t,
+                        x -> length(x))) AS DOUBLE) / len(t), 3)
+                        AS avg_tok_len,
+                      n_chars
+               FROM (SELECT doc_id, string_split(text, ' ') AS t, n_chars
+                     FROM documents) d) s
+         ORDER BY doc_id""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS ws_tokens,
+                CAST(list_sum(list_transform(t,
+                  x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+                  AS BIGINT) AS bpe_est,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM (SELECT doc_id, string_split(text, ' ') AS t, text
+               FROM documents) d
+         ORDER BY doc_id""",
+
+    "embed_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+                ROUND(list_sum(list_transform(range(1, 65),
+                        i -> v[i] * pv[i]))
+                      / sqrt(list_sum(list_transform(range(1, 65),
+                               i -> v[i] * v[i]))
+                           * list_sum(list_transform(range(1, 65),
+                               i -> pv[i] * pv[i]))), 4) AS cos_sim
+         FROM e CROSS JOIN p
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "embed_pair_sim_threshold" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT * FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+                  ROUND(list_sum(list_transform(range(1, 65),
+                          i -> a.v[i] * b.v[i]))
+                        / sqrt(list_sum(list_transform(range(1, 65),
+                                 i -> a.v[i] * a.v[i]))
+                             * list_sum(list_transform(range(1, 65),
+                                 i -> b.v[i] * b.v[i]))), 3) AS cos_sim
+           FROM e a JOIN e b
+             ON a.label = b.label AND a.vec_id < b.vec_id) s
+         WHERE cos_sim >= 0.3
+         ORDER BY a_id, b_id""",
+
+    "embed_centroid_per_label" ->
+      """WITH cells AS (
+           SELECT label, t.u.pos AS pos, t.u.v AS v FROM (
+             SELECT label, unnest(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               (x, i) -> struct_pack(pos := i - 1, v := x))) AS u
+             FROM embeddings) t),
+         means AS (SELECT label, pos,
+                          CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE)
+                            / COUNT(*) AS mean_v
+                   FROM cells GROUP BY 1, 2),
+         norms AS (SELECT label,
+                          ROUND(sqrt(CAST(SUM(CAST(mean_v * mean_v
+                            AS DECIMAL(38,18))) AS DOUBLE)), 4)
+                            AS centroid_norm
+                   FROM means GROUP BY 1)
+         SELECT n.label, centroid_norm, c.n_members
+         FROM norms n
+         JOIN (SELECT label, count(*) AS n_members
+               FROM embeddings GROUP BY 1) c USING (label)
+         ORDER BY label""",
+
+    "multimodal_join" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings WHERE vec_id = 0)
+         SELECT doc_id, source, n_chars, label,
+                ROUND(list_sum(list_transform(range(1, 65),
+                        i -> v[i] * pv[i]))
+                      / sqrt(list_sum(list_transform(range(1, 65),
+                               i -> v[i] * v[i]))
+                           * list_sum(list_transform(range(1, 65),
+                               i -> pv[i] * pv[i]))), 4) AS cos_sim
+         FROM documents JOIN e ON doc_id = e.vec_id CROSS JOIN p
+         WHERE lang = 'en'
+         ORDER BY doc_id"""
   )
 }

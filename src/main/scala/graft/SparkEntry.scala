@@ -89,7 +89,27 @@ object SparkEntry {
     "graph_connected_components" -> (GraphXAlgos.connectedComponents _),
     "graph_triangle_count"       -> (GraphXAlgos.triangleCount _),
     "graph_shortest_paths"       -> (GraphXAlgos.shortestPaths _),
-    "graph_label_propagation"    -> (GraphXAlgos.labelPropagation _)
+    "graph_label_propagation"    -> (GraphXAlgos.labelPropagation _),
+    // §2.10 dedup + text analysis
+    "dedup_exact"        -> (TextOps.dedupExact _),
+    "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
+    "dedup_simhash"      -> (TextOps.dedupSimhash _),
+    "text_ngram_jaccard" -> (TextOps.textNgramJaccard _),
+    "text_tokenize_tf"   -> (TextOps.textTokenizeTf _),
+    "text_tfidf_topk"    -> (TextOps.textTfidfTopk _),
+    "text_lang_stats"    -> (TextOps.textLangStats _),
+    "text_quality_score" -> (TextOps.textQualityScore _),
+    "text_token_count"   -> (TextOps.textTokenCount _),
+    "text_lang_id"       -> (TextOps.textLangId _),
+    "text_fingerprint"   -> (TextOps.textFingerprint _),
+    // §2.10 embeddings + multimodal
+    "embed_cosine_topk"        -> (VectorOps.embedCosineTopk _),
+    "embed_pair_sim_threshold" -> (VectorOps.embedPairSimThreshold _),
+    "embed_centroid_per_label" -> (VectorOps.embedCentroidPerLabel _),
+    "embed_knn_per_label"      -> (VectorOps.embedKnnPerLabel _),
+    "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
+    "multimodal_join"          -> (VectorOps.multimodalJoin _),
+    "multimodal_decode"        -> (MultimodalOps.multimodalDecode _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,270 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** §2.10 text analysis + deduplication for LLM training-data pipelines.
+  *
+  * Dedup family (designed to scan once and shuffle on small keys):
+  *  - exact:   sha2 content hash → group → keep min id
+  *  - MinHash: 16 murmur minima over token trigram shingles, 4×4 LSH
+  *    banding → candidate pairs → exact-Jaccard verify. Deterministic:
+  *    Spark's `hash` is seeded murmur3, band grouping is
+  *    order-insensitive. At 100 TB the band-bucket join is the only
+  *    super-linear step; buckets are salted by band id and bounded by
+  *    the verify stage.
+  *  - SimHash: 32-bit signature from per-token hash bit votes; candidate
+  *    pairs share ≥1 of 4 8-bit chunks (pigeonhole for hamming ≤ 6).
+  *  - n-gram Jaccard: exact trigram-set overlap via explode + equi-join
+  *    on the shingle (oracle-checkable — no engine-specific hashing).
+  *
+  * Tokenization note: `split(text, ' ')` everywhere — corpus text is
+  * single-space-separated lowercase tokens (TESTDATA.md), identical to
+  * DuckDB `string_split`.
+  */
+object TextOps {
+
+  /** Token-trigram shingles, distinct per doc: (doc_id, shingle).
+    * Guarded for docs with < 3 tokens (Spark's `sequence(1,0)` would
+    * descend, not return empty). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(t) >= 3 THEN
+             transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                              element_at(t, i + 2)))
+           ELSE array() END"""))).as("shingle"))
+
+  /** Exact-duplicate clusters by sha2 content hash; keep min doc_id as
+    * canonical. (The corpus has no exact dups — every cluster has
+    * n_copies=1 — but the plan is the real one: hash → shuffle on the
+    * 32-byte key → min.) */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+
+  /** MinHash-LSH near-dup detection (oracle=no: murmur3 is
+    * engine-specific; correctness via scalatest against exact Jaccard).
+    * Pipeline: shingle → 16 min-hashes → 4 bands of 4 → band-bucket
+    * join → exact-Jaccard verify ≥ 0.5. */
+  def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables(spark, dir).documents).persist()
+    val sig = sh.groupBy(col("doc_id")).agg(
+      array((0 until 16).map(i => min(hash(col("shingle"), lit(i)))): _*)
+        .as("sig"))
+    val bandCols = (0 until 4).map { b =>
+      hash((1 to 4).map(r => element_at(col("sig"), 4 * b + r)) :+ lit(b): _*)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_id", "band_hash")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"),
+        col("shingle").as("shingle_b")), "b_id")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast(DoubleType)
+          / (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash near-dup candidates (oracle=no — engine-specific hash
+    * bits). 64-bit signature: bit j set when Σ_tokens (±1 by xxhash64
+    * bit j) > 0. Candidates share one of 4 exact 16-bit chunks
+    * (pigeonhole guarantee for hamming ≤ 3); random doc pairs differ by
+    * ~32 bits so the chunk join prunes virtually all of the O(n²)
+    * space. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokHash = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when((shiftright(col("h"), j).bitwiseAND(1)) === 1, 1)
+        .otherwise(-1)).as(s"s_$j"))
+    val sums = tokHash.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map(j =>
+        when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = sums.select(col("doc_id"), sim.as("simhash"))
+    val chunkCols = (0 until 4).map(c =>
+      shiftright(col("simhash"), 16 * c).bitwiseAND(65535).as(s"c_$c"))
+    val chunks = sigs.select(col("doc_id") +: col("simhash") +: chunkCols: _*)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c => col(s"c_$c")): _*)))
+      .toDF("doc_id", "simhash", "chunk_id", "chunk_val")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType)
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Exact n-gram (token trigram) Jaccard similarity for all pairs
+    * sharing ≥1 shingle — the oracle-checkable near-dup ground truth
+    * (finds the corpus's planted ~0.99-Jaccard pairs). */
+  def textNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables(spark, dir).documents).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast(DoubleType)
+          / (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Token frequency per language (tokenize → explode → count). */
+  def textTokenizeTf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("tok"))
+
+  /** Top-3 terms per source by tf-idf (idf = ln((D+1)/(df+1))).
+    * Window ordered on the ROUNDED score so cross-engine last-ulp ln
+    * drift cannot flip ranks. */
+  def textTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("d_total"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(total))
+      .select(col("source"), col("tok"),
+        round(col("tf") * log((col("d_total") + 1).cast(DoubleType)
+          / (col("df") + 1)), 6).as("tfidf"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    scored.select(col("source"), col("tok"), col("tfidf"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Per-language corpus stats. */
+  def textLangStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        Det.avg2(col("n_chars").cast(DoubleType)).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Per-doc quality features: token count, mean token length, stopword
+    * ratio, and a rational quality score (no transcendentals → exact
+    * cross-engine arithmetic). */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        col("n_chars"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(filter(col("t"), t => array_contains(stopArr, t)))
+          .cast(LongType).as("n_stop"),
+        round(aggregate(transform(col("t"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast(DoubleType) / size(col("t")), 3)
+          .as("avg_tok_len"),
+        col("n_chars"))
+      // single division of exact integers — no intermediate rounding, so
+      // both engines produce the identical double before the final round
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast(DoubleType) / col("n_tokens"), 3))
+      .withColumn("quality",
+        round((col("n_tokens") - col("n_stop")).cast(DoubleType)
+          / (col("n_tokens") + 1), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish subword estimate
+    * (⌈len/4⌉ per token — the 4-chars-per-token heuristic), chars. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        col("text"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("ws_tokens"),
+        aggregate(transform(col("t"),
+            t => ceil(length(t) / lit(4.0)).cast(LongType)),
+          lit(0L), (acc, x) => acc + x).as("bpe_est"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID by token-distinctiveness voting (oracle=no — the
+    * model is corpus-trained in the same query). Score(tok, lang) =
+    * ln(p(tok|lang)/p(tok)); doc gets the argmax language by summed
+    * scores (decimal-exact sums so the argmax is run-deterministic).
+    * On this synthetic corpus (uniform token distribution) accuracy is
+    * near-random — the tests assert the pipeline shape and
+    * determinism, not accuracy. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val perLang = toks.groupBy(col("lang").as("l"), col("tok"))
+      .agg(count(lit(1)).as("c_lt"))
+    val langTotals = perLang.groupBy(col("l")).agg(sum(col("c_lt")).as("c_l"))
+    val tokTotals = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val grand = toks.agg(count(lit(1)).as("c_all"))
+    val scores = perLang.join(langTotals, "l").join(tokTotals, "tok")
+      .crossJoin(broadcast(grand))
+      .select(col("l"), col("tok"),
+        round(log((col("c_lt").cast(DoubleType) / col("c_l"))
+          / (col("c_t").cast(DoubleType) / col("c_all"))), 9)
+          .cast(DecimalType(18, 9)).as("score"))
+    val docScores = toks.join(scores, "tok")
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(col("score")).as("total"))
+    docScores.groupBy(col("doc_id"), col("lang"))
+      .agg(max_by(col("l"), struct(col("total"), col("l"))).as("predicted"))
+      .withColumn("correct", col("predicted") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: least murmur hash over trigram shingles
+    * (the winnowing/MinHash k=1 fingerprint; oracle=no — murmur).
+    * Identical-content docs get identical fingerprints. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    shingles(Tables(spark, dir).documents)
+      .groupBy(col("doc_id"))
+      .agg(min(hash(col("shingle"))).cast(LongType).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

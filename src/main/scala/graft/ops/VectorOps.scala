@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** §2.10 embedding similarity search.
+  *
+  * All vector math runs on `array<double>` (floats cast up-front) with
+  * higher-order functions — codegen'd lambdas, no UDF serialization.
+  * Sums inside a single array are sequential left-to-right in both
+  * Spark and DuckDB, so dot products are bit-identical cross-engine and
+  * oracle-checkable after rounding.
+  *
+  * Scale path: brute-force top-k is a single scan + TakeOrderedAndProject
+  * (per-partition heaps — no global sort). The IVF variant prunes the
+  * scan to the buckets nearest the probe: at 100 TB with data
+  * partitioned by bucket id, the non-probed partitions are never read
+  * (partition pruning), which is the real ANN win on a cluster.
+  */
+object VectorOps {
+
+  /** dot(a, b) over array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  private def probeOf(t: Tables, vecId: Int = 0): DataFrame =
+    t.embeddings.filter(col("vec_id") === vecId)
+      .select(col("embedding").cast("array<double>").as("probe_vec"))
+
+  /** Brute-force exact cosine top-10 vs the probe vector (vec_id=0).
+    * Ordered on the ROUNDED similarity (ties → id) so cross-engine
+    * float drift cannot flip ranks. */
+  def embedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(probeOf(t)))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("probe_vec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** All vector pairs with cosine ≥ 0.3 within the same label — the
+    * label equi-key bounds the self-join (SURVEY.md §7.4: every
+    * self-join carries a partition key). */
+  def embedPairSimThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"),
+        round(cosine(col("a.v"), col("b.v")), 3).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Per-label centroid (posexplode → per-position decimal-exact mean
+    * → reassembled norm). Output is the rounded centroid norm + member
+    * count per label — scalars survive the cross-engine hash compare.
+    * The shuffle key is (label, pos): 10×64 cells regardless of row
+    * count — constant-size state at any scale. */
+  def embedCentroidPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "vec_id", "pos", "v")
+    val means = cells.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("mean_v"))
+    means
+      .select(col("label"),
+        (col("mean_v") * col("mean_v")).cast(DecimalType(38, 18)).as("m2"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("m2")).cast(DoubleType)), 4).as("centroid_norm"))
+      .join(Tables(spark, dir).embeddings.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members")), "label")
+      .select(col("label"), col("centroid_norm"), col("n_members"))
+      .orderBy(col("label"))
+  }
+
+  /** k nearest members to each label centroid (composition of centroid
+    * + cosine + window top-k; oracle=no per SURVEY §2.10). */
+  def embedKnnPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val centroids = e
+      .select(col("label"), posexplode(col("v"))).toDF("label", "pos", "cv")
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("cv").cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pairs"))
+      .select(col("label").as("c_label"),
+        expr("transform(pairs, p -> p.mean_v)").as("centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(centroids), col("label") === col("c_label"))
+      .select(col("label"), col("vec_id"),
+        round(cosine(col("v"), col("centroid")), 4).as("cos_sim"))
+      .select(col("label"), col("vec_id"), col("cos_sim"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("label"), col("rk"))
+  }
+
+  /** IVF-style approximate nearest neighbors: coarse quantizer = label
+    * centroids; the probe searches only the 3 nearest buckets
+    * (nprobe=3 of 10), then brute-forces within them. At scale, data
+    * partitioned by bucket id turns the pruned buckets into unread
+    * partitions. oracle=no (approximation); tests measure recall vs
+    * the exact top-k. */
+  def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val centroids = e
+      .select(col("label"), posexplode(col("v"))).toDF("label", "pos", "cv")
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("cv").cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pairs"))
+      .select(col("label").as("c_label"),
+        expr("transform(pairs, p -> p.mean_v)").as("centroid"))
+    val nearestBuckets = centroids.crossJoin(broadcast(probeOf(t)))
+      .select(col("c_label"),
+        round(cosine(col("centroid"), col("probe_vec")), 6).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+      .limit(3)
+      .select(col("c_label").as("bucket"))
+    e.join(broadcast(nearestBuckets), col("label") === col("bucket"))
+      .crossJoin(broadcast(probeOf(t)))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("probe_vec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Multimodal join: documents ⋈ embeddings on doc_id=vec_id, English
+    * docs only, similarity vs the probe. */
+  def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.filter(col("lang") === "en")
+      .join(t.embeddings, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(probeOf(t)))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("label"),
+        round(cosine(col("embedding").cast("array<double>"),
+          col("probe_vec")), 4).as("cos_sim"))
+      .orderBy(col("doc_id"))
+  }
+}
