@@ -275,7 +275,7 @@ object Oracle {
       """SELECT order_date,
                 CAST(ROUND(rev, 2) AS DOUBLE) AS day_revenue,
                 ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
-                      / COUNT(*) OVER w, 2) AS ma7
+                      / COUNT(*) OVER w + 1e-9, 2) AS ma7
          FROM (SELECT CAST(o_orderdate AS DATE) AS order_date,
                       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
                FROM orders GROUP BY 1) d
@@ -648,6 +648,58 @@ object Oracle {
          JOIN (SELECT label, count(*) AS n_members
                FROM embeddings GROUP BY 1) c USING (label)
          ORDER BY label""",
+
+    // §2.8 streaming batch analogs
+    "stream_tumbling_window" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type,
+                 count(*) AS n_events, ${sqlSum2("value")} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "stream_sliding_window" ->
+      s"""WITH ev AS (SELECT date_trunc('second', ts) AS ts_sec, value
+                      FROM events),
+          x AS (SELECT time_bucket(INTERVAL '15 minutes', ts_sec)
+                         - k * INTERVAL '15 minutes' AS ws, value
+                FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+          SELECT ws, count(*) AS n_events, ${sqlAvg2("value")} AS avg_value
+          FROM x GROUP BY 1 ORDER BY ws""",
+
+    "stream_session_window" ->
+      s"""WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts_sec,
+                             value FROM events),
+          flagged AS (SELECT user_id, ts_sec, value,
+            CASE WHEN lag(ts_sec) OVER w IS NULL
+                   OR ts_sec - lag(ts_sec) OVER w >= INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+          sess AS (SELECT user_id, ts_sec, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged)
+          SELECT user_id, min(ts_sec) AS session_start,
+                 count(*) AS n_events, ${sqlSum2("value")} AS sum_value
+          FROM sess GROUP BY user_id, sid
+          ORDER BY user_id, session_start""",
+
+    "stream_dedup_watermark" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event,
+                count(*) AS n_dupes
+         FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
+
+    "stream_stateful_running" ->
+      """SELECT user_id, event_id, date_trunc('second', ts) AS ts_sec,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS running_total
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id, ts_sec, event_id""",
+
+    "stream_static_join" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
 
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label,

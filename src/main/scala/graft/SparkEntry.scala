@@ -109,7 +109,14 @@ object SparkEntry {
     "embed_knn_per_label"      -> (VectorOps.embedKnnPerLabel _),
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
-    "multimodal_decode"        -> (MultimodalOps.multimodalDecode _)
+    "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),
+    // §2.8 streaming batch analogs (streaming variants in tests)
+    "stream_tumbling_window"  -> (Streaming.streamTumblingWindow _),
+    "stream_sliding_window"   -> (Streaming.streamSlidingWindow _),
+    "stream_session_window"   -> (Streaming.streamSessionWindow _),
+    "stream_dedup_watermark"  -> (Streaming.streamDedupWatermark _),
+    "stream_stateful_running" -> (Streaming.streamStatefulRunning _),
+    "stream_static_join"      -> (Streaming.streamStaticJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -25,9 +25,16 @@ object Det {
 
   /** Average as (exact decimal sum → double) / count, rounded to 2dp.
     * The division happens in double space on identical inputs in both
-    * engines (decimal division scale rules differ between engines). */
+    * engines (decimal division scale rules differ between engines).
+    *
+    * The 1e-9 epsilon resolves a rounding-SEMANTICS split: for doubles,
+    * Spark rounds the shortest decimal string (39.535 → 39.54) while
+    * DuckDB rounds the binary value (39.53499999… → 39.53). Exact-half
+    * quotients (count=2 of 2dp inputs) hit this constantly; the epsilon
+    * pushes both engines' identical double decisively off the boundary
+    * so they agree. Must appear in the oracle SQL too ([[sqlAvg2]]). */
   def avg2(c: Column): Column =
-    round(sum(c.cast(Fixed)).cast(DoubleType) / count(c), 2)
+    round(sum(c.cast(Fixed)).cast(DoubleType) / count(c) + lit(1e-9), 2)
 
   /** Round a per-row double expression to 2dp (no aggregation hazard —
     * per-row arithmetic is order-free and bit-identical across engines). */
@@ -46,5 +53,5 @@ object Det {
   def sqlSum2(x: String): String =
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
   def sqlAvg2(x: String): String =
-    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x), 2)"
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x) + 1e-9, 2)"
 }

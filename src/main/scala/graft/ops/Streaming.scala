@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** §2.8 streaming operators.
+  *
+  * Each capability is a SHARED transform (`DataFrame → DataFrame`) that
+  * runs identically on a static frame (registered below, DuckDB-oracle
+  * checked) and on a Structured Streaming frame (driven in the test
+  * suite via MemoryStream, including watermark/late-data semantics —
+  * the parts a batch oracle cannot see). This is Spark's core streaming
+  * design point: one declarative plan, two execution modes.
+  *
+  * Event times are second-truncated BEFORE windowing/sessionizing so
+  * the ns-origin timestamps (SURVEY.md §1.3) compare identically across
+  * engines.
+  *
+  * Scale: all aggregations key on (window/session × type/user) — state
+  * size is bounded by key cardinality × window retention, and the
+  * streaming variants carry watermarks so state is evicted; nothing
+  * here accumulates unboundedly.
+  */
+object Streaming {
+  private val Fixed = DecimalType(18, 4)
+
+  private def eventsSec(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+
+  /** Events per type per 1-hour tumbling window. */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts_sec"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.sum2(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def streamTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    tumbling(eventsSec(spark, dir))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** 1-hour window sliding every 15 minutes, average value. */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts_sec"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.avg2(col("value")).as("avg_value"))
+      .select(col("window.start").as("ws"), col("n_events"),
+        col("avg_value"))
+
+  def streamSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    sliding(eventsSec(spark, dir)).orderBy(col("ws"))
+
+  /** Per-user sessions with a 30-minute inactivity gap. */
+  def sessions(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts_sec"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.sum2(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessions(eventsSec(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Deduplication: first event per (user, type). Batch analog uses
+    * min(event_id) for a deterministic "first" (dropDuplicates keeps an
+    * arbitrary row); the streaming variant in tests uses
+    * withWatermark + dropDuplicates. */
+  def dedupFirst(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event"),
+        count(lit(1)).as("n_dupes"))
+
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame =
+    dedupFirst(eventsSec(spark, dir))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Stateful running total: cumulative purchase value per user in
+    * event-time order. Batch analog = running-frame window; streaming
+    * variant = flatMapGroupsWithState in the test suite. */
+  def streamStatefulRunning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsSec(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        round(sum(col("value").cast(Fixed)).over(w), 2)
+          .cast(DoubleType).as("running_total"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** Stream-static join: enrich events with the customer dimension.
+    * In streaming mode the static side is broadcast to every
+    * micro-batch — same plan, no state. */
+  def enrich(ev: DataFrame, customer: DataFrame): DataFrame =
+    ev.join(customer, ev("user_id") === customer("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    enrich(eventsSec(spark, dir), Tables(spark, dir).customer)
+      .orderBy(col("event_id"))
+}

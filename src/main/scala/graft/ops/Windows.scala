@@ -91,7 +91,7 @@ object Windows {
       .select(col("order_date"),
         round(col("rev"), 2).cast(DoubleType).as("day_revenue"),
         round(sum(col("rev")).over(w).cast(DoubleType)
-          / count(lit(1)).over(w), 2).as("ma7"))
+          / count(lit(1)).over(w) + lit(1e-9), 2).as("ma7"))
       .orderBy(col("order_date"))
   }
 
