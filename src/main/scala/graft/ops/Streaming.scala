@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.8 streaming operators.
@@ -106,4 +107,36 @@ object Streaming {
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
     enrich(eventsSec(spark, dir), Tables(spark, dir).customer)
       .orderBy(col("event_id"))
+
+  /** Typed input for the custom-state demo. */
+  final case class PurchaseEvent(user_id: Long, event_id: Long,
+    ts_sec: java.sql.Timestamp, value: Double)
+
+  /** Per-user state carried across micro-batches. */
+  final case class RunningTotal(user_id: Long, n_purchases: Long,
+    total: Double)
+
+  /** True streaming custom state: per-user running purchase totals via
+    * flatMapGroupsWithState (Update mode). State is one fixed-size
+    * record per user — bounded by user cardinality; with event-time
+    * timeouts it would be evicted for idle users at scale. Exercised by
+    * the MemoryStream suite (the batch analog above is the
+    * oracle-checked equivalent). */
+  def statefulRunningStream(ev: Dataset[PurchaseEvent])
+      : Dataset[RunningTotal] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[PurchaseEvent],
+         state: GroupState[RunningTotal]) =>
+          val prev = state.getOption.getOrElse(RunningTotal(uid, 0L, 0.0))
+          var n = prev.n_purchases
+          var total = prev.total
+          batch.foreach { e => n += 1; total += e.value }
+          val updated = RunningTotal(uid, n, math.rint(total * 100) / 100)
+          state.update(updated)
+          Iterator(updated)
+      }
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Property tests for the oracle=no dedup/text ops: MinHash recall vs
+  * exact Jaccard ground truth, SimHash candidate soundness, fingerprint
+  * determinism. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val exactPairs: Map[(Long, Long), Double] =
+    TextOps.textNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard"))
+      .toMap
+
+  test("minhash finds every pair with Jaccard ≥ 0.7 (high-sim recall)") {
+    val found = TextOps.dedupNearMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val must = exactPairs.filter(_._2 >= 0.7).keySet
+    assert(must.nonEmpty, "corpus should contain planted near-dups")
+    val missed = must -- found
+    assert(missed.isEmpty, s"minhash missed high-similarity pairs: $missed")
+  }
+
+  test("minhash reports only pairs whose verified Jaccard ≥ 0.5") {
+    val rows = TextOps.dedupNearMinhash(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5, s"pair below threshold: $r")
+      // verify stage must agree with the independent exact computation
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(math.abs(exactPairs(key) - j) < 1e-9)
+    }
+  }
+
+  test("simhash pairs are token-level similar (its actual signal)") {
+    val sim = TextOps.dedupSimhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(sim.nonEmpty)
+    // SimHash approximates TOKEN-set overlap (order-insensitive), not
+    // trigram overlap — verify against token-set Jaccard ground truth.
+    val tokens = Tables(spark, sfDir).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(' ').toSet)
+      .toMap
+    val tokJac = sim.map { case (a, b) =>
+      val (ta, tb) = (tokens(a), tokens(b))
+      (ta intersect tb).size.toDouble / (ta union tb).size
+    }
+    val lowSim = tokJac.count(_ < 0.5)
+    assert(lowSim <= sim.size / 5,
+      s"$lowSim of ${sim.size} simhash pairs have token Jaccard < 0.5")
+  }
+
+  test("fingerprints are deterministic across runs") {
+    val a = TextOps.textFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = TextOps.textFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.size == 500)
+  }
+
+  test("near-dup pairs share fingerprints more often than random pairs") {
+    val fp = TextOps.textFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDup = exactPairs.filter(_._2 >= 0.9).keySet
+    assert(nearDup.nonEmpty)
+    val sharing = nearDup.count { case (a, b) => fp(a) == fp(b) }
+    // min-hash fingerprint: P(match) = Jaccard ≈ 0.9+
+    assert(sharing >= nearDup.size / 2,
+      s"only $sharing of ${nearDup.size} near-dup pairs share fingerprints")
+  }
+
+  test("exact dedup is a partition of the corpus") {
+    val rows = TextOps.dedupExact(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == 500L)
+    val keeps = rows.map(_.getAs[Long]("keep_id"))
+    assert(keeps.distinct.length == keeps.length)
+  }
+
+  test("language-ID output is deterministic and total") {
+    val a = TextOps.textLangId(spark, sfDir).collect()
+    val b = TextOps.textLangId(spark, sfDir).collect()
+    assert(a.length == 500)
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+}

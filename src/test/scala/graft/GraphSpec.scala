@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.{GraphOps, GraphXAlgos}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the oracle=no GraphX analytics (SURVEY.md §5.2)
+  * plus structural checks on the derived property graph. */
+class GraphSpec extends SparkSpec {
+
+  test("star-schema graph is one connected component") {
+    // region←nation←{customer,supplier}←order←part chains connect
+    // everything reachable; the corpus references every dim key, so the
+    // whole graph collapses into a single component.
+    val comps = GraphXAlgos.connectedComponents(spark, sfDir).collect()
+    assert(comps.length == 1)
+    assert(comps(0).getAs[Long]("size") ==
+      GraphModel.vertices(spark, sfDir).count())
+  }
+
+  test("pagerank mass is conserved (sum ≈ vertex count)") {
+    import spark.implicits._
+    val edges = GraphModel.edges(spark, sfDir)
+      .select(col("src"), col("dst")).distinct().rdd
+      .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1))
+    val g = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+    val n = g.vertices.count()
+    val mass = g.staticPageRank(10, 0.15).vertices.map(_._2).sum()
+    assert(math.abs(mass - n) / n < 0.05,
+      s"rank mass $mass should be within 5% of $n")
+  }
+
+  test("pagerank ranks dims above facts (sinks accumulate rank)") {
+    val top = GraphXAlgos.pagerank(spark, sfDir).collect()
+    // top-5 vertices must be regions/nations (id namespace 1–2 × 1e12)
+    assert(top.take(5).forall(_.getAs[Long]("id") < 3000000000000L))
+  }
+
+  test("shortest paths: hop distance respects the hierarchy") {
+    val d = GraphXAlgos.shortestPaths(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("dist_to_region0"))
+      .toMap
+    assert(d(GraphModel.RegionOff) == 0)
+    // nations of region 0 are exactly the dist-1 vertices
+    val natDist = d.filter { case (id, _) =>
+      id >= GraphModel.NationOff && id < GraphModel.CustomerOff }
+    assert(natDist.values.forall(_ == 1))
+    // customers are 2 hops up, orders 3
+    assert(d.filter(_._1 >= GraphModel.OrderOff).values.forall(_ == 3))
+  }
+
+  test("bfs k-hop matches shortest-path distances for reachable set") {
+    val bfs = GraphOps.bfsKhop(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("hop")).toMap
+    val sp = GraphXAlgos.shortestPaths(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("dist_to_region0"))
+      .toMap
+    // BFS follows reversed edges from region0; ShortestPaths follows
+    // forward edges toward region0 — same distances, restricted to
+    // vertices that reach region0 (not other regions).
+    val bfsReached = bfs.keySet
+    assert(bfsReached.subsetOf(sp.keySet))
+    bfsReached.foreach { id => assert(bfs(id) == sp(id), s"vertex $id") }
+  }
+
+  test("triangle count: histogram masses match the projection size") {
+    val hist = GraphXAlgos.triangleCount(spark, sfDir).collect()
+    val nVertices = hist.map(_.getAs[Long]("n_vertices")).sum
+    val nParts = Tables(spark, sfDir).part
+      .join(Tables(spark, sfDir).lineitem,
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .count()
+    assert(nVertices == nParts)
+  }
+
+  test("subgraph edges have both endpoints inside the vertex predicate") {
+    val edges = GraphOps.subgraph(spark, sfDir).collect()
+    assert(edges.nonEmpty)
+    val t = Tables(spark, sfDir)
+    val custOk = t.customer.filter(col("c_acctbal") > 5000)
+      .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    val natOk = t.nation.filter(col("n_regionkey") <= 1)
+      .select((lit(GraphModel.NationOff) + col("n_nationkey")).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    val ok = custOk ++ natOk
+    edges.foreach { r =>
+      assert(ok.contains(r.getAs[Long]("src")))
+      assert(ok.contains(r.getAs[Long]("dst")))
+    }
+  }
+}

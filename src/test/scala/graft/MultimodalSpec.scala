@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.MultimodalOps
+
+/** Tests for the multimodal binary plumbing: schema, determinism, and
+  * frame-sampling arithmetic (the stubbed codec is deterministic by
+  * construction, so everything downstream is assertable). */
+class MultimodalSpec extends SparkSpec {
+
+  test("decode pipeline emits the typed schema with one row per blob") {
+    val df = MultimodalOps.multimodalDecode(spark, sfDir)
+    assert(df.columns.toSeq == Seq("media_id", "kind", "byte_len",
+      "width", "height", "n_frames", "frame_sig"))
+    assert(df.count() == 500)
+  }
+
+  test("decode is deterministic across runs") {
+    val a = MultimodalOps.multimodalDecode(spark, sfDir).collect()
+    val b = MultimodalOps.multimodalDecode(spark, sfDir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
+  test("byte_len equals n_chars and frames cover the payload") {
+    val rows = MultimodalOps.multimodalDecode(spark, sfDir).collect()
+    val nChars = Tables(spark, sfDir).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val len = r.getAs[Long]("byte_len")
+      assert(len == nChars(id)) // ascii corpus: 1 byte per char
+      val frames = r.getAs[Long]("n_frames")
+      assert(frames == (len + 31) / 32)
+    }
+  }
+
+  test("fake resolutions stay within the stub's declared range") {
+    val rows = MultimodalOps.multimodalDecode(spark, sfDir).collect()
+    rows.foreach { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 640 && w <= 640 + 6 * 16)
+      assert(h >= 360 && h <= 360 + 4 * 16)
+    }
+  }
+}

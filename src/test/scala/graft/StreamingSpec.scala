@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming variants of the §2.8 operators, driven through
+  * MemoryStream — covers the semantics the batch oracle cannot see:
+  * incremental emission, custom state across micro-batches, and
+  * watermark-based late-data dropping. */
+class StreamingSpec extends SparkSpec {
+  import Streaming.{PurchaseEvent, RunningTotal}
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(ts_sec: Timestamp, event_type: String, user_id: Long,
+    value: Double)
+
+  test("tumbling window aggregates incrementally over micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streaming.tumbling(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:05:00"), "click", 1L, 10.0),
+        Ev(ts("2024-01-01 10:55:00"), "click", 2L, 20.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts("2024-01-01 11:05:00"), "click", 1L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_t")
+        .orderBy("ws", "event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2)
+      assert(rows(0).getAs[Double]("sum_value") == 30.0)
+      assert(rows(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("watermark drops late data beyond the threshold") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // 10-minute watermark, 1h tumbling window, append mode: a window is
+    // emitted once the watermark passes its end; later rows for it drop.
+    val agg = input.toDF()
+      .withWatermark("ts_sec", "10 minutes")
+      .groupBy(window(col("ts_sec"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("late_t")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(ts("2024-01-01 10:05:00"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      // advance watermark past 11:00 (event time 11:30 → wm 11:20)
+      input.addData(Ev(ts("2024-01-01 11:30:00"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      // late arrival for the already-closed 10:00 window → dropped
+      input.addData(Ev(ts("2024-01-01 10:20:00"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      // force emission check after watermark advanced
+      input.addData(Ev(ts("2024-01-01 13:00:00"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      val closed10 = spark.table("late_t")
+        .filter(col("ws") === ts("2024-01-01 10:00:00")).collect()
+      assert(closed10.length == 1)
+      // the late 10:20 row did NOT bump the count
+      assert(closed10(0).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState carries running totals across batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[PurchaseEvent]
+    val q = Streaming.statefulRunningStream(input.toDS())
+      .writeStream.format("memory").queryName("state_t")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        PurchaseEvent(1L, 1L, ts("2024-01-01 10:00:00"), 10.5),
+        PurchaseEvent(1L, 2L, ts("2024-01-01 10:01:00"), 4.5))
+      q.processAllAvailable()
+      input.addData(PurchaseEvent(1L, 3L, ts("2024-01-01 10:02:00"), 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("state_t").as[RunningTotal].collect()
+        .filter(_.user_id == 1L).maxBy(_.n_purchases)
+      assert(latest.n_purchases == 3L)
+      assert(latest.total == 20.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup with watermark keeps first of duplicate ids") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    case object _marker
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = input.toDF().toDF("event_id", "ts_sec")
+      .withWatermark("ts_sec", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:05:00"))) // duplicate id
+      input.addData((2L, ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() == 2)
+    } finally q.stop()
+  }
+
+  test("batch analogs match between shared transform and query entry") {
+    val viaEntry = Streaming.streamTumblingWindow(spark, sfDir).collect()
+    assert(viaEntry.nonEmpty)
+    assert(viaEntry.map(_.getAs[Long]("n_events")).sum == 1000L)
+  }
+}
