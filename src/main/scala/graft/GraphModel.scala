@@ -77,13 +77,17 @@ object GraphModel {
 
   /** GraphX view (RDD world) — built only at the GraphX boundary; all
     * relational work stays in Catalyst. Vertex attr = kind, edge attr =
-    * rel. */
+    * rel. Multi-edges are deduplicated: every consumer (connected
+    * components, shortest paths, label propagation) is multiplicity-
+    * insensitive, and the lineitem HAS/FROM duplicates only inflate
+    * Pregel message traffic (algorithms needing weights — PageRank —
+    * build their own edge RDD). */
   def graphx(spark: SparkSession, dir: String)
       : org.apache.spark.graphx.Graph[String, String] = {
     import org.apache.spark.graphx.{Edge, Graph}
     val vrdd = vertices(spark, dir).select("id", "kind").rdd
       .map(r => (r.getLong(0), r.getString(1)))
-    val erdd = edges(spark, dir).rdd
+    val erdd = edges(spark, dir).distinct().rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph(vrdd, erdd, "unknown")
   }

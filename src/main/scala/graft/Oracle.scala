@@ -39,6 +39,9 @@ object Oracle {
   val sql: Map[String, String] = Map(
     // lineitem has no unique key (dup (l_orderkey,l_linenumber) pairs) →
     // ORDER BY ALL output columns, matching the Spark side's totalOrder.
+    "scan_dim_table" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY ALL",
 
@@ -599,30 +602,28 @@ object Oracle {
     "embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,
                            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
-               FROM embeddings WHERE vec_id = 0)
+         en AS (SELECT vec_id, label, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm FROM e),
+         p AS (SELECT v AS pv, nrm AS pnrm FROM en WHERE vec_id = 0)
          SELECT vec_id, label,
                 ROUND(list_sum(list_transform(range(1, 65),
-                        i -> v[i] * pv[i]))
-                      / sqrt(list_sum(list_transform(range(1, 65),
-                               i -> v[i] * v[i]))
-                           * list_sum(list_transform(range(1, 65),
-                               i -> pv[i] * pv[i]))), 4) AS cos_sim
-         FROM e CROSS JOIN p
+                        i -> v[i] * pv[i])) / (nrm * pnrm), 4) AS cos_sim
+         FROM en CROSS JOIN p
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 
     "embed_pair_sim_threshold" ->
       """WITH e AS (SELECT vec_id, label,
-                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id, label, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm FROM e)
          SELECT * FROM (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
                   ROUND(list_sum(list_transform(range(1, 65),
                           i -> a.v[i] * b.v[i]))
-                        / sqrt(list_sum(list_transform(range(1, 65),
-                                 i -> a.v[i] * a.v[i]))
-                             * list_sum(list_transform(range(1, 65),
-                                 i -> b.v[i] * b.v[i]))), 3) AS cos_sim
-           FROM e a JOIN e b
+                        / (a.nrm * b.nrm), 3) AS cos_sim
+           FROM en a JOIN en b
              ON a.label = b.label AND a.vec_id < b.vec_id) s
          WHERE cos_sim >= 0.3
          ORDER BY a_id, b_id""",
@@ -704,16 +705,14 @@ object Oracle {
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label,
                            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
-               FROM embeddings WHERE vec_id = 0)
+         en AS (SELECT vec_id, label, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm FROM e),
+         p AS (SELECT v AS pv, nrm AS pnrm FROM en WHERE vec_id = 0)
          SELECT doc_id, source, n_chars, label,
                 ROUND(list_sum(list_transform(range(1, 65),
-                        i -> v[i] * pv[i]))
-                      / sqrt(list_sum(list_transform(range(1, 65),
-                               i -> v[i] * v[i]))
-                           * list_sum(list_transform(range(1, 65),
-                               i -> pv[i] * pv[i]))), 4) AS cos_sim
-         FROM documents JOIN e ON doc_id = e.vec_id CROSS JOIN p
+                        i -> v[i] * pv[i])) / (nrm * pnrm), 4) AS cos_sim
+         FROM documents JOIN en ON doc_id = en.vec_id CROSS JOIN p
          WHERE lang = 'en'
          ORDER BY doc_id"""
   )

