@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.{Joins, Relational, SetOps}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions — the ".explain discipline" as executable
+  * checks. These lock in the scale-critical plan shapes: pushdown and
+  * pruning at the scan, broadcast vs sort-merge join selection,
+  * top-k without a global sort, two-phase aggregation. A regression
+  * that silently degrades one of these (e.g. a filter that stops
+  * pushing down) fails here long before it shows up as a 100 TB
+  * incident. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("predicate pushes into the parquet scan (row-group pruning)") {
+    val p = physical(Relational.scanPrunedFilter(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("projection prunes to the 3 referenced columns at the scan") {
+    val p = physical(Relational.scanProjection(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("dim⋈fact join plans as BroadcastHashJoin") {
+    val p = physical(Joins.joinBroadcast(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("fact⋈fact merge-hinted join plans as SortMergeJoin") {
+    val p = physical(Joins.joinShuffleSortMerge(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("non-equi bracket join plans as BroadcastNestedLoopJoin") {
+    val p = physical(Joins.joinThetaRange(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = physical(SetOps.limitTopkGlobal(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("grouped aggregation is two-phase (partial + final)") {
+    val p = physical(graft.ops.Aggregations.aggHashGroupby(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val p = physical(Relational.filterPredicate(spark, sfDir))
+    // codegen'd spans print as "*(n)" in the compact plan string
+    assert(p.contains("*(1) Filter"), p)
+    assert(p.contains("*(1) Project"), p)
+  }
+}

@@ -119,6 +119,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream replays events through the same transform " +
+      "and matches the batch result") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val ev = Tables(spark, sfDir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+      .toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = Streaming.tumbling(stream)
+      .writeStream.format("memory").queryName("file_t")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_t").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ws"),
+          r.getAs[String]("event_type")) -> r.getAs[Long]("n_events"))
+        .toMap
+      val batch = Streaming.tumbling(ev).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ws"),
+          r.getAs[String]("event_type")) -> r.getAs[Long]("n_events"))
+        .toMap
+      assert(streamed == batch,
+        "stream and batch runs of the same transform must agree")
+    } finally q.stop()
+  }
+
   test("batch analogs match between shared transform and query entry") {
     val viaEntry = Streaming.streamTumblingWindow(spark, sfDir).collect()
     assert(viaEntry.nonEmpty)
