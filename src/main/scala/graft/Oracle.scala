@@ -234,6 +234,62 @@ object Oracle {
          FROM orders WHERE o_orderstatus = 'P'
          GROUP BY o_custkey ORDER BY o_custkey""",
 
+    // §2.4bis statistical aggregates / reshaping / sampling
+    "agg_stats_moments" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+                  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
+                ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
+                ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qp,
+                ROUND((n * sxy - sx * sy)
+                      / (sqrt(n * sxx - sx * sx)
+                       * sqrt(n * syy - sy * sy)), 6) AS corr_qp
+         FROM m ORDER BY l_returnflag""",
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+                ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "pivot_wide" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "unpivot_long" ->
+      """SELECT p_partkey, 'p_retailprice' AS measure,
+                p_retailprice AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+         ORDER BY p_partkey, measure""",
+
+    "sample_systematic" ->
+      s"""SELECT l_returnflag, count(*) AS n_sampled,
+                 ${sqlSum2("l_extendedprice")} AS sum_price
+          FROM lineitem
+          WHERE l_orderkey % 10 = 0 AND l_linenumber = 1
+          GROUP BY 1 ORDER BY l_returnflag""",
+
+    "join_skew_salted" ->
+      s"""SELECT label, count(*) AS n_orders,
+                 ${sqlSum2("o_totalprice")} AS sum_price
+          FROM orders
+          JOIN (VALUES ('F', 'finished'), ('O', 'open'),
+                       ('P', 'pending')) d(status, label)
+            ON o_orderstatus = status
+          GROUP BY label ORDER BY label""",
+
     // §2.5 windows
     "window_rank" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -50,6 +50,13 @@ object SparkEntry {
     "agg_min_max_by"      -> (Aggregations.aggMinMaxBy _),
     "agg_collect_sorted"  -> (Aggregations.aggCollectSorted _),
     "agg_custom_vecsum"   -> (Aggregations.aggCustomVecsum _),
+    // §2.4bis statistics / reshaping / sampling / skew patterns
+    "agg_stats_moments" -> (Stats.aggStatsMoments _),
+    "agg_percentile"    -> (Stats.aggPercentile _),
+    "pivot_wide"        -> (Stats.pivotWide _),
+    "unpivot_long"      -> (Stats.unpivotLong _),
+    "sample_systematic" -> (Stats.sampleSystematic _),
+    "join_skew_salted"  -> (Stats.joinSkewSalted _),
     // §2.5 windows
     "window_rank"           -> (Windows.windowRank _),
     "window_topk_per_group" -> (Windows.windowTopkPerGroup _),

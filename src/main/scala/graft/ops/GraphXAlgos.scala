@@ -74,13 +74,17 @@ object GraphXAlgos {
       .orderBy(col("n_triangles"))
   }
 
-  /** Hop distance from the region landmarks (ShortestPaths follows
+  /** Hop distance from the region-0 landmark (ShortestPaths follows
     * edge direction; our edges point child→parent, so this is the
-    * distance from every vertex up to its region root). */
+    * distance from every vertex up to its region root). Single
+    * landmark on purpose: ShortestPaths propagates a Map[landmark →
+    * dist] per vertex, so message size — and Pregel wall-clock —
+    * scales linearly with landmark count, and only region-0 distance
+    * is consumed. */
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = GraphModel.graphx(spark, dir)
-    val landmarks = (0L to 4L).map(GraphModel.RegionOff + _)
+    val landmarks = Seq(GraphModel.RegionOff)
     ShortestPaths.run(g, landmarks).vertices
       .flatMap { case (id, spmap) =>
         spmap.get(GraphModel.RegionOff).map(d => (id, d))

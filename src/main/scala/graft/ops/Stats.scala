@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical aggregates, reshaping (pivot/unpivot), sampling, and the
+  * salted-skew-join pattern.
+  *
+  * Moments (variance/stddev/covariance/correlation) are NOT computed
+  * with the builtin one-pass aggregates (whose merge order makes the
+  * low bits run-dependent): they derive from decimal-EXACT moment sums
+  * (Σx, Σx², Σxy — all exact in DECIMAL(30,4) because inputs are 2dp),
+  * then identical double arithmetic on both engines. Same single-pass,
+  * two-phase HashAggregate shape — determinism costs nothing.
+  */
+object Stats {
+  private val D = DecimalType(30, 4)
+
+  /** Per-flag variance/stddev/covariance/correlation of quantity vs
+    * extended price, from exact moment sums. */
+  def aggStatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      // per-row double products are exact (2dp inputs, < 2^53 scaled)
+      .withColumn("xx", col("x") * col("x"))
+      .withColumn("yy", col("y") * col("y"))
+      .withColumn("xy", col("x") * col("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(D)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(D)).cast(DoubleType).as("sy"),
+        sum(col("xx").cast(D)).cast(DoubleType).as("sxx"),
+        sum(col("yy").cast(D)).cast(DoubleType).as("syy"),
+        sum(col("xy").cast(D)).cast(DoubleType).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1), 4).as("var_qty"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)), 4).as("stddev_qty"),
+        round((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("n") - 1), 4).as("covar_qp"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (median, p90) per flag. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4)
+          .as("median_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Wide pivot: order counts per priority × status. */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Long unpivot (melt): part measures to (key, measure, value). */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast(DoubleType).as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
+  /** Systematic (deterministic) 1-in-10 sample by key — the sampling
+    * pattern that stays reproducible across engines and runs, unlike
+    * TABLESAMPLE. Aggregated so the sample's representativeness is
+    * visible. */
+  def sampleSystematic(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_orderkey") % 10 === 0 && col("l_linenumber") === 1)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        Det.sum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Salted skew join EXHIBIT: the fact side's 3-value hot key
+    * (o_orderstatus) is joined against a dim replicated across 8
+    * salts, with facts salted by a hash of their unique key. The JOIN
+    * RESULT is salt-invariant (verified by the oracle's plain join) —
+    * only the shuffle distribution changes. At local/broadcast scale
+    * the salt is a no-op; on a 100 TB shuffled join this is the
+    * pattern that splits a hot key across 8 reducers. */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val statusDim = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("F", "finished"), Row("O", "open"), Row("P", "pending")),
+      StructType(Seq(StructField("status", StringType),
+        StructField("label", StringType))))
+    val salted = statusDim
+      .withColumn("salt", explode(sequence(lit(0), lit(7))))
+    val facts = Tables(spark, dir).orders
+      .withColumn("salt", pmod(hash(col("o_orderkey")), lit(8)))
+    facts.join(broadcast(salted),
+        col("o_orderstatus") === col("status") &&
+          facts("salt") === salted("salt"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.sum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("label"))
+  }
+}
