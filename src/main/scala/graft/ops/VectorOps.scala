@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,9 +23,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object VectorOps {
 
-  /** dot(a, b) over array<double> columns. */
+  /** dot(a, b) over array<double> columns — the native codegen
+    * [[graft.functions.DotProduct]] expression (same sequential sum
+    * order as the HOF pipeline / DuckDB, so oracles are unchanged;
+    * `Scalars.arrayHigherOrder` deliberately keeps the HOF variant as
+    * the lambda-surface exhibit). Callers must have invoked
+    * [[graft.functions.VectorExpressions.register]] on the session. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
@@ -45,6 +51,7 @@ object VectorOps {
     * Ordered on the ROUNDED similarity (ties → id) so cross-engine
     * float drift cannot flip ranks. */
   def embedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val t = Tables(spark, dir)
     withNorm(t)
       .crossJoin(broadcast(probeOf(t)))
@@ -59,6 +66,7 @@ object VectorOps {
     * label equi-key bounds the self-join (SURVEY.md §7.4: every
     * self-join carries a partition key). */
   def embedPairSimThreshold(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val e = withNorm(Tables(spark, dir))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
@@ -77,6 +85,7 @@ object VectorOps {
     * The shuffle key is (label, pos): 10×64 cells regardless of row
     * count — constant-size state at any scale. */
   def embedCentroidPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val cells = Tables(spark, dir).embeddings
       .select(col("label"), col("vec_id"),
         posexplode(col("embedding").cast("array<double>")))
@@ -98,6 +107,7 @@ object VectorOps {
   /** k nearest members to each label centroid (composition of centroid
     * + cosine + window top-k; oracle=no per SURVEY §2.10). */
   def embedKnnPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -129,6 +139,7 @@ object VectorOps {
     * partitions. oracle=no (approximation); tests measure recall vs
     * the exact top-k. */
   def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val t = Tables(spark, dir)
     val e = t.embeddings
       .select(col("vec_id"), col("label"),
@@ -161,6 +172,7 @@ object VectorOps {
   /** Multimodal join: documents ⋈ embeddings on doc_id=vec_id, English
     * docs only, similarity vs the probe. */
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     val t = Tables(spark, dir)
     t.documents.filter(col("lang") === "en")
       .join(withNorm(t), col("doc_id") === col("vec_id"))
