@@ -29,6 +29,17 @@ object GraphModel {
   val PartOff     = 5000000000000L
   val OrderOff    = 6000000000000L
 
+  /** Memoized persisted edge tables, keyed per (session, dir): 13 graph
+    * queries share one scan+union instead of rebuilding it. ~50 MB at
+    * sf0.1; a handful of dirs per process, never unpersisted (process-
+    * lifetime cache, same pattern a long-lived service would use). */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Cached + persisted view of [[edges]]. */
+  def edgesCached(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((spark, dir), edges(spark, dir).persist())
+
   /** All vertices: (id, kind, name). */
   def vertices(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -87,7 +98,7 @@ object GraphModel {
     import org.apache.spark.graphx.{Edge, Graph}
     val vrdd = vertices(spark, dir).select("id", "kind").rdd
       .map(r => (r.getLong(0), r.getString(1)))
-    val erdd = edges(spark, dir).distinct().rdd
+    val erdd = edgesCached(spark, dir).distinct().rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph(vrdd, erdd, "unknown")
   }

@@ -35,7 +35,7 @@ object GraphOps {
 
   /** Materialized typed edge table (multi-edges preserved). */
   def buildEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.edges(spark, dir)
+    val e = GraphModel.edgesCached(spark, dir)
     e.orderBy(e.columns.map(col).toIndexedSeq: _*)
   }
 
@@ -43,7 +43,7 @@ object GraphOps {
     * joined on the vertex id. One shuffle per direction; at scale this
     * is the standard degree-table build. */
   def degree(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.edges(spark, dir)
+    val e = GraphModel.edgesCached(spark, dir)
     val outDeg = e.groupBy(col("src").as("id_o"))
       .agg(count(lit(1)).as("out_deg"))
     val inDeg = e.groupBy(col("dst").as("id_i"))
@@ -64,7 +64,7 @@ object GraphOps {
     val seeds = Tables(spark, dir).customer
       .filter(col("c_acctbal") > 9000)
       .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("seed_id"))
-    GraphModel.edges(spark, dir)
+    GraphModel.edgesCached(spark, dir)
       .join(seeds, col("src") === col("seed_id"))
       .select(col("src"), col("dst"), col("rel"))
       .orderBy(col("src"), col("dst"), col("rel"))
@@ -73,7 +73,7 @@ object GraphOps {
   /** 2-hop traversal region←nation←customer purely over the edge
     * table (vertex kind recovered from the id namespace). */
   def traverse2hop(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.edges(spark, dir)
+    val e = GraphModel.edgesCached(spark, dir)
     val natToRegion = e.filter(col("rel") === "IN" &&
         expr("src div 1000000000000 = 2"))
       .select(col("src").as("nation_id"), col("dst").as("region_id"))
@@ -113,7 +113,7 @@ object GraphOps {
       .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("id"))
       .union(t.nation.filter(col("n_regionkey") <= 1)
         .select((lit(GraphModel.NationOff) + col("n_nationkey")).as("id")))
-    val e = GraphModel.edges(spark, dir)
+    val e = GraphModel.edgesCached(spark, dir)
     e.join(vs.withColumnRenamed("id", "sid"), col("src") === col("sid"))
       .join(vs.withColumnRenamed("id", "did"), col("dst") === col("did"))
       .select(col("src"), col("dst"), col("rel"))
@@ -128,7 +128,7 @@ object GraphOps {
     * it. For deeper walks, localCheckpoint() every ~3 hops bounds
     * lineage (not needed at k=3). */
   def bfsKhop(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.edges(spark, dir)
+    val e = GraphModel.edgesCached(spark, dir)
       .select(col("src"), col("dst")).persist()
     val seed = spark.range(1).select(
       lit(GraphModel.RegionOff).as("id"), lit(0).as("hop"))

@@ -26,7 +26,7 @@ object GraphXAlgos {
     * Output: top-50 vertices by rounded rank (ties broken by id). */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = GraphModel.edges(spark, dir)
+    val edges = GraphModel.edgesCached(spark, dir)
       .select(col("src"), col("dst")).distinct().rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val g = Graph.fromEdges(edges, 0)
@@ -103,7 +103,7 @@ object GraphXAlgos {
     * community-size histogram; tests assert only invariants. */
   def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = GraphModel.edges(spark, dir)
+    val edges = GraphModel.edgesCached(spark, dir)
       .filter(col("rel") === "IN")
       .select(col("src"), col("dst")).distinct().rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
