@@ -129,7 +129,7 @@ object GraphOps {
     * lineage (not needed at k=3). */
   def bfsKhop(spark: SparkSession, dir: String): DataFrame = {
     val e = GraphModel.edgesCached(spark, dir)
-      .select(col("src"), col("dst")).persist()
+      .select(col("src"), col("dst"))
     val seed = spark.range(1).select(
       lit(GraphModel.RegionOff).as("id"), lit(0).as("hop"))
     var visited = seed

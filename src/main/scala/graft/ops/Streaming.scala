@@ -116,6 +116,48 @@ object Streaming {
   final case class RunningTotal(user_id: Long, n_purchases: Long,
     total: Double)
 
+  /** Spark 4.x arbitrary-state API: the same running total as
+    * [[statefulRunningStream]] via transformWithState's
+    * StatefulProcessor (typed ValueState handle, RocksDB-backed —
+    * the operator Spark positions as the successor to
+    * flatMapGroupsWithState). */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, PurchaseEvent, RunningTotal] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var state: streaming.ValueState[RunningTotal] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[RunningTotal]("running",
+        Encoders.product[RunningTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[PurchaseEvent],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      val prev = Option(state.get()).getOrElse(RunningTotal(key, 0L, 0.0))
+      var n = prev.n_purchases
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val updated = RunningTotal(key, n, math.rint(total * 100) / 100)
+      state.update(updated)
+      Iterator.single(updated)
+    }
+  }
+
+  /** transformWithState variant of the running total (requires the
+    * RocksDB state store provider — set in the streaming test). */
+  def statefulRunningTws(ev: Dataset[PurchaseEvent])
+      : Dataset[RunningTotal] = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ev.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** True streaming custom state: per-user running purchase totals via
     * flatMapGroupsWithState (Update mode). State is one fixed-size
     * record per user — bounded by user cardinality; with event-time

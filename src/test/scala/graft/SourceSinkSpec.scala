@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.GraphOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips: results written to parquet / CSV / JSON and
+  * read back must survive losslessly (schema-aware formats) or up to
+  * the format's documented type erasure (CSV). The engine's sink
+  * surface is `DataFrameWriter` — these tests pin the formats a
+  * pipeline would actually export to. */
+class SourceSinkSpec extends SparkSpec {
+
+  private lazy val result: DataFrame =
+    GraphOps.traverse3hopAgg(spark, sfDir)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("parquet round-trip is lossless (schema + values)") {
+    val dir = s"${tmp()}/out"
+    result.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    // parquet read-back relaxes nullability; names + types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      result.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy(col("r_name"), col("n_name")).collect()
+      .sameElements(result.collect()))
+  }
+
+  test("csv round-trip preserves values through header + explicit schema") {
+    val dir = s"${tmp()}/out"
+    result.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(result.schema).csv(dir)
+    assert(back.orderBy(col("r_name"), col("n_name")).collect()
+      .sameElements(result.collect()))
+  }
+
+  test("json round-trip preserves values with explicit schema") {
+    val dir = s"${tmp()}/out"
+    result.write.json(dir)
+    val back = spark.read.schema(result.schema).json(dir)
+    assert(back.orderBy(col("r_name"), col("n_name")).collect()
+      .sameElements(result.collect()))
+  }
+
+  test("json source: events props parse identically from a json export") {
+    val dir = s"${tmp()}/ev"
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("event_type"), col("props"))
+    ev.write.json(dir)
+    val back = spark.read.schema(ev.schema).json(dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val orig = ev.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    assert(back.orderBy("event_id").collect()
+      .sameElements(orig.orderBy("event_id").collect()))
+  }
+}
