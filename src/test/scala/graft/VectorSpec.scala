@@ -52,6 +52,20 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct stays within its 1% error bound (HLL)") {
+    val approx = graft.ops.Aggregations.aggApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_parts"))
+      .toMap
+    val exact = Tables(spark, sfDir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (flag, n) =>
+      val err = math.abs(approx(flag) - n).toDouble / n
+      assert(err < 0.05, s"$flag: approx ${approx(flag)} vs exact $n")
+    }
+  }
+
   test("pair similarity self-join stays within label partitions") {
     val rows = VectorOps.embedPairSimThreshold(spark, sfDir).collect()
     assert(rows.nonEmpty)
