@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS), unreadable by Spark 4
+      // without this (Tables.events also sets it defensively)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

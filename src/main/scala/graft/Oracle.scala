@@ -143,11 +143,13 @@ object Oracle {
 
     "join_asof" ->
       """SELECT p.event_id AS p_id, p.user_id AS p_user,
-                date_trunc('second', v.ts) AS prior_ts
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF JOIN (SELECT * FROM events
+                v.ts_sec AS prior_ts
+         FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts_sec
+               FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, date_trunc('second', ts) AS ts_sec
+                    FROM events
                     WHERE event_type IN ('signup','view')) v
-           ON p.user_id = v.user_id AND p.ts >= v.ts
+           ON p.user_id = v.user_id AND p.ts_sec >= v.ts_sec
          ORDER BY p_id""",
 
     "join_cross_limited" ->

@@ -125,19 +125,22 @@ object Joins {
     * oracle. Timestamps are second-truncated on output (parquet stores
     * ns; Spark reads µs — SURVEY.md §1.3 hazard). */
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    // second-truncate BEFORE comparing: Spark sees µs-truncated values
+    // of the parquet ns timestamps while DuckDB sees native ns, so a
+    // raw-ts range predicate can disagree for events inside the same
+    // microsecond (SURVEY.md §1.3)
     val ev = Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
+        col("ts_sec").as("p_ts"))
     val views = ev.filter(col("event_type").isin("signup", "view"))
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .select(col("user_id").as("v_user"), col("ts_sec").as("v_ts"))
     purchases
       .join(views,
         col("p_user") === col("v_user") && col("v_ts") <= col("p_ts"))
       .groupBy(col("p_id"), col("p_user"))
-      .agg(max(col("v_ts")).as("matched_ts"))
-      .select(col("p_id"), col("p_user"),
-        date_trunc("second", col("matched_ts")).as("prior_ts"))
+      .agg(max(col("v_ts")).as("prior_ts"))
       .orderBy(col("p_id"))
   }
 

@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *    order-insensitive. At 100 TB the band-bucket join is the only
   *    super-linear step; buckets are salted by band id and bounded by
   *    the verify stage.
-  *  - SimHash: 32-bit signature from per-token hash bit votes; candidate
-  *    pairs share ≥1 of 4 8-bit chunks (pigeonhole for hamming ≤ 6).
+  *  - SimHash: 64-bit signature from per-token hash bit votes; candidate
+  *    pairs share ≥1 of 4 exact 16-bit chunks (pigeonhole for hamming ≤ 3).
   *  - n-gram Jaccard: exact trigram-set overlap via explode + equi-join
   *    on the shingle (oracle-checkable — no engine-specific hashing).
   *
@@ -27,18 +27,28 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object TextOps {
 
+  /** Memoized persisted shingle tables, keyed per (session, dir) —
+    * dedupNearMinhash and textNgramJaccard both consume the same
+    * shingles several times (signature + verify stages, repeated test
+    * calls); without memoization each call would leave a fresh
+    * persisted copy in the block manager for the JVM lifetime. */
+  private val shingleCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+
   /** Token-trigram shingles, distinct per doc: (doc_id, shingle).
     * Guarded for docs with < 3 tokens (Spark's `sequence(1,0)` would
     * descend, not return empty). */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(t) >= 3 THEN
-             transform(sequence(1, size(t) - 2),
-               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-                              element_at(t, i + 2)))
-           ELSE array() END"""))).as("shingle"))
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((spark, dir),
+      Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """CASE WHEN size(t) >= 3 THEN
+               transform(sequence(1, size(t) - 2),
+                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                                element_at(t, i + 2)))
+             ELSE array() END"""))).as("shingle"))
+        .persist())
 
   /** Exact-duplicate clusters by sha2 content hash; keep min doc_id as
     * canonical. (The corpus has no exact dups — every cluster has
@@ -55,7 +65,7 @@ object TextOps {
     * Pipeline: shingle → 16 min-hashes → 4 bands of 4 → band-bucket
     * join → exact-Jaccard verify ≥ 0.5. */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables(spark, dir).documents).persist()
+    val sh = shingles(spark, dir)
     val sig = sh.groupBy(col("doc_id")).agg(
       array((0 until 16).map(i => min(hash(col("shingle"), lit(i)))): _*)
         .as("sig"))
@@ -129,7 +139,7 @@ object TextOps {
     * sharing ≥1 shingle — the oracle-checkable near-dup ground truth
     * (finds the corpus's planted ~0.99-Jaccard pairs). */
   def textNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables(spark, dir).documents).persist()
+    val sh = shingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -263,7 +273,7 @@ object TextOps {
     * (the winnowing/MinHash k=1 fingerprint; oracle=no — murmur).
     * Identical-content docs get identical fingerprints. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    shingles(Tables(spark, dir).documents)
+    shingles(spark, dir)
       .groupBy(col("doc_id"))
       .agg(min(hash(col("shingle"))).cast(LongType).as("fingerprint"))
       .orderBy(col("doc_id"))

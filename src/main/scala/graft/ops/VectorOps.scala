@@ -47,6 +47,20 @@ object VectorOps {
     withNorm(t).filter(col("vec_id") === vecId)
       .select(col("v").as("probe_vec"), col("nrm").as("probe_nrm"))
 
+  /** Per-label centroid vectors (decimal-exact per-position means,
+    * reassembled in position order) — the shared coarse quantizer for
+    * kNN and IVF. */
+  private def centroidsOf(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v"))).toDF("label", "pos", "cv")
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("cv").cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pairs"))
+      .select(col("label").as("c_label"),
+        expr("transform(pairs, p -> p.mean_v)").as("centroid"))
+
   /** Brute-force exact cosine top-10 vs the probe vector (vec_id=0).
     * Ordered on the ROUNDED similarity (ties → id) so cross-engine
     * float drift cannot flip ranks. */
@@ -111,16 +125,7 @@ object VectorOps {
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val centroids = e
-      .select(col("label"), posexplode(col("v"))).toDF("label", "pos", "cv")
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("cv").cast(DecimalType(27, 10))).cast(DoubleType)
-        / count(lit(1))).as("mean_v"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
-        .as("pairs"))
-      .select(col("label").as("c_label"),
-        expr("transform(pairs, p -> p.mean_v)").as("centroid"))
+    val centroids = centroidsOf(e)
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     e.join(broadcast(centroids), col("label") === col("c_label"))
@@ -144,24 +149,16 @@ object VectorOps {
     val e = t.embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val centroids = e
-      .select(col("label"), posexplode(col("v"))).toDF("label", "pos", "cv")
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("cv").cast(DecimalType(27, 10))).cast(DoubleType)
-        / count(lit(1))).as("mean_v"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
-        .as("pairs"))
-      .select(col("label").as("c_label"),
-        expr("transform(pairs, p -> p.mean_v)").as("centroid"))
-    val nearestBuckets = centroids.crossJoin(broadcast(probeOf(t)))
+    val centroids = centroidsOf(e)
+    val probe = broadcast(probeOf(t))
+    val nearestBuckets = centroids.crossJoin(probe)
       .select(col("c_label"),
         round(cosine(col("centroid"), col("probe_vec")), 6).as("c_sim"))
       .orderBy(col("c_sim").desc, col("c_label"))
       .limit(3)
       .select(col("c_label").as("bucket"))
     withNorm(t).join(broadcast(nearestBuckets), col("label") === col("bucket"))
-      .crossJoin(broadcast(probeOf(t)))
+      .crossJoin(probe)
       .select(col("vec_id"), col("label"),
         round(dot(col("v"), col("probe_vec"))
           / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))

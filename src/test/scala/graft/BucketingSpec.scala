@@ -36,6 +36,7 @@ class BucketingSpec extends SparkSpec {
     // the join itself must read bucketed scans directly — no shuffle
     // before the SortMergeJoin (the only Exchange allowed is the
     // one-row final aggregation)
+    assert(plan.contains("SortMergeJoin"), plan)
     val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
     assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
       plan)

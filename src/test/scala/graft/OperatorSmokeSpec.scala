@@ -8,8 +8,11 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql covers only registered queries") {
-    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+  test("every Oracle.sql key names a registered query (typo guard)") {
+    // checked against the UNFILTERED map — SparkEntry.oracleSql is
+    // already filtered by queries.contains, so a typo'd oracle key
+    // would silently drop that query's DuckDB coverage
+    val unknown = Oracle.sql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
   }
 

@@ -138,7 +138,6 @@ class StreamingSpec extends SparkSpec {
     val sess = spark
     import sess.implicits._
     implicit val ctx = spark.sqlContext
-    case object _marker
     val input = MemoryStream[(Long, Timestamp)]
     val q = input.toDF().toDF("event_id", "ts_sec")
       .withWatermark("ts_sec", "1 hour")

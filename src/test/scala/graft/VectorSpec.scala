@@ -52,7 +52,7 @@ class VectorSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct stays within its 1% error bound (HLL)") {
+  test("approx_count_distinct stays within 5% of exact (HLL, rsd=0.01)") {
     val approx = graft.ops.Aggregations.aggApproxDistinct(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_parts"))
       .toMap
