@@ -292,6 +292,40 @@ object Oracle {
             ON o_orderstatus = status
           GROUP BY label ORDER BY label""",
 
+    // §2.3bis subqueries + recursive CTE
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (
+           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*) FROM orders)
+         ORDER BY o_orderkey""",
+
+    "subquery_in" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE c_nationkey IN (
+           SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+         ORDER BY c_custkey""",
+
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE o_totalprice > (
+           SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                       AS DOUBLE) / COUNT(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "graph_reach_recursive" ->
+      s"""WITH RECURSIVE $EdgesCte,
+          reach(id, hop) AS (
+            SELECT CAST(1000000000000 AS BIGINT), 0
+            UNION ALL
+            SELECT e.src, r.hop + 1
+            FROM edges e JOIN reach r ON e.dst = r.id
+            WHERE r.hop < 3
+          )
+          SELECT id, CAST(min(hop) AS INT) AS hop FROM reach
+          GROUP BY id ORDER BY hop, id""",
+
     // §2.5 windows
     "window_rank" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

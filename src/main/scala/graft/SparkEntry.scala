@@ -40,6 +40,11 @@ object SparkEntry {
     "join_theta_range"       -> (Joins.joinThetaRange _),
     "join_asof"              -> (Joins.joinAsof _),
     "join_cross_limited"     -> (Joins.joinCrossLimited _),
+    // §2.3bis subqueries + recursive CTE
+    "subquery_scalar"       -> (Subqueries.subqueryScalar _),
+    "subquery_in"           -> (Subqueries.subqueryIn _),
+    "subquery_correlated"   -> (Subqueries.subqueryCorrelated _),
+    "graph_reach_recursive" -> (Subqueries.graphReachRecursive _),
     // §2.4 aggregations
     "agg_hash_groupby"    -> (Aggregations.aggHashGroupby _),
     "agg_count_distinct"  -> (Aggregations.aggCountDistinct _),
