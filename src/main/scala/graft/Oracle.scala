@@ -236,6 +236,31 @@ object Oracle {
          FROM orders WHERE o_orderstatus = 'P'
          GROUP BY o_custkey ORDER BY o_custkey""",
 
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+                count(*) FILTER (o_totalprice > 200000) AS n_large,
+                CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'O'
+                  THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS open_revenue
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "agg_string_concat" ->
+      """SELECT o_custkey,
+                string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_csv
+         FROM orders WHERE o_orderstatus = 'P'
+         GROUP BY 1 ORDER BY o_custkey""",
+
+    "scalar_regex" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS adjective,
+                regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun,
+                regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
+                CAST(len(regexp_split_to_array(p_name, '[aeiou]')) - 1
+                  AS BIGINT) AS n_vowels
+         FROM part ORDER BY p_partkey""",
+
     // §2.4bis statistical aggregates / reshaping / sampling
     "agg_stats_moments" ->
       """WITH m AS (

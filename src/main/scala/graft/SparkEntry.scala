@@ -54,6 +54,8 @@ object SparkEntry {
     "agg_grouping_sets"   -> (Aggregations.aggGroupingSets _),
     "agg_min_max_by"      -> (Aggregations.aggMinMaxBy _),
     "agg_collect_sorted"  -> (Aggregations.aggCollectSorted _),
+    "agg_filtered"        -> (Aggregations.aggFiltered _),
+    "agg_string_concat"   -> (Aggregations.aggStringConcat _),
     "agg_custom_vecsum"   -> (Aggregations.aggCustomVecsum _),
     // §2.4bis statistics / reshaping / sampling / skew patterns
     "agg_stats_moments" -> (Stats.aggStatsMoments _),
@@ -82,6 +84,7 @@ object SparkEntry {
     "scalar_date"        -> (Scalars.scalarDate _),
     "scalar_math"        -> (Scalars.scalarMath _),
     "scalar_hash"        -> (Scalars.scalarHash _),
+    "scalar_regex"       -> (Scalars.scalarRegex _),
     "array_basic"        -> (Scalars.arrayBasic _),
     "array_higher_order" -> (Scalars.arrayHigherOrder _),
     "map_ops"            -> (Scalars.mapOps _),

@@ -124,6 +124,29 @@ object Aggregations {
       .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
       .orderBy(col("o_custkey"))
 
+  /** Conditional aggregation: count_if / filtered sums per group (the
+    * FILTER-clause surface). */
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        count_if(col("o_totalprice") > 200000).as("n_large"),
+        Det.sum2(when(col("o_orderstatus") === "O", col("o_totalprice"))
+          .otherwise(lit(0.0d))).as("open_revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Ordered string aggregation (listagg/string_agg surface): CSV of
+    * order keys per customer, deterministic via sort_array. */
+  def aggStringConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("o_orderkey").cast("string"))))
+        .as("order_csv"))
+      .orderBy(col("o_custkey"))
+
   /** Custom typed Aggregator (UDAF surface): element-wise vector sum of
     * embeddings per label; output kept scalar (rounded vector norm +
     * first component) for stability. oracle=no (float-sum order), but

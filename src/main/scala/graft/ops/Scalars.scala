@@ -136,6 +136,19 @@ object Scalars {
       .orderBy(col("o_orderkey"))
   }
 
+  /** regexp_extract (group capture), regexp_replace, and a regex match
+    * count over part names/types. Patterns kept to the RE2-compatible
+    * subset so Spark (java.util.regex) and DuckDB (RE2) agree. */
+  def scalarRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 1).as("adjective"),
+        regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2).as("noun"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_masked"),
+        size(split(col("p_name"), "[aeiou]")).cast(LongType).minus(1)
+          .as("n_vowels"))
+      .orderBy(col("p_partkey"))
+
   /** Generator surface: tokens of documents.text with position
     * (posexplode — the builtin UDTF; no custom Generator needed). */
   def udtfExplode(spark: SparkSession, dir: String): DataFrame =
