@@ -785,9 +785,12 @@ object Oracle {
     "stream_session_window" ->
       s"""WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts_sec,
                              value FROM events),
+          -- Spark session_window MERGES an event exactly gap after the
+          -- previous one (verified empirically at sf0.1: the single
+          -- exact-30-min gap stays one session) → strictly-greater here
           flagged AS (SELECT user_id, ts_sec, value,
             CASE WHEN lag(ts_sec) OVER w IS NULL
-                   OR ts_sec - lag(ts_sec) OVER w >= INTERVAL '30 minutes'
+                   OR ts_sec - lag(ts_sec) OVER w > INTERVAL '30 minutes'
                  THEN 1 ELSE 0 END AS new_s
             FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
           sess AS (SELECT user_id, ts_sec, value,
