@@ -181,6 +181,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges an event exactly gap-duration later " +
+      "(boundary pinned for the oracle emulation)") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 1.0), // exactly 30min later
+      (1L, ts("2024-01-01 11:00:01"), 1.0)  // 30min 1s later → new
+    ).toDF("user_id", "ts_sec", "value")
+    val sessions = Streaming.sessions(df).collect()
+    assert(sessions.length == 2,
+      s"expected [merged, new] = 2 sessions, got ${sessions.toSeq}")
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("batch analogs match between shared transform and query entry") {
     val viaEntry = Streaming.streamTumblingWindow(spark, sfDir).collect()
     assert(viaEntry.nonEmpty)
