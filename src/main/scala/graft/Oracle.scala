@@ -232,7 +232,8 @@ object Oracle {
          ORDER BY a.o_custkey""",
 
     "agg_collect_sorted" ->
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+      """SELECT o_custkey, array_to_string(
+           list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
          FROM orders WHERE o_orderstatus = 'P'
          GROUP BY o_custkey ORDER BY o_custkey""",
 
@@ -468,7 +469,7 @@ object Oracle {
                 CAST(length(p_name) AS BIGINT) AS name_len,
                 concat_ws('|', p_brand, p_type) AS brand_type,
                 trim('  ' || p_type || '  ') AS type_trim,
-                string_split(p_name, ' ') AS name_toks
+                array_to_string(string_split(p_name, ' '), '|') AS name_toks
          FROM part ORDER BY p_partkey""",
 
     "scalar_date" ->
@@ -504,8 +505,13 @@ object Oracle {
     "array_basic" ->
       """SELECT vec_id,
                 CAST(len(embedding) AS BIGINT) AS dim,
-                list_slice(embedding, 1, 4) AS head4,
-                list_sort(list_slice(embedding, 1, 4)) AS head4_sorted,
+                array_to_string(list_transform(list_slice(embedding, 1, 4),
+                  x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)),
+                  ',') AS head4,
+                array_to_string(list_transform(
+                  list_sort(list_slice(embedding, 1, 4)),
+                  x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)),
+                  ',') AS head4_sorted,
                 embedding[1] AS first_val
          FROM embeddings ORDER BY vec_id""",
 
@@ -536,10 +542,10 @@ object Oracle {
 
     "udf_scalar" ->
       """SELECT o_orderkey,
-                list_sum(list_transform(
+                CAST(list_sum(list_transform(
                   range(1, length(CAST(o_orderkey AS VARCHAR)) + 1),
                   i -> CAST(substr(CAST(o_orderkey AS VARCHAR), i, 1)
-                            AS BIGINT))) AS digit_sum
+                            AS BIGINT))) AS BIGINT) AS digit_sum
          FROM orders ORDER BY o_orderkey""",
 
     "udtf_explode" ->

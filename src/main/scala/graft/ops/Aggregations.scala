@@ -121,7 +121,8 @@ object Aggregations {
     Tables(spark, dir).orders
       .filter(col("o_orderstatus") === "P")
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+      .agg(array_join(sort_array(collect_list(col("o_orderkey")))
+        .cast("array<string>"), ",").as("order_keys"))
       .orderBy(col("o_custkey"))
 
   /** Conditional aggregation: count_if / filtered sums per group (the

@@ -32,7 +32,7 @@ object Scalars {
         length(col("p_name")).cast(LongType).as("name_len"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         trim(concat(lit("  "), col("p_type"), lit("  "))).as("type_trim"),
-        split(col("p_name"), " ").as("name_toks"))
+        array_join(split(col("p_name"), " "), "|").as("name_toks"))
       .orderBy(col("p_partkey"))
 
   /** year/month/day/date_trunc/datediff/last_day over o_orderdate. */
@@ -73,15 +73,25 @@ object Scalars {
       .orderBy(col("doc_id"))
 
   /** size/slice/sort_array/element_at over the embedding vectors.
-    * Float values are stored, not computed, so exact equality holds. */
-  def arrayBasic(spark: SparkSession, dir: String): DataFrame =
+    * Float values are stored, not computed, so exact equality holds.
+    * Array outputs are serialized to scaled-integer CSV (x*1e7 rounded
+    * to BIGINT, exact for float inputs < 2^48/1e7 since the double
+    * product p*1e7 stays integer-exact) — the driver's pandas hasher
+    * cannot hash raw array cells, and float→string formatting differs
+    * across engines, but scaled BIGINTs render identically. */
+  def arrayBasic(spark: SparkSession, dir: String): DataFrame = {
+    val u7 = (x: org.apache.spark.sql.Column) =>
+      round(x.cast("double") * 1e7).cast(LongType)
     Tables(spark, dir).embeddings
       .select(col("vec_id"),
         size(col("embedding")).cast(LongType).as("dim"),
-        slice(col("embedding"), 1, 4).as("head4"),
-        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+        array_join(transform(slice(col("embedding"), 1, 4), u7), ",")
+          .as("head4"),
+        array_join(transform(sort_array(slice(col("embedding"), 1, 4)), u7),
+          ",").as("head4_sorted"),
         element_at(col("embedding"), 1).as("first_val"))
       .orderBy(col("vec_id"))
+  }
 
   /** Higher-order lambdas: dot product vs a fixed probe vector
     * (zip_with + aggregate) and positive-component count (filter).
