@@ -102,4 +102,18 @@ object GraphModel {
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph(vrdd, erdd, "unknown")
   }
+
+  /** Memoized + RDD-cached [[graphx]] view, same keying discipline as
+    * [[edgesCached]]. Graph construction (DF→RDD conversion, vertex
+    * join, partition build) costs seconds at sf0.1 and every iterative
+    * algorithm was paying it again; PageRank / connected components /
+    * shortest paths now share one build. `Graph.cache()` persists both
+    * the vertex and edge RDDs, so the first algorithm materializes them
+    * and the rest reuse. */
+  private val graphxCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), org.apache.spark.graphx.Graph[String, String]]()
+
+  def graphxCached(spark: SparkSession, dir: String)
+      : org.apache.spark.graphx.Graph[String, String] =
+    graphxCache.getOrElseUpdate((spark, dir), graphx(spark, dir).cache())
 }

@@ -22,14 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphXAlgos {
 
-  /** PageRank, 10 fixed iterations, on the deduplicated directed graph.
-    * Output: top-50 vertices by rounded rank (ties broken by id). */
+  /** PageRank, 10 fixed iterations, on the deduplicated directed graph
+    * (the memoized [[GraphModel.graphxCached]] build — same topology as
+    * the old per-query `Graph.fromEdges` since every vertex is edge-
+    * incident, without paying graph construction again). */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = GraphModel.edgesCached(spark, dir)
-      .select(col("src"), col("dst")).distinct().rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph.fromEdges(edges, 0)
+    val g = GraphModel.graphxCached(spark, dir)
     val ranks = g.staticPageRank(10, 0.15).vertices
       .map { case (id, rank) => (id, math.rint(rank * 1e6) / 1e6) }
     ranks.toDF("id", "rank")
@@ -42,13 +41,37 @@ object GraphXAlgos {
     * Output: component sizes. */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = GraphModel.graphx(spark, dir)
+    val g = GraphModel.graphxCached(spark, dir)
     g.connectedComponents().vertices
       .map { case (_, comp) => comp }
       .toDF("component")
       .groupBy(col("component")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("component"))
   }
+
+  /** Per-order co-occurrence fanout cap: at most this many distinct
+    * parts per order enter the pair expansion (the corpus max is 7, so
+    * no order is truncated at any tested SF — the cap exists so one hot
+    * key can never go quadratic: pairs per order ≤ C(32,2) = 496). */
+  val MaxOrderFanout = 32
+
+  /** Canonical (src < dst, deduplicated) co-purchase pairs from an
+    * (ok, pk) projection. One groupBy shuffle, no self-join: each
+    * order's distinct parts are collected (capped, sorted — the cap
+    * keeps the N smallest keys, deterministically), then expanded to
+    * ordered pairs with higher-order lambdas. At 100 TB the old
+    * `li ⋈ li ON ok` self-join shuffles the fact table twice and a hot
+    * order produces O(fanout²) join rows inside the join; this shape
+    * shuffles once, combines map-side, and bounds per-key work. */
+  def copurchasePairs(li: DataFrame): DataFrame =
+    li.groupBy(col("ok"))
+      .agg(slice(sort_array(collect_set(col("pk"))), 1, MaxOrderFanout)
+        .as("pks"))
+      .select(explode(flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .distinct()
 
   /** Triangle count over the part co-purchase projection: parts are
     * linked when they appear in the same order. Edges are canonicalized
@@ -57,14 +80,8 @@ object GraphXAlgos {
     * asserted in tests). */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val copurchase = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") &&
-        col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+    val copurchase = copurchasePairs(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
     val edges = copurchase.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val g = Graph.fromEdges(edges, 0)
     g.triangleCount().vertices
@@ -83,7 +100,7 @@ object GraphXAlgos {
     * is consumed. */
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = GraphModel.graphx(spark, dir)
+    val g = GraphModel.graphxCached(spark, dir)
     val landmarks = Seq(GraphModel.RegionOff)
     ShortestPaths.run(g, landmarks).vertices
       .flatMap { case (id, spmap) =>

@@ -72,6 +72,21 @@ class GraphSpec extends SparkSpec {
     assert(nVertices == nParts)
   }
 
+  test("co-purchase pair expansion is bounded for a hot order") {
+    import spark.implicits._
+    // one pathological order holding 500 distinct parts: uncapped
+    // pairing would emit C(500,2) = 124,750 rows; the fanout cap must
+    // hold it to C(32,2) = 496, keeping the smallest part keys.
+    val hot = (1L to 500L).map(pk => (1L, pk)).toDF("ok", "pk")
+    val pairs = GraphXAlgos.copurchasePairs(hot).collect()
+    val cap = GraphXAlgos.MaxOrderFanout
+    assert(pairs.length == cap * (cap - 1) / 2)
+    assert(pairs.forall { r =>
+      r.getAs[Long]("src") < r.getAs[Long]("dst") &&
+        r.getAs[Long]("dst") <= cap
+    })
+  }
+
   test("subgraph edges have both endpoints inside the vertex predicate") {
     val edges = GraphOps.subgraph(spark, sfDir).collect()
     assert(edges.nonEmpty)
