@@ -642,11 +642,14 @@ object Oracle {
     "text_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),
-         tri AS (SELECT doc_id,
+         tri0 AS (SELECT doc_id,
                         unnest(list_distinct(list_transform(
                           range(1, len(t) - 1),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
                  FROM toks),
+         -- df-cap mirror of TextOps.capShingleDf (MaxShingleDf = 1000)
+         tri AS (SELECT * FROM tri0 WHERE g IN (
+                   SELECT g FROM tri0 GROUP BY g HAVING count(*) <= 1000)),
          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                           count(*) AS inter

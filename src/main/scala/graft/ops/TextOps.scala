@@ -50,6 +50,36 @@ object TextOps {
              ELSE array() END"""))).as("shingle"))
         .persist())
 
+  /** Document-frequency cap for the exact n-gram join: shingles
+    * appearing in more docs than this are dropped before pairing. A
+    * shingle with df D produces C(D,2) join rows, so one stop-phrase
+    * across a 100 TB corpus would otherwise go quadratic; ultra-common
+    * shingles carry no near-dup signal anyway (standard df-capping).
+    * Far above the corpus max (25 at sf0.1) so tested output is
+    * unchanged. */
+  val MaxShingleDf = 1000
+
+  /** LSH bucket-size cap: (band_id, band_hash) buckets larger than this
+    * are dropped before the candidate self-join. A degenerate bucket
+    * (hash pileup, boilerplate-heavy corpus) would otherwise produce
+    * C(bucket,2) candidates; with 4 independent bands, a true near-dup
+    * pair only loses detection if ALL its shared bands are degenerate. */
+  val MaxLshBucket = 64
+
+  /** Keep only shingle rows whose shingle has df ≤ [[MaxShingleDf]]. */
+  def capShingleDf(sh: DataFrame): DataFrame =
+    sh.join(sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf).select("shingle"),
+      Seq("shingle"), "left_semi")
+
+  /** Keep only band rows in buckets of size ≤ [[MaxLshBucket]]. */
+  def capLshBuckets(bands: DataFrame): DataFrame =
+    bands.join(bands.groupBy(col("band_id"), col("band_hash"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= MaxLshBucket)
+        .select("band_id", "band_hash"),
+      Seq("band_id", "band_hash"), "left_semi")
+
   /** Exact-duplicate clusters by sha2 content hash; keep min doc_id as
     * canonical. (The corpus has no exact dups — every cluster has
     * n_copies=1 — but the plan is the real one: hash → shuffle on the
@@ -72,8 +102,9 @@ object TextOps {
     val bandCols = (0 until 4).map { b =>
       hash((1 to 4).map(r => element_at(col("sig"), 4 * b + r)) :+ lit(b): _*)
     }
-    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band_id", "band_hash")
+    val bands = capLshBuckets(
+      sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band_id", "band_hash"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -137,9 +168,11 @@ object TextOps {
 
   /** Exact n-gram (token trigram) Jaccard similarity for all pairs
     * sharing ≥1 shingle — the oracle-checkable near-dup ground truth
-    * (finds the corpus's planted ~0.99-Jaccard pairs). */
+    * (finds the corpus's planted ~0.99-Jaccard pairs). Jaccard is
+    * computed over the df-capped shingle universe ([[capShingleDf]],
+    * mirrored in the oracle SQL) so the shingle self-join is bounded. */
   def textNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = capShingleDf(shingles(spark, dir))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&

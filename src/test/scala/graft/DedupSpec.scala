@@ -74,6 +74,28 @@ class DedupSpec extends SparkSpec {
       s"only $sharing of ${nearDup.size} near-dup pairs share fingerprints")
   }
 
+  test("df-cap drops ultra-common shingles and keeps rare ones") {
+    import spark.implicits._
+    // one shingle over the cap (df = MaxShingleDf + 5), one under
+    val hot = (1L to TextOps.MaxShingleDf + 5).map(d => (d, "hot gram x"))
+    val rare = Seq((1L, "rare gram y"), (2L, "rare gram y"))
+    val capped = TextOps.capShingleDf(
+      (hot ++ rare).toDF("doc_id", "shingle")).collect()
+    assert(capped.forall(_.getAs[String]("shingle") == "rare gram y"))
+    assert(capped.length == 2)
+  }
+
+  test("LSH bucket cap drops degenerate buckets, keeps normal ones") {
+    import spark.implicits._
+    val degenerate = (1L to TextOps.MaxLshBucket + 10).map(d => (d, 0, 42))
+    val normal = Seq((1L, 1, 7), (2L, 1, 7), (3L, 1, 7))
+    val kept = TextOps.capLshBuckets(
+      (degenerate ++ normal).toDF("doc_id", "band_id", "band_hash"))
+      .collect()
+    assert(kept.length == 3)
+    assert(kept.forall(_.getAs[Int]("band_id") == 1))
+  }
+
   test("exact dedup is a partition of the corpus") {
     val rows = TextOps.dedupExact(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum == 500L)
