@@ -21,7 +21,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: the driver's stdout JSON-line scrape has
+    // failed to parse before (sbt log prefixes) — the file is unambiguous
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -633,6 +633,64 @@ object Oracle {
           UNION ALL SELECT id, 3 FROM h3
           ORDER BY hop, id""",
 
+    "graph_shortest_paths" ->
+      s"""WITH RECURSIVE $EdgesCte,
+          reach(id, dist) AS (
+            SELECT CAST(1000000000000 AS BIGINT), 0
+            UNION
+            SELECT e.src, r.dist + 1
+            FROM edges e JOIN reach r ON e.dst = r.id
+            WHERE r.dist < 6
+          )
+          SELECT id, CAST(min(dist) AS INT) AS dist_to_region0 FROM reach
+          GROUP BY id ORDER BY dist_to_region0, id""",
+
+    "graph_connected_components" ->
+      s"""WITH RECURSIVE $EdgesCte,
+          und AS (SELECT src AS a, dst AS b FROM edges
+                  UNION ALL SELECT dst, src FROM edges),
+          comp(id) AS (
+            SELECT CAST(1000000000000 AS BIGINT)
+            UNION
+            SELECT u.b FROM und u JOIN comp c ON u.a = c.id
+          )
+          SELECT min(id) AS component, count(*) AS size FROM comp
+          ORDER BY size DESC, component""",
+
+    "graph_shortest_paths_weighted" ->
+      s"""WITH RECURSIVE $EdgesCte,
+          wedges AS (SELECT src, dst,
+                            CAST(1.0 AS DOUBLE) / count(*) AS len
+                     FROM edges GROUP BY src, dst),
+          reach(id, dist) AS (
+            SELECT CAST(1000000000000 AS BIGINT), CAST(0 AS DOUBLE)
+            UNION
+            SELECT e.src, r.dist + e.len
+            FROM wedges e JOIN reach r ON e.dst = r.id
+            WHERE r.dist < 10
+          )
+          SELECT id, ROUND(min(dist), 6) AS wdist FROM reach
+          GROUP BY id ORDER BY wdist, id""",
+
+    "graph_upsert_edges" ->
+      s"""WITH $EdgesCte,
+          urgent AS (SELECT 6000000000000 + o_orderkey AS src,
+                            3000000000000 + o_custkey AS dst
+                     FROM orders WHERE o_orderpriority = '1-URGENT'),
+          delta AS (SELECT src, dst, 'BY' AS rel FROM urgent
+                    UNION ALL
+                    SELECT src, dst, 'URGENT' FROM urgent),
+          merged AS (SELECT src, dst, rel, min(is_new) AS is_new FROM (
+                       SELECT src, dst, rel, 0 AS is_new FROM edges
+                       UNION ALL
+                       SELECT src, dst, rel, 1 FROM delta)
+                     GROUP BY src, dst, rel)
+          SELECT rel,
+                 count(*) FILTER (is_new = 0) AS n_before,
+                 count(*) FILTER (is_new = 1) AS n_added,
+                 count(*) AS n_after
+          FROM merged GROUP BY rel ORDER BY rel""",
+
     // §2.10 LLM-pipeline ops (oracle=yes subset)
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
@@ -753,6 +811,33 @@ object Oracle {
              ON a.label = b.label AND a.vec_id < b.vec_id) s
          WHERE cos_sim >= 0.3
          ORDER BY a_id, b_id""",
+
+    "embed_knn_per_label" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cells AS (SELECT label, i AS pos, v[i] AS cv
+                   FROM e, range(1, 65) r(i)),
+         means AS (SELECT label, pos,
+                          CAST(SUM(CAST(cv AS DECIMAL(27,10))) AS DOUBLE)
+                            / COUNT(*) AS mean_v
+                   FROM cells GROUP BY label, pos),
+         cent AS (SELECT label, list(mean_v ORDER BY pos) AS c
+                  FROM means GROUP BY label),
+         scored AS (SELECT e.label, e.vec_id,
+                ROUND(list_sum(list_transform(range(1, 65),
+                        i -> e.v[i] * c.c[i]))
+                  / sqrt(list_sum(list_transform(range(1, 65),
+                           i -> e.v[i] * e.v[i]))
+                       * list_sum(list_transform(range(1, 65),
+                           i -> c.c[i] * c.c[i]))), 4) AS cos_sim
+           FROM e JOIN cent c ON e.label = c.label)
+         SELECT label, vec_id, cos_sim, rk FROM (
+           SELECT label, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY label
+                    ORDER BY cos_sim DESC, vec_id) AS rk
+           FROM scored) t
+         WHERE rk <= 5
+         ORDER BY label, rk""",
 
     "embed_centroid_per_label" ->
       """WITH cells AS (

@@ -100,12 +100,16 @@ object SparkEntry {
     "graph_pattern_motif"     -> (GraphOps.patternMotif _),
     "graph_subgraph"          -> (GraphOps.subgraph _),
     "graph_bfs_khop"          -> (GraphOps.bfsKhop _),
+    "graph_upsert_edges"      -> (GraphOps.graphUpsertEdges _),
     // §2.9 iterative analytics (GraphX, oracle=no)
     "graph_pagerank"             -> (GraphXAlgos.pagerank _),
     "graph_connected_components" -> (GraphXAlgos.connectedComponents _),
     "graph_triangle_count"       -> (GraphXAlgos.triangleCount _),
     "graph_shortest_paths"       -> (GraphXAlgos.shortestPaths _),
     "graph_label_propagation"    -> (GraphXAlgos.labelPropagation _),
+    "graph_pagerank_weighted"    -> (GraphXAlgos.pagerankWeighted _),
+    "graph_shortest_paths_weighted" ->
+      (GraphXAlgos.shortestPathsWeighted _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),

@@ -146,4 +146,44 @@ object GraphOps {
     val out = visited.orderBy(col("hop"), col("id"))
     out
   }
+
+  /** Batch graph mutation: merge an edge delta into an edge table,
+    * deduplicating on (src, dst, rel). Returns the merged edge set with
+    * `is_new` = 1 for edges that exist only in the delta (0 for edges
+    * already present, including delta rows that duplicate them).
+    *
+    * Plan: union → one shuffle on the full edge key → min-combine. This
+    * is the standard merge/compaction shape: at 100 TB with the edge
+    * table stored bucketed by (src, dst), the dedup groupBy is
+    * shuffle-free on the big side (only the delta moves), which is how
+    * a graph DB's batch writer keeps upserts linear in delta size. */
+  def upsertEdges(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.select(col("src"), col("dst"), col("rel"),
+        lit(0).as("is_new"))
+      .unionByName(delta.select(col("src"), col("dst"), col("rel"),
+        lit(1).as("is_new")))
+      .groupBy(col("src"), col("dst"), col("rel"))
+      .agg(min(col("is_new")).as("is_new"))
+
+  /** Registered mutation surface: upsert a deterministic delta — BY
+    * edges of urgent orders (duplicates of existing edges, proving
+    * dedup) plus the same pairs under a new URGENT rel (genuinely new)
+    * — into the derived edge table, and report per-rel counts before /
+    * added / after. Counts are over the deduplicated edge set (the
+    * mutation store's view; the analytical multi-edges live upstream). */
+  def graphUpsertEdges(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(spark, dir).orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select((lit(GraphModel.OrderOff) + col("o_orderkey")).as("src"),
+        (lit(GraphModel.CustomerOff) + col("o_custkey")).as("dst"))
+    val delta = urgent.select(col("src"), col("dst"), lit("BY").as("rel"))
+      .unionByName(
+        urgent.select(col("src"), col("dst"), lit("URGENT").as("rel")))
+    upsertEdges(GraphModel.edgesCached(spark, dir), delta)
+      .groupBy(col("rel"))
+      .agg(count_if(col("is_new") === 0).as("n_before"),
+        count_if(col("is_new") === 1).as("n_added"),
+        count(lit(1)).as("n_after"))
+      .orderBy(col("rel"))
+  }
 }

@@ -91,6 +91,69 @@ object GraphXAlgos {
       .orderBy(col("n_triangles"))
   }
 
+  /** Weighted-edge view: one edge per (src, dst) with weight = multi-
+    * edge multiplicity (an order that shares 3 lineitems with a part
+    * gets weight 3). This is precisely the information [[GraphModel
+    * .graphx]] discards for the multiplicity-insensitive algorithms. */
+  private def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    GraphModel.edgesCached(spark, dir)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+
+  /** Weighted PageRank, 10 fixed iterations: rank flows along edges in
+    * proportion to multiplicity weight (out-weights normalized per
+    * source, so each vertex still distributes its full rank). GraphX's
+    * built-in PageRank splits uniformly by out-degree; this is the
+    * aggregateMessages generalization. Output: top-50 by rounded rank.
+    * oracle=no (iterative float math); invariants in GraphSpec. */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wed = weightedEdges(spark, dir)
+    val tot = wed.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+    val norm = wed.join(tot, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wtot")).as("p"))
+    val erdd = norm.rdd.map(r => Edge(r.getLong(0), r.getLong(1),
+      r.getDouble(2)))
+    var g = Graph.fromEdges(erdd, 1.0).mapVertices((_, _) => 1.0)
+    for (_ <- 1 to 10) {
+      val msgs = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+      g = g.outerJoinVertices(msgs)((_, _, m) =>
+        0.15 + 0.85 * m.getOrElse(0.0))
+    }
+    g.vertices
+      .map { case (id, rank) => (id, math.rint(rank * 1e6) / 1e6) }
+      .toDF("id", "rank")
+      .orderBy(col("rank").desc, col("id"))
+      .limit(50)
+  }
+
+  /** Weighted shortest path to the region-0 landmark: edge length =
+    * 1/multiplicity (frequently co-occurring endpoints are "closer"),
+    * computed by Pregel min-plus relaxation. Deterministic — min is
+    * order-insensitive and every path accumulates root-outward in the
+    * same order as the oracle's recursive CTE, so the doubles are
+    * bit-identical and this IS oracle-checked (unlike rank iteration). */
+  def shortestPathsWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.graphx.Pregel
+    val erdd = weightedEdges(spark, dir)
+      .select(col("src"), col("dst"), (lit(1.0) / col("w")).as("len"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val g = Graph.fromEdges(erdd, 0.0).mapVertices((id, _) =>
+      if (id == GraphModel.RegionOff) 0.0 else Double.PositiveInfinity)
+    val res = Pregel(g, Double.PositiveInfinity)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.dstAttr + t.attr < t.srcAttr)
+        Iterator((t.srcId, t.dstAttr + t.attr)) else Iterator.empty,
+      math.min)
+    res.vertices
+      .filter { case (_, d) => d < Double.PositiveInfinity }
+      .map { case (id, d) => (id, math.rint(d * 1e6) / 1e6) }
+      .toDF("id", "wdist")
+      .orderBy(col("wdist"), col("id"))
+  }
+
   /** Hop distance from the region-0 landmark (ShortestPaths follows
     * edge direction; our edges point child→parent, so this is the
     * distance from every vertex up to its region root). Single

@@ -62,6 +62,30 @@ class GraphSpec extends SparkSpec {
     bfsReached.foreach { id => assert(bfs(id) == sp(id), s"vertex $id") }
   }
 
+  test("weighted shortest path never exceeds hop distance") {
+    // edge length = 1/multiplicity ≤ 1, so the weighted distance is
+    // bounded by the hop count; equality exactly when every edge on
+    // the min path has multiplicity 1.
+    val hops = GraphXAlgos.shortestPaths(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("dist_to_region0"))
+      .toMap
+    val w = GraphXAlgos.shortestPathsWeighted(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("wdist")).toMap
+    assert(w.keySet == hops.keySet)
+    w.foreach { case (id, d) =>
+      assert(d <= hops(id) + 1e-9, s"vertex $id: wdist $d > hops ${hops(id)}")
+    }
+    assert(w(GraphModel.RegionOff) == 0.0)
+  }
+
+  test("weighted pagerank conserves the damping floor and ranks dims") {
+    val top = GraphXAlgos.pagerankWeighted(spark, sfDir).collect()
+    assert(top.length == 50)
+    // every rank ≥ the 0.15 damping floor; top-5 are dim vertices
+    assert(top.forall(_.getAs[Double]("rank") >= 0.15 - 1e-9))
+    assert(top.take(5).forall(_.getAs[Long]("id") < 3000000000000L))
+  }
+
   test("triangle count: histogram masses match the projection size") {
     val hist = GraphXAlgos.triangleCount(spark, sfDir).collect()
     val nVertices = hist.map(_.getAs[Long]("n_vertices")).sum
@@ -85,6 +109,18 @@ class GraphSpec extends SparkSpec {
       r.getAs[Long]("src") < r.getAs[Long]("dst") &&
         r.getAs[Long]("dst") <= cap
     })
+  }
+
+  test("upsert dedups on (src,dst,rel) and flags only genuinely new edges") {
+    import spark.implicits._
+    val existing = Seq((1L, 2L, "A"), (1L, 2L, "A"), (2L, 3L, "B"))
+      .toDF("src", "dst", "rel")
+    val delta = Seq((1L, 2L, "A"), (3L, 4L, "A")).toDF("src", "dst", "rel")
+    val merged = GraphOps.upsertEdges(existing, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[Int]("is_new"))).toSet
+    assert(merged == Set((1L, 2L, "A", 0), (2L, 3L, "B", 0),
+      (3L, 4L, "A", 1)))
   }
 
   test("subgraph edges have both endpoints inside the vertex predicate") {
