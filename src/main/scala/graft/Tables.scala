@@ -28,9 +28,17 @@ final case class Tables(spark: SparkSession, dir: String) {
     * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
     * int64 (legacy conf) and truncate ns→µs with integer division
     * (double division would lose precision above 2^53). Downstream
-    * queries see a normal µs TimestampType column. */
+    * queries see a normal µs TimestampType column.
+    *
+    * The conf belongs in every SparkSession BUILDER (Bench / Verify /
+    * Smoke / Plans / SparkSpec all set it); the runtime set below is a
+    * last-resort fallback for sessions built elsewhere, and is
+    * call-order-sensitive — any scan of `events` planned before the
+    * first `Tables.events` call in such a session would still fail. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame  = t("documents")

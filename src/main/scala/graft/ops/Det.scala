@@ -15,9 +15,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * a single-pass partial+final HashAggregate.
   */
 object Det {
-  /** Fixed-point view of a double measure. 18 digits / 4 frac digits
-    * covers every value domain in the corpus (max ~5e5, 2dp inputs). */
-  private val Fixed = DecimalType(18, 4)
+  /** Fixed-point view of a double measure. 28 digits / 4 frac digits:
+    * wide enough that any plausible measure domain (up to 1e24) casts
+    * without overflow — under default ANSI-off, a cast overflow yields
+    * silent NULL, so headroom beats a tight fit. Sum precision still
+    * fits Spark's widening rules (28+10 → capped at 38). Mirrored in
+    * [[sqlSum2]]/[[sqlAvg2]]. */
+  private val Fixed = DecimalType(28, 4)
 
   /** Exact sum of a double measure, rounded to 2dp, returned as double. */
   def sum2(c: Column): Column =
@@ -51,7 +55,7 @@ object Det {
 
   /** DuckDB-side equivalents, for oracle SQL strings. */
   def sqlSum2(x: String): String =
-    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
+    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(28,4))), 2) AS DOUBLE)"
   def sqlAvg2(x: String): String =
-    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x) + 1e-9, 2)"
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(28,4))) AS DOUBLE) / COUNT($x) + 1e-9, 2)"
 }

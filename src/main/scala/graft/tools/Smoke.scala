@@ -11,6 +11,10 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS), unreadable by Spark 4
+      // without this (every entry point sets it; Tables.events only
+      // falls back to a runtime set)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.entry(spark)
