@@ -657,6 +657,24 @@ object Oracle {
           SELECT min(id) AS component, count(*) AS size FROM comp
           ORDER BY size DESC, component""",
 
+    // motif DSL exhibits — hand-written SQL equivalents of the compiled
+    // patterns (MotifDsl.compile output columns are alphabetical)
+    "motif_chain_2hop" ->
+      s"""WITH $EdgesCte
+          SELECT e1.dst AS c, e2.dst AS n, e1.src AS o
+          FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+          WHERE e1.rel = 'BY' AND e2.rel = 'IN'
+          ORDER BY c, n, o""",
+
+    "motif_vee_shared_nation" ->
+      s"""WITH $EdgesCte
+          SELECT e1.src AS c, e1.dst AS n, e2.src AS s
+          FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst
+          WHERE e1.rel = 'IN' AND e2.rel = 'IN'
+            AND e1.src BETWEEN 3000000000000 AND 3999999999999
+            AND e2.src >= 4000000000000
+          ORDER BY c, n, s""",
+
     "graph_shortest_paths_weighted" ->
       s"""WITH RECURSIVE $EdgesCte,
           wedges AS (SELECT src, dst,

@@ -101,6 +101,8 @@ object SparkEntry {
     "graph_subgraph"          -> (GraphOps.subgraph _),
     "graph_bfs_khop"          -> (GraphOps.bfsKhop _),
     "graph_upsert_edges"      -> (GraphOps.graphUpsertEdges _),
+    "motif_chain_2hop"        -> (MotifDsl.motifChain2hop _),
+    "motif_vee_shared_nation" -> (MotifDsl.motifVeeSharedNation _),
     // §2.9 iterative analytics (GraphX, oracle=no)
     "graph_pagerank"             -> (GraphXAlgos.pagerank _),
     "graph_connected_components" -> (GraphXAlgos.connectedComponents _),

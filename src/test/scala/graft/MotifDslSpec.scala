@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.MotifDsl
+import graft.ops.MotifDsl.EdgeTerm
+
+/** Unit tests for the motif pattern compiler (corpus-level behavior is
+  * oracle-checked via motif_chain_2hop / motif_vee_shared_nation). */
+class MotifDslSpec extends SparkSpec {
+
+  test("parser accepts chains, optional rels, and rejects junk") {
+    assert(MotifDsl.parse("(a)-[:BY]->(b);(b)-[]->(c)") ==
+      Seq(EdgeTerm("a", Some("BY"), "b"), EdgeTerm("b", None, "c")))
+    intercept[IllegalArgumentException] {
+      MotifDsl.parse("(a)-[:BY->(b)")
+    }
+    intercept[IllegalArgumentException] {
+      MotifDsl.parse("(a)-[]->(a)") // self loop
+    }
+  }
+
+  test("compile chains joins on shared names and filters rels") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, "X"), (2L, 3L, "Y"), (2L, 4L, "Y"), (1L, 3L, "Z"))
+      .toDF("src", "dst", "rel")
+    val rows = MotifDsl.compile(edges, "(a)-[:X]->(b);(b)-[:Y]->(c)")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"))).toSet
+    assert(rows == Set((1L, 2L, 3L), (1L, 2L, 4L)))
+    // untyped term matches every rel out of b
+    val all = MotifDsl.compile(edges, "(a)-[:X]->(b);(b)-[]->(c)")
+      .collect()
+    assert(all.length == 2)
+  }
+
+  test("closing a cycle joins on both endpoints") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, "X"), (2L, 3L, "Y"), (1L, 3L, "Z"), (2L, 4L, "Y"))
+      .toDF("src", "dst", "rel")
+    // triangle: a->b->c plus the closing a->c edge
+    val tri = MotifDsl.compile(edges,
+      "(a)-[:X]->(b);(b)-[:Y]->(c);(a)-[:Z]->(c)").collect()
+    assert(tri.length == 1)
+    val r = tri.head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"))
+      == ((1L, 2L, 3L)))
+  }
+
+  test("disconnected terms are refused, not cross-joined") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, "X"), (3L, 4L, "Y")).toDF("src", "dst", "rel")
+    intercept[IllegalArgumentException] {
+      MotifDsl.compile(edges, "(a)-[:X]->(b);(c)-[:Y]->(d)")
+    }
+  }
+
+  test("compiled 2-hop chain matches the hand-written traversal") {
+    val viaDsl = MotifDsl.motifChain2hop(spark, sfDir).collect()
+    val hand = GraphModel.edgesCached(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rel") === "BY")
+      .select(org.apache.spark.sql.functions.col("src").as("o"),
+        org.apache.spark.sql.functions.col("dst").as("c"))
+      .join(GraphModel.edgesCached(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("rel") === "IN")
+        .select(org.apache.spark.sql.functions.col("src").as("c"),
+          org.apache.spark.sql.functions.col("dst").as("n")), "c")
+      .select("c", "n", "o")
+      .orderBy("c", "n", "o")
+      .collect()
+    assert(viaDsl.map(_.toString).toSeq == hand.map(_.toString).toSeq)
+  }
+}
