@@ -934,6 +934,19 @@ object Oracle {
          FROM events JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
 
+    // the stream runs end-to-end in Spark (file source → checkpointed
+    // sink); the oracle checks the committed output equals the batch
+    // semantics of the same transform
+    "stream_sink_parquet" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "stream_graph_degree" ->
+      """SELECT user_id, count(*) AS out_degree,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label,
                            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

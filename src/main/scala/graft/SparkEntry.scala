@@ -138,7 +138,11 @@ object SparkEntry {
     "stream_session_window"   -> (Streaming.streamSessionWindow _),
     "stream_dedup_watermark"  -> (Streaming.streamDedupWatermark _),
     "stream_stateful_running" -> (Streaming.streamStatefulRunning _),
-    "stream_static_join"      -> (Streaming.streamStaticJoin _)
+    "stream_static_join"      -> (Streaming.streamStaticJoin _),
+    // true streaming runs (file source → checkpointed sink / in-memory
+    // incrementally-maintained state), oracle-checked on final output
+    "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),
+    "stream_graph_degree"     -> (Streaming.streamGraphDegree _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -108,6 +108,84 @@ object Streaming {
     enrich(eventsSec(spark, dir), Tables(spark, dir).customer)
       .orderBy(col("event_id"))
 
+  /** Schema for streaming reads of events.parquet (ts arrives as raw
+    * int64 nanos under the legacy conf — converted exactly like
+    * [[graft.Tables.events]]). */
+  private val EventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  private val runIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** File-source streaming view of the events table (the same rows the
+    * batch `Tables.events` sees, arriving through FileStreamSource).
+    * Glob rather than exact filename: FileStreamSource requires its
+    * inferred basePath to be a directory. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventsSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Checkpointed parquet SINK, end to end: file source → stateless
+    * transform → `writeStream.format("parquet")` with a checkpoint →
+    * read the committed files back. The parquet sink's manifest log
+    * plus the checkpoint's offset WAL give exactly-once file output —
+    * restarting from the same checkpoint reprocesses nothing
+    * (StreamingSpec proves it by re-running against the same dirs).
+    * The registered result is the committed rows, row-for-row
+    * oracle-checkable against the batch filter. */
+  def streamSinkParquet(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft-sink-${runIds.incrementAndGet()}")
+      .toString
+    runSinkTo(spark, dir, base)
+    spark.read.parquet(s"$base/out").orderBy(col("event_id"))
+  }
+
+  /** One sink run against a fixed (checkpoint, output) pair — separate
+    * so the exactly-once property is testable: calling this twice on
+    * the same `base` must not duplicate a single row, because the
+    * second run restarts from the checkpoint's committed offsets. */
+  def runSinkTo(spark: SparkSession, dir: String, base: String): Unit = {
+    val q = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Incremental graph maintenance: the event stream IS an edge stream
+    * (user —[event_type]→ type vertex of the bipartite activity graph),
+    * and a streaming aggregation maintains each user vertex's degree
+    * across micro-batches (complete mode to a memory sink here; at
+    * scale this state lives keyed-by-user in RocksDB, updated
+    * incrementally — never recomputed from scratch). Final state equals
+    * the batch degree, which is what the oracle checks. */
+  def streamGraphDegree(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_degree_${runIds.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .groupBy(col("user_id"))
+      // count + decimal-exact sum: distinct aggregates are unsupported
+      // on streams, and the degree/weight pair is the graph-relevant
+      // state anyway
+      .agg(count(lit(1)).as("out_degree"),
+        Det.sum2(col("value")).as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy(col("user_id"))
+  }
+
   /** Typed input for the custom-state demo. */
   final case class PurchaseEvent(user_id: Long, event_id: Long,
     ts_sec: java.sql.Timestamp, value: Double)

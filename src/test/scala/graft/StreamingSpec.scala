@@ -201,4 +201,39 @@ class StreamingSpec extends SparkSpec {
     assert(viaEntry.nonEmpty)
     assert(viaEntry.map(_.getAs[Long]("n_events")).sum == 1000L)
   }
+
+  test("parquet sink is exactly-once: rerun from checkpoint adds nothing") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sink-e1").toString
+    Streaming.runSinkTo(spark, sfDir, base)
+    val first = spark.read.parquet(s"$base/out").count()
+    assert(first > 0)
+    // restart against the SAME checkpoint + output: the offset WAL says
+    // the file was already committed, so nothing is reprocessed
+    Streaming.runSinkTo(spark, sfDir, base)
+    val second = spark.read.parquet(s"$base/out").count()
+    assert(second == first,
+      s"rerun duplicated rows: $first -> $second")
+    // and the committed rows are exactly the batch-filter rows
+    val batch = Tables(spark, sfDir).events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(first == batch)
+  }
+
+  test("streamed degree equals batch degree (incremental == recompute)") {
+    val streamed = Streaming.streamGraphDegree(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("out_degree"), r.getAs[Double]("sum_value"))).toMap
+    val batch = Tables(spark, sfDir).events
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("d"),
+        graft.ops.Det.sum2(
+          org.apache.spark.sql.functions.col("value")).as("s"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("d"), r.getAs[Double]("s"))).toMap
+    assert(streamed == batch)
+  }
 }
