@@ -830,6 +830,43 @@ object Oracle {
          WHERE cos_sim >= 0.3
          ORDER BY a_id, b_id""",
 
+    // generated from the SAME fixed-seed sign matrix as the Spark op
+    // (graft.functions.VectorLsh) — approximate result, deterministic
+    // cross-engine
+    "embed_pair_sim_lsh" -> {
+      import graft.functions.VectorLsh
+      val bandExprs = (0 until VectorLsh.Bands).map { k =>
+        val bits = (0 until VectorLsh.RowsPerBand).map { r =>
+          val b = k * VectorLsh.RowsPerBand + r
+          s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+            s"i -> v[i] * (${VectorLsh.signsSqlLiteral(b)})[i])) > 0 " +
+            s"THEN ${1 << r} ELSE 0 END)"
+        }.mkString(" + ")
+        s"$bits AS band_$k"
+      }.mkString(", ")
+      val bandUnion = (0 until VectorLsh.Bands).map(k =>
+        s"SELECT vec_id, v, nrm, $k AS band_id, band_$k AS band_val " +
+          "FROM sig").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         en AS (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm
+                FROM e),
+         sig AS (SELECT vec_id, v, nrm, $bandExprs FROM en),
+         bands AS ($bandUnion)
+         SELECT * FROM (
+           SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+                  ROUND(list_sum(list_transform(range(1, 65),
+                          i -> x.v[i] * y.v[i]))
+                    / (x.nrm * y.nrm), 3) AS cos_sim
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id)
+         WHERE cos_sim >= 0.3
+         ORDER BY a_id, b_id"""
+    },
+
     "embed_knn_per_label" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

@@ -130,6 +130,7 @@ object SparkEntry {
     "embed_centroid_per_label" -> (VectorOps.embedCentroidPerLabel _),
     "embed_knn_per_label"      -> (VectorOps.embedKnnPerLabel _),
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
+    "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),
     // §2.8 streaming batch analogs (streaming variants in tests)

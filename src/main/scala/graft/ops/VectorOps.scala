@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.functions.VectorExpressions
+import graft.functions.{VectorExpressions, VectorLsh}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -164,6 +164,53 @@ object VectorOps {
           / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** LSH-prefiltered pair similarity — the 100 TB path for
+    * [[embedPairSimThreshold]], which is exact but all-pairs within its
+    * label key. Random-hyperplane signatures ([[VectorLsh]], fixed
+    * seed) are banded; only pairs sharing a band are candidates, then
+    * exact cosine verifies ≥ 0.3. Output = the threshold pairs the LSH
+    * finds: approximate by design (banding trades recall at low
+    * similarity for pruning), deterministic, and oracle-checked — the
+    * same sign matrix is embedded in the generated DuckDB SQL. Recall
+    * on true near-dups (cos≈1) is property-tested on planted pairs. */
+  def pairSimLshOn(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val bitCols = VectorLsh.signs.indices.map { b =>
+      val hyper = array(VectorLsh.signs(b).map(lit).toIndexedSeq: _*)
+      when(aggregate(zip_with(col("v"), hyper, (x, s) => x * s),
+        lit(0.0d), (acc, x) => acc + x) > 0, 1).otherwise(0)
+    }
+    val bandCols = (0 until VectorLsh.Bands).map { k =>
+      (0 until VectorLsh.RowsPerBand)
+        .map(r => bitCols(k * VectorLsh.RowsPerBand + r) * (1 << r))
+        .reduce(_ + _)
+    }
+    val bands = e
+      .select(col("vec_id") +: col("v") +: col("nrm") +:
+        bandCols.zipWithIndex.map { case (c, k) => c.as(s"band_$k") }: _*)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until VectorLsh.Bands)
+          .map(k => col(s"band_$k")): _*)))
+      .toDF("vec_id", "v", "nrm", "band_id", "band_val")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        round(dot(col("x.v"), col("y.v"))
+          / (col("x.nrm") * col("y.nrm")), 3).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def embedPairSimLsh(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    pairSimLshOn(Tables(spark, dir).embeddings)
   }
 
   /** Multimodal join: documents ⋈ embeddings on doc_id=vec_id, English

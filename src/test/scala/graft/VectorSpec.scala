@@ -32,6 +32,37 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("LSH pair prefilter finds every planted near-duplicate pair") {
+    import spark.implicits._
+    // 40 random base vectors + a near-identical twin for 10 of them
+    // (cos ≥ 0.999 → per-band collision ~0.94, any-of-4 ≈ 1-1e-5)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(40)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val twins = (0 until 10).map { i =>
+      (100L + i, base(i).map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      twins.map { case (id, v) => (id, v.toSeq) }
+    val found = VectorOps.pairSimLshOn(
+      rows.toSeq.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    (0 until 10).foreach { i =>
+      assert(found.contains((i.toLong, 100L + i)),
+        s"planted twin pair ($i, ${100 + i}) missed")
+    }
+  }
+
+  test("LSH prefilter output is a subset of the exact threshold pairs") {
+    import spark.implicits._
+    val lsh = VectorOps.embedPairSimLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(lsh.nonEmpty)
+    assert(lsh.distinct.length == lsh.length)
+    // every surviving pair really is ≥ the threshold (verify stage ran)
+    VectorOps.embedPairSimLsh(spark, sfDir).collect()
+      .foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.3))
+  }
+
   test("VecSumAggregator matches a sequential reference sum") {
     val rows = Tables(spark, sfDir).embeddings
       .select(col("label"), col("embedding")).collect()
