@@ -980,7 +980,7 @@ object Oracle {
 
     "stream_graph_degree" ->
       """SELECT user_id, count(*) AS out_degree,
-                CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE)
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
                   AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
 

@@ -15,13 +15,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * a single-pass partial+final HashAggregate.
   */
 object Det {
-  /** Fixed-point view of a double measure. 28 digits / 4 frac digits:
-    * wide enough that any plausible measure domain (up to 1e24) casts
-    * without overflow — under default ANSI-off, a cast overflow yields
-    * silent NULL, so headroom beats a tight fit. Sum precision still
-    * fits Spark's widening rules (28+10 → capped at 38). Mirrored in
-    * [[sqlSum2]]/[[sqlAvg2]]. */
-  private val Fixed = DecimalType(28, 4)
+  /** Fixed-point view of a double measure. 18 digits / 4 frac digits —
+    * deliberately the WIDEST precision Spark stores in a compact Long
+    * (precision ≤ Decimal.MAX_LONG_DIGITS = 18): one digit more and
+    * every sum2/avg2 aggregation falls off the unscaled-Long fast path
+    * onto heap BigDecimals (measured 2-4× on sum-heavy queries).
+    *
+    * DOMAIN BOUND: values must stay below 1e14 in magnitude (18-4
+    * integer digits); under default ANSI-off a cast overflow yields
+    * silent NULL, not an error. Corpus max is ~5e5. A future operator
+    * with a larger-domain measure must pre-scale (e.g. divide by 1e6
+    * before the cast, multiply after) rather than widening this type. */
+  private val Fixed = DecimalType(18, 4)
 
   /** Exact sum of a double measure, rounded to 2dp, returned as double. */
   def sum2(c: Column): Column =
@@ -55,7 +60,7 @@ object Det {
 
   /** DuckDB-side equivalents, for oracle SQL strings. */
   def sqlSum2(x: String): String =
-    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(28,4))), 2) AS DOUBLE)"
+    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
   def sqlAvg2(x: String): String =
-    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(28,4))) AS DOUBLE) / COUNT($x) + 1e-9, 2)"
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x) + 1e-9, 2)"
 }

@@ -179,10 +179,12 @@ object VectorOps {
     val e = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // hyperplane projections via the native codegen graft_dot (HOF
+    // zip_with/aggregate is CodegenFallback — same sequential sum, so
+    // the generated oracle SQL is unaffected)
     val bitCols = VectorLsh.signs.indices.map { b =>
       val hyper = array(VectorLsh.signs(b).map(lit).toIndexedSeq: _*)
-      when(aggregate(zip_with(col("v"), hyper, (x, s) => x * s),
-        lit(0.0d), (acc, x) => acc + x) > 0, 1).otherwise(0)
+      when(dot(col("v"), hyper) > 0, 1).otherwise(0)
     }
     val bandCols = (0 until VectorLsh.Bands).map { k =>
       (0 until VectorLsh.RowsPerBand)
