@@ -675,6 +675,33 @@ object Oracle {
             AND e2.src >= 4000000000000
           ORDER BY c, n, s""",
 
+    "motif_varlen_reach" ->
+      s"""WITH $EdgesCte,
+          ine AS (SELECT src, dst FROM edges WHERE rel = 'IN')
+          SELECT DISTINCT x, y FROM (
+            SELECT src AS x, dst AS y FROM ine
+            UNION ALL
+            SELECT a.src, b.dst FROM ine a JOIN ine b ON a.dst = b.src)
+          ORDER BY x, y""",
+
+    "graph_delete_edges" ->
+      s"""WITH $EdgesCte,
+          ded AS (SELECT DISTINCT src, dst, rel FROM edges),
+          tomb AS (SELECT 6000000000000 + o_orderkey AS src,
+                          3000000000000 + o_custkey AS dst, 'BY' AS rel
+                   FROM orders WHERE o_orderstatus = 'P'),
+          kept AS (SELECT d.* FROM ded d
+                   WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                     WHERE t.src = d.src AND t.dst = d.dst
+                       AND t.rel = d.rel)),
+          b AS (SELECT rel, count(*) AS n_before FROM ded GROUP BY rel),
+          a AS (SELECT rel, count(*) AS n_after FROM kept GROUP BY rel)
+          SELECT b.rel, n_before,
+                 n_before - COALESCE(n_after, 0) AS n_removed,
+                 COALESCE(n_after, 0) AS n_after
+          FROM b LEFT JOIN a ON a.rel = b.rel
+          ORDER BY b.rel""",
+
     "graph_shortest_paths_weighted" ->
       s"""WITH RECURSIVE $EdgesCte,
           wedges AS (SELECT src, dst,

@@ -103,6 +103,8 @@ object SparkEntry {
     "graph_upsert_edges"      -> (GraphOps.graphUpsertEdges _),
     "motif_chain_2hop"        -> (MotifDsl.motifChain2hop _),
     "motif_vee_shared_nation" -> (MotifDsl.motifVeeSharedNation _),
+    "motif_varlen_reach"      -> (MotifDsl.motifVarlenReach _),
+    "graph_delete_edges"      -> (GraphOps.graphDeleteEdges _),
     // §2.9 iterative analytics (GraphX, oracle=no)
     "graph_pagerank"             -> (GraphXAlgos.pagerank _),
     "graph_connected_components" -> (GraphXAlgos.connectedComponents _),

@@ -165,6 +165,37 @@ object GraphOps {
       .groupBy(col("src"), col("dst"), col("rel"))
       .agg(min(col("is_new")).as("is_new"))
 
+  /** Batch graph mutation, delete side: remove tombstoned edges from
+    * the deduplicated edge set — one anti-join on the full edge key,
+    * the complement of [[upsertEdges]]. Same bucketed-store argument:
+    * only the tombstone delta shuffles at scale. */
+  def deleteEdges(existing: DataFrame, tombstones: DataFrame): DataFrame =
+    existing.select(col("src"), col("dst"), col("rel")).distinct()
+      .join(tombstones.select(col("src"), col("dst"), col("rel")),
+        Seq("src", "dst", "rel"), "left_anti")
+
+  /** Registered deletion surface: tombstone the BY edges of pending
+    * orders and report per-rel counts before / removed / after. */
+  def graphDeleteEdges(spark: SparkSession, dir: String): DataFrame = {
+    val existing = GraphModel.edgesCached(spark, dir)
+    val tomb = Tables(spark, dir).orders
+      .filter(col("o_orderstatus") === "P")
+      .select((lit(GraphModel.OrderOff) + col("o_orderkey")).as("src"),
+        (lit(GraphModel.CustomerOff) + col("o_custkey")).as("dst"),
+        lit("BY").as("rel"))
+    val before = existing.select(col("src"), col("dst"), col("rel"))
+      .distinct()
+      .groupBy(col("rel")).agg(count(lit(1)).as("n_before"))
+    val after = deleteEdges(existing, tomb)
+      .groupBy(col("rel")).agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("rel"), "left")
+      .select(col("rel"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy(col("rel"))
+  }
+
   /** Registered mutation surface: upsert a deterministic delta — BY
     * edges of urgent orders (duplicates of existing edges, proving
     * dedup) plus the same pairs under a new URGENT rel (genuinely new)

@@ -28,18 +28,53 @@ import org.apache.spark.sql.functions._
   */
 object MotifDsl {
 
-  final case class EdgeTerm(src: String, rel: Option[String], dst: String)
+  final case class EdgeTerm(src: String, rel: Option[String], dst: String,
+    minHops: Int = 1, maxHops: Int = 1)
 
-  private val Term = """\((\w+)\)-\[(?::(\w+))?\]->\((\w+)\)""".r
+  private val Term =
+    """\((\w+)\)-\[(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]->\((\w+)\)""".r
+
+  /** Max expansion of a `*min..max` var-length term — keeps a typo'd
+    * pattern from compiling an enormous union of join chains. */
+  val MaxVarHops = 8
 
   def parse(pattern: String): Seq[EdgeTerm] =
     pattern.split(";").toIndexedSeq.map(_.trim).map {
-      case Term(s, r, d) =>
+      case Term(s, r, lo, hi, d) =>
         require(s != d, s"self-loop terms unsupported: ($s)->($d)")
-        EdgeTerm(s, Option(r), d)
+        val (mn, mx) =
+          if (lo == null) (1, 1) else (lo.toInt, hi.toInt)
+        require(mn >= 1 && mx >= mn && mx <= MaxVarHops,
+          s"bad hop range *$lo..$hi (need 1 <= min <= max <= $MaxVarHops)")
+        EdgeTerm(s, Option(r), d, mn, mx)
       case t =>
         throw new IllegalArgumentException(s"bad motif term: '$t'")
     }
+
+  /** One term's pair set. Fixed single hop = a plain edge projection
+    * (multi-edges preserved); a `*min..max` var-length term compiles to
+    * the UNION of min..max chained joins with DISTINCT — reachability
+    * semantics, where each hop is an equi-join the optimizer places
+    * like any other (bucketed edge table ⇒ co-located at scale). */
+  private def termPairs(edges: DataFrame, t: EdgeTerm): DataFrame = {
+    val base = t.rel.fold(edges)(r => edges.filter(col("rel") === r))
+    if (t.minHops == 1 && t.maxHops == 1)
+      base.select(col("src").as(t.src), col("dst").as(t.dst))
+    else {
+      val hops = (t.minHops to t.maxHops).map { len =>
+        var acc = base.select(col("src").as("_a"), col("dst").as("_b"))
+        for (_ <- 2 to len) {
+          acc = acc.join(
+            base.select(col("src").as("_m"), col("dst").as("_c")),
+            col("_b") === col("_m"))
+            .select(col("_a"), col("_c").as("_b"))
+        }
+        acc
+      }
+      hops.reduce(_ unionByName _).distinct()
+        .select(col("_a").as(t.src), col("_b").as(t.dst))
+    }
+  }
 
   /** Compile `pattern` against an edge table with (src, dst, rel). */
   def compile(edges: DataFrame, pattern: String): DataFrame = {
@@ -48,8 +83,7 @@ object MotifDsl {
     var bound = Vector.empty[String]
     var result: DataFrame = null
     terms.foreach { t =>
-      val filtered = t.rel.fold(edges)(r => edges.filter(col("rel") === r))
-      val proj = filtered.select(col("src").as(t.src), col("dst").as(t.dst))
+      val proj = termPairs(edges, t)
       if (result == null) result = proj
       else {
         val keys = Seq(t.src, t.dst).filter(bound.contains)
@@ -69,6 +103,13 @@ object MotifDsl {
     compile(GraphModel.edgesCached(spark, dir),
       "(o)-[:BY]->(c);(c)-[:IN]->(n)")
       .orderBy(col("c"), col("n"), col("o"))
+
+  /** Registered DSL exhibit 3 — a variable-length path: every vertex
+    * reaching `y` in 1–2 IN hops (customer/supplier/nation up to their
+    * nation or region). */
+  def motifVarlenReach(spark: SparkSession, dir: String): DataFrame =
+    compile(GraphModel.edgesCached(spark, dir), "(x)-[:IN*1..2]->(y)")
+      .orderBy(col("x"), col("y"))
 
   /** Registered DSL exhibit 2 — a V-shape (two edges into a shared
     * node): customer/supplier pairs co-located in one nation. */

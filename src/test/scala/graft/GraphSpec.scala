@@ -111,6 +111,16 @@ class GraphSpec extends SparkSpec {
     })
   }
 
+  test("delete removes exactly the tombstoned edges from the dedup set") {
+    import spark.implicits._
+    val existing = Seq((1L, 2L, "A"), (1L, 2L, "A"), (2L, 3L, "B"),
+      (3L, 4L, "A")).toDF("src", "dst", "rel")
+    val tomb = Seq((1L, 2L, "A"), (9L, 9L, "Z")).toDF("src", "dst", "rel")
+    val kept = GraphOps.deleteEdges(existing, tomb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(kept == Set((2L, 3L, "B"), (3L, 4L, "A")))
+  }
+
   test("upsert dedups on (src,dst,rel) and flags only genuinely new edges") {
     import spark.implicits._
     val existing = Seq((1L, 2L, "A"), (1L, 2L, "A"), (2L, 3L, "B"))

@@ -55,6 +55,28 @@ class MotifDslSpec extends SparkSpec {
     }
   }
 
+  test("var-length term parses and expands to bounded reachability") {
+    import spark.implicits._
+    assert(MotifDsl.parse("(a)-[:R*1..3]->(b)") ==
+      Seq(EdgeTerm("a", Some("R"), "b", 1, 3)))
+    intercept[IllegalArgumentException] {
+      MotifDsl.parse("(a)-[:R*3..2]->(b)") // inverted range
+    }
+    intercept[IllegalArgumentException] {
+      MotifDsl.parse("(a)-[:R*1..99]->(b)") // over MaxVarHops
+    }
+    // chain 1→2→3→4 plus a shortcut 1→3: *1..3 from 1 reaches {2,3,4}
+    val edges = Seq((1L, 2L, "R"), (2L, 3L, "R"), (3L, 4L, "R"),
+      (1L, 3L, "R")).toDF("src", "dst", "rel")
+    val reach = MotifDsl.compile(edges, "(a)-[:R*1..3]->(b)")
+      .filter(org.apache.spark.sql.functions.col("a") === 1L)
+      .collect().map(_.getAs[Long]("b")).toSet
+    assert(reach == Set(2L, 3L, 4L))
+    // DISTINCT semantics: 1→3 via shortcut and via 2 hops is one row
+    val all = MotifDsl.compile(edges, "(a)-[:R*1..3]->(b)").collect()
+    assert(all.length == all.map(_.toString).distinct.length)
+  }
+
   test("compiled 2-hop chain matches the hand-written traversal") {
     val viaDsl = MotifDsl.motifChain2hop(spark, sfDir).collect()
     val hand = GraphModel.edgesCached(spark, sfDir)

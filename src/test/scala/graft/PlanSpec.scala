@@ -60,4 +60,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Filter"), p)
     assert(p.contains("*(1) Project"), p)
   }
+
+  test("compiled motif joins are equi-joins, never nested-loop/cartesian") {
+    val p = physical(graft.ops.MotifDsl.motifChain2hop(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+    // each term's rel filter is applied at its own edge scan
+    assert(p.contains("rel#") || p.contains("= BY") || p.contains("Filter"), p)
+  }
+
+  test("edge upsert dedups in one two-phase aggregation, no join") {
+    val p = physical(graft.ops.GraphOps.upsertEdges(
+      GraphModel.edges(spark, sfDir),
+      GraphModel.edges(spark, sfDir).limit(10)))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("LSH pair candidates join on band keys, never all-pairs") {
+    val p = physical(graft.ops.VectorOps.embedPairSimLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
