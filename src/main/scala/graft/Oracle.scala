@@ -742,6 +742,42 @@ object Oracle {
                 min(doc_id) AS keep_id
          FROM documents GROUP BY 1 ORDER BY keep_id""",
 
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+         tri0 AS (SELECT doc_id,
+                        unnest(list_distinct(list_transform(
+                          range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+                 FROM toks),
+         tri AS (SELECT * FROM tri0 WHERE g IN (
+                   SELECT g FROM tri0 GROUP BY g HAVING count(*) <= 1000)),
+         sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+         raw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                        count(*) AS inter
+                 FROM tri a JOIN tri b
+                   ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS j
+                  FROM raw
+                  JOIN sz sa ON sa.doc_id = a_id
+                  JOIN sz sb ON sb.doc_id = b_id)
+                WHERE j >= 0.5),
+         und AS (SELECT a_id AS a, b_id AS b FROM jp
+                 UNION ALL SELECT b_id, a_id FROM jp),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         )
+         SELECT src AS doc_id, min(dst) AS cluster,
+                (min(dst) = src) AS is_canonical
+         FROM reach GROUP BY src ORDER BY doc_id""",
+
     "text_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),

@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
     "dedup_simhash"      -> (TextOps.dedupSimhash _),
+    "dedup_cluster_canonical" -> (TextOps.dedupClusterCanonical _),
     "text_ngram_jaccard" -> (TextOps.textNgramJaccard _),
     "text_tokenize_tf"   -> (TextOps.textTokenizeTf _),
     "text_tfidf_topk"    -> (TextOps.textTfidfTopk _),

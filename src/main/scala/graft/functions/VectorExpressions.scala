@@ -82,5 +82,11 @@ object VectorExpressions {
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1)))
     }
+    // and the optimizer rewrite (idempotent): HOF-idiom dot products
+    // written by users fuse onto the native expression automatically
+    if (!spark.experimental.extraOptimizations.contains(
+        RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
   }
 }

@@ -188,6 +188,45 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Final step of the dedup pipeline: group near-duplicate documents
+    * into clusters (connected components over the exact-Jaccard ≥ 0.5
+    * pair graph) and elect the min doc_id as each cluster's canonical
+    * representative — the doc a training-data pipeline KEEPS.
+    *
+    * Components via iterative DataFrame min-label propagation rather
+    * than GraphX: near-dup clusters are tiny (pairs/triples), so a
+    * fixed 6 rounds converges for any diameter ≤ 6 component (asserted
+    * against planted dups in DedupSpec); each round is one small join
+    * against the pair list, broadcast at any realistic dup rate.
+    * Deterministic — min is order-insensitive. */
+  def dedupClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = textNgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    val und = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id")))
+    var labels = Tables(spark, dir).documents
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    for (_ <- 1 to 6) {
+      val prop = und
+        .join(labels.select(col("doc_id").as("b_id"),
+          col("cluster").as("nb_cluster")), "b_id")
+        .groupBy(col("a_id"))
+        .agg(min(col("nb_cluster")).as("min_nb"))
+      labels = labels
+        .join(prop.select(col("a_id").as("doc_id"), col("min_nb")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("min_nb"), col("cluster")))
+            .as("cluster"))
+    }
+    labels
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token frequency per language (tokenize → explode → count). */
   def textTokenizeTf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents

@@ -96,6 +96,27 @@ class DedupSpec extends SparkSpec {
     assert(kept.forall(_.getAs[Int]("band_id") == 1))
   }
 
+  test("dedup clusters: pairs co-clustered, canonicals are cluster minima") {
+    val rows = TextOps.dedupClusterCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(rows.size == 500)
+    // every >= 0.5 pair landed in the same cluster
+    val dupPairs = exactPairs.filter(_._2 >= 0.5).keySet
+    assert(dupPairs.nonEmpty)
+    dupPairs.foreach { case (a, b) =>
+      assert(rows(a)._1 == rows(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // a cluster's canonical is its min member, and nothing else is
+    rows.groupBy(_._2._1).foreach { case (cluster, members) =>
+      assert(cluster == members.keys.min)
+      members.foreach { case (id, (_, canon)) =>
+        assert(canon == (id == cluster))
+      }
+    }
+  }
+
   test("exact dedup is a partition of the corpus") {
     val rows = TextOps.dedupExact(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum == 500L)
