@@ -206,10 +206,17 @@ object TextOps {
     val und = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
+    // und is consumed 6 times — materialize once; labels carries one
+    // row per doc, so an eager localCheckpoint per round truncates the
+    // otherwise exponentially-nested join lineage (12+ shuffles deep by
+    // round 6, which is what AQE would try to materialize at once). On
+    // a cluster this would be checkpoint() against reliable storage.
+    val undM = und.localCheckpoint()
     var labels = Tables(spark, dir).documents
       .select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
     for (_ <- 1 to 6) {
-      val prop = und
+      val prop = undM
         .join(labels.select(col("doc_id").as("b_id"),
           col("cluster").as("nb_cluster")), "b_id")
         .groupBy(col("a_id"))
@@ -220,6 +227,7 @@ object TextOps {
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("min_nb"), col("cluster")))
             .as("cluster"))
+        .localCheckpoint()
     }
     labels
       .select(col("doc_id"), col("cluster"),
