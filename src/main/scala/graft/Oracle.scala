@@ -13,6 +13,24 @@ import graft.ops.Det.{sqlAvg2, sqlSum2}
   */
 object Oracle {
 
+  /** Shared trigram-shingle CTE chain (toks → tri0 → df-capped tri →
+    * per-doc sizes), mirroring `TextOps.shingles` + `capShingleDf`; the
+    * df-cap interpolates [[graft.ops.TextOps.MaxShingleDf]] so the two
+    * engines cannot drift. Used by text_ngram_jaccard and
+    * dedup_cluster_canonical. */
+  private val NgramCtes =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+         tri0 AS (SELECT doc_id,
+                        unnest(list_distinct(list_transform(
+                          range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+                 FROM toks),
+         tri AS (SELECT * FROM tri0 WHERE g IN (
+                   SELECT g FROM tri0 GROUP BY g
+                   HAVING count(*) <= ${graft.ops.TextOps.MaxShingleDf})),
+         sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1)"""
+
   /** Edge-table CTE mirroring [[graft.GraphModel.edges]] (namespaced
     * vertex ids = kindOffset + naturalKey). */
   private val EdgesCte =
@@ -645,6 +663,11 @@ object Oracle {
           SELECT id, CAST(min(dist) AS INT) AS dist_to_region0 FROM reach
           GROUP BY id ORDER BY dist_to_region0, id""",
 
+    // NOTE: single-source undirected BFS from the min vertex — this
+    // oracle intentionally asserts the one-component structure of THIS
+    // graph (GraphSpec pins the same invariant): if the edge model ever
+    // produces multiple components, the Spark op emits one row per
+    // component and this one-row oracle must be generalized.
     "graph_connected_components" ->
       s"""WITH RECURSIVE $EdgesCte,
           und AS (SELECT src AS a, dst AS b FROM edges
@@ -743,17 +766,7 @@ object Oracle {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
 
     "dedup_cluster_canonical" ->
-      """WITH RECURSIVE
-         toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM documents),
-         tri0 AS (SELECT doc_id,
-                        unnest(list_distinct(list_transform(
-                          range(1, len(t) - 1),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
-                 FROM toks),
-         tri AS (SELECT * FROM tri0 WHERE g IN (
-                   SELECT g FROM tri0 GROUP BY g HAVING count(*) <= 1000)),
-         sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+      s"""WITH RECURSIVE $NgramCtes,
          raw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                         count(*) AS inter
                  FROM tri a JOIN tri b
@@ -779,17 +792,7 @@ object Oracle {
          FROM reach GROUP BY src ORDER BY doc_id""",
 
     "text_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         tri0 AS (SELECT doc_id,
-                        unnest(list_distinct(list_transform(
-                          range(1, len(t) - 1),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
-                 FROM toks),
-         -- df-cap mirror of TextOps.capShingleDf (MaxShingleDf = 1000)
-         tri AS (SELECT * FROM tri0 WHERE g IN (
-                   SELECT g FROM tri0 GROUP BY g HAVING count(*) <= 1000)),
-         sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+      s"""WITH $NgramCtes,
          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                           count(*) AS inter
                    FROM tri a JOIN tri b

@@ -105,7 +105,9 @@ object SparkEntry {
     "motif_vee_shared_nation" -> (MotifDsl.motifVeeSharedNation _),
     "motif_varlen_reach"      -> (MotifDsl.motifVarlenReach _),
     "graph_delete_edges"      -> (GraphOps.graphDeleteEdges _),
-    // §2.9 iterative analytics (GraphX, oracle=no)
+    // §2.9 iterative analytics (GraphX; CC / SP / weighted-SP are
+    // oracle-checked via recursive CTEs, the rank/triangle/LPA float
+    // iterations are invariant-tested)
     "graph_pagerank"             -> (GraphXAlgos.pagerank _),
     "graph_connected_components" -> (GraphXAlgos.connectedComponents _),
     "graph_triangle_count"       -> (GraphXAlgos.triangleCount _),

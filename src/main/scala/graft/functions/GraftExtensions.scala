@@ -15,15 +15,13 @@ import org.apache.spark.sql.types.DoubleType
   * HOF lambdas are CodegenFallback — every row pays interpreted
   * dispatch per element plus an intermediate array — while DotProduct
   * fuses into whole-stage codegen (measured ~4× on the pair-similarity
-  * scan). The rewrite is semantics-exact: DotProduct sums in the same
-  * sequential left-to-right order the HOF pipeline does, IEEE-754
-  * double multiply/add are commutative in their operands, and zip_with
-  * on unequal lengths zips to the LONGER side padding nulls — which
-  * makes the lambda product null, nulling the aggregate — whereas
-  * DotProduct stops at the shorter length; the rewrite therefore only
-  * fires when both sides are the same untruncated array (always true
-  * for same-schema vector columns, the only shape the idiom is used
-  * for — still, unequal-length behavior is pinned in ExtensionsSpec).
+  * scan). The rewrite is semantics-exact for EVERY input: DotProduct
+  * sums in the same sequential left-to-right order the HOF pipeline
+  * does, IEEE-754 double multiply/add are commutative in their
+  * operands, and DotProduct deliberately mirrors the idiom's edge
+  * cases — unequal lengths → null (zip_with pads the shorter side with
+  * null, nulling the aggregate) and any null element → null (pinned in
+  * ExtensionsSpec).
   *
   * Wired two ways: [[GraftExtensions]] (`spark.sql.extensions=`
   * `graft.functions.GraftExtensions`) for sessions we don't build, and

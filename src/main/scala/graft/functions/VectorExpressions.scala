@@ -35,15 +35,36 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
+  /** Whether either input can hold null elements — when false (the
+    * vector hot path: parquet float arrays cast to double), codegen
+    * emits the tight no-branch loop. */
+  private def anyElementNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+  }
+
+  /** Semantics match the HOF idiom `aggregate(zip_with(a,b,*),0.0,+)`
+    * exactly — required for [[RewriteHofDotProduct]] to be a pure
+    * optimization: unequal lengths → null (zip_with pads the shorter
+    * side with null, nulling the sum), and any null element → null. */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -53,11 +74,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (anyElementNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -175,24 +175,24 @@ object GraphOps {
         Seq("src", "dst", "rel"), "left_anti")
 
   /** Registered deletion surface: tombstone the BY edges of pending
-    * orders and report per-rel counts before / removed / after. */
+    * orders and report per-rel counts before / removed / after.
+    * Single pass: ONE distinct over the edge table, ONE left join to
+    * flag tombstoned rows, one agg — not a separate before-count plan
+    * that would shuffle-dedup the edge table a second time. */
   def graphDeleteEdges(spark: SparkSession, dir: String): DataFrame = {
-    val existing = GraphModel.edgesCached(spark, dir)
+    val ded = GraphModel.edgesCached(spark, dir)
+      .select(col("src"), col("dst"), col("rel")).distinct()
     val tomb = Tables(spark, dir).orders
       .filter(col("o_orderstatus") === "P")
       .select((lit(GraphModel.OrderOff) + col("o_orderkey")).as("src"),
         (lit(GraphModel.CustomerOff) + col("o_custkey")).as("dst"),
-        lit("BY").as("rel"))
-    val before = existing.select(col("src"), col("dst"), col("rel"))
-      .distinct()
-      .groupBy(col("rel")).agg(count(lit(1)).as("n_before"))
-    val after = deleteEdges(existing, tomb)
-      .groupBy(col("rel")).agg(count(lit(1)).as("n_after"))
-    before.join(after, Seq("rel"), "left")
-      .select(col("rel"), col("n_before"),
-        (col("n_before") - coalesce(col("n_after"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("n_after"), lit(0L)).as("n_after"))
+        lit("BY").as("rel"), lit(1).as("tombstoned"))
+    ded.join(tomb, Seq("src", "dst", "rel"), "left")
+      .groupBy(col("rel"))
+      .agg(count(lit(1)).as("n_before"),
+        count_if(col("tombstoned").isNotNull).as("n_removed"))
+      .select(col("rel"), col("n_before"), col("n_removed"),
+        (col("n_before") - col("n_removed")).as("n_after"))
       .orderBy(col("rel"))
   }
 

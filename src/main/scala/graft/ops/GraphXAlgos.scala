@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
 /** §2.9 iterative graph analytics via GraphX (SURVEY.md §4.3: the one
   * genuinely non-Catalyst execution path — Pregel supersteps).
   *
-  * All entries here are oracle=no (iterative float math / algorithmic
-  * nondeterminism is not SQL-expressible); the scalatest suite asserts
-  * invariants instead (rank mass conservation, known component
-  * structure, triangle symmetry). Determinism measures: fixed iteration
-  * counts (never tolerance-convergence), canonical edge direction before
-  * triangle counting, rounded rank output.
+  * The float-iteration entries (PageRank variants, triangle count,
+  * LPA) are oracle=no — iterative float math / algorithmic
+  * nondeterminism is not SQL-expressible — and invariant-tested (rank
+  * mass conservation, known component structure, triangle symmetry).
+  * Connected components and both shortest-path variants ARE
+  * DuckDB-oracled (recursive CTEs) since round 2. Determinism
+  * measures: fixed iteration counts (never tolerance-convergence),
+  * canonical edge direction before triangle counting, rounded rank
+  * output.
   *
   * The DataFrame→RDD conversion happens only here, at the GraphX
   * boundary; results come back via createDataFrame so downstream stays

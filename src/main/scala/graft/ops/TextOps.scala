@@ -194,11 +194,13 @@ object TextOps {
     * representative — the doc a training-data pipeline KEEPS.
     *
     * Components via iterative DataFrame min-label propagation rather
-    * than GraphX: near-dup clusters are tiny (pairs/triples), so a
-    * fixed 6 rounds converges for any diameter ≤ 6 component (asserted
-    * against planted dups in DedupSpec); each round is one small join
-    * against the pair list, broadcast at any realistic dup rate.
-    * Deterministic — min is order-insensitive. */
+    * than GraphX: labels flow one hop per round and the loop runs
+    * UNTIL STABLE (no label changed), so any component diameter is
+    * handled — matching the oracle's exact transitive closure — with a
+    * hard cap as a cycle-proof backstop. Each round is one small join
+    * against the pair list, broadcast at any realistic dup rate, plus
+    * an O(1)-row convergence count. Deterministic — min is
+    * order-insensitive. */
   def dedupClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
     val pairs = textNgramJaccard(spark, dir)
       .filter(col("jaccard") >= 0.5)
@@ -215,19 +217,27 @@ object TextOps {
     var labels = Tables(spark, dir).documents
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
-    for (_ <- 1 to 6) {
+    var converged = false
+    var round = 0
+    while (!converged && round < 50) {
+      round += 1
       val prop = undM
         .join(labels.select(col("doc_id").as("b_id"),
           col("cluster").as("nb_cluster")), "b_id")
         .groupBy(col("a_id"))
         .agg(min(col("nb_cluster")).as("min_nb"))
-      labels = labels
+      val next = labels
         .join(prop.select(col("a_id").as("doc_id"), col("min_nb")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("min_nb"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"),
+          "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
     }
     labels
       .select(col("doc_id"), col("cluster"),

@@ -119,7 +119,9 @@ object VectorOps {
   }
 
   /** k nearest members to each label centroid (composition of centroid
-    * + cosine + window top-k; oracle=no per SURVEY §2.10). */
+    * + cosine + window top-k). Deterministic — rounded cosine with
+    * vec_id tie-break — and DuckDB-oracled since round 2; rounding or
+    * tie-break changes here must be mirrored in Oracle.scala. */
   def embedKnnPerLabel(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val e = Tables(spark, dir).embeddings

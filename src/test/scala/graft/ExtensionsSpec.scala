@@ -72,6 +72,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.collect().forall(_.getAs[Double]("dot") > 0))
   }
 
+  test("rewrite preserves HOF edge cases: unequal lengths and null " +
+      "elements both yield null") {
+    VectorExpressions.register(spark)
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      ("uneq", Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](Some(3.0))),
+      ("nullelem", Seq[Option[Double]](Some(1.0), None),
+        Seq[Option[Double]](Some(3.0), Some(4.0))),
+      ("ok", Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("k", "va", "vb")
+    val viaHof = df.select(col("k"), hofDot("va", "vb").as("dot"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val viaNative = df.select(col("k"),
+        expr("graft_dot(va, vb)").as("dot"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(viaHof == viaNative)
+    assert(viaHof("uneq") == null && viaHof("nullelem") == null)
+    assert(viaHof("ok") == 11.0)
+  }
+
   test("GraftExtensions installs into a SparkSessionExtensions instance") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
