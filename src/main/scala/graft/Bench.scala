@@ -21,11 +21,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: with ~110 queries the stdout line must stay
+    // well under the driver's ~4 KB tail-capture window or the line's
+    // head is cut off and the driver records parsed:null (it did in
+    // rounds 1 and 2 with full-precision doubles)
+    def fmt(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},""" +
+      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: the driver's stdout JSON-line scrape has
     // failed to parse before (sbt log prefixes) — the file is unambiguous

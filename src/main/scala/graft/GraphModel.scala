@@ -87,20 +87,22 @@ object GraphModel {
   }
 
   /** GraphX view (RDD world) — built only at the GraphX boundary; all
-    * relational work stays in Catalyst. Vertex attr = kind, edge attr =
-    * rel. Multi-edges are deduplicated: every consumer (connected
-    * components, shortest paths, label propagation) is multiplicity-
-    * insensitive, and the lineitem HAS/FROM duplicates only inflate
-    * Pregel message traffic (algorithms needing weights — PageRank —
-    * build their own edge RDD). */
+    * relational work stays in Catalyst. Edge attr = rel. Multi-edges
+    * are deduplicated: every consumer (connected components, shortest
+    * paths, label propagation) is multiplicity-insensitive, and the
+    * lineitem HAS/FROM duplicates only inflate Pregel message traffic
+    * (algorithms needing weights — PageRank — build their own edge
+    * RDD). Vertex set = edge-incident vertices ONLY (`Graph.fromEdges`)
+    * so the topology is data-independent: a part no lineitem references
+    * never appears as an isolated vertex shifting the PageRank 0.15
+    * tail or adding singleton connected components. No consumer reads
+    * vertex attributes, so the vertex-table join would buy nothing. */
   def graphx(spark: SparkSession, dir: String)
       : org.apache.spark.graphx.Graph[String, String] = {
     import org.apache.spark.graphx.{Edge, Graph}
-    val vrdd = vertices(spark, dir).select("id", "kind").rdd
-      .map(r => (r.getLong(0), r.getString(1)))
     val erdd = edgesCached(spark, dir).distinct().rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
-    Graph(vrdd, erdd, "unknown")
+    Graph.fromEdges(erdd, "unknown")
   }
 
   /** Memoized + RDD-cached [[graphx]] view, same keying discipline as

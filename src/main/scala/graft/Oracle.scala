@@ -737,7 +737,7 @@ object Oracle {
             FROM wedges e JOIN reach r ON e.dst = r.id
             WHERE r.dist < 10
           )
-          SELECT id, ROUND(min(dist), 6) AS wdist FROM reach
+          SELECT id, ROUND(min(dist) + 1e-9, 6) AS wdist FROM reach
           GROUP BY id ORDER BY wdist, id""",
 
     "graph_upsert_edges" ->

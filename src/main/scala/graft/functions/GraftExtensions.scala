@@ -86,7 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      VectorExpressions.dotBuilder))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

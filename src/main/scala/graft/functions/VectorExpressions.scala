@@ -100,6 +100,19 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** Shared `graft_dot` builder with an analysis-time arity check —
+    * without it a 1- or 3-arg SQL call dies with
+    * IndexOutOfBoundsException instead of a resolution error. */
+  val dotBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> "`graft_dot`", "expectedNum" -> "2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    DotProduct(children(0), children(1))
+  }
+
   /** Idempotently register `graft_dot` in the session's function
     * registry so operators can use it via `expr("graft_dot(a, b)")`.
     * Registration is per-session state — the same injection a
@@ -112,7 +125,7 @@ object VectorExpressions {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+        dotBuilder)
     }
     // and the optimizer rewrite (idempotent): HOF-idiom dot products
     // written by users fuse onto the native expression automatically

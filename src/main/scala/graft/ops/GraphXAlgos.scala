@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
 object GraphXAlgos {
 
   /** PageRank, 10 fixed iterations, on the deduplicated directed graph
-    * (the memoized [[GraphModel.graphxCached]] build — same topology as
-    * the old per-query `Graph.fromEdges` since every vertex is edge-
-    * incident, without paying graph construction again). */
+    * (the memoized [[GraphModel.graphxCached]] build; its vertex set is
+    * exactly the edge-incident vertices, so the topology is independent
+    * of unreferenced dimension rows). */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = GraphModel.graphxCached(spark, dir)
@@ -117,12 +117,27 @@ object GraphXAlgos {
       .select(col("src"), col("dst"), (col("w") / col("wtot")).as("p"))
     val erdd = norm.rdd.map(r => Edge(r.getLong(0), r.getLong(1),
       r.getDouble(2)))
-    var g = Graph.fromEdges(erdd, 1.0).mapVertices((_, _) => 1.0)
-    for (_ <- 1 to 10) {
-      val msgs = g.aggregateMessages[Double](
-        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+    // Pregel's cache/materialize/unpersist discipline: cache each
+    // superstep's graph and messages, materialize the NEW state before
+    // dropping the old. Without it the loop builds a 10-deep uncached
+    // graph lineage and every superstep recomputes all prior ones
+    // (measured 13.8 s for this query alone at sf0.1).
+    def messages(gr: Graph[Double, Double]) = gr.aggregateMessages[Double](
+      ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+    var g = Graph.fromEdges(erdd, 1.0).mapVertices((_, _) => 1.0).cache()
+    var msgs = messages(g).cache()
+    msgs.count(): Unit
+    for (i <- 1 to 10) {
+      val prevG = g
+      val oldMsgs = msgs
       g = g.outerJoinVertices(msgs)((_, _, m) =>
-        0.15 + 0.85 * m.getOrElse(0.0))
+        0.15 + 0.85 * m.getOrElse(0.0)).cache()
+      if (i < 10) { msgs = messages(g).cache(); msgs.count(): Unit }
+      // the final superstep's output is consumed via g.vertices only
+      else g.vertices.count(): Unit
+      oldMsgs.unpersist(blocking = false)
+      prevG.unpersistVertices(blocking = false)
+      prevG.edges.unpersist(blocking = false): Unit
     }
     g.vertices
       .map { case (id, rank) => (id, math.rint(rank * 1e6) / 1e6) }
@@ -136,7 +151,10 @@ object GraphXAlgos {
     * computed by Pregel min-plus relaxation. Deterministic — min is
     * order-insensitive and every path accumulates root-outward in the
     * same order as the oracle's recursive CTE, so the doubles are
-    * bit-identical and this IS oracle-checked (unlike rank iteration). */
+    * bit-identical and this IS oracle-checked (unlike rank iteration).
+    * Rounding happens in the DataFrame with the Det epsilon discipline
+    * (mirrored in the oracle SQL) — `math.rint` is half-to-even while
+    * DuckDB ROUND is not, so a tie at the 1e-6 boundary would diverge. */
   def shortestPathsWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.graphx.Pregel
@@ -152,8 +170,9 @@ object GraphXAlgos {
       math.min)
     res.vertices
       .filter { case (_, d) => d < Double.PositiveInfinity }
-      .map { case (id, d) => (id, math.rint(d * 1e6) / 1e6) }
-      .toDF("id", "wdist")
+      .toDF("id", "wdist_raw")
+      .select(col("id"),
+        round(col("wdist_raw") + lit(1e-9), 6).as("wdist"))
       .orderBy(col("wdist"), col("id"))
   }
 

@@ -141,7 +141,22 @@ object Streaming {
   private val sinkDirs = scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]()
 
+  /** JVM-exit cleanup for the temp sink/checkpoint dirs — repeated
+    * verify/bench/test runs in one host otherwise accumulate one copy
+    * of the sink output per process forever. */
+  private lazy val cleanupHook: Unit =
+    sys.addShutdownHook {
+      sinkDirs.values.foreach { base =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }
+    }: Unit
+
   def streamSinkParquet(spark: SparkSession, dir: String): DataFrame = {
+    cleanupHook
     val base = sinkDirs.getOrElseUpdate((spark, dir),
       java.nio.file.Files
         .createTempDirectory(s"graft-sink-${runIds.incrementAndGet()}")
@@ -175,7 +190,20 @@ object Streaming {
     * scale this state lives keyed-by-user in RocksDB, updated
     * incrementally — never recomputed from scratch). Final state equals
     * the batch degree, which is what the oracle checks. */
+  /** Memoized memory-sink table name per (session, dir): repeated calls
+    * reuse the completed run's final state instead of registering a new
+    * global temp view per call (unbounded catalog growth in one JVM). */
+  private val degreeTables = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
+
   def streamGraphDegree(spark: SparkSession, dir: String): DataFrame = {
+    val name = degreeTables.getOrElseUpdate((spark, dir),
+      runStreamDegree(spark, dir))
+    spark.table(name).orderBy(col("user_id"))
+  }
+
+  /** One complete-mode run to a fresh memory sink; returns the table. */
+  private def runStreamDegree(spark: SparkSession, dir: String): String = {
     val name = s"graft_stream_degree_${runIds.incrementAndGet()}"
     val q = eventsStream(spark, dir)
       .groupBy(col("user_id"))
@@ -191,7 +219,7 @@ object Streaming {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name).orderBy(col("user_id"))
+    name
   }
 
   /** Typed input for the custom-state demo. */

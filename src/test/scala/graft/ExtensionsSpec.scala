@@ -97,6 +97,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaHof("ok") == 11.0)
   }
 
+  test("graft_dot with wrong arity raises an analysis error, not an " +
+      "IndexOutOfBoundsException") {
+    VectorExpressions.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      vectors.select(expr("graft_dot(va)")).collect()
+    }
+    assert(err.getMessage.contains("graft_dot"), err.getMessage)
+  }
+
   test("GraftExtensions installs into a SparkSessionExtensions instance") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
