@@ -31,6 +31,36 @@ object Oracle {
                    HAVING count(*) <= ${graft.ops.TextOps.MaxShingleDf})),
          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1)"""
 
+  /** Unrolled fixed-point PageRank: one CTE per iteration replaying
+    * [[graft.ops.GraphOps.pagerankExactOn]]'s integer arithmetic.
+    * DuckDB `//` floors and Spark `div` truncates — identical on the
+    * strictly positive ranks/degrees here; SUM(BIGINT) is HUGEINT in
+    * DuckDB, hence the explicit casts back to BIGINT. */
+  private def pagerankExactSql(iters: Int): String = {
+    val base = s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         outdeg AS (SELECT src, count(*) AS od FROM ded GROUP BY src),
+         verts AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM ded UNION SELECT dst FROM ded)),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+         r$i AS (SELECT v.id,
+                   CAST(150000 + (COALESCE(m.s, 0) * 85) // 100
+                     AS BIGINT) AS r
+                 FROM verts v LEFT JOIN (
+                   SELECT d.dst AS id, CAST(SUM(c.r // o.od) AS BIGINT) AS s
+                   FROM r${i - 1} c
+                   JOIN outdeg o ON c.id = o.src
+                   JOIN ded d ON d.src = c.id
+                   GROUP BY d.dst) m ON m.id = v.id)"""
+    }.mkString
+    base + steps +
+      s"""
+         SELECT id, r AS rank_micro FROM r$iters
+         ORDER BY rank_micro DESC, id LIMIT 50"""
+  }
+
   /** Edge-table CTE mirroring [[graft.GraphModel.edges]] (namespaced
     * vertex ids = kindOffset + naturalKey). */
   private val EdgesCte =
@@ -725,6 +755,39 @@ object Oracle {
           FROM b LEFT JOIN a ON a.rel = b.rel
           ORDER BY b.rel""",
 
+    // unrolled 5-iteration chain of GraphOps.pagerankExactOn's integer
+    // arithmetic: BIGINT micro-unit ranks, `//` == Spark's `div` on
+    // positive operands, exact order-independent sums
+    "graph_pagerank_exact" -> pagerankExactSql(5),
+
+    // replays GraphXAlgos.copurchasePairs exactly: per order the 32
+    // smallest distinct parts (row_number == sorted-slice cap), ordered
+    // pairs, dedup; then canonical x<y<z triangle enumeration and the
+    // per-vertex histogram (vertices = edge endpoints, zero-triangle
+    // vertices included, as Graph.fromEdges + triangleCount yields)
+    "graph_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+               FROM capped a JOIN capped b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                 FROM e e1
+                 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         verts AS (SELECT DISTINCT v FROM
+                     (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+         tc AS (SELECT v, count(*) AS n FROM (
+                  SELECT x AS v FROM tri UNION ALL
+                  SELECT y FROM tri UNION ALL
+                  SELECT z FROM tri) GROUP BY v)
+         SELECT COALESCE(n, 0) AS n_triangles, count(*) AS n_vertices
+         FROM verts LEFT JOIN tc ON verts.v = tc.v
+         GROUP BY 1 ORDER BY 1""",
+
     "graph_shortest_paths_weighted" ->
       s"""WITH RECURSIVE $EdgesCte,
           wedges AS (SELECT src, dst,
@@ -1049,6 +1112,26 @@ object Oracle {
                 CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
                   AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // the join runs as a true watermarked stream-stream join in Spark
+    // (two file-source streams, append mode); once all input is
+    // processed the inner join's emitted rows equal the batch interval
+    // join, which is what this checks
+    "stream_stream_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+                            date_trunc('second', ts) AS ts_sec
+                     FROM events),
+         c AS (SELECT user_id, event_id AS click_id, ts_sec AS click_ts
+               FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id,
+                      ts_sec AS purchase_ts, value
+               FROM ev WHERE event_type = 'purchase')
+         SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts,
+                value
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND purchase_ts >= click_ts
+           AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+         ORDER BY c.user_id, click_id, purchase_id""",
 
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label,

@@ -116,6 +116,9 @@ object SparkEntry {
     "graph_pagerank_weighted"    -> (GraphXAlgos.pagerankWeighted _),
     "graph_shortest_paths_weighted" ->
       (GraphXAlgos.shortestPathsWeighted _),
+    // DF-native fixed-point rank: the oracle-checkable counterpart of
+    // the float GraphX rank queries (exact integer arithmetic)
+    "graph_pagerank_exact"       -> (GraphOps.pagerankExact _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
@@ -148,7 +151,8 @@ object SparkEntry {
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),
-    "stream_graph_degree"     -> (Streaming.streamGraphDegree _)
+    "stream_graph_degree"     -> (Streaming.streamGraphDegree _),
+    "stream_stream_join"      -> (Streaming.streamStreamJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -147,6 +147,46 @@ object GraphOps {
     out
   }
 
+  /** Fixed-point PageRank core over a (src, dst) edge frame: ranks are
+    * BIGINT micro-units (1.0 = 1,000,000), contributions are integer
+    * division by out-degree, and the damping step is `(s * 85) div 100`
+    * — every operation is exact integer arithmetic, so the result is
+    * ORDER-INDEPENDENT and bit-identical on any engine (the property
+    * float PageRank fundamentally lacks: parallel double sums are
+    * order-dependent, which is why the GraphX rank queries are
+    * invariant-tested rather than oracle-checked). Each iteration is
+    * one agg + two joins; rank state is one bigint per vertex, and at
+    * 100 TB the verts/msgs join keys on the same `id` partitioning
+    * every iteration, so with the edge table bucketed by src only the
+    * per-iteration message shuffle moves data. */
+  def pagerankExactOn(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    var rank = verts.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(outdeg, rank("id") === outdeg("src"))
+        .select(col("src"), expr("r div od").as("c"))
+      val msgs = e.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = verts.join(msgs, verts("id") === msgs("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(coalesce(s, 0) * 85) div 100")).as("r"))
+    }
+    rank
+  }
+
+  /** Registered surface: 5 exact iterations on the deduplicated derived
+    * edge graph, top-50 by rank (micro-units) with id tie-break —
+    * DuckDB-oracled via an unrolled 5-CTE chain of the same integer
+    * arithmetic. */
+  def pagerankExact(spark: SparkSession, dir: String): DataFrame =
+    pagerankExactOn(GraphModel.edgesCached(spark, dir), 5)
+      .select(col("id"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("id"))
+      .limit(50)
+
   /** Batch graph mutation: merge an edge delta into an edge table,
     * deduplicating on (src, dst, rel). Returns the merged edge set with
     * `is_new` = 1 for edges that exist only in the delta (0 for edges

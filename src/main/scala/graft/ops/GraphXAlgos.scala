@@ -79,8 +79,10 @@ object GraphXAlgos {
   /** Triangle count over the part co-purchase projection: parts are
     * linked when they appear in the same order. Edges are canonicalized
     * (src < dst, deduplicated) as TriangleCount requires. Output:
-    * per-triangle-count histogram (deterministic; per-vertex counts are
-    * asserted in tests). */
+    * per-triangle-count histogram — fully deterministic (integer counts
+    * over a deterministic edge set), so this IS DuckDB-oracled: the
+    * oracle replays the capped pair derivation with row_number and
+    * enumerates canonical x<y<z triangles with a 3-way self-join. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val copurchase = copurchasePairs(Tables(spark, dir).lineitem
@@ -88,7 +90,7 @@ object GraphXAlgos {
     val edges = copurchase.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val g = Graph.fromEdges(edges, 0)
     g.triangleCount().vertices
-      .map { case (_, n) => n }
+      .map { case (_, n) => n.toLong }
       .toDF("n_triangles")
       .groupBy(col("n_triangles")).agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("n_triangles"))

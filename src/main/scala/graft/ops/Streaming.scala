@@ -222,6 +222,63 @@ object Streaming {
     name
   }
 
+  /** Core stream-stream join transform (shared batch/stream shape):
+    * attribute each purchase to the same user's clicks in the hour
+    * before it. Both inputs carry event-time columns; in streaming mode
+    * they MUST be watermarked (below) so join state is bounded — Spark
+    * keeps each side's rows only until the other side's watermark
+    * passes the join-condition time range, which is the 100 TB design
+    * point: state is O(events per active hour), not O(stream). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+
+  private def clickSide(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_sec").as("click_ts"))
+
+  private def purchaseSide(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_sec").as("purchase_ts"), col("value"))
+
+  /** Memoized memory-sink table per (session, dir), same discipline as
+    * [[streamGraphDegree]]. */
+  private val ssJoinTables = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
+
+  /** TRUE stream-stream join, end to end: two watermarked file-source
+    * streams of the same event log (clicks / purchases) interval-joined
+    * per user, append-mode to a memory sink. The inner join emits
+    * exactly the batch join's rows once all input is processed, which
+    * is what the oracle checks; the watermarks are what make the
+    * operator viable on an unbounded stream (state eviction — the part
+    * a batch plan never exercises). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = ssJoinTables.getOrElseUpdate((spark, dir), {
+      val tbl = s"graft_stream_ssjoin_${runIds.incrementAndGet()}"
+      val ev = eventsStream(spark, dir)
+        .withColumn("ts_sec", date_trunc("second", col("ts")))
+      val clicks = clickSide(ev).withWatermark("click_ts", "1 hour")
+      val purchases = purchaseSide(ev)
+        .withWatermark("purchase_ts", "2 hours")
+      val q = attributionJoin(clicks, purchases)
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      tbl
+    })
+    spark.table(name)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Typed input for the custom-state demo. */
   final case class PurchaseEvent(user_id: Long, event_id: Long,
     ts_sec: java.sql.Timestamp, value: Double)

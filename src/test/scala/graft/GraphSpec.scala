@@ -29,6 +29,29 @@ class GraphSpec extends SparkSpec {
       s"rank mass $mass should be within 5% of $n")
   }
 
+  test("pagerank_exact: hand-computable fixed-point arithmetic on a " +
+      "2-path, and the registered top-50 agrees with GraphX's ordering " +
+      "at the top") {
+    val sess = spark
+    import sess.implicits._
+    // a → b → c: after 2 iterations r(c) = 0.15 + 0.85*r1(b) where
+    // r1(b) = 0.15 + 0.85*1.0 = 1.0 exactly (micro-units below)
+    val tiny = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphOps.pagerankExactOn(tiny, 2).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("r")).toMap
+    assert(r(1L) == 150000L)                         // no in-edges
+    assert(r(2L) == 150000L + (150000L * 85L) / 100L)  // 0.15+0.85*0.15
+    assert(r(3L) == 150000L + (1000000L * 85L) / 100L) // 0.15+0.85*1.0
+    // the registered query's head should rank the same hub vertices as
+    // float GraphX pagerank (both put high-in-degree dims on top)
+    val exactTop = GraphOps.pagerankExact(spark, sfDir).collect()
+      .take(5).map(_.getAs[Long]("id")).toSet
+    val floatTop = GraphXAlgos.pagerank(spark, sfDir).collect()
+      .take(5).map(_.getAs[Long]("id")).toSet
+    assert((exactTop intersect floatTop).size >= 3,
+      s"exact=$exactTop float=$floatTop")
+  }
+
   test("pagerank ranks dims above facts (sinks accumulate rank)") {
     val top = GraphXAlgos.pagerank(spark, sfDir).collect()
     // top-5 vertices must be regions/nations (id namespace 1–2 × 1e12)

@@ -236,4 +236,56 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("d"), r.getAs[Double]("s"))).toMap
     assert(streamed == batch)
   }
+
+  case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
+  case class Purchase(p_user_id: Long, purchase_id: Long,
+    purchase_ts: Timestamp, value: Double)
+
+  test("stream-stream join emits incrementally and matches across " +
+      "micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = Streaming.attributionJoin(
+      clicks.toDF().withWatermark("click_ts", "1 hour"),
+      purchases.toDF().withWatermark("purchase_ts", "2 hours"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").start()
+    try {
+      // click arrives first; matching purchase in a LATER micro-batch
+      clicks.addData(Click(1L, 100L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ssjoin_t").count() == 0)
+      purchases.addData(
+        Purchase(1L, 200L, ts("2024-01-01 10:30:00"), 5.0), // in range
+        Purchase(1L, 201L, ts("2024-01-01 11:30:00"), 6.0), // > 1h after
+        Purchase(2L, 202L, ts("2024-01-01 10:30:00"), 7.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_t").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("click_id") == 100L)
+      assert(rows(0).getAs[Long]("purchase_id") == 200L)
+    } finally q.stop()
+  }
+
+  test("stream-stream join final output equals the batch interval join") {
+    val streamed = Streaming.streamStreamJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      .toSet
+    val ev = Tables(spark, sfDir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_sec").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_sec").as("purchase_ts"), col("value"))
+    val batch = Streaming.attributionJoin(c, p).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      .toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
