@@ -930,6 +930,28 @@ object Oracle {
                FROM documents) d
          ORDER BY doc_id""",
 
+    "text_redact_pii" ->
+      """SELECT event_id,
+                substr(sha256('graft-pepper:' || CAST(user_id AS VARCHAR)),
+                       1, 16) AS pseudo_uid,
+                event_type,
+                regexp_replace(props, '[0-9]+', '<NUM>', 'g')
+                  AS props_redacted
+         FROM events ORDER BY event_id""",
+
+    "corpus_sample_stratified" ->
+      """WITH keyed AS (
+           SELECT doc_id, lang, source, n_chars,
+                  md5('graft-sample:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY skey, doc_id) AS rn,
+                 (count(*) OVER (PARTITION BY lang) * 2) // 10 AS quota
+               FROM keyed)
+         SELECT doc_id, lang, source, n_chars FROM r
+         WHERE rn <= quota ORDER BY lang, doc_id""",
+
     "embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,
                            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -132,12 +132,15 @@ object SparkEntry {
     "text_token_count"   -> (TextOps.textTokenCount _),
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_fingerprint"   -> (TextOps.textFingerprint _),
+    "text_redact_pii"    -> (TextOps.textRedactPii _),
+    "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
     // §2.10 embeddings + multimodal
     "embed_cosine_topk"        -> (VectorOps.embedCosineTopk _),
     "embed_pair_sim_threshold" -> (VectorOps.embedPairSimThreshold _),
     "embed_centroid_per_label" -> (VectorOps.embedCentroidPerLabel _),
     "embed_knn_per_label"      -> (VectorOps.embedKnnPerLabel _),
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
+    "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),

@@ -367,4 +367,45 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(min(hash(col("shingle"))).cast(LongType).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** PII scrubbing, the two standard moves in one pass over the event
+    * log: PSEUDONYMIZE the stable identifier (salted sha256 → 16-hex
+    * surrogate; joinable across tables that share the salt but not
+    * reversible to the raw id) and REDACT free-text payload (digit runs
+    * in the props JSON → a <NUM> placeholder — the same regexp shape
+    * masks phones/SSNs/card numbers on a real corpus). Pure map-side
+    * narrow transforms: no shuffle, codegen'd end to end, linear at
+    * any scale. */
+  def textRedactPii(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        substring(sha2(concat(lit("graft-pepper:"),
+          col("user_id").cast("string")), 256), 1, 16).as("pseudo_uid"),
+        col("event_type"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>")
+          .as("props_redacted"))
+      .orderBy(col("event_id"))
+
+  /** Stratified deterministic sampling: ~20% of documents per language
+    * stratum. The sampling key is md5 of the doc id (identical hex in
+    * any engine) so the sample is reproducible and unbiased by id
+    * order; the per-stratum quota is integer arithmetic (n*2 div 10).
+    * One window shuffle keyed by the stratum; at 100 TB the same plan
+    * holds (count + row_number over lang partitions), and a heavy
+    * stratum never concentrates on one task more than its share. */
+  def corpusSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(concat(lit("graft-sample:"), col("doc_id").cast("string")))
+          .as("skey"))
+    val w = Window.partitionBy(col("lang"))
+    keyed
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("skey"), col("doc_id"))))
+      .withColumn("quota", expr("(count(*) over " +
+        "(partition by lang) * 2) div 10"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }

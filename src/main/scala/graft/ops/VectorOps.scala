@@ -168,6 +168,83 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Deterministic argmax-cosine assignment of each vector to its
+    * nearest centroid (rounded sim, smallest-cid tie-break via the
+    * lexicographic max over (sim, -cid)). Centroids are broadcast; the
+    * group-by is a map-side-combinable agg keyed on the vector row. */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        round(cosine(col("v"), col("centroid")), 6).as("sim"), col("cid"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("v"), (-col("m.ncid")).as("cid"))
+
+  /** Lloyd k-means coarse quantizer, the learned upgrade of the
+    * label-as-bucket quantizer in [[embedAnnIvf]]: k centroids seeded
+    * from the k smallest vec_ids (deterministic init — no RNG), a
+    * fixed number of synchronous Lloyd iterations (assignment = argmax
+    * rounded cosine with cid tie-break; update = decimal-exact
+    * per-position means), so the final codebook is reproducible
+    * run-to-run. Each iteration is one broadcast-assign + one
+    * (cid, pos)-keyed agg whose state is k×dim cells regardless of
+    * input size — the same constant-state shape as
+    * [[embedCentroidPerLabel]], which is what makes the training step
+    * viable at 100 TB (the codebook never grows with the data; in
+    * production you train on a sample, which this corpus effectively
+    * is). */
+  def kmeansQuantizer(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select(row_number().over(Window.orderBy(col("vec_id"))).as("cid"),
+        col("v").as("centroid"))
+    for (_ <- 1 to iters) {
+      cents = assignToCentroids(e, cents)
+        .select(col("cid"), posexplode(col("v"))).toDF("cid", "pos", "x")
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(27, 10))).cast(DoubleType)
+          / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("ps"))
+        .select(col("cid"), expr("transform(ps, p -> p.m)").as("centroid"))
+    }
+    cents
+  }
+
+  /** ANN with a LEARNED coarse quantizer: k-means codebook (k=8, 3
+    * Lloyd iterations) instead of [[embedAnnIvf]]'s label buckets —
+    * the structure labels gave for free is now discovered from the
+    * vectors themselves, which is the variant that survives corpora
+    * without labels. Probe: nprobe=2 nearest centroids, brute-force
+    * within their members only. At scale, data written partitioned by
+    * cid makes the unprobed buckets unread partitions. oracle=no
+    * (approximate by design); recall vs exact top-k and run-to-run
+    * determinism are property-tested. */
+  def embedAnnKmeans(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // tiny (k rows) and consumed twice (bucket choice + assignment)
+    val cents = kmeansQuantizer(e, 8, 3).persist()
+    val probe = broadcast(probeOf(t))
+    val buckets = cents.crossJoin(probe)
+      .select(col("cid"),
+        round(cosine(col("centroid"), col("probe_vec")), 6).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(2)
+      .select(col("cid").as("bucket"))
+    assignToCentroids(e, cents)
+      .join(broadcast(buckets), col("cid") === col("bucket"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(probe)
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** LSH-prefiltered pair similarity — the 100 TB path for
     * [[embedPairSimThreshold]], which is exact but all-pairs within its
     * label key. Random-hyperplane signatures ([[VectorLsh]], fixed

@@ -130,4 +130,39 @@ class DedupSpec extends SparkSpec {
     assert(a.length == 500)
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
+
+  test("PII scrub: no digits survive redaction, surrogate ids are " +
+      "consistent per user and never the raw id") {
+    val rows = TextOps.textRedactPii(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      !r.getAs[String]("props_redacted").exists(_.isDigit)))
+    val raw = Tables(spark, sfDir).events
+      .select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val surrogate = rows.map(r =>
+      raw(r.getAs[Long]("event_id")) -> r.getAs[String]("pseudo_uid"))
+    // same user → same surrogate (joinability preserved)
+    assert(surrogate.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1))
+    // surrogate never literally leaks the id
+    assert(surrogate.forall { case (uid, s) => s != uid.toString })
+  }
+
+  test("stratified sample takes ~20% of every language stratum, " +
+      "deterministically") {
+    val sample = TextOps.corpusSampleStratified(spark, sfDir).collect()
+    val sampled = sample.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length).toMap
+    val full = Tables(spark, sfDir).documents.groupBy(col("lang"))
+      .count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(full.keySet == sampled.keySet)
+    full.foreach { case (lang, n) =>
+      assert(sampled(lang) == (n * 2) / 10,
+        s"$lang: ${sampled(lang)} of $n")
+    }
+    val again = TextOps.corpusSampleStratified(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == sample.map(_.getAs[Long]("doc_id")).toSet)
+  }
 }
