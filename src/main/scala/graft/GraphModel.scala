@@ -40,6 +40,18 @@ object GraphModel {
   def edgesCached(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate((spark, dir), edges(spark, dir).persist())
 
+  private val dedupCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized DEDUPLICATED (src, dst) pairs — the shared input of every
+    * multiplicity-insensitive DataFrame algorithm (exact PageRank/LPA,
+    * mutation counts). One distinct-shuffle per (session, dir) instead
+    * of one per query. */
+  def dedupEdgesCached(spark: SparkSession, dir: String): DataFrame =
+    dedupCache.getOrElseUpdate((spark, dir),
+      edgesCached(spark, dir).select(col("src"), col("dst"))
+        .distinct().persist())
+
   /** All vertices: (id, kind, name). */
   def vertices(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -61,6 +61,36 @@ object Oracle {
          ORDER BY rank_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled deterministic label propagation mirroring
+    * [[graft.ops.GraphOps.lpaExactOn]]: per round, each vertex adopts
+    * its neighbors' most frequent label (row_number tie-break on
+    * smallest label — the total order the Spark side uses too). */
+  private def lpaExactSql(iters: Int): String = {
+    val base = s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src AS v, dst AS n FROM ded
+                 UNION ALL SELECT dst, src FROM ded),
+         verts AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM ded UNION SELECT dst FROM ded)),
+         l0 AS (SELECT id, id AS label FROM verts)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+         l$i AS (SELECT vv.id, COALESCE(p.newlab, vv.id) AS label
+                 FROM verts vv LEFT JOIN (
+                   SELECT v, label AS newlab FROM (
+                     SELECT u.v, l.label, count(*) AS c,
+                            row_number() OVER (PARTITION BY u.v
+                              ORDER BY count(*) DESC, l.label) AS rk
+                     FROM und u JOIN l${i - 1} l ON u.n = l.id
+                     GROUP BY u.v, l.label) t
+                   WHERE rk = 1) p ON p.v = vv.id)"""
+    }.mkString
+    base + steps +
+      s"""
+         SELECT label, count(*) AS size FROM l$iters
+         GROUP BY label ORDER BY label"""
+  }
+
   /** Edge-table CTE mirroring [[graft.GraphModel.edges]] (namespaced
     * vertex ids = kindOffset + naturalKey). */
   private val EdgesCte =
@@ -759,6 +789,9 @@ object Oracle {
     // arithmetic: BIGINT micro-unit ranks, `//` == Spark's `div` on
     // positive operands, exact order-independent sums
     "graph_pagerank_exact" -> pagerankExactSql(5),
+
+    // unrolled 3-round deterministic LPA (see lpaExactSql)
+    "graph_lpa_exact" -> lpaExactSql(3),
 
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered

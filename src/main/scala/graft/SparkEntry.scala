@@ -116,9 +116,11 @@ object SparkEntry {
     "graph_pagerank_weighted"    -> (GraphXAlgos.pagerankWeighted _),
     "graph_shortest_paths_weighted" ->
       (GraphXAlgos.shortestPathsWeighted _),
-    // DF-native fixed-point rank: the oracle-checkable counterpart of
-    // the float GraphX rank queries (exact integer arithmetic)
+    // DF-native deterministic counterparts of the float/unordered
+    // GraphX iterations — exact arithmetic + total-order tie-breaks
+    // make these two oracle-checkable
     "graph_pagerank_exact"       -> (GraphOps.pagerankExact _),
+    "graph_lpa_exact"            -> (GraphOps.lpaExact _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{GraphModel, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.9 graph traversal operators expressed as Catalyst joins.
@@ -160,10 +161,14 @@ object GraphOps {
     * every iteration, so with the edge table bucketed by src only the
     * per-iteration message shuffle moves data. */
   def pagerankExactOn(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // persisted for the loop (every iteration touches all three; left
+    // lazy they are re-shuffled per iteration — measured 13.7 s vs ~3 s
+    // at sf0.1), released once the final rank is materialized below
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .persist()
     val verts = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
     var rank = verts.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = rank.join(outdeg, rank("id") === outdeg("src"))
@@ -174,7 +179,14 @@ object GraphOps {
         .select(col("id"),
           (lit(150000L) + expr("(coalesce(s, 0) * 85) div 100")).as("r"))
     }
-    rank
+    // eager localCheckpoint: materializes the (small) final rank state
+    // so the helper frames can be released — and truncates the
+    // iters×3-join lineage, the same discipline the dedup-cluster loop
+    // uses. One bigint per vertex; at 100 TB this is the per-iteration
+    // state you would checkpoint to the cluster store instead.
+    val out = rank.localCheckpoint(true)
+    Seq(e, outdeg, verts).foreach(_.unpersist(false))
+    out
   }
 
   /** Registered surface: 5 exact iterations on the deduplicated derived
@@ -182,10 +194,50 @@ object GraphOps {
     * DuckDB-oracled via an unrolled 5-CTE chain of the same integer
     * arithmetic. */
   def pagerankExact(spark: SparkSession, dir: String): DataFrame =
-    pagerankExactOn(GraphModel.edgesCached(spark, dir), 5)
+    pagerankExactOn(GraphModel.dedupEdgesCached(spark, dir), 5)
       .select(col("id"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("id"))
       .limit(50)
+
+  /** Deterministic synchronous label propagation: every vertex starts
+    * as its own label; each round it adopts the most frequent label
+    * among its (undirected) neighbors, ties broken by SMALLEST label —
+    * a total order GraphX's LabelPropagation does not define, which is
+    * why that one is invariant-tested while this variant is
+    * DuckDB-oracled (unrolled CTE chain of the identical rounds). Per
+    * round: one neighbor join + count agg + per-vertex row_number —
+    * all keyed shuffles; label state is one long per vertex. */
+  def lpaExactOn(edges: DataFrame, iters: Int): DataFrame = {
+    val ded = edges.select(col("src"), col("dst")).distinct().persist()
+    val und = ded
+      .unionByName(ded.select(col("dst").as("src"), col("src").as("dst")))
+      .toDF("v", "n").persist()
+    val verts = ded.select(col("src").as("id"))
+      .unionByName(ded.select(col("dst").as("id"))).distinct().persist()
+    var lab = verts.select(col("id"), col("id").as("label"))
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iters) {
+      val pick = und.join(lab, und("n") === lab("id"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("label").as("newlab"))
+      lab = verts.join(pick, verts("id") === pick("v"), "left")
+        .select(verts("id"),
+          coalesce(col("newlab"), verts("id")).as("label"))
+    }
+    val out = lab.localCheckpoint(true)
+    Seq(ded, und, verts).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Registered surface: 3 exact LPA rounds on the derived edge graph;
+    * output = community sizes by final label. */
+  def lpaExact(spark: SparkSession, dir: String): DataFrame =
+    lpaExactOn(GraphModel.dedupEdgesCached(spark, dir), 3)
+      .groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .orderBy(col("label"))
 
   /** Batch graph mutation: merge an edge delta into an edge table,
     * deduplicating on (src, dst, rel). Returns the merged edge set with

@@ -52,6 +52,19 @@ class GraphSpec extends SparkSpec {
       s"exact=$exactTop float=$floatTop")
   }
 
+  test("lpa_exact: hand-computed rounds on a triangle with a pendant") {
+    val sess = spark
+    import sess.implicits._
+    // triangle 1-2-3 plus pendant 4-1 (undirected internally)
+    val tiny = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val r = GraphOps.lpaExactOn(tiny, 2).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("label")).toMap
+    // round 1: 1→2 (min of {2,3,4}), 2→1, 3→1, 4→1
+    // round 2: 1→1 (majority), 2→1, 3→1, 4→2 (its only nbr had label 2)
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L), r.toString)
+  }
+
   test("pagerank ranks dims above facts (sinks accumulate rank)") {
     val top = GraphXAlgos.pagerank(spark, sfDir).collect()
     // top-5 vertices must be regions/nations (id namespace 1–2 × 1e12)
