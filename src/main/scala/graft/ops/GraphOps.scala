@@ -161,10 +161,14 @@ object GraphOps {
     * every iteration, so with the edge table bucketed by src only the
     * per-iteration message shuffle moves data. */
   def pagerankExactOn(edges: DataFrame, iters: Int): DataFrame = {
-    // persisted for the loop (every iteration touches all three; left
-    // lazy they are re-shuffled per iteration — measured 13.7 s vs ~3 s
-    // at sf0.1), released once the final rank is materialized below
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // contract: `edges` holds DEDUPLICATED (src, dst) pairs — both
+    // registered callers pass GraphModel.dedupEdgesCached, so repeating
+    // the distinct here would re-shuffle the edge table per call.
+    // outdeg/verts are persisted for the loop (every iteration touches
+    // them; left lazy they are re-shuffled per iteration — measured
+    // 13.7 s vs ~3 s at sf0.1), released once the final rank is
+    // materialized below
+    val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .persist()
     val verts = e.select(col("src").as("id"))
@@ -185,7 +189,7 @@ object GraphOps {
     // uses. One bigint per vertex; at 100 TB this is the per-iteration
     // state you would checkpoint to the cluster store instead.
     val out = rank.localCheckpoint(true)
-    Seq(e, outdeg, verts).foreach(_.unpersist(false))
+    Seq(outdeg, verts).foreach(_.unpersist(false))
     out
   }
 
@@ -208,7 +212,8 @@ object GraphOps {
     * round: one neighbor join + count agg + per-vertex row_number —
     * all keyed shuffles; label state is one long per vertex. */
   def lpaExactOn(edges: DataFrame, iters: Int): DataFrame = {
-    val ded = edges.select(col("src"), col("dst")).distinct().persist()
+    // same deduplicated-input contract as [[pagerankExactOn]]
+    val ded = edges.select(col("src"), col("dst"))
     val und = ded
       .unionByName(ded.select(col("dst").as("src"), col("src").as("dst")))
       .toDF("v", "n").persist()
@@ -228,7 +233,7 @@ object GraphOps {
           coalesce(col("newlab"), verts("id")).as("label"))
     }
     val out = lab.localCheckpoint(true)
-    Seq(ded, und, verts).foreach(_.unpersist(false))
+    Seq(und, verts).foreach(_.unpersist(false))
     out
   }
 
