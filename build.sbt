@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g starved the full ~117-query sf0.1 bench: unified memory fills
+  // with persisted edge/shingle/graph frames by mid-run and the late
+  // queries hit GC/eviction stalls (measured 5-9x their isolated time;
+  // e.g. graph_lpa_exact 67 s in-bench vs 7 s isolated). The box has
+  // 128 GiB; 32g keeps the whole working set + 32 executor threads
+  // comfortable at sf0.1 while staying far below the host limit.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -7,6 +7,9 @@ object Bench {
     // round-2 measurement: 4 threads is ~20% slower on the GraphX block
     // under host load, 16 vs 32 indistinguishable within run noise
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only focus filter: comma-separated query keys (unset → all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,26 +19,37 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal seconds: with ~110 queries the stdout line must stay
-    // well under the driver's ~4 KB tail-capture window or the line's
-    // head is cut off and the driver records parsed:null (it did in
-    // rounds 1 and 2 with full-precision doubles)
-    def fmt(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},""" +
-      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Locale.ROOT: a comma-decimal default locale (de_DE …) would make
+    // "%.3f" emit "1,234" — invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def toJson(rs: Iterable[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val json = toJson(results)
     println(json)
     // also persist to a file: the driver's stdout JSON-line scrape has
     // failed to parse before (sbt log prefixes) — the file is unambiguous
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes("UTF-8"))
+    // The driver captures only the LAST ~2000 chars of output, so the
+    // full ~110-query line above can never sit wholly inside its tail
+    // window (BENCH_r01–r03 all recorded parsed:null with the line's
+    // head cut off). Emit a compact line LAST — total + the 15 slowest
+    // queries, well under the window — so the tail always contains one
+    // complete parseable JSON line; the full map lives in bench.json.
+    println(toJson(results.toSeq.sortBy(-_._2).take(15)))
     spark.stop()
   }
 }

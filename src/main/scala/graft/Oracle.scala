@@ -18,18 +18,29 @@ object Oracle {
     * df-cap interpolates [[graft.ops.TextOps.MaxShingleDf]] so the two
     * engines cannot drift. Used by text_ngram_jaccard and
     * dedup_cluster_canonical. */
-  private val NgramCtes =
+  /** Uncapped trigram shingles (toks → tri0), mirroring
+    * `TextOps.shingles` — the input of the hash-based dedup family
+    * (minhash / fingerprint), which runs on the raw shingle set. */
+  private val Tri0Ctes =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t
                  FROM documents),
          tri0 AS (SELECT doc_id,
                         unnest(list_distinct(list_transform(
                           range(1, len(t) - 1),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
-                 FROM toks),
+                 FROM toks)"""
+
+  private val NgramCtes =
+    s"""$Tri0Ctes,
          tri AS (SELECT * FROM tri0 WHERE g IN (
                    SELECT g FROM tri0 GROUP BY g
                    HAVING count(*) <= ${graft.ops.TextOps.MaxShingleDf})),
          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1)"""
+
+  /** The engine-neutral 60-bit hash `TextOps.md5Hash60`, DuckDB side:
+    * first 15 hex chars of md5 read as a BIGINT. */
+  private def md5Hash60Sql(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
   /** Unrolled fixed-point PageRank: one CTE per iteration replaying
     * [[graft.ops.GraphOps.pagerankExactOn]]'s integer arithmetic.
@@ -860,6 +871,84 @@ object Oracle {
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
                 min(doc_id) AS keep_id
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // Replays TextOps.dedupNearMinhash bit-for-bit: 16 md5Hash60 minima
+    // per doc over "i:shingle", 4 bands of 4 comma-joined into the band
+    // key, bucket cap, candidate self-join, exact-Jaccard ≥ 0.5 verify
+    // over the same uncapped shingle sets.
+    "dedup_near_minhash" ->
+      s"""WITH $Tri0Ctes,
+         h AS (SELECT doc_id, g, i,
+                      ${md5Hash60Sql("i || ':' || g")} AS hv
+               FROM tri0, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[4*b+1] || ',' || s[4*b+2] || ',' ||
+                          s[4*b+3] || ',' || s[4*b+4] AS bk
+                   FROM sig, range(0, 4) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1)
+         SELECT * FROM (
+           SELECT a_id, b_id,
+                  ROUND(CAST(inter AS DOUBLE)
+                        / (sa.n + sb.n - inter), 3) AS jaccard
+           FROM ints
+           JOIN sz0 sa ON sa.doc_id = a_id
+           JOIN sz0 sb ON sb.doc_id = b_id)
+         WHERE jaccard >= 0.5
+         ORDER BY a_id, b_id""",
+
+    // Replays TextOps.dedupSimhash: md5Hash60 per token, 60 bit votes,
+    // signature reassembly, 4 exact 15-bit chunk buckets, hamming ≤ 3.
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         th AS (SELECT doc_id, ${md5Hash60Sql("tok")} AS h FROM toks),
+         votes AS (SELECT doc_id, j,
+                          sum(CASE WHEN ((h >> j) & 1) = 1
+                              THEN 1 ELSE -1 END) AS s
+                   FROM th, range(0, 60) AS rj(j)
+                   GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN s > 0
+                          THEN (CAST(1 AS BIGINT) << j)
+                          ELSE 0 END) AS BIGINT) AS simhash
+                 FROM votes GROUP BY doc_id),
+         chunks AS (SELECT doc_id, simhash, c,
+                           (simhash >> (15 * c)) & 32767 AS cv
+                    FROM sig, range(0, 4) AS rc(c)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                         x.simhash AS sa, y.simhash AS sb
+                  FROM chunks x JOIN chunks y
+                    ON x.c = y.c AND x.cv = y.cv
+                   AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id, hamming FROM (
+           SELECT a_id, b_id,
+                  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+           FROM cand)
+         WHERE hamming <= 3
+         ORDER BY a_id, b_id""",
+
+    "text_fingerprint" ->
+      s"""WITH $Tri0Ctes
+         SELECT doc_id, min(${md5Hash60Sql("g")}) AS fingerprint
+         FROM tri0 GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_cluster_canonical" ->
       s"""WITH RECURSIVE $NgramCtes,

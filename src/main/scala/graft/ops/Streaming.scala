@@ -259,7 +259,19 @@ object Streaming {
     * exactly the batch join's rows once all input is processed, which
     * is what the oracle checks; the watermarks are what make the
     * operator viable on an unbounded stream (state eviction — the part
-    * a batch plan never exercises). */
+    * a batch plan never exercises).
+    *
+    * INPUT CONTRACT for the batch-equality check: this run sets no
+    * `maxFilesPerTrigger`, so the file source delivers every available
+    * `events*.parquet` file in ONE micro-batch — the watermark only
+    * advances after all rows are already joined, and eviction can never
+    * drop a match. If input were split across micro-batches (rate
+    * limits, files arriving later), out-of-order event times between
+    * batches could evict state before its match arrives and streamed ≠
+    * batch; robustness then requires watermarks ≥ the max cross-batch
+    * event-time disorder. That trade (lag vs state) is exactly the
+    * production tuning knob; the oracle equality here relies on the
+    * single-batch delivery, not on this corpus being ordered. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = ssJoinTables.getOrElseUpdate((spark, dir), {
       val tbl = s"graft_stream_ssjoin_${runIds.incrementAndGet()}"

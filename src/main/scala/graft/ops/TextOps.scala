@@ -10,22 +10,36 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *
   * Dedup family (designed to scan once and shuffle on small keys):
   *  - exact:   sha2 content hash → group → keep min id
-  *  - MinHash: 16 murmur minima over token trigram shingles, 4×4 LSH
-  *    banding → candidate pairs → exact-Jaccard verify. Deterministic:
-  *    Spark's `hash` is seeded murmur3, band grouping is
-  *    order-insensitive. At 100 TB the band-bucket join is the only
-  *    super-linear step; buckets are salted by band id and bounded by
-  *    the verify stage.
-  *  - SimHash: 64-bit signature from per-token hash bit votes; candidate
-  *    pairs share ≥1 of 4 exact 16-bit chunks (pigeonhole for hamming ≤ 3).
+  *  - MinHash: 16 md5-derived minima over token trigram shingles, 4×4
+  *    LSH banding → candidate pairs → exact-Jaccard verify. At 100 TB
+  *    the band-bucket join is the only super-linear step; buckets are
+  *    salted by band id and bounded by the verify stage.
+  *  - SimHash: 60-bit signature from per-token hash bit votes; candidate
+  *    pairs share ≥1 of 4 exact 15-bit chunks (pigeonhole for hamming ≤ 3).
   *  - n-gram Jaccard: exact trigram-set overlap via explode + equi-join
   *    on the shingle (oracle-checkable — no engine-specific hashing).
+  *
+  * The whole hash family runs on [[md5Hash60]] (engine-neutral md5
+  * prefix, not Spark's seeded murmur3) precisely so every member is
+  * DuckDB-oracle-checkable — the approximate ops' candidate generation
+  * is replayed bit-for-bit by the oracle SQL, the same trick
+  * `embed_pair_sim_lsh` uses with its shared sign matrix.
   *
   * Tokenization note: `split(text, ' ')` everywhere — corpus text is
   * single-space-separated lowercase tokens (TESTDATA.md), identical to
   * DuckDB `string_split`.
   */
 object TextOps {
+
+  /** 60-bit engine-neutral hash: the first 15 hex chars of md5, read as
+    * a BIGINT. DuckDB computes the identical value via
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`, which is what turns the
+    * hash-based dedup family from scalatest-only into DuckDB-oracled.
+    * 15 hex chars = 60 bits, comfortably inside a signed 64-bit long —
+    * and md5's avalanche property makes the truncation as uniform as
+    * the full digest. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Memoized persisted shingle tables, keyed per (session, dir) —
     * dedupNearMinhash and textNgramJaccard both consume the same
@@ -90,17 +104,22 @@ object TextOps {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
 
-  /** MinHash-LSH near-dup detection (oracle=no: murmur3 is
-    * engine-specific; correctness via scalatest against exact Jaccard).
+  /** MinHash-LSH near-dup detection, DuckDB-oracled since round 4: the
+    * 16 per-shingle hashes are [[md5Hash60]] of `"i:" + shingle`
+    * (i = 0..15), so the oracle SQL replays signature construction,
+    * banding, the bucket cap, and the exact-Jaccard verify identically.
     * Pipeline: shingle → 16 min-hashes → 4 bands of 4 → band-bucket
     * join → exact-Jaccard verify ≥ 0.5. */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val sig = sh.groupBy(col("doc_id")).agg(
-      array((0 until 16).map(i => min(hash(col("shingle"), lit(i)))): _*)
-        .as("sig"))
+    val mins = (0 until 16).map(i =>
+      min(md5Hash60(concat(lit(s"$i:"), col("shingle")))).as(s"m_$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // band key = the 4 member minima, comma-joined — engine-neutral
+    // equality key (the old murmur re-hash was one fewer byte per row
+    // but not SQL-replayable)
     val bandCols = (0 until 4).map { b =>
-      hash((1 to 4).map(r => element_at(col("sig"), 4 * b + r)) :+ lit(b): _*)
+      concat_ws(",", (0 until 4).map(r => col(s"m_${4 * b + r}")): _*)
     }
     val bands = capLshBuckets(
       sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
@@ -128,26 +147,26 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** SimHash near-dup candidates (oracle=no — engine-specific hash
-    * bits). 64-bit signature: bit j set when Σ_tokens (±1 by xxhash64
-    * bit j) > 0. Candidates share one of 4 exact 16-bit chunks
-    * (pigeonhole guarantee for hamming ≤ 3); random doc pairs differ by
-    * ~32 bits so the chunk join prunes virtually all of the O(n²)
-    * space. */
+  /** SimHash near-dup candidates, DuckDB-oracled since round 4 (token
+    * hash = [[md5Hash60]], so signatures are engine-identical). 60-bit
+    * signature: bit j set when Σ_tokens (±1 by hash bit j) > 0.
+    * Candidates share one of 4 exact 15-bit chunks (pigeonhole
+    * guarantee for hamming ≤ 3); random doc pairs differ by ~30 bits so
+    * the chunk join prunes virtually all of the O(n²) space. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tokHash = Tables(spark, dir).documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(j =>
+      .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
+    val votes = (0 until 60).map(j =>
       sum(when((shiftright(col("h"), j).bitwiseAND(1)) === 1, 1)
         .otherwise(-1)).as(s"s_$j"))
     val sums = tokHash.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map(j =>
+    val sim = (0 until 60).map(j =>
         when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     val sigs = sums.select(col("doc_id"), sim.as("simhash"))
     val chunkCols = (0 until 4).map(c =>
-      shiftright(col("simhash"), 16 * c).bitwiseAND(65535).as(s"c_$c"))
+      shiftright(col("simhash"), 15 * c).bitwiseAND(32767).as(s"c_$c"))
     val chunks = sigs.select(col("doc_id") +: col("simhash") +: chunkCols: _*)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c => col(s"c_$c")): _*)))
@@ -359,13 +378,13 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprint: least murmur hash over trigram shingles
-    * (the winnowing/MinHash k=1 fingerprint; oracle=no — murmur).
-    * Identical-content docs get identical fingerprints. */
+  /** Document fingerprint: least [[md5Hash60]] over trigram shingles
+    * (the winnowing/MinHash k=1 fingerprint) — DuckDB-oracled since
+    * round 4. Identical-content docs get identical fingerprints. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir)
       .groupBy(col("doc_id"))
-      .agg(min(hash(col("shingle"))).cast(LongType).as("fingerprint"))
+      .agg(min(md5Hash60(col("shingle"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** PII scrubbing, the two standard moves in one pass over the event

@@ -198,7 +198,7 @@ object VectorOps {
       .select(row_number().over(Window.orderBy(col("vec_id"))).as("cid"),
         col("v").as("centroid"))
     for (_ <- 1 to iters) {
-      cents = assignToCentroids(e, cents)
+      val updated = assignToCentroids(e, cents)
         .select(col("cid"), posexplode(col("v"))).toDF("cid", "pos", "x")
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("x").cast(DecimalType(27, 10))).cast(DoubleType)
@@ -206,7 +206,14 @@ object VectorOps {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("ps"))
-        .select(col("cid"), expr("transform(ps, p -> p.m)").as("centroid"))
+        .select(col("cid"), expr("transform(ps, p -> p.m)").as("new_centroid"))
+      // standard empty-cluster handling: a cid that received no vectors
+      // this iteration emits no mean rows — carry its previous centroid
+      // forward so the codebook never silently shrinks below k (the
+      // nprobe-of-k probing contract assumes all k exist)
+      cents = cents.join(updated, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
     }
     cents
   }
@@ -234,7 +241,7 @@ object VectorOps {
       .orderBy(col("csim").desc, col("cid"))
       .limit(2)
       .select(col("cid").as("bucket"))
-    assignToCentroids(e, cents)
+    val result = assignToCentroids(e, cents)
       .join(broadcast(buckets), col("cid") === col("bucket"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .crossJoin(probe)
@@ -243,6 +250,12 @@ object VectorOps {
           / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+    // materialize the (10-row) result eagerly so the cached codebook can
+    // be released before returning — same persist/release discipline as
+    // pagerankExactOn; without this every call leaked one cached frame
+    val out = result.localCheckpoint(true)
+    cents.unpersist(false)
+    out
   }
 
   /** LSH-prefiltered pair similarity — the 100 TB path for
