@@ -42,6 +42,42 @@ object Oracle {
   private def md5Hash60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
+  /** Shared random-hyperplane LSH candidate-pair CTE chain (the
+    * `VectorLsh` sign matrix embedded as literals), ending in
+    * `lp(a_id, b_id, cos_sim)` — the distinct banded candidates with
+    * verified rounded cosine. Used by embed_pair_sim_lsh and
+    * dedup_embed_cosine. */
+  private lazy val LshPairCtes: String = {
+    import graft.functions.VectorLsh
+    val bandExprs = (0 until VectorLsh.Bands).map { k =>
+      val bits = (0 until VectorLsh.RowsPerBand).map { r =>
+        val b = k * VectorLsh.RowsPerBand + r
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+          s"i -> v[i] * (${VectorLsh.signsSqlLiteral(b)})[i])) > 0 " +
+          s"THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$bits AS band_$k"
+    }.mkString(", ")
+    val bandUnion = (0 until VectorLsh.Bands).map(k =>
+      s"SELECT vec_id, v, nrm, $k AS band_id, band_$k AS band_val " +
+        "FROM sig").mkString(" UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         en AS (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm
+                FROM e),
+         sig AS (SELECT vec_id, v, nrm, $bandExprs FROM en),
+         bands AS ($bandUnion),
+         lp AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+                  ROUND(list_sum(list_transform(range(1, 65),
+                          i -> x.v[i] * y.v[i]))
+                    / (x.nrm * y.nrm), 3) AS cos_sim
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id)"""
+  }
+
   /** Unrolled fixed-point PageRank: one CTE per iteration replaying
     * [[graft.ops.GraphOps.pagerankExactOn]]'s integer arithmetic.
     * DuckDB `//` floors and Spark `div` truncates — identical on the
@@ -142,6 +178,16 @@ object Oracle {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
          WHERE l_shipdate < TIMESTAMP '1996-01-01'
          ORDER BY ALL""",
+
+    // the Spark side CSV/JSON round-trips the table through a temp
+    // copy; the oracle checks round-trip fidelity against the original
+    "scan_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey""",
+
+    "scan_json_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents
+         ORDER BY doc_id""",
 
     "filter_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
@@ -406,6 +452,20 @@ object Oracle {
                        ('P', 'pending')) d(status, label)
             ON o_orderstatus = status
           GROUP BY label ORDER BY label""",
+
+    "profile_table" -> {
+      def prof(c: String, norm: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+                 count(CASE WHEN $norm IS NULL THEN 1 END) AS n_nulls,
+                 count(DISTINCT $norm) AS n_distinct,
+                 CAST(min($norm) AS VARCHAR) AS min_val,
+                 CAST(max($norm) AS VARCHAR) AS max_val
+          FROM lineitem"""
+      s"""${prof("l_orderkey", "l_orderkey")}
+          UNION ALL ${prof("l_returnflag", "l_returnflag")}
+          UNION ALL ${prof("l_shipdate", "CAST(l_shipdate AS DATE)")}
+          ORDER BY column_name"""
+    },
 
     // §2.3bis subqueries + recursive CTE
     "subquery_scalar" ->
@@ -872,15 +932,22 @@ object Oracle {
                 min(doc_id) AS keep_id
          FROM documents GROUP BY 1 ORDER BY keep_id""",
 
-    // Replays TextOps.dedupNearMinhash bit-for-bit: 16 md5Hash60 minima
-    // per doc over "i:shingle", 4 bands of 4 comma-joined into the band
+    // Replays TextOps.dedupNearMinhash bit-for-bit: 16 affine-derived
+    // md5Hash60 minima per doc, 4 bands of 4 comma-joined into the band
     // key, bucket cap, candidate self-join, exact-Jaccard ≥ 0.5 verify
-    // over the same uncapped shingle sets.
+    // over the same uncapped shingle sets. The affine family
+    // (minhashA(i)·h + minhashB(i)) mod MinhashP is inlined with i from
+    // range(0,16); all products stay inside BIGINT by construction.
     "dedup_near_minhash" ->
       s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
          h AS (SELECT doc_id, g, i,
-                      ${md5Hash60Sql("i || ':' || g")} AS hv
-               FROM tri0, range(0, 16) AS ri(i)),
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
          minh AS (SELECT doc_id, i, min(hv) AS mh
                   FROM h GROUP BY doc_id, i),
          sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
@@ -1106,39 +1173,29 @@ object Oracle {
     // generated from the SAME fixed-seed sign matrix as the Spark op
     // (graft.functions.VectorLsh) — approximate result, deterministic
     // cross-engine
-    "embed_pair_sim_lsh" -> {
-      import graft.functions.VectorLsh
-      val bandExprs = (0 until VectorLsh.Bands).map { k =>
-        val bits = (0 until VectorLsh.RowsPerBand).map { r =>
-          val b = k * VectorLsh.RowsPerBand + r
-          s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
-            s"i -> v[i] * (${VectorLsh.signsSqlLiteral(b)})[i])) > 0 " +
-            s"THEN ${1 << r} ELSE 0 END)"
-        }.mkString(" + ")
-        s"$bits AS band_$k"
-      }.mkString(", ")
-      val bandUnion = (0 until VectorLsh.Bands).map(k =>
-        s"SELECT vec_id, v, nrm, $k AS band_id, band_$k AS band_val " +
-          "FROM sig").mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                     FROM embeddings),
-         en AS (SELECT vec_id, v,
-                       sqrt(list_sum(list_transform(range(1, 65),
-                         i -> v[i] * v[i]))) AS nrm
-                FROM e),
-         sig AS (SELECT vec_id, v, nrm, $bandExprs FROM en),
-         bands AS ($bandUnion)
-         SELECT * FROM (
-           SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
-                  ROUND(list_sum(list_transform(range(1, 65),
-                          i -> x.v[i] * y.v[i]))
-                    / (x.nrm * y.nrm), 3) AS cos_sim
-           FROM bands x JOIN bands y
-             ON x.band_id = y.band_id AND x.band_val = y.band_val
-              AND x.vec_id < y.vec_id)
+    "embed_pair_sim_lsh" ->
+      s"""WITH $LshPairCtes
+         SELECT a_id, b_id, cos_sim FROM lp
          WHERE cos_sim >= 0.3
-         ORDER BY a_id, b_id"""
-    },
+         ORDER BY a_id, b_id""",
+
+    // LSH pair generation (same shared sign matrix) + exact transitive
+    // closure + min-label election — replays VectorOps.dedupEmbedCosine
+    // including GraphOps.minLabelComponents' fixed point.
+    "dedup_embed_cosine" ->
+      s"""WITH RECURSIVE $LshPairCtes,
+         jp AS (SELECT a_id, b_id FROM lp
+                WHERE cos_sim >= ${graft.ops.VectorOps.EmbedDedupThreshold}),
+         und AS (SELECT a_id AS a, b_id AS b FROM jp
+                 UNION ALL SELECT b_id, a_id FROM jp),
+         reach(src, dst) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         )
+         SELECT src AS vec_id, min(dst) AS cluster,
+                (min(dst) = src) AS is_canonical
+         FROM reach GROUP BY src ORDER BY vec_id""",
 
     "embed_knn_per_label" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -1243,6 +1300,32 @@ object Oracle {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
+
+    // integer epoch-µs bucketing + make_timestamp keeps the whole chain
+    // timezone-free (to_timestamp would produce TIMESTAMPTZ and bind
+    // the result to the session zone); epoch_us // is floor division on
+    // positives, matching Spark's unix_timestamp truncation
+    "timeseries_gapfill" ->
+      s"""WITH ev AS (SELECT make_timestamp(
+                        ((epoch_us(ts) // 1000000) // 900 * 900)
+                          * 1000000) AS bucket_ts, value
+                     FROM events WHERE event_type = 'purchase'),
+         agg AS (SELECT bucket_ts, count(*) AS n_events,
+                        ${sqlSum2("value")} AS sum_value
+                 FROM ev GROUP BY bucket_ts),
+         bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1
+                    FROM agg),
+         spine AS (SELECT unnest(generate_series(b0, b1,
+                     INTERVAL 15 MINUTE)) AS bucket_ts FROM bounds)
+         SELECT s.bucket_ts AS bucket_ts,
+                COALESCE(a.n_events, 0) AS n_events,
+                COALESCE(a.sum_value, 0.0) AS sum_value,
+                last_value(a.sum_value IGNORE NULLS) OVER (
+                  ORDER BY s.bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS ffill_value
+         FROM spine s LEFT JOIN agg a ON a.bucket_ts = s.bucket_ts
+         ORDER BY bucket_ts""",
 
     // the stream runs end-to-end in Spark (file source → checkpointed
     // sink); the oracle checks the committed output equals the batch

@@ -25,6 +25,10 @@ object SparkEntry {
     "scan_projection"     -> (Relational.scanProjection _),
     "scan_parquet"        -> (Relational.scanParquet _),
     "scan_pruned_filter"  -> (Relational.scanPrunedFilter _),
+    // non-parquet source formats (schema-explicit CSV / JSON-lines
+    // readers over a one-time materialized copy of the driver corpus)
+    "scan_csv_roundtrip"  -> (Sources.scanCsvRoundtrip _),
+    "scan_json_roundtrip" -> (Sources.scanJsonRoundtrip _),
     // §2.2 filters / projections
     "filter_predicate"      -> (Relational.filterPredicate _),
     "filter_like_regexp"    -> (Relational.filterLikeRegexp _),
@@ -64,6 +68,7 @@ object SparkEntry {
     "unpivot_long"      -> (Stats.unpivotLong _),
     "sample_systematic" -> (Stats.sampleSystematic _),
     "join_skew_salted"  -> (Stats.joinSkewSalted _),
+    "profile_table"     -> (Stats.profileTable _),
     // §2.5 windows
     "window_rank"           -> (Windows.windowRank _),
     "window_topk_per_group" -> (Windows.windowTopkPerGroup _),
@@ -144,6 +149,7 @@ object SparkEntry {
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
+    "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),
     // §2.8 streaming batch analogs (streaming variants in tests)
@@ -153,6 +159,7 @@ object SparkEntry {
     "stream_dedup_watermark"  -> (Streaming.streamDedupWatermark _),
     "stream_stateful_running" -> (Streaming.streamStatefulRunning _),
     "stream_static_join"      -> (Streaming.streamStaticJoin _),
+    "timeseries_gapfill"      -> (TimeSeries.timeseriesGapfill _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

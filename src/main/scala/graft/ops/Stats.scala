@@ -94,6 +94,36 @@ object Stats {
         Det.sum2(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Data profiling: per-column null count / exact distinct count /
+    * min / max over lineitem — the first query any ingestion pipeline
+    * runs on a new 100 TB drop. One aggregate per profiled column,
+    * unioned: column pruning keeps each scan to its single column, and
+    * each agg is the standard partial+final two-phase shape (exact
+    * distinct shuffles the column's distinct values — at 100 TB you
+    * would swap in approx_count_distinct per column, one pass total).
+    * Min/max normalize through DATE/string casts so one row schema
+    * covers heterogeneous column types. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    def prof(name: String, normalized: org.apache.spark.sql.Column) =
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(normalized.isNull, 1)).as("n_nulls"),
+          countDistinct(normalized).as("n_distinct"),
+          min(normalized).cast(StringType).as("min_val"),
+          max(normalized).cast(StringType).as("max_val"))
+        .select(lit(name).as("column_name"), col("n_rows"),
+          col("n_nulls"), col("n_distinct"), col("min_val"),
+          col("max_val"))
+    prof("l_orderkey", col("l_orderkey"))
+      .unionByName(prof("l_returnflag", col("l_returnflag")))
+      // timestamp → DATE before stringifying: both engines print dates
+      // identically, while raw timestamp rendering differs in fractional
+      // digits
+      .unionByName(prof("l_shipdate", col("l_shipdate").cast(DateType)))
+      .orderBy(col("column_name"))
+  }
+
   /** Salted skew join EXHIBIT: the fact side's 3-value hot key
     * (o_orderstatus) is joined against a dim replicated across 8
     * salts, with facts salted by a hash of their unique key. The JOIN

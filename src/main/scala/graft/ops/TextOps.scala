@@ -104,17 +104,31 @@ object TextOps {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
 
+  /** Modulus for the derived minhash family: the Mersenne prime
+    * 2^31 − 1 keeps every `a·h + b` product inside a 64-bit long, so
+    * the 16 hashes cost ONE md5 plus long arithmetic (the 16-md5
+    * variant measured 5× slower at sf0.1) and the identical BIGINT
+    * expressions run in DuckDB without HUGEINT. 31-bit values give a
+    * per-pair per-hash collision probability of 2⁻³¹ — immaterial to
+    * LSH banding even at corpus scale. */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = 1000003L * (2L * i + 1)
+  def minhashB(i: Int): Long = 777767777L * (i + 1)
+
   /** MinHash-LSH near-dup detection, DuckDB-oracled since round 4: the
-    * 16 per-shingle hashes are [[md5Hash60]] of `"i:" + shingle`
-    * (i = 0..15), so the oracle SQL replays signature construction,
-    * banding, the bucket cap, and the exact-Jaccard verify identically.
+    * 16 per-shingle hashes derive from one [[md5Hash60]] base via the
+    * fixed affine family `(minhashA(i)·h + minhashB(i)) mod MinhashP`,
+    * so the oracle SQL replays signature construction, banding, the
+    * bucket cap, and the exact-Jaccard verify identically.
     * Pipeline: shingle → 16 min-hashes → 4 bands of 4 → band-bucket
     * join → exact-Jaccard verify ≥ 0.5. */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
+    val hashed = sh.withColumn("hb", md5Hash60(col("shingle")) % MinhashP)
     val mins = (0 until 16).map(i =>
-      min(md5Hash60(concat(lit(s"$i:"), col("shingle")))).as(s"m_$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min((lit(minhashA(i)) * col("hb") + lit(minhashB(i))) % MinhashP)
+        .as(s"m_$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     // band key = the 4 member minima, comma-joined — engine-neutral
     // equality key (the old murmur re-hash was one fewer byte per row
     // but not SQL-replayable)
@@ -212,55 +226,18 @@ object TextOps {
     * pair graph) and elect the min doc_id as each cluster's canonical
     * representative — the doc a training-data pipeline KEEPS.
     *
-    * Components via iterative DataFrame min-label propagation rather
-    * than GraphX: labels flow one hop per round and the loop runs
-    * UNTIL STABLE (no label changed), so any component diameter is
-    * handled — matching the oracle's exact transitive closure — with a
-    * hard cap as a cycle-proof backstop. Each round is one small join
-    * against the pair list, broadcast at any realistic dup rate, plus
-    * an O(1)-row convergence count. Deterministic — min is
-    * order-insensitive. */
+    * Components via [[GraphOps.minLabelComponents]] (iterative
+    * DataFrame min-label propagation, run until stable — any component
+    * diameter, matching the oracle's exact transitive closure). */
   def dedupClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
     val pairs = textNgramJaccard(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"))
-    val und = pairs
-      .unionByName(pairs.select(col("b_id").as("a_id"),
-        col("a_id").as("b_id")))
-    // und is consumed 6 times — materialize once; labels carries one
-    // row per doc, so an eager localCheckpoint per round truncates the
-    // otherwise exponentially-nested join lineage (12+ shuffles deep by
-    // round 6, which is what AQE would try to materialize at once). On
-    // a cluster this would be checkpoint() against reliable storage.
-    val undM = und.localCheckpoint()
-    var labels = Tables(spark, dir).documents
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint()
-    var converged = false
-    var round = 0
-    while (!converged && round < 50) {
-      round += 1
-      val prop = undM
-        .join(labels.select(col("doc_id").as("b_id"),
-          col("cluster").as("nb_cluster")), "b_id")
-        .groupBy(col("a_id"))
-        .agg(min(col("nb_cluster")).as("min_nb"))
-      val next = labels
-        .join(prop.select(col("a_id").as("doc_id"), col("min_nb")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"),
-          "doc_id")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
-      labels = next
-    }
-    labels
-      .select(col("doc_id"), col("cluster"),
-        (col("doc_id") === col("cluster")).as("is_canonical"))
+    val verts = Tables(spark, dir).documents
+      .select(col("doc_id").as("id"))
+    GraphOps.minLabelComponents(verts, pairs)
+      .select(col("id").as("doc_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
 

@@ -307,6 +307,36 @@ object VectorOps {
     pairSimLshOn(Tables(spark, dir).embeddings)
   }
 
+  /** Similarity threshold for [[dedupEmbedCosine]]. This synthetic
+    * corpus plants no true embedding duplicates (max pairwise cosine ≈
+    * 0.51), so the threshold sits where the corpus has real cluster
+    * structure to exercise component formation; a production near-dup
+    * pass runs the identical plan at ~0.95+. */
+  val EmbedDedupThreshold = 0.4
+
+  /** Embedding-cosine near-dup dedup — the vector-space member of the
+    * dedup family (exact / minhash / simhash / ngram live in TextOps):
+    * LSH-prefiltered candidate pairs with verified cosine ≥
+    * [[EmbedDedupThreshold]] are clustered by
+    * [[GraphOps.minLabelComponents]] and each cluster elects min vec_id
+    * as the canonical representative to KEEP. Fully deterministic (the
+    * fixed LSH sign matrix is shared with the generated oracle SQL,
+    * rounded cosine, min election), so the whole approximate pipeline
+    * is DuckDB-oracled end to end. Scale: candidate generation is the
+    * banded LSH join (never all-pairs); clustering state is one label
+    * per vector. */
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val emb = Tables(spark, dir).embeddings
+    val pairs = pairSimLshOn(emb)
+      .filter(col("cos_sim") >= EmbedDedupThreshold)
+      .select(col("a_id"), col("b_id"))
+    GraphOps.minLabelComponents(emb.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Multimodal join: documents ⋈ embeddings on doc_id=vec_id, English
     * docs only, similarity vs the probe. */
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -133,4 +133,29 @@ class VectorSpec extends SparkSpec {
       assert(r.getAs[Double]("cos_sim") >= 0.3)
     }
   }
+
+  test("embedding dedup clusters respect the pair graph, min canonical") {
+    val clusters = VectorOps.dedupEmbedCosine(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_canonical"))).toMap
+    // every vector appears exactly once
+    assert(clusters.size ==
+      Tables(spark, sfDir).embeddings.count().toInt)
+    // each threshold pair's endpoints landed in the same cluster
+    val pairs = VectorOps.embedPairSimLsh(spark, sfDir)
+      .filter(col("cos_sim") >= VectorOps.EmbedDedupThreshold).collect()
+    assert(pairs.nonEmpty, "corpus produced no dedup pairs")
+    pairs.foreach { p =>
+      val (ca, _) = clusters(p.getAs[Long]("a_id"))
+      val (cb, _) = clusters(p.getAs[Long]("b_id"))
+      assert(ca == cb, s"pair split across clusters: $p")
+    }
+    // canonical = the cluster's min member, exactly one per cluster
+    clusters.groupBy(_._2._1).foreach { case (cl, members) =>
+      assert(cl == members.keys.min)
+      assert(members.count(_._2._2) == (if (members.contains(cl)) 1 else 0))
+    }
+    // the threshold actually formed at least one multi-member cluster
+    assert(clusters.values.groupBy(_._1).exists(_._2.size > 1))
+  }
 }
