@@ -108,6 +108,42 @@ object Oracle {
          ORDER BY rank_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled personalized PageRank: same integer iteration as
+    * [[pagerankExactSql]] with the teleport term restricted to the
+    * BUILDING-customer source set (replaying
+    * [[graft.ops.GraphOps.pagerankPersonalizedOn]]). */
+  private def pagerankPersonalizedSql(iters: Int): String = {
+    val base = s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         outdeg AS (SELECT src, count(*) AS od FROM ded GROUP BY src),
+         verts AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM ded UNION SELECT dst FROM ded)),
+         srcs AS (SELECT DISTINCT 3000000000000 + c_custkey AS id
+                  FROM customer WHERE c_mktsegment = 'BUILDING'),
+         vt AS (SELECT v.id,
+                       CAST(CASE WHEN s.id IS NOT NULL THEN 150000
+                            ELSE 0 END AS BIGINT) AS tp
+                FROM verts v LEFT JOIN srcs s ON s.id = v.id),
+         r0 AS (SELECT id, CAST(CASE WHEN tp > 0 THEN 1000000
+                  ELSE 0 END AS BIGINT) AS r FROM vt)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+         r$i AS (SELECT v.id,
+                   CAST(v.tp + (COALESCE(m.s, 0) * 85) // 100
+                     AS BIGINT) AS r
+                 FROM vt v LEFT JOIN (
+                   SELECT d.dst AS id, CAST(SUM(c.r // o.od) AS BIGINT) AS s
+                   FROM r${i - 1} c
+                   JOIN outdeg o ON c.id = o.src
+                   JOIN ded d ON d.src = c.id
+                   GROUP BY d.dst) m ON m.id = v.id)"""
+    }.mkString
+    base + steps +
+      s"""
+         SELECT id, r AS rank_micro FROM r$iters
+         ORDER BY rank_micro DESC, id LIMIT 50"""
+  }
+
   /** Unrolled deterministic label propagation mirroring
     * [[graft.ops.GraphOps.lpaExactOn]]: per round, each vertex adopts
     * its neighbors' most frequent label (row_number tie-break on
@@ -860,6 +896,8 @@ object Oracle {
     // arithmetic: BIGINT micro-unit ranks, `//` == Spark's `div` on
     // positive operands, exact order-independent sums
     "graph_pagerank_exact" -> pagerankExactSql(5),
+
+    "graph_pagerank_personalized" -> pagerankPersonalizedSql(5),
 
     // unrolled 3-round deterministic LPA (see lpaExactSql)
     "graph_lpa_exact" -> lpaExactSql(3),

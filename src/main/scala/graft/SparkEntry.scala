@@ -125,6 +125,7 @@ object SparkEntry {
     // GraphX iterations — exact arithmetic + total-order tie-breaks
     // make these two oracle-checkable
     "graph_pagerank_exact"       -> (GraphOps.pagerankExact _),
+    "graph_pagerank_personalized" -> (GraphOps.pagerankPersonalized _),
     "graph_lpa_exact"            -> (GraphOps.lpaExact _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),

@@ -210,6 +210,59 @@ object GraphOps {
       .orderBy(col("rank_micro").desc, col("id"))
       .limit(50)
 
+  /** Personalized fixed-point PageRank core: the identical integer
+    * iteration to [[pagerankExactOn]] except the teleport term lands
+    * only on the SOURCE set (everyone else restarts at 0), so rank
+    * measures proximity to the sources — "important relative to these
+    * customers", the recommendation/relevance query every graph DB
+    * ships. Source membership is folded into the persisted vertex
+    * state next to out-degree; vertices unreachable from the sources
+    * keep rank 0. Same order-independent arithmetic → DuckDB-oracled
+    * via the same unrolled CTE shape. */
+  def pagerankPersonalizedOn(edges: DataFrame, sources: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(outdeg, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("od"), lit(0L)).as("od"))
+      .join(sources.select(col("sid")).distinct(),
+        col("id") === col("sid"), "left")
+      .select(col("id"), col("od"),
+        when(col("sid").isNotNull, lit(150000L)).otherwise(lit(0L))
+          .as("tp"))
+      .persist()
+    var rank = verts.select(col("id"), col("od"), col("tp"),
+      when(col("tp") > 0, lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.filter(col("od") > 0 && col("r") > 0)
+        .select(col("id").as("src"), expr("r div od").as("c"))
+      val msgs = e.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = verts.join(msgs, verts("id") === msgs("dst"), "left")
+        .select(col("id"), col("od"), col("tp"),
+          (col("tp") + expr("(coalesce(s, 0) * 85) div 100")).as("r"))
+    }
+    val out = rank.select(col("id"), col("r")).localCheckpoint(true)
+    verts.unpersist(false)
+    out
+  }
+
+  /** Registered surface: personalized PageRank from the BUILDING-market
+    * customer set, 5 exact iterations, top-50 (micro-units, id
+    * tie-break). */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val sources = Tables(spark, dir).customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("sid"))
+    pagerankPersonalizedOn(
+      GraphModel.dedupEdgesCached(spark, dir), sources, 5)
+      .select(col("id"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("id"))
+      .limit(50)
+  }
+
   /** Deterministic synchronous label propagation: every vertex starts
     * as its own label; each round it adopts the most frequent label
     * among its (undirected) neighbors, ties broken by SMALLEST label —

@@ -169,6 +169,22 @@ class GraphSpec extends SparkSpec {
       (3L, 4L, "A", 1)))
   }
 
+  test("personalized pagerank: mass stays near sources, dims outrank") {
+    val top = GraphOps.pagerankPersonalized(spark, sfDir).collect()
+    assert(top.length == 50)
+    // every top rank is positive (reachable from the source set), and
+    // the list is sorted by (rank desc, id)
+    assert(top.forall(_.getAs[Long]("rank_micro") > 0L))
+    val pairs = top.map(r =>
+      (r.getAs[Long]("rank_micro"), r.getAs[Long]("id")))
+    assert(pairs.sameElements(pairs.sortBy { case (r, id) => (-r, id) }))
+    // the aggregation targets of customer mass — nations (2e12 ids) and
+    // regions (1e12) — must dominate the head of the ranking
+    val head = top.take(5).map(_.getAs[Long]("id") / 1000000000000L).toSet
+    assert(head.subsetOf(Set(1L, 2L)),
+      s"expected only region/nation vertices in the top 5, got $head")
+  }
+
   test("subgraph edges have both endpoints inside the vertex predicate") {
     val edges = GraphOps.subgraph(spark, sfDir).collect()
     assert(edges.nonEmpty)
