@@ -971,7 +971,7 @@ object Oracle {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
 
     // Replays TextOps.dedupNearMinhash bit-for-bit: 16 affine-derived
-    // md5Hash60 minima per doc, 4 bands of 4 comma-joined into the band
+    // md5Hash60 minima per doc, 8 bands of 2 comma-joined into the band
     // key, bucket cap, candidate self-join, exact-Jaccard ≥ 0.5 verify
     // over the same uncapped shingle sets. The affine family
     // (minhashA(i)·h + minhashB(i)) mod MinhashP is inlined with i from
@@ -991,9 +991,8 @@ object Oracle {
          sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
                  FROM minh GROUP BY doc_id),
          bands AS (SELECT doc_id, b,
-                          s[4*b+1] || ',' || s[4*b+2] || ',' ||
-                          s[4*b+3] || ',' || s[4*b+4] AS bk
-                   FROM sig, range(0, 4) AS rb(b)),
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
          bok AS (SELECT bands.* FROM bands
                  JOIN (SELECT b, bk FROM bands GROUP BY b, bk
                        HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})

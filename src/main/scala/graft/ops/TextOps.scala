@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *
   * Dedup family (designed to scan once and shuffle on small keys):
   *  - exact:   sha2 content hash → group → keep min id
-  *  - MinHash: 16 md5-derived minima over token trigram shingles, 4×4
+  *  - MinHash: 16 md5-derived minima over token trigram shingles, 8×2
   *    LSH banding → candidate pairs → exact-Jaccard verify. At 100 TB
   *    the band-bucket join is the only super-linear step; buckets are
   *    salted by band id and bounded by the verify stage.
@@ -76,7 +76,7 @@ object TextOps {
   /** LSH bucket-size cap: (band_id, band_hash) buckets larger than this
     * are dropped before the candidate self-join. A degenerate bucket
     * (hash pileup, boilerplate-heavy corpus) would otherwise produce
-    * C(bucket,2) candidates; with 4 independent bands, a true near-dup
+    * C(bucket,2) candidates; with 8 independent bands, a true near-dup
     * pair only loses detection if ALL its shared bands are degenerate. */
   val MaxLshBucket = 64
 
@@ -120,8 +120,17 @@ object TextOps {
     * fixed affine family `(minhashA(i)·h + minhashB(i)) mod MinhashP`,
     * so the oracle SQL replays signature construction, banding, the
     * bucket cap, and the exact-Jaccard verify identically.
-    * Pipeline: shingle → 16 min-hashes → 4 bands of 4 → band-bucket
-    * join → exact-Jaccard verify ≥ 0.5. */
+    * Pipeline: shingle → 16 min-hashes → 8 bands of 2 → band-bucket
+    * join → exact-Jaccard verify ≥ 0.5.
+    *
+    * Banding: 8×2 places the LSH S-curve threshold at (1/b)^(1/r) =
+    * (1/8)^(1/2) ≈ 0.35 — tuned BELOW the 0.5 verify threshold, so a
+    * J = 0.8 near-dup is caught with p ≈ 0.9997 and J = 0.5 with
+    * p ≈ 0.9. The earlier 4×4 put the knee at 0.71: a J = 0.8 pair was
+    * missed 12% of the time, i.e. the banding silently under-recalled
+    * the very pairs the verify stage accepts. More bands admit more
+    * random candidates, but the verify join and bucket cap already
+    * bound that slice. */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val hashed = sh.withColumn("hb", md5Hash60(col("shingle")) % MinhashP)
@@ -129,11 +138,11 @@ object TextOps {
       min((lit(minhashA(i)) * col("hb") + lit(minhashB(i))) % MinhashP)
         .as(s"m_$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // band key = the 4 member minima, comma-joined — engine-neutral
-    // equality key (the old murmur re-hash was one fewer byte per row
+    // band key = the 2 member minima, comma-joined — engine-neutral
+    // equality key (a murmur re-hash would be one fewer byte per row
     // but not SQL-replayable)
-    val bandCols = (0 until 4).map { b =>
-      concat_ws(",", (0 until 4).map(r => col(s"m_${4 * b + r}")): _*)
+    val bandCols = (0 until 8).map { b =>
+      concat_ws(",", (0 until 2).map(r => col(s"m_${2 * b + r}")): _*)
     }
     val bands = capLshBuckets(
       sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
