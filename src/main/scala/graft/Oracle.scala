@@ -108,6 +108,61 @@ object Oracle {
          ORDER BY rank_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled Lloyd k-means ANN, replaying
+    * [[graft.ops.VectorOps.embedAnnKmeans]]: deterministic init (8
+    * smallest vec_ids), per-iteration argmax assignment on the ROUNDED
+    * cosine (tie → smallest cid) + decimal-exact mean update with
+    * empty-cluster carry-forward, then nprobe=2 bucket choice and
+    * brute force within the probed buckets. The two cosine float
+    * shapes mirror the Spark side: `cosine()` = dot/sqrt(prod) for
+    * assignment + bucket choice, dot/(sqrt·sqrt) for the final
+    * similarity. */
+  private def annKmeansSql(k: Int, iters: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, $cents.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(${cos("e.v", s"$cents.c")}, 6) DESC,
+                               $cents.cid) AS rk
+             FROM e, $cents) t WHERE rk = 1)"""
+    val base = s"""WITH e AS (SELECT vec_id,
+                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                  AS cid, v AS c
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k) s)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+         ${assign(s"a$i", s"c${i - 1}")},
+         u$i AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+                   SELECT cid, i AS pos,
+                          CAST(SUM(CAST(v[i] AS DECIMAL(27,10)))
+                            AS DOUBLE) / COUNT(*) AS m
+                   FROM a$i, range(1, 65) r(i) GROUP BY cid, i) t
+                 GROUP BY cid),
+         c$i AS (SELECT c${i - 1}.cid, COALESCE(u$i.c, c${i - 1}.c) AS c
+                 FROM c${i - 1} LEFT JOIN u$i ON u$i.cid = c${i - 1}.cid)"""
+    }.mkString
+    base + steps + s""",
+         probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         bk AS (SELECT cid FROM (
+                  SELECT c$iters.cid,
+                         ROUND(${cos(s"c$iters.c", "pv")}, 6) AS csim
+                  FROM c$iters, probe) t
+                ORDER BY csim DESC, cid LIMIT 2),
+         ${assign("af", s"c$iters")}
+         SELECT vec_id, cid, cos_sim FROM (
+           SELECT af.vec_id, af.cid,
+                  ROUND(${dot("af.v", "pv")}
+                    / (sqrt(${dot("af.v", "af.v")})
+                     * sqrt(${dot("pv", "pv")})), 4) AS cos_sim
+           FROM af JOIN bk USING (cid), probe) t
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   /** Unrolled personalized PageRank: same integer iteration as
     * [[pagerankExactSql]] with the teleport term restricted to the
     * BUILDING-customer source set (replaying
@@ -1127,6 +1182,36 @@ object Oracle {
                  count(DISTINCT source) AS n_sources
           FROM documents GROUP BY lang ORDER BY lang""",
 
+    // Replays TextOps.textLangId: ln scores rounded to 9dp (with the
+    // same 1e-12 epsilon) then summed as exact DECIMAL(18,9); argmax =
+    // max_by(l, struct(total, l)) = row_number ordered (total DESC,
+    // l DESC).
+    "text_lang_id" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         perlang AS (SELECT lang AS l, tok, count(*) AS c_lt
+                     FROM toks GROUP BY 1, 2),
+         lt AS (SELECT l, CAST(sum(c_lt) AS BIGINT) AS c_l
+                FROM perlang GROUP BY l),
+         tt AS (SELECT tok, count(*) AS c_t FROM toks GROUP BY tok),
+         g AS (SELECT count(*) AS c_all FROM toks),
+         scores AS (SELECT l, perlang.tok AS tok,
+                           CAST(ROUND(ln((CAST(c_lt AS DOUBLE) / c_l)
+                             / (CAST(c_t AS DOUBLE) / c_all)) + 1e-12, 9)
+                             AS DECIMAL(18,9)) AS score
+                    FROM perlang JOIN lt USING (l)
+                    JOIN tt ON perlang.tok = tt.tok CROSS JOIN g),
+         ds AS (SELECT doc_id, lang, l, SUM(score) AS total
+                FROM toks JOIN scores ON toks.tok = scores.tok
+                GROUP BY 1, 2, 3)
+         SELECT doc_id, lang, predicted, correct FROM (
+           SELECT doc_id, lang, l AS predicted, (l = lang) AS correct,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY total DESC, l DESC) AS rk
+           FROM ds) t
+         WHERE rk = 1 ORDER BY doc_id""",
+
     "text_quality_score" ->
       """SELECT doc_id, n_tokens, n_stop, avg_tok_len, n_chars,
                 ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 3) AS stop_ratio,
@@ -1260,6 +1345,47 @@ object Oracle {
            FROM scored) t
          WHERE rk <= 5
          ORDER BY label, rk""",
+
+    // Replays VectorOps.embedAnnIvf exactly: label-centroid coarse
+    // quantizer, nprobe=3 bucket choice on ROUND(dot/sqrt(prod), 6)
+    // (the cosine() form), brute force within the probed buckets on
+    // ROUND(dot/(sqrt·sqrt), 4) (the withNorm form) — the two float
+    // shapes are deliberately distinct and must not be "simplified"
+    // into each other.
+    "embed_ann_kmeans" -> annKmeansSql(8, 3),
+
+    "embed_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cells AS (SELECT label, i AS pos, v[i] AS cv
+                   FROM e, range(1, 65) r(i)),
+         means AS (SELECT label, pos,
+                          CAST(SUM(CAST(cv AS DECIMAL(27,10))) AS DOUBLE)
+                            / COUNT(*) AS mean_v
+                   FROM cells GROUP BY label, pos),
+         cent AS (SELECT label, list(mean_v ORDER BY pos) AS c
+                  FROM means GROUP BY label),
+         probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         nb AS (SELECT label FROM (
+                  SELECT cent.label,
+                         ROUND(list_sum(list_transform(range(1, 65),
+                                 i -> c[i] * pv[i]))
+                           / sqrt(list_sum(list_transform(range(1, 65),
+                                    i -> c[i] * c[i]))
+                                * list_sum(list_transform(range(1, 65),
+                                    i -> pv[i] * pv[i]))), 6) AS cs
+                  FROM cent, probe)
+                ORDER BY cs DESC, label LIMIT 3)
+         SELECT vec_id, label, cos_sim FROM (
+           SELECT e.vec_id, e.label,
+                  ROUND(list_sum(list_transform(range(1, 65),
+                          i -> e.v[i] * pv[i]))
+                    / (sqrt(list_sum(list_transform(range(1, 65),
+                              i -> e.v[i] * e.v[i])))
+                     * sqrt(list_sum(list_transform(range(1, 65),
+                              i -> pv[i] * pv[i])))), 4) AS cos_sim
+           FROM e JOIN nb ON e.label = nb.label, probe)
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 
     "embed_centroid_per_label" ->
       """WITH cells AS (

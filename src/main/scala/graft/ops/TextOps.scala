@@ -333,13 +333,17 @@ object TextOps {
         length(col("text")).cast(LongType).as("n_chars"))
       .orderBy(col("doc_id"))
 
-  /** Language ID by token-distinctiveness voting (oracle=no — the
-    * model is corpus-trained in the same query). Score(tok, lang) =
-    * ln(p(tok|lang)/p(tok)); doc gets the argmax language by summed
-    * scores (decimal-exact sums so the argmax is run-deterministic).
+  /** Language ID by token-distinctiveness voting, DuckDB-oracled since
+    * round 4. Score(tok, lang) = ln(p(tok|lang)/p(tok)); doc gets the
+    * argmax language by summed scores. Determinism: per-token scores
+    * round to 9 decimals THEN sum as exact decimals, so the argmax
+    * compares exact values; the 1e-12 epsilon inside the round (both
+    * engines) pushes ln outputs off the half-boundary where Spark's
+    * shortest-decimal-string rounding and DuckDB's binary rounding
+    * disagree — the [[Det.avg2]] rule applied to transcendentals.
     * On this synthetic corpus (uniform token distribution) accuracy is
-    * near-random — the tests assert the pipeline shape and
-    * determinism, not accuracy. */
+    * near-random — tests assert pipeline shape and determinism, not
+    * accuracy. */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val toks = docs.select(col("doc_id"), col("lang"),
@@ -353,7 +357,7 @@ object TextOps {
       .crossJoin(broadcast(grand))
       .select(col("l"), col("tok"),
         round(log((col("c_lt").cast(DoubleType) / col("c_l"))
-          / (col("c_t").cast(DoubleType) / col("c_all"))), 9)
+          / (col("c_t").cast(DoubleType) / col("c_all"))) + lit(1e-12), 9)
           .cast(DecimalType(18, 9)).as("score"))
     val docScores = toks.join(scores, "tok")
       .groupBy(col("doc_id"), col("lang"), col("l"))
