@@ -203,24 +203,25 @@ object Streaming {
   }
 
   /** One complete-mode run to a fresh memory sink; returns the table. */
-  private def runStreamDegree(spark: SparkSession, dir: String): String = {
-    val name = s"graft_stream_degree_${runIds.incrementAndGet()}"
-    val q = eventsStream(spark, dir)
-      .groupBy(col("user_id"))
-      // count + decimal-exact sum: distinct aggregates are unsupported
-      // on streams, and the degree/weight pair is the graph-relevant
-      // state anyway
-      .agg(count(lit(1)).as("out_degree"),
-        Det.sum2(col("value")).as("sum_value"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    name
-  }
+  private def runStreamDegree(spark: SparkSession, dir: String): String =
+    withStatePartitions(spark, 8) {
+      val name = s"graft_stream_degree_${runIds.incrementAndGet()}"
+      val q = eventsStream(spark, dir)
+        .groupBy(col("user_id"))
+        // count + decimal-exact sum: distinct aggregates are unsupported
+        // on streams, and the degree/weight pair is the graph-relevant
+        // state anyway
+        .agg(count(lit(1)).as("out_degree"),
+          Det.sum2(col("value")).as("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      name
+    }
 
   /** Core stream-stream join transform (shared batch/stream shape):
     * attribute each purchase to the same user's clicks in the hour
@@ -253,6 +254,23 @@ object Streaming {
   private val ssJoinTables = scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]()
 
+  /** Run `body` with the session's shuffle-partition count (= streaming
+    * STATE partition count, fixed into the checkpoint at first start)
+    * temporarily lowered. Stateful-operator overhead scales with state
+    * partitions — a stream-stream join commits 4 state stores per
+    * partition per micro-batch — and the right count follows state
+    * SIZE, not the batch engine's scan parallelism: at this corpus's
+    * state volume 8 partitions cut the fixed commit cost 4× (measured
+    * ~2 s off the join run); a production job sizes this to keyspace ÷
+    * target-state-per-store instead. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)
+      (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** TRUE stream-stream join, end to end: two watermarked file-source
     * streams of the same event log (clicks / purchases) interval-joined
     * per user, append-mode to a memory sink. The inner join emits
@@ -273,20 +291,21 @@ object Streaming {
     * production tuning knob; the oracle equality here relies on the
     * single-batch delivery, not on this corpus being ordered. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val name = ssJoinTables.getOrElseUpdate((spark, dir), {
-      val tbl = s"graft_stream_ssjoin_${runIds.incrementAndGet()}"
-      val ev = eventsStream(spark, dir)
-        .withColumn("ts_sec", date_trunc("second", col("ts")))
-      val clicks = clickSide(ev).withWatermark("click_ts", "1 hour")
-      val purchases = purchaseSide(ev)
-        .withWatermark("purchase_ts", "2 hours")
-      val q = attributionJoin(clicks, purchases)
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      tbl
-    })
+    val name = ssJoinTables.getOrElseUpdate((spark, dir),
+      withStatePartitions(spark, 8) {
+        val tbl = s"graft_stream_ssjoin_${runIds.incrementAndGet()}"
+        val ev = eventsStream(spark, dir)
+          .withColumn("ts_sec", date_trunc("second", col("ts")))
+        val clicks = clickSide(ev).withWatermark("click_ts", "1 hour")
+        val purchases = purchaseSide(ev)
+          .withWatermark("purchase_ts", "2 hours")
+        val q = attributionJoin(clicks, purchases)
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        tbl
+      })
     spark.table(name)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
