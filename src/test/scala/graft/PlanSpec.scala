@@ -83,4 +83,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("gapfill joins the agg onto the spine, aggs two-phase, one sort") {
+    val p = physical(graft.ops.TimeSeries.timeseriesGapfill(spark, sfDir))
+    // the bounded spine side broadcasts; buckets aggregate partial+final
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("profile scans are column-pruned to the single profiled column") {
+    val p = physical(graft.ops.Stats.profileTable(spark, sfDir))
+    // one branch per profiled column, each reading only its column
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"), p)
+    // parquet TIMESTAMP with isAdjustedToUTC=false surfaces as
+    // timestamp_ntz under the DATE cast — match the common prefix
+    assert(p.contains("ReadSchema: struct<l_shipdate:timestamp"), p)
+  }
+
+  test("minhash signatures build in one two-phase agg over shingles") {
+    val p = physical(graft.ops.TextOps.dedupNearMinhash(spark, sfDir))
+    // no all-pairs shapes anywhere in the candidate pipeline
+    assert(!p.contains("CartesianProduct"), p)
+    // 16 minima collapse in a single grouped aggregation (partial+final)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
