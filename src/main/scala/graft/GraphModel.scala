@@ -52,6 +52,26 @@ object GraphModel {
       edgesCached(spark, dir).select(col("src"), col("dst"))
         .distinct().persist())
 
+  private val dedupVertsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized edge-incident vertex set of [[dedupEdgesCached]] with
+    * out-degree (od = 0 marks sinks) — the shared iterated-state
+    * skeleton of the exact PageRank/personalized-PageRank/LPA family.
+    * Each of those queries needs exactly this frame every iteration;
+    * building it once per (session, dir) removes a distinct + groupBy +
+    * join over the edge table from every query. */
+  def dedupVertsCached(spark: SparkSession, dir: String): DataFrame =
+    dedupVertsCache.getOrElseUpdate((spark, dir), {
+      val e = dedupEdgesCached(spark, dir)
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+        .join(outdeg, col("id") === col("src"), "left")
+        .select(col("id"), coalesce(col("od"), lit(0L)).as("od"))
+        .persist()
+    })
+
   /** All vertices: (id, kind, name). */
   def vertices(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -159,27 +159,35 @@ object GraphOps {
     * 100 TB the verts/msgs join keys on the same `id` partitioning
     * every iteration, so with the edge table bucketed by src only the
     * per-iteration message shuffle moves data. */
-  def pagerankExactOn(edges: DataFrame, iters: Int): DataFrame = {
-    // contract: `edges` holds DEDUPLICATED (src, dst) pairs — both
-    // registered callers pass GraphModel.dedupEdgesCached, so repeating
-    // the distinct here would re-shuffle the edge table per call.
-    // outdeg/verts are persisted for the loop (every iteration touches
-    // them; left lazy they are re-shuffled per iteration — measured
-    // 13.7 s vs ~3 s at sf0.1), released once the final rank is
-    // materialized below
-    val e = edges.select(col("src"), col("dst"))
+  /** Build-and-persist (id, od) for an edge frame — the fallback when
+    * no shared [[GraphModel.dedupVertsCached]] frame is supplied. */
+  private def buildVertsOd(e: DataFrame): DataFrame = {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    // out-degree is FOLDED INTO the iterated vertex state (id, od, r):
-    // the contribution step then reads `r div od` straight off the rank
-    // frame instead of re-joining a degree table every iteration — one
-    // join less per iteration (measured ~25% off the 5-iteration chain
-    // at sf0.1). od = 0 marks sink vertices (no outgoing edges; their
-    // rank is damped away, matching the oracle CTE).
-    val verts = e.select(col("src").as("id"))
+    e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .join(outdeg, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("od"), lit(0L)).as("od"))
       .persist()
+  }
+
+  def pagerankExactOn(edges: DataFrame, iters: Int,
+      sharedVerts: Option[DataFrame] = None): DataFrame = {
+    // contract: `edges` holds DEDUPLICATED (src, dst) pairs — the
+    // registered callers pass GraphModel.dedupEdgesCached, so repeating
+    // the distinct here would re-shuffle the edge table per call; they
+    // also pass GraphModel.dedupVertsCached as `sharedVerts` so the
+    // vertex/out-degree skeleton is built once per (session, dir)
+    // rather than once per query. verts stays persisted across the
+    // loop (every iteration touches it; left lazy it is re-shuffled
+    // per iteration — measured 13.7 s vs ~3 s at sf0.1).
+    //
+    // out-degree is FOLDED INTO the iterated vertex state (id, od, r):
+    // the contribution step then reads `r div od` straight off the rank
+    // frame instead of re-joining a degree table every iteration — one
+    // join less per iteration. od = 0 marks sink vertices (no outgoing
+    // edges; their rank is damped away, matching the oracle CTE).
+    val e = edges.select(col("src"), col("dst"))
+    val verts = sharedVerts.getOrElse(buildVertsOd(e))
     var rank = verts.select(col("id"), col("od"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = rank.filter(col("od") > 0)
@@ -196,7 +204,7 @@ object GraphOps {
     // uses. One bigint per vertex; at 100 TB this is the per-iteration
     // state you would checkpoint to the cluster store instead.
     val out = rank.select(col("id"), col("r")).localCheckpoint(true)
-    verts.unpersist(false)
+    if (sharedVerts.isEmpty) verts.unpersist(false): Unit
     out
   }
 
@@ -205,7 +213,8 @@ object GraphOps {
     * DuckDB-oracled via an unrolled 5-CTE chain of the same integer
     * arithmetic. */
   def pagerankExact(spark: SparkSession, dir: String): DataFrame =
-    pagerankExactOn(GraphModel.dedupEdgesCached(spark, dir), 5)
+    pagerankExactOn(GraphModel.dedupEdgesCached(spark, dir), 5,
+        Some(GraphModel.dedupVertsCached(spark, dir)))
       .select(col("id"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("id"))
       .limit(50)
@@ -220,13 +229,13 @@ object GraphOps {
     * keep rank 0. Same order-independent arithmetic → DuckDB-oracled
     * via the same unrolled CTE shape. */
   def pagerankPersonalizedOn(edges: DataFrame, sources: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, sharedVerts: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val verts = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .join(outdeg, col("id") === col("src"), "left")
-      .select(col("id"), coalesce(col("od"), lit(0L)).as("od"))
+    val baseVerts = sharedVerts.getOrElse(buildVertsOd(e))
+    // the teleport flag is per-query (it depends on `sources`), so the
+    // tp-joined frame persists per call even when the (id, od) skeleton
+    // is the shared cache
+    val verts = baseVerts
       .join(sources.select(col("sid")).distinct(),
         col("id") === col("sid"), "left")
       .select(col("id"), col("od"),
@@ -246,6 +255,7 @@ object GraphOps {
     }
     val out = rank.select(col("id"), col("r")).localCheckpoint(true)
     verts.unpersist(false)
+    if (sharedVerts.isEmpty) baseVerts.unpersist(false): Unit
     out
   }
 
@@ -257,7 +267,8 @@ object GraphOps {
       .filter(col("c_mktsegment") === "BUILDING")
       .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("sid"))
     pagerankPersonalizedOn(
-      GraphModel.dedupEdgesCached(spark, dir), sources, 5)
+      GraphModel.dedupEdgesCached(spark, dir), sources, 5,
+      Some(GraphModel.dedupVertsCached(spark, dir)))
       .select(col("id"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("id"))
       .limit(50)
@@ -275,14 +286,17 @@ object GraphOps {
     * aggregate, where the row_number window it replaces sorted every
     * vertex's label multiset each round (the same trick
     * `assignToCentroids` uses). Label state is one long per vertex. */
-  def lpaExactOn(edges: DataFrame, iters: Int): DataFrame = {
-    // same deduplicated-input contract as [[pagerankExactOn]]
+  def lpaExactOn(edges: DataFrame, iters: Int,
+      sharedVerts: Option[DataFrame] = None): DataFrame = {
+    // same deduplicated-input contract as [[pagerankExactOn]]; the
+    // shared (id, od) skeleton serves here as the vertex set (od unused)
     val ded = edges.select(col("src"), col("dst"))
     val und = ded
       .unionByName(ded.select(col("dst").as("src"), col("src").as("dst")))
       .toDF("v", "n").persist()
-    val verts = ded.select(col("src").as("id"))
-      .unionByName(ded.select(col("dst").as("id"))).distinct().persist()
+    val verts = sharedVerts.map(_.select(col("id"))).getOrElse(
+      ded.select(col("src").as("id"))
+        .unionByName(ded.select(col("dst").as("id"))).distinct().persist())
     var lab = verts.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val pick = und.join(lab, und("n") === lab("id"))
@@ -295,14 +309,16 @@ object GraphOps {
           coalesce(col("newlab"), verts("id")).as("label"))
     }
     val out = lab.localCheckpoint(true)
-    Seq(und, verts).foreach(_.unpersist(false))
+    und.unpersist(false)
+    if (sharedVerts.isEmpty) verts.unpersist(false): Unit
     out
   }
 
   /** Registered surface: 3 exact LPA rounds on the derived edge graph;
     * output = community sizes by final label. */
   def lpaExact(spark: SparkSession, dir: String): DataFrame =
-    lpaExactOn(GraphModel.dedupEdgesCached(spark, dir), 3)
+    lpaExactOn(GraphModel.dedupEdgesCached(spark, dir), 3,
+        Some(GraphModel.dedupVertsCached(spark, dir)))
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
