@@ -30,26 +30,33 @@ object Bench {
     // "%.3f" emit "1,234" — invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def toJson(rs: Iterable[(String, Double)]): String = {
+    // `total` is passed explicitly: the compact slowest-N line must
+    // still report the FULL run's total, not the sum of the lines it
+    // happens to list
+    def toJson(rs: Iterable[(String, Double)], total: Double): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${fmt(total)},""" +
         s""""unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val json = toJson(results)
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val json = toJson(results, total)
     println(json)
     // also persist to a file: the driver's stdout JSON-line scrape has
-    // failed to parse before (sbt log prefixes) — the file is unambiguous
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      json.getBytes("UTF-8"))
+    // failed to parse before (sbt log prefixes) — the file is unambiguous.
+    // Skipped under the dev-only SPARK_GRAFT_ONLY filter: a focused run
+    // must not clobber the authoritative full-run artifact.
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        json.getBytes("UTF-8")): Unit
     // The driver captures only the LAST ~2000 chars of output, so the
     // full ~110-query line above can never sit wholly inside its tail
     // window (BENCH_r01–r03 all recorded parsed:null with the line's
-    // head cut off). Emit a compact line LAST — total + the 15 slowest
-    // queries, well under the window — so the tail always contains one
-    // complete parseable JSON line; the full map lives in bench.json.
-    println(toJson(results.toSeq.sortBy(-_._2).take(15)))
+    // head cut off). Emit a compact line LAST — full total + the 15
+    // slowest queries, well under the window — so the tail always
+    // contains one complete parseable JSON line; the full map lives in
+    // bench.json.
+    println(toJson(results.toSeq.sortBy(-_._2).take(15), total))
     spark.stop()
   }
 }

@@ -55,22 +55,28 @@ object GraphModel {
   private val dedupVertsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
-  /** Memoized edge-incident vertex set of [[dedupEdgesCached]] with
-    * out-degree (od = 0 marks sinks) — the shared iterated-state
-    * skeleton of the exact PageRank/personalized-PageRank/LPA family.
-    * Each of those queries needs exactly this frame every iteration;
+  /** Edge-incident vertex set of a (src, dst) edge frame with
+    * out-degree (od = 0 marks sinks) — THE single definition of the
+    * iterated-state skeleton the exact PageRank/personalized-PageRank/
+    * LPA family shares; both the per-(session, dir) cache below and
+    * GraphOps' ad-hoc fallback build from here, so the two paths can
+    * never drift. */
+  def vertsWithOutDegree(e: DataFrame): DataFrame = {
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(outdeg, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("od"), lit(0L)).as("od"))
+  }
+
+  /** Memoized [[vertsWithOutDegree]] of [[dedupEdgesCached]]. Each
+    * exact-iteration query needs exactly this frame every iteration;
     * building it once per (session, dir) removes a distinct + groupBy +
     * join over the edge table from every query. */
   def dedupVertsCached(spark: SparkSession, dir: String): DataFrame =
-    dedupVertsCache.getOrElseUpdate((spark, dir), {
-      val e = dedupEdgesCached(spark, dir)
-      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct()
-        .join(outdeg, col("id") === col("src"), "left")
-        .select(col("id"), coalesce(col("od"), lit(0L)).as("od"))
-        .persist()
-    })
+    dedupVertsCache.getOrElseUpdate((spark, dir),
+      vertsWithOutDegree(dedupEdgesCached(spark, dir)
+        .select(col("src"), col("dst"))).persist())
 
   /** All vertices: (id, kind, name). */
   def vertices(spark: SparkSession, dir: String): DataFrame = {

@@ -160,15 +160,10 @@ object GraphOps {
     * every iteration, so with the edge table bucketed by src only the
     * per-iteration message shuffle moves data. */
   /** Build-and-persist (id, od) for an edge frame — the fallback when
-    * no shared [[GraphModel.dedupVertsCached]] frame is supplied. */
-  private def buildVertsOd(e: DataFrame): DataFrame = {
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .join(outdeg, col("id") === col("src"), "left")
-      .select(col("id"), coalesce(col("od"), lit(0L)).as("od"))
-      .persist()
-  }
+    * no shared [[GraphModel.dedupVertsCached]] frame is supplied. Same
+    * definition by construction ([[GraphModel.vertsWithOutDegree]]). */
+  private def buildVertsOd(e: DataFrame): DataFrame =
+    GraphModel.vertsWithOutDegree(e).persist()
 
   def pagerankExactOn(edges: DataFrame, iters: Int,
       sharedVerts: Option[DataFrame] = None): DataFrame = {
@@ -322,16 +317,25 @@ object GraphOps {
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
-  /** Connected components by iterative min-label propagation over an
-    * undirected pair list, run UNTIL STABLE (any component diameter)
-    * with a hard cap as a cycle-proof backstop. Shared by the text and
-    * embedding dedup pipelines (cluster-then-elect-canonical): labels
-    * flow one hop per round through one join against the pair list —
-    * broadcast-sized at any realistic dup rate — plus an O(1)-row
-    * convergence count; per-round eager localCheckpoint truncates the
-    * otherwise exponentially-nested join lineage. Deterministic: min is
-    * order-insensitive. Input: `verts(id)`, `pairs(a_id, b_id)`;
-    * output: `(id, cluster)` with cluster = component-min id. */
+  /** Connected components by iterative min-label propagation WITH
+    * pointer jumping, over an undirected pair list, run UNTIL STABLE.
+    * Shared by the text and embedding dedup pipelines
+    * (cluster-then-elect-canonical). Each round takes the min of
+    * (a) the current label, (b) the neighbors' labels (one hop through
+    * the pair list), and (c) the label OF the current label (pointer
+    * jumping — labels are vertex ids, so the label table indexes
+    * itself). Hop alone needs diameter rounds; the jump halves the
+    * remaining pointer depth each round, so convergence is
+    * O(log diameter) and the 50-round cap covers diameters beyond 2^50
+    * — effectively a pure safety net, never a truncation (the pre-jump
+    * version capped at 50 HOPS, where a >50-diameter near-dup chain
+    * would have returned partially-propagated clusters and diverged
+    * from the oracle's exact transitive closure). Monotone
+    * (labels only decrease, bounded by the component min) and
+    * deterministic. Per-round eager localCheckpoint truncates the
+    * otherwise exponentially-nested join lineage.
+    * Input: `verts(id)`, `pairs(a_id, b_id)`; output: `(id, cluster)`
+    * with cluster = component-min id. */
   def minLabelComponents(verts: DataFrame, pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"),
@@ -351,9 +355,12 @@ object GraphOps {
       val next = labels
         .join(prop.select(col("a_id").as("id"), col("min_nb")),
           Seq("id"), "left")
+        .join(labels.select(col("id").as("jid"),
+          col("cluster").as("jump")), col("cluster") === col("jid"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster")))
-            .as("cluster"))
+          least(col("cluster"),
+            least(coalesce(col("min_nb"), col("cluster")),
+              coalesce(col("jump"), col("cluster")))).as("cluster"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("cluster", "prev"),
           "id")

@@ -23,31 +23,18 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   /** Memoized round-trip dir per (session, sf-dir, format) — repeated
-    * verify/bench calls in one JVM reuse the materialized copy. */
+    * verify/bench calls in one JVM reuse the materialized copy; dirs
+    * are registered with [[graft.TempDirs]] for JVM-exit removal. */
   private val rtDirs = scala.collection.concurrent.TrieMap[
     (SparkSession, String, String), String]()
 
-  private lazy val cleanupHook: Unit =
-    sys.addShutdownHook {
-      rtDirs.values.foreach { base =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base))
-      }
-    }: Unit
-
   private def materialize(spark: SparkSession, dir: String, fmt: String)
-      (write: String => Unit): String = {
-    cleanupHook
+      (write: String => Unit): String =
     rtDirs.getOrElseUpdate((spark, dir, fmt), {
-      val base = java.nio.file.Files
-        .createTempDirectory(s"graft-src-$fmt").toString
+      val base = graft.TempDirs.create(s"graft-src-$fmt")
       write(base)
       base
     })
-  }
 
   /** CSV source: nation written as headered CSV, read back with an
     * explicit DDL schema (INT columns re-typed by the schema, not by

@@ -137,30 +137,14 @@ object Streaming {
   /** Memoized sink location per (session, dir): repeated calls (bench
     * after verify, repeated tests) RESUME from the same checkpoint —
     * the exactly-once path — instead of leaving a fresh temp copy of
-    * the output per call. */
+    * the output per call. Dirs are registered with [[graft.TempDirs]]
+    * for JVM-exit removal. */
   private val sinkDirs = scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]()
 
-  /** JVM-exit cleanup for the temp sink/checkpoint dirs — repeated
-    * verify/bench/test runs in one host otherwise accumulate one copy
-    * of the sink output per process forever. */
-  private lazy val cleanupHook: Unit =
-    sys.addShutdownHook {
-      sinkDirs.values.foreach { base =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base))
-      }
-    }: Unit
-
   def streamSinkParquet(spark: SparkSession, dir: String): DataFrame = {
-    cleanupHook
     val base = sinkDirs.getOrElseUpdate((spark, dir),
-      java.nio.file.Files
-        .createTempDirectory(s"graft-sink-${runIds.incrementAndGet()}")
-        .toString)
+      graft.TempDirs.create(s"graft-sink-${runIds.incrementAndGet()}"))
     runSinkTo(spark, dir, base)
     spark.read.parquet(s"$base/out").orderBy(col("event_id"))
   }

@@ -143,8 +143,10 @@ object VectorOps {
     * centroids; the probe searches only the 3 nearest buckets
     * (nprobe=3 of 10), then brute-forces within them. At scale, data
     * partitioned by bucket id turns the pruned buckets into unread
-    * partitions. oracle=no (approximation); tests measure recall vs
-    * the exact top-k. */
+    * partitions. DuckDB-oracled since round 4 (Oracle.scala replays the
+    * centroid build, nprobe choice and both cosine float shapes
+    * exactly — changes here must be mirrored there); tests additionally
+    * measure recall vs the exact top-k. */
   def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val t = Tables(spark, dir)
@@ -224,9 +226,11 @@ object VectorOps {
     * vectors themselves, which is the variant that survives corpora
     * without labels. Probe: nprobe=2 nearest centroids, brute-force
     * within their members only. At scale, data written partitioned by
-    * cid makes the unprobed buckets unread partitions. oracle=no
-    * (approximate by design); recall vs exact top-k and run-to-run
-    * determinism are property-tested. */
+    * cid makes the unprobed buckets unread partitions. DuckDB-oracled
+    * since round 4 via `Oracle.annKmeansSql` — a full unrolled
+    * 3-iteration Lloyd CTE chain; k/iters/tie-breaks changed here must
+    * be mirrored there. Recall vs exact top-k and run-to-run
+    * determinism are additionally property-tested. */
   def embedAnnKmeans(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val t = Tables(spark, dir)
