@@ -929,6 +929,18 @@ object Oracle {
             SELECT a.src, b.dst FROM ine a JOIN ine b ON a.dst = b.src)
           ORDER BY x, y""",
 
+    // WHERE-extension exhibit: the compiled pattern + property
+    // predicate collapses to this relational query
+    "motif_where_filter" ->
+      """SELECT 3000000000000 + c_custkey AS c,
+                2000000000000 + c_nationkey AS n,
+                6000000000000 + o_orderkey AS o
+         FROM customer
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         WHERE n_name = 'NATION_7'
+         ORDER BY c, n, o""",
+
     "graph_delete_edges" ->
       s"""WITH $EdgesCte,
           ded AS (SELECT DISTINCT src, dst, rel FROM edges),

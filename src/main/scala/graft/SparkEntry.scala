@@ -109,6 +109,7 @@ object SparkEntry {
     "motif_chain_2hop"        -> (MotifDsl.motifChain2hop _),
     "motif_vee_shared_nation" -> (MotifDsl.motifVeeSharedNation _),
     "motif_varlen_reach"      -> (MotifDsl.motifVarlenReach _),
+    "motif_where_filter"      -> (MotifDsl.motifWhereFilter _),
     "graph_delete_edges"      -> (GraphOps.graphDeleteEdges _),
     // §2.9 iterative analytics (GraphX; CC / SP / weighted-SP are
     // oracle-checked via recursive CTEs, the rank/triangle/LPA float

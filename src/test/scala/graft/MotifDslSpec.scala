@@ -77,6 +77,33 @@ class MotifDslSpec extends SparkSpec {
     assert(all.length == all.map(_.toString).distinct.length)
   }
 
+  test("WHERE extension filters by vertex property and rejects garbage") {
+    import org.apache.spark.sql.functions.col
+    // every surviving row's nation really is NATION_7
+    val rows = MotifDsl.motifWhereFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n7 = GraphModel.vertices(spark, sfDir)
+      .filter(col("name") === "NATION_7")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(n7.size == 1)
+    rows.foreach(r => assert(n7.contains(r.getAs[Long]("n"))))
+    // WHERE equals pattern-then-filter semantics
+    val unfiltered = MotifDsl.compileQuery(spark, sfDir,
+      "(c)-[:IN]->(n);(o)-[:BY]->(c)")
+      .filter(col("n").isin(n7.toSeq: _*))
+      .orderBy(col("c"), col("n"), col("o")).collect()
+    assert(rows.map(_.toString).toSeq == unfiltered.map(_.toString).toSeq)
+    // unbound node and unknown property are rejected, not ignored
+    intercept[IllegalArgumentException] {
+      MotifDsl.compileQuery(spark, sfDir,
+        "(c)-[:IN]->(n) WHERE z.name = 'x'")
+    }
+    intercept[IllegalArgumentException] {
+      MotifDsl.compileQuery(spark, sfDir,
+        "(c)-[:IN]->(n) WHERE n.acctbal = 'x'")
+    }
+  }
+
   test("compiled 2-hop chain matches the hand-written traversal") {
     val viaDsl = MotifDsl.motifChain2hop(spark, sfDir).collect()
     val hand = GraphModel.edgesCached(spark, sfDir)
