@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix is why the driver's
+// JSON-line scrape of the Bench output recorded parsed:null in rounds
+// 1-4 (no line in the tail ever STARTS with '{'). StdoutOutput pipes
+// the child's stdout through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -366,8 +366,14 @@ object GraphOps {
           "id")
         .filter(col("cluster") =!= col("prev"))
         .isEmpty
+      // next is materialized (eager checkpoint) and the convergence
+      // check above is done with it, so the predecessor's blocks can be
+      // released now — without this every invocation permanently parked
+      // one block set per round in the block manager
+      labels.unpersist(false)
       labels = next
     }
+    undM.unpersist(false)
     labels
   }
 

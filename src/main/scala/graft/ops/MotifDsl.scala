@@ -97,7 +97,15 @@ object MotifDsl {
     result.select(bound.sorted.map(col): _*)
   }
 
-  private val Cond = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+  // literal grammar: single-quoted, SQL-style '' escape for an
+  // embedded apostrophe ('O''Brien')
+  private val Cond = """(\w+)\.(\w+)\s*=\s*'((?:[^']|'')*)'""".r
+
+  /** Appended to the WHERE/AND split regexes: the keyword only splits
+    * when an EVEN number of single quotes follows it — i.e. it sits
+    * outside any string literal. A literal like 'R AND D' or
+    * 'NOT WHERE' is left intact. */
+  private val outsideQuotes = "(?=(?:[^']*'[^']*')*[^']*$)"
 
   /** Vertex properties usable in WHERE conditions (the derived graph's
     * property bag — [[GraphModel.vertices]]). */
@@ -116,17 +124,18 @@ object MotifDsl {
     * carried through the traversal. */
   def compileQuery(spark: SparkSession, dir: String,
       query: String): DataFrame = {
-    val parts = query.split("(?i)\\s+WHERE\\s+", 2)
+    val parts = query.split("(?i)\\s+WHERE\\s+" + outsideQuotes, 2)
     val df = compile(GraphModel.edgesCached(spark, dir), parts(0).trim)
     if (parts.length == 1) df
-    else parts(1).split("(?i)\\s+AND\\s+").map(_.trim).foldLeft(df) {
+    else parts(1).split("(?i)\\s+AND\\s+" + outsideQuotes)
+      .map(_.trim).foldLeft(df) {
       case (acc, Cond(node, prop, value)) =>
         require(df.columns.contains(node),
           s"WHERE references unbound node '$node'")
         require(Props.contains(prop),
           s"unknown property '$prop' (have: ${Props.mkString(", ")})")
         val ids = GraphModel.vertices(spark, dir)
-          .filter(col(prop) === value)
+          .filter(col(prop) === value.replace("''", "'"))
           .select(col("id").as(s"__${node}_id"))
         acc.join(broadcast(ids), col(node) === col(s"__${node}_id"),
             "left_semi")

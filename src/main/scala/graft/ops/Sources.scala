@@ -30,11 +30,17 @@ object Sources {
 
   private def materialize(spark: SparkSession, dir: String, fmt: String)
       (write: String => Unit): String =
-    rtDirs.getOrElseUpdate((spark, dir, fmt), {
-      val base = graft.TempDirs.create(s"graft-src-$fmt")
-      write(base)
-      base
-    })
+    // coarse lock: TrieMap.getOrElseUpdate may evaluate the
+    // side-effecting default twice under a concurrent first call,
+    // leaving an orphaned temp dir + double write. The write is a
+    // one-time tiny materialization, so a global lock costs nothing.
+    rtDirs.synchronized {
+      rtDirs.getOrElseUpdate((spark, dir, fmt), {
+        val base = graft.TempDirs.create(s"graft-src-$fmt")
+        write(base)
+        base
+      })
+    }
 
   /** CSV source: nation written as headered CSV, read back with an
     * explicit DDL schema (INT columns re-typed by the schema, not by

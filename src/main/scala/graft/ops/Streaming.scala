@@ -246,7 +246,18 @@ object Streaming {
     * SIZE, not the batch engine's scan parallelism: at this corpus's
     * state volume 8 partitions cut the fixed commit cost 4× (measured
     * ~2 s off the join run); a production job sizes this to keyspace ÷
-    * target-state-per-store instead. */
+    * target-state-per-store instead.
+    *
+    * CONCURRENCY CONTRACT: this mutates the session-global
+    * `spark.sql.shuffle.partitions` for the duration of `body`, so any
+    * batch query planned concurrently on the SAME session would pick up
+    * the lowered count. Verify/Bench drive queries single-threaded and
+    * the test suites build their own sessions, so the assumption holds
+    * everywhere this is called; a multi-tenant driver would instead run
+    * the stream on a cloned `spark.newSession()` (separate SQLConf) —
+    * not done here because the memory-sink table name is registered on
+    * the session the stream runs on, and the batch readers that follow
+    * look it up on the original session. */
   private def withStatePartitions[A](spark: SparkSession, n: Int)
       (body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
