@@ -42,6 +42,13 @@ object Oracle {
   private def md5Hash60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
+  /** 16+16-bit Morton interleave of integer columns `x`/`y`, mirroring
+    * `SetOps.sortZorderCluster`'s 32 shift/mask exprs term for term. */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   /** Shared random-hyperplane LSH candidate-pair CTE chain (the
     * `VectorLsh` sign matrix embedded as literals), ending in
     * `lp(a_id, b_id, cos_sim)` — the distinct banded candidates with
@@ -359,6 +366,18 @@ object Oracle {
          ORDER BY c_custkey""",
 
     "join_theta_range" ->
+      s"""SELECT bracket, count(*) AS n_lines,
+                 ${sqlSum2("l_extendedprice")} AS sum_price
+          FROM lineitem
+          JOIN (VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0),
+                       ('high', 35.0, 51.0)) b(bracket, lo, hi)
+            ON l_quantity >= lo AND l_quantity < hi
+          GROUP BY bracket ORDER BY bracket""",
+
+    // the bucketed variant must produce the IDENTICAL result to the
+    // plain theta join — the buckets are a join-strategy detail the
+    // exact re-filter erases, so the oracle is the same range join
+    "join_range_bucketed" ->
       s"""SELECT bracket, count(*) AS n_lines,
                  ${sqlSum2("l_extendedprice")} AS sum_price
           FROM lineitem
@@ -699,6 +718,27 @@ object Oracle {
          EXCEPT
          SELECT s_nationkey FROM supplier
          ORDER BY nationkey""",
+
+    // day = floor(epoch seconds / 86400); DuckDB's date_diff('day')
+    // counts midnight crossings from the epoch, identical for the
+    // corpus's positive timestamps (session TZ = UTC in both engines)
+    "sort_zorder_cluster" ->
+      s"""WITH xy AS (
+            SELECT o_custkey,
+                   date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                     AS day,
+                   (o_custkey & 65535) AS x,
+                   (date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                     & 65535) AS y
+            FROM orders),
+          z AS (SELECT o_custkey, day,
+                       (${zorderSql("x", "y")}) AS zval
+                FROM xy)
+          SELECT CAST(zval // 65536 AS BIGINT) AS zbucket,
+                 count(*) AS n,
+                 min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+                 min(day) AS min_day, max(day) AS max_day
+          FROM z GROUP BY 1 ORDER BY zbucket""",
 
     // §2.7 scalar functions
     "scalar_string" ->
@@ -1274,6 +1314,77 @@ object Oracle {
                FROM keyed)
          SELECT doc_id, lang, source, n_chars FROM r
          WHERE rn <= quota ORDER BY lang, doc_id""",
+
+    "text_repetition_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS gram
+               FROM d WHERE len(t) >= 2),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_grams,
+                count(*) AS n_distinct,
+                ROUND(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4)
+                  AS dup_frac,
+                ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    // tri0 = the same distinct token-trigram shingles the Spark side
+    // memoizes; benchmark corpus = source 'src0'
+    "text_contamination_ngram" ->
+      s"""WITH $Tri0Ctes,
+          src AS (SELECT doc_id, source FROM documents),
+          bench AS (SELECT DISTINCT g FROM tri0
+                    JOIN src USING (doc_id) WHERE source = 'src0'),
+          tgt AS (SELECT tri0.doc_id AS doc_id, g FROM tri0
+                  JOIN src USING (doc_id) WHERE source <> 'src0')
+          SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN bench.g IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                 ROUND(CAST(sum(CASE WHEN bench.g IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 4) AS contam_frac
+          FROM tgt LEFT JOIN bench ON tgt.g = bench.g
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "corpus_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS n_tok
+                   FROM documents),
+          c AS (SELECT doc_id, lang, n_tok,
+                       sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d)
+          SELECT lang,
+                 CAST((cum - n_tok) // ${graft.ops.TextOps.PackCapacity}
+                      AS BIGINT) AS bin,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
+
+    "corpus_quality_band" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                    FROM documents),
+         s AS (SELECT doc_id, lang,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(t, x -> list_contains(
+                        ['the','a','of','to','and','in','is','it'], x)))
+                        AS BIGINT) AS n_stop
+               FROM d),
+         q AS (SELECT doc_id, lang,
+                      ROUND(CAST(n_tokens - n_stop AS DOUBLE)
+                            / (n_tokens + 1), 4) AS quality
+               FROM s),
+         r AS (SELECT doc_id, lang, quality,
+                      ROUND(percent_rank() OVER (PARTITION BY lang
+                        ORDER BY quality, doc_id), 6) AS pr
+               FROM q)
+         SELECT doc_id, lang, quality, pr FROM r
+         WHERE pr >= 0.1 AND pr <= 0.9 ORDER BY lang, doc_id""",
 
     "embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,

@@ -44,6 +44,7 @@ object SparkEntry {
     "join_theta_range"       -> (Joins.joinThetaRange _),
     "join_asof"              -> (Joins.joinAsof _),
     "join_cross_limited"     -> (Joins.joinCrossLimited _),
+    "join_range_bucketed"    -> (Joins.joinRangeBucketed _),
     // §2.3bis subqueries + recursive CTE
     "subquery_scalar"       -> (Subqueries.subqueryScalar _),
     "subquery_in"           -> (Subqueries.subqueryIn _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "set_union_distinct" -> (SetOps.setUnionDistinct _),
     "set_intersect"      -> (SetOps.setIntersect _),
     "set_except"         -> (SetOps.setExcept _),
+    "sort_zorder_cluster" -> (SetOps.sortZorderCluster _),
     // §2.7 scalar functions
     "scalar_string"      -> (Scalars.scalarString _),
     "scalar_date"        -> (Scalars.scalarDate _),
@@ -142,7 +144,11 @@ object SparkEntry {
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_fingerprint"   -> (TextOps.textFingerprint _),
     "text_redact_pii"    -> (TextOps.textRedactPii _),
+    "text_repetition_score"     -> (TextOps.textRepetitionScore _),
+    "text_contamination_ngram"  -> (TextOps.textContaminationNgram _),
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
+    "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),
+    "corpus_quality_band"       -> (TextOps.corpusQualityBand _),
     // §2.10 embeddings + multimodal
     "embed_cosine_topk"        -> (VectorOps.embedCosineTopk _),
     "embed_pair_sim_threshold" -> (VectorOps.embedPairSimThreshold _),

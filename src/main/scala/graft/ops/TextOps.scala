@@ -417,4 +417,117 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("lang"), col("doc_id"))
   }
+
+  /** Repetition scoring (the Gopher/C4 repetition filters): per doc,
+    * the duplicate word-bigram fraction (1 − distinct/total) and the
+    * top single bigram's share. High values flag boilerplate / spam /
+    * generation loops for removal before training. Shape: explode →
+    * two keyed aggregations, both map-side combinable; linear at any
+    * corpus size (the bigram keyspace is per-doc, so no global hot
+    * key exists — cf. the df-cap the CROSS-doc n-gram join needs). */
+  def textRepetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      // exact-integer numerators, one division, then round — identical
+      // doubles in both engines (the textQualityScore discipline)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round((col("n_grams") - col("n_distinct")).cast(DoubleType)
+          / col("n_grams"), 4).as("dup_frac"),
+        round(col("top_c").cast(DoubleType) / col("n_grams"), 4)
+          .as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination check: for every candidate training doc,
+    * the fraction of its distinct token trigrams that also occur in the
+    * held-out/benchmark corpus (here: the `src0` source — the standard
+    * "n-gram overlap vs eval set" decontamination pass). Reuses the
+    * memoized [[shingles]] table. Scale shape: the benchmark side is
+    * tiny by construction (eval sets are MBs against a 100 TB corpus),
+    * so its distinct-shingle set BROADCASTS and the probe is a
+    * map-side hash lookup per candidate shingle — no shuffle of the
+    * big side at all. */
+  def textContaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    val sh = shingles(spark, dir)
+    val bench = sh.join(srcs.filter(col("source") === "src0"), "doc_id")
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.join(srcs.filter(col("source") =!= "src0"), "doc_id")
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("n_grams"), 4)
+          .as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bin capacity for [[corpusPackSequences]] (tokens per training
+    * sequence; real pipelines use the model context length). */
+  val PackCapacity = 256
+
+  /** Sequence packing for training: concatenate each language shard's
+    * documents in doc_id order and chunk the token stream into
+    * fixed-capacity bins (documents may straddle a boundary — the
+    * concat-then-chunk semantics of LLM pretraining loaders). A doc's
+    * bin is where its first token lands: floor(tokens_before / cap).
+    * Output: per (lang, bin) the doc count, token sum and bin span.
+    * Scale shape: ONE window shuffle partitioned by the shard key —
+    * packing parallelizes across shards, never globally; at 100 TB the
+    * shard key is (lang, file-partition) and each task packs its own
+    * token stream independently. */
+  def corpusPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $PackCapacity"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Quality-band corpus filter: keep documents whose (rational,
+    * exact-arithmetic) quality score sits between the 10th and 90th
+    * percentile of their language stratum — the standard "drop the
+    * tails, keep the body" curation pass, done per stratum so one
+    * language's score distribution never gates another's. percent_rank
+    * is computed over a TOTAL order (score, doc_id) so the band edge is
+    * deterministic. Same one-window-shuffle shape as the stratified
+    * sampler. */
+  def corpusQualityBand(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(filter(col("t"), t => array_contains(stopArr, t)))
+          .cast(LongType).as("n_stop"))
+      .withColumn("quality",
+        round((col("n_tokens") - col("n_stop")).cast(DoubleType)
+          / (col("n_tokens") + 1), 4))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    scored.withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+      .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Joins, SetOps, TextOps}
+
+/** Semantic checks for the round-5 corpus-curation + layout operators.
+  * Each is verified against an independent Scala recomputation from the
+  * raw tables (the DuckDB oracle covers the cross-engine contract; this
+  * layer covers the SEMANTICS against first principles). */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def docs: Map[Long, String] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("text_repetition_score matches a per-doc recomputation") {
+    val got = TextOps.textRepetitionScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val expected = docs.collect {
+      case (id, text) if text.split(" ").length >= 2 =>
+        val toks = text.split(" ")
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).map(_._2.size)
+        val n = grams.size.toLong
+        val d = counts.size.toLong
+        id -> (n, d,
+          BigDecimal((n - d).toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(counts.max.toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+  }
+
+  test("text_contamination_ngram: hits recomputed from the shingle sets") {
+    val srcByDoc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.collect {
+      case (id, text) if srcByDoc(id) == "src0" => shingleSet(text)
+    }.flatten.toSet
+    val got = TextOps.textContaminationNgram(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = docs.collect {
+      case (id, text)
+          if srcByDoc(id) != "src0" && shingleSet(text).nonEmpty =>
+        val sh = shingleSet(text)
+        id -> (sh.size.toLong, sh.count(bench.contains).toLong)
+    }
+    assert(got == expected)
+    // benchmark docs themselves are never scored
+    assert(got.keySet.forall(srcByDoc(_) != "src0"))
+  }
+
+  test("corpus_pack_sequences: bins partition each language stream") {
+    val out = TextOps.corpusPackSequences(spark, sfDir).collect()
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tok")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byLang = out.groupBy(_.getString(0))
+    assert(byLang.keySet == all.keySet)
+    byLang.foreach { case (lang, rows) =>
+      // every doc lands in exactly one bin, token mass is conserved
+      assert(rows.map(_.getLong(2)).sum == all(lang)._1)
+      assert(rows.map(_.getLong(3)).sum == all(lang)._2)
+      // bins are filled in order: doc-id spans of consecutive bins
+      // never overlap (the stream is chunked, not reshuffled)
+      val spans = rows.sortBy(_.getLong(1))
+        .map(r => (r.getLong(4), r.getLong(5)))
+      spans.foreach { case (lo, hi) => assert(lo <= hi) }
+      spans.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+        case _ =>
+      }
+      // no bin starts beyond the stream's token count / capacity
+      val maxBin = rows.map(_.getLong(1)).max
+      assert(maxBin <= all(lang)._2 / TextOps.PackCapacity)
+    }
+  }
+
+  test("corpus_quality_band keeps the 10-90 percentile body per stratum") {
+    val out = TextOps.corpusQualityBand(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.forall { r =>
+      val pr = r.getDouble(3); pr >= 0.1 && pr <= 0.9
+    })
+    // the band keeps the body: strictly between 50% and 90% of docs
+    // (exactly 80% only in the continuous limit; small strata quantize)
+    assert(out.length > total * 0.5 && out.length < total * 0.9)
+  }
+
+  test("sort_zorder_cluster buckets bound BOTH dimensions (skipping)") {
+    val rows = SetOps.sortZorderCluster(spark, sfDir).collect()
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    rows.foreach { r =>
+      // zbucket fixes bits 16+ of the interleave = the high bytes of
+      // both dimensions → every bucket's per-dimension spread is < 256.
+      // This is the parquet-min/max pruning property a 1-D sort only
+      // gives its leading column.
+      assert(r.getLong(3) - r.getLong(2) <= 255, s"cust spread: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 255, s"day spread: $r")
+    }
+  }
+
+  test("join_range_bucketed ≡ join_theta_range, on a shuffled equi-join") {
+    val bucketed = Joins.joinRangeBucketed(spark, sfDir)
+    val theta = Joins.joinThetaRange(spark, sfDir).collect()
+    assert(bucketed.collect().toSeq == theta.toSeq)
+    // the point of the exhibit: the bucket equi-key lets the planner
+    // use a shuffle join (no broadcast-nested-loop on the range side)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+}
