@@ -49,8 +49,14 @@ object GraphModel {
     * of one per query. */
   def dedupEdgesCached(spark: SparkSession, dir: String): DataFrame =
     dedupCache.getOrElseUpdate((spark, dir),
+      // persisted PRE-PARTITIONED on src: the exact-iteration family
+      // joins this frame on src once per iteration, and the in-memory
+      // relation's hash partitioning satisfies the join's distribution
+      // requirement — the big side's exchange disappears from every
+      // iteration (the "reuse one partitioning across stages" rule; at
+      // 100 TB this is bucketing the edge table by src at write time)
       edgesCached(spark, dir).select(col("src"), col("dst"))
-        .distinct().persist())
+        .distinct().repartition(col("src")).persist())
 
   private val dedupVertsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()

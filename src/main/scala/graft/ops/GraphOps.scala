@@ -288,7 +288,11 @@ object GraphOps {
     val ded = edges.select(col("src"), col("dst"))
     val und = ded
       .unionByName(ded.select(col("dst").as("src"), col("src").as("dst")))
-      .toDF("v", "n").persist()
+      .toDF("v", "n")
+      // pre-partitioned on the per-round join key (see
+      // GraphModel.dedupEdgesCached): each LPA round joins und on `n`,
+      // so the persisted partitioning replaces one exchange per round
+      .repartition(col("n")).persist()
     val verts = sharedVerts.map(_.select(col("id"))).getOrElse(
       ded.select(col("src").as("id"))
         .unionByName(ded.select(col("dst").as("id"))).distinct().persist())
@@ -340,6 +344,10 @@ object GraphOps {
     val und = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
+      // checkpointed pre-partitioned on b_id, the key every round's
+      // neighbor join probes — same one-partitioning-many-stages rule
+      // as dedupEdgesCached
+      .repartition(col("b_id"))
     val undM = und.localCheckpoint()
     var labels = verts.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
