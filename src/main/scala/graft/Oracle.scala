@@ -115,6 +115,36 @@ object Oracle {
          ORDER BY rank_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled exact-integer HITS, replaying
+    * [[graft.ops.GraphOps.hitsExactOn]]: hub⁰ = 1, per round
+    * auth = Σ in-hub then hub = Σ out-auth, no normalization (the
+    * float-free variant that makes HITS oracle-able). */
+  private def hitsExactSql(iters: Int): String = {
+    val base = s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         verts AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM ded UNION SELECT dst FROM ded)),
+         h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM verts)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+         a$i AS (SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS a
+                 FROM verts v LEFT JOIN (
+                   SELECT d.dst AS id, SUM(c.h) AS s
+                   FROM h${i - 1} c JOIN ded d ON d.src = c.id
+                   GROUP BY d.dst) m ON m.id = v.id),
+         h$i AS (SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS h
+                 FROM verts v LEFT JOIN (
+                   SELECT d.src AS id, SUM(c.a) AS s
+                   FROM a$i c JOIN ded d ON d.dst = c.id
+                   GROUP BY d.src) m ON m.id = v.id)"""
+    }.mkString
+    base + steps +
+      s"""
+         SELECT a.id, a.a AS auth, h.h AS hub
+         FROM a$iters a JOIN h$iters h ON a.id = h.id
+         ORDER BY auth DESC, a.id LIMIT 50"""
+  }
+
   /** Unrolled Lloyd k-means ANN, replaying
     * [[graft.ops.VectorOps.embedAnnKmeans]]: deterministic init (8
     * smallest vec_ids), per-iteration argmax assignment on the ROUNDED
@@ -1008,6 +1038,8 @@ object Oracle {
 
     // unrolled 3-round deterministic LPA (see lpaExactSql)
     "graph_lpa_exact" -> lpaExactSql(3),
+
+    "graph_hits_exact" -> hitsExactSql(2),
 
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered

@@ -321,6 +321,53 @@ object GraphOps {
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
+  /** HITS (hubs & authorities), exact-integer variant: hub⁰ = 1
+    * everywhere; each round auth(v) = Σ hub(u) over in-edges then
+    * hub(u) = Σ auth(v) over out-edges. UNNORMALIZED integer sums —
+    * the float L2 normalization of textbook HITS is what makes it
+    * iteration-order-sensitive; dropping it keeps the same top-k
+    * ordering per round and makes every value an exact BIGINT any
+    * engine reproduces (the pagerankExactOn trick). Magnitudes grow as
+    * (max-indeg × max-outdeg)^iters, so 2 rounds stay far below 2^63
+    * even at 1000× this corpus (documented bound, not a runtime
+    * check). Per round: two keyed equi-join + sum-agg pairs — all
+    * map-side-combinable shuffles on src/dst; the src-side join reuses
+    * the edge cache's partitioning. */
+  def hitsExactOn(edges: DataFrame, iters: Int,
+      sharedVerts: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val verts = sharedVerts.map(_.select(col("id"))).getOrElse(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct().persist())
+    var hub = verts.select(col("id"), lit(1L).as("h"))
+    var auth = verts.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val a = e.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      auth = verts.join(a.select(col("dst").as("id"), col("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("a"))
+      val h = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      hub = verts.join(h.select(col("src").as("id"), col("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("h"))
+    }
+    val out = auth.join(hub, "id").localCheckpoint(true)
+    if (sharedVerts.isEmpty) verts.unpersist(false): Unit
+    out
+  }
+
+  /** Registered surface: 2 exact HITS rounds on the deduplicated
+    * derived edge graph; top-50 authorities (id tie-break) with their
+    * hub scores. */
+  def hitsExact(spark: SparkSession, dir: String): DataFrame =
+    hitsExactOn(GraphModel.dedupEdgesCached(spark, dir), 2,
+        Some(GraphModel.dedupVertsCached(spark, dir)))
+      .select(col("id"), col("a").as("auth"), col("h").as("hub"))
+      .orderBy(col("auth").desc, col("id"))
+      .limit(50)
+
   /** Connected components by iterative min-label propagation WITH
     * pointer jumping, over an undirected pair list, run UNTIL STABLE.
     * Shared by the text and embedding dedup pipelines

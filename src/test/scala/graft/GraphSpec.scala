@@ -201,4 +201,22 @@ class GraphSpec extends SparkSpec {
       assert(ok.contains(r.getAs[Long]("dst")))
     }
   }
+
+  test("HITS round 1: authority = in-degree, hub = sum of successor in-degrees") {
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+    val got = GraphOps.hitsExactOn(ded, 1).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("a"), r.getAs[Long]("h"))).toMap
+    val edges = ded.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val indeg = edges.groupBy(_._2).map { case (v, es) => v -> es.size.toLong }
+    edges.map(_._1).distinct.foreach { u =>
+      val expHub = edges.filter(_._1 == u)
+        .map(e => indeg.getOrElse(e._2, 0L)).sum
+      assert(got(u)._2 == expHub, s"hub of $u")
+    }
+    got.foreach { case (v, (a, _)) =>
+      assert(a == indeg.getOrElse(v, 0L), s"auth of $v")
+    }
+  }
 }
