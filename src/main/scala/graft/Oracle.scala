@@ -1623,6 +1623,40 @@ object Oracle {
     // timezone-free (to_timestamp would produce TIMESTAMPTZ and bind
     // the result to the session zone); epoch_us // is floor division on
     // positives, matching Spark's unix_timestamp truncation
+    // open/close replayed by row_number over the identical total order
+    // (ts_sec, event_id) that min_by/max_by select on in Spark
+    "timeseries_ohlc" ->
+      """WITH ev AS (SELECT make_timestamp(
+                       ((epoch_us(ts) // 1000000) // 900 * 900)
+                         * 1000000) AS bucket_ts,
+                     date_trunc('second', ts) AS ts_sec, event_id, value
+                     FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY bucket_ts
+                   ORDER BY ts_sec, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY bucket_ts
+                   ORDER BY ts_sec DESC, event_id DESC) AS rn_d
+               FROM ev)
+         SELECT bucket_ts, count(*) AS n_events,
+                max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rn_d = 1 THEN value END) AS close
+         FROM r GROUP BY bucket_ts ORDER BY bucket_ts""",
+
+    "scd2_history" ->
+      """SELECT user_id, event_id,
+                date_trunc('second', ts) AS valid_from,
+                lead(date_trunc('second', ts), 1) OVER (
+                  PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts), event_id) AS valid_to,
+                value,
+                lead(date_trunc('second', ts), 1) OVER (
+                  PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts), event_id) IS NULL
+                  AS is_current
+         FROM events
+         ORDER BY user_id, valid_from, event_id""",
+
     "timeseries_gapfill" ->
       s"""WITH ev AS (SELECT make_timestamp(
                         ((epoch_us(ts) // 1000000) // 900 * 900)

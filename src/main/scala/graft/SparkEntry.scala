@@ -169,6 +169,8 @@ object SparkEntry {
     "stream_stateful_running" -> (Streaming.streamStatefulRunning _),
     "stream_static_join"      -> (Streaming.streamStaticJoin _),
     "timeseries_gapfill"      -> (TimeSeries.timeseriesGapfill _),
+    "timeseries_ohlc"         -> (TimeSeries.timeseriesOhlc _),
+    "scd2_history"            -> (TimeSeries.scd2History _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

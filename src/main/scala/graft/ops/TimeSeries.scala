@@ -50,4 +50,51 @@ object TimeSeries {
           .as("ffill_value"))
       .orderBy(col("bucket_ts"))
   }
+
+  /** OHLC resample (open/high/low/close per 15-min bucket of purchase
+    * values) — the finance-style downsampling every event-series store
+    * ships. open/close are selected by `min_by`/`max_by` over the
+    * TOTAL order (ts_sec, event_id) — combinable aggregates, one
+    * map-side-combined shuffle on the bucket key, no window sort of
+    * the raw events (the oracle replays the selection with
+    * row_number, same total order, same values). */
+  def timeseriesOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(
+        expr("timestamp_seconds((unix_timestamp(ts) div 900) * 900)")
+          .as("bucket_ts"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_id"), col("value"))
+    ev.groupBy(col("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("ts_sec"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_sec"), col("event_id")))
+          .as("close"))
+      .orderBy(col("bucket_ts"))
+  }
+
+  /** SCD-2 history: interval-ize each user's event stream into
+    * validity ranges — every event's value is valid from its own
+    * timestamp until the user's next event (`lead` over the total
+    * order), open-ended for the current row. The standard
+    * slowly-changing-dimension shape a warehouse keeps for "what was
+    * this entity's state at time t" (point-in-time joins probe it with
+    * `valid_from <= t < valid_to`). One window shuffle on the entity
+    * key; at 100 TB this partitions by user exactly like any per-key
+    * window. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("valid_from"),
+        col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
 }

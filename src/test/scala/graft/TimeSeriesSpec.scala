@@ -65,4 +65,37 @@ class TimeSeriesSpec extends SparkSpec {
         col("text")).collect()
     assert(viaJson.sameElements(docs))
   }
+
+  test("OHLC: low <= open/close <= high, events conserved") {
+    val rows = TimeSeries.timeseriesOhlc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val purchases = Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == purchases)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+    }
+  }
+
+  test("SCD2: per-user intervals chain with exactly one open row") {
+    val rows = TimeSeries.scd2History(spark, sfDir).collect()
+    val events = Tables(spark, sfDir).events.count()
+    assert(rows.length == events)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      // already ordered (valid_from, event_id) within user by the sort
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"),
+            s"user $u: interval chain broken")
+        case _ =>
+      }
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $u: open-row count != 1")
+      assert(rs.last.getAs[Boolean]("is_current"))
+    }
+  }
 }
