@@ -200,6 +200,61 @@ object Oracle {
          ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
 
+  /** Unrolled product quantization, replaying
+    * [[graft.ops.VectorOps.embedQuantizePq]] subspace for subspace:
+    * deterministic seed (K smallest vec_ids), rounded sequential-sum
+    * L2² assignment with smallest-cid tie-break, one decimal-exact
+    * Lloyd update with empty-cluster carry-forward, final codes +
+    * decimal-summed reconstruction error. */
+  private def quantizePqSql(m: Int, k: Int): String = {
+    val subDim = 64 / m
+    def d2(a: String, b: String) =
+      s"""ROUND(list_sum(list_transform(range(1, ${subDim + 1}),
+            i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"""
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, sub, subv, dist, cid FROM (
+             SELECT s.vec_id, s.sub, s.subv, c.cid,
+                    ${d2("s.subv", "c.centroid")} AS dist,
+                    row_number() OVER (PARTITION BY s.vec_id, s.sub
+                      ORDER BY ${d2("s.subv", "c.centroid")}, c.cid)
+                      AS rn
+             FROM subs s JOIN $cents c ON s.sub = c.sub) t
+           WHERE rn = 1)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+         subs AS (SELECT vec_id, sub,
+                         list_transform(range(1, ${subDim + 1}),
+                           i -> v[sub * $subDim + i]) AS subv
+                  FROM e, range(0, $m) r(sub)),
+         seeds AS (SELECT vec_id,
+                     CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                       AS cid
+                   FROM (SELECT vec_id FROM e
+                         ORDER BY vec_id LIMIT $k) t),
+         c0 AS (SELECT sub, cid, subv AS centroid
+                FROM subs JOIN seeds USING (vec_id)),
+         ${assign("a0", "c0")},
+         u0 AS (SELECT sub, cid, list(m ORDER BY pos) AS centroid
+                FROM (
+                  SELECT sub, cid, i AS pos,
+                         CAST(SUM(CAST(subv[i] AS DECIMAL(27,10)))
+                           AS DOUBLE) / COUNT(*) AS m
+                  FROM a0, range(1, ${subDim + 1}) r(i)
+                  GROUP BY sub, cid, i) t
+                GROUP BY sub, cid),
+         c1 AS (SELECT c0.sub, c0.cid,
+                       COALESCE(u0.centroid, c0.centroid) AS centroid
+                FROM c0 LEFT JOIN u0
+                  ON u0.sub = c0.sub AND u0.cid = c0.cid),
+         ${assign("a1", "c1")}
+         SELECT vec_id,
+                string_agg(CAST(cid AS VARCHAR), '' ORDER BY sub)
+                  AS code,
+                CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+                  AS recon_err
+         FROM a1 GROUP BY vec_id ORDER BY vec_id"""
+  }
+
   /** Unrolled personalized PageRank: same integer iteration as
     * [[pagerankExactSql]] with the teleport term restricted to the
     * BUILDING-customer source set (replaying
@@ -1508,6 +1563,9 @@ object Oracle {
     // shapes are deliberately distinct and must not be "simplified"
     // into each other.
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
+
+    "embed_quantize_pq" ->
+      quantizePqSql(graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK),
 
     "embed_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

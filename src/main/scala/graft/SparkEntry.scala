@@ -157,6 +157,7 @@ object SparkEntry {
     "embed_knn_per_label"      -> (VectorOps.embedKnnPerLabel _),
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
+    "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),

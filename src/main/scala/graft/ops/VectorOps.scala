@@ -262,6 +262,91 @@ object VectorOps {
     out
   }
 
+  /** Number of PQ subspaces / centroids per subspace — mirrored by
+    * `Oracle.quantizePqSql`; change both together. */
+  val PqM = 8
+  val PqK = 4
+
+  /** Product quantization: compress each 64-dim vector into [[PqM]]
+    * codebook ids (one per 8-dim subspace, [[PqK]] centroids each,
+    * learned by one synchronous Lloyd round from a deterministic seed).
+    * THE memory lever for ANN at 100 TB: 8 one-byte codes replace 512
+    * bytes of floats (64×), distances against a probe become M table
+    * lookups (ADC), and the codebook stays M×K×8 doubles — constant in
+    * the corpus size, trained once (on a sample, in production) and
+    * broadcast. Output per vector: the code word plus the rounded
+    * squared reconstruction error, summed decimal-exactly across
+    * subspaces.
+    *
+    * Everything is deterministic and DuckDB-replayable: subvector
+    * slicing, rounded sequential-sum L2², argmin with smallest-cid
+    * tie-break, decimal-exact mean update with empty-cluster
+    * carry-forward — the [[kmeansQuantizer]] discipline applied per
+    * subspace (the subspace id just joins the grouping keys, so the
+    * whole training step is still two keyed aggregations). */
+  def embedQuantizePq(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = 64 / PqM
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // (vec_id, sub, subv): one row per vector per subspace
+    val subs = e
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * $subDim + 1, $subDim)").as("subv"))
+      .persist()
+    // rounded sequential-sum squared L2 — same element order as the
+    // oracle's list_sum(list_transform(...)), so bit-identical
+    def d2(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    def assign(cs: DataFrame): DataFrame =
+      subs.join(broadcast(cs), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("subv"),
+          d2(col("subv"), col("centroid")).as("dist"), col("cid"))
+        .groupBy(col("vec_id"), col("sub"), col("subv"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("subv"),
+          col("m.dist").as("dist"), col("m.cid").as("cid"))
+    // deterministic seed: the K smallest vec_ids' subvectors, cid by id
+    val seeds = e.orderBy(col("vec_id")).limit(PqK)
+      .select(col("vec_id").as("sid"),
+        row_number().over(Window.orderBy(col("vec_id"))).as("cid"))
+    val c0 = subs.join(broadcast(seeds), col("vec_id") === col("sid"))
+      .select(col("sub"), col("cid"), col("subv").as("centroid"))
+    val upd = assign(c0)
+      .select(col("sub"), col("cid"), posexplode(col("subv")))
+      .toDF("sub", "cid", "pos", "x")
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("m"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("ps"))
+      .select(col("sub"), col("cid"),
+        expr("transform(ps, p -> p.m)").as("new_centroid"))
+    val c1 = c0.join(upd, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"),
+        coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+    val result = assign(c1)
+      .groupBy(col("vec_id"))
+      .agg(
+        array_sort(collect_list(struct(col("sub"), col("cid"))))
+          .as("ps"),
+        // per-subspace dists are already rounded; the decimal sum makes
+        // the cross-subspace addition order irrelevant
+        sum(col("dist").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("recon_err"))
+      .select(col("vec_id"),
+        expr("array_join(transform(ps, p -> cast(p.cid as string)), '')")
+          .as("code"),
+        col("recon_err"))
+      .orderBy(col("vec_id"))
+    val out = result.localCheckpoint(true)
+    subs.unpersist(false)
+    out
+  }
+
   /** LSH-prefiltered pair similarity — the 100 TB path for
     * [[embedPairSimThreshold]], which is exact but all-pairs within its
     * label key. Random-hyperplane signatures ([[VectorLsh]], fixed

@@ -158,4 +158,37 @@ class VectorSpec extends SparkSpec {
     // the threshold actually formed at least one multi-member cluster
     assert(clusters.values.groupBy(_._1).exists(_._2.size > 1))
   }
+
+  test("PQ: valid codes, every vector coded, Lloyd round reduces error") {
+    val rows = VectorOps.embedQuantizePq(spark, sfDir).collect()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.length == emb.size)
+    rows.foreach { r =>
+      val code = r.getAs[String]("code")
+      assert(code.length == VectorOps.PqM)
+      assert(code.forall(c => c >= '1' && c <= ('0' + VectorOps.PqK)))
+      assert(r.getAs[Double]("recon_err") >= 0.0)
+    }
+    // Lloyd monotonicity: total error with the TRAINED codebook is no
+    // worse than assigning straight to the seed codebook (recomputed
+    // here from first principles)
+    val subDim = 64 / VectorOps.PqM
+    def subvecs(v: Array[Double]) =
+      (0 until VectorOps.PqM).map(s => v.slice(s * subDim, (s + 1) * subDim))
+    def d2(a: Array[Double], b: Array[Double]) = BigDecimal(
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seedIds = emb.keys.toSeq.sorted.take(VectorOps.PqK)
+    val seedErr = emb.values.map { v =>
+      subvecs(v).zipWithIndex.map { case (sv, s) =>
+        seedIds.map(id => d2(sv, subvecs(emb(id))(s))).min
+      }.sum
+    }.sum
+    val trainedErr = rows.map(_.getAs[Double]("recon_err")).sum
+    assert(trainedErr <= seedErr + 1e-6,
+      s"trained $trainedErr > seed $seedErr")
+  }
 }
