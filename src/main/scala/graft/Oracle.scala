@@ -206,11 +206,16 @@ object Oracle {
     * L2² assignment with smallest-cid tie-break, one decimal-exact
     * Lloyd update with empty-cluster carry-forward, final codes +
     * decimal-summed reconstruction error. */
-  private def quantizePqSql(m: Int, k: Int): String = {
+  private def pqD2Sql(subDim: Int)(a: String, b: String) =
+    s"""ROUND(list_sum(list_transform(range(1, ${subDim + 1}),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"""
+
+  /** Shared PQ CTE chain (subspaces → seed codebook → one Lloyd round
+    * → final assignment a1 against the trained codebook c1), used by
+    * both the quantize and the ADC-search oracles. */
+  private def pqCtes(m: Int, k: Int): String = {
     val subDim = 64 / m
-    def d2(a: String, b: String) =
-      s"""ROUND(list_sum(list_transform(range(1, ${subDim + 1}),
-            i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"""
+    val d2 = pqD2Sql(subDim) _
     def assign(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, sub, subv, dist, cid FROM (
              SELECT s.vec_id, s.sub, s.subv, c.cid,
@@ -220,7 +225,7 @@ object Oracle {
                       AS rn
              FROM subs s JOIN $cents c ON s.sub = c.sub) t
            WHERE rn = 1)"""
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
          subs AS (SELECT vec_id, sub,
                          list_transform(range(1, ${subDim + 1}),
@@ -246,14 +251,34 @@ object Oracle {
                        COALESCE(u0.centroid, c0.centroid) AS centroid
                 FROM c0 LEFT JOIN u0
                   ON u0.sub = c0.sub AND u0.cid = c0.cid),
-         ${assign("a1", "c1")}
+         ${assign("a1", "c1")}"""
+  }
+
+  private def quantizePqSql(m: Int, k: Int): String =
+    s"""WITH ${pqCtes(m, k)}
          SELECT vec_id,
                 string_agg(CAST(cid AS VARCHAR), '' ORDER BY sub)
                   AS code,
                 CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
                   AS recon_err
          FROM a1 GROUP BY vec_id ORDER BY vec_id"""
-  }
+
+  /** ADC search over the PQ codes, replaying
+    * [[graft.ops.VectorOps.embedSearchPqAdc]]: probe distance table
+    * (M×K rounded L2² entries) summed decimal-exactly through each
+    * vector's code. */
+  private def searchPqAdcSql(m: Int, k: Int): String =
+    s"""WITH ${pqCtes(m, k)},
+         probe AS (SELECT sub, subv AS psubv FROM subs WHERE vec_id = 0),
+         dtable AS (SELECT c.sub, c.cid,
+                           ${pqD2Sql(64 / m)("p.psubv", "c.centroid")}
+                             AS d
+                    FROM c1 c JOIN probe p ON p.sub = c.sub)
+         SELECT vec_id,
+                CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+                  AS adc_dist
+         FROM a1 JOIN dtable USING (sub, cid)
+         GROUP BY vec_id ORDER BY adc_dist, vec_id LIMIT 10"""
 
   /** Unrolled personalized PageRank: same integer iteration as
     * [[pagerankExactSql]] with the teleport term restricted to the
@@ -1566,6 +1591,9 @@ object Oracle {
 
     "embed_quantize_pq" ->
       quantizePqSql(graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK),
+
+    "embed_search_pq_adc" ->
+      searchPqAdcSql(graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK),
 
     "embed_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -158,6 +158,7 @@ object SparkEntry {
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
     "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),
+    "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),

@@ -284,37 +284,45 @@ object VectorOps {
     * carry-forward — the [[kmeansQuantizer]] discipline applied per
     * subspace (the subspace id just joins the grouping keys, so the
     * whole training step is still two keyed aggregations). */
-  def embedQuantizePq(spark: SparkSession, dir: String): DataFrame = {
+  /** Rounded sequential-sum squared L2 — same element order as the
+    * oracle's list_sum(list_transform(...)), so bit-identical. */
+  private def pqD2(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): argmin
+    * rounded L2² with smallest-cid tie-break. */
+  private def pqAssign(subs: DataFrame, cs: DataFrame): DataFrame =
+    subs.join(broadcast(cs), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("subv"),
+        pqD2(col("subv"), col("centroid")).as("dist"), col("cid"))
+      .groupBy(col("vec_id"), col("sub"), col("subv"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("subv"),
+        col("m.dist").as("dist"), col("m.cid").as("cid"))
+
+  /** Shared PQ training: slice every vector into [[PqM]] subspaces and
+    * learn the per-subspace [[PqK]]-entry codebook (deterministic seed
+    * = the K smallest vec_ids, one synchronous Lloyd round,
+    * decimal-exact means, empty-cluster carry-forward). Returns
+    * (subspace rows, codebook), BOTH persisted — callers unpersist. */
+  private def pqTrain(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val subDim = 64 / PqM
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // (vec_id, sub, subv): one row per vector per subspace
     val subs = e
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v"))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $subDim + 1, $subDim)").as("subv"))
       .persist()
-    // rounded sequential-sum squared L2 — same element order as the
-    // oracle's list_sum(list_transform(...)), so bit-identical
-    def d2(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
-    def assign(cs: DataFrame): DataFrame =
-      subs.join(broadcast(cs), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("subv"),
-          d2(col("subv"), col("centroid")).as("dist"), col("cid"))
-        .groupBy(col("vec_id"), col("sub"), col("subv"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("subv"),
-          col("m.dist").as("dist"), col("m.cid").as("cid"))
-    // deterministic seed: the K smallest vec_ids' subvectors, cid by id
     val seeds = e.orderBy(col("vec_id")).limit(PqK)
       .select(col("vec_id").as("sid"),
         row_number().over(Window.orderBy(col("vec_id"))).as("cid"))
     val c0 = subs.join(broadcast(seeds), col("vec_id") === col("sid"))
       .select(col("sub"), col("cid"), col("subv").as("centroid"))
-    val upd = assign(c0)
+    val upd = pqAssign(subs, c0)
       .select(col("sub"), col("cid"), posexplode(col("subv")))
       .toDF("sub", "cid", "pos", "x")
       .groupBy(col("sub"), col("cid"), col("pos"))
@@ -328,7 +336,13 @@ object VectorOps {
     val c1 = c0.join(upd, Seq("sub", "cid"), "left")
       .select(col("sub"), col("cid"),
         coalesce(col("new_centroid"), col("centroid")).as("centroid"))
-    val result = assign(c1)
+      .persist()
+    (subs, c1)
+  }
+
+  def embedQuantizePq(spark: SparkSession, dir: String): DataFrame = {
+    val (subs, codebook) = pqTrain(spark, dir)
+    val result = pqAssign(subs, codebook)
       .groupBy(col("vec_id"))
       .agg(
         array_sort(collect_list(struct(col("sub"), col("cid"))))
@@ -344,6 +358,40 @@ object VectorOps {
       .orderBy(col("vec_id"))
     val out = result.localCheckpoint(true)
     subs.unpersist(false)
+    codebook.unpersist(false)
+    out
+  }
+
+  /** ADC search over the PQ codes — the query half of product
+    * quantization: the probe precomputes ONE M×K distance table
+    * (probe-subvector vs every codebook centroid, M·K = 32 doubles),
+    * and each database vector's approximate distance is just the sum
+    * of M table lookups through its code — no float math against the
+    * raw vectors at query time. At 100 TB the scan touches only the
+    * 8-byte codes (the 64×-compressed column) plus a broadcast 32-row
+    * table; this is how billion-scale ANN serves queries from RAM.
+    * Here the lookup is an equi-join on (sub, cid) + a decimal sum —
+    * map-side combinable, one shuffle on vec_id. Top-10 by rounded
+    * ADC distance (vec_id tie-break), exact and DuckDB-replayed. */
+  def embedSearchPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val (subs, codebook) = pqTrain(spark, dir)
+    // probe = vec_id 0, sliced into subvectors; distance table =
+    // probe-subvector vs every (sub, cid) centroid
+    val probeSubs = subs.filter(col("vec_id") === 0)
+      .select(col("sub"), col("subv").as("psubv"))
+    val dtable = codebook.join(broadcast(probeSubs), Seq("sub"))
+      .select(col("sub"), col("cid"),
+        pqD2(col("psubv"), col("centroid")).as("d"))
+    val result = pqAssign(subs, codebook)
+      .join(broadcast(dtable), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType)
+        .as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(10)
+    val out = result.localCheckpoint(true)
+    subs.unpersist(false)
+    codebook.unpersist(false)
     out
   }
 

@@ -191,4 +191,19 @@ class VectorSpec extends SparkSpec {
     assert(trainedErr <= seedErr + 1e-6,
       s"trained $trainedErr > seed $seedErr")
   }
+
+  test("PQ ADC search: probe's own code is the global ADC minimum") {
+    val rows = VectorOps.embedSearchPqAdc(spark, sfDir).collect()
+    assert(rows.length == 10)
+    // vec 0 IS the probe: its per-subspace assignment minimizes exactly
+    // the quantity the distance table looks up, so its ADC distance is
+    // the attainable minimum and the vec_id tie-break puts it first
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    val dists = rows.map(_.getAs[Double]("adc_dist"))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    })
+  }
 }
