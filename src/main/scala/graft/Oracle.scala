@@ -1316,6 +1316,20 @@ object Oracle {
          WHERE jaccard >= 0.05
          ORDER BY a_id, b_id""",
 
+    "text_ngram_containment" ->
+      s"""WITH $NgramCtes,
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          count(*) AS inter
+                   FROM tri a JOIN tri b
+                     ON a.g = b.g AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+         SELECT * FROM (
+           SELECT a_id, b_id,
+                  ROUND(CAST(inter AS DOUBLE) / sa.n, 3) AS containment
+           FROM pairs JOIN sz sa ON sa.doc_id = a_id)
+         WHERE containment >= 0.5
+         ORDER BY a_id, b_id""",
+
     "text_tokenize_tf" ->
       """SELECT lang, tok, count(*) AS cnt FROM (
            SELECT lang, unnest(string_split(text, ' ')) AS tok

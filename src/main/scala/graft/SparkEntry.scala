@@ -137,6 +137,7 @@ object SparkEntry {
     "dedup_simhash"      -> (TextOps.dedupSimhash _),
     "dedup_cluster_canonical" -> (TextOps.dedupClusterCanonical _),
     "text_ngram_jaccard" -> (TextOps.textNgramJaccard _),
+    "text_ngram_containment" -> (TextOps.textNgramContainment _),
     "text_tokenize_tf"   -> (TextOps.textTokenizeTf _),
     "text_tfidf_topk"    -> (TextOps.textTfidfTopk _),
     "text_lang_stats"    -> (TextOps.textLangStats _),

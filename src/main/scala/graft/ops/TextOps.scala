@@ -230,6 +230,32 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Asymmetric containment: |A∩B| / |A| over the same df-capped
+    * shingle universe as [[textNgramJaccard]] — the near-dup measure
+    * Jaccard MISSES: a short document wholly quoted inside a long one
+    * has low Jaccard (the union is large) but containment ≈ 1 from the
+    * short side, which is exactly the excerpt/boilerplate case a
+    * training-data dedup pass must catch. Emitted directionally (a→b
+    * and b→a scored separately, ordered pairs); same bounded shingle
+    * self-join shape as the Jaccard op, so the df-cap scale argument
+    * carries over unchanged. */
+  def textNgramContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = capShingleDf(shingles(spark, dir))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+        "a_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast(DoubleType) / col("na"), 3)
+          .as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Final step of the dedup pipeline: group near-duplicate documents
     * into clusters (connected components over the exact-Jaccard ≥ 0.5
     * pair graph) and elect the min doc_id as each cluster's canonical

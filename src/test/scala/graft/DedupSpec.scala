@@ -165,4 +165,21 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(again == sample.map(_.getAs[Long]("doc_id")).toSet)
   }
+
+  test("containment dominates Jaccard and covers every near-dup pair") {
+    val cont = TextOps.textNgramContainment(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("containment")).toMap
+    val jac = TextOps.textNgramJaccard(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.5)
+    assert(jac.nonEmpty)
+    jac.foreach { r =>
+      val (a, b, j) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"))
+      // inter/|A| >= inter/|A∪B| — both directions of any Jaccard-0.5
+      // pair clear the containment threshold (rounding gives 0.001 slack)
+      assert(cont.getOrElse((a, b), 0.0) >= j - 0.001, s"($a,$b)")
+      assert(cont.getOrElse((b, a), 0.0) >= j - 0.001, s"($b,$a)")
+    }
+  }
 }
