@@ -1757,6 +1757,26 @@ object Oracle {
          FROM events
          ORDER BY user_id, valid_from, event_id""",
 
+    "events_funnel_detect" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+                            epoch_us(ts) // 1000000 AS sec FROM events),
+         v AS (SELECT user_id, min(sec) AS view_sec FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT ev.user_id AS user_id, v.view_sec,
+                      min(sec) AS click_sec
+               FROM ev JOIN v ON ev.user_id = v.user_id
+               WHERE event_type = 'click' AND sec >= view_sec
+                 AND sec <= view_sec + ${graft.ops.TimeSeries.FunnelWindowSec}
+               GROUP BY ev.user_id, v.view_sec),
+         p AS (SELECT ev.user_id AS user_id, c.view_sec, c.click_sec,
+                      min(sec) AS purchase_sec
+               FROM ev JOIN c ON ev.user_id = c.user_id
+               WHERE event_type = 'purchase' AND sec >= click_sec
+                 AND sec <= click_sec + ${graft.ops.TimeSeries.FunnelWindowSec}
+               GROUP BY ev.user_id, c.view_sec, c.click_sec)
+         SELECT user_id, view_sec, click_sec, purchase_sec FROM p
+         ORDER BY user_id""",
+
     "timeseries_gapfill" ->
       s"""WITH ev AS (SELECT make_timestamp(
                         ((epoch_us(ts) // 1000000) // 900 * 900)

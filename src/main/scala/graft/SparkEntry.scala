@@ -174,6 +174,7 @@ object SparkEntry {
     "timeseries_gapfill"      -> (TimeSeries.timeseriesGapfill _),
     "timeseries_ohlc"         -> (TimeSeries.timeseriesOhlc _),
     "scd2_history"            -> (TimeSeries.scd2History _),
+    "events_funnel_detect"    -> (TimeSeries.eventsFunnelDetect _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

@@ -77,6 +77,45 @@ object TimeSeries {
       .orderBy(col("bucket_ts"))
   }
 
+  /** Step window for [[eventsFunnelDetect]], mirrored in the oracle. */
+  val FunnelWindowSec = 172800L
+
+  /** Funnel detection (view → click → purchase, each step within 48
+    * hours of the previous — sized to this corpus's per-user event
+    * cadence of ~2 events/day; a web-analytics deployment would use
+    * minutes) with GREEDY-FROM-EARLIEST semantics: anchor
+    * at the user's first view, take the first click inside that
+    * window, then the first purchase inside the click's window. The
+    * greedy anchor makes the funnel deterministic and expressible as
+    * three min-aggregations chained by range-filtered equi-joins — no
+    * per-user event-sequence scan, every step a keyed combinable agg
+    * (a user whose LATER view would have qualified is intentionally
+    * not counted; that is the documented semantics, same trade every
+    * SQL funnel makes). Epoch-second integers keep the window
+    * arithmetic engine-neutral. One shuffle per step on user_id — at
+    * 100 TB all three steps co-partition, so AQE collapses them onto
+    * one exchange lineage. */
+  def eventsFunnelDetect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        expr("unix_seconds(date_trunc('second', ts))").as("sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("view_sec"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("sec") >= col("view_sec") &&
+        col("sec") <= col("view_sec") + FunnelWindowSec)
+      .groupBy(col("user_id"), col("view_sec"))
+      .agg(min(col("sec")).as("click_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("sec") >= col("click_sec") &&
+        col("sec") <= col("click_sec") + FunnelWindowSec)
+      .groupBy(col("user_id"), col("view_sec"), col("click_sec"))
+      .agg(min(col("sec")).as("purchase_sec"))
+    p.orderBy(col("user_id"))
+  }
+
   /** SCD-2 history: interval-ize each user's event stream into
     * validity ranges — every event's value is valid from its own
     * timestamp until the user's next event (`lead` over the total

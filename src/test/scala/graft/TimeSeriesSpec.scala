@@ -80,6 +80,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("funnel: anchored at first view, steps ordered inside the window") {
+    val rows = TimeSeries.eventsFunnelDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sfDir).events
+      .selectExpr("user_id", "event_type",
+        "unix_seconds(date_trunc('second', ts)) as sec").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val (v, c, p) = (r.getAs[Long]("view_sec"),
+        r.getAs[Long]("click_sec"), r.getAs[Long]("purchase_sec"))
+      assert(v <= c && c <= v + TimeSeries.FunnelWindowSec)
+      assert(c <= p && p <= c + TimeSeries.FunnelWindowSec)
+      val byType = ev(u).groupBy(_.getAs[String]("event_type"))
+        .view.mapValues(_.map(_.getAs[Long]("sec")))
+      // anchor is the user's FIRST view; click/purchase are the first
+      // qualifying events of their type
+      assert(v == byType("view").min)
+      assert(c == byType("click")
+        .filter(s => s >= v && s <= v + TimeSeries.FunnelWindowSec).min)
+      assert(p == byType("purchase")
+        .filter(s => s >= c && s <= c + TimeSeries.FunnelWindowSec).min)
+    }
+  }
+
   test("SCD2: per-user intervals chain with exactly one open row") {
     val rows = TimeSeries.scd2History(spark, sfDir).collect()
     val events = Tables(spark, sfDir).events.count()
