@@ -115,6 +115,39 @@ object Oracle {
          ORDER BY rank_micro DESC, id LIMIT 50"""
   }
 
+  /** Deterministic random walks, replaying
+    * [[graft.ops.GraphOps.graphRandomWalk]]: per step, argmin of the
+    * engine-neutral md5Hash60 over (walk id, step, candidate), dst
+    * tie-break. */
+  private def randomWalkSql(steps: Int): String = {
+    def stepCte(t: Int, fromExpr: String) = {
+      val key = s"CAST(walk_id AS VARCHAR) || ':$t:' || " +
+        "CAST(d.dst AS VARCHAR)"
+      s"""s$t AS (SELECT walk_id, dst AS v$t FROM (
+             SELECT f.walk_id AS walk_id, d.dst,
+                    row_number() OVER (PARTITION BY f.walk_id
+                      ORDER BY ${md5Hash60Sql(key)}, d.dst) AS rn
+             FROM $fromExpr JOIN ded d ON d.src = f.cur) t
+           WHERE rn = 1)"""
+    }
+    val chain = (1 to steps).map { t =>
+      val from =
+        if (t == 1) "(SELECT walk_id, walk_id AS cur FROM starts) f"
+        else s"(SELECT walk_id, v${t - 1} AS cur FROM s${t - 1}) f"
+      stepCte(t, from)
+    }.mkString(",\n         ")
+    val joins = (1 to steps)
+      .map(t => s"LEFT JOIN s$t USING (walk_id)").mkString(" ")
+    val cols = (1 to steps).map(t => s"v$t").mkString(", ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         starts AS (SELECT DISTINCT 6000000000000 + o_orderkey
+                      AS walk_id FROM orders),
+         $chain
+         SELECT walk_id, $cols FROM starts $joins
+         ORDER BY walk_id"""
+  }
+
   /** Unrolled exact-integer HITS, replaying
     * [[graft.ops.GraphOps.hitsExactOn]]: hub⁰ = 1, per round
     * auth = Σ in-hub then hub = Σ out-auth, no normalization (the
@@ -1120,6 +1153,8 @@ object Oracle {
     "graph_lpa_exact" -> lpaExactSql(3),
 
     "graph_hits_exact" -> hitsExactSql(2),
+
+    "graph_random_walk" -> randomWalkSql(3),
 
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered

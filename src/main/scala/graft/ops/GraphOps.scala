@@ -368,6 +368,49 @@ object GraphOps {
       .orderBy(col("auth").desc, col("id"))
       .limit(50)
 
+  /** Deterministic "random" walks — the corpus generator for
+    * DeepWalk/node2vec-style graph embeddings: from every order
+    * vertex, take 3 steps, at each step choosing the out-neighbor
+    * with the SMALLEST engine-neutral hash of (walk id, step,
+    * candidate). Hash-based choice replaces the RNG every published
+    * walk sampler uses — same marginal uniformity over candidates,
+    * but reproducible run-to-run, shuffle-order-independent, and
+    * DuckDB-replayable (the md5Hash60 trick that oracle-checks the
+    * whole dedup family). Dead ends (part vertices are sinks) leave
+    * the remaining hops NULL.
+    *
+    * Per step: one equi-join of the frontier against the
+    * src-partitioned edge cache + an argmin agg — map-side
+    * combinable, no per-vertex sort. At 100 TB this is the standard
+    * walk-table build: k joins for k steps, frontier co-partitioned
+    * with the bucketed edge table, walks per vertex scaled by
+    * replicating walk ids. */
+  def graphRandomWalk(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.dedupEdgesCached(spark, dir)
+    val starts = Tables(spark, dir).orders
+      .select((lit(GraphModel.OrderOff) + col("o_orderkey"))
+        .as("walk_id")).distinct()
+    def pick(frontier: DataFrame, t: Int): DataFrame =
+      frontier.join(e, frontier("cur") === e("src"))
+        .select(col("walk_id"),
+          TextOps.md5Hash60(concat_ws(":",
+            col("walk_id").cast("string"), lit(t.toString),
+            col("dst").cast("string"))).as("score"),
+          col("dst"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("score"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("m.dst").as(s"v$t"))
+    val s1 = pick(starts.select(col("walk_id"),
+      col("walk_id").as("cur")), 1)
+    val s2 = pick(s1.select(col("walk_id"), col("v1").as("cur")), 2)
+    val s3 = pick(s2.select(col("walk_id"), col("v2").as("cur")), 3)
+    starts.join(s1, Seq("walk_id"), "left")
+      .join(s2, Seq("walk_id"), "left")
+      .join(s3, Seq("walk_id"), "left")
+      .select(col("walk_id"), col("v1"), col("v2"), col("v3"))
+      .orderBy(col("walk_id"))
+  }
+
   /** Connected components by iterative min-label propagation WITH
     * pointer jumping, over an undirected pair list, run UNTIL STABLE.
     * Shared by the text and embedding dedup pipelines

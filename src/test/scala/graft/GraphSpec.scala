@@ -202,6 +202,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("random walks follow real edges, vary by hash, die only at sinks") {
+    val walks = GraphOps.graphRandomWalk(spark, sfDir).collect()
+    assert(walks.nonEmpty)
+    val edges = GraphModel.dedupEdgesCached(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    val srcs = edges.map(_._1)
+    def v(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    walks.foreach { r =>
+      val chain = r.getLong(0) :: List(1, 2, 3).map(v(r, _)).flatten
+      chain.sliding(2).foreach {
+        case List(a, b) => assert(edges.contains((a, b)), s"no edge $a->$b")
+        case _ =>
+      }
+      // a walk only stops early at a genuine sink
+      List(1, 2).foreach { i =>
+        if (v(r, i).isDefined && v(r, i + 1).isEmpty)
+          assert(!srcs.contains(v(r, i).get), s"walk died at non-sink: $r")
+      }
+    }
+    // the hash choice actually varies: first hops hit more than one
+    // vertex namespace (customers AND parts/suppliers)
+    val firstHopKinds = walks.flatMap(v(_, 1))
+      .map(_ / 1000000000000L).toSet
+    assert(firstHopKinds.size > 1, s"first hops all one kind: $firstHopKinds")
+  }
+
   test("HITS round 1: authority = in-degree, hub = sum of successor in-degrees") {
     val ded = GraphModel.dedupEdgesCached(spark, sfDir)
     val got = GraphOps.hitsExactOn(ded, 1).collect()
