@@ -1792,6 +1792,21 @@ object Oracle {
          FROM events
          ORDER BY user_id, valid_from, event_id""",
 
+    // the streaming state's final view = batch argmax per user over
+    // the same (ts_sec, event_id) total order
+    "stream_cdc_latest" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec, value
+                     FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_sec DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_updates
+               FROM ev)
+         SELECT user_id, event_id AS last_event_id, ts_sec AS last_ts,
+                value AS last_value, n_updates
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+
     "events_funnel_detect" ->
       s"""WITH ev AS (SELECT user_id, event_type,
                             epoch_us(ts) // 1000000 AS sec FROM events),

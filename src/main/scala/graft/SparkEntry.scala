@@ -180,7 +180,8 @@ object SparkEntry {
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),
     "stream_graph_degree"     -> (Streaming.streamGraphDegree _),
-    "stream_stream_join"      -> (Streaming.streamStreamJoin _)
+    "stream_stream_join"      -> (Streaming.streamStreamJoin _),
+    "stream_cdc_latest"       -> (Streaming.streamCdcLatest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -355,6 +355,93 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One CDC input row. */
+  final case class UserEvent(user_id: Long, event_id: Long,
+    ts_sec: java.sql.Timestamp, value: Double)
+
+  /** Per-user latest-write state: the CDC view row. */
+  final case class LatestState(user_id: Long, last_event_id: Long,
+    last_ts: java.sql.Timestamp, last_value: Double, n_updates: Long)
+
+  /** Memoized memory-sink table per (session, dir), same discipline as
+    * [[streamGraphDegree]]. */
+  private val cdcTables = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
+
+  /** CDC-style materialized view, maintained INCREMENTALLY: a true
+    * streaming run folds the event stream into one last-write-wins
+    * record per user (latest by the (ts, event_id) total order, plus
+    * the update count) via flatMapGroupsWithState — the "current
+    * state" table every graph/entity store keeps under a change feed.
+    * State is one fixed-size record per key, updated in place per
+    * micro-batch, never recomputed from scratch; at 100 TB this lives
+    * keyed in RocksDB with event-time TTL for idle keys. The final
+    * view equals the batch argmax per user, which is what the oracle
+    * checks. The read side collapses multi-batch emission history by
+    * max(n_updates) — monotone per key, so the final emission wins. */
+  def streamCdcLatest(spark: SparkSession, dir: String): DataFrame = {
+    val name = cdcTables.getOrElseUpdate((spark, dir),
+      runCdcLatest(spark, dir))
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_updates"), col("last_ts"),
+        col("last_event_id"), col("last_value"))).as("m"))
+      .select(col("user_id"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.last_ts").as("last_ts"),
+        col("m.last_value").as("last_value"),
+        col("m.n_updates").as("n_updates"))
+      .orderBy(col("user_id"))
+  }
+
+  /** One update-mode run to a fresh memory sink; returns the table. */
+  private def runCdcLatest(spark: SparkSession, dir: String): String =
+    withStatePartitions(spark, 8) {
+      import spark.implicits._
+      val name = s"graft_stream_cdc_${runIds.incrementAndGet()}"
+      val events = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_sec"), col("value"))
+        .as[UserEvent]
+      val q = cdcLatestStream(events)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      name
+    }
+
+  /** The CDC fold itself (shared by the registered run and the
+    * MemoryStream tests): last-write-wins on the (ts, event_id) total
+    * order, update count accumulated across micro-batches — an
+    * out-of-order late event bumps the count but never regresses the
+    * latest record. */
+  def cdcLatestStream(ev: Dataset[UserEvent]): Dataset[LatestState] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent],
+         state: GroupState[LatestState]) =>
+          var cur = state.getOption.orNull
+          var n = if (cur == null) 0L else cur.n_updates
+          batch.foreach { e =>
+            n += 1
+            val newer = cur == null ||
+              e.ts_sec.compareTo(cur.last_ts) > 0 ||
+              (e.ts_sec.compareTo(cur.last_ts) == 0 &&
+                e.event_id > cur.last_event_id)
+            if (newer)
+              cur = LatestState(uid, e.event_id, e.ts_sec, e.value, n)
+          }
+          cur = cur.copy(n_updates = n)
+          state.update(cur)
+          Iterator(cur)
+      }
+  }
+
   /** True streaming custom state: per-user running purchase totals via
     * flatMapGroupsWithState (Update mode). State is one fixed-size
     * record per user — bounded by user cardinality; with event-time

@@ -301,13 +301,22 @@ object VectorOps {
       .select(col("vec_id"), col("sub"), col("subv"),
         col("m.dist").as("dist"), col("m.cid").as("cid"))
 
+  /** Memoized [[pqTrain]] outputs per (session, dir): the quantize and
+    * ADC-search keys consume the identical codebook, so training runs
+    * once per JVM — the frames stay persisted for the session lifetime
+    * like the edge/shingle caches (subspace rows are M per vector,
+    * codebook M×K rows; both tiny). */
+  private val pqCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
   /** Shared PQ training: slice every vector into [[PqM]] subspaces and
     * learn the per-subspace [[PqK]]-entry codebook (deterministic seed
     * = the K smallest vec_ids, one synchronous Lloyd round,
     * decimal-exact means, empty-cluster carry-forward). Returns
-    * (subspace rows, codebook), BOTH persisted — callers unpersist. */
+    * (subspace rows, codebook), both persisted for the session (see
+    * [[pqCache]]). */
   private def pqTrain(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = pqCache.getOrElseUpdate((spark, dir), {
     val subDim = 64 / PqM
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -338,7 +347,7 @@ object VectorOps {
         coalesce(col("new_centroid"), col("centroid")).as("centroid"))
       .persist()
     (subs, c1)
-  }
+  })
 
   def embedQuantizePq(spark: SparkSession, dir: String): DataFrame = {
     val (subs, codebook) = pqTrain(spark, dir)
@@ -356,10 +365,9 @@ object VectorOps {
           .as("code"),
         col("recon_err"))
       .orderBy(col("vec_id"))
-    val out = result.localCheckpoint(true)
-    subs.unpersist(false)
-    codebook.unpersist(false)
-    out
+    // the cached training frames stay persisted (pqCache) — only the
+    // small result is materialized out
+    result.localCheckpoint(true)
   }
 
   /** ADC search over the PQ codes — the query half of product
@@ -389,10 +397,7 @@ object VectorOps {
         .as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(10)
-    val out = result.localCheckpoint(true)
-    subs.unpersist(false)
-    codebook.unpersist(false)
-    out
+    result.localCheckpoint(true)
   }
 
   /** LSH-prefiltered pair similarity — the 100 TB path for

@@ -98,6 +98,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC latest-state view: late out-of-order event never regresses") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.cdcLatestStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_t")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Streaming.UserEvent(7L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streaming.UserEvent(7L, 2L, ts("2024-01-01 11:00:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event with an older timestamp — counted as an
+      // update, but the latest record must not regress
+      input.addData(
+        Streaming.UserEvent(7L, 3L, ts("2024-01-01 10:30:00"), 9.9))
+      q.processAllAvailable()
+      val fin = spark.table("cdc_t").as[Streaming.LatestState].collect()
+        .filter(_.user_id == 7L).maxBy(_.n_updates)
+      assert(fin.n_updates == 3L)
+      assert(fin.last_event_id == 2L)
+      assert(fin.last_value == 2.0)
+    } finally q.stop()
+  }
+
   test("transformWithState (4.x StatefulProcessor) matches the " +
       "flatMapGroupsWithState totals") {
     val sess = spark
