@@ -1124,6 +1124,12 @@ object Oracle {
          WHERE n_name = 'NATION_7'
          ORDER BY c, n, o""",
 
+    "motif_return_agg" ->
+      """SELECT 2000000000000 + c_nationkey AS n,
+                count(*) AS count_o
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY n""",
+
     "graph_delete_edges" ->
       s"""WITH $EdgesCte,
           ded AS (SELECT DISTINCT src, dst, rel FROM edges),

@@ -122,26 +122,61 @@ object MotifDsl {
     * broadcast-semi-join per predicate (the standard property-pushdown
     * shape of a graph query planner), never a full property scan
     * carried through the traversal. */
+  private val RetCount = """count\((\w+)\)""".r
+  private val RetName = """(\w+)""".r
+
   def compileQuery(spark: SparkSession, dir: String,
       query: String): DataFrame = {
-    val parts = query.split("(?i)\\s+WHERE\\s+" + outsideQuotes, 2)
+    // strip the RETURN clause first (also quote-aware), then WHERE
+    val retSplit = query.split("(?i)\\s+RETURN\\s+" + outsideQuotes, 2)
+    val parts = retSplit(0).split("(?i)\\s+WHERE\\s+" + outsideQuotes, 2)
     val df = compile(GraphModel.edgesCached(spark, dir), parts(0).trim)
-    if (parts.length == 1) df
-    else parts(1).split("(?i)\\s+AND\\s+" + outsideQuotes)
-      .map(_.trim).foldLeft(df) {
-      case (acc, Cond(node, prop, value)) =>
-        require(df.columns.contains(node),
-          s"WHERE references unbound node '$node'")
-        require(Props.contains(prop),
-          s"unknown property '$prop' (have: ${Props.mkString(", ")})")
-        val ids = GraphModel.vertices(spark, dir)
-          .filter(col(prop) === value.replace("''", "'"))
-          .select(col("id").as(s"__${node}_id"))
-        acc.join(broadcast(ids), col(node) === col(s"__${node}_id"),
-            "left_semi")
-      case (_, c) =>
-        throw new IllegalArgumentException(
-          s"bad WHERE condition: '$c' (need node.prop = 'literal')")
+    val filtered =
+      if (parts.length == 1) df
+      else parts(1).split("(?i)\\s+AND\\s+" + outsideQuotes)
+        .map(_.trim).foldLeft(df) {
+        case (acc, Cond(node, prop, value)) =>
+          require(df.columns.contains(node),
+            s"WHERE references unbound node '$node'")
+          require(Props.contains(prop),
+            s"unknown property '$prop' (have: ${Props.mkString(", ")})")
+          val ids = GraphModel.vertices(spark, dir)
+            .filter(col(prop) === value.replace("''", "'"))
+            .select(col("id").as(s"__${node}_id"))
+          acc.join(broadcast(ids), col(node) === col(s"__${node}_id"),
+              "left_semi")
+        case (_, c) =>
+          throw new IllegalArgumentException(
+            s"bad WHERE condition: '$c' (need node.prop = 'literal')")
+      }
+    if (retSplit.length == 1) filtered
+    else applyReturn(filtered, retSplit(1))
+  }
+
+  /** RETURN clause: `RETURN item (, item)*` with item = a bound node
+    * name (group/projection key) or `count(name)` (aggregate). Names
+    * alone project the per-match rows; mixing names and counts
+    * compiles to groupBy(names).agg(counts) — the grouped-traversal
+    * shape (`orders per nation`) a graph query language returns
+    * without the caller hand-writing the aggregation plan. Aggregate
+    * columns are named `count_<node>`. Deterministic total order on
+    * the output keys. */
+  private def applyReturn(df: DataFrame, ret: String): DataFrame = {
+    val items = ret.split(",").map(_.trim)
+    require(items.nonEmpty && items.forall(_.nonEmpty),
+      s"empty RETURN clause")
+    val keys = items.collect { case RetName(n) => n }
+    val counts = items.collect { case RetCount(n) => n }
+    (keys ++ counts).foreach(n => require(df.columns.contains(n),
+      s"RETURN references unbound node '$n'"))
+    if (counts.isEmpty) df.select(keys.map(col): _*)
+      .orderBy(keys.map(col): _*)
+    else {
+      require(keys.nonEmpty, "RETURN with only aggregates needs a key")
+      df.groupBy(keys.map(col): _*)
+        .agg(count(col(counts.head)).as(s"count_${counts.head}"),
+          counts.tail.map(n => count(col(n)).as(s"count_$n")): _*)
+        .orderBy(keys.map(col): _*)
     }
   }
 
@@ -151,6 +186,13 @@ object MotifDsl {
     compileQuery(spark, dir,
       "(c)-[:IN]->(n);(o)-[:BY]->(c) WHERE n.name = 'NATION_7'")
       .orderBy(col("c"), col("n"), col("o"))
+
+  /** Registered DSL exhibit 5 — RETURN aggregation: order counts per
+    * nation through the 2-hop chain, grouped by the front-end, not by
+    * hand-written plan code. */
+  def motifReturnAgg(spark: SparkSession, dir: String): DataFrame =
+    compileQuery(spark, dir,
+      "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n, count(o)")
 
   /** Registered DSL exhibit 1 — a 2-hop chain: every order, its
     * customer, and the customer's nation. */

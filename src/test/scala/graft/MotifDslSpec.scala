@@ -119,4 +119,29 @@ class MotifDslSpec extends SparkSpec {
       .collect()
     assert(viaDsl.map(_.toString).toSeq == hand.map(_.toString).toSeq)
   }
+
+  test("RETURN projects, aggregates, and rejects unbound names") {
+    // aggregate form: orders per nation == hand-computed group counts
+    val agg = MotifDsl.compileQuery(spark, sfDir,
+      "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n, count(o)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = MotifDsl.compileQuery(spark, sfDir,
+      "(o)-[:BY]->(c);(c)-[:IN]->(n)").collect()
+    val expected = raw.groupBy(_.getAs[Long]("n"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(agg == expected)
+    // projection form keeps per-match rows (no implicit distinct)
+    val proj = MotifDsl.compileQuery(spark, sfDir,
+      "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n").collect()
+    assert(proj.length == raw.length)
+    assert(proj.head.schema.fieldNames.toSeq == Seq("n"))
+    intercept[IllegalArgumentException] {
+      MotifDsl.compileQuery(spark, sfDir,
+        "(o)-[:BY]->(c) RETURN z")
+    }
+    intercept[IllegalArgumentException] {
+      MotifDsl.compileQuery(spark, sfDir,
+        "(o)-[:BY]->(c) RETURN count(o)")
+    }
+  }
 }
