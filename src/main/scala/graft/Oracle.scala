@@ -1190,6 +1190,32 @@ object Oracle {
          FROM verts LEFT JOIN tc ON verts.v = tc.v
          GROUP BY 1 ORDER BY 1""",
 
+    // same capped co-purchase replay as the triangle oracle, then
+    // common neighbors through degree-capped middles, existing edges
+    // excluded
+    "graph_link_predict" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+               FROM capped a JOIN capped b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         und AS (SELECT src, dst FROM e
+                 UNION ALL SELECT dst, src FROM e),
+         deg AS (SELECT src AS n, count(*) AS deg FROM und GROUP BY 1),
+         f AS (SELECT und.src AS a, und.dst AS n FROM und
+               JOIN deg ON deg.n = und.dst
+               WHERE deg <= ${graft.ops.GraphXAlgos.MaxLinkDegree}),
+         cands AS (SELECT f1.a AS a, f2.a AS b, count(*) AS cn
+                   FROM f f1 JOIN f f2 ON f1.n = f2.n AND f1.a < f2.a
+                   GROUP BY 1, 2)
+         SELECT a, b, cn FROM cands c
+         WHERE NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.src = c.a AND e.dst = c.b)
+         ORDER BY cn DESC, a, b LIMIT 50""",
+
     "graph_shortest_paths_weighted" ->
       s"""WITH RECURSIVE $EdgesCte,
           wedges AS (SELECT src, dst,

@@ -76,6 +76,49 @@ object GraphXAlgos {
       .select(col("e.src"), col("e.dst"))
       .distinct()
 
+  /** Max degree a shared neighbor may have to contribute to
+    * common-neighbor scoring — the link-prediction analog of the
+    * shingle df-cap: a hub co-purchased with everything produces
+    * C(deg,2) candidate pairs and carries no affinity signal, so
+    * super-connectors are excluded from the middle role (standard
+    * practice; Adamic-Adar down-weights them for the same reason). */
+  val MaxLinkDegree = 64
+
+  /** Link prediction over the part co-purchase projection: for part
+    * pairs NOT yet co-purchased, the common-neighbor count — "parts
+    * bought with the same other parts will be bought together" — the
+    * recommendation query of every graph database. Candidates come
+    * from one self-join of the undirected pair list keyed on the
+    * SHARED NEIGHBOR (degree-capped, see [[MaxLinkDegree]]), existing
+    * edges are anti-joined away, top-50 by (count, a, b) total order.
+    * Exact integers over a deterministic edge set → DuckDB-oracled
+    * with the same capped-pair replay as the triangle oracle. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchasePairs(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .persist()
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("n"), col("deg"))
+    val byNeighbor = und.select(col("src").as("a"), col("dst").as("n"))
+      .join(deg.filter(col("deg") <= MaxLinkDegree), "n")
+      .select(col("a"), col("n"))
+    val cands = byNeighbor
+      .join(byNeighbor.select(col("a").as("b"), col("n")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"))
+    val result = cands
+      .join(e, cands("a") === e("src") && cands("b") === e("dst"),
+        "left_anti")
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(50)
+    val out = result.localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** Triangle count over the part co-purchase projection: parts are
     * linked when they appear in the same order. Edges are canonicalized
     * (src < dst, deduplicated) as TriangleCount requires. Output:

@@ -202,6 +202,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("link prediction: non-edges only, counts match a recomputation") {
+    val preds = GraphXAlgos.linkPredict(spark, sfDir).collect()
+    assert(preds.nonEmpty)
+    val e = GraphXAlgos.copurchasePairs(
+      Tables(spark, sfDir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val und = e ++ e.map(_.swap)
+    val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size }
+    val nbrs = und.groupBy(_._1)
+      .map { case (v, es) =>
+        v -> es.map(_._2)
+          .filter(n => deg(n) <= GraphXAlgos.MaxLinkDegree).toSet
+      }
+    preds.foreach { r =>
+      val (a, b, cn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b && !e.contains((a, b)), s"existing/non-canonical: $r")
+      assert(cn == (nbrs(a) & nbrs(b)).size, s"cn mismatch: $r")
+    }
+  }
+
   test("random walks follow real edges, vary by hash, die only at sinks") {
     val walks = GraphOps.graphRandomWalk(spark, sfDir).collect()
     assert(walks.nonEmpty)
