@@ -430,6 +430,20 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars, text FROM documents
          ORDER BY doc_id""",
 
+    // the partitioned round-trip prunes to lang='en' directories; the
+    // oracle is the equivalent plain filter on the originals
+    "scan_partitioned_pruned" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang = 'en' ORDER BY doc_id""",
+
+    // bucketing is a layout/plan property — the result must equal the
+    // plain join byte for byte
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+                 ${sqlSum2("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY 1""",
+
     "filter_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
          FROM lineitem

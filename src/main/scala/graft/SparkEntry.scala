@@ -29,6 +29,8 @@ object SparkEntry {
     // readers over a one-time materialized copy of the driver corpus)
     "scan_csv_roundtrip"  -> (Sources.scanCsvRoundtrip _),
     "scan_json_roundtrip" -> (Sources.scanJsonRoundtrip _),
+    "scan_partitioned_pruned" -> (Sources.scanPartitionedPruned _),
+    "join_bucketed_colocated" -> (Sources.joinBucketedColocated _),
     // §2.2 filters / projections
     "filter_predicate"      -> (Relational.filterPredicate _),
     "filter_like_regexp"    -> (Relational.filterLikeRegexp _),

@@ -59,4 +59,33 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.orderBy("event_id").collect()
       .sameElements(orig.orderBy("event_id").collect()))
   }
+
+  test("partitioned scan prunes directories via PartitionFilters") {
+    val df = ops.Sources.scanPartitionedPruned(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory
+    // pruning), not in the data filters
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    val pf = plan.substring(plan.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
+    assert(pf.contains("lang"), plan.take(2000))
+    // and the result equals the plain filter on the originals
+    val expect = Tables(spark, sfDir).documents
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    assert(df.collect().sameElements(expect))
+  }
+
+  test("registered bucketed join plans with no exchange before the SMJ") {
+    val df = ops.Sources.joinBucketedColocated(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      plan.take(3000))
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      plan.take(3000))
+  }
 }
