@@ -655,6 +655,18 @@ object Oracle {
          FROM orders WHERE o_orderstatus = 'P'
          GROUP BY 1 ORDER BY o_custkey""",
 
+    // replays VecSumMicroAggregator: floor(x·1e6) BIGINT micro-units
+    // (float widened to double BEFORE the multiply, like the Scala
+    // side), exact integer sums per label
+    "agg_custom_vecsum_exact" ->
+      """SELECT label,
+                CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE)
+                  * 1000000) AS BIGINT)) AS BIGINT) AS first_dim_micro,
+                CAST(SUM(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                    AS BIGINT)))) AS BIGINT) AS sum_all_micro
+         FROM embeddings GROUP BY label ORDER BY label""",
+
     "scalar_regex" ->
       """SELECT p_partkey,
                 regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS adjective,

@@ -64,6 +64,7 @@ object SparkEntry {
     "agg_filtered"        -> (Aggregations.aggFiltered _),
     "agg_string_concat"   -> (Aggregations.aggStringConcat _),
     "agg_custom_vecsum"   -> (Aggregations.aggCustomVecsum _),
+    "agg_custom_vecsum_exact" -> (Aggregations.aggCustomVecsumExact _),
     // §2.4bis statistics / reshaping / sampling / skew patterns
     "agg_stats_moments" -> (Stats.aggStatsMoments _),
     "agg_percentile"    -> (Stats.aggPercentile _),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.functions.VecSumAggregator
+import graft.functions.{VecSumAggregator, VecSumMicroAggregator}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,25 @@ object Aggregations {
         round(sqrt(aggregate(col("sumvec"), lit(0.0d),
           (acc, x) => acc + x * x)), 2).as("norm"),
         round(element_at(col("sumvec"), 1), 2).as("first_dim"))
+      .orderBy(col("label"))
+  }
+
+  /** The ORACLE-CHECKED custom-Aggregator exhibit: same typed
+    * `Aggregator` surface and two-phase plan as [[aggCustomVecsum]],
+    * but components are quantized map-side to floor(x·1e6) BIGINT
+    * micro-units — integer addition is order-independent, so DuckDB
+    * replays the per-label sums exactly (the float variant stays
+    * registered as the order-sensitivity counterexample). */
+  def aggCustomVecsumExact(spark: SparkSession, dir: String): DataFrame = {
+    val vecsum = udaf(new VecSumMicroAggregator(64))
+    Tables(spark, dir).embeddings
+      .groupBy(col("label"))
+      .agg(vecsum(col("embedding")).as("sumvec"))
+      .select(
+        col("label"),
+        element_at(col("sumvec"), 1).as("first_dim_micro"),
+        aggregate(col("sumvec"), lit(0L), (acc, x) => acc + x)
+          .as("sum_all_micro"))
       .orderBy(col("label"))
   }
 }

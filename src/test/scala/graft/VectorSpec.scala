@@ -109,6 +109,27 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("VecSumMicroAggregator: exact micro-unit sums, order-independent") {
+    val rows = Tables(spark, sfDir).embeddings
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val reference = rows.groupBy(_._1).map { case (label, vs) =>
+      var first = 0L
+      var all = 0L
+      vs.foreach { case (_, v) =>
+        v.foreach(x => all += math.floor(x.toDouble * 1e6).toLong)
+        first += math.floor(v.head.toDouble * 1e6).toLong
+      }
+      label -> (first, all)
+    }
+    val got = graft.ops.Aggregations.aggCustomVecsumExact(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("first_dim_micro"), r.getAs[Long]("sum_all_micro")))
+      .toMap
+    assert(got == reference)
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL, rsd=0.01)") {
     val approx = graft.ops.Aggregations.aggApproxDistinct(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_parts"))
