@@ -1585,6 +1585,42 @@ object Oracle {
                  min(doc_id) AS first_doc, max(doc_id) AS last_doc
           FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
 
+    // the three curation stages composed: quality band → exact dedup
+    // (no-op on this dup-free corpus, but replayed identically) →
+    // per-language packing
+    "corpus_prepare_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+                          string_split(text, ' ') AS t FROM documents),
+         s AS (SELECT doc_id, lang, text,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(t, x -> list_contains(
+                        ['the','a','of','to','and','in','is','it'], x)))
+                        AS BIGINT) AS n_stop
+               FROM d),
+         q AS (SELECT doc_id, lang, text, n_tokens,
+                      ROUND(CAST(n_tokens - n_stop AS DOUBLE)
+                            / (n_tokens + 1), 4) AS quality
+               FROM s),
+         r AS (SELECT *, ROUND(percent_rank() OVER (PARTITION BY lang
+                 ORDER BY quality, doc_id), 6) AS pr
+               FROM q),
+         banded AS (SELECT doc_id, lang, text, n_tokens FROM r
+                    WHERE pr >= 0.1 AND pr <= 0.9),
+         keep AS (SELECT min(doc_id) AS doc_id FROM banded
+                  GROUP BY sha256(text)),
+         deduped AS (SELECT b.doc_id, b.lang, b.n_tokens
+                     FROM banded b JOIN keep USING (doc_id)),
+         c AS (SELECT doc_id, lang, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+               FROM deduped)
+         SELECT lang,
+                CAST((cum - n_tokens) // ${graft.ops.TextOps.PackCapacity}
+                     AS BIGINT) AS bin,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
+
     "corpus_quality_band" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                     FROM documents),

@@ -157,6 +157,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
     "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),
     "corpus_quality_band"       -> (TextOps.corpusQualityBand _),
+    "corpus_prepare_pipeline"   -> (TextOps.corpusPreparePipeline _),
     // §2.10 embeddings + multimodal
     "embed_cosine_topk"        -> (VectorOps.embedCosineTopk _),
     "embed_pair_sim_threshold" -> (VectorOps.embedPairSimThreshold _),

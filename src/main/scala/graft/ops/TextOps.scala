@@ -530,6 +530,49 @@ object TextOps {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** END-TO-END corpus preparation: the three curation stages a
+    * training-data pipeline chains, composed into ONE declarative plan
+    * — (1) per-language quality-band filter (drop the score tails),
+    * (2) exact content dedup among the survivors (keep min doc_id per
+    * sha256), (3) concat-then-chunk sequence packing per language.
+    * Catalyst fuses the stages: the quality window, the dedup
+    * aggregation and the packing window each reuse the one documents
+    * scan, and nothing materializes between stages — the point of
+    * expressing a pipeline as composed DataFrame operators instead of
+    * three jobs with intermediate tables. Output: the packed-bin
+    * manifest of the curated corpus. */
+  def corpusPreparePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(filter(col("t"), t => array_contains(stopArr, t)))
+          .cast(LongType).as("n_stop"))
+      .withColumn("quality",
+        round((col("n_tokens") - col("n_stop")).cast(DoubleType)
+          / (col("n_tokens") + 1), 4))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    val banded = scored
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+    val keep = banded.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = banded.join(keep, "doc_id")
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    deduped
+      .withColumn("cum", sum(col("n_tokens")).over(w2))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $PackCapacity"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   /** Quality-band corpus filter: keep documents whose (rational,
     * exact-arithmetic) quality score sits between the 10th and 90th
     * percentile of their language stratum — the standard "drop the

@@ -100,6 +100,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.length > total * 0.5 && out.length < total * 0.9)
   }
 
+  test("prepare pipeline ≡ band survivors, deduped, packed (mass check)") {
+    val out = TextOps.corpusPreparePipeline(spark, sfDir).collect()
+    // stage-wise recomputation from the already-tested components:
+    // banded docs per lang (quality band) minus exact dups = the doc
+    // and token mass the packed manifest must carry, exactly
+    val banded = TextOps.corpusQualityBand(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val texts = docs
+    val keep = texts.filter { case (id, _) => banded.contains(id) }
+      .groupBy(_._2).map { case (_, same) => same.keys.min }.toSet
+    val tokensByLang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .filter(r => keep.contains(r.getLong(0)))
+      .groupBy(_.getString(1))
+      .map { case (lang, rs) =>
+        lang -> (rs.length.toLong,
+          rs.map(_.getString(2).split(" ").length.toLong).sum)
+      }
+    val got = out.groupBy(_.getString(0)).map { case (lang, rows) =>
+      lang -> (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    }
+    assert(got == tokensByLang)
+  }
+
   test("sort_zorder_cluster buckets bound BOTH dimensions (skipping)") {
     val rows = SetOps.sortZorderCluster(spark, sfDir).collect()
     val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
