@@ -58,6 +58,20 @@ object GraphModel {
       edgesCached(spark, dir).select(col("src"), col("dst"))
         .distinct().repartition(col("src")).persist())
 
+  private val dedupByDstCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** The dst-partitioned sibling of [[dedupEdgesCached]], for
+    * algorithms whose per-round join probes the REVERSE direction
+    * (HITS' hub step sums over out-edges keyed by dst). Same
+    * one-partitioning-many-stages rule; at 100 TB this is the
+    * dst-bucketed copy of the edge table every graph store keeps for
+    * reverse traversal. */
+  def dedupEdgesByDstCached(spark: SparkSession, dir: String): DataFrame =
+    dedupByDstCache.getOrElseUpdate((spark, dir),
+      dedupEdgesCached(spark, dir)
+        .repartition(col("dst")).persist())
+
   private val dedupVertsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 

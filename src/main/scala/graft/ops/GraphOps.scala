@@ -334,8 +334,14 @@ object GraphOps {
     * map-side-combinable shuffles on src/dst; the src-side join reuses
     * the edge cache's partitioning. */
   def hitsExactOn(edges: DataFrame, iters: Int,
-      sharedVerts: Option[DataFrame] = None): DataFrame = {
+      sharedVerts: Option[DataFrame] = None,
+      edgesByDst: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // the hub step probes the reverse direction; a dst-partitioned
+    // copy (GraphModel.dedupEdgesByDstCached) removes ITS per-round
+    // exchange the same way the src cache serves the auth step
+    val eByDst = edgesByDst
+      .map(_.select(col("src"), col("dst"))).getOrElse(e)
     val verts = sharedVerts.map(_.select(col("id"))).getOrElse(
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct().persist())
@@ -347,7 +353,8 @@ object GraphOps {
       auth = verts.join(a.select(col("dst").as("id"), col("s")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0L)).as("a"))
-      val h = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+      val h = eByDst.join(auth.select(col("id").as("dst"), col("a")),
+          "dst")
         .groupBy(col("src")).agg(sum(col("a")).as("s"))
       hub = verts.join(h.select(col("src").as("id"), col("s")),
           Seq("id"), "left")
@@ -363,7 +370,8 @@ object GraphOps {
     * hub scores. */
   def hitsExact(spark: SparkSession, dir: String): DataFrame =
     hitsExactOn(GraphModel.dedupEdgesCached(spark, dir), 2,
-        Some(GraphModel.dedupVertsCached(spark, dir)))
+        Some(GraphModel.dedupVertsCached(spark, dir)),
+        Some(GraphModel.dedupEdgesByDstCached(spark, dir)))
       .select(col("id"), col("a").as("auth"), col("h").as("hub"))
       .orderBy(col("auth").desc, col("id"))
       .limit(50)
