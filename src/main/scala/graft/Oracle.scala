@@ -115,6 +115,33 @@ object Oracle {
          ORDER BY rank_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled BFS path counting, replaying
+    * [[graft.ops.GraphOps.graphPathCount]]: per layer, new vertices
+    * get the sum of predecessor counts; visited set = all prior
+    * layers. */
+  private def pathCountSql(layers: Int): String = {
+    val steps = (1 to layers).map { k =>
+      val visited = (0 until k)
+        .map(j => s"SELECT id FROM l$j").mkString(" UNION ")
+      s""",
+         l$k AS (SELECT u.dst AS id, CAST(SUM(l.paths) AS BIGINT)
+                   AS paths
+                 FROM und u JOIN l${k - 1} l ON u.src = l.id
+                 WHERE u.dst NOT IN ($visited)
+                 GROUP BY u.dst)"""
+    }.mkString
+    val selects = (0 to layers)
+      .map(k => s"SELECT id, $k AS dist, paths FROM l$k")
+      .mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded),
+         l0 AS (SELECT CAST(3000000000001 AS BIGINT) AS id,
+                       CAST(1 AS BIGINT) AS paths)$steps
+         $selects ORDER BY dist, id"""
+  }
+
   /** Deterministic random walks, replaying
     * [[graft.ops.GraphOps.graphRandomWalk]]: per step, argmin of the
     * engine-neutral md5Hash60 over (walk id, step, candidate), dst
@@ -1187,6 +1214,8 @@ object Oracle {
     "graph_hits_exact" -> hitsExactSql(2),
 
     "graph_random_walk" -> randomWalkSql(3),
+
+    "graph_path_count" -> pathCountSql(3),
 
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered

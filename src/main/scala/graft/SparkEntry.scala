@@ -137,6 +137,7 @@ object SparkEntry {
     "graph_hits_exact"           -> (GraphOps.hitsExact _),
     "graph_random_walk"          -> (GraphOps.graphRandomWalk _),
     "graph_link_predict"         -> (GraphXAlgos.linkPredict _),
+    "graph_path_count"           -> (GraphOps.graphPathCount _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),

@@ -376,6 +376,39 @@ object GraphOps {
       .orderBy(col("auth").desc, col("id"))
       .limit(50)
 
+  /** Shortest-path COUNTING (the sigma values of Brandes'
+    * betweenness): BFS layers from a landmark over the undirected
+    * graph, where each newly-reached vertex's count is the SUM of its
+    * predecessors' counts — exact integers, so unlike
+    * betweenness-with-division this primitive is DuckDB-oracle-able
+    * (unrolled per-layer CTEs). 3 layers from customer #1. Per layer:
+    * one frontier⋈edges join + a sum agg + an anti-join against the
+    * visited set — the identical shape as [[bfsKhop]] with a count
+    * payload; at 100 TB the frontier co-partitions with the bucketed
+    * edge table like every other hop join. */
+  def graphPathCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.dedupEdgesCached(spark, dir)
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val source = GraphModel.CustomerOff + 1L
+    var layer = spark.range(1)
+      .select(lit(source).as("id"), lit(1L).as("paths"))
+    var seen = layer.select(col("id"))
+    var out = layer.select(col("id"), lit(0).as("dist"), col("paths"))
+    for (k <- 1 to 3) {
+      val next = und.join(layer.select(col("id").as("src"), col("paths")),
+          "src")
+        .groupBy(col("dst")).agg(sum(col("paths")).as("paths"))
+        .join(seen, col("dst") === seen("id"), "left_anti")
+        .select(col("dst").as("id"), col("paths"))
+      out = out.unionByName(
+        next.select(col("id"), lit(k).as("dist"), col("paths")))
+      seen = seen.unionByName(next.select(col("id")))
+      layer = next
+    }
+    out.orderBy(col("dist"), col("id"))
+  }
+
   /** Deterministic "random" walks — the corpus generator for
     * DeepWalk/node2vec-style graph embeddings: from every order
     * vertex, take 3 steps, at each step choosing the out-neighbor

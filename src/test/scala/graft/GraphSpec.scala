@@ -202,6 +202,28 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("path counts: BFS layers with sigma = sum of predecessor sigmas") {
+    val rows = GraphOps.graphPathCount(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+    val byId = rows.toMap
+    assert(rows.length == byId.size, "a vertex appears in two layers")
+    val e = GraphModel.dedupEdgesCached(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    val source = GraphModel.CustomerOff + 1L
+    assert(byId(source) == (0, 1L))
+    rows.filter(_._2._1 > 0).foreach { case (id, (dist, paths)) =>
+      val expected = und(id)
+        .flatMap(n => byId.get(n))
+        .collect { case (d, p) if d == dist - 1 => p }.sum
+      assert(paths == expected, s"sigma mismatch at $id (dist $dist)")
+      // and the layer is genuinely the shortest distance: no neighbor
+      // sits more than one layer below
+      assert(und(id).flatMap(n => byId.get(n)).forall(_._1 >= dist - 1))
+    }
+  }
+
   test("link prediction: non-edges only, counts match a recomputation") {
     val preds = GraphXAlgos.linkPredict(spark, sfDir).collect()
     assert(preds.nonEmpty)
