@@ -408,6 +408,27 @@ object Oracle {
 
   /** Edge-table CTE mirroring [[graft.GraphModel.edges]] (namespaced
     * vertex ids = kindOffset + naturalKey). */
+  /** The derived vertex table (GraphModel.vertices): namespaced ids,
+    * kind tag, display name. */
+  private val VertsCte =
+    """verts AS (
+         SELECT 1000000000000 + r_regionkey AS id, 'region' AS kind,
+                r_name AS name FROM region
+         UNION ALL
+         SELECT 2000000000000 + n_nationkey, 'nation', n_name FROM nation
+         UNION ALL
+         SELECT 3000000000000 + c_custkey, 'customer', c_name
+         FROM customer
+         UNION ALL
+         SELECT 4000000000000 + s_suppkey, 'supplier', s_name
+         FROM supplier
+         UNION ALL
+         SELECT 5000000000000 + p_partkey, 'part', p_name FROM part
+         UNION ALL
+         SELECT 6000000000000 + o_orderkey, 'order',
+                CAST(o_orderkey AS VARCHAR) FROM orders
+       )"""
+
   private val EdgesCte =
     """edges AS (
          SELECT 2000000000000 + n_nationkey AS src,
@@ -1304,6 +1325,45 @@ object Oracle {
                  count(*) FILTER (is_new = 1) AS n_added,
                  count(*) AS n_after
           FROM merged GROUP BY rel ORDER BY rel""",
+
+    // replays GraphOps.graphUpsertVertices: version-1 vertex table,
+    // delta = delinquent-customer renames (v2) + ranked segment
+    // inserts (v2), last-write-wins per id on version (arg_max ==
+    // Spark's max(struct(version, …)) when versions are unique per id)
+    "graph_upsert_vertices" ->
+      s"""WITH $VertsCte,
+          existing AS (SELECT id, kind, name,
+                              CAST(1 AS BIGINT) AS version FROM verts),
+          upd AS (SELECT 3000000000000 + c_custkey AS id,
+                         'customer' AS kind,
+                         'DELINQUENT:' || c_name AS name,
+                         CAST(2 AS BIGINT) AS version
+                  FROM customer WHERE c_acctbal < 0),
+          ins AS (SELECT 7000000000000
+                           + row_number() OVER (ORDER BY name) AS id,
+                         'segment' AS kind, name,
+                         CAST(2 AS BIGINT) AS version
+                  FROM (SELECT DISTINCT c_mktsegment AS name
+                        FROM customer)),
+          merged AS (SELECT id, arg_max(kind, version) AS kind,
+                            arg_max(name, version) AS name,
+                            max(version) AS version,
+                            count(*) AS n_versions
+                     FROM (SELECT * FROM existing
+                           UNION ALL SELECT * FROM upd
+                           UNION ALL SELECT * FROM ins)
+                     GROUP BY id)
+          SELECT id, kind, name, version,
+                 CASE WHEN n_versions = 2 THEN 1 ELSE 0 END AS was_update
+          FROM merged WHERE version = 2 ORDER BY id""",
+
+    // the point lookup collapses to the one customer-table probe the
+    // pruned union plan performs
+    "graph_vertex_lookup" ->
+      """SELECT 3000000000000 + c_custkey AS id, 'customer' AS kind,
+                c_name AS name
+         FROM customer WHERE c_name = 'Customer#000000042'
+         ORDER BY id""",
 
     // §2.10 LLM-pipeline ops (oracle=yes subset)
     "dedup_exact" ->

@@ -111,6 +111,8 @@ object SparkEntry {
     "graph_subgraph"          -> (GraphOps.subgraph _),
     "graph_bfs_khop"          -> (GraphOps.bfsKhop _),
     "graph_upsert_edges"      -> (GraphOps.graphUpsertEdges _),
+    "graph_upsert_vertices"   -> (GraphOps.graphUpsertVertices _),
+    "graph_vertex_lookup"     -> (GraphOps.graphVertexLookup _),
     "motif_chain_2hop"        -> (MotifDsl.motifChain2hop _),
     "motif_vee_shared_nation" -> (MotifDsl.motifVeeSharedNation _),
     "motif_varlen_reach"      -> (MotifDsl.motifVarlenReach _),

@@ -336,6 +336,13 @@ object GraphOps {
   def hitsExactOn(edges: DataFrame, iters: Int,
       sharedVerts: Option[DataFrame] = None,
       edgesByDst: Option[DataFrame] = None): DataFrame = {
+    // the unnormalized-sum trick is only overflow-safe while
+    // (max-indeg × max-outdeg)^iters < 2^63; 2 rounds hold that bound
+    // at 1000× this corpus, more would need the normalization back —
+    // fail loudly instead of wrapping Long sums into plausible garbage
+    require(iters >= 1 && iters <= 2,
+      s"hitsExactOn supports 1..2 unnormalized rounds (got $iters): " +
+        "BIGINT magnitudes grow as (max_indeg*max_outdeg)^iters")
     val e = edges.select(col("src"), col("dst"))
     // the hub step probes the reverse direction; a dst-partitioned
     // copy (GraphModel.dedupEdgesByDstCached) removes ITS per-round
@@ -564,6 +571,83 @@ object GraphOps {
         (col("n_before") - col("n_removed")).as("n_after"))
       .orderBy(col("rel"))
   }
+
+  /** Vertex-id namespace for vertices INSERTED by the vertex-upsert
+    * exhibit (market-segment vertices) — one offset past the base
+    * kinds in [[GraphModel]]. */
+  val SegmentOff = 7000000000000L
+
+  /** Batch vertex mutation: merge a vertex delta into a versioned
+    * vertex table with LAST-WRITE-WINS per id on the version column.
+    * `max(struct(version, kind, name))` picks the winning property
+    * record — a map-side-combinable aggregate, deterministic whenever
+    * (id, version) is unique (the writer's contract: versions are
+    * monotone per key). `n_versions` distinguishes updates (id present
+    * in both inputs) from inserts (delta-only) without a second pass.
+    *
+    * Plan: union → ONE shuffle on id → argmax-combine, the same
+    * merge/compaction shape as [[upsertEdges]]: with the vertex store
+    * bucketed by id at 100 TB, only the delta moves, keeping node
+    * upserts linear in delta size — the property-graph CRUD path. */
+  def upsertVertices(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.select(col("id"), col("kind"), col("name"), col("version"))
+      .unionByName(delta.select(col("id"), col("kind"), col("name"),
+        col("version")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("version"), col("kind"), col("name"))).as("m"),
+        count(lit(1)).as("n_versions"))
+      .select(col("id"), col("m.kind").as("kind"),
+        col("m.name").as("name"), col("m.version").as("version"),
+        col("n_versions"))
+
+  /** Registered vertex-mutation surface: merge a deterministic vertex
+    * delta — (a) property UPDATES: delinquent (negative-balance)
+    * customers renamed with a `DELINQUENT:` prefix at version 2, and
+    * (b) INSERTS: one new `segment` vertex per distinct market
+    * segment, ids ranked alphabetically in the [[SegmentOff]]
+    * namespace — into the version-1 vertex table, last-write-wins.
+    * Output = the delta-affected rows of the merged table (winning
+    * property values prove LWW picked version 2; `was_update` = 1
+    * separates updates from inserts). */
+  def graphUpsertVertices(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val existing = GraphModel.vertices(spark, dir)
+      .withColumn("version", lit(1L))
+    val cust = Tables(spark, dir).customer
+    val updates = cust.filter(col("c_acctbal") < 0)
+      .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("id"),
+        lit("customer").as("kind"),
+        concat(lit("DELINQUENT:"), col("c_name")).as("name"),
+        lit(2L).as("version"))
+    // 5 rows: the window over the distinct segment list is trivially
+    // single-partition here and never touches fact-table volume
+    val inserts = cust.select(col("c_mktsegment").as("name")).distinct()
+      .withColumn("id", lit(SegmentOff) +
+        row_number().over(Window.orderBy(col("name"))).cast("long"))
+      .select(col("id"), lit("segment").as("kind"), col("name"),
+        lit(2L).as("version"))
+    upsertVertices(existing, updates.unionByName(inserts))
+      .filter(col("version") === 2)
+      .select(col("id"), col("kind"), col("name"), col("version"),
+        (col("n_versions") === 2).cast("int").as("was_update"))
+      .orderBy(col("id"))
+  }
+
+  /** Registered point-lookup surface: fetch one vertex by property
+    * (kind + name) — the `MATCH (c:customer {name: …}) RETURN c`
+    * bread-and-butter read of a property-graph DB. The predicate lands
+    * on the UNION-of-scans vertex view: Catalyst constant-folds the
+    * per-branch `kind` literal against the filter, collapsing the five
+    * non-customer branches to empty relations BEFORE planning (the
+    * union prunes like partitions), and the surviving customer scan
+    * carries `PushedFilters: [EqualTo(c_name, …)]` to the parquet
+    * reader — asserted in PlanSpec. At 100 TB this is one row-group-
+    * pruned scan of one table, not a six-table union scan. */
+  def graphVertexLookup(spark: SparkSession, dir: String): DataFrame =
+    GraphModel.vertices(spark, dir)
+      .filter(col("kind") === "customer" &&
+        col("name") === "Customer#000000042")
+      .select(col("id"), col("kind"), col("name"))
 
   /** Registered mutation surface: upsert a deterministic delta — BY
     * edges of urgent orders (duplicates of existing edges, proving

@@ -122,7 +122,7 @@ object MotifDsl {
     * broadcast-semi-join per predicate (the standard property-pushdown
     * shape of a graph query planner), never a full property scan
     * carried through the traversal. */
-  private val RetCount = """count\((\w+)\)""".r
+  private val RetCount = """(?i)count\s*\(\s*(\w+)\s*\)""".r
   private val RetName = """(\w+)""".r
 
   def compileQuery(spark: SparkSession, dir: String,
@@ -165,8 +165,17 @@ object MotifDsl {
     val items = ret.split(",").map(_.trim)
     require(items.nonEmpty && items.forall(_.nonEmpty),
       s"empty RETURN clause")
-    val keys = items.collect { case RetName(n) => n }
-    val counts = items.collect { case RetCount(n) => n }
+    // every item must parse as a node name or count(node) — an
+    // unparseable item throws like the WHERE branch, instead of
+    // silently vanishing from the projection
+    val parsed = items.map {
+      case RetCount(n) => Right(n)
+      case RetName(n) => Left(n)
+      case i => throw new IllegalArgumentException(
+        s"bad RETURN item: '$i' (need a node name or count(node))")
+    }
+    val keys = parsed.collect { case Left(n) => n }
+    val counts = parsed.collect { case Right(n) => n }
     (keys ++ counts).foreach(n => require(df.columns.contains(n),
       s"RETURN references unbound node '$n'"))
     if (counts.isEmpty) df.select(keys.map(col): _*)

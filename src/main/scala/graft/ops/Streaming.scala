@@ -143,8 +143,13 @@ object Streaming {
     (SparkSession, String), String]()
 
   def streamSinkParquet(spark: SparkSession, dir: String): DataFrame = {
-    val base = sinkDirs.getOrElseUpdate((spark, dir),
-      graft.TempDirs.create(s"graft-sink-${runIds.incrementAndGet()}"))
+    // coarse lock, same reason as Sources.materialize: getOrElseUpdate
+    // may run the side-effecting default twice under a concurrent
+    // first call (here: two temp dirs, one leaked)
+    val base = sinkDirs.synchronized {
+      sinkDirs.getOrElseUpdate((spark, dir),
+        graft.TempDirs.create(s"graft-sink-${runIds.incrementAndGet()}"))
+    }
     runSinkTo(spark, dir, base)
     spark.read.parquet(s"$base/out").orderBy(col("event_id"))
   }
@@ -181,8 +186,13 @@ object Streaming {
     (SparkSession, String), String]()
 
   def streamGraphDegree(spark: SparkSession, dir: String): DataFrame = {
-    val name = degreeTables.getOrElseUpdate((spark, dir),
-      runStreamDegree(spark, dir))
+    // synchronized: a concurrent first call would otherwise start two
+    // streaming runs and leak one memory-sink table (and re-entrantly
+    // mutate shuffle.partitions via withStatePartitions)
+    val name = degreeTables.synchronized {
+      degreeTables.getOrElseUpdate((spark, dir),
+        runStreamDegree(spark, dir))
+    }
     spark.table(name).orderBy(col("user_id"))
   }
 
@@ -286,7 +296,8 @@ object Streaming {
     * production tuning knob; the oracle equality here relies on the
     * single-batch delivery, not on this corpus being ordered. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val name = ssJoinTables.getOrElseUpdate((spark, dir),
+    val name = ssJoinTables.synchronized {
+      ssJoinTables.getOrElseUpdate((spark, dir),
       withStatePartitions(spark, 8) {
         val tbl = s"graft_stream_ssjoin_${runIds.incrementAndGet()}"
         val ev = eventsStream(spark, dir)
@@ -301,6 +312,7 @@ object Streaming {
         q.stop()
         tbl
       })
+    }
     spark.table(name)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
@@ -380,8 +392,14 @@ object Streaming {
     * checks. The read side collapses multi-batch emission history by
     * max(n_updates) — monotone per key, so the final emission wins. */
   def streamCdcLatest(spark: SparkSession, dir: String): DataFrame = {
-    val name = cdcTables.getOrElseUpdate((spark, dir),
-      runCdcLatest(spark, dir))
+    // synchronized like Sources.materialize: getOrElseUpdate alone can
+    // double-run the stream on a concurrent first call — two queries,
+    // a leaked memory-sink table, and a re-entrant shuffle.partitions
+    // mutation inside withStatePartitions
+    val name = cdcTables.synchronized {
+      cdcTables.getOrElseUpdate((spark, dir),
+        runCdcLatest(spark, dir))
+    }
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_updates"), col("last_ts"),

@@ -289,4 +289,48 @@ class GraphSpec extends SparkSpec {
       assert(a == indeg.getOrElse(v, 0L), s"auth of $v")
     }
   }
+
+  test("hitsExactOn rejects iteration counts beyond the overflow bound") {
+    intercept[IllegalArgumentException] {
+      GraphOps.hitsExactOn(GraphModel.dedupEdgesCached(spark, sfDir), 3)
+    }
+  }
+
+  test("vertex upsert: last-write-wins by version, inserts flagged") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "customer", "old-name", 1L),
+      (2L, "customer", "untouched", 1L))
+      .toDF("id", "kind", "name", "version")
+    val delta = Seq(
+      (1L, "customer", "new-name", 2L),   // update
+      (9L, "segment", "BUILDING", 2L))    // insert
+      .toDF("id", "kind", "name", "version")
+    val got = GraphOps.upsertVertices(existing, delta).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("name"), r.getAs[Long]("version"),
+          r.getAs[Long]("n_versions"))).toMap
+    assert(got(1L) == (("new-name", 2L, 2L)))    // v2 won
+    assert(got(2L) == (("untouched", 1L, 1L)))   // untouched kept
+    assert(got(9L) == (("BUILDING", 2L, 1L)))    // insert, single version
+    // registered surface: every emitted row is version 2, updates are
+    // exactly the ids that pre-existed
+    val reg = GraphOps.graphUpsertVertices(spark, sfDir).collect()
+    assert(reg.nonEmpty)
+    assert(reg.forall(_.getAs[Long]("version") == 2L))
+    val updates = reg.filter(_.getAs[Int]("was_update") == 1)
+    val inserts = reg.filter(_.getAs[Int]("was_update") == 0)
+    assert(updates.forall(r => r.getAs[String]("kind") == "customer" &&
+      r.getAs[String]("name").startsWith("DELINQUENT:")))
+    assert(inserts.map(_.getAs[String]("kind")).toSet == Set("segment"))
+    assert(inserts.length == 5) // one per market segment
+  }
+
+  test("vertex lookup returns the one probed vertex") {
+    val rows = GraphOps.graphVertexLookup(spark, sfDir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("id") ==
+      GraphModel.CustomerOff + 42L)
+    assert(rows.head.getAs[String]("name") == "Customer#000000042")
+  }
 }

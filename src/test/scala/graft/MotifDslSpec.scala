@@ -144,4 +144,18 @@ class MotifDslSpec extends SparkSpec {
         "(o)-[:BY]->(c) RETURN count(o)")
     }
   }
+
+  test("RETURN tolerates count case/spacing and rejects unknown items") {
+    // COUNT( o ) parses as the aggregate, not a silently-dropped item
+    val agg = MotifDsl.compileQuery(spark, sfDir,
+      "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n, COUNT( o )").collect()
+    val canonical = MotifDsl.compileQuery(spark, sfDir,
+      "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n, count(o)").collect()
+    assert(agg.map(_.toString).toSeq == canonical.map(_.toString).toSeq)
+    // an unsupported aggregate throws instead of vanishing
+    intercept[IllegalArgumentException] {
+      MotifDsl.compileQuery(spark, sfDir,
+        "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n, sum(o)")
+    }
+  }
 }

@@ -108,4 +108,12 @@ class PlanSpec extends SparkSpec {
     // 16 minima collapse in a single grouped aggregation (partial+final)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("vertex lookup prunes the union to one scan with a pushed filter") {
+    val p = physical(graft.ops.GraphOps.graphVertexLookup(spark, sfDir))
+    // the kind literal constant-folds the 5 non-customer branches away:
+    // exactly one parquet scan survives, probing c_name at the reader
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("EqualTo(c_name,Customer#000000042)"), p)
+  }
 }
