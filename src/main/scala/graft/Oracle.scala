@@ -1204,6 +1204,27 @@ object Oracle {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY n""",
 
+    // the !-term compiles to an anti join: 2-hop IN paths whose head
+    // has no incoming BY edge (= the supplier legs on this corpus)
+    "motif_negation" ->
+      s"""WITH $EdgesCte,
+          hop AS (SELECT a.src AS s, a.dst AS n, b.dst AS r
+                  FROM edges a JOIN edges b
+                    ON a.dst = b.src AND a.rel = 'IN' AND b.rel = 'IN')
+          SELECT n, r, s FROM hop
+          WHERE NOT EXISTS (SELECT 1 FROM edges e
+                            WHERE e.rel = 'BY' AND e.dst = hop.s)
+          ORDER BY n, r, s""",
+
+    // the ?-term compiles to a left-outer join: all customers, orders
+    // null-extended (NULLS FIRST matches Spark's asc default)
+    "motif_optional" ->
+      """SELECT 3000000000000 + c_custkey AS c,
+                2000000000000 + c_nationkey AS n,
+                6000000000000 + o_orderkey AS o
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         ORDER BY c, n, o NULLS FIRST""",
+
     "graph_delete_edges" ->
       s"""WITH $EdgesCte,
           ded AS (SELECT DISTINCT src, dst, rel FROM edges),

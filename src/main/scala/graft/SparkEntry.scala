@@ -118,6 +118,8 @@ object SparkEntry {
     "motif_varlen_reach"      -> (MotifDsl.motifVarlenReach _),
     "motif_where_filter"      -> (MotifDsl.motifWhereFilter _),
     "motif_return_agg"        -> (MotifDsl.motifReturnAgg _),
+    "motif_negation"          -> (MotifDsl.motifNegation _),
+    "motif_optional"          -> (MotifDsl.motifOptional _),
     "graph_delete_edges"      -> (GraphOps.graphDeleteEdges _),
     // §2.9 iterative analytics (GraphX; CC / SP / weighted-SP are
     // oracle-checked via recursive CTEs, the rank/triangle/LPA float

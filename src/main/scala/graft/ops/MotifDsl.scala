@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Grammar (one edge term per `;`):
   * {{{
   *   pattern := term (';' term)*
-  *   term    := '(' name ')' '-[' (':' relType)? ']->' '(' name ')'
+  *   term    := ('?' | '!')? '(' name ')' '-[' (':' relType)? ']->' '(' name ')'
   * }}}
   * e.g. `(o)-[:BY]->(c);(c)-[:IN]->(n)` — orders to their customer's
   * nation. Node names repeated across terms bind the terms together
@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * with the part already compiled is rejected rather than silently
   * cross-joined. Output: one BIGINT vertex-id column per node name,
   * alphabetical.
+  *
+  * A `?`-prefixed term is an OPTIONAL MATCH: it compiles to a LEFT
+  * OUTER join, keeping every row matched so far and null-extending the
+  * term's new node columns where the edge is absent. A `!`-prefixed
+  * term is a NEGATION ("no such edge exists"): it compiles to an ANTI
+  * join on the shared nodes, and its exclusively-local nodes are
+  * existentially quantified — they never appear in the output. The
+  * first term must be a plain match (there is nothing to be optional
+  * or negated against yet). Both are the same shuffled/broadcast hash
+  * joins as the plain terms — at 100 TB an anti join on a bucketed
+  * edge table co-locates exactly like the equi-join it complements.
   *
   * Compilation is purely declarative — each term scans the (persisted)
   * edge table with its rel filter pushed down, and Catalyst/AQE pick
@@ -29,10 +40,11 @@ import org.apache.spark.sql.functions._
 object MotifDsl {
 
   final case class EdgeTerm(src: String, rel: Option[String], dst: String,
-    minHops: Int = 1, maxHops: Int = 1)
+    minHops: Int = 1, maxHops: Int = 1,
+    optional: Boolean = false, negated: Boolean = false)
 
   private val Term =
-    """\((\w+)\)-\[(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]->\((\w+)\)""".r
+    """([?!])?\((\w+)\)-\[(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]->\((\w+)\)""".r
 
   /** Max expansion of a `*min..max` var-length term — keeps a typo'd
     * pattern from compiling an enormous union of join chains. */
@@ -40,13 +52,14 @@ object MotifDsl {
 
   def parse(pattern: String): Seq[EdgeTerm] =
     pattern.split(";").toIndexedSeq.map(_.trim).map {
-      case Term(s, r, lo, hi, d) =>
+      case Term(pre, s, r, lo, hi, d) =>
         require(s != d, s"self-loop terms unsupported: ($s)->($d)")
         val (mn, mx) =
           if (lo == null) (1, 1) else (lo.toInt, hi.toInt)
         require(mn >= 1 && mx >= mn && mx <= MaxVarHops,
           s"bad hop range *$lo..$hi (need 1 <= min <= max <= $MaxVarHops)")
-        EdgeTerm(s, Option(r), d, mn, mx)
+        EdgeTerm(s, Option(r), d, mn, mx,
+          optional = pre == "?", negated = pre == "!")
       case t =>
         throw new IllegalArgumentException(s"bad motif term: '$t'")
     }
@@ -84,15 +97,27 @@ object MotifDsl {
     var result: DataFrame = null
     terms.foreach { t =>
       val proj = termPairs(edges, t)
-      if (result == null) result = proj
-      else {
+      if (result == null) {
+        require(!t.optional && !t.negated,
+          "first term must be a plain match (nothing precedes it to " +
+            "be optional or negated against)")
+        result = proj
+        bound = (bound ++ Seq(t.src, t.dst)).distinct
+      } else {
         val keys = Seq(t.src, t.dst).filter(bound.contains)
         require(keys.nonEmpty,
           s"term (${t.src})->(${t.dst}) shares no node with the pattern " +
             "so far — reorder terms or connect it (cross joins refused)")
-        result = result.join(proj, keys)
+        if (t.negated)
+          // anti join on the shared nodes; the term's local-only nodes
+          // are existentially quantified and never bind
+          result = result.join(proj, keys, "left_anti")
+        else {
+          result = result.join(proj, keys,
+            if (t.optional) "left_outer" else "inner")
+          bound = (bound ++ Seq(t.src, t.dst)).distinct
+        }
       }
-      bound = (bound ++ Seq(t.src, t.dst)).distinct
     }
     result.select(bound.sorted.map(col): _*)
   }
@@ -202,6 +227,27 @@ object MotifDsl {
   def motifReturnAgg(spark: SparkSession, dir: String): DataFrame =
     compileQuery(spark, dir,
       "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n, count(o)")
+
+  /** Registered DSL exhibit 6 — NEGATION: entities two IN-hops under
+    * a region (customers and suppliers, through their nation) that
+    * nothing was ordered BY — the "… WITHOUT such an edge" query,
+    * compiled to an anti join by the `!` term. Selective on this
+    * corpus: every customer has orders, so the anti join keeps exactly
+    * the supplier legs — the negation genuinely removes rows rather
+    * than matching vacuously. */
+  def motifNegation(spark: SparkSession, dir: String): DataFrame =
+    compileQuery(spark, dir,
+      "(s)-[:IN]->(n);(n)-[:IN]->(r);!(o)-[:BY]->(s)")
+      .orderBy(col("n"), col("r"), col("s"))
+
+  /** Registered DSL exhibit 7 — OPTIONAL MATCH: every customer with
+    * their orders, null-extended where none exist — the left-outer
+    * hop the `?` term compiles to. */
+  def motifOptional(spark: SparkSession, dir: String): DataFrame =
+    compileQuery(spark, dir, "(c)-[:IN]->(n);?(o)-[:BY]->(c)")
+      .filter(col("c").between(GraphModel.CustomerOff,
+        GraphModel.SupplierOff - 1))
+      .orderBy(col("c"), col("n"), col("o"))
 
   /** Registered DSL exhibit 1 — a 2-hop chain: every order, its
     * customer, and the customer's nation. */

@@ -145,6 +145,50 @@ class MotifDslSpec extends SparkSpec {
     }
   }
 
+  test("negation and optional terms parse, join, and guard the first slot") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    assert(MotifDsl.parse("(a)-[:X]->(b);!(z)-[:Y]->(a)")(1) ==
+      EdgeTerm("z", Some("Y"), "a", negated = true))
+    assert(MotifDsl.parse("(a)-[:X]->(b);?(z)-[:Y]->(a)")(1) ==
+      EdgeTerm("z", Some("Y"), "a", optional = true))
+    // 1-X->2, 1-X->3; Y edges into 2 only
+    val edges = Seq((1L, 2L, "X"), (1L, 3L, "X"), (9L, 2L, "Y"))
+      .toDF("src", "dst", "rel")
+    // negation: keep (a,b) pairs where NO (z)-Y->(b) edge exists; z
+    // is existential and must not appear in the output
+    val neg = MotifDsl.compile(edges, "(a)-[:X]->(b);!(z)-[:Y]->(b)")
+    assert(neg.columns.toSeq == Seq("a", "b"))
+    assert(neg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L)))
+    // optional: all pairs survive, z null where no Y edge matches
+    val opt = MotifDsl.compile(edges, "(a)-[:X]->(b);?(z)-[:Y]->(b)")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("z"))))).toSet
+    assert(opt == Set((1L, 2L, Some(9L)), (1L, 3L, None)))
+    // a leading ?/! term has nothing to qualify — refused
+    intercept[IllegalArgumentException] {
+      MotifDsl.compile(edges, "!(a)-[:X]->(b)")
+    }
+    intercept[IllegalArgumentException] {
+      MotifDsl.compile(edges, "?(a)-[:X]->(b);(b)-[:Y]->(c)")
+    }
+    // registered negation keeps exactly the supplier legs (every
+    // customer on this corpus has a BY in-edge, suppliers never do) —
+    // i.e. the anti join removed the customer rows
+    val kept = MotifDsl.motifNegation(spark, sfDir)
+    val nSupp = Tables(spark, sfDir).supplier.count()
+    assert(kept.count() == nSupp)
+    assert(kept.filter(col("s") < GraphModel.SupplierOff).isEmpty)
+    // registered optional: orders null-extend; non-null rows = the
+    // inner-join row count, plus no customer is dropped
+    val optRows = MotifDsl.motifOptional(spark, sfDir)
+    val nOrders = Tables(spark, sfDir).orders.count()
+    assert(optRows.filter(col("o").isNotNull).count() == nOrders)
+    assert(optRows.select(col("c")).distinct().count() ==
+      Tables(spark, sfDir).customer.count())
+  }
+
   test("RETURN tolerates count case/spacing and rejects unknown items") {
     // COUNT( o ) parses as the aggregate, not a silently-dropped item
     val agg = MotifDsl.compileQuery(spark, sfDir,
