@@ -142,6 +142,59 @@ object Oracle {
          $selects ORDER BY dist, id"""
   }
 
+  /** Unrolled landmark-sampled Brandes betweenness, replaying
+    * [[graft.ops.GraphOps.graphBetweenness]]: per landmark, the
+    * pathCountSql forward layers (sigma = sum of predecessor sigmas)
+    * then the backward dependency sweep in the same exact micro-unit
+    * integer arithmetic — `(sigma_v * (1000000 + delta_w)) // sigma_w`
+    * per DAG successor, summed (DuckDB `//` == Spark `div` on the
+    * strictly positive sigmas). */
+  private def betweennessSql(depth: Int, landmarks: Seq[Long]): String = {
+    def lm(tag: String, src: Long): String = {
+      val fw = (1 to depth).map { k =>
+        val visited = (0 until k)
+          .map(j => s"SELECT id FROM ${tag}_l$j").mkString(" UNION ")
+        s""",
+         ${tag}_l$k AS (SELECT u.dst AS id,
+                   CAST(SUM(l.paths) AS BIGINT) AS paths
+                 FROM und u JOIN ${tag}_l${k - 1} l ON u.src = l.id
+                 WHERE u.dst NOT IN ($visited)
+                 GROUP BY u.dst)"""
+      }.mkString
+      val bw = ((depth - 1) to 1 by -1).map { k =>
+        s""",
+         ${tag}_d$k AS (SELECT l.id,
+                   CAST(COALESCE(SUM(
+                     (l.paths * (1000000 + t.d)) // t.paths), 0)
+                     AS BIGINT) AS d
+                 FROM ${tag}_l$k l LEFT JOIN (
+                   SELECT u.src AS sid, lw.paths, dw.d
+                   FROM und u
+                   JOIN ${tag}_l${k + 1} lw ON lw.id = u.dst
+                   JOIN ${tag}_d${k + 1} dw ON dw.id = u.dst) t
+                   ON t.sid = l.id
+                 GROUP BY l.id)"""
+      }.mkString
+      s""",
+         ${tag}_l0 AS (SELECT CAST($src AS BIGINT) AS id,
+                       CAST(1 AS BIGINT) AS paths)$fw,
+         ${tag}_d$depth AS (SELECT id, CAST(0 AS BIGINT) AS d
+                            FROM ${tag}_l$depth)$bw"""
+    }
+    val ctes = landmarks.zipWithIndex
+      .map { case (s, i) => lm(s"lm$i", s) }.mkString
+    val selects = landmarks.indices.flatMap { i =>
+      (1 to depth).map(k => s"SELECT id, d FROM lm${i}_d$k")
+    }.mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded)$ctes
+         SELECT id, CAST(SUM(d) AS BIGINT) AS bc_micro
+         FROM ($selects) GROUP BY id
+         ORDER BY bc_micro DESC, id LIMIT 50"""
+  }
+
   /** Deterministic random walks, replaying
     * [[graft.ops.GraphOps.graphRandomWalk]]: per step, argmin of the
     * engine-neutral md5Hash60 over (walk id, step, candidate), dst
@@ -1258,6 +1311,9 @@ object Oracle {
     "graph_random_walk" -> randomWalkSql(3),
 
     "graph_path_count" -> pathCountSql(3),
+
+    "graph_betweenness" ->
+      betweennessSql(3, Seq(3000000000001L, 4000000000001L)),
 
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered

@@ -142,6 +142,7 @@ object SparkEntry {
     "graph_random_walk"          -> (GraphOps.graphRandomWalk _),
     "graph_link_predict"         -> (GraphXAlgos.linkPredict _),
     "graph_path_count"           -> (GraphOps.graphPathCount _),
+    "graph_betweenness"          -> (GraphOps.graphBetweenness _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),

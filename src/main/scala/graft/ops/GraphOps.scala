@@ -416,6 +416,101 @@ object GraphOps {
     out.orderBy(col("dist"), col("id"))
   }
 
+  /** Forward phase of Brandes' betweenness from one landmark: BFS
+    * layers over an undirected pair frame, each layer carrying sigma
+    * (shortest-path counts = sum of predecessor sigmas) — the
+    * [[graphPathCount]] computation, kept per layer for the backward
+    * sweep. Layers are persisted: each is touched again by the next
+    * forward hop, the visited anti-join, and two backward joins. */
+  private def bfsSigmaLayers(und: DataFrame, source: Long,
+      depth: Int): Vector[DataFrame] = {
+    val spark = und.sparkSession
+    var layer = spark.range(1)
+      .select(lit(source).as("id"), lit(1L).as("paths")).persist()
+    var seen = layer.select(col("id"))
+    var out = Vector(layer)
+    for (_ <- 1 to depth) {
+      val next = und
+        .join(layer.select(col("id").as("src"), col("paths")), "src")
+        .groupBy(col("dst")).agg(sum(col("paths")).as("paths"))
+        .join(seen, col("dst") === seen("id"), "left_anti")
+        .select(col("dst").as("id"), col("paths"))
+        .persist()
+      seen = seen.unionByName(next.select(col("id")))
+      out = out :+ next
+      layer = next
+    }
+    out
+  }
+
+  /** Per-landmark Brandes dependency accumulation in EXACT integer
+    * micro-units: delta(v) = Σ over BFS-DAG successors w (dist(w) =
+    * dist(v)+1) of `(sigma_v * (1_000_000 + delta_w)) div sigma_w` —
+    * the float `sigma_v/sigma_w * (1 + delta_w)` with the division
+    * deferred to one integer truncation per term, so the sum is
+    * order-independent and bit-identical on any engine (the
+    * [[pagerankExactOn]] discipline; textbook float betweenness is
+    * merge-order-sensitive, which is why graph DBs ship it
+    * unoracle-able). Bounded depth + landmark sampling is the standard
+    * 100 TB betweenness estimator (exact Brandes is O(V·E)); each
+    * backward round is one layer⋈edges join + a sum agg, the same
+    * co-partitioned hop shape as the forward BFS. Returns (id, d) for
+    * every reached non-source vertex. */
+  def betweennessFrom(und: DataFrame, source: Long,
+      depth: Int): DataFrame = {
+    val layers = bfsSigmaLayers(und, source, depth)
+    var delta = layers(depth).select(col("id"), lit(0L).as("d"))
+    var acc = delta
+    for (k <- (depth - 1) to 1 by -1) {
+      val succ = layers(k + 1).join(delta, "id")
+        .select(col("id").as("w"), col("paths").as("sw"),
+          col("d").as("dw"))
+      val contrib = und.join(succ, und("dst") === succ("w"))
+        .select(col("src"), col("sw"), col("dw"))
+      val dk = layers(k)
+        .join(contrib, layers(k)("id") === contrib("src"), "left")
+        .groupBy(layers(k)("id"), col("paths"))
+        .agg(coalesce(sum(expr("(paths * (1000000 + dw)) div sw")),
+          lit(0L)).as("d"))
+        .select(col("id"), col("d"))
+      delta = dk
+      acc = acc.unionByName(dk)
+    }
+    val out = acc.localCheckpoint(true)
+    layers.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Landmark sources for [[graphBetweenness]]: one customer-side and
+    * one supplier-side seed, so both bipartite wings contribute. */
+  private val BetweennessLandmarks =
+    Seq(GraphModel.CustomerOff + 1L, GraphModel.SupplierOff + 1L)
+
+  /** Registered surface: landmark-sampled bounded-depth (3) Brandes
+    * betweenness over the undirected derived graph — per-vertex
+    * dependency deltas summed across the landmark set, top-50
+    * (micro-units, id tie-break). DuckDB-oracled via unrolled
+    * per-landmark forward/backward CTE chains of the identical integer
+    * arithmetic. */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.dedupEdgesCached(spark, dir)
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      // both sweeps probe und on src (forward) and dst (backward);
+      // src-partitioning serves the 6 forward hops, and the symmetric
+      // union keeps the frame one build
+      .repartition(col("src")).persist()
+    val out = BetweennessLandmarks
+      .map(s => betweennessFrom(und, s, 3))
+      .reduce(_ unionByName _)
+      .groupBy(col("id")).agg(sum(col("d")).as("bc_micro"))
+      .orderBy(col("bc_micro").desc, col("id"))
+      .limit(50)
+      .localCheckpoint(true)
+    und.unpersist(false)
+    out
+  }
+
   /** Deterministic "random" walks — the corpus generator for
     * DeepWalk/node2vec-style graph embeddings: from every order
     * vertex, take 3 steps, at each step choosing the out-neighbor

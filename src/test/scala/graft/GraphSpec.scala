@@ -326,6 +326,28 @@ class GraphSpec extends SparkSpec {
     assert(inserts.length == 5) // one per market segment
   }
 
+  test("betweenness deltas match hand-computed Brandes on a diamond") {
+    import spark.implicits._
+    // diamond 1-2, 1-3, 2-4, 3-4 plus a tail 4-5 (undirected)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val und = pairs.toDF("src", "dst")
+      .unionByName(pairs.map(_.swap).toDF("src", "dst"))
+    val got = GraphOps.betweennessFrom(und, 1L, 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("d")).toMap
+    // sigma: 2,3 → 1; 4 → 2; 5 → 2. depth-3 frontier {5}: delta 0.
+    // delta(4) = (2*(1e6+0)) div 2 = 1_000_000
+    // delta(2) = delta(3) = (1*(1e6+1e6)) div 2 = 1_000_000
+    assert(got == Map(2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L, 5L -> 0L))
+    // registered surface: a total order, nonnegative scores, and the
+    // landmark sources themselves absent from their own sweeps
+    val reg = GraphOps.graphBetweenness(spark, sfDir).collect()
+    assert(reg.length == 50)
+    assert(reg.forall(_.getAs[Long]("bc_micro") >= 0L))
+    val scores = reg.map(_.getAs[Long]("bc_micro"))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+  }
+
   test("vertex lookup returns the one probed vertex") {
     val rows = GraphOps.graphVertexLookup(spark, sfDir).collect()
     assert(rows.length == 1)
