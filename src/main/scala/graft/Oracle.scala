@@ -115,6 +115,39 @@ object Oracle {
          ORDER BY rank_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled weighted fixed-point PageRank, replaying
+    * [[graft.ops.GraphOps.pagerankWeightedExactOn]]: per-(src,dst)
+    * multiplicity weights, per-edge contribution
+    * `(r * w) // wt` (one truncation per edge, exactly Spark's
+    * `div`), then the damped integer update. */
+  private def pagerankWeightedExactSql(iters: Int): String = {
+    val base = s"""WITH $EdgesCte,
+         we AS (SELECT src, dst, count(*) AS w FROM edges
+                GROUP BY src, dst),
+         wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM we
+                  GROUP BY src),
+         verts AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM we UNION SELECT dst FROM we)),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+         r$i AS (SELECT v.id,
+                   CAST(150000 + (COALESCE(m.s, 0) * 85) // 100
+                     AS BIGINT) AS r
+                 FROM verts v LEFT JOIN (
+                   SELECT e.dst AS id,
+                          CAST(SUM((c.r * e.w) // o.wt) AS BIGINT) AS s
+                   FROM r${i - 1} c
+                   JOIN wout o ON c.id = o.src
+                   JOIN we e ON e.src = c.id
+                   GROUP BY e.dst) m ON m.id = v.id)"""
+    }.mkString
+    base + steps +
+      s"""
+         SELECT id, r AS rank_micro FROM r$iters
+         ORDER BY rank_micro DESC, id LIMIT 50"""
+  }
+
   /** Unrolled BFS path counting, replaying
     * [[graft.ops.GraphOps.graphPathCount]]: per layer, new vertices
     * get the sum of predecessor counts; visited set = all prior
@@ -1300,6 +1333,8 @@ object Oracle {
     // arithmetic: BIGINT micro-unit ranks, `//` == Spark's `div` on
     // positive operands, exact order-independent sums
     "graph_pagerank_exact" -> pagerankExactSql(5),
+
+    "graph_pagerank_weighted_exact" -> pagerankWeightedExactSql(5),
 
     "graph_pagerank_personalized" -> pagerankPersonalizedSql(5),
 

@@ -136,6 +136,8 @@ object SparkEntry {
     // GraphX iterations — exact arithmetic + total-order tie-breaks
     // make these two oracle-checkable
     "graph_pagerank_exact"       -> (GraphOps.pagerankExact _),
+    "graph_pagerank_weighted_exact" ->
+      (GraphOps.pagerankWeightedExact _),
     "graph_pagerank_personalized" -> (GraphOps.pagerankPersonalized _),
     "graph_lpa_exact"            -> (GraphOps.lpaExact _),
     "graph_hits_exact"           -> (GraphOps.hitsExact _),

@@ -269,6 +269,59 @@ object GraphOps {
       .limit(50)
   }
 
+  /** Weighted fixed-point PageRank in the same exact-integer
+    * micro-unit arithmetic as [[pagerankExactOn]]: edge weight = the
+    * MULTIPLICITY of (src, dst) in the raw multi-edge table (an order
+    * with 3 lines on one part pushes 3× the rank share down that
+    * edge), contribution per edge = `(r * w) div W` with W = the
+    * source's total out-weight — one integer truncation per edge, so
+    * sums stay order-independent and the whole iteration is
+    * DuckDB-replayable (the oracle-able counterpart of the
+    * invariant-tested float [[GraphXAlgos.pagerankWeighted]]).
+    * Per iteration: one agg + two joins keyed on src/dst/id; the
+    * weighted edge frame is built once (one groupBy over the edge
+    * table) and persisted pre-partitioned on src, the key the
+    * iterated join probes — bucketing at 100 TB. Overflow bound:
+    * r ≤ V·10^6 and w ≤ max multiplicity (single digits here), so
+    * r·w stays orders of magnitude under 2^63 even at 1000×. */
+  def pagerankWeightedExactOn(edgesMulti: DataFrame,
+      iters: Int): DataFrame = {
+    val we = edgesMulti.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .repartition(col("src")).persist()
+    val wout = we.groupBy(col("src")).agg(sum(col("w")).as("wt"))
+    val verts = we.select(col("src").as("id"))
+      .unionByName(we.select(col("dst").as("id"))).distinct()
+      .join(wout, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("wt"), lit(0L)).as("wt"))
+      .persist()
+    var rank = verts.select(col("id"), col("wt"),
+      lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.filter(col("wt") > 0)
+        .select(col("id").as("src"), col("r"), col("wt"))
+      val msgs = we.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(expr("(r * w) div wt")).as("s"))
+      rank = verts.join(msgs, verts("id") === msgs("dst"), "left")
+        .select(col("id"), col("wt"),
+          (lit(150000L) + expr("(coalesce(s, 0) * 85) div 100")).as("r"))
+    }
+    val out = rank.select(col("id"), col("r")).localCheckpoint(true)
+    we.unpersist(false)
+    verts.unpersist(false)
+    out
+  }
+
+  /** Registered surface: 5 exact weighted iterations on the raw
+    * multi-edge derived graph, top-50 by rank (micro-units, id
+    * tie-break). */
+  def pagerankWeightedExact(spark: SparkSession,
+      dir: String): DataFrame =
+    pagerankWeightedExactOn(GraphModel.edgesCached(spark, dir), 5)
+      .select(col("id"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("id"))
+      .limit(50)
+
   /** Deterministic synchronous label propagation: every vertex starts
     * as its own label; each round it adopts the most frequent label
     * among its (undirected) neighbors, ties broken by SMALLEST label —

@@ -326,6 +326,26 @@ class GraphSpec extends SparkSpec {
     assert(inserts.length == 5) // one per market segment
   }
 
+  test("weighted-exact pagerank: all-1 weights reduce to the unweighted " +
+      "iteration, multiplicity shifts rank share") {
+    import spark.implicits._
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+    // on a deduplicated edge set every multiplicity is 1, so the
+    // weighted iteration must be bit-identical to the unweighted one
+    val w = GraphOps.pagerankWeightedExactOn(ded, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u = GraphOps.pagerankExactOn(ded, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == u)
+    // a doubled edge tilts the split: 1→2 twice, 1→3 once
+    val multi = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val got = GraphOps.pagerankWeightedExactOn(multi, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contrib to 2: (1e6*2) div 3 = 666666 → 150000 + 566666
+    // contrib to 3: (1e6*1) div 3 = 333333 → 150000 + 283333
+    assert(got(2L) == 716666L && got(3L) == 433333L && got(1L) == 150000L)
+  }
+
   test("betweenness deltas match hand-computed Brandes on a diamond") {
     import spark.implicits._
     // diamond 1-2, 1-3, 2-4, 3-4 plus a tail 4-5 (undirected)
