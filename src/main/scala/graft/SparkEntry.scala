@@ -68,6 +68,7 @@ object SparkEntry {
     // §2.4bis statistics / reshaping / sampling / skew patterns
     "agg_stats_moments" -> (Stats.aggStatsMoments _),
     "agg_percentile"    -> (Stats.aggPercentile _),
+    "agg_percentile_approx" -> (Stats.aggPercentileApprox _),
     "pivot_wide"        -> (Stats.pivotWide _),
     "unpivot_long"      -> (Stats.unpivotLong _),
     "sample_systematic" -> (Stats.sampleSystematic _),

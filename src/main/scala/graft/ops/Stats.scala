@@ -61,6 +61,29 @@ object Stats {
           .as("median_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentiles (median, p90) per flag — oracle=no
+    * (Greenwald-Khanna sketch internals are engine-specific; DuckDB's
+    * approx_quantile is a different sketch entirely) but deterministic
+    * for a fixed dataset, covered by a rank-error-bound test against
+    * the exact percentiles in the suite. This is the 100 TB path the
+    * exact [[aggPercentile]] documents: the GK sketch is constant
+    * memory per group and merges map-side, where the exact percentile
+    * must shuffle every value of the group to one reducer. Accuracy
+    * 1000 bounds the rank error at N/1000 per group. */
+  def aggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+          .as("q"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+          .as("approx_median_price"))
+      .select(col("l_returnflag"),
+        col("q")(0).as("approx_median_qty"),
+        col("q")(1).as("approx_p90_qty"),
+        col("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Wide pivot: order counts per priority × status. */
   def pivotWide(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders

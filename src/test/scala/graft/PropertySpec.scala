@@ -24,6 +24,34 @@ class PropertySpec extends SparkSpec {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("approx_percentile stays within the GK rank-error bound") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.ops.Stats.aggPercentileApprox(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val byFlag = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // GK with accuracy 1000 returns an element whose true rank is
+    // within N/1000 of the target; verify via rank counting, with one
+    // element of slack on each side for the discrete boundary
+    byFlag.foreach { case (flag, vs) =>
+      val n = vs.length
+      val eps = n.toDouble / 1000 + 1
+      Seq(0.5 -> got(flag)._1, 0.9 -> got(flag)._2).foreach {
+        case (p, v) =>
+          val below = vs.count(_ < v).toDouble
+          val atOrBelow = vs.count(_ <= v).toDouble
+          assert(below <= p * n + eps,
+            s"$flag p$p: $v sits above rank ${p * n} + $eps")
+          assert(atOrBelow >= p * n - eps,
+            s"$flag p$p: $v sits below rank ${p * n} - $eps")
+      }
+    }
+  }
+
   // ---- pure algebraic laws (fast, many cases) ----
 
   private val vecGen: Gen[Array[Float]] =
