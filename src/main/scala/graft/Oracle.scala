@@ -2157,6 +2157,28 @@ object Oracle {
                   AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
 
+    // the parquet-upsert-log sibling maintains the same state; the
+    // committed view equals the batch degree
+    "stream_degree_parquet" ->
+      """SELECT user_id, count(*) AS out_degree,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // replays streamRankIncremental's derived view over the maintained
+    // (user, type) edge counts: damped one-hop bipartite rank in exact
+    // micro-units (// == Spark div on positive operands)
+    "stream_rank_incremental" ->
+      """WITH s AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS te
+                FROM s GROUP BY 1)
+          SELECT user_id,
+                 CAST(150000 + SUM((850000 * n) // te) AS BIGINT)
+                   AS rank_micro
+          FROM s JOIN t USING (event_type)
+          GROUP BY user_id ORDER BY user_id""",
+
     // the join runs as a true watermarked stream-stream join in Spark
     // (two file-source streams, append mode); once all input is
     // processed the inner join's emitted rows equal the batch interval

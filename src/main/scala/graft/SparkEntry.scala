@@ -196,7 +196,9 @@ object SparkEntry {
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),
     "stream_graph_degree"     -> (Streaming.streamGraphDegree _),
     "stream_stream_join"      -> (Streaming.streamStreamJoin _),
-    "stream_cdc_latest"       -> (Streaming.streamCdcLatest _)
+    "stream_cdc_latest"       -> (Streaming.streamCdcLatest _),
+    "stream_degree_parquet"   -> (Streaming.streamDegreeParquet _),
+    "stream_rank_incremental" -> (Streaming.streamRankIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

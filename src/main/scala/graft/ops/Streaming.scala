@@ -217,6 +217,111 @@ object Streaming {
       name
     }
 
+  /** Memoized upsert-log sink dir per (session, dir, tag) — the
+    * production-sink siblings of the memory-sink demos above. */
+  private val upsertDirs = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, String), String]()
+
+  /** PRODUCTION state sink: run an update-mode streaming aggregation
+    * and land each micro-batch's UPDATED rows in a parquet upsert log
+    * via foreachBatch — the pattern Structured Streaming documents for
+    * stateful output to a batch store (update mode cannot write files
+    * directly). Each batch's rows are written under a `batch_id=`
+    * partition with DYNAMIC partition overwrite, so a batch replayed
+    * after a crash between write and checkpoint-commit overwrites its
+    * own partition instead of duplicating rows — idempotent, i.e.
+    * effectively-once, without the complete-mode rewrite of the whole
+    * state the memory-sink demos pay. The current view is
+    * last-write-wins per key by batch_id at read time; at 100 TB the
+    * same loop targets a keyed upsert store and state lives in
+    * RocksDB. */
+  private[graft] def runUpsertLog(spark: SparkSession, base: String,
+      agg: DataFrame): Unit =
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$base/out")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+  /** Latest state per key from an upsert log: argmax by batch_id over
+    * the struct of maintained columns (counts are monotone per key, so
+    * the newest batch wins every component). */
+  private def latestByBatch(spark: SparkSession, path: String,
+      keys: Seq[String], cols: Seq[String]): DataFrame = {
+    val log = spark.read.parquet(path)
+    log.groupBy(keys.map(col): _*)
+      .agg(max(struct((Seq("batch_id") ++ cols).map(col): _*)).as("m"))
+      .select(keys.map(col) ++ cols.map(c => col(s"m.$c").as(c)): _*)
+  }
+
+  /** The production-sink variant of [[streamGraphDegree]]: identical
+    * incrementally-maintained per-user degree state, but committed to
+    * a checkpointed parquet upsert log instead of a complete-mode
+    * memory table — the shape that survives unbounded streams (state
+    * updates flow out; nothing rewrites the full state per batch).
+    * Final view equals the batch degree, which the oracle checks. */
+  def streamDegreeParquet(spark: SparkSession, dir: String): DataFrame = {
+    val base = upsertDirs.synchronized {
+      upsertDirs.getOrElseUpdate((spark, dir, "deg"), {
+        val b = graft.TempDirs.create(
+          s"graft-degsink-${runIds.incrementAndGet()}")
+        runUpsertLog(spark, b, eventsStream(spark, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("out_degree"),
+            Det.sum2(col("value")).as("sum_value")))
+        b
+      })
+    }
+    latestByBatch(spark, s"$base/out", Seq("user_id"),
+      Seq("out_degree", "sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Incremental graph ANALYTICS under the change feed: the event
+    * stream is the edge stream of the bipartite user→event-type
+    * activity graph, and the maintained state is its weighted
+    * adjacency (per-(user, type) edge counts — one streaming agg,
+    * per-key increments, committed to the parquet upsert log). The
+    * registered view derives each user's damped degree-weighted rank
+    * from current state in exact micro-units:
+    * `150000 + Σ_types (850000 · w(u,t)) div W(t)` — the one-hop
+    * PageRank step over the bipartite graph, i.e. "rank stays fresh
+    * under writes" by maintaining its sufficient statistics
+    * incrementally and deriving the rank as a cheap stateless view
+    * (the standard incremental-view-maintenance split). Final state
+    * equals the batch computation, which the oracle replays. */
+  def streamRankIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = upsertDirs.synchronized {
+      upsertDirs.getOrElseUpdate((spark, dir, "rank"), {
+        val b = graft.TempDirs.create(
+          s"graft-ranksink-${runIds.incrementAndGet()}")
+        runUpsertLog(spark, b, eventsStream(spark, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+        b
+      })
+    }
+    val state = latestByBatch(spark, s"$base/out",
+      Seq("user_id", "event_type"), Seq("n"))
+    val totals = state.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("te"))
+    state.join(totals, "event_type")
+      .groupBy(col("user_id"))
+      .agg((lit(150000L) + sum(expr("(850000 * n) div te")))
+        .as("rank_micro"))
+      .orderBy(col("user_id"))
+  }
+
   /** Core stream-stream join transform (shared batch/stream shape):
     * attribute each purchase to the same user's clicks in the hour
     * before it. Both inputs carry event-time columns; in streaming mode
