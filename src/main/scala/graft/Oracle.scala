@@ -228,6 +228,70 @@ object Oracle {
          ORDER BY bc_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled landmark harmonic closeness, replaying
+    * [[graft.ops.GraphOps.graphClosenessHarmonic]]: dist-only BFS
+    * layers per landmark, reciprocal-distance micro-units
+    * (1000000 // k) summed per vertex. */
+  private def closenessSql(depth: Int, landmarks: Seq[Long]): String = {
+    def lm(tag: String, src: Long): String = {
+      val fw = (1 to depth).map { k =>
+        val visited = (0 until k)
+          .map(j => s"SELECT id FROM ${tag}_l$j").mkString(" UNION ")
+        s""",
+         ${tag}_l$k AS (SELECT DISTINCT u.dst AS id
+                 FROM und u JOIN ${tag}_l${k - 1} l ON u.src = l.id
+                 WHERE u.dst NOT IN ($visited))"""
+      }.mkString
+      s""",
+         ${tag}_l0 AS (SELECT CAST($src AS BIGINT) AS id)$fw"""
+    }
+    val ctes = landmarks.zipWithIndex
+      .map { case (s, i) => lm(s"cl$i", s) }.mkString
+    val selects = landmarks.indices.flatMap { i =>
+      (1 to depth).map(k =>
+        s"SELECT id, CAST(${1000000L / k} AS BIGINT) AS hc " +
+          s"FROM cl${i}_l$k")
+    }.mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded)$ctes
+         SELECT id, CAST(SUM(hc) AS BIGINT) AS hc_micro
+         FROM ($selects) GROUP BY id
+         ORDER BY hc_micro DESC, id LIMIT 50"""
+  }
+
+  /** Unrolled k-core peeling, replaying
+    * [[graft.ops.GraphOps.graphKcore]]: per round, degrees over the
+    * remaining subgraph, sub-k vertices dropped, edges restricted to
+    * survivors; output is the per-round peel census. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""",
+         d$r AS (SELECT v.id, COALESCE(dd.d, 0) AS d
+                 FROM v${r - 1} v LEFT JOIN (
+                   SELECT src AS id, count(*) AS d FROM e${r - 1}
+                   GROUP BY src) dd ON dd.id = v.id),
+         v$r AS (SELECT id FROM d$r WHERE d >= $k),
+         e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+                 JOIN v$r a ON e.src = a.id
+                 JOIN v$r b ON e.dst = b.id),
+         s$r AS (SELECT $r AS round,
+                        count(*) FILTER (d < $k) AS n_removed,
+                        count(*) FILTER (d >= $k) AS n_remaining
+                 FROM d$r)"""
+    }.mkString
+    val selects = (1 to rounds)
+      .map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         e0 AS (SELECT src, dst FROM ded
+                UNION ALL SELECT dst, src FROM ded),
+         v0 AS (SELECT DISTINCT src AS id FROM e0)$steps
+         SELECT round, n_removed, n_remaining FROM ($selects)
+         ORDER BY round"""
+  }
+
   /** Deterministic random walks, replaying
     * [[graft.ops.GraphOps.graphRandomWalk]]: per step, argmin of the
     * engine-neutral md5Hash60 over (walk id, step, candidate), dst
@@ -564,6 +628,10 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars, text FROM documents
          ORDER BY doc_id""",
 
+    "scan_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
+
     // the partitioned round-trip prunes to lang='en' directories; the
     // oracle is the equivalent plain filter on the originals
     "scan_partitioned_pruned" ->
@@ -609,6 +677,17 @@ object Oracle {
                      WHEN o_orderstatus = 'F' THEN 'large_final'
                      ELSE 'large_open' END AS bucket
          FROM orders ORDER BY o_orderkey""",
+
+    // the SQL-text front-end exhibit: same query, no views
+    "sql_query_interface" ->
+      s"""SELECT n_name, o_orderpriority,
+                 count(*) AS n_orders,
+                 ${sqlSum2("o_totalprice")} AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          GROUP BY n_name, o_orderpriority
+          ORDER BY n_name, o_orderpriority""",
 
     "graph_traverse_3hop_agg" ->
       s"""SELECT r_name, n_name, count(*) AS n_orders,
@@ -788,6 +867,18 @@ object Oracle {
                   ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_csv
          FROM orders WHERE o_orderstatus = 'P'
          GROUP BY 1 ORDER BY o_custkey""",
+
+    // deterministic mode: highest count, smallest value on ties —
+    // row_number replays Spark's max(struct(c, -qty)) argmax exactly
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+                    FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, l_quantity, c,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY c DESC, l_quantity ASC) AS rn
+               FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
 
     // replays VecSumMicroAggregator: floor(x·1e6) BIGINT micro-units
     // (float widened to double BEFORE the multiply, like the Scala
@@ -974,6 +1065,29 @@ object Oracle {
                   AS n_within_1000
          FROM orders
          ORDER BY o_orderkey""",
+
+    // batch sessionization: lag-flag + running sum = session id; the
+    // strictly-greater 30-min gap matches the streaming session_window
+    "window_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec
+                     FROM events),
+         flg AS (SELECT user_id, event_id, ts_sec,
+                   CASE WHEN lag(ts_sec) OVER w IS NULL
+                          OR ts_sec - lag(ts_sec) OVER w
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM ev WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_sec, event_id)),
+         s AS (SELECT user_id, ts_sec,
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM flg)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_sec) AS session_start,
+                max(ts_sec) AS session_end
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
 
     "window_ntile_percent" ->
       """SELECT o_orderkey, o_orderstatus,
@@ -1350,6 +1464,12 @@ object Oracle {
     "graph_betweenness" ->
       betweennessSql(3, Seq(3000000000001L, 4000000000001L)),
 
+    "graph_closeness_harmonic" ->
+      closenessSql(3, Seq(3000000000001L, 4000000000001L,
+        2000000000001L, 6000000000001L)),
+
+    "graph_kcore" -> kcoreSql(3, 4),
+
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered
     // pairs, dedup; then canonical x<y<z triangle enumeration and the
@@ -1722,6 +1842,21 @@ object Oracle {
                   AS props_redacted
          FROM events ORDER BY event_id""",
 
+    // replays corpusMixWeighted: per-source permille rates off the
+    // source index, engine-neutral md5Hash60 membership predicate
+    "corpus_mix_weighted" ->
+      s"""WITH rated AS (
+           SELECT doc_id, source, lang,
+                  CASE CAST(substr(source, 4) AS INT) % 4
+                    WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
+                    ELSE 125 END AS rate_permille
+           FROM documents)
+         SELECT doc_id, source, lang, rate_permille FROM rated
+         WHERE ${md5Hash60Sql(
+             "'graft-mix:' || CAST(doc_id AS VARCHAR)")} % 1000
+               < rate_permille
+         ORDER BY doc_id""",
+
     "corpus_sample_stratified" ->
       """WITH keyed AS (
            SELECT doc_id, lang, source, n_chars,
@@ -1841,6 +1976,29 @@ object Oracle {
                FROM q)
          SELECT doc_id, lang, quality, pr FROM r
          WHERE pr >= 0.1 AND pr <= 0.9 ORDER BY lang, doc_id""",
+
+    // replays embedKnnBatch: 20 broadcast probes, one corpus pass,
+    // per-probe top-3 by rounded cosine with id tie-break
+    "embed_knn_batch" ->
+      """WITH e AS (SELECT vec_id,
+                           CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         en AS (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm FROM e),
+         p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn
+               FROM en WHERE vec_id < 20),
+         sims AS (SELECT p.probe_id, x.vec_id,
+                         ROUND(list_sum(list_transform(range(1, 65),
+                                 i -> x.v[i] * p.pv[i]))
+                           / (x.nrm * p.pn), 4) AS cos_sim
+                  FROM en x JOIN p ON x.vec_id <> p.probe_id),
+         r AS (SELECT probe_id, vec_id, cos_sim,
+                      CAST(row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+               FROM sims)
+         SELECT probe_id, vec_id, cos_sim, rn FROM r
+         WHERE rn <= 3 ORDER BY probe_id, rn""",
 
     "embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,

@@ -29,6 +29,7 @@ object SparkEntry {
     // readers over a one-time materialized copy of the driver corpus)
     "scan_csv_roundtrip"  -> (Sources.scanCsvRoundtrip _),
     "scan_json_roundtrip" -> (Sources.scanJsonRoundtrip _),
+    "scan_orc_roundtrip"  -> (Sources.scanOrcRoundtrip _),
     "scan_partitioned_pruned" -> (Sources.scanPartitionedPruned _),
     "join_bucketed_colocated" -> (Sources.joinBucketedColocated _),
     // §2.2 filters / projections
@@ -36,6 +37,7 @@ object SparkEntry {
     "filter_like_regexp"    -> (Relational.filterLikeRegexp _),
     "filter_null_semantics" -> (Relational.filterNullSemantics _),
     "project_case_when"     -> (Relational.projectCaseWhen _),
+    "sql_query_interface"   -> (Relational.sqlQueryInterface _),
     // §2.3 joins
     "join_broadcast"         -> (Joins.joinBroadcast _),
     "join_shuffle_sortmerge" -> (Joins.joinShuffleSortMerge _),
@@ -63,6 +65,7 @@ object SparkEntry {
     "agg_collect_sorted"  -> (Aggregations.aggCollectSorted _),
     "agg_filtered"        -> (Aggregations.aggFiltered _),
     "agg_string_concat"   -> (Aggregations.aggStringConcat _),
+    "agg_mode"            -> (Aggregations.aggMode _),
     "agg_custom_vecsum"   -> (Aggregations.aggCustomVecsum _),
     "agg_custom_vecsum_exact" -> (Aggregations.aggCustomVecsumExact _),
     // §2.4bis statistics / reshaping / sampling / skew patterns
@@ -82,6 +85,7 @@ object SparkEntry {
     "window_moving_avg"     -> (Windows.windowMovingAvg _),
     "window_range_frame"    -> (Windows.windowRangeFrame _),
     "window_ntile_percent"  -> (Windows.windowNtilePercent _),
+    "window_sessionize"     -> (Windows.windowSessionize _),
     // §2.6 sorts / limits / set ops
     "sort_multikey"      -> (SetOps.sortMultikey _),
     "limit_topk_global"  -> (SetOps.limitTopkGlobal _),
@@ -146,6 +150,8 @@ object SparkEntry {
     "graph_link_predict"         -> (GraphXAlgos.linkPredict _),
     "graph_path_count"           -> (GraphOps.graphPathCount _),
     "graph_betweenness"          -> (GraphOps.graphBetweenness _),
+    "graph_closeness_harmonic"   -> (GraphOps.graphClosenessHarmonic _),
+    "graph_kcore"                -> (GraphOps.graphKcore _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
@@ -164,6 +170,7 @@ object SparkEntry {
     "text_repetition_score"     -> (TextOps.textRepetitionScore _),
     "text_contamination_ngram"  -> (TextOps.textContaminationNgram _),
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
+    "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
     "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),
     "corpus_quality_band"       -> (TextOps.corpusQualityBand _),
     "corpus_prepare_pipeline"   -> (TextOps.corpusPreparePipeline _),
@@ -172,6 +179,7 @@ object SparkEntry {
     "embed_pair_sim_threshold" -> (VectorOps.embedPairSimThreshold _),
     "embed_centroid_per_label" -> (VectorOps.embedCentroidPerLabel _),
     "embed_knn_per_label"      -> (VectorOps.embedKnnPerLabel _),
+    "embed_knn_batch"          -> (VectorOps.embedKnnBatch _),
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
     "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),

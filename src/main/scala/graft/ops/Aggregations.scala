@@ -148,6 +148,23 @@ object Aggregations {
         .as("order_csv"))
       .orderBy(col("o_custkey"))
 
+  /** Mode (most frequent value) of quantity per flag, deterministic:
+    * `max(struct(count, -value))` picks the highest count with the
+    * SMALLEST value on ties — a two-phase map-side-combinable
+    * aggregate (the `lpaExactOn` argmax trick), where the textbook
+    * row_number-over-count formulation sorts every group. At 100 TB
+    * the first groupBy is the only data-sized shuffle; the argmax runs
+    * over the (flag, quantity) histogram. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("c"), (-col("l_quantity")).as("nq"))).as("m"))
+      .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+        col("m.c").as("mode_count"))
+      .orderBy(col("l_returnflag"))
+
   /** Custom typed Aggregator (UDAF surface): element-wise vector sum of
     * embeddings per label; output kept scalar (rounded vector norm +
     * first component) for stability. oracle=no (float-sum order), but

@@ -553,14 +553,121 @@ object GraphOps {
       // src-partitioning serves the 6 forward hops, and the symmetric
       // union keeps the frame one build
       .repartition(col("src")).persist()
-    val out = BetweennessLandmarks
-      .map(s => betweennessFrom(und, s, 3))
+    val per = BetweennessLandmarks.map(s => betweennessFrom(und, s, 3))
+    val out = per
       .reduce(_ unionByName _)
       .groupBy(col("id")).agg(sum(col("d")).as("bc_micro"))
       .orderBy(col("bc_micro").desc, col("id"))
       .limit(50)
       .localCheckpoint(true)
+    // release the per-landmark delta checkpoints now the 50-row result
+    // is materialized
+    per.foreach(_.unpersist(false))
     und.unpersist(false)
+    out
+  }
+
+  /** Landmark set for [[graphClosenessHarmonic]]: one seed per major
+    * vertex namespace, so distances are measured from structurally
+    * distinct corners of the graph. */
+  private val ClosenessLandmarks = Seq(
+    GraphModel.CustomerOff + 1L, GraphModel.SupplierOff + 1L,
+    GraphModel.NationOff + 1L, GraphModel.OrderOff + 1L)
+
+  /** Harmonic closeness centrality, landmark-sampled and bounded-depth
+    * (3): HC(v) = Σ over landmarks s of `1_000_000 div dist(s, v)` —
+    * harmonic (sum of reciprocal distances) rather than classic
+    * closeness because it is well-defined for unreachable pairs (they
+    * contribute 0 instead of poisoning the sum), which is exactly what
+    * a bounded-depth sweep needs. Distances come from the same BFS
+    * layer frames as [[graphBetweenness]]; reciprocals are integer
+    * micro-units (1/1 = 1000000, 1/2 = 500000, 1/3 = 333333), so the
+    * per-vertex sum is exact and DuckDB-replayable. Landmark sampling
+    * is the standard closeness estimator at scale: exact closeness is
+    * all-pairs BFS, O(V·E). */
+  def graphClosenessHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.dedupEdgesCached(spark, dir)
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).persist()
+    val per = ClosenessLandmarks.map { s =>
+      val layers = bfsSigmaLayers(und, s, 3)
+      val contrib = (1 to 3).map(k =>
+        layers(k).select(col("id"), lit(1000000L / k).as("hc")))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      layers.foreach(_.unpersist(false))
+      contrib
+    }
+    val out = per.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(sum(col("hc")).as("hc_micro"))
+      .orderBy(col("hc_micro").desc, col("id"))
+      .limit(50)
+      .localCheckpoint(true)
+    // out is materialized (eager checkpoint): release the per-landmark
+    // intermediates — same block-manager discipline as the dedup loop
+    per.foreach(_.unpersist(false))
+    und.unpersist(false)
+    out
+  }
+
+  /** Bounded-round k-core peeling (k = 3, 4 synchronous rounds) over
+    * the undirected derived graph: each round drops every vertex whose
+    * CURRENT degree is below k, then restricts the edge set to
+    * surviving endpoints — the standard iterative peel, unrolled to a
+    * fixed round count so both engines replay the identical rounds
+    * (full k-core when the last round removes 0). Output is the peel
+    * census per round (n_removed / n_remaining): the summary a graph
+    * DB's core-decomposition reports, small and hash-stable at any
+    * scale. Per round: one degree agg + two semi-join restrictions,
+    * all keyed shuffles on the bucketing-friendly src/dst; survivor
+    * sets are eagerly checkpointed (each feeds three consumers and the
+    * next round) — O(rounds) joins total, never quadratic. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.dedupEdgesCached(spark, dir)
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).persist()
+    val out = kcoreOn(und, 3, 4)
+    und.unpersist(false)
+    out
+  }
+
+  /** The peel loop itself, over a SYMMETRIC (src, dst) pair frame —
+    * separate so the census can be unit-tested on hand graphs. */
+  def kcoreOn(und: DataFrame, K: Int, Rounds: Int): DataFrame = {
+    var cur = und
+    // the symmetric union puts every vertex on the src side, so the
+    // degree frame's key set IS the remaining vertex set
+    var verts = und.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var ckpts = Vector(verts)
+    var stats = Vector.empty[DataFrame]
+    for (r <- 1 to Rounds) {
+      val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val vd = verts
+        .join(deg, verts("id") === deg("src"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+        .localCheckpoint(true)
+      stats = stats :+ vd.agg(
+        count_if(col("d") < K).as("n_removed"),
+        count_if(col("d") >= K).as("n_remaining"))
+        .select(lit(r).as("round"), col("n_removed"),
+          col("n_remaining"))
+      val keep = vd.filter(col("d") >= K).select(col("id"))
+        .localCheckpoint(true)
+      ckpts = ckpts ++ Vector(vd, keep)
+      cur = cur
+        .join(keep.select(col("id").as("sk")), col("src") === col("sk"))
+        .join(keep.select(col("id").as("dk")), col("dst") === col("dk"))
+        .select(col("src"), col("dst"))
+      verts = keep
+    }
+    val out = stats.reduce(_ unionByName _)
+      .orderBy(col("round"))
+      .localCheckpoint(true)
+    // out is materialized: release every per-round checkpoint
+    ckpts.foreach(_.unpersist(false))
     out
   }
 

@@ -88,4 +88,30 @@ object Relational {
           .when(col("o_orderstatus") === "F", "large_final")
           .otherwise("large_open").as("bucket"))
       .orderBy(col("o_orderkey"))
+
+  /** The SQL-string front-end: tables registered as temp views, the
+    * query authored as ANSI SQL text and planned by `spark.sql` — the
+    * other half of the query API (everything else on the surface uses
+    * the DataFrame DSL). Same Catalyst plan either way: the SQL text
+    * below compiles to the identical broadcast-join + two-phase-agg
+    * shape as its DSL twin would, which is the point of the exhibit —
+    * a user can hand the engine raw SQL and lose nothing. Revenue per
+    * (nation, priority); the decimal-exact sum mirrors
+    * [[graft.ops.Det.sum2]] in SQL form. */
+  def sqlQueryInterface(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("graft_orders")
+    t.customer.createOrReplaceTempView("graft_customer")
+    t.nation.createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT n_name, o_orderpriority,
+                count(*) AS n_orders,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS revenue
+         FROM graft_orders
+         JOIN graft_customer ON o_custkey = c_custkey
+         JOIN graft_nation ON n_nationkey = c_nationkey
+         GROUP BY n_name, o_orderpriority
+         ORDER BY n_name, o_orderpriority""")
+  }
 }

@@ -100,6 +100,27 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** ORC source: orders written as ORC (the other columnar interchange
+    * format Spark ships natively), read back with an explicit DDL
+    * schema. Same splittable-columnar properties as parquet at 100 TB
+    * (stripe-level predicate pushdown, column projection); the graded
+    * surface is the format round-trip fidelity. */
+  def scanOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = materialize(spark, dir, "orc") { b =>
+      // coalesce(1): setup-only, same note as the CSV writer above
+      Tables(spark, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1).write.orc(s"$b/orders")
+    }
+    spark.read
+      .schema(StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE"))
+      .orc(s"$base/orders")
+      .orderBy(col("o_orderkey"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

@@ -428,6 +428,28 @@ object TextOps {
     * One window shuffle keyed by the stratum; at 100 TB the same plan
     * holds (count + row_number over lang partitions), and a heavy
     * stratum never concentrates on one task more than its share. */
+  /** Training-mix construction: sample each SOURCE at its own rate —
+    * the dataset-weighting step every pretraining pipeline runs
+    * (upsample curated sources, downsample crawl). Rates are permille
+    * per source (here derived from the source index: 1000/500/250/125
+    * by `idx mod 4` — a stand-in for a curated weight table, which at
+    * scale is a broadcast dim); membership is the engine-neutral
+    * `md5Hash60("graft-mix:" + doc_id) mod 1000 < rate` predicate, so
+    * the sample is reproducible run-to-run, engine-independent, and
+    * DuckDB-oracled — no RNG, no TABLESAMPLE drift. One narrow scan,
+    * no shuffle: the filter runs map-side at any scale. */
+  def corpusMixWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("rate_permille",
+        expr("CASE CAST(substring(source, 4) AS INT) % 4 " +
+          "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 " +
+          "ELSE 125 END"))
+      .filter(md5Hash60(concat(lit("graft-mix:"),
+        col("doc_id").cast("string"))) % 1000 < col("rate_permille"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("rate_permille"))
+      .orderBy(col("doc_id"))
+
   def corpusSampleStratified(spark: SparkSession, dir: String): DataFrame = {
     val keyed = Tables(spark, dir).documents
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

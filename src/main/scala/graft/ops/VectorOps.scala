@@ -76,6 +76,32 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Batch k-NN: top-3 exact-cosine neighbors for EACH of 20 probe
+    * vectors at once — the batch serving shape (embed a request batch,
+    * look all of them up in one job) as opposed to the single-probe
+    * [[embedCosineTopk]]. The probe set broadcasts; every corpus
+    * vector is scanned ONCE and compared against all probes in place
+    * (20·N pairs but zero shuffle of the big side), then a window
+    * per probe keeps the top-3 — at 100 TB this is one pass over the
+    * embedding store per request batch, with the per-probe heaps
+    * bounded by k. Ranked on the rounded similarity, id tie-break. */
+  def embedKnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val e = withNorm(Tables(spark, dir))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("v"), col("pv")) / (col("nrm") * col("pn")), 4)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** All vector pairs with cosine ≥ 0.3 within the same label — the
     * label equi-key bounds the self-join (SURVEY.md §7.4: every
     * self-join carries a partition key). */

@@ -47,6 +47,34 @@ object Windows {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Batch sessionization: split each user's event stream into
+    * sessions at >30-minute inactivity gaps — the lag-flag +
+    * running-sum idiom (a gap row starts a new session; the cumulative
+    * flag count IS the session id), i.e. the batch twin of the
+    * streaming `session_window` operator with identical gap semantics
+    * (strictly-greater, matching Spark's merge-at-exactly-gap
+    * behavior). One hash exchange on user_id, per-partition sort, two
+    * window passes over the same frame — no self-join. Output is the
+    * per-session summary. */
+  def windowSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+      .withColumn("new_s",
+        when(lag(col("ts_sec"), 1).over(w).isNull ||
+          col("ts_sec") > lag(col("ts_sec"), 1).over(w)
+            + expr("interval 30 minutes"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("session_start"),
+        max(col("ts_sec")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Per-user previous/next event and inter-event gap (lag/lead).
     * Event times are second-truncated BEFORE ordering so both engines
     * (µs-truncated Spark vs ns-native DuckDB — SURVEY.md §1.3) order

@@ -368,6 +368,41 @@ class GraphSpec extends SparkSpec {
     assert(scores.toSeq == scores.sortBy(-_).toSeq)
   }
 
+  test("k-core peel census matches hand peeling on a clique + pendant") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} plus pendant 4-5
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val und = pairs.toDF("src", "dst")
+      .unionByName(pairs.map(_.swap).toDF("src", "dst"))
+    val got = GraphOps.kcoreOn(und, 3, 3).collect()
+      .map(r => r.getAs[Int]("round") ->
+        (r.getAs[Long]("n_removed"), r.getAs[Long]("n_remaining")))
+      .toMap
+    // round 1 peels the pendant (deg 1 < 3); the K4 is a stable 3-core
+    assert(got == Map(1 -> ((1L, 4L)), 2 -> ((0L, 4L)),
+      3 -> ((0L, 4L))))
+    // registered surface converges on this corpus within its rounds
+    val reg = GraphOps.graphKcore(spark, sfDir).collect()
+    assert(reg.length == 4)
+    val remaining = reg.sortBy(_.getAs[Int]("round"))
+      .map(_.getAs[Long]("n_remaining"))
+    assert(remaining.zip(remaining.tail).forall { case (a, b) => b <= a },
+      "peeling must be monotone")
+  }
+
+  test("harmonic closeness: positive, totally ordered, landmark " +
+      "neighbors outrank the fringe") {
+    val rows = GraphOps.graphClosenessHarmonic(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val scores = rows.map(_.getAs[Long]("hc_micro"))
+    assert(scores.forall(_ > 0))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    // nation of customer #1 is one hop from a landmark → its score
+    // includes at least one full reciprocal unit
+    assert(scores.head >= 1000000L)
+  }
+
   test("vertex lookup returns the one probed vertex") {
     val rows = GraphOps.graphVertexLookup(spark, sfDir).collect()
     assert(rows.length == 1)

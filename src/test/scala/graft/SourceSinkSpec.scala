@@ -77,6 +77,16 @@ class SourceSinkSpec extends SparkSpec {
     assert(df.collect().sameElements(expect))
   }
 
+  test("orc round-trip preserves values with explicit schema") {
+    import org.apache.spark.sql.functions.col
+    val got = ops.Sources.scanOrcRoundtrip(spark, sfDir).collect()
+    val expect = Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey")).collect()
+    assert(got.sameElements(expect))
+  }
+
   test("registered bucketed join plans with no exchange before the SMJ") {
     val df = ops.Sources.joinBucketedColocated(spark, sfDir)
     df.collect()

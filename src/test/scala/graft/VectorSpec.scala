@@ -144,6 +144,25 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("batch kNN: 3 neighbors per probe, self excluded, ranks ordered") {
+    val rows = VectorOps.embedKnnBatch(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet == (0L until 20L).toSet)
+    byProbe.foreach { case (pid, rs) =>
+      assert(rs.length == 3)
+      assert(rs.forall(_.getAs[Long]("vec_id") != pid), s"probe $pid")
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // the single-probe operator and the batch one agree on probe 0
+    val single = VectorOps.embedCosineTopk(spark, sfDir).collect()
+      .filter(_.getAs[Long]("vec_id") != 0L)
+      .take(3).map(_.getAs[Long]("vec_id"))
+    val batch0 = rows.filter(_.getAs[Long]("probe_id") == 0L)
+      .sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id"))
+    assert(batch0.toSeq == single.toSeq)
+  }
+
   test("pair similarity self-join stays within label partitions") {
     val rows = VectorOps.embedPairSimThreshold(spark, sfDir).collect()
     assert(rows.nonEmpty)
