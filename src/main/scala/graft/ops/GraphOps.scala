@@ -510,15 +510,19 @@ object GraphOps {
     * co-partitioned hop shape as the forward BFS. Returns (id, d) for
     * every reached non-source vertex. */
   def betweennessFrom(und: DataFrame, source: Long,
-      depth: Int): DataFrame = {
+      depth: Int, undByDst: Option[DataFrame] = None): DataFrame = {
     val layers = bfsSigmaLayers(und, source, depth)
+    // the backward sweep probes the edge frame on dst; a
+    // dst-partitioned sibling removes that exchange per round (the
+    // same src/dst twin-cache rule as HITS)
+    val eBack = undByDst.getOrElse(und)
     var delta = layers(depth).select(col("id"), lit(0L).as("d"))
     var acc = delta
     for (k <- (depth - 1) to 1 by -1) {
       val succ = layers(k + 1).join(delta, "id")
         .select(col("id").as("w"), col("paths").as("sw"),
           col("d").as("dw"))
-      val contrib = und.join(succ, und("dst") === succ("w"))
+      val contrib = eBack.join(succ, eBack("dst") === succ("w"))
         .select(col("src"), col("sw"), col("dw"))
       val dk = layers(k)
         .join(contrib, layers(k)("id") === contrib("src"), "left")
@@ -550,10 +554,12 @@ object GraphOps {
     val und = e.select(col("src"), col("dst"))
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       // both sweeps probe und on src (forward) and dst (backward);
-      // src-partitioning serves the 6 forward hops, and the symmetric
-      // union keeps the frame one build
+      // src-partitioning serves the 6 forward hops, the dst sibling
+      // the 4 backward rounds
       .repartition(col("src")).persist()
-    val per = BetweennessLandmarks.map(s => betweennessFrom(und, s, 3))
+    val undByDst = und.repartition(col("dst")).persist()
+    val per = BetweennessLandmarks
+      .map(s => betweennessFrom(und, s, 3, Some(undByDst)))
     val out = per
       .reduce(_ unionByName _)
       .groupBy(col("id")).agg(sum(col("d")).as("bc_micro"))
@@ -563,6 +569,7 @@ object GraphOps {
     // release the per-landmark delta checkpoints now the 50-row result
     // is materialized
     per.foreach(_.unpersist(false))
+    undByDst.unpersist(false)
     und.unpersist(false)
     out
   }
