@@ -2260,6 +2260,45 @@ object Oracle {
                 value AS last_value, n_updates
          FROM r WHERE rn = 1 ORDER BY user_id""",
 
+    // cohort retention triangle: first-event day per user, distinct
+    // active users per (cohort, day-offset) cell
+    "events_retention_cohort" ->
+      """WITH ev AS (SELECT user_id,
+                            CAST(date_trunc('second', ts) AS DATE) AS d
+                     FROM events),
+         coh AS (SELECT user_id, min(d) AS cohort_day FROM ev
+                 GROUP BY 1)
+         SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, d) AS INT)
+                  AS day_offset,
+                count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN coh USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    // trailing-20 z-score: decimal-exact frame sums, identical double
+    // division/sqrt, epsilon-rounded like Det.avg2
+    "timeseries_anomaly" ->
+      """WITH p AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS ts_sec, value
+                    FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, event_id, ts_sec, value,
+                 count(value) OVER w AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                   AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value * value AS DECIMAL(18,4))) OVER w
+                   AS DOUBLE) AS sxx
+               FROM p WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_sec, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         g AS (SELECT *, sx / n AS mean,
+                      (sxx - sx * sx / n) / (n - 1) AS variance
+               FROM f WHERE n >= 5),
+         z AS (SELECT user_id, event_id, ts_sec, value,
+                 ROUND((value - mean) / sqrt(variance) + 1e-9, 4) AS z
+               FROM g WHERE variance > 0)
+         SELECT user_id, event_id, ts_sec, value, z FROM z
+         WHERE abs(z) >= 2 ORDER BY user_id, ts_sec, event_id""",
+
     "events_funnel_detect" ->
       s"""WITH ev AS (SELECT user_id, event_type,
                             epoch_us(ts) // 1000000 AS sec FROM events),

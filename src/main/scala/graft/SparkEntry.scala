@@ -199,6 +199,8 @@ object SparkEntry {
     "timeseries_ohlc"         -> (TimeSeries.timeseriesOhlc _),
     "scd2_history"            -> (TimeSeries.scd2History _),
     "events_funnel_detect"    -> (TimeSeries.eventsFunnelDetect _),
+    "events_retention_cohort" -> (TimeSeries.eventsRetentionCohort _),
+    "timeseries_anomaly"      -> (TimeSeries.timeseriesAnomaly _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

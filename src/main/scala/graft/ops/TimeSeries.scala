@@ -136,4 +136,64 @@ object TimeSeries {
       .withColumn("is_current", col("valid_to").isNull)
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
+
+  /** Cohort retention matrix: users grouped by FIRST-event day, then
+    * distinct active users per (cohort, days-since-first) cell — the
+    * standard product-analytics retention triangle. Two keyed aggs
+    * (first day per user; distinct users per cell) + one join that
+    * carries the user key, all shuffle-on-key shapes; the matrix
+    * itself is O(days²) rows at any event volume. At 100 TB the
+    * distinct count per cell is the one Expand-heavy step — swap in
+    * approx_count_distinct per cell for the sketch path. */
+  def eventsRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"),
+        to_date(date_trunc("second", col("ts"))).as("d"))
+    val coh = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    ev.join(coh, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("int")
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Trailing-window z-score anomaly detection: each purchase value
+    * scored against the SAME user's previous 20 purchases (mean/std
+    * from decimal-EXACT frame sums Σx/Σx², the [[graft.ops.Stats]]
+    * moment discipline — so the float part is one identical division/
+    * sqrt on both engines), flagging |z| ≥ 2 with ≥ 5 prior points.
+    * One hash exchange on user_id + a per-partition ordered frame —
+    * the standard keyed-window anomaly pass; state per row is the
+    * bounded 20-row frame, independent of history length. The 1e-9
+    * epsilon before rounding resolves the round-half boundary exactly
+    * like [[graft.ops.Det.avg2]]. */
+  def timeseriesAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(-20, -1)
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("value"))
+      .withColumn("n", count(col("value")).over(w))
+      .withColumn("sx", sum(col("value").cast(D)).over(w).cast("double"))
+      .withColumn("sxx",
+        sum((col("value") * col("value")).cast(D)).over(w)
+          .cast("double"))
+      .filter(col("n") >= 5)
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("variance",
+        (col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1))
+      .filter(col("variance") > 0)
+      .withColumn("z", round((col("value") - col("mean"))
+        / sqrt(col("variance")) + lit(1e-9), 4))
+      .filter(abs(col("z")) >= 2)
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("value"), col("z"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
 }

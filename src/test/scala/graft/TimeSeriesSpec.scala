@@ -123,4 +123,58 @@ class TimeSeriesSpec extends SparkSpec {
       assert(rs.last.getAs[Boolean]("is_current"))
     }
   }
+
+  test("retention cohort: offset-0 cell equals cohort size, user mass " +
+      "conserved") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.TimeSeries.eventsRetentionCohort(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    // every user is active on their own first day, so the offset-0
+    // cell is the cohort's full size and no later cell exceeds it
+    byCohort.foreach { case (day, cells) =>
+      val zero = cells.find(_.getAs[Int]("day_offset") == 0)
+      assert(zero.isDefined, s"cohort $day missing offset 0")
+      val size = zero.get.getAs[Long]("n_users")
+      assert(cells.forall(_.getAs[Long]("n_users") <= size), s"$day")
+    }
+    // cohort sizes sum to the distinct user count
+    val total = byCohort.values
+      .map(_.find(_.getAs[Int]("day_offset") == 0).get
+        .getAs[Long]("n_users")).sum
+    val users = Tables(spark, sfDir).events
+      .select(col("user_id")).distinct().count()
+    assert(total == users)
+  }
+
+  test("anomaly z-scores: |z| >= 2, trailing frame never sees the " +
+      "current row") {
+    val rows = graft.ops.TimeSeries.timeseriesAnomaly(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("z")) >= 2.0))
+    // recompute one flagged point sequentially from raw history
+    val r0 = rows.head
+    val uid = r0.getAs[Long]("user_id")
+    import org.apache.spark.sql.functions.col
+    val hist = Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase" && col("user_id") === uid)
+      .select(org.apache.spark.sql.functions
+        .date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_id"), col("value"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .collect()
+    val idx = hist.indexWhere(
+      _.getAs[Long]("event_id") == r0.getAs[Long]("event_id"))
+    val frame = hist.slice(math.max(0, idx - 20), idx)
+      .map(_.getAs[Double]("value"))
+    val n = frame.length
+    assert(n >= 5)
+    val mean = frame.sum / n
+    val variance = (frame.map(v => v * v).sum - frame.sum * frame.sum / n) /
+      (n - 1)
+    val z = (r0.getAs[Double]("value") - mean) / math.sqrt(variance)
+    assert(math.abs(z - r0.getAs[Double]("z")) < 1e-3)
+  }
 }
