@@ -1406,6 +1406,14 @@ object Oracle {
 
     // the !-term compiles to an anti join: 2-hop IN paths whose head
     // has no incoming BY edge (= the supplier legs on this corpus)
+    // property RETURN: the n.name projection resolves through the
+    // vertex bag, which for nation ids is the nation table itself
+    "motif_return_property" ->
+      """SELECT n_name, count(*) AS count_o
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         GROUP BY 1 ORDER BY n_name""",
+
     "motif_negation" ->
       s"""WITH $EdgesCte,
           hop AS (SELECT a.src AS s, a.dst AS n, b.dst AS r
@@ -1523,6 +1531,37 @@ object Oracle {
          WHERE NOT EXISTS (SELECT 1 FROM e
                            WHERE e.src = c.a AND e.dst = c.b)
          ORDER BY cn DESC, a, b LIMIT 50""",
+
+    // same capped co-purchase replay; Jaccard permille + resource
+    // allocation micro in exact integer arithmetic (// == div)
+    "graph_node_similarity" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+               FROM capped a JOIN capped b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         und AS (SELECT src, dst FROM e
+                 UNION ALL SELECT dst, src FROM e),
+         deg AS (SELECT src AS n, count(*) AS deg FROM und GROUP BY 1),
+         f AS (SELECT und.src AS a, und.dst AS n, deg.deg AS nd
+               FROM und JOIN deg ON deg.n = und.dst
+               WHERE deg.deg <= ${graft.ops.GraphXAlgos.MaxLinkDegree}),
+         cands AS (SELECT f1.a AS a, f2.a AS b, count(*) AS cn,
+                          CAST(SUM(1000000 // f1.nd) AS BIGINT)
+                            AS ra_micro
+                   FROM f f1 JOIN f f2 ON f1.n = f2.n AND f1.a < f2.a
+                   GROUP BY 1, 2)
+         SELECT a, b, cn,
+                CAST((1000 * cn) // (da.deg + db.deg - cn) AS BIGINT)
+                  AS jaccard_permille,
+                ra_micro
+         FROM cands
+         JOIN deg da ON da.n = a
+         JOIN deg db ON db.n = b
+         ORDER BY jaccard_permille DESC, a, b LIMIT 50""",
 
     "graph_shortest_paths_weighted" ->
       s"""WITH RECURSIVE $EdgesCte,

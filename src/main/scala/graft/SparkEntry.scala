@@ -125,6 +125,7 @@ object SparkEntry {
     "motif_return_agg"        -> (MotifDsl.motifReturnAgg _),
     "motif_negation"          -> (MotifDsl.motifNegation _),
     "motif_optional"          -> (MotifDsl.motifOptional _),
+    "motif_return_property"   -> (MotifDsl.motifReturnProperty _),
     "graph_delete_edges"      -> (GraphOps.graphDeleteEdges _),
     // §2.9 iterative analytics (GraphX; CC / SP / weighted-SP are
     // oracle-checked via recursive CTEs, the rank/triangle/LPA float
@@ -148,6 +149,7 @@ object SparkEntry {
     "graph_hits_exact"           -> (GraphOps.hitsExact _),
     "graph_random_walk"          -> (GraphOps.graphRandomWalk _),
     "graph_link_predict"         -> (GraphXAlgos.linkPredict _),
+    "graph_node_similarity"      -> (GraphXAlgos.nodeSimilarity _),
     "graph_path_count"           -> (GraphOps.graphPathCount _),
     "graph_betweenness"          -> (GraphOps.graphBetweenness _),
     "graph_closeness_harmonic"   -> (GraphOps.graphClosenessHarmonic _),

@@ -119,6 +119,47 @@ object GraphXAlgos {
     out
   }
 
+  /** Node similarity over the co-purchase projection — the
+    * `nodeSimilarity` API of a graph-DB analytics library — scoring
+    * every candidate pair by TWO classic measures in exact integer
+    * units: Jaccard permille `(1000·|N(a)∩N(b)|) div (deg a + deg b −
+    * |∩|)` and Resource Allocation micro `Σ_z 1_000_000 div deg(z)`
+    * over the shared neighbors z (RA is Adamic-Adar's rational cousin
+    * — same hub down-weighting, no float log, hence oracle-able).
+    * Candidates come from the same degree-capped shared-neighbor join
+    * as [[linkPredict]] (never unconditioned quadratic); degrees in
+    * the denominators are the TRUE projection degrees. Top-50 by
+    * (jaccard, a, b) total order. */
+  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchasePairs(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .persist()
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("n"), col("deg"))
+    val f = und.select(col("src").as("a"), col("dst").as("n"))
+      .join(deg.filter(col("deg") <= MaxLinkDegree), "n")
+      .select(col("a"), col("n"), col("deg").as("nd"))
+    val cands = f
+      .join(f.select(col("a").as("b"), col("n")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div nd")).as("ra_micro"))
+    val result = cands
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        expr("(1000 * cn) div (da + db - cn)").as("jaccard_permille"),
+        col("ra_micro"))
+      .orderBy(col("jaccard_permille").desc, col("a"), col("b"))
+      .limit(50)
+    val out = result.localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** Triangle count over the part co-purchase projection: parts are
     * linked when they appear in the same order. Edges are canonicalized
     * (src < dst, deduplicated) as TriangleCount requires. Output:

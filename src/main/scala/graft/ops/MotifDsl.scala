@@ -148,6 +148,7 @@ object MotifDsl {
     * shape of a graph query planner), never a full property scan
     * carried through the traversal. */
   private val RetCount = """(?i)count\s*\(\s*(\w+)\s*\)""".r
+  private val RetProp = """(\w+)\.(\w+)""".r
   private val RetName = """(\w+)""".r
 
   def compileQuery(spark: SparkSession, dir: String,
@@ -175,34 +176,65 @@ object MotifDsl {
             s"bad WHERE condition: '$c' (need node.prop = 'literal')")
       }
     if (retSplit.length == 1) filtered
-    else applyReturn(filtered, retSplit(1))
+    else applyReturn(spark, dir, filtered, retSplit(1))
   }
 
   /** RETURN clause: `RETURN item (, item)*` with item = a bound node
-    * name (group/projection key) or `count(name)` (aggregate). Names
-    * alone project the per-match rows; mixing names and counts
-    * compiles to groupBy(names).agg(counts) — the grouped-traversal
-    * shape (`orders per nation`) a graph query language returns
+    * name (group/projection key), `node.prop` (a vertex-property
+    * projection — the id column is resolved against the property bag
+    * via a broadcast join, output column `<node>_<prop>`), or
+    * `count(name)` (aggregate). Names/properties alone project the
+    * per-match rows; mixing them with counts compiles to
+    * groupBy(keys).agg(counts) — the grouped-traversal shape
+    * (`orders per nation name`) a graph query language returns
     * without the caller hand-writing the aggregation plan. Aggregate
     * columns are named `count_<node>`. Deterministic total order on
     * the output keys. */
-  private def applyReturn(df: DataFrame, ret: String): DataFrame = {
+  private def applyReturn(spark: SparkSession, dir: String,
+      df0: DataFrame, ret: String): DataFrame = {
     val items = ret.split(",").map(_.trim)
     require(items.nonEmpty && items.forall(_.nonEmpty),
       s"empty RETURN clause")
-    // every item must parse as a node name or count(node) — an
-    // unparseable item throws like the WHERE branch, instead of
+    // every item must parse as a node name, node.prop, or count(node)
+    // — an unparseable item throws like the WHERE branch, instead of
     // silently vanishing from the projection
-    val parsed = items.map {
-      case RetCount(n) => Right(n)
-      case RetName(n) => Left(n)
+    sealed trait Item
+    case class Key(n: String) extends Item
+    case class Prop(n: String, p: String) extends Item
+    case class Cnt(n: String) extends Item
+    val parsed: Seq[Item] = items.toSeq.map {
+      case RetCount(n) => Cnt(n)
+      case RetProp(n, p) => Prop(n, p)
+      case RetName(n) => Key(n)
       case i => throw new IllegalArgumentException(
-        s"bad RETURN item: '$i' (need a node name or count(node))")
+        s"bad RETURN item: '$i' (need node, node.prop or count(node))")
     }
-    val keys = parsed.collect { case Left(n) => n }
-    val counts = parsed.collect { case Right(n) => n }
-    (keys ++ counts).foreach(n => require(df.columns.contains(n),
-      s"RETURN references unbound node '$n'"))
+    parsed.foreach {
+      case Key(n) => require(df0.columns.contains(n),
+        s"RETURN references unbound node '$n'")
+      case Cnt(n) => require(df0.columns.contains(n),
+        s"RETURN references unbound node '$n'")
+      case Prop(n, p) =>
+        require(df0.columns.contains(n),
+          s"RETURN references unbound node '$n'")
+        require(Props.contains(p),
+          s"unknown property '$p' (have: ${Props.mkString(", ")})")
+    }
+    // resolve each distinct node.prop through ONE broadcast join
+    // against the vertex-property bag — the property-fetch step of a
+    // graph query's RETURN, never a full property scan per row
+    val props = parsed.collect { case Prop(n, p) => (n, p) }.distinct
+    val df = props.foldLeft(df0) { case (acc, (n, p)) =>
+      val bag = GraphModel.vertices(spark, dir)
+        .select(col("id").as(s"__${n}_pid"), col(p).as(s"${n}_$p"))
+      acc.join(broadcast(bag), col(n) === col(s"__${n}_pid"))
+        .drop(s"__${n}_pid")
+    }
+    val keys = parsed.collect {
+      case Key(n) => n
+      case Prop(n, p) => s"${n}_$p"
+    }
+    val counts = parsed.collect { case Cnt(n) => n }
     if (counts.isEmpty) df.select(keys.map(col): _*)
       .orderBy(keys.map(col): _*)
     else {
@@ -227,6 +259,14 @@ object MotifDsl {
   def motifReturnAgg(spark: SparkSession, dir: String): DataFrame =
     compileQuery(spark, dir,
       "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n, count(o)")
+
+  /** Registered DSL exhibit 8 — property RETURN: order counts per
+    * nation NAME (not id) through the 2-hop chain — the
+    * property-projection step of a graph query's RETURN, resolved via
+    * a broadcast join against the vertex bag. */
+  def motifReturnProperty(spark: SparkSession, dir: String): DataFrame =
+    compileQuery(spark, dir,
+      "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n.name, count(o)")
 
   /** Registered DSL exhibit 6 — NEGATION: entities two IN-hops under
     * a region (customers and suppliers, through their nation) that

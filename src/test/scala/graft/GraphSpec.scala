@@ -368,6 +368,20 @@ class GraphSpec extends SparkSpec {
     assert(scores.toSeq == scores.sortBy(-_).toSeq)
   }
 
+  test("node similarity: jaccard bounded by 1000, cn bounds respected") {
+    val rows = GraphXAlgos.nodeSimilarity(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (cn, j, ra) = (r.getAs[Long]("cn"),
+        r.getAs[Long]("jaccard_permille"), r.getAs[Long]("ra_micro"))
+      assert(j >= 0 && j <= 1000, s"jaccard $j")
+      assert(cn >= 1 && ra >= cn * (1000000L / GraphXAlgos.MaxLinkDegree),
+        s"ra $ra vs cn $cn") // each shared z contributes >= 1e6/maxdeg
+    }
+    val js = rows.map(_.getAs[Long]("jaccard_permille"))
+    assert(js.toSeq == js.sortBy(-_).toSeq)
+  }
+
   test("k-core peel census matches hand peeling on a clique + pendant") {
     import spark.implicits._
     // K4 clique {1,2,3,4} plus pendant 4-5

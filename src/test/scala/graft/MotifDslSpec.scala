@@ -189,6 +189,21 @@ class MotifDslSpec extends SparkSpec {
       Tables(spark, sfDir).customer.count())
   }
 
+  test("RETURN node.prop projects the vertex property") {
+    val rows = MotifDsl.motifReturnProperty(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("n_name")).forall(_.startsWith("NATION_")))
+    // property-keyed counts equal the id-keyed counts (names unique)
+    val byId = MotifDsl.motifReturnAgg(spark, sfDir).collect()
+      .map(_.getAs[Long]("count_o")).sorted.toSeq
+    val byName = rows.map(_.getAs[Long]("count_o")).sorted.toSeq
+    assert(byName == byId)
+    // unknown property still throws
+    intercept[IllegalArgumentException] {
+      MotifDsl.compileQuery(spark, sfDir,
+        "(o)-[:BY]->(c);(c)-[:IN]->(n) RETURN n.acctbal")
+    }
+  }
+
   test("RETURN tolerates count case/spacing and rejects unknown items") {
     // COUNT( o ) parses as the aggregate, not a silently-dropped item
     val agg = MotifDsl.compileQuery(spark, sfDir,
