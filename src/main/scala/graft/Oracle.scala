@@ -530,7 +530,9 @@ object Oracle {
     * [[graft.ops.GraphOps.lpaExactOn]]: per round, each vertex adopts
     * its neighbors' most frequent label (row_number tie-break on
     * smallest label — the total order the Spark side uses too). */
-  private def lpaExactSql(iters: Int): String = {
+  /** The shared LPA CTE chain (ends at `l$iters(id, label)`), reused
+    * by the lpa_exact oracle and the community-stats oracle. */
+  private def lpaCtes(iters: Int): String = {
     val base = s"""WITH $EdgesCte,
          ded AS (SELECT DISTINCT src, dst FROM edges),
          und AS (SELECT src AS v, dst AS n FROM ded
@@ -550,11 +552,43 @@ object Oracle {
                      GROUP BY u.v, l.label) t
                    WHERE rk = 1) p ON p.v = vv.id)"""
     }.mkString
-    base + steps +
+    base + steps
+  }
+
+  private def lpaExactSql(iters: Int): String =
+    lpaCtes(iters) +
       s"""
          SELECT label, count(*) AS size FROM l$iters
          GROUP BY label ORDER BY label"""
-  }
+
+  /** Community quality stats over the final LPA labels, replaying
+    * [[graft.ops.GraphOps.graphCommunityStats]]: per community, the
+    * member count, internal edges (both endpoints inside) and cut
+    * edges (counted once per endpoint side). */
+  private def communityStatsSql(iters: Int): String =
+    lpaCtes(iters) +
+      s""",
+         le AS (SELECT ls.label AS src_lab, ld.label AS dst_lab
+                FROM ded
+                JOIN l$iters ls ON ls.id = ded.src
+                JOIN l$iters ld ON ld.id = ded.dst),
+         sizes AS (SELECT label, count(*) AS size FROM l$iters
+                   GROUP BY label),
+         intra AS (SELECT src_lab AS label, count(*) AS n_internal
+                   FROM le WHERE src_lab = dst_lab GROUP BY 1),
+         cut AS (SELECT label, count(*) AS n_cut FROM (
+                   SELECT src_lab AS label FROM le
+                   WHERE src_lab <> dst_lab
+                   UNION ALL
+                   SELECT dst_lab FROM le WHERE src_lab <> dst_lab)
+                 GROUP BY 1)
+         SELECT s.label, s.size,
+                COALESCE(i.n_internal, 0) AS n_internal,
+                COALESCE(c.n_cut, 0) AS n_cut
+         FROM sizes s
+         LEFT JOIN intra i ON i.label = s.label
+         LEFT JOIN cut c ON c.label = s.label
+         ORDER BY s.label"""
 
   /** Edge-table CTE mirroring [[graft.GraphModel.edges]] (namespaced
     * vertex ids = kindOffset + naturalKey). */
@@ -868,6 +902,12 @@ object Oracle {
          FROM orders WHERE o_orderstatus = 'P'
          GROUP BY 1 ORDER BY o_custkey""",
 
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000) * 25000 AS BIGINT)
+                  AS bucket_lo,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY bucket_lo""",
+
     // deterministic mode: highest count, smallest value on ties —
     // row_number replays Spark's max(struct(c, -qty)) argmax exactly
     "agg_mode" ->
@@ -891,6 +931,16 @@ object Oracle {
                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
                     AS BIGINT)))) AS BIGINT) AS sum_all_micro
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "scalar_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS and_255,
+                o_orderkey | 4096 AS or_4096,
+                xor(o_orderkey, 43690) AS xor_aaaa,
+                o_orderkey << 3 AS shl3,
+                o_orderkey >> 2 AS shr2,
+                CAST(bit_count(o_orderkey) AS INT) AS popcount
+         FROM orders ORDER BY o_orderkey""",
 
     "scalar_regex" ->
       """SELECT p_partkey,
@@ -1462,6 +1512,8 @@ object Oracle {
 
     // unrolled 3-round deterministic LPA (see lpaExactSql)
     "graph_lpa_exact" -> lpaExactSql(3),
+
+    "graph_community_stats" -> communityStatsSql(3),
 
     "graph_hits_exact" -> hitsExactSql(2),
 

@@ -66,6 +66,7 @@ object SparkEntry {
     "agg_filtered"        -> (Aggregations.aggFiltered _),
     "agg_string_concat"   -> (Aggregations.aggStringConcat _),
     "agg_mode"            -> (Aggregations.aggMode _),
+    "agg_histogram"       -> (Aggregations.aggHistogram _),
     "agg_custom_vecsum"   -> (Aggregations.aggCustomVecsum _),
     "agg_custom_vecsum_exact" -> (Aggregations.aggCustomVecsumExact _),
     // §2.4bis statistics / reshaping / sampling / skew patterns
@@ -99,6 +100,7 @@ object SparkEntry {
     "scalar_date"        -> (Scalars.scalarDate _),
     "scalar_math"        -> (Scalars.scalarMath _),
     "scalar_hash"        -> (Scalars.scalarHash _),
+    "scalar_bitwise"     -> (Scalars.scalarBitwise _),
     "scalar_regex"       -> (Scalars.scalarRegex _),
     "array_basic"        -> (Scalars.arrayBasic _),
     "array_higher_order" -> (Scalars.arrayHigherOrder _),
@@ -146,6 +148,7 @@ object SparkEntry {
       (GraphOps.pagerankWeightedExact _),
     "graph_pagerank_personalized" -> (GraphOps.pagerankPersonalized _),
     "graph_lpa_exact"            -> (GraphOps.lpaExact _),
+    "graph_community_stats"      -> (GraphOps.graphCommunityStats _),
     "graph_hits_exact"           -> (GraphOps.hitsExact _),
     "graph_random_walk"          -> (GraphOps.graphRandomWalk _),
     "graph_link_predict"         -> (GraphXAlgos.linkPredict _),

@@ -148,6 +148,18 @@ object Aggregations {
         .as("order_csv"))
       .orderBy(col("o_custkey"))
 
+  /** Fixed-width histogram of order value (25k buckets): one grouped
+    * count over a computed bucket key — the single-pass distribution
+    * profile an ingestion pipeline draws before choosing partition
+    * bounds. Bucket arithmetic is exact (floor of a 2dp double / 25k,
+    * re-scaled), so the key set is engine-identical. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy((floor(col("o_totalprice") / 25000) * 25000)
+        .cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("bucket_lo"))
+
   /** Mode (most frequent value) of quantity per flag, deterministic:
     * `max(struct(count, -value))` picks the highest count with the
     * SMALLEST value on ties — a two-phase map-side-combinable

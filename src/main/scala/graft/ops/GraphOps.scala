@@ -374,6 +374,47 @@ object GraphOps {
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
+  /** Community quality over the final [[lpaExactOn]] labels: per
+    * community, member count, INTERNAL edge count (both endpoints
+    * inside) and CUT edge count (counted once per endpoint side) —
+    * the exact-integer ingredients of modularity/conductance without
+    * the cross-engine-fragile division (a caller derives
+    * conductance = cut / (2·internal + cut) from these). One labeled
+    * pass over the deduplicated edge set: two label joins + three
+    * keyed aggs — the labels come from the shared exact-LPA iteration
+    * and its cached partitioned inputs. */
+  def graphCommunityStats(spark: SparkSession, dir: String): DataFrame = {
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val lab = lpaExactOn(ded, 3,
+      Some(GraphModel.dedupVertsCached(spark, dir)))
+    val le = ded.select(col("src"), col("dst"))
+      .join(lab.select(col("id").as("src"), col("label").as("src_lab")),
+        "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("dst_lab")),
+        "dst")
+      .select(col("src_lab"), col("dst_lab"))
+      .persist()
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("size"))
+    val intra = le.filter(col("src_lab") === col("dst_lab"))
+      .groupBy(col("src_lab").as("label"))
+      .agg(count(lit(1)).as("n_internal"))
+    val cutSides = le.filter(col("src_lab") =!= col("dst_lab"))
+    val cut = cutSides.select(col("src_lab").as("label"))
+      .unionByName(cutSides.select(col("dst_lab").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_cut"))
+    val out = sizes
+      .join(intra, Seq("label"), "left")
+      .join(cut, Seq("label"), "left")
+      .select(col("label"), col("size"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+      .orderBy(col("label"))
+      .localCheckpoint(true)
+    le.unpersist(false)
+    lab.unpersist(false)
+    out
+  }
+
   /** HITS (hubs & authorities), exact-integer variant: hub⁰ = 1
     * everywhere; each round auth(v) = Σ hub(u) over in-edges then
     * hub(u) = Σ auth(v) over out-edges. UNNORMALIZED integer sums —

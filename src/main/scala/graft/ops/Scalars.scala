@@ -72,6 +72,20 @@ object Scalars {
           .as("sha_salted"))
       .orderBy(col("doc_id"))
 
+  /** Bitwise scalar surface: AND/OR/XOR, shifts, popcount — the bit
+    * manipulation toolkit (flag fields, bitmap encodings, hash
+    * mixing). All codegen'd integer exprs, exact on both engines. */
+  def scalarBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("and_255"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("or_4096"),
+        col("o_orderkey").bitwiseXOR(lit(43690L)).as("xor_aaaa"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bit_count(col("o_orderkey")).as("popcount"))
+      .orderBy(col("o_orderkey"))
+
   /** size/slice/sort_array/element_at over the embedding vectors.
     * Float values are stored, not computed, so exact equality holds.
     * Array outputs are serialized to scaled-integer CSV (x*1e7 rounded

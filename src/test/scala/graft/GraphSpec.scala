@@ -368,6 +368,19 @@ class GraphSpec extends SparkSpec {
     assert(scores.toSeq == scores.sortBy(-_).toSeq)
   }
 
+  test("community stats: masses reconcile with the vertex and edge sets") {
+    val rows = GraphOps.graphCommunityStats(spark, sfDir).collect()
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+    val nVerts = GraphModel.dedupVertsCached(spark, sfDir).count()
+    val nEdges = ded.count()
+    assert(rows.map(_.getAs[Long]("size")).sum == nVerts)
+    val internal = rows.map(_.getAs[Long]("n_internal")).sum
+    val cutSides = rows.map(_.getAs[Long]("n_cut")).sum
+    // every cut edge is counted once per side; internal + cut = |E|
+    assert(cutSides % 2 == 0)
+    assert(internal + cutSides / 2 == nEdges)
+  }
+
   test("node similarity: jaccard bounded by 1000, cn bounds respected") {
     val rows = GraphXAlgos.nodeSimilarity(spark, sfDir).collect()
     assert(rows.length == 50)
