@@ -590,6 +590,23 @@ object Oracle {
          LEFT JOIN cut c ON c.label = s.label
          ORDER BY s.label"""
 
+  /** Batch replay of the CDC last-write-wins view: argmax per user
+    * over the (ts_sec, event_id) total order — shared by the
+    * memory-sink and parquet-upsert-log registrations (same maintained
+    * state, different sink). */
+  private val cdcLatestSql: String =
+    """WITH ev AS (SELECT user_id, event_id,
+                          date_trunc('second', ts) AS ts_sec, value
+                   FROM events),
+       r AS (SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_sec DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_updates
+             FROM ev)
+       SELECT user_id, event_id AS last_event_id, ts_sec AS last_ts,
+              value AS last_value, n_updates
+       FROM r WHERE rn = 1 ORDER BY user_id"""
+
   /** Edge-table CTE mirroring [[graft.GraphModel.edges]] (namespaced
     * vertex ids = kindOffset + naturalKey). */
   /** The derived vertex table (GraphModel.vertices): namespaced ids,
@@ -1321,6 +1338,21 @@ object Oracle {
           FROM outd FULL JOIN ind ON id_o = id_i
           ORDER BY id""",
 
+    // log2 bucket via binary-string length — exact on both engines
+    "graph_degree_histogram" ->
+      s"""WITH $EdgesCte,
+          outd AS (SELECT src AS id_o, count(*) AS out_deg
+                   FROM edges GROUP BY 1),
+          ind  AS (SELECT dst AS id_i, count(*) AS in_deg
+                   FROM edges GROUP BY 1),
+          deg AS (SELECT COALESCE(out_deg, 0) + COALESCE(in_deg, 0)
+                    AS total_deg
+                  FROM outd FULL JOIN ind ON id_o = id_i)
+          SELECT CAST(1 << (length(bin(total_deg)) - 1) AS BIGINT)
+                   AS bucket_lo,
+                 count(*) AS n_vertices
+          FROM deg GROUP BY 1 ORDER BY bucket_lo""",
+
     "graph_neighbors_1hop" ->
       s"""WITH $EdgesCte
           SELECT src, dst, rel FROM edges
@@ -1841,6 +1873,19 @@ object Oracle {
            FROM documents) t
          GROUP BY lang, tok ORDER BY lang, tok""",
 
+    // Zipf census: rank + cumulative permille over the unique-keyed
+    // (cnt DESC, tok) total order (RANGE==ROWS when the key is unique)
+    "text_vocab_zipf" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         t AS (SELECT sum(cnt) AS t_total FROM c)
+         SELECT tok, cnt,
+                row_number() OVER (ORDER BY cnt DESC, tok) AS zipf_rank,
+                CAST((sum(cnt) OVER (ORDER BY cnt DESC, tok) * 1000)
+                     // t_total AS BIGINT) AS cum_permille
+         FROM c, t ORDER BY zipf_rank""",
+
     "text_tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, source,
                               unnest(string_split(text, ' ')) AS tok
@@ -2338,18 +2383,11 @@ object Oracle {
 
     // the streaming state's final view = batch argmax per user over
     // the same (ts_sec, event_id) total order
-    "stream_cdc_latest" ->
-      """WITH ev AS (SELECT user_id, event_id,
-                            date_trunc('second', ts) AS ts_sec, value
-                     FROM events),
-         r AS (SELECT *,
-                 row_number() OVER (PARTITION BY user_id
-                   ORDER BY ts_sec DESC, event_id DESC) AS rn,
-                 count(*) OVER (PARTITION BY user_id) AS n_updates
-               FROM ev)
-         SELECT user_id, event_id AS last_event_id, ts_sec AS last_ts,
-                value AS last_value, n_updates
-         FROM r WHERE rn = 1 ORDER BY user_id""",
+    "stream_cdc_latest" -> cdcLatestSql,
+
+    // same maintained state, committed through the parquet upsert log
+    // — the final view must still equal the batch argmax
+    "stream_cdc_parquet" -> cdcLatestSql,
 
     // cohort retention triangle: first-event day per user, distinct
     // active users per (cohort, day-offset) cell
@@ -2365,6 +2403,24 @@ object Oracle {
                 count(DISTINCT ev.user_id) AS n_users
          FROM ev JOIN coh USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    // binary-decay EWMA: micro-unit values, dyadic weights as floor
+    // divisions (// == Spark div on the positive operands)
+    "timeseries_ewma" ->
+      ("""WITH p AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS ts_sec,
+                           CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                AS BIGINT) AS v_micro
+                    FROM events WHERE event_type = 'purchase')
+         SELECT user_id, event_id, ts_sec, v_micro,
+                """ +
+        (0 to 7).map(k =>
+          s"COALESCE(lag(v_micro, $k) OVER w, 0) // ${1L << (k + 1)}")
+          .mkString(" + ") +
+        """ AS ewma_micro
+         FROM p
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         ORDER BY user_id, ts_sec, event_id"""),
 
     // trailing-20 z-score: decimal-exact frame sums, identical double
     // division/sqrt, epsilon-rounded like Det.avg2

@@ -111,6 +111,7 @@ object SparkEntry {
     // §2.9 graph traversals (DataFrame joins)
     "graph_build_edges"       -> (GraphOps.buildEdges _),
     "graph_degree"            -> (GraphOps.degree _),
+    "graph_degree_histogram"  -> (GraphOps.graphDegreeHistogram _),
     "graph_neighbors_1hop"    -> (GraphOps.neighbors1hop _),
     "graph_traverse_2hop"     -> (GraphOps.traverse2hop _),
     "graph_traverse_3hop_agg" -> (GraphOps.traverse3hopAgg _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "text_ngram_containment" -> (TextOps.textNgramContainment _),
     "text_tokenize_tf"   -> (TextOps.textTokenizeTf _),
     "text_tfidf_topk"    -> (TextOps.textTfidfTopk _),
+    "text_vocab_zipf"    -> (TextOps.textVocabZipf _),
     "text_lang_stats"    -> (TextOps.textLangStats _),
     "text_quality_score" -> (TextOps.textQualityScore _),
     "text_token_count"   -> (TextOps.textTokenCount _),
@@ -206,12 +208,14 @@ object SparkEntry {
     "events_funnel_detect"    -> (TimeSeries.eventsFunnelDetect _),
     "events_retention_cohort" -> (TimeSeries.eventsRetentionCohort _),
     "timeseries_anomaly"      -> (TimeSeries.timeseriesAnomaly _),
+    "timeseries_ewma"         -> (TimeSeries.timeseriesEwma _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),
     "stream_graph_degree"     -> (Streaming.streamGraphDegree _),
     "stream_stream_join"      -> (Streaming.streamStreamJoin _),
     "stream_cdc_latest"       -> (Streaming.streamCdcLatest _),
+    "stream_cdc_parquet"      -> (Streaming.streamCdcParquet _),
     "stream_degree_parquet"   -> (Streaming.streamDegreeParquet _),
     "stream_rank_incremental" -> (Streaming.streamRankIncremental _)
   )

@@ -58,6 +58,21 @@ object GraphOps {
       .orderBy(col("id"))
   }
 
+  /** Log2-bucketed degree distribution — the one-pass census a graph
+    * store prints before choosing partitioning, hub caps, and skew
+    * salts (a power-law tail shows up as populated high buckets).
+    * Bucket = 2^floor(log2 d), computed EXACTLY via the binary-string
+    * length (`length(bin(d))-1` — no float log, so both engines agree
+    * on every boundary). One extra grouped count on top of the degree
+    * table's shuffle pair; output size is O(log max-degree). */
+  def graphDegreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    degree(spark, dir)
+      .select(expr("shiftleft(1L, length(bin(total_deg)) - 1)")
+        .as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("bucket_lo"))
+
   /** Out-neighbors of a seed vertex set (rich customers) — one edge
     * join; the frontier side broadcasts when small. */
   def neighbors1hop(spark: SparkSession, dir: String): DataFrame = {

@@ -322,6 +322,36 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** The production-sink variant of [[streamCdcLatest]]: the same
+    * incrementally-maintained last-write-wins state (the
+    * flatMapGroupsWithState fold of [[cdcLatestStream]], one fixed-size
+    * record per key), but each micro-batch's UPDATED records land in
+    * the checkpointed parquet upsert log instead of an update-mode
+    * memory table — so the CDC "current state" view survives unbounded
+    * change feeds: nothing ever rewrites the full state, and a crash
+    * between write and checkpoint commit replays into the same
+    * batch_id partition (idempotent). Read view = newest batch per
+    * key; final state equals the batch argmax, which the oracle
+    * checks. */
+  def streamCdcParquet(spark: SparkSession, dir: String): DataFrame = {
+    val base = upsertDirs.synchronized {
+      upsertDirs.getOrElseUpdate((spark, dir, "cdc"), {
+        val b = graft.TempDirs.create(
+          s"graft-cdcsink-${runIds.incrementAndGet()}")
+        import spark.implicits._
+        val events = eventsStream(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("ts_sec"), col("value"))
+          .as[UserEvent]
+        runUpsertLog(spark, b, cdcLatestStream(events).toDF())
+        b
+      })
+    }
+    latestByBatch(spark, s"$base/out", Seq("user_id"),
+      Seq("last_event_id", "last_ts", "last_value", "n_updates"))
+      .orderBy(col("user_id"))
+  }
+
   /** Core stream-stream join transform (shared batch/stream shape):
     * attribute each purchase to the same user's clicks in the hour
     * before it. Both inputs carry event-time columns; in streaming mode

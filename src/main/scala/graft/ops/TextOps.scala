@@ -284,6 +284,31 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("lang"), col("tok"))
 
+  /** Corpus vocabulary census with Zipf rank and cumulative coverage —
+    * the table a tokenizer/vocab build reads before fixing its vocab
+    * size ("how many types cover 95% of tokens"). One explode +
+    * token-keyed count (map-side combined, shuffle carries one row per
+    * type), then a single ordered window over the VOCABULARY — O(types),
+    * independent of corpus volume, so the global window is a bounded
+    * exception like the gap-fill spine; coverage share in exact
+    * permille (integer div, no float). */
+  def textVocabZipf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("t_total"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(total))
+      .select(col("tok"), col("cnt"),
+        row_number().over(w).as("zipf_rank"),
+        (sum(col("cnt")).over(wRun) * 1000).as("run1000"),
+        col("t_total"))
+      .select(col("tok"), col("cnt"), col("zipf_rank"),
+        expr("run1000 div t_total").as("cum_permille"))
+      .orderBy(col("zipf_rank"))
+  }
+
   /** Top-3 terms per source by tf-idf (idf = ln((D+1)/(df+1))).
     * Window ordered on the ROUNDED score so cross-engine last-ulp ln
     * drift cannot flip ranks. */

@@ -159,6 +159,39 @@ object TimeSeries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Binary-decay EWMA (exponentially-weighted moving average) of each
+    * user's purchase values — the smoothing pass behind trend lines
+    * and drift monitors. Exact-integer variant: values in micro-units,
+    * weights the dyadic 1/2,1/4,…,1/256 over the trailing 8 points
+    * (truncated-geometric EWMA, α=1/2), each term a floor division —
+    * so both engines agree bit-for-bit (`div` == `//` on the positive
+    * operands). Plan: ONE hash exchange on user_id + a per-partition
+    * sort serving all 8 lag frames (Catalyst folds same-window lags
+    * into one WindowExec); per-row state is the bounded 8-point
+    * frame, independent of history length — the same shape at 100 TB,
+    * partitioned by the series key. */
+  def timeseriesEwma(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val base = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        (col("value").cast(D) * 1000000).cast("long").as("v_micro"))
+    val lagged = (0 to 7).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k",
+        coalesce(lag(col("v_micro"), k).over(w), lit(0L)))
+    }
+    // lag(0) is the row itself; div before sum keeps every term exact
+    val ewma = (0 to 7)
+      .map(k => s"l$k div ${1L << (k + 1)}").mkString(" + ")
+    lagged.withColumn("ewma_micro", expr(ewma))
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("v_micro"), col("ewma_micro"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
   /** Trailing-window z-score anomaly detection: each purchase value
     * scored against the SAME user's previous 20 purchases (mean/std
     * from decimal-EXACT frame sums Σx/Σx², the [[graft.ops.Stats]]

@@ -14,6 +14,22 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("vocab zipf census: contiguous ranks, nonincreasing counts, " +
+      "coverage ends at exactly 1000 permille") {
+    val rows = TextOps.textVocabZipf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_.getAs[Int]("zipf_rank"))
+    assert(ranks.toSeq == (1 to rows.length))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.toSeq == cnts.sortBy(-_).toSeq)
+    val cum = rows.map(_.getAs[Long]("cum_permille"))
+    assert(cum.toSeq == cum.sorted.toSeq)       // monotone coverage
+    assert(cum.last == 1000L)                   // full mass at the tail
+    // total token mass equals a direct recount
+    val total = docs.values.map(_.split(" ").length.toLong).sum
+    assert(cnts.sum == total)
+  }
+
   test("text_repetition_score matches a per-doc recomputation") {
     val got = TextOps.textRepetitionScore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),

@@ -381,6 +381,17 @@ class GraphSpec extends SparkSpec {
     assert(internal + cutSides / 2 == nEdges)
   }
 
+  test("degree histogram: power-of-two buckets, vertex mass conserved") {
+    val rows = GraphOps.graphDegreeHistogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(lo > 0 && (lo & (lo - 1)) == 0, s"not a power of two: $lo")
+    }
+    val mass = rows.map(_.getAs[Long]("n_vertices")).sum
+    assert(mass == GraphOps.degree(spark, sfDir).count())
+  }
+
   test("node similarity: jaccard bounded by 1000, cn bounds respected") {
     val rows = GraphXAlgos.nodeSimilarity(spark, sfDir).collect()
     assert(rows.length == 50)

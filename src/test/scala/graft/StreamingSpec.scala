@@ -279,6 +279,18 @@ class StreamingSpec extends SparkSpec {
     assert(latest == batch)
   }
 
+  test("parquet-sink CDC view equals the memory-sink CDC view") {
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("user_id", "last_event_id", "last_ts",
+      "last_value", "n_updates").map(col)
+    val viaLog = Streaming.streamCdcParquet(spark, sfDir)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    val viaMem = Streaming.streamCdcLatest(spark, sfDir)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    assert(viaLog.nonEmpty)
+    assert(viaLog == viaMem)
+  }
+
   test("streamed degree equals batch degree (incremental == recompute)") {
     val streamed = Streaming.streamGraphDegree(spark, sfDir).collect()
       .map(r => r.getAs[Long]("user_id") ->

@@ -148,6 +148,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(total == users)
   }
 
+  test("ewma: binary-decay recompute matches for one user; first row " +
+      "is half its own value") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.TimeSeries.timeseriesEwma(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val uid = rows.head.getAs[Long]("user_id")
+    val mine = rows.filter(_.getAs[Long]("user_id") == uid)
+    // first point: only the k=0 term contributes
+    assert(mine.head.getAs[Long]("ewma_micro")
+      == mine.head.getAs[Long]("v_micro") / 2)
+    // sequential recompute of the truncated dyadic sum
+    val vs = mine.map(_.getAs[Long]("v_micro"))
+    mine.zipWithIndex.foreach { case (r, i) =>
+      val expect = (0 to 7).map { k =>
+        (if (i - k >= 0) vs(i - k) else 0L) / (1L << (k + 1))
+      }.sum
+      assert(r.getAs[Long]("ewma_micro") == expect, s"row $i")
+    }
+  }
+
   test("anomaly z-scores: |z| >= 2, trailing frame never sees the " +
       "current row") {
     val rows = graft.ops.TimeSeries.timeseriesAnomaly(spark, sfDir)
