@@ -1886,6 +1886,24 @@ object Oracle {
                      // t_total AS BIGINT) AS cum_permille
          FROM c, t ORDER BY zipf_rank""",
 
+    // deterministic sharded shuffle: salted-md5 key, hex-nibble shard,
+    // within-shard rank — instr on the hex alphabet on both engines
+    "corpus_shuffle_deterministic" ->
+      """WITH keyed AS (
+           SELECT doc_id, lang, source,
+                  md5('graft-shuffle:' || CAST(doc_id AS VARCHAR))
+                    AS skey
+           FROM documents),
+         sh AS (SELECT *,
+                  CAST(instr('0123456789abcdef', substring(skey, 1, 1))
+                       - 1 AS INT) AS shard_id
+                FROM keyed)
+         SELECT shard_id,
+                CAST(row_number() OVER (PARTITION BY shard_id
+                  ORDER BY skey, doc_id) AS BIGINT) AS shard_rank,
+                doc_id, lang, source
+         FROM sh ORDER BY shard_id, shard_rank""",
+
     "text_tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, source,
                               unnest(string_split(text, ' ')) AS tok
@@ -2149,6 +2167,25 @@ object Oracle {
          FROM en CROSS JOIN p
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 
+    // matryoshka rerank: 16-dim prefix coarse cut, exact rerank —
+    // both cuts on rounded scores with id tie-break
+    "embed_matryoshka_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id, label, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm FROM e),
+         p AS (SELECT v AS pv, nrm AS pn FROM en WHERE vec_id = 0),
+         coarse AS (SELECT vec_id, label, v, nrm, pv, pn,
+                      ROUND(list_sum(list_transform(range(1, 17),
+                        i -> v[i] * pv[i])), 4) AS coarse_score
+                    FROM en CROSS JOIN p
+                    ORDER BY coarse_score DESC, vec_id LIMIT 50)
+         SELECT vec_id, label, coarse_score,
+                ROUND(list_sum(list_transform(range(1, 65),
+                        i -> v[i] * pv[i])) / (nrm * pn), 4) AS cos_sim
+         FROM coarse ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
     "embed_pair_sim_threshold" ->
       """WITH e AS (SELECT vec_id, label,
                            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2403,6 +2440,25 @@ object Oracle {
                 count(DISTINCT ev.user_id) AS n_users
          FROM ev JOIN coh USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    // Markov transitions: lead over the per-user total order, counts
+    // + integer-permille row probabilities (// == div, positive)
+    "events_markov_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec,
+                            event_type
+                     FROM events),
+         s AS (SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) AS next_type
+               FROM ev),
+         tr AS (SELECT event_type, next_type, count(*) AS n FROM s
+                WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(n) AS t FROM tr GROUP BY 1)
+         SELECT tr.event_type, next_type, n,
+                CAST((n * 1000) // t AS BIGINT) AS permille
+         FROM tr JOIN tot USING (event_type)
+         ORDER BY event_type, next_type""",
 
     // binary-decay EWMA: micro-unit values, dyadic weights as floor
     // divisions (// == Spark div on the positive operands)

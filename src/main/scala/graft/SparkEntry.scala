@@ -168,6 +168,8 @@ object SparkEntry {
     "text_tokenize_tf"   -> (TextOps.textTokenizeTf _),
     "text_tfidf_topk"    -> (TextOps.textTfidfTopk _),
     "text_vocab_zipf"    -> (TextOps.textVocabZipf _),
+    "corpus_shuffle_deterministic" ->
+      (TextOps.corpusShuffleDeterministic _),
     "text_lang_stats"    -> (TextOps.textLangStats _),
     "text_quality_score" -> (TextOps.textQualityScore _),
     "text_token_count"   -> (TextOps.textTokenCount _),
@@ -187,6 +189,7 @@ object SparkEntry {
     "embed_centroid_per_label" -> (VectorOps.embedCentroidPerLabel _),
     "embed_knn_per_label"      -> (VectorOps.embedKnnPerLabel _),
     "embed_knn_batch"          -> (VectorOps.embedKnnBatch _),
+    "embed_matryoshka_topk"    -> (VectorOps.embedMatryoshkaTopk _),
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
     "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),
@@ -209,6 +212,8 @@ object SparkEntry {
     "events_retention_cohort" -> (TimeSeries.eventsRetentionCohort _),
     "timeseries_anomaly"      -> (TimeSeries.timeseriesAnomaly _),
     "timeseries_ewma"         -> (TimeSeries.timeseriesEwma _),
+    "events_markov_transitions" ->
+      (TimeSeries.eventsMarkovTransitions _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

@@ -491,6 +491,37 @@ object TextOps {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Deterministic sharded corpus shuffle — the reproducible-random
+    * reorder every pre-training run does before writing shards
+    * (document order must decorrelate from crawl/source order, and a
+    * resumed or re-run job must produce the SAME order). Key = salted
+    * md5 of the doc id: no RNG state, stable under re-execution,
+    * insensitive to input partitioning. The first hex nibble assigns
+    * one of 16 shards (hash-uniform), the within-shard rank orders by
+    * the remaining key — windows are PER SHARD, so the pass is one
+    * hash exchange + 16 parallel sorts at any scale (a global
+    * training order, if wanted, is (shard_id, shard_rank) — no
+    * single-partition window anywhere). The nibble→int map goes
+    * through `instr` on the hex alphabet, identical on both
+    * engines. */
+  def corpusShuffleDeterministic(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val keyed = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(lit("graft-shuffle:"), col("doc_id").cast("string")))
+          .as("skey"))
+      .withColumn("shard_id",
+        expr("instr('0123456789abcdef', substring(skey, 1, 1)) - 1")
+          .cast("int"))
+    keyed
+      .withColumn("shard_rank", row_number().over(
+        Window.partitionBy(col("shard_id"))
+          .orderBy(col("skey"), col("doc_id"))))
+      .select(col("shard_id"), col("shard_rank"), col("doc_id"),
+        col("lang"), col("source"))
+      .orderBy(col("shard_id"), col("shard_rank"))
+  }
+
   /** Repetition scoring (the Gopher/C4 repetition filters): per doc,
     * the duplicate word-bigram fraction (1 − distinct/total) and the
     * top single bigram's share. High values flag boilerplate / spam /

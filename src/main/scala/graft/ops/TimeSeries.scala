@@ -159,6 +159,33 @@ object TimeSeries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** First-order Markov transition census over each user's event
+    * sequence: (event_type → next event_type) counts plus exact
+    * permille row-probabilities — the "what happens after a click"
+    * table behind next-action prediction and session modeling, and
+    * the generalization of the hand-anchored funnel. One keyed window
+    * (`lead` over the (ts_sec, event_id) total order, same exchange
+    * as the other per-user passes) + one grouped count; the matrix is
+    * |types|² rows — constant, independent of event volume. */
+  def eventsMarkovTransitions(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val seq = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val trans = seq.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("t"))
+    trans.join(totals, "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        expr("(n * 1000) div t").as("permille"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   /** Binary-decay EWMA (exponentially-weighted moving average) of each
     * user's purchase values — the smoothing pass behind trend lines
     * and drift monitors. Exact-integer variant: values in micro-units,

@@ -102,6 +102,36 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Matryoshka two-stage retrieval: coarse-score on the first 16 of
+    * 64 dimensions (prefix truncation — the matryoshka-embedding
+    * serving trick), keep the top-50 candidates, exact-cosine rerank
+    * to top-10. The coarse pass touches 1/4 of the vector bytes per
+    * corpus row (at scale: a separate 16-dim column/file read, 4× less
+    * IO + cache pressure), and both stages are TakeOrderedAndProject
+    * per-partition heaps — no global sort. Both scores are ROUNDED
+    * before ranking (ties → id) so cross-engine float drift cannot
+    * flip either stage's cut. */
+  def embedMatryoshkaTopk(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val e = withNorm(Tables(spark, dir))
+      .withColumn("v16", slice(col("v"), 1, 16))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pn"),
+        col("v16").as("pv16"))
+    val coarse = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("pv"), col("pn"),
+        round(dot(col("v16"), col("pv16")), 4).as("coarse_score"))
+      .orderBy(col("coarse_score").desc, col("vec_id"))
+      .limit(50)
+    coarse
+      .select(col("vec_id"), col("label"), col("coarse_score"),
+        round(dot(col("v"), col("pv")) / (col("nrm") * col("pn")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** All vector pairs with cosine ≥ 0.3 within the same label — the
     * label equi-key bounds the self-join (SURVEY.md §7.4: every
     * self-join carries a partition key). */

@@ -14,6 +14,20 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("deterministic shuffle: shards in 0..15, per-shard ranks " +
+      "contiguous, mass conserved, rerun identical") {
+    val run1 = TextOps.corpusShuffleDeterministic(spark, sfDir).collect()
+    assert(run1.length == docs.size)
+    val byShard = run1.groupBy(_.getAs[Int]("shard_id"))
+    assert(byShard.keySet.forall(s => s >= 0 && s <= 15))
+    byShard.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("shard_rank")).sorted.toSeq
+        == (1 to rs.length))
+    }
+    val run2 = TextOps.corpusShuffleDeterministic(spark, sfDir).collect()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq)
+  }
+
   test("vocab zipf census: contiguous ranks, nonincreasing counts, " +
       "coverage ends at exactly 1000 permille") {
     val rows = TextOps.textVocabZipf(spark, sfDir).collect()

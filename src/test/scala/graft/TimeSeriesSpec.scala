@@ -148,6 +148,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(total == users)
   }
 
+  test("markov transitions: mass = events - users, rows sum to ~1000 " +
+      "permille per source type") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.TimeSeries.eventsMarkovTransitions(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // each user with k events contributes k-1 transitions
+    val ev = Tables(spark, sfDir).events
+    val expectMass = ev.count() - ev.select(col("user_id"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expectMass)
+    // permille floor-rounds, so each source row group sums to
+    // (1000 - cells, 1000]
+    rows.groupBy(_.getAs[String]("event_type")).foreach {
+      case (t, cells) =>
+        val s = cells.map(_.getAs[Long]("permille")).sum
+        assert(s <= 1000 && s > 1000 - cells.length, s"$t: $s")
+    }
+  }
+
   test("ewma: binary-decay recompute matches for one user; first row " +
       "is half its own value") {
     import org.apache.spark.sql.functions.col

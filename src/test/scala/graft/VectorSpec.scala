@@ -144,6 +144,26 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka rerank: 10 ranked rows, probe found at cosine 1, " +
+      "high recall vs exact top-10") {
+    val rows = graft.ops.VectorOps.embedMatryoshkaTopk(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.toSeq == sims.sortBy(-_).toSeq)
+    // the probe's own prefix dot is large: it survives the coarse cut
+    // and reranks to the top with cosine exactly 1
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("cos_sim") == 1.0)
+    // prefix truncation is a heuristic — but on this corpus it should
+    // retain most of the exact top-10
+    val exact = graft.ops.VectorOps.embedCosineTopk(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & got).size >= 5,
+      s"matryoshka recall too low: ${(exact & got).size}/10")
+  }
+
   test("batch kNN: 3 neighbors per probe, self excluded, ranks ordered") {
     val rows = VectorOps.embedKnnBatch(spark, sfDir).collect()
     val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
