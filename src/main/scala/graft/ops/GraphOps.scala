@@ -525,32 +525,43 @@ object GraphOps {
     out.orderBy(col("dist"), col("id"))
   }
 
-  /** Forward phase of Brandes' betweenness from one landmark: BFS
-    * layers over an undirected pair frame, each layer carrying sigma
+  /** Forward phase of Brandes' betweenness, MULTI-SOURCE: BFS layers
+    * over an undirected pair frame for ALL landmarks at once, the
+    * frontier keyed by (lm, id) and each layer carrying sigma
     * (shortest-path counts = sum of predecessor sigmas) — the
-    * [[graphPathCount]] computation, kept per layer for the backward
-    * sweep. Layers are persisted: each is touched again by the next
-    * forward hop, the visited anti-join, and two backward joins. */
-  private def bfsSigmaLayers(und: DataFrame, source: Long,
+    * [[graphPathCount]] computation batched across sources, so a
+    * k-landmark sweep costs the SAME number of jobs/stages as one
+    * (the standard multi-source BFS batching; per-row state grows by
+    * one lm long, shuffles stay keyed on the edge endpoint). Layers
+    * are persisted: each is touched again by the next forward hop,
+    * the visited anti-join, and two backward joins. */
+  private def bfsSigmaLayersMulti(und: DataFrame, sources: Seq[Long],
       depth: Int): Vector[DataFrame] = {
     val spark = und.sparkSession
-    var layer = spark.range(1)
-      .select(lit(source).as("id"), lit(1L).as("paths")).persist()
-    var seen = layer.select(col("id"))
+    import spark.implicits._
+    var layer = sources.toDF("lm")
+      .select(col("lm"), col("lm").as("id"), lit(1L).as("paths"))
+      .persist()
+    var seen = layer.select(col("lm"), col("id"))
     var out = Vector(layer)
     for (_ <- 1 to depth) {
       val next = und
-        .join(layer.select(col("id").as("src"), col("paths")), "src")
-        .groupBy(col("dst")).agg(sum(col("paths")).as("paths"))
-        .join(seen, col("dst") === seen("id"), "left_anti")
-        .select(col("dst").as("id"), col("paths"))
+        .join(layer.select(col("lm"), col("id").as("src"),
+          col("paths")), "src")
+        .groupBy(col("lm"), col("dst")).agg(sum(col("paths")).as("paths"))
+        .select(col("lm"), col("dst").as("id"), col("paths"))
+        .join(seen, Seq("lm", "id"), "left_anti")
         .persist()
-      seen = seen.unionByName(next.select(col("id")))
+      seen = seen.unionByName(next.select(col("lm"), col("id")))
       out = out :+ next
       layer = next
     }
     out
   }
+
+  private def bfsSigmaLayers(und: DataFrame, source: Long,
+      depth: Int): Vector[DataFrame] =
+    bfsSigmaLayersMulti(und, Seq(source), depth)
 
   /** Per-landmark Brandes dependency accumulation in EXACT integer
     * micro-units: delta(v) = Σ over BFS-DAG successors w (dist(w) =
@@ -566,26 +577,36 @@ object GraphOps {
     * co-partitioned hop shape as the forward BFS. Returns (id, d) for
     * every reached non-source vertex. */
   def betweennessFrom(und: DataFrame, source: Long,
+      depth: Int, undByDst: Option[DataFrame] = None): DataFrame =
+    betweennessMulti(und, Seq(source), depth, undByDst)
+      .select(col("id"), col("d"))
+
+  /** Multi-source variant: the whole landmark set sweeps in ONE
+    * batched forward BFS + ONE batched backward accumulation — job
+    * count independent of landmark count. Returns (lm, id, d). */
+  def betweennessMulti(und: DataFrame, sources: Seq[Long],
       depth: Int, undByDst: Option[DataFrame] = None): DataFrame = {
-    val layers = bfsSigmaLayers(und, source, depth)
+    val layers = bfsSigmaLayersMulti(und, sources, depth)
     // the backward sweep probes the edge frame on dst; a
     // dst-partitioned sibling removes that exchange per round (the
     // same src/dst twin-cache rule as HITS)
     val eBack = undByDst.getOrElse(und)
-    var delta = layers(depth).select(col("id"), lit(0L).as("d"))
+    var delta = layers(depth).select(col("lm"), col("id"),
+      lit(0L).as("d"))
     var acc = delta
     for (k <- (depth - 1) to 1 by -1) {
-      val succ = layers(k + 1).join(delta, "id")
-        .select(col("id").as("w"), col("paths").as("sw"),
-          col("d").as("dw"))
+      val succ = layers(k + 1).join(delta, Seq("lm", "id"))
+        .select(col("lm").as("c_lm"), col("id").as("w"),
+          col("paths").as("sw"), col("d").as("dw"))
       val contrib = eBack.join(succ, eBack("dst") === succ("w"))
-        .select(col("src"), col("sw"), col("dw"))
+        .select(col("c_lm"), col("src"), col("sw"), col("dw"))
       val dk = layers(k)
-        .join(contrib, layers(k)("id") === contrib("src"), "left")
-        .groupBy(layers(k)("id"), col("paths"))
+        .join(contrib, col("lm") === col("c_lm") &&
+          col("id") === col("src"), "left")
+        .groupBy(col("lm"), col("id"), col("paths"))
         .agg(coalesce(sum(expr("(paths * (1000000 + dw)) div sw")),
           lit(0L)).as("d"))
-        .select(col("id"), col("d"))
+        .select(col("lm"), col("id"), col("d"))
       delta = dk
       acc = acc.unionByName(dk)
     }
@@ -614,17 +635,16 @@ object GraphOps {
       // the 4 backward rounds
       .repartition(col("src")).persist()
     val undByDst = und.repartition(col("dst")).persist()
-    val per = BetweennessLandmarks
-      .map(s => betweennessFrom(und, s, 3, Some(undByDst)))
+    val per = betweennessMulti(und, BetweennessLandmarks, 3,
+      Some(undByDst))
     val out = per
-      .reduce(_ unionByName _)
       .groupBy(col("id")).agg(sum(col("d")).as("bc_micro"))
       .orderBy(col("bc_micro").desc, col("id"))
       .limit(50)
       .localCheckpoint(true)
-    // release the per-landmark delta checkpoints now the 50-row result
-    // is materialized
-    per.foreach(_.unpersist(false))
+    // release the batched delta checkpoint now the 50-row result is
+    // materialized
+    per.unpersist(false)
     undByDst.unpersist(false)
     und.unpersist(false)
     out
@@ -653,23 +673,22 @@ object GraphOps {
     val und = e.select(col("src"), col("dst"))
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).persist()
-    val per = ClosenessLandmarks.map { s =>
-      val layers = bfsSigmaLayers(und, s, 3)
-      val contrib = (1 to 3).map(k =>
+    // one batched multi-source BFS serves all 4 landmarks (job count
+    // independent of landmark count — same batching as betweenness)
+    val layers = bfsSigmaLayersMulti(und, ClosenessLandmarks, 3)
+    val per = (1 to 3).map(k =>
         layers(k).select(col("id"), lit(1000000L / k).as("hc")))
-        .reduce(_ unionByName _)
-        .localCheckpoint(true)
-      layers.foreach(_.unpersist(false))
-      contrib
-    }
-    val out = per.reduce(_ unionByName _)
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    layers.foreach(_.unpersist(false))
+    val out = per
       .groupBy(col("id")).agg(sum(col("hc")).as("hc_micro"))
       .orderBy(col("hc_micro").desc, col("id"))
       .limit(50)
       .localCheckpoint(true)
-    // out is materialized (eager checkpoint): release the per-landmark
-    // intermediates — same block-manager discipline as the dedup loop
-    per.foreach(_.unpersist(false))
+    // out is materialized (eager checkpoint): release the batched
+    // intermediate — same block-manager discipline as the dedup loop
+    per.unpersist(false)
     und.unpersist(false)
     out
   }
