@@ -232,21 +232,26 @@ object Oracle {
     * [[graft.ops.GraphOps.graphClosenessHarmonic]]: dist-only BFS
     * layers per landmark, reciprocal-distance micro-units
     * (1000000 // k) summed per vertex. */
-  private def closenessSql(depth: Int, landmarks: Seq[Long]): String = {
-    def lm(tag: String, src: Long): String = {
-      val fw = (1 to depth).map { k =>
-        val visited = (0 until k)
-          .map(j => s"SELECT id FROM ${tag}_l$j").mkString(" UNION ")
-        s""",
+  /** Per-landmark dist-only BFS layer CTEs (`<tag>_l0..l<depth>`) over
+    * the `und` CTE — shared by the closeness and reach-profile
+    * oracles. */
+  private def landmarkBfsCtes(tag: String, src: Long,
+      depth: Int): String = {
+    val fw = (1 to depth).map { k =>
+      val visited = (0 until k)
+        .map(j => s"SELECT id FROM ${tag}_l$j").mkString(" UNION ")
+      s""",
          ${tag}_l$k AS (SELECT DISTINCT u.dst AS id
                  FROM und u JOIN ${tag}_l${k - 1} l ON u.src = l.id
                  WHERE u.dst NOT IN ($visited))"""
-      }.mkString
-      s""",
+    }.mkString
+    s""",
          ${tag}_l0 AS (SELECT CAST($src AS BIGINT) AS id)$fw"""
-    }
+  }
+
+  private def closenessSql(depth: Int, landmarks: Seq[Long]): String = {
     val ctes = landmarks.zipWithIndex
-      .map { case (s, i) => lm(s"cl$i", s) }.mkString
+      .map { case (s, i) => landmarkBfsCtes(s"cl$i", s, depth) }.mkString
     val selects = landmarks.indices.flatMap { i =>
       (1 to depth).map(k =>
         s"SELECT id, CAST(${1000000L / k} AS BIGINT) AS hc " +
@@ -259,6 +264,26 @@ object Oracle {
          SELECT id, CAST(SUM(hc) AS BIGINT) AS hc_micro
          FROM ($selects) GROUP BY id
          ORDER BY hc_micro DESC, id LIMIT 50"""
+  }
+
+  /** Unrolled reach profile, replaying
+    * [[graft.ops.GraphOps.graphReachProfile]]: per landmark and BFS
+    * depth, the count of vertices FIRST reached at that depth (same
+    * dist-only layer CTEs as the closeness oracle). */
+  private def reachProfileSql(depth: Int, landmarks: Seq[Long]): String = {
+    val ctes = landmarks.zipWithIndex
+      .map { case (s, i) => landmarkBfsCtes(s"rp$i", s, depth) }.mkString
+    val selects = landmarks.zipWithIndex.flatMap { case (s, i) =>
+      (1 to depth).map(k =>
+        s"SELECT CAST($s AS BIGINT) AS lm, $k AS dist, " +
+          s"count(*) AS n_reached FROM rp${i}_l$k")
+    }.mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded)$ctes
+         SELECT lm, CAST(dist AS INT) AS dist, n_reached
+         FROM ($selects) ORDER BY lm, dist"""
   }
 
   /** Unrolled k-core peeling, replaying
@@ -589,6 +614,25 @@ object Oracle {
          LEFT JOIN intra i ON i.label = s.label
          LEFT JOIN cut c ON c.label = s.label
          ORDER BY s.label"""
+
+  /** Batch replay of the click→purchase attribution join, shared by
+    * the memory-sink and parquet-file-sink stream-stream join
+    * registrations (same watermarked join, different sink). */
+  private val ssJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, value,
+                          date_trunc('second', ts) AS ts_sec
+                   FROM events),
+       c AS (SELECT user_id, event_id AS click_id, ts_sec AS click_ts
+             FROM ev WHERE event_type = 'click'),
+       p AS (SELECT user_id, event_id AS purchase_id,
+                    ts_sec AS purchase_ts, value
+             FROM ev WHERE event_type = 'purchase')
+       SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts,
+              value
+       FROM c JOIN p ON c.user_id = p.user_id
+         AND purchase_ts >= click_ts
+         AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+       ORDER BY c.user_id, click_id, purchase_id"""
 
   /** Batch replay of the CDC last-write-wins view: argmax per user
     * over the (ts_sec, event_id) total order — shared by the
@@ -1558,6 +1602,10 @@ object Oracle {
 
     "graph_closeness_harmonic" ->
       closenessSql(3, Seq(3000000000001L, 4000000000001L,
+        2000000000001L, 6000000000001L)),
+
+    "graph_reach_profile" ->
+      reachProfileSql(3, Seq(3000000000001L, 4000000000001L,
         2000000000001L, 6000000000001L)),
 
     "graph_kcore" -> kcoreSql(3, 4),
@@ -2583,21 +2631,11 @@ object Oracle {
     // (two file-source streams, append mode); once all input is
     // processed the inner join's emitted rows equal the batch interval
     // join, which is what this checks
-    "stream_stream_join" ->
-      """WITH ev AS (SELECT event_id, user_id, event_type, value,
-                            date_trunc('second', ts) AS ts_sec
-                     FROM events),
-         c AS (SELECT user_id, event_id AS click_id, ts_sec AS click_ts
-               FROM ev WHERE event_type = 'click'),
-         p AS (SELECT user_id, event_id AS purchase_id,
-                      ts_sec AS purchase_ts, value
-               FROM ev WHERE event_type = 'purchase')
-         SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts,
-                value
-         FROM c JOIN p ON c.user_id = p.user_id
-           AND purchase_ts >= click_ts
-           AND purchase_ts <= click_ts + INTERVAL 1 HOUR
-         ORDER BY c.user_id, click_id, purchase_id""",
+    "stream_stream_join" -> ssJoinSql,
+
+    // same watermarked join, committed through the checkpointed
+    // parquet file sink — rows must still equal the batch join
+    "stream_join_parquet" -> ssJoinSql,
 
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label,

@@ -157,6 +157,7 @@ object SparkEntry {
     "graph_path_count"           -> (GraphOps.graphPathCount _),
     "graph_betweenness"          -> (GraphOps.graphBetweenness _),
     "graph_closeness_harmonic"   -> (GraphOps.graphClosenessHarmonic _),
+    "graph_reach_profile"        -> (GraphOps.graphReachProfile _),
     "graph_kcore"                -> (GraphOps.graphKcore _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "stream_stream_join"      -> (Streaming.streamStreamJoin _),
     "stream_cdc_latest"       -> (Streaming.streamCdcLatest _),
     "stream_cdc_parquet"      -> (Streaming.streamCdcParquet _),
+    "stream_join_parquet"     -> (Streaming.streamJoinParquet _),
     "stream_degree_parquet"   -> (Streaming.streamDegreeParquet _),
     "stream_rank_incremental" -> (Streaming.streamRankIncremental _)
   )

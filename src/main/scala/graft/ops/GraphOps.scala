@@ -693,6 +693,31 @@ object GraphOps {
     out
   }
 
+  /** Reach profile — per landmark and BFS depth, how many vertices are
+    * FIRST reached at that depth: the expansion census a graph store
+    * prints before choosing traversal depth caps and frontier budgets
+    * (a layer that jumps to graph size at depth 2 is the hub-explosion
+    * signature). Output is landmarks × depth rows, O(1) size; served
+    * by the same batched multi-source BFS as closeness — one layer agg
+    * on top, no extra traversal. */
+  def graphReachProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.dedupEdgesCached(spark, dir)
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).persist()
+    val layers = bfsSigmaLayersMulti(und, ClosenessLandmarks, 3)
+    val out = (1 to 3).map(k =>
+        layers(k).groupBy(col("lm"))
+          .agg(count(lit(1)).as("n_reached"))
+          .select(col("lm"), lit(k).as("dist"), col("n_reached")))
+      .reduce(_ unionByName _)
+      .orderBy(col("lm"), col("dist"))
+      .localCheckpoint(true)
+    layers.foreach(_.unpersist(false))
+    und.unpersist(false)
+    out
+  }
+
   /** Bounded-round k-core peeling (k = 3, 4 synchronous rounds) over
     * the undirected derived graph: each round drops every vertex whose
     * CURRENT degree is below k, then restricts the edge set to

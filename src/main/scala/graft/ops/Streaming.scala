@@ -452,6 +452,42 @@ object Streaming {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** The production-sink variant of [[streamStreamJoin]]: the same
+    * watermarked interval join, but append-mode straight into a
+    * checkpointed parquet FILE sink (watermark-bounded append is the
+    * one stateful output the file sink supports natively — no
+    * foreachBatch indirection needed). Offset WAL + manifest log give
+    * exactly-once committed files, and join state stays bounded by
+    * watermark eviction — together the unbounded-stream shape the
+    * memory-sink demo cannot claim. Emits the same rows as the batch
+    * join, which the shared oracle checks. */
+  def streamJoinParquet(spark: SparkSession, dir: String): DataFrame = {
+    val base = upsertDirs.synchronized {
+      upsertDirs.getOrElseUpdate((spark, dir, "ssjoin"), {
+        val b = graft.TempDirs.create(
+          s"graft-joinsink-${runIds.incrementAndGet()}")
+        withStatePartitions(spark, 8) {
+          val ev = eventsStream(spark, dir)
+            .withColumn("ts_sec", date_trunc("second", col("ts")))
+          val clicks = clickSide(ev).withWatermark("click_ts", "1 hour")
+          val purchases = purchaseSide(ev)
+            .withWatermark("purchase_ts", "2 hours")
+          val q = attributionJoin(clicks, purchases)
+            .writeStream.format("parquet")
+            .option("path", s"$b/out")
+            .option("checkpointLocation", s"$b/ckpt")
+            .outputMode("append")
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        b
+      })
+    }
+    spark.read.parquet(s"$base/out")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Typed input for the custom-state demo. */
   final case class PurchaseEvent(user_id: Long, event_id: Long,
     ts_sec: java.sql.Timestamp, value: Double)

@@ -381,6 +381,22 @@ class GraphSpec extends SparkSpec {
     assert(internal + cutSides / 2 == nEdges)
   }
 
+  test("reach profile: 4 landmarks x 3 depths, layer-1 equals the " +
+      "landmark's undirected neighbor count") {
+    import spark.implicits._
+    val rows = GraphOps.graphReachProfile(spark, sfDir).collect()
+    assert(rows.length == 12)
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+    rows.filter(_.getAs[Int]("dist") == 1).foreach { r =>
+      val lm = r.getAs[Long]("lm")
+      val nbrs = ded.select($"src", $"dst")
+        .filter($"src" === lm || $"dst" === lm)
+        .select(when($"src" === lm, $"dst").otherwise($"src").as("n"))
+        .distinct().count()
+      assert(r.getAs[Long]("n_reached") == nbrs, s"landmark $lm")
+    }
+  }
+
   test("degree histogram: power-of-two buckets, vertex mass conserved") {
     val rows = GraphOps.graphDegreeHistogram(spark, sfDir).collect()
     assert(rows.nonEmpty)

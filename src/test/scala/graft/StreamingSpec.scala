@@ -291,6 +291,19 @@ class StreamingSpec extends SparkSpec {
     assert(viaLog == viaMem)
   }
 
+  test("parquet-sink stream-stream join equals the memory-sink join") {
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("user_id", "click_id", "click_ts", "purchase_id",
+      "purchase_ts", "value").map(col)
+    val viaFile = Streaming.streamJoinParquet(spark, sfDir)
+      .select(cols: _*).collect().map(_.toSeq)
+    val viaMem = Streaming.streamStreamJoin(spark, sfDir)
+      .select(cols: _*).collect().map(_.toSeq)
+    assert(viaFile.nonEmpty)
+    // both are fully ordered by (user, click, purchase): compare in order
+    assert(viaFile.toSeq == viaMem.toSeq)
+  }
+
   test("streamed degree equals batch degree (incremental == recompute)") {
     val streamed = Streaming.streamGraphDegree(spark, sfDir).collect()
       .map(r => r.getAs[Long]("user_id") ->
