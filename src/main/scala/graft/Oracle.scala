@@ -1638,6 +1638,29 @@ object Oracle {
          FROM verts LEFT JOIN tc ON verts.v = tc.v
          GROUP BY 1 ORDER BY 1""",
 
+    // same capped co-purchase replay; triangles counted once via the
+    // canonical x<y<z join, wedges from undirected degrees
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+               FROM capped a JOIN capped b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+               FROM (SELECT src, count(*) AS d FROM und GROUP BY 1)),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1
+                 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+         SELECT n_triangles, n_wedges,
+                CAST((3 * n_triangles * 1000) // n_wedges AS BIGINT)
+                  AS coeff_permille
+         FROM tri, w""",
+
     // same capped co-purchase replay as the triangle oracle, then
     // common neighbors through degree-capped middles, existing edges
     // excluded

@@ -136,6 +136,7 @@ object SparkEntry {
     "graph_pagerank"             -> (GraphXAlgos.pagerank _),
     "graph_connected_components" -> (GraphXAlgos.connectedComponents _),
     "graph_triangle_count"       -> (GraphXAlgos.triangleCount _),
+    "graph_clustering_coeff"     -> (GraphXAlgos.graphClusteringCoeff _),
     "graph_shortest_paths"       -> (GraphXAlgos.shortestPaths _),
     "graph_label_propagation"    -> (GraphXAlgos.labelPropagation _),
     "graph_pagerank_weighted"    -> (GraphXAlgos.pagerankWeighted _),

@@ -180,6 +180,38 @@ object GraphXAlgos {
       .orderBy(col("n_triangles"))
   }
 
+  /** Global clustering coefficient over the capped co-purchase
+    * projection, exact integers: triangles via the canonical 3-way
+    * pair join (x<y<z — each triangle counted once), wedges =
+    * Σ_v C(deg v, 2), coefficient = (3·triangles·1000) div wedges in
+    * permille — the one-row graph-cohesion summary ("how clique-like
+    * is the co-purchase structure") next to the per-vertex
+    * [[triangleCount]] histogram. Two aggregations + one 3-way join
+    * over the bounded pair list; all-integer, DuckDB-oracled by the
+    * same capped replay as the triangle oracle. */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .persist()
+    val und = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val wedges = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.src") === col("e2.src") &&
+        col("e1.dst") < col("e2.dst"))
+      .join(pairs.as("e3"), col("e3.src") === col("e1.dst") &&
+        col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        expr("(3 * n_triangles * 1000) div n_wedges")
+          .as("coeff_permille"))
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    out
+  }
+
   /** Weighted-edge view: one edge per (src, dst) with weight = multi-
     * edge multiplicity (an order that shares 3 lineitems with a part
     * gets weight 3). This is precisely the information [[GraphModel

@@ -397,6 +397,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("clustering coefficient: triangle total matches GraphX, " +
+      "coefficient within [0, 1000] permille") {
+    val r = GraphXAlgos.graphClusteringCoeff(spark, sfDir).collect().head
+    val tri = r.getAs[Long]("n_triangles")
+    val wedges = r.getAs[Long]("n_wedges")
+    val coeff = r.getAs[Long]("coeff_permille")
+    // GraphX counts each triangle at all 3 corners
+    val viaGraphx = GraphXAlgos.triangleCount(spark, sfDir).collect()
+      .map(x => x.getAs[Long]("n_triangles") * x.getAs[Long]("n_vertices"))
+      .sum / 3
+    assert(tri == viaGraphx)
+    assert(wedges >= 3 * tri)  // every triangle closes 3 wedges
+    assert(coeff >= 0 && coeff <= 1000)
+    assert(coeff == 3 * tri * 1000 / wedges)
+  }
+
   test("degree histogram: power-of-two buckets, vertex mass conserved") {
     val rows = GraphOps.graphDegreeHistogram(spark, sfDir).collect()
     assert(rows.nonEmpty)
