@@ -695,6 +695,56 @@ object Oracle {
                 4000000000000 + l_suppkey, 'FROM' FROM lineitem
        )"""
 
+  /** Exact brute-force cosine top-10 — shared by its own entry and the
+    * recall-eval composition below. */
+  private val EmbedCosineTopkSql =
+    """WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        en AS (SELECT vec_id, label, v,
+                      sqrt(list_sum(list_transform(range(1, 65),
+                        i -> v[i] * v[i]))) AS nrm FROM e),
+        p AS (SELECT v AS pv, nrm AS pnrm FROM en WHERE vec_id = 0)
+        SELECT vec_id, label,
+               ROUND(list_sum(list_transform(range(1, 65),
+                       i -> v[i] * pv[i])) / (nrm * pnrm), 4) AS cos_sim
+        FROM en CROSS JOIN p
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  /** IVF replay (centroid build, nprobe cut, both float shapes) —
+    * shared by its own entry and the recall-eval composition below. */
+  private val EmbedAnnIvfSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cells AS (SELECT label, i AS pos, v[i] AS cv
+                  FROM e, range(1, 65) r(i)),
+        means AS (SELECT label, pos,
+                         CAST(SUM(CAST(cv AS DECIMAL(27,10))) AS DOUBLE)
+                           / COUNT(*) AS mean_v
+                  FROM cells GROUP BY label, pos),
+        cent AS (SELECT label, list(mean_v ORDER BY pos) AS c
+                 FROM means GROUP BY label),
+        probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        nb AS (SELECT label FROM (
+                 SELECT cent.label,
+                        ROUND(list_sum(list_transform(range(1, 65),
+                                i -> c[i] * pv[i]))
+                          / sqrt(list_sum(list_transform(range(1, 65),
+                                   i -> c[i] * c[i]))
+                               * list_sum(list_transform(range(1, 65),
+                                   i -> pv[i] * pv[i]))), 6) AS cs
+                 FROM cent, probe)
+               ORDER BY cs DESC, label LIMIT 3)
+        SELECT vec_id, label, cos_sim FROM (
+          SELECT e.vec_id, e.label,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                         i -> e.v[i] * pv[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                             i -> e.v[i] * e.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                             i -> pv[i] * pv[i])))), 4) AS cos_sim
+          FROM e JOIN nb ON e.label = nb.label, probe)
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   val sql: Map[String, String] = Map(
     // lineitem has no unique key (dup (l_orderkey,l_linenumber) pairs) →
     // ORDER BY ALL output columns, matching the Spark side's totalOrder.
@@ -1455,6 +1505,28 @@ object Oracle {
           UNION ALL SELECT id, 2 FROM h2
           UNION ALL SELECT id, 3 FROM h3
           ORDER BY hop, id""",
+
+    // 2-hop undirected ego set of customer #1, then the induced edges
+    // (both endpoints in the set) — unrolled mirror of the Spark
+    // frontier expansion + double semi-join induction
+    "graph_ego_network" ->
+      s"""WITH $EdgesCte,
+          und AS (SELECT src AS a, dst AS b FROM edges
+                  UNION ALL SELECT dst, src FROM edges),
+          s AS (SELECT CAST(3000000000001 AS BIGINT) AS id),
+          h1 AS (SELECT DISTINCT und.b AS id FROM und
+                 JOIN s ON und.a = s.id
+                 WHERE und.b NOT IN (SELECT id FROM s)),
+          h2 AS (SELECT DISTINCT und.b AS id FROM und
+                 JOIN h1 ON und.a = h1.id
+                 WHERE und.b NOT IN (SELECT id FROM s UNION ALL
+                                     SELECT id FROM h1)),
+          ego AS (SELECT id FROM s UNION ALL SELECT id FROM h1
+                  UNION ALL SELECT id FROM h2)
+          SELECT DISTINCT src, dst, rel FROM edges
+          WHERE src IN (SELECT id FROM ego)
+            AND dst IN (SELECT id FROM ego)
+          ORDER BY rel, src, dst""",
 
     "graph_shortest_paths" ->
       s"""WITH RECURSIVE $EdgesCte,
@@ -2225,18 +2297,17 @@ object Oracle {
          SELECT probe_id, vec_id, cos_sim, rn FROM r
          WHERE rn <= 3 ORDER BY probe_id, rn""",
 
-    "embed_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, label,
-                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         en AS (SELECT vec_id, label, v,
-                       sqrt(list_sum(list_transform(range(1, 65),
-                         i -> v[i] * v[i]))) AS nrm FROM e),
-         p AS (SELECT v AS pv, nrm AS pnrm FROM en WHERE vec_id = 0)
-         SELECT vec_id, label,
-                ROUND(list_sum(list_transform(range(1, 65),
-                        i -> v[i] * pv[i])) / (nrm * pnrm), 4) AS cos_sim
-         FROM en CROSS JOIN p
-         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "embed_cosine_topk" -> EmbedCosineTopkSql,
+
+    // recall@10 of the IVF path vs the exact top-10: both retrieval
+    // plans replayed verbatim (the shared vals above), scored by a
+    // k-row left join — integer permille so the metric is engine-exact
+    "embed_recall_eval" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM ($EmbedAnnIvfSql))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
 
     // matryoshka rerank: 16-dim prefix coarse cut, exact rerank —
     // both cuts on rounded scores with id tie-break
@@ -2341,38 +2412,7 @@ object Oracle {
     "embed_search_pq_adc" ->
       searchPqAdcSql(graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK),
 
-    "embed_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
-         cells AS (SELECT label, i AS pos, v[i] AS cv
-                   FROM e, range(1, 65) r(i)),
-         means AS (SELECT label, pos,
-                          CAST(SUM(CAST(cv AS DECIMAL(27,10))) AS DOUBLE)
-                            / COUNT(*) AS mean_v
-                   FROM cells GROUP BY label, pos),
-         cent AS (SELECT label, list(mean_v ORDER BY pos) AS c
-                  FROM means GROUP BY label),
-         probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
-         nb AS (SELECT label FROM (
-                  SELECT cent.label,
-                         ROUND(list_sum(list_transform(range(1, 65),
-                                 i -> c[i] * pv[i]))
-                           / sqrt(list_sum(list_transform(range(1, 65),
-                                    i -> c[i] * c[i]))
-                                * list_sum(list_transform(range(1, 65),
-                                    i -> pv[i] * pv[i]))), 6) AS cs
-                  FROM cent, probe)
-                ORDER BY cs DESC, label LIMIT 3)
-         SELECT vec_id, label, cos_sim FROM (
-           SELECT e.vec_id, e.label,
-                  ROUND(list_sum(list_transform(range(1, 65),
-                          i -> e.v[i] * pv[i]))
-                    / (sqrt(list_sum(list_transform(range(1, 65),
-                              i -> e.v[i] * e.v[i])))
-                     * sqrt(list_sum(list_transform(range(1, 65),
-                              i -> pv[i] * pv[i])))), 4) AS cos_sim
-           FROM e JOIN nb ON e.label = nb.label, probe)
-         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "embed_ann_ivf" -> EmbedAnnIvfSql,
 
     "embed_centroid_per_label" ->
       """WITH cells AS (
@@ -2530,6 +2570,38 @@ object Oracle {
                 CAST((n * 1000) // t AS BIGINT) AS permille
          FROM tr JOIN tot USING (event_type)
          ORDER BY event_type, next_type""",
+
+    // last-touch attribution: carry-forward over the per-user total
+    // order (last_value IGNORE NULLS, strictly-prior frame), 7-day
+    // lookback — mirrors the Spark window formulation exactly
+    "events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec,
+                            event_type, value
+                     FROM events),
+         c AS (SELECT user_id, event_id, ts_sec, event_type, value,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN ts_sec END IGNORE NULLS)
+                   OVER w AS t_ts,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN event_id END IGNORE NULLS)
+                   OVER w AS t_id,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN event_type END IGNORE NULLS)
+                   OVER w AS t_type
+               FROM ev
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING))
+         SELECT event_id AS conv_id, user_id, ts_sec AS conv_ts,
+                t_id AS touch_id, t_type AS touch_type,
+                date_diff('second', t_ts, ts_sec) AS gap_sec,
+                value AS conv_value
+         FROM c
+         WHERE event_type = 'purchase' AND t_id IS NOT NULL
+           AND date_diff('second', t_ts, ts_sec) <= 604800
+         ORDER BY conv_id""",
 
     // binary-decay EWMA: micro-unit values, dyadic weights as floor
     // divisions (// == Spark div on the positive operands)

@@ -118,6 +118,7 @@ object SparkEntry {
     "graph_pattern_motif"     -> (GraphOps.patternMotif _),
     "graph_subgraph"          -> (GraphOps.subgraph _),
     "graph_bfs_khop"          -> (GraphOps.bfsKhop _),
+    "graph_ego_network"       -> (GraphOps.egoNetwork _),
     "graph_upsert_edges"      -> (GraphOps.graphUpsertEdges _),
     "graph_upsert_vertices"   -> (GraphOps.graphUpsertVertices _),
     "graph_vertex_lookup"     -> (GraphOps.graphVertexLookup _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
+    "embed_recall_eval"        -> (VectorOps.embedRecallEval _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),
     // §2.8 streaming batch analogs (streaming variants in tests)
@@ -216,6 +218,7 @@ object SparkEntry {
     "timeseries_ewma"         -> (TimeSeries.timeseriesEwma _),
     "events_markov_transitions" ->
       (TimeSeries.eventsMarkovTransitions _),
+    "events_attribution"      -> (TimeSeries.eventsAttribution _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

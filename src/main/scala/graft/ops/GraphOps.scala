@@ -1032,4 +1032,42 @@ object GraphOps {
         count(lit(1)).as("n_after"))
       .orderBy(col("rel"))
   }
+
+  /** 2-hop ego network: the subgraph INDUCED by the undirected 2-hop
+    * neighborhood of one vertex (customer #1) — the "show me this
+    * node's world" read every property-graph front-end renders.
+    * Two-stage plan: (1) frontier expansion over the symmetrized edge
+    * view exactly like [[bfsKhop]] (each hop one equi-join, the small
+    * frontier broadcast by AQE); (2) induction = the edge table
+    * restricted by TWO semi-joins (src ∈ ego set, dst ∈ ego set) — no
+    * pair materialization, no distinct on the big side. At 100 TB the
+    * ego set of one vertex is tiny relative to the graph, so both
+    * semi-joins broadcast it and the induced subgraph costs one edge
+    * scan; hub vertices are the one hazard (their hop-2 set is
+    * data-sized), bounded here by the namespaced schema (a customer's
+    * neighbors are its nation + its orders). */
+  def egoNetwork(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.edgesCached(spark, dir)
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+    val seed = spark.range(1)
+      .select(lit(GraphModel.CustomerOff + 1L).as("id"))
+    var visited = seed
+    var frontier = seed
+    for (_ <- 1 to 2) {
+      val next = und.join(frontier, und("a") === frontier("id"))
+        .select(col("b").as("id")).distinct()
+        .join(visited.select(col("id").as("vid")),
+          col("id") === col("vid"), "left_anti")
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    val ego = visited.select(col("id"))
+    e.join(ego.select(col("id").as("sid")),
+        col("src") === col("sid"), "left_semi")
+      .join(ego.select(col("id").as("did")),
+        col("dst") === col("did"), "left_semi")
+      .select(col("src"), col("dst"), col("rel")).distinct()
+      .orderBy(col("rel"), col("src"), col("dst"))
+  }
 }

@@ -256,4 +256,50 @@ object TimeSeries {
         col("value"), col("z"))
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
   }
+
+  /** Last-touch conversion attribution: each purchase is credited to
+    * the SAME user's most recent prior click/view within a 7-day
+    * lookback — the credit-assignment pass behind every marketing /
+    * recommendation feedback loop. Carry-forward formulation, NOT a
+    * purchases×touches self-join: one keyed window over the unified
+    * event stream carries the latest touch forward (`last IGNORE
+    * NULLS` over rows preceding), so the plan is ONE hash exchange on
+    * user_id + a per-partition sort regardless of how many touches a
+    * user has — per-row state is a single (ts, id, type) triple, the
+    * shape that survives 100 TB where the join formulation's per-user
+    * quadratic fanout does not. Strictly-prior frame (−1) keeps a
+    * purchase from attributing to itself if event ordering ever puts
+    * a touch at the same (ts_sec, event_id) boundary. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_type"), col("value"))
+    val isTouch = col("event_type").isin("click", "view")
+    // single select so all three carries land in ONE Window node
+    // (withColumn chaining interleaves Projects that block the
+    // CollapseWindow rule — same exchange either way, but one pass
+    // over the sorted partition beats three)
+    ev
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("event_type"), col("value"),
+        last(when(isTouch, col("ts_sec")), ignoreNulls = true)
+          .over(w).as("t_ts"),
+        last(when(isTouch, col("event_id")), ignoreNulls = true)
+          .over(w).as("t_id"),
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(w).as("t_type"))
+      .filter(col("event_type") === "purchase" && col("t_id").isNotNull)
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts_sec")) - unix_timestamp(col("t_ts")))
+      .filter(col("gap_sec") <= 7L * 24 * 3600)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts_sec").as("conv_ts"), col("t_id").as("touch_id"),
+        col("t_type").as("touch_type"), col("gap_sec"),
+        col("value").as("conv_value"))
+      .orderBy(col("conv_id"))
+  }
 }

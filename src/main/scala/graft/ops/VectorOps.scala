@@ -548,4 +548,23 @@ object VectorOps {
           / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("doc_id"))
   }
+
+  /** Recall@10 of the IVF ANN path against the exact brute-force
+    * top-10 — the eval loop every approximate index needs before it
+    * is trusted in production: re-runs BOTH retrieval plans and scores
+    * the overlap as a one-row (k, hits, recall_permille) metric. The
+    * expensive parts are the two retrieval sub-plans themselves (each
+    * already scale-shaped: one corpus pass for exact, pruned buckets
+    * for IVF); the comparison is a left join of two k-row frames —
+    * constant work. At 100 TB you run this over a probe SAMPLE and
+    * aggregate the per-probe recalls; the per-probe plan is exactly
+    * this one. Integer permille keeps the metric engine-exact. */
+  def embedRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    val ann = embedAnnIvf(spark, dir).select(col("vec_id").as("a_id"))
+    exact.join(ann, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
 }

@@ -480,4 +480,29 @@ class GraphSpec extends SparkSpec {
       GraphModel.CustomerOff + 42L)
     assert(rows.head.getAs[String]("name") == "Customer#000000042")
   }
+
+  test("ego network: edges are induced (both endpoints within 2 " +
+      "undirected hops of the seed), seed's own edges all present") {
+    val seed = GraphModel.CustomerOff + 1L
+    val rows = GraphOps.egoNetwork(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the 2-hop undirected ego set independently
+    val e = GraphModel.edges(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val h1 = adj.getOrElse(seed, Set.empty)
+    val ego = h1.foldLeft(h1 + seed)((acc, v) =>
+      acc ++ adj.getOrElse(v, Set.empty))
+    rows.foreach { r =>
+      assert(ego(r.getAs[Long]("src")) && ego(r.getAs[Long]("dst")),
+        s"non-induced edge ${r.getAs[Long]("src")}->${r.getAs[Long]("dst")}")
+    }
+    // every edge incident to the seed survives induction
+    val got = rows.map(r =>
+      (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    e.filter(p => p._1 == seed || p._2 == seed)
+      .foreach(p => assert(got(p), s"missing seed edge $p"))
+  }
 }

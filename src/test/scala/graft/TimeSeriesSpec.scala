@@ -217,4 +217,33 @@ class TimeSeriesSpec extends SparkSpec {
     val z = (r0.getAs[Double]("value") - mean) / math.sqrt(variance)
     assert(math.abs(z - r0.getAs[Double]("z")) < 1e-3)
   }
+
+  test("attribution: touch strictly precedes its conversion, is the " +
+      "user's latest prior touch, gap within the 7-day lookback") {
+    val rows = graft.ops.TimeSeries.eventsAttribution(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gap = r.getAs[Long]("gap_sec")
+      assert(gap >= 0 && gap <= 7L * 24 * 3600, s"gap out of window: $gap")
+      assert(Set("click", "view")(r.getAs[String]("touch_type")))
+    }
+    // replay one conversion sequentially from the raw event history
+    val r0 = rows.head
+    val uid = r0.getAs[Long]("user_id")
+    val hist = Tables(spark, sfDir).events
+      .filter(col("user_id") === uid)
+      .select(date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_id"), col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .collect()
+    val convIdx = hist.indexWhere(
+      _.getAs[Long]("event_id") == r0.getAs[Long]("conv_id"))
+    assert(convIdx > 0)
+    val lastTouch = hist.slice(0, convIdx).reverse
+      .find(h => Set("click", "view")(h.getAs[String]("event_type")))
+    assert(lastTouch.isDefined)
+    assert(lastTouch.get.getAs[Long]("event_id") ==
+      r0.getAs[Long]("touch_id"))
+  }
 }

@@ -266,4 +266,23 @@ class VectorSpec extends SparkSpec {
       case _ => true
     })
   }
+
+  test("recall eval: one row, hits equals the true overlap of the two " +
+      "retrieval paths, permille consistent") {
+    val rows = VectorOps.embedRecallEval(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val k = r.getAs[Long]("k")
+    val hits = r.getAs[Long]("hits")
+    assert(k == 10L)
+    assert(hits >= 0L && hits <= k)
+    assert(r.getAs[Long]("recall_permille") == hits * 1000 / k)
+    val exact = VectorOps.embedCosineTopk(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ann = VectorOps.embedAnnIvf(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(hits == (exact & ann).size.toLong)
+    // the probe itself is retrievable by both paths
+    assert(exact(0L) && ann(0L))
+  }
 }
