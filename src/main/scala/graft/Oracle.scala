@@ -615,6 +615,75 @@ object Oracle {
          LEFT JOIN cut c ON c.label = s.label
          ORDER BY s.label"""
 
+  /** Modularity of the LPA communities, replaying
+    * [[graft.ops.GraphOps.graphModularity]] in HUGEINT (the Spark side
+    * uses DECIMAL(38,0) — both are exact): q_micro is the floor
+    * quotient via the remainder-subtraction identity, so the adjusted
+    * numerator divides exactly and `//` convention cannot matter. */
+  private def modularitySql(iters: Int): String =
+    lpaCtes(iters) +
+      s""",
+         deg AS (SELECT id, count(*) AS d FROM
+                   (SELECT src AS id FROM ded
+                    UNION ALL SELECT dst FROM ded)
+                 GROUP BY id),
+         dc AS (SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
+                FROM deg g JOIN l$iters l ON l.id = g.id GROUP BY 1),
+         parts AS (SELECT CAST(SUM(dcv * dcv) AS HUGEINT) AS sum_dc2,
+                          count(*) AS n_communities FROM dc),
+         intra AS (SELECT CAST(count(*) AS HUGEINT) AS sum_intra
+                   FROM ded JOIN l$iters a ON a.id = ded.src
+                   JOIN l$iters b ON b.id = ded.dst
+                   WHERE a.label = b.label),
+         mr AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ded),
+         nd AS (SELECT m, n_communities, sum_intra, sum_dc2,
+                       1000000 * (4 * m * sum_intra - sum_dc2) AS num,
+                       4 * m * m AS den
+                FROM mr, parts, intra)
+         SELECT CAST(m AS BIGINT) AS n_edges, n_communities,
+                CAST(sum_intra AS BIGINT) AS sum_intra,
+                CAST(sum_dc2 AS BIGINT) AS sum_dc2,
+                CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+                  AS q_micro
+         FROM nd"""
+
+  /** Unrolled earliest-arrival DP replaying
+    * [[graft.ops.GraphOps.graphTemporalReach]]: capped part-mediated
+    * influence edges, then per round min-arrival relaxation under the
+    * non-decreasing-date constraint. */
+  private def temporalReachSql(rounds: Int): String = {
+    val base =
+      """WITH buys AS (SELECT l_partkey AS pk, o_custkey AS ck,
+                            min(CAST(o_orderdate AS DATE)) AS d
+                     FROM lineitem
+                     JOIN orders ON l_orderkey = o_orderkey
+                     GROUP BY 1, 2),
+         cap AS (SELECT pk, ck, d FROM (
+                   SELECT pk, ck, d, row_number() OVER (
+                     PARTITION BY pk ORDER BY d, ck) AS rk FROM buys)
+                 WHERE rk <= 8),
+         tedges AS (SELECT a.ck AS src, b.ck AS dst,
+                           min(b.d) AS active_on
+                    FROM cap a JOIN cap b
+                      ON a.pk = b.pk AND a.d < b.d
+                    GROUP BY 1, 2),
+         r0 AS (SELECT CAST(1 AS BIGINT) AS id,
+                       DATE '1992-01-01' AS arr)"""
+    val steps = (1 to rounds).map { i =>
+      s""",
+         r$i AS (SELECT id, min(arr) AS arr FROM (
+                   SELECT id, arr FROM r${i - 1}
+                   UNION ALL
+                   SELECT e.dst, e.active_on FROM tedges e
+                   JOIN r${i - 1} r ON e.src = r.id
+                     AND e.active_on >= r.arr)
+                 GROUP BY id)"""
+    }.mkString
+    base + steps +
+      s"""
+         SELECT id, arr FROM r$rounds ORDER BY arr, id"""
+  }
+
   /** Batch replay of the click→purchase attribution join, shared by
     * the memory-sink and parquet-file-sink stream-stream join
     * registrations (same watermarked join, different sink). */
@@ -1662,6 +1731,8 @@ object Oracle {
     "graph_lpa_exact" -> lpaExactSql(3),
 
     "graph_community_stats" -> communityStatsSql(3),
+    "graph_modularity" -> modularitySql(3),
+    "graph_temporal_reach" -> temporalReachSql(3),
 
     "graph_hits_exact" -> hitsExactSql(2),
 
@@ -2664,6 +2735,46 @@ object Oracle {
                GROUP BY ev.user_id, c.view_sec, c.click_sec)
          SELECT user_id, view_sec, click_sec, purchase_sec FROM p
          ORDER BY user_id""",
+
+    "timeseries_interpolate" ->
+      """WITH agg AS (SELECT (epoch_us(ts) // 1000000) // 900
+                        AS bucket_id,
+                      count(*) AS n_events,
+                      CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS val_c
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY 1),
+         bounds AS (SELECT min(bucket_id) AS b0, max(bucket_id) AS b1
+                    FROM agg),
+         spine AS (SELECT unnest(generate_series(b0, b1)) AS bucket_id
+                   FROM bounds),
+         j AS (SELECT s.bucket_id,
+                      COALESCE(a.n_events, 0) AS n_events, a.val_c,
+                      last_value(a.val_c IGNORE NULLS) OVER wp AS pv,
+                      last_value(CASE WHEN a.val_c IS NOT NULL
+                          THEN s.bucket_id END IGNORE NULLS)
+                        OVER wp AS pt,
+                      first_value(a.val_c IGNORE NULLS) OVER wn AS nv,
+                      first_value(CASE WHEN a.val_c IS NOT NULL
+                          THEN s.bucket_id END IGNORE NULLS)
+                        OVER wn AS nt
+               FROM spine s
+               LEFT JOIN agg a ON a.bucket_id = s.bucket_id
+               WINDOW wp AS (ORDER BY s.bucket_id ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (ORDER BY s.bucket_id ROWS BETWEEN
+                   CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT make_timestamp(bucket_id * 900 * 1000000) AS bucket_ts,
+                n_events,
+                CASE WHEN val_c IS NOT NULL THEN val_c
+                     WHEN pv IS NULL THEN nv
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + CAST(((nv - pv) * (bucket_id - pt)
+                       - (((nv - pv) * (bucket_id - pt)) % (nt - pt)
+                          + (nt - pt)) % (nt - pt))
+                       // (nt - pt) AS BIGINT)
+                END AS value_interp_c
+         FROM j ORDER BY bucket_ts""",
 
     "timeseries_gapfill" ->
       s"""WITH ev AS (SELECT make_timestamp(

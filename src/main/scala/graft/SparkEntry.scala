@@ -152,6 +152,8 @@ object SparkEntry {
     "graph_pagerank_personalized" -> (GraphOps.pagerankPersonalized _),
     "graph_lpa_exact"            -> (GraphOps.lpaExact _),
     "graph_community_stats"      -> (GraphOps.graphCommunityStats _),
+    "graph_modularity"           -> (GraphOps.graphModularity _),
+    "graph_temporal_reach"       -> (GraphOps.graphTemporalReach _),
     "graph_hits_exact"           -> (GraphOps.hitsExact _),
     "graph_random_walk"          -> (GraphOps.graphRandomWalk _),
     "graph_link_predict"         -> (GraphXAlgos.linkPredict _),
@@ -210,6 +212,7 @@ object SparkEntry {
     "stream_stateful_running" -> (Streaming.streamStatefulRunning _),
     "stream_static_join"      -> (Streaming.streamStaticJoin _),
     "timeseries_gapfill"      -> (TimeSeries.timeseriesGapfill _),
+    "timeseries_interpolate"  -> (TimeSeries.timeseriesInterpolate _),
     "timeseries_ohlc"         -> (TimeSeries.timeseriesOhlc _),
     "scd2_history"            -> (TimeSeries.scd2History _),
     "events_funnel_detect"    -> (TimeSeries.eventsFunnelDetect _),

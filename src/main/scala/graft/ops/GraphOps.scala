@@ -430,6 +430,112 @@ object GraphOps {
     out
   }
 
+  /** Global modularity of the exact-LPA communities in exact integer
+    * micro-units — the single scalar a community detector is judged
+    * by. Over the deduplicated directed edge set (m rows; undirected
+    * degree d(v) counts both endpoints, so Σd(v) = 2m):
+    *
+    *   Q = Σ_c [ m_c/m − (d_c/2m)² ] = (4·m·Σm_c − Σd_c²) / (4·m²)
+    *
+    * Numerator and denominator are pure integers; q_micro is their
+    * floor quotient scaled by 1e6, computed via the remainder-
+    * subtraction identity `(a − pmod(a,b)) div b` so the division is
+    * EXACT (b divides the adjusted numerator) and therefore identical
+    * under every engine's int-division rounding convention — Q < 0
+    * (a worse-than-random partition) needs no special case. Arithmetic
+    * runs in DECIMAL(38,0) (DuckDB: HUGEINT) because 1e6·4m² passes
+    * 2^63 at m ≈ 1.5e6 edges — within 10× of the sf0.1 corpus. Cost on
+    * top of the shared LPA labels: one degree agg + two keyed sums +
+    * three single-row joins. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val lab = lpaExactOn(ded, 3,
+      Some(GraphModel.dedupVertsCached(spark, dir)))
+    val deg = ded.select(col("src").as("id"))
+      .unionByName(ded.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val parts = deg.join(lab, "id")
+      .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dc"))
+      .agg(sum(col("dc") * col("dc")).cast(dec).as("sum_dc2"),
+        count(lit(1)).as("n_communities"))
+    val intra = ded
+      .join(lab.select(col("id").as("src"), col("label").as("sl")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("dl")), "dst")
+      .filter(col("sl") === col("dl"))
+      .agg(count(lit(1)).cast(dec).as("sum_intra"))
+    val out = ded.agg(count(lit(1)).cast(dec).as("m"))
+      .crossJoin(parts).crossJoin(intra) // three 1-row frames
+      .select(col("m"), col("n_communities"), col("sum_intra"),
+        col("sum_dc2"),
+        (lit(1000000L).cast(dec) * (lit(4L).cast(dec) * col("m")
+          * col("sum_intra") - col("sum_dc2"))).as("num"),
+        (lit(4L).cast(dec) * col("m") * col("m")).as("den"))
+      .select(
+        col("m").cast("long").as("n_edges"), col("n_communities"),
+        col("sum_intra").cast("long").as("sum_intra"),
+        col("sum_dc2").cast("long").as("sum_dc2"),
+        expr("CAST((num - ((num % den + den) % den)) div den AS BIGINT)")
+          .as("q_micro"))
+      .localCheckpoint(true)
+    lab.unpersist(false)
+    out
+  }
+
+  /** Time-respecting reachability ("who could this customer have
+    * influenced, and how early") over part-mediated influence edges:
+    * a → b dated t if a first bought some part strictly before b, with
+    * the edge active on b's first-purchase date t. A path is valid only
+    * if edge dates never decrease — the defining constraint of temporal
+    * graphs, which plain reachability gets WRONG (a late edge into an
+    * early one is not a causal path). Earliest-arrival is computed by
+    * 3 rounds of dynamic-programming relaxation: keeping only min
+    * arrival per vertex is lossless because a smaller arrival admits a
+    * superset of the onward edges (dominance), so state is ONE date per
+    * vertex — never a path enumeration. The edge build caps each part
+    * at its 8 earliest buyers by the (date, custkey) total order: the
+    * per-part pair fanout is ≤ C(8,2) whatever the hub part's true
+    * buyer count, the same capping lever as the co-purchase projection.
+    * Each round is one equi-join on src + one min-agg on dst; at 100 TB
+    * the edge frame is bucketed by src and the state frame shuffles on
+    * the same key every round. */
+  /** The dated influence edges [[graphTemporalReach]] walks: (src, dst,
+    * active_on) with src's first purchase of the shared part strictly
+    * before dst's, activation = dst's first-purchase date, per-part
+    * buyer list capped at the 8 earliest by (date, custkey). */
+  def temporalInfluenceEdges(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val buys = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
+      .agg(min(to_date(col("o_orderdate"))).as("d"))
+    val cap = buys.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pk")).orderBy(col("d"), col("ck"))))
+      .filter(col("rk") <= 8)
+    cap.as("a").join(cap.as("b"),
+        col("a.pk") === col("b.pk") && col("a.d") < col("b.d"))
+      .groupBy(col("a.ck").as("src"), col("b.ck").as("dst"))
+      .agg(min(col("b.d")).as("active_on"))
+  }
+
+  def graphTemporalReach(spark: SparkSession, dir: String): DataFrame = {
+    val edges = temporalInfluenceEdges(spark, dir).persist()
+    var state = spark.range(1).select(lit(1L).as("id"),
+      to_date(lit("1992-01-01")).as("arr"))
+    for (_ <- 1 to 3) {
+      val step = edges
+        .join(state.select(col("id").as("src"), col("arr")), "src")
+        .filter(col("active_on") >= col("arr"))
+        .select(col("dst").as("id"), col("active_on").as("arr"))
+      state = state.unionByName(step)
+        .groupBy(col("id")).agg(min(col("arr")).as("arr"))
+    }
+    val out = state.orderBy(col("arr"), col("id")).localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
   /** HITS (hubs & authorities), exact-integer variant: hub⁰ = 1
     * everywhere; each round auth(v) = Σ hub(u) over in-edges then
     * hub(u) = Σ auth(v) over out-edges. UNNORMALIZED integer sums —

@@ -51,6 +51,61 @@ object TimeSeries {
       .orderBy(col("bucket_ts"))
   }
 
+  /** Linear-interpolation gap fill — the numeric upgrade of
+    * [[timeseriesGapfill]]'s carry-forward: an empty bucket gets the
+    * value on the straight line between its nearest observed neighbors
+    * (sensor/metric pipelines interpolate; step-fill biases every
+    * downstream average toward the last spike). All arithmetic is
+    * EXACT integer: bucket ids are epoch-seconds div 900, observed
+    * values are centi-unit BIGINTs (the corpus is exactly 2dp, so the
+    * DECIMAL(12,2) sum ×100 is lossless), and the interpolant
+    *   prev + floor((next−prev)·(t−tp) / (tn−tp))
+    * uses the same remainder-subtraction floor-division identity as
+    * [[GraphOps.graphModularity]], so both engines agree even when the
+    * series slopes down (negative numerator). Leading/trailing gaps
+    * back/forward-fill from the single available neighbor. Same
+    * bounded-window exception as the gapfill spine: the window is over
+    * the O(time-range) spine, never the event volume, and at 100 TB
+    * both the spine and window take the series key. */
+  def timeseriesInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_timestamp(ts) div 900").as("bucket_id"),
+        col("value"))
+      .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Det.dec2(col("value"))) * 100).cast("long").as("val_c"))
+    val bounds = agg.agg(min(col("bucket_id")).as("b0"),
+      max(col("bucket_id")).as("b1"))
+    val spine = bounds.select(
+      explode(sequence(col("b0"), col("b1"))).as("bucket_id"))
+    val wPrev = Window.orderBy(col("bucket_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("bucket_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("val_c").isNotNull, col("bucket_id"))
+    spine.join(agg, Seq("bucket_id"), "left")
+      .select(col("bucket_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("val_c"),
+        last(col("val_c"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(obsT, ignoreNulls = true).over(wPrev).as("pt"),
+        first(col("val_c"), ignoreNulls = true).over(wNext).as("nv"),
+        first(obsT, ignoreNulls = true).over(wNext).as("nt"))
+      .select(
+        expr("timestamp_seconds(bucket_id * 900)").as("bucket_ts"),
+        col("n_events"),
+        when(col("val_c").isNotNull, col("val_c"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(expr(
+            """pv + CAST(((nv - pv) * (bucket_id - pt)
+               - (((nv - pv) * (bucket_id - pt)) % (nt - pt) + (nt - pt))
+                 % (nt - pt)) div (nt - pt) AS BIGINT)"""))
+          .as("value_interp_c"))
+      .orderBy(col("bucket_ts"))
+  }
+
   /** OHLC resample (open/high/low/close per 15-min bucket of purchase
     * values) — the finance-style downsampling every event-series store
     * ships. open/close are selected by `min_by`/`max_by` over the

@@ -505,4 +505,55 @@ class GraphSpec extends SparkSpec {
     e.filter(p => p._1 == seed || p._2 == seed)
       .foreach(p => assert(got(p), s"missing seed edge $p"))
   }
+
+  test("modularity: components reconcile with community stats and the " +
+      "floor quotient is exact") {
+    val r = GraphOps.graphModularity(spark, sfDir).collect().head
+    val stats = GraphOps.graphCommunityStats(spark, sfDir).collect()
+    val nEdges = GraphModel.dedupEdgesCached(spark, sfDir).count()
+    assert(r.getAs[Long]("n_edges") == nEdges)
+    assert(r.getAs[Long]("n_communities") == stats.length)
+    assert(r.getAs[Long]("sum_intra") ==
+      stats.map(_.getAs[Long]("n_internal")).sum)
+    // recompute Q in BigInt from the emitted components
+    val m = BigInt(r.getAs[Long]("n_edges"))
+    val num = BigInt(1000000) *
+      (4 * m * r.getAs[Long]("sum_intra") - BigInt(r.getAs[Long]("sum_dc2")))
+    val den = 4 * m * m
+    val expect = (num - num.mod(den)) / den // BigInt.mod is floor-style
+    assert(BigInt(r.getAs[Long]("q_micro")) == expect)
+    // theoretical modularity bounds: −1/2 ≤ Q ≤ 1. Q is genuinely
+    // NEGATIVE on this corpus (−0.17 at sf0.001): the order↔customer/
+    // part graph is near-bipartite, and bipartite structure is the
+    // textbook worse-than-random case for edge-locality partitions —
+    // exactly the signal the scalar exists to surface
+    assert(r.getAs[Long]("q_micro") >= -500000L &&
+      r.getAs[Long]("q_micro") <= 1000000L)
+  }
+
+  test("temporal reach: arrivals are time-respecting and minimal " +
+      "w.r.t. the influence edges") {
+    val reach = GraphOps.graphTemporalReach(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[java.sql.Date]("arr"))
+    val arr = reach.toMap
+    assert(arr.size == reach.length, "duplicate vertex in reach output")
+    assert(arr(1L).toString == "1992-01-01", "seed arrival is the epoch")
+    val edges = GraphOps.temporalInfluenceEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[java.sql.Date]("active_on")))
+    // every non-seed arrival is witnessed by an in-edge whose source
+    // was reached no later than the edge's activation date
+    reach.filter(_._1 != 1L).foreach { case (v, a) =>
+      assert(edges.exists { case (s, d, t) =>
+        d == v && t == a && arr.get(s).exists(!_.after(t))
+      }, s"arrival $a at $v has no time-respecting witness edge")
+    }
+    // one-hop minimality: a direct seed out-edge can never beat the
+    // recorded arrival (deeper relaxations may be cut by the round
+    // bound, but round 1 is always complete)
+    edges.filter(_._1 == 1L).foreach { case (_, d, t) =>
+      assert(arr.get(d).exists(!_.after(t)),
+        s"direct edge to $d@$t beats recorded arrival ${arr.get(d)}")
+    }
+  }
 }

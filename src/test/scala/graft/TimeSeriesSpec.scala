@@ -35,6 +35,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_events") > 0L)
   }
 
+  test("interpolate: observed buckets exact, gaps bounded by their " +
+      "neighbors on a contiguous spine") {
+    val rows = TimeSeries.timeseriesInterpolate(spark, sfDir)
+      .orderBy(col("bucket_ts")).collect()
+    val ts = rows.map(_.getAs[java.sql.Timestamp]("bucket_ts").getTime)
+    assert(ts.sliding(2).forall { case Array(a, b) => b - a == 900000L },
+      "non-contiguous spine")
+    // observed buckets carry their exact centi-unit sum (cross-check
+    // against the gapfill's double sum, exact at 2dp)
+    val gf = TimeSeries.timeseriesGapfill(spark, sfDir)
+      .orderBy(col("bucket_ts")).collect()
+    assert(gf.length == rows.length)
+    rows.zip(gf).foreach { case (r, g) =>
+      if (r.getAs[Long]("n_events") > 0L)
+        assert(r.getAs[Long]("value_interp_c") ==
+          math.round(g.getAs[Double]("sum_value") * 100))
+    }
+    // every gap value lies within [min, max] of its nearest observed
+    // neighbors (linear interpolation never overshoots)
+    val vals = rows.map(r => (r.getAs[Long]("n_events"),
+      r.getAs[Long]("value_interp_c")))
+    vals.indices.foreach { i =>
+      if (vals(i)._1 == 0L) {
+        val prev = (i - 1 to 0 by -1).find(j => vals(j)._1 > 0L)
+          .map(j => vals(j)._2)
+        val next = (i + 1 until vals.length).find(j => vals(j)._1 > 0L)
+          .map(j => vals(j)._2)
+        val lo = (prev.toSeq ++ next.toSeq).min
+        val hi = (prev.toSeq ++ next.toSeq).max
+        assert(vals(i)._2 >= lo && vals(i)._2 <= hi,
+          s"gap at $i interpolates outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("profile_table: no nulls, full distinct on the unique key column") {
     val byCol = Stats.profileTable(spark, sfDir).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
