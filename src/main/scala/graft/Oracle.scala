@@ -2415,6 +2415,44 @@ object Oracle {
          WHERE cos_sim >= 0.3
          ORDER BY a_id, b_id""",
 
+    // replays VectorOps.graphFeaturePropagate: the pair_sim_threshold
+    // edge set made undirected + self-loops, floor(x·1e6) micro sums
+    // per position, then the remainder-subtraction floor mean
+    "graph_feature_propagate" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id, label, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm FROM e),
+         pairs AS (SELECT * FROM (
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                    ROUND(list_sum(list_transform(range(1, 65),
+                            i -> a.v[i] * b.v[i]))
+                          / (a.nrm * b.nrm), 3) AS cos_sim
+             FROM en a JOIN en b
+               ON a.label = b.label AND a.vec_id < b.vec_id) s
+           WHERE cos_sim >= 0.3),
+         und AS (SELECT a_id AS id, b_id AS nb FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs
+                 UNION ALL SELECT vec_id, vec_id FROM e),
+         q AS (SELECT vec_id, list_transform(v,
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+         cells AS (SELECT u.id, i, q.qv[i] AS c
+                   FROM und u JOIN q ON q.vec_id = u.nb,
+                        range(1, 65) r(i)),
+         sums AS (SELECT id, i, CAST(SUM(c) AS BIGINT) AS s
+                  FROM cells GROUP BY id, i),
+         cnt AS (SELECT id, count(*) AS n_neighbors FROM und
+                 GROUP BY id),
+         vecs AS (SELECT id, list(s ORDER BY i) AS sv
+                  FROM sums GROUP BY id)
+         SELECT v.id AS vec_id, c.n_neighbors,
+                list_transform(sv, x -> CAST((x - ((x % c.n_neighbors
+                  + c.n_neighbors) % c.n_neighbors)) // c.n_neighbors
+                  AS BIGINT)) AS prop_micro
+         FROM vecs v JOIN cnt c ON c.id = v.id
+         ORDER BY vec_id""",
+
     // generated from the SAME fixed-seed sign matrix as the Spark op
     // (graft.functions.VectorLsh) — approximate result, deterministic
     // cross-engine

@@ -202,6 +202,7 @@ object SparkEntry {
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
     "embed_recall_eval"        -> (VectorOps.embedRecallEval _),
+    "graph_feature_propagate"  -> (VectorOps.graphFeaturePropagate _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),
     // §2.8 streaming batch analogs (streaming variants in tests)

@@ -149,6 +149,50 @@ object VectorOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** One superstep of neighborhood feature aggregation — the
+    * message-passing primitive GNN pipelines precompute offline: each
+    * vector's new feature is the element-wise mean over its similarity
+    * neighborhood (the within-label cosine≥0.3 pair graph of
+    * [[embedPairSimThreshold]], made undirected, plus a GCN-style
+    * self-loop so isolated vectors keep their own feature and the
+    * divisor is never zero). Neighbor sums are floor(x·1e6) BIGINT
+    * micro-units via the same typed Aggregator as the oracled vecsum
+    * (order-independent integer adds); the mean is the remainder-
+    * subtraction floor division, exact for negative components too.
+    * Scale: the pair join is bounded by the label equi-key; the
+    * aggregation is ONE keyed shuffle whose map-side partials are 64
+    * longs per vertex — the standard aggregateMessages superstep cost,
+    * with the edge list bucketable by `nb` at 100 TB. */
+  def graphFeaturePropagate(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val t = Tables(spark, dir)
+    val e = withNorm(t)
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(dot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 3).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+    val und = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .unionByName(
+        pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      .unionByName(t.embeddings.select(col("vec_id").as("id"),
+        col("vec_id").as("nb")))
+    val vecsum = udaf(new graft.functions.VecSumMicroAggregator(64))
+    und
+      .join(t.embeddings.select(col("vec_id").as("nb"), col("embedding")),
+        "nb")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        vecsum(col("embedding")).as("s"))
+      .select(col("id").as("vec_id"), col("n_neighbors"),
+        expr("""transform(s, x -> CAST((x - ((x % n_neighbors
+               + n_neighbors) % n_neighbors)) div n_neighbors
+               AS BIGINT))""").as("prop_micro"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid (posexplode → per-position decimal-exact mean
     * → reassembled norm). Output is the rounded centroid norm + member
     * count per label — scalars survive the cross-engine hash compare.

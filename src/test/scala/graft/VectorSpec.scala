@@ -285,4 +285,30 @@ class VectorSpec extends SparkSpec {
     // the probe itself is retrievable by both paths
     assert(exact(0L) && ann(0L))
   }
+
+  test("feature propagate: degree+self accounting, isolated vectors " +
+      "keep their own quantized feature") {
+    val rows = VectorOps.graphFeaturePropagate(spark, sfDir).collect()
+    val quant = Tables(spark, sfDir).embeddings.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6).toLong)
+    }.toMap
+    assert(rows.length == quant.size, "one output row per vector")
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    VectorOps.embedPairSimThreshold(spark, sfDir).collect().foreach { p =>
+      deg(p.getAs[Long]("a_id")) += 1; deg(p.getAs[Long]("b_id")) += 1
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("n_neighbors") == deg(id) + 1,
+        s"neighborhood of $id miscounts")
+      if (deg(id) == 0L)
+        assert(r.getAs[scala.collection.Seq[Long]]("prop_micro").toSeq == quant(id),
+          s"isolated $id does not keep its own feature")
+    }
+    assert(rows.exists(_.getAs[Long]("n_neighbors") > 1L),
+      "corpus produced no similarity edges at all")
+  }
 }
