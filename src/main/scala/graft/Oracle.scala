@@ -1753,6 +1753,19 @@ object Oracle {
 
     "graph_kcore" -> kcoreSql(3, 4),
 
+    // same capped per-order expansion as the triangle replay, but
+    // keeping multiplicity: weight = number of co-ordering orders
+    "graph_bipartite_project" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32)
+         SELECT a.pk AS src, b.pk AS dst, count(*) AS weight
+         FROM capped a JOIN capped b
+           ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2 ORDER BY src, dst""",
+
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered
     // pairs, dedup; then canonical x<y<z triangle enumeration and the
@@ -2200,6 +2213,21 @@ object Oracle {
          FROM (SELECT doc_id, string_split(text, ' ') AS t, text
                FROM documents) d
          ORDER BY doc_id""",
+
+    // replays TextOps.corpusChunkOverlap: starts 0,48,96,… < n_tokens,
+    // 64-token windows, trailing partial kept (1-based inclusive
+    // list_slice = Spark's 1-based slice(start, length))
+    "corpus_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         s AS (SELECT doc_id, t,
+                      unnest(range(0, len(t), 48)) AS st FROM d)
+         SELECT doc_id, st // 48 AS chunk_id,
+                CAST(len(list_slice(t, st + 1, st + 64)) AS BIGINT)
+                  AS n_tokens,
+                array_to_string(list_slice(t, st + 1, st + 64), ' ')
+                  AS chunk_text
+         FROM s ORDER BY doc_id, chunk_id""",
 
     "text_redact_pii" ->
       """SELECT event_id,

@@ -158,6 +158,7 @@ object SparkEntry {
     "graph_random_walk"          -> (GraphOps.graphRandomWalk _),
     "graph_link_predict"         -> (GraphXAlgos.linkPredict _),
     "graph_node_similarity"      -> (GraphXAlgos.nodeSimilarity _),
+    "graph_bipartite_project"    -> (GraphXAlgos.bipartiteProject _),
     "graph_path_count"           -> (GraphOps.graphPathCount _),
     "graph_betweenness"          -> (GraphOps.graphBetweenness _),
     "graph_closeness_harmonic"   -> (GraphOps.graphClosenessHarmonic _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "text_contamination_ngram"  -> (TextOps.textContaminationNgram _),
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
     "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
+    "corpus_chunk_overlap"      -> (TextOps.corpusChunkOverlap _),
     "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),
     "corpus_quality_band"       -> (TextOps.corpusQualityBand _),
     "corpus_prepare_pipeline"   -> (TextOps.corpusPreparePipeline _),

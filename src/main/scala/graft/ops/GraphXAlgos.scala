@@ -67,6 +67,12 @@ object GraphXAlgos {
     * order produces O(fanout²) join rows inside the join; this shape
     * shuffles once, combines map-side, and bounds per-key work. */
   def copurchasePairs(li: DataFrame): DataFrame =
+    copurchasePairsMulti(li).distinct()
+
+  /** The same capped per-order pair expansion WITH multiplicity (one
+    * row per co-ordering, not per distinct pair) — the input to both
+    * the deduplicated projection above and the weighted projection. */
+  def copurchasePairsMulti(li: DataFrame): DataFrame =
     li.groupBy(col("ok"))
       .agg(slice(sort_array(collect_set(col("pk"))), 1, MaxOrderFanout)
         .as("pks"))
@@ -74,7 +80,19 @@ object GraphXAlgos {
         transform(slice(col("pks"), i + lit(2), size(col("pks"))),
           y => struct(x.as("src"), y.as("dst")))))).as("e"))
       .select(col("e.src"), col("e.dst"))
-      .distinct()
+
+  /** The weighted bipartite projection as a first-class registered
+    * key — the order↔part two-mode graph collapsed onto parts, edge
+    * weight = number of co-ordering orders (the affinity strength
+    * every co-occurrence recommender ranks by). Same one-shuffle
+    * capped expansion as [[copurchasePairs]]; the weight is one more
+    * map-side-combinable keyed count, never a fact-table self-join. */
+  def bipartiteProject(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairsMulti(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy(col("src"), col("dst"))
 
   /** Max degree a shared neighbor may have to contribute to
     * common-neighbor scoring — the link-prediction analog of the

@@ -594,6 +594,36 @@ object TextOps {
     * packing parallelizes across shards, never globally; at 100 TB the
     * shard key is (lang, file-partition) and each task packs its own
     * token stream independently. */
+  /** Chunk window / stride (tokens) for [[corpusChunkOverlap]] —
+    * 64/48 gives the standard 25% overlap so no sentence straddling a
+    * boundary is lost to both chunks. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Overlapping fixed-size chunking — the RAG/embedding prep step
+    * that [[corpusPackSequences]] (dense packing, no overlap) is not:
+    * each document is cut into [[ChunkTokens]]-token windows starting
+    * every [[ChunkStride]] tokens, so consecutive chunks share
+    * `ChunkTokens − ChunkStride` tokens of context. Start offsets are
+    * `0, S, 2S, … < n_tokens` (the trailing partial window is kept —
+    * truncating it would drop tail text). Purely narrow per-document
+    * array work (split → explode starts → slice): no shuffle at all
+    * except the output ordering, embarrassingly parallel at any scale,
+    * output rows ≈ corpus_tokens / stride. */
+  def corpusChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1,
+          lit(ChunkStride))).as("st"))
+      .select(col("doc_id"),
+        expr(s"CAST(st div $ChunkStride AS BIGINT)").as("chunk_id"),
+        size(slice(col("t"), col("st") + 1, lit(ChunkTokens)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("t"), col("st") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   def corpusPackSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     Tables(spark, dir).documents

@@ -177,4 +177,39 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("chunk overlap: full windows share their stride overlap and " +
+      "chunks reconstruct the document") {
+    import graft.ops.TextOps.{ChunkStride, ChunkTokens}
+    val rows = graft.ops.TextOps.corpusChunkOverlap(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))
+    val docs = Tables(spark, sfDir).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (docId, cs) =>
+      val toks = docs(docId).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"doc $docId chunk ids not dense")
+      assert(sorted.length ==
+        (toks.length + ChunkStride - 1) / ChunkStride)
+      sorted.foreach { case (_, cid, n, text) =>
+        val st = cid.toInt * ChunkStride
+        val expect = toks.slice(st, st + ChunkTokens)
+        assert(n == expect.length && text == expect.mkString(" "),
+          s"doc $docId chunk $cid mismatch")
+      }
+      // consecutive full windows overlap by ChunkTokens − ChunkStride
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, t1), (_, _, n2, t2))
+            if n1 == ChunkTokens && n2 > 0 =>
+          val tail = t1.split(" ", -1).drop(ChunkStride)
+          assert(t2.split(" ", -1).startsWith(tail),
+            s"doc $docId overlap broken")
+        case _ =>
+      }
+    }
+  }
 }

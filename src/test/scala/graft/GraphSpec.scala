@@ -506,6 +506,22 @@ class GraphSpec extends SparkSpec {
       .foreach(p => assert(got(p), s"missing seed edge $p"))
   }
 
+  test("bipartite projection: weighted pairs collapse to the dedup " +
+      "co-purchase pair set") {
+    val w = GraphXAlgos.bipartiteProject(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Long]("weight")))
+    assert(w.forall(_._3 >= 1L))
+    assert(w.forall(p => p._1 < p._2), "pairs must be canonical src<dst")
+    val ded = GraphXAlgos.copurchasePairs(Tables(spark, sfDir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w.map(p => (p._1, p._2)).toSet == ded,
+      "weighted support set must equal the dedup projection")
+    assert(w.exists(_._3 > 1L),
+      "corpus has no pair co-ordered twice — weight column untested")
+  }
+
   test("modularity: components reconcile with community stats and the " +
       "floor quotient is exact") {
     val r = GraphOps.graphModularity(spark, sfDir).collect().head
