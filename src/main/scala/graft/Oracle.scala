@@ -615,6 +615,40 @@ object Oracle {
          LEFT JOIN cut c ON c.label = s.label
          ORDER BY s.label"""
 
+  /** Canonical shortest-path witnesses, replaying
+    * [[graft.ops.GraphOps.graphShortestPathTrace]]: min-hop BFS layers,
+    * min-id predecessor per layered vertex, paths rebuilt root-out one
+    * layer at a time. */
+  private def pathTraceSql(depth: Int): String = {
+    val base = s"""WITH RECURSIVE $EdgesCte,
+         reach(id, hop) AS (
+           SELECT CAST(1000000000000 AS BIGINT), 0
+           UNION ALL
+           SELECT e.src, r.hop + 1
+           FROM edges e JOIN reach r ON e.dst = r.id
+           WHERE r.hop < $depth
+         ),
+         lay AS (SELECT id, CAST(min(hop) AS INT) AS hop FROM reach
+                 GROUP BY id),
+         pred AS (SELECT l.id, l.hop, min(e.dst) AS pred
+                  FROM lay l
+                  JOIN edges e ON e.src = l.id
+                  JOIN lay lp ON lp.id = e.dst AND lp.hop = l.hop - 1
+                  WHERE l.hop > 0 GROUP BY l.id, l.hop),
+         p0 AS (SELECT id, hop, [id] AS path FROM lay WHERE hop = 0)"""
+    val steps = (1 to depth).map { i =>
+      s""",
+         p$i AS (SELECT pr.id, pr.hop,
+                        list_prepend(pr.id, p.path) AS path
+                 FROM pred pr JOIN p${i - 1} p ON pr.pred = p.id
+                 WHERE pr.hop = $i)"""
+    }.mkString
+    val union = (0 to depth).map(i => s"SELECT * FROM p$i")
+      .mkString(" UNION ALL ")
+    base + steps + s"""
+         SELECT id, hop, path FROM ($union) ORDER BY hop, id"""
+  }
+
   /** Modularity of the LPA communities, replaying
     * [[graft.ops.GraphOps.graphModularity]] in HUGEINT (the Spark side
     * uses DECIMAL(38,0) — both are exact): q_micro is the floor
@@ -1732,6 +1766,7 @@ object Oracle {
 
     "graph_community_stats" -> communityStatsSql(3),
     "graph_modularity" -> modularitySql(3),
+    "graph_shortest_path_trace" -> pathTraceSql(3),
     "graph_temporal_reach" -> temporalReachSql(3),
 
     "graph_hits_exact" -> hitsExactSql(2),

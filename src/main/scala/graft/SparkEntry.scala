@@ -162,6 +162,7 @@ object SparkEntry {
     "graph_path_count"           -> (GraphOps.graphPathCount _),
     "graph_betweenness"          -> (GraphOps.graphBetweenness _),
     "graph_closeness_harmonic"   -> (GraphOps.graphClosenessHarmonic _),
+    "graph_shortest_path_trace"  -> (GraphOps.graphShortestPathTrace _),
     "graph_reach_profile"        -> (GraphOps.graphReachProfile _),
     "graph_kcore"                -> (GraphOps.graphKcore _),
     // §2.10 dedup + text analysis

@@ -162,6 +162,44 @@ object GraphOps {
     out
   }
 
+  /** Shortest-path TRACE — not just the distance but THE path, the
+    * "show me how these are connected" query every graph DB answers
+    * interactively. Over the same reversed-edge BFS as [[bfsKhop]]
+    * (region-0 root, depth 3): each vertex's canonical predecessor is
+    * its MINIMUM-id neighbor in the previous layer (every BFS-layer
+    * vertex has one by construction), which makes the witness path
+    * unique and engine-reproducible; paths are then rebuilt root-out
+    * with one bounded join per layer, prepending the vertex to its
+    * predecessor's path. State is one array ≤ depth+1 per vertex and
+    * every join is keyed on the predecessor id — at 100 TB this is
+    * depth × one co-partitioned join, the same shape as the layered
+    * sweep in the centrality family. */
+  def graphShortestPathTrace(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.edgesCached(spark, dir).select(col("src"), col("dst"))
+    val lay = bfsKhop(spark, dir).persist() // (id, hop), min-hop layers
+    val prev = lay.select(col("id").as("dst"), col("hop").as("phop"))
+    val pred = lay.filter(col("hop") > 0)
+      .join(e, col("src") === col("id"))
+      .join(prev, Seq("dst"))
+      .filter(col("phop") === col("hop") - 1)
+      .groupBy(col("id"), col("hop"))
+      .agg(min(col("dst")).as("pred"))
+    var paths = lay.filter(col("hop") === 0)
+      .select(col("id"), col("hop"), array(col("id")).as("path"))
+    var all = paths
+    for (h <- 1 to 3) {
+      paths = pred.filter(col("hop") === h)
+        .join(paths.select(col("id").as("pred"), col("path").as("ppath")),
+          "pred")
+        .select(col("id"), col("hop"),
+          concat(array(col("id")), col("ppath")).as("path"))
+      all = all.unionByName(paths)
+    }
+    val out = all.orderBy(col("hop"), col("id")).localCheckpoint(true)
+    lay.unpersist(false)
+    out
+  }
+
   /** Fixed-point PageRank core over a (src, dst) edge frame: ranks are
     * BIGINT micro-units (1.0 = 1,000,000), contributions are integer
     * division by out-degree, and the damping step is `(s * 85) div 100`

@@ -506,6 +506,34 @@ class GraphSpec extends SparkSpec {
       .foreach(p => assert(got(p), s"missing seed edge $p"))
   }
 
+  test("path trace: every witness path walks real edges from the " +
+      "vertex to the root at its BFS depth") {
+    val rows = GraphOps.graphShortestPathTrace(spark, sfDir).collect()
+    val hops = GraphOps.bfsKhop(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("hop")).toMap
+    assert(rows.length == hops.size, "one path per reached vertex")
+    val edges = GraphModel.edgesCached(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val hop = r.getAs[Int]("hop")
+      val path = r.getAs[scala.collection.Seq[Long]]("path")
+      assert(hop == hops(id), s"$id layered at $hop, BFS says ${hops(id)}")
+      assert(path.length == hop + 1, s"$id path length != hop+1")
+      assert(path.head == id && path.last == GraphModel.RegionOff)
+      path.sliding(2).foreach {
+        case scala.collection.Seq(a, b) =>
+          assert(edges((a, b)), s"phantom edge $a->$b in path of $id")
+        case _ =>
+      }
+      // each step descends exactly one BFS layer (shortest witness)
+      path.zipWithIndex.foreach { case (v, i) =>
+        assert(hops(v) == hop - i, s"path of $id not layer-monotone")
+      }
+    }
+  }
+
   test("bipartite projection: weighted pairs collapse to the dedup " +
       "co-purchase pair set") {
     val w = GraphXAlgos.bipartiteProject(spark, sfDir).collect()
