@@ -1766,6 +1766,36 @@ object Oracle {
 
     "graph_community_stats" -> communityStatsSql(3),
     "graph_modularity" -> modularitySql(3),
+
+    // replays GraphOps.graphAssortativity: symmetrized edge-end degree
+    // pairs make Pearson's r a pure rational — exact micro-units via
+    // the same remainder-subtraction floor division
+    "graph_assortativity" ->
+      s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         deg AS (SELECT id, count(*) AS d FROM
+                   (SELECT src AS id FROM ded
+                    UNION ALL SELECT dst FROM ded)
+                 GROUP BY id),
+         ends AS (SELECT a.d AS dx, b.d AS dy
+                  FROM ded JOIN deg a ON a.id = ded.src
+                           JOIN deg b ON b.id = ded.dst),
+         sym AS (SELECT dx AS x, dy AS y FROM ends
+                 UNION ALL SELECT dy, dx FROM ends),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(SUM(x) AS HUGEINT) AS sx,
+                      CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                      CAST(SUM(x * x) AS HUGEINT) AS sxx FROM sym),
+         nd AS (SELECT n, sx, sxy, sxx,
+                       1000000 * (n * sxy - sx * sx) AS num,
+                       n * sxx - sx * sx AS den FROM m)
+         SELECT CAST(n AS BIGINT) AS n_ends,
+                CAST(sx AS BIGINT) AS sum_deg,
+                CAST(sxy AS BIGINT) AS sum_xy,
+                CAST(sxx AS BIGINT) AS sum_x2,
+                CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+                  AS r_micro
+         FROM nd""",
     "graph_shortest_path_trace" -> pathTraceSql(3),
     "graph_temporal_reach" -> temporalReachSql(3),
 
@@ -2836,6 +2866,35 @@ object Oracle {
                GROUP BY ev.user_id, c.view_sec, c.click_sec)
          SELECT user_id, view_sec, click_sec, purchase_sec FROM p
          ORDER BY user_id""",
+
+    // replays TimeSeries.eventsRfmSegment: ntile(4) over the same
+    // deterministic total orders; recency anchored at the corpus's
+    // last purchase date
+    "events_rfm_segment" ->
+      """WITH per AS (SELECT user_id,
+                             max(CAST(ts AS DATE)) AS last_d,
+                             count(*) AS frequency,
+                             CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100
+                               AS BIGINT) AS spend_c
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY user_id),
+         ref AS (SELECT max(last_d) AS ref_d FROM per),
+         base AS (SELECT user_id,
+                         CAST(date_diff('day', last_d, ref_d) AS INT)
+                           AS recency_days,
+                         frequency, spend_c
+                  FROM per, ref),
+         q AS (SELECT user_id, recency_days, frequency, spend_c,
+                      CAST(ntile(4) OVER (
+                        ORDER BY recency_days, user_id) AS INT) AS r_q,
+                      CAST(ntile(4) OVER (
+                        ORDER BY frequency DESC, user_id) AS INT) AS f_q,
+                      CAST(ntile(4) OVER (
+                        ORDER BY spend_c DESC, user_id) AS INT) AS m_q
+               FROM base)
+         SELECT user_id, recency_days, frequency, spend_c, r_q, f_q,
+                m_q, CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+         FROM q ORDER BY user_id""",
 
     "timeseries_interpolate" ->
       """WITH agg AS (SELECT (epoch_us(ts) // 1000000) // 900

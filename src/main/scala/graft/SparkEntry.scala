@@ -153,6 +153,7 @@ object SparkEntry {
     "graph_lpa_exact"            -> (GraphOps.lpaExact _),
     "graph_community_stats"      -> (GraphOps.graphCommunityStats _),
     "graph_modularity"           -> (GraphOps.graphModularity _),
+    "graph_assortativity"        -> (GraphOps.graphAssortativity _),
     "graph_temporal_reach"       -> (GraphOps.graphTemporalReach _),
     "graph_hits_exact"           -> (GraphOps.hitsExact _),
     "graph_random_walk"          -> (GraphOps.graphRandomWalk _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "events_markov_transitions" ->
       (TimeSeries.eventsMarkovTransitions _),
     "events_attribution"      -> (TimeSeries.eventsAttribution _),
+    "events_rfm_segment"      -> (TimeSeries.eventsRfmSegment _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

@@ -520,6 +520,44 @@ object GraphOps {
     out
   }
 
+  /** Degree assortativity — "do hubs attach to hubs?", the one-scalar
+    * mixing diagnostic next to [[graphModularity]]. Edge ends are
+    * SYMMETRIZED (each undirected edge contributes (dx,dy) and
+    * (dy,dx)), which collapses Pearson's r to a pure rational
+    *   r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)
+    * — no square roots, so the scalar is EXACT integer micro-units via
+    * the same remainder-subtraction floor division as modularity
+    * (negative r = disassortative, the expected sign for this
+    * hub-and-spoke corpus). Sums run in DECIMAL(38,0) (n·Σxy passes
+    * 2^63 around a few million edges); cost = the degree agg + one
+    * edge-ends join + one global agg. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val deg = ded.select(col("src").as("id"))
+      .unionByName(ded.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val ends = ded
+      .join(deg.select(col("id").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dy")), "dst")
+    val sym = ends.select(col("dx").as("x"), col("dy").as("y"))
+      .unionByName(ends.select(col("dy").as("x"), col("dx").as("y")))
+    sym.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("x") * col("y")).cast(dec).as("sxy"),
+        sum(col("x") * col("x")).cast(dec).as("sxx"))
+      .select(col("n"), col("sx"), col("sxy"), col("sxx"),
+        (lit(1000000L).cast(dec)
+          * (col("n") * col("sxy") - col("sx") * col("sx"))).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("n").cast("long").as("n_ends"),
+        col("sx").cast("long").as("sum_deg"),
+        col("sxy").cast("long").as("sum_xy"),
+        col("sxx").cast("long").as("sum_x2"),
+        expr("CAST((num - ((num % den + den) % den)) div den AS BIGINT)")
+          .as("r_micro"))
+  }
+
   /** Time-respecting reachability ("who could this customer have
     * influenced, and how early") over part-mediated influence edges:
     * a → b dated t if a first bought some part strictly before b, with

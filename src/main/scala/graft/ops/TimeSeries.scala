@@ -132,6 +132,44 @@ object TimeSeries {
       .orderBy(col("bucket_ts"))
   }
 
+  /** RFM segmentation — the canonical customer-value partition every
+    * event warehouse ships: per purchasing user, Recency (days from
+    * last purchase to the corpus's last purchase date), Frequency
+    * (purchase count) and Monetary (exact centi-unit spend), each cut
+    * into quartiles by `ntile(4)` over a DETERMINISTIC total order
+    * (metric, then user_id — ntile's uneven-remainder assignment is
+    * identical across engines once the order is total), composed into
+    * the familiar 3-digit segment code. The three ntile windows are
+    * global but run over the per-user AGGREGATE (O(users), the same
+    * bounded-window exception as the gap-fill spine); at 100 TB the
+    * quartile boundaries would come from `approx_percentile` instead
+    * and the assignment becomes a broadcast range lookup. */
+  def eventsRfmSegment(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        (sum(Det.dec2(col("value"))) * 100).cast("long").as("spend_c"))
+    val ref = per.agg(max(col("last_d")).as("ref_d"))
+    val base = per.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        datediff(col("ref_d"), col("last_d")).as("recency_days"),
+        col("frequency"), col("spend_c"))
+    val rW = Window.orderBy(col("recency_days"), col("user_id"))
+    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mW = Window.orderBy(col("spend_c").desc, col("user_id"))
+    base
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("spend_c"),
+        ntile(4).over(rW).as("r_q"), ntile(4).over(fW).as("f_q"),
+        ntile(4).over(mW).as("m_q"))
+      .withColumn("rfm_code",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy(col("user_id"))
+  }
+
   /** Step window for [[eventsFunnelDetect]], mirrored in the oracle. */
   val FunnelWindowSec = 172800L
 

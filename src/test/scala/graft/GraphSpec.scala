@@ -575,6 +575,23 @@ class GraphSpec extends SparkSpec {
       r.getAs[Long]("q_micro") <= 1000000L)
   }
 
+  test("assortativity: exact rational from the emitted moments, " +
+      "bounded, ends double-count edges") {
+    val r = GraphOps.graphAssortativity(spark, sfDir).collect().head
+    val m = GraphModel.dedupEdgesCached(spark, sfDir).count()
+    assert(r.getAs[Long]("n_ends") == 2 * m)
+    val n = BigInt(r.getAs[Long]("n_ends"))
+    val sx = BigInt(r.getAs[Long]("sum_deg"))
+    val num = BigInt(1000000) *
+      (n * r.getAs[Long]("sum_xy") - sx * sx)
+    val den = n * r.getAs[Long]("sum_x2") - sx * sx
+    assert((num - num.mod(den)) / den ==
+      BigInt(r.getAs[Long]("r_micro")))
+    // Pearson bound, and this hub-and-spoke corpus is disassortative
+    assert(r.getAs[Long]("r_micro") >= -1000000L &&
+      r.getAs[Long]("r_micro") < 0L)
+  }
+
   test("temporal reach: arrivals are time-respecting and minimal " +
       "w.r.t. the influence edges") {
     val reach = GraphOps.graphTemporalReach(spark, sfDir).collect()

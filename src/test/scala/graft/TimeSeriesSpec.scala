@@ -70,6 +70,26 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("rfm: quartiles are balanced, code composes digits, recency " +
+      "anchored at zero") {
+    val rows = TimeSeries.eventsRfmSegment(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Int](c)).map(_._2.length)
+      assert(rows.map(_.getAs[Int](c)).forall(q => q >= 1 && q <= 4))
+      assert(sizes.max - sizes.min <= 1, s"$c quartiles unbalanced")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Int]("rfm_code") ==
+        r.getAs[Int]("r_q") * 100 + r.getAs[Int]("f_q") * 10 +
+          r.getAs[Int]("m_q"))
+      assert(r.getAs[Int]("recency_days") >= 0)
+      assert(r.getAs[Long]("spend_c") > 0L)
+    }
+    // the most recent purchaser anchors recency at exactly 0
+    assert(rows.exists(_.getAs[Int]("recency_days") == 0))
+  }
+
   test("profile_table: no nulls, full distinct on the unique key column") {
     val byCol = Stats.profileTable(spark, sfDir).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
