@@ -2717,6 +2717,25 @@ object Oracle {
                 max(CASE WHEN rn_d = 1 THEN value END) AS close
          FROM r GROUP BY bucket_ts ORDER BY bucket_ts""",
 
+    // point-in-time probe of the SCD2 intervals (TimeSeries.Scd2AsofTs
+    // mirrored literally): the one valid row per user as of T
+    "scd2_asof_lookup" ->
+      """WITH h AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS valid_from,
+                           lead(date_trunc('second', ts), 1) OVER (
+                             PARTITION BY user_id
+                             ORDER BY date_trunc('second', ts), event_id)
+                             AS valid_to,
+                           value
+                    FROM events)
+         SELECT user_id, event_id, valid_from, value,
+                valid_to IS NULL AS is_current
+         FROM h
+         WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+           AND (valid_to IS NULL
+                OR valid_to > TIMESTAMP '2024-01-16 00:00:00')
+         ORDER BY user_id""",
+
     "scd2_history" ->
       """SELECT user_id, event_id,
                 date_trunc('second', ts) AS valid_from,

@@ -220,6 +220,7 @@ object SparkEntry {
     "timeseries_interpolate"  -> (TimeSeries.timeseriesInterpolate _),
     "timeseries_ohlc"         -> (TimeSeries.timeseriesOhlc _),
     "scd2_history"            -> (TimeSeries.scd2History _),
+    "scd2_asof_lookup"        -> (TimeSeries.scd2AsofLookup _),
     "events_funnel_detect"    -> (TimeSeries.eventsFunnelDetect _),
     "events_retention_cohort" -> (TimeSeries.eventsRetentionCohort _),
     "timeseries_anomaly"      -> (TimeSeries.timeseriesAnomaly _),

@@ -230,6 +230,30 @@ object TimeSeries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** The snapshot instant [[scd2AsofLookup]] probes — mid-corpus so
+    * roughly half of each user's history precedes it (mirrored
+    * literally in the oracle). */
+  val Scd2AsofTs = "2024-01-16 00:00:00"
+
+  /** Point-in-time lookup over the SCD2 history — the query the
+    * validity intervals exist FOR: "what was every user's state as of
+    * instant T" = the one row per user with `valid_from <= T < valid_to`
+    * (open-ended current rows qualify via the null check). Expressed
+    * as a filter on the interval frame, so Catalyst prunes BEFORE the
+    * join-free scan; users whose first event is after T are absent by
+    * construction. At 100 TB an SCD2 table is range-partitioned on
+    * valid_from, making this filter a partition-pruning scan, and the
+    * per-entity window that built the intervals amortizes over every
+    * snapshot asked of it. */
+  def scd2AsofLookup(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir)
+      .filter(col("valid_from") <= lit(Scd2AsofTs).cast("timestamp") &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit(Scd2AsofTs).cast("timestamp")))
+      .select(col("user_id"), col("event_id"), col("valid_from"),
+        col("value"), col("is_current"))
+      .orderBy(col("user_id"))
+
   /** Cohort retention matrix: users grouped by FIRST-event day, then
     * distinct active users per (cohort, days-since-first) cell — the
     * standard product-analytics retention triangle. Two keyed aggs

@@ -70,6 +70,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("scd2 as-of: exactly one valid interval per user active at T, " +
+      "containment holds") {
+    val t = java.sql.Timestamp.valueOf(TimeSeries.Scd2AsofTs)
+    val rows = TimeSeries.scd2AsofLookup(spark, sfDir).collect()
+    val ids = rows.map(_.getAs[Long]("user_id"))
+    assert(ids.distinct.length == ids.length, "duplicate user at T")
+    rows.foreach(r => assert(!r.getAs[java.sql.Timestamp]("valid_from")
+      .after(t)))
+    // cross-check against the full history: row count = users whose
+    // first event precedes T, and the picked row is the latest <= T
+    val hist = TimeSeries.scd2History(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val expect = hist.flatMap { case (uid, rs) =>
+      rs.filter(!_.getAs[java.sql.Timestamp]("valid_from").after(t))
+        .sortBy(_.getAs[java.sql.Timestamp]("valid_from").getTime)
+        .lastOption.map(uid -> _.getAs[Long]("event_id"))
+    }
+    assert(rows.map(r => r.getAs[Long]("user_id") ->
+      r.getAs[Long]("event_id")).toMap == expect)
+  }
+
   test("rfm: quartiles are balanced, code composes digits, recency " +
       "anchored at zero") {
     val rows = TimeSeries.eventsRfmSegment(spark, sfDir).collect()
