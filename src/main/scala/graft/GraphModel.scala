@@ -72,6 +72,32 @@ object GraphModel {
       dedupEdgesCached(spark, dir)
         .repartition(col("dst")).persist())
 
+  private val undCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Undirected pair frame (both directions of [[dedupEdgesCached]]),
+    * persisted pre-partitioned on src — the shared traversal input of
+    * the centrality family (betweenness forward hops, the closeness/
+    * reach multi-source sweep). One union+exchange per (session, dir)
+    * instead of one per centrality key. */
+  def undEdgesCached(spark: SparkSession, dir: String): DataFrame =
+    undCache.getOrElseUpdate((spark, dir), {
+      val d = dedupEdgesCached(spark, dir)
+      d.select(col("src"), col("dst"))
+        .unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")).persist()
+    })
+
+  private val undByDstCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** The dst-partitioned sibling of [[undEdgesCached]] (betweenness'
+    * backward sweep probes on dst) — same twin-cache rule as the
+    * directed pair. */
+  def undEdgesByDstCached(spark: SparkSession, dir: String): DataFrame =
+    undByDstCache.getOrElseUpdate((spark, dir),
+      undEdgesCached(spark, dir).repartition(col("dst")).persist())
+
   private val dedupVertsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 

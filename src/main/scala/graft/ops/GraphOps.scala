@@ -809,14 +809,11 @@ object GraphOps {
     * per-landmark forward/backward CTE chains of the identical integer
     * arithmetic. */
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.dedupEdgesCached(spark, dir)
-    val und = e.select(col("src"), col("dst"))
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      // both sweeps probe und on src (forward) and dst (backward);
-      // src-partitioning serves the 6 forward hops, the dst sibling
-      // the 4 backward rounds
-      .repartition(col("src")).persist()
-    val undByDst = und.repartition(col("dst")).persist()
+    // both sweeps probe und on src (forward) and dst (backward);
+    // the shared src-partitioned cache serves the 6 forward hops, its
+    // dst sibling the 4 backward rounds
+    val und = GraphModel.undEdgesCached(spark, dir)
+    val undByDst = GraphModel.undEdgesByDstCached(spark, dir)
     val per = betweennessMulti(und, BetweennessLandmarks, 3,
       Some(undByDst))
     val out = per
@@ -825,10 +822,8 @@ object GraphOps {
       .limit(50)
       .localCheckpoint(true)
     // release the batched delta checkpoint now the 50-row result is
-    // materialized
+    // materialized (und/undByDst are session-lifetime caches — leave)
     per.unpersist(false)
-    undByDst.unpersist(false)
-    und.unpersist(false)
     out
   }
 
@@ -851,18 +846,14 @@ object GraphOps {
     * is the standard closeness estimator at scale: exact closeness is
     * all-pairs BFS, O(V·E). */
   def graphClosenessHarmonic(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.dedupEdgesCached(spark, dir)
-    val und = e.select(col("src"), col("dst"))
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).persist()
     // one batched multi-source BFS serves all 4 landmarks (job count
-    // independent of landmark count — same batching as betweenness)
-    val layers = bfsSigmaLayersMulti(und, ClosenessLandmarks, 3)
+    // independent of landmark count — same batching as betweenness),
+    // and the SAME sweep serves graphReachProfile via the shared cache
+    val layers = closenessSweepCached(spark, dir)
     val per = (1 to 3).map(k =>
         layers(k).select(col("id"), lit(1000000L / k).as("hc")))
       .reduce(_ unionByName _)
       .localCheckpoint(true)
-    layers.foreach(_.unpersist(false))
     val out = per
       .groupBy(col("id")).agg(sum(col("hc")).as("hc_micro"))
       .orderBy(col("hc_micro").desc, col("id"))
@@ -870,9 +861,24 @@ object GraphOps {
       .localCheckpoint(true)
     // out is materialized (eager checkpoint): release the batched
     // intermediate — same block-manager discipline as the dedup loop
+    // (the sweep layers themselves are session-lifetime cached)
     per.unpersist(false)
-    und.unpersist(false)
     out
+  }
+
+  /** Memoized [[bfsSigmaLayersMulti]] over the shared undirected cache
+    * for the closeness landmark set — closeness and the reach profile
+    * consume the identical sweep, so it runs once per (session, dir).
+    * synchronized: getOrElseUpdate alone can double-evaluate under a
+    * concurrent first call and leak one set of persisted layers (the
+    * Sources.materialize rule). */
+  private val closenessSweepCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), Vector[DataFrame]]()
+  private def closenessSweepCached(spark: SparkSession,
+      dir: String): Vector[DataFrame] = closenessSweepCache.synchronized {
+    closenessSweepCache.getOrElseUpdate((spark, dir),
+      bfsSigmaLayersMulti(GraphModel.undEdgesCached(spark, dir),
+        ClosenessLandmarks, 3))
   }
 
   /** Reach profile — per landmark and BFS depth, how many vertices are
@@ -883,21 +889,15 @@ object GraphOps {
     * by the same batched multi-source BFS as closeness — one layer agg
     * on top, no extra traversal. */
   def graphReachProfile(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.dedupEdgesCached(spark, dir)
-    val und = e.select(col("src"), col("dst"))
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).persist()
-    val layers = bfsSigmaLayersMulti(und, ClosenessLandmarks, 3)
-    val out = (1 to 3).map(k =>
+    // same memoized sweep as closeness: one layer agg on top, no
+    // extra traversal and no duplicate BFS when both keys run
+    val layers = closenessSweepCached(spark, dir)
+    (1 to 3).map(k =>
         layers(k).groupBy(col("lm"))
           .agg(count(lit(1)).as("n_reached"))
           .select(col("lm"), lit(k).as("dist"), col("n_reached")))
       .reduce(_ unionByName _)
       .orderBy(col("lm"), col("dist"))
-      .localCheckpoint(true)
-    layers.foreach(_.unpersist(false))
-    und.unpersist(false)
-    out
   }
 
   /** Bounded-round k-core peeling (k = 3, 4 synchronous rounds) over
@@ -912,15 +912,8 @@ object GraphOps {
     * all keyed shuffles on the bucketing-friendly src/dst; survivor
     * sets are eagerly checkpointed (each feeds three consumers and the
     * next round) — O(rounds) joins total, never quadratic. */
-  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.dedupEdgesCached(spark, dir)
-    val und = e.select(col("src"), col("dst"))
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).persist()
-    val out = kcoreOn(und, 3, 4)
-    und.unpersist(false)
-    out
-  }
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOn(GraphModel.undEdgesCached(spark, dir), 3, 4)
 
   /** The peel loop itself, over a SYMMETRIC (src, dst) pair frame —
     * separate so the census can be unit-tested on hand graphs. */
