@@ -142,24 +142,36 @@ object GraphOps {
     * stays small relative to the edge table, so Catalyst/AQE broadcasts
     * it. For deeper walks, localCheckpoint() every ~3 hops bounds
     * lineage (not needed at k=3). */
-  def bfsKhop(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.edgesCached(spark, dir)
-      .select(col("src"), col("dst"))
-    val seed = spark.range(1).select(
-      lit(GraphModel.RegionOff).as("id"), lit(0).as("hop"))
-    var visited = seed
-    var frontier = seed.select(col("id"))
-    for (h <- 1 to 3) {
-      val next = e.join(frontier, e("dst") === frontier("id"))
-        .select(col("src").as("id")).distinct()
-        .join(visited.select(col("id").as("vid")),
-          col("id") === col("vid"), "left_anti")
-        .select(col("id"), lit(h).as("hop"))
-      visited = visited.unionByName(next)
-      frontier = next.select(col("id"))
-    }
-    val out = visited.orderBy(col("hop"), col("id"))
-    out
+  def bfsKhop(spark: SparkSession, dir: String): DataFrame =
+    khopLayersCached(spark, dir).orderBy(col("hop"), col("id"))
+
+  /** Memoized 3-hop reverse-BFS layering from the region-0 root —
+    * `graph_bfs_khop` and `graph_shortest_path_trace` consume the
+    * identical (id, hop) frame, so the join loop runs once per
+    * (session, dir); materialized as an eager localCheckpoint.
+    * synchronized: the Sources.materialize rule. */
+  private val khopLayersCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  private def khopLayersCached(spark: SparkSession,
+      dir: String): DataFrame = khopLayersCache.synchronized {
+    khopLayersCache.getOrElseUpdate((spark, dir), {
+      val e = GraphModel.edgesCached(spark, dir)
+        .select(col("src"), col("dst"))
+      val seed = spark.range(1).select(
+        lit(GraphModel.RegionOff).as("id"), lit(0).as("hop"))
+      var visited = seed
+      var frontier = seed.select(col("id"))
+      for (h <- 1 to 3) {
+        val next = e.join(frontier, e("dst") === frontier("id"))
+          .select(col("src").as("id")).distinct()
+          .join(visited.select(col("id").as("vid")),
+            col("id") === col("vid"), "left_anti")
+          .select(col("id"), lit(h).as("hop"))
+        visited = visited.unionByName(next)
+        frontier = next.select(col("id"))
+      }
+      visited.localCheckpoint(true)
+    })
   }
 
   /** Shortest-path TRACE — not just the distance but THE path, the
@@ -176,7 +188,7 @@ object GraphOps {
     * sweep in the centrality family. */
   def graphShortestPathTrace(spark: SparkSession, dir: String): DataFrame = {
     val e = GraphModel.edgesCached(spark, dir).select(col("src"), col("dst"))
-    val lay = bfsKhop(spark, dir).persist() // (id, hop), min-hop layers
+    val lay = khopLayersCached(spark, dir) // (id, hop), min-hop layers
     val prev = lay.select(col("id").as("dst"), col("hop").as("phop"))
     val pred = lay.filter(col("hop") > 0)
       .join(e, col("src") === col("id"))
@@ -195,9 +207,8 @@ object GraphOps {
           concat(array(col("id")), col("ppath")).as("path"))
       all = all.unionByName(paths)
     }
-    val out = all.orderBy(col("hop"), col("id")).localCheckpoint(true)
-    lay.unpersist(false)
-    out
+    // lay is the session-lifetime k-hop cache — leave it persisted
+    all.orderBy(col("hop"), col("id")).localCheckpoint(true)
   }
 
   /** Fixed-point PageRank core over a (src, dst) edge frame: ranks are
@@ -421,9 +432,23 @@ object GraphOps {
 
   /** Registered surface: 3 exact LPA rounds on the derived edge graph;
     * output = community sizes by final label. */
+  /** Memoized 3-round exact-LPA label frame over the shared dedup
+    * caches — `graph_lpa_exact`, `graph_community_stats` and
+    * `graph_modularity` consume the IDENTICAL labels, so the iteration
+    * runs once per (session, dir); the frame is an eager
+    * localCheckpoint (materialized, lineage-free) that consumers must
+    * NOT unpersist. synchronized: the Sources.materialize rule. */
+  private val lpaLabelsCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  private def lpaLabelsCached(spark: SparkSession,
+      dir: String): DataFrame = lpaLabelsCache.synchronized {
+    lpaLabelsCache.getOrElseUpdate((spark, dir),
+      lpaExactOn(GraphModel.dedupEdgesCached(spark, dir), 3,
+        Some(GraphModel.dedupVertsCached(spark, dir))))
+  }
+
   def lpaExact(spark: SparkSession, dir: String): DataFrame =
-    lpaExactOn(GraphModel.dedupEdgesCached(spark, dir), 3,
-        Some(GraphModel.dedupVertsCached(spark, dir)))
+    lpaLabelsCached(spark, dir)
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
@@ -438,8 +463,7 @@ object GraphOps {
     * and its cached partitioned inputs. */
   def graphCommunityStats(spark: SparkSession, dir: String): DataFrame = {
     val ded = GraphModel.dedupEdgesCached(spark, dir)
-    val lab = lpaExactOn(ded, 3,
-      Some(GraphModel.dedupVertsCached(spark, dir)))
+    val lab = lpaLabelsCached(spark, dir)
     val le = ded.select(col("src"), col("dst"))
       .join(lab.select(col("id").as("src"), col("label").as("src_lab")),
         "src")
@@ -463,8 +487,7 @@ object GraphOps {
         coalesce(col("n_cut"), lit(0L)).as("n_cut"))
       .orderBy(col("label"))
       .localCheckpoint(true)
-    le.unpersist(false)
-    lab.unpersist(false)
+    le.unpersist(false) // lab is the session-lifetime LPA cache — leave
     out
   }
 
@@ -488,8 +511,7 @@ object GraphOps {
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ded = GraphModel.dedupEdgesCached(spark, dir)
-    val lab = lpaExactOn(ded, 3,
-      Some(GraphModel.dedupVertsCached(spark, dir)))
+    val lab = lpaLabelsCached(spark, dir)
     val deg = ded.select(col("src").as("id"))
       .unionByName(ded.select(col("dst").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -516,7 +538,6 @@ object GraphOps {
         expr("CAST((num - ((num % den + den) % den)) div den AS BIGINT)")
           .as("q_micro"))
       .localCheckpoint(true)
-    lab.unpersist(false)
     out
   }
 
