@@ -2065,6 +2065,62 @@ object Oracle {
          WHERE jaccard >= 0.5
          ORDER BY a_id, b_id""",
 
+    // replays TextOps.dedupMinhashEval: the near-minhash CTE chain,
+    // then estimate (agreeing minima / 16) vs exact Jaccard in integer
+    // permille per candidate pair
+    "dedup_minhash_eval" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         est AS (SELECT c.a_id, c.b_id,
+                        CAST(sum(CASE WHEN ma.mh = mb.mh
+                          THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                 FROM cand c
+                 JOIN minh ma ON ma.doc_id = c.a_id
+                 JOIN minh mb ON mb.doc_id = c.b_id AND mb.i = ma.i
+                 GROUP BY 1, 2),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1)
+         SELECT e.a_id, e.b_id,
+                CAST(matches * 1000 // 16 AS BIGINT) AS est_permille,
+                CAST(COALESCE(inter, 0) * 1000
+                  // (sa.n + sb.n - COALESCE(inter, 0)) AS BIGINT)
+                  AS exact_permille,
+                CAST(abs(matches * 1000 // 16
+                  - COALESCE(inter, 0) * 1000
+                    // (sa.n + sb.n - COALESCE(inter, 0))) AS BIGINT)
+                  AS err_permille
+         FROM est e
+         LEFT JOIN ints USING (a_id, b_id)
+         JOIN sz0 sa ON sa.doc_id = e.a_id
+         JOIN sz0 sb ON sb.doc_id = e.b_id
+         ORDER BY e.a_id, e.b_id""",
+
     // Replays TextOps.dedupSimhash: md5Hash60 per token, 60 bit votes,
     // signature reassembly, 4 exact 15-bit chunk buckets, hamming ≤ 3.
     "dedup_simhash" ->

@@ -170,6 +170,7 @@ object SparkEntry {
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
     "dedup_simhash"      -> (TextOps.dedupSimhash _),
+    "dedup_minhash_eval" -> (TextOps.dedupMinhashEval _),
     "dedup_cluster_canonical" -> (TextOps.dedupClusterCanonical _),
     "text_ngram_jaccard" -> (TextOps.textNgramJaccard _),
     "text_ngram_containment" -> (TextOps.textNgramContainment _),

@@ -133,26 +133,7 @@ object TextOps {
     * bound that slice. */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val hashed = sh.withColumn("hb", md5Hash60(col("shingle")) % MinhashP)
-    val mins = (0 until 16).map(i =>
-      min((lit(minhashA(i)) * col("hb") + lit(minhashB(i))) % MinhashP)
-        .as(s"m_$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // band key = the 2 member minima, comma-joined — engine-neutral
-    // equality key (a murmur re-hash would be one fewer byte per row
-    // but not SQL-replayable)
-    val bandCols = (0 until 8).map { b =>
-      concat_ws(",", (0 until 2).map(r => col(s"m_${2 * b + r}")): _*)
-    }
-    val bands = capLshBuckets(
-      sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-        .toDF("doc_id", "band_id", "band_hash"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val (_, cand) = minhashSigCand(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
@@ -167,6 +148,79 @@ object TextOps {
         round(col("inter").cast(DoubleType)
           / (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Shared MinHash signature + banded-candidate construction for
+    * [[dedupNearMinhash]] and [[dedupMinhashEval]]: 16 affine hashes
+    * off one md5, 8×2 banding, bucket cap. Band key = the 2 member
+    * minima comma-joined — engine-neutral equality key (a murmur
+    * re-hash would be one fewer byte per row but not SQL-replayable).
+    * Returns (signatures with m_0..m_15, candidate pairs). */
+  private def minhashSigCand(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val sh = shingles(spark, dir)
+    val hashed = sh.withColumn("hb", md5Hash60(col("shingle")) % MinhashP)
+    val mins = (0 until 16).map(i =>
+      min((lit(minhashA(i)) * col("hb") + lit(minhashB(i))) % MinhashP)
+        .as(s"m_$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 8).map { b =>
+      concat_ws(",", (0 until 2).map(r => col(s"m_${2 * b + r}")): _*)
+    }
+    val bands = capLshBuckets(
+      sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band_id", "band_hash"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    (sig, cand)
+  }
+
+  /** Estimator-accuracy evaluation for the MinHash family — the eval
+    * harness a dedup pipeline ships next to its estimator (the
+    * [[graft.ops.VectorOps.embedRecallEval]] counterpart for text):
+    * per LSH candidate pair, the MinHash Jaccard ESTIMATE (agreeing
+    * minima / 16) against the EXACT shingle Jaccard, both in integer
+    * permille, plus the absolute error. All-integer arithmetic over
+    * the md5-derived family keeps even the estimator itself
+    * DuckDB-replayable. Candidates with no shared shingle (a band
+    * collision of unequal argmins) read exact = 0 via the left join.
+    * Same bounded candidate slice as the detector — never all-pairs. */
+  def dedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val (sig, cand) = minhashSigCand(spark, dir)
+    val sigAs = (p: String) => sig.select(
+      col("doc_id").as(s"${p}_id") +:
+        (0 until 16).map(i => col(s"m_$i").as(s"${p}_m_$i")): _*)
+    val matches = (0 until 16).map(i =>
+      when(col(s"a_m_$i") === col(s"b_m_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(sigAs("a"), "a_id").join(sigAs("b"), "b_id")
+      .select(col("a_id"), col("b_id"), matches.as("matches"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"),
+        col("shingle").as("shingle_b")), "b_id")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+        "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(matches * 1000 div 16 AS BIGINT)").as("est_permille"),
+        expr("""CAST(COALESCE(inter, 0) * 1000
+                div (na + nb - COALESCE(inter, 0)) AS BIGINT)""")
+          .as("exact_permille"))
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("exact_permille")))
       .orderBy(col("a_id"), col("b_id"))
   }
 

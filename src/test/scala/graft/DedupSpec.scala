@@ -182,4 +182,28 @@ class DedupSpec extends SparkSpec {
       assert(cont.getOrElse((b, a), 0.0) >= j - 0.001, s"($b,$a)")
     }
   }
+
+  test("minhash eval: estimator is permille-bounded, err is the |diff|, " +
+      "detector pairs estimate high") {
+    val rows = graft.ops.TextOps.dedupMinhashEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("est_permille")
+      val x = r.getAs[Long]("exact_permille")
+      assert(e >= 0L && e <= 1000L && x >= 0L && x <= 1000L)
+      assert((0 to 16).map(m => m * 1000L / 16).contains(e),
+        s"estimate $e not on the k/16 grid")
+      assert(r.getAs[Long]("err_permille") == math.abs(e - x))
+    }
+    // every pair the DETECTOR verified at >= 0.5 appears here with a
+    // high estimate (the bands that found it imply agreeing minima)
+    val verified = graft.ops.TextOps.dedupNearMinhash(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val est = rows.map(r => (r.getAs[Long]("a_id"),
+      r.getAs[Long]("b_id")) -> r.getAs[Long]("est_permille")).toMap
+    verified.foreach { p =>
+      assert(est.contains(p), s"verified pair $p missing from eval")
+      assert(est(p) >= 125L, s"verified pair $p estimates ${est(p)}")
+    }
+  }
 }
