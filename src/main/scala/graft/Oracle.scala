@@ -1859,6 +1859,36 @@ object Oracle {
          FROM verts LEFT JOIN tc ON verts.v = tc.v
          GROUP BY 1 ORDER BY 1""",
 
+    // same capped replay; per-vertex triangle credit to all three
+    // corners, lc = (2000·tri) div (d·(d−1)), (lc, tri, id) total order
+    "graph_local_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+               FROM capped a JOIN capped b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY 1),
+         tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                 FROM e e1
+                 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         pv AS (SELECT v AS id, count(*) AS n_tri FROM (
+                  SELECT x AS v FROM tri UNION ALL
+                  SELECT y FROM tri UNION ALL
+                  SELECT z FROM tri) GROUP BY 1)
+         SELECT id, d, n_tri, lc_permille FROM (
+           SELECT g.id, g.d,
+                  CAST(COALESCE(pv.n_tri, 0) AS BIGINT) AS n_tri,
+                  CAST((2000 * COALESCE(pv.n_tri, 0))
+                    // (g.d * (g.d - 1)) AS BIGINT) AS lc_permille
+           FROM deg g LEFT JOIN pv ON pv.id = g.id
+           WHERE g.d >= 2)
+         ORDER BY lc_permille DESC, n_tri DESC, id LIMIT 50""",
+
     // same capped co-purchase replay; triangles counted once via the
     // canonical x<y<z join, wedges from undirected degrees
     "graph_clustering_coeff" ->
@@ -2941,6 +2971,25 @@ object Oracle {
                GROUP BY ev.user_id, c.view_sec, c.click_sec)
          SELECT user_id, view_sec, click_sec, purchase_sec FROM p
          ORDER BY user_id""",
+
+    // replays TimeSeries.eventsPatternMatch: per-user journey string
+    // in the (ts_sec, event_id) total order, regex conversion test
+    "events_pattern_match" ->
+      """WITH ev AS (SELECT user_id,
+                            date_trunc('second', ts) AS ts_sec,
+                            event_id,
+                            upper(substr(event_type, 1, 1)) AS ch
+                     FROM events),
+         j AS (SELECT user_id, count(*) AS n_events,
+                      string_agg(ch, ''
+                        ORDER BY ts_sec, event_id) AS journey
+               FROM ev GROUP BY user_id)
+         SELECT user_id, n_events, journey,
+                regexp_matches(journey, 'V.*C.*P') AS converted,
+                CAST(length(journey)
+                  - length(replace(journey, 'P', '')) AS INT)
+                  AS n_purchases
+         FROM j ORDER BY user_id""",
 
     // replays TimeSeries.eventsRfmSegment: ntile(4) over the same
     // deterministic total orders; recency anchored at the corpus's

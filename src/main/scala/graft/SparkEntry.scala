@@ -138,6 +138,7 @@ object SparkEntry {
     "graph_connected_components" -> (GraphXAlgos.connectedComponents _),
     "graph_triangle_count"       -> (GraphXAlgos.triangleCount _),
     "graph_clustering_coeff"     -> (GraphXAlgos.graphClusteringCoeff _),
+    "graph_local_clustering"     -> (GraphXAlgos.graphLocalClustering _),
     "graph_shortest_paths"       -> (GraphXAlgos.shortestPaths _),
     "graph_label_propagation"    -> (GraphXAlgos.labelPropagation _),
     "graph_pagerank_weighted"    -> (GraphXAlgos.pagerankWeighted _),
@@ -223,6 +224,7 @@ object SparkEntry {
     "scd2_history"            -> (TimeSeries.scd2History _),
     "scd2_asof_lookup"        -> (TimeSeries.scd2AsofLookup _),
     "events_funnel_detect"    -> (TimeSeries.eventsFunnelDetect _),
+    "events_pattern_match"    -> (TimeSeries.eventsPatternMatch _),
     "events_retention_cohort" -> (TimeSeries.eventsRetentionCohort _),
     "timeseries_anomaly"      -> (TimeSeries.timeseriesAnomaly _),
     "timeseries_ewma"         -> (TimeSeries.timeseriesEwma _),

@@ -238,6 +238,44 @@ object GraphXAlgos {
     out
   }
 
+  /** PER-VERTEX local clustering coefficient over the capped
+    * co-purchase projection — "how clique-like is THIS part's
+    * neighborhood" (`localClusteringCoefficient` in any graph-DB
+    * analytics library), the per-vertex refinement of the one-row
+    * [[graphClusteringCoeff]] census. Triangles per vertex come from
+    * the same canonical x<y<z enumeration credited to all three
+    * corners; lc = (2000·tri) div (d·(d−1)) permille, exact integers.
+    * Top-50 by the (lc, tri, id) total order so ties cannot flip
+    * cross-engine. Cost on top of the shared pair cache: the 3-way
+    * join + two keyed aggs — the pair list is bounded by the fanout
+    * cap, never the corpus. */
+  def graphLocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairsCached(spark, dir)
+    val und = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val triCorners = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.src") === col("e2.src") &&
+        col("e1.dst") < col("e2.dst"))
+      .join(pairs.as("e3"), col("e3.src") === col("e1.dst") &&
+        col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val perVertex = triCorners.select(col("x").as("id"))
+      .unionByName(triCorners.select(col("y").as("id")))
+      .unionByName(triCorners.select(col("z").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= 2)
+      .join(perVertex, Seq("id"), "left")
+      .select(col("id"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lc_permille",
+        expr("(2000 * n_tri) div (d * (d - 1))"))
+      .orderBy(col("lc_permille").desc, col("n_tri").desc, col("id"))
+      .limit(50)
+  }
+
   /** Weighted-edge view: one edge per (src, dst) with weight = multi-
     * edge multiplicity (an order that shares 3 lineitems with a part
     * gets weight 3). This is precisely the information [[GraphModel

@@ -132,6 +132,37 @@ object TimeSeries {
       .orderBy(col("bucket_ts"))
   }
 
+  /** Sequence-pattern matching over per-user event journeys — the
+    * MATCH_RECOGNIZE-style query ("did this user ever view, then
+    * click, then purchase, in that order, with anything between") that
+    * [[eventsFunnelDetect]]'s windowed-greedy variant deliberately
+    * does not answer. Each user's journey is encoded as a character
+    * string (one letter per event, ordered by the (ts_sec, event_id)
+    * total order via a sorted collect — deterministic, engine-neutral)
+    * and the pattern is a plain regex: `V.*C.*P` has identical
+    * semantics in every engine, and the journey length is bounded by
+    * per-user event cardinality (~70 here), not the corpus. One keyed
+    * shuffle; at 100 TB this is the standard sessionize-then-scan
+    * shape with the per-user state capped by a journey-length limit. */
+  def eventsPatternMatch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_id"),
+        // first letter uppercased: view→V click→C purchase→P
+        // signup→S error→E (initials are unique in this domain)
+        upper(substring(col("event_type"), 1, 1)).as("ch"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", array_sort(collect_list(
+            struct(col("ts_sec"), col("event_id"), col("ch"))))
+          .getField("ch")).as("journey"))
+      .select(col("user_id"), col("n_events"), col("journey"),
+        col("journey").rlike("V.*C.*P").as("converted"),
+        (length(col("journey"))
+          - length(regexp_replace(col("journey"), "P", "")))
+          .as("n_purchases"))
+      .orderBy(col("user_id"))
+
   /** RFM segmentation — the canonical customer-value partition every
     * event warehouse ships: per purchasing user, Recency (days from
     * last purchase to the corpus's last purchase date), Frequency

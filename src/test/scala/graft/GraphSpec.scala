@@ -575,6 +575,24 @@ class GraphSpec extends SparkSpec {
       r.getAs[Long]("q_micro") <= 1000000L)
   }
 
+  test("local clustering: coefficients bounded, formula exact, a " +
+      "top slice carries signal") {
+    val rows = GraphXAlgos.graphLocalClustering(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("d"); val tri = r.getAs[Long]("n_tri")
+      val lc = r.getAs[Long]("lc_permille")
+      assert(d >= 2)
+      assert(lc == 2000 * tri / (d * (d - 1)), s"formula at ${r.get(0)}")
+      assert(lc >= 0 && lc <= 1000, s"lc $lc out of bounds")
+    }
+    // the top-50 slice must carry real signal (the projection is
+    // built from per-order cliques, so triangles exist)
+    assert(rows.head.getAs[Long]("lc_permille") > 0L)
+    val lcs = rows.map(_.getAs[Long]("lc_permille"))
+    assert(lcs.toSeq == lcs.sortBy(-_).toSeq, "not ranked by lc")
+  }
+
   test("assortativity: exact rational from the emitted moments, " +
       "bounded, ends double-count edges") {
     val r = GraphOps.graphAssortativity(spark, sfDir).collect().head

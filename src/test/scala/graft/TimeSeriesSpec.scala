@@ -70,6 +70,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("pattern match: journey letters reconcile with event counts " +
+      "and the regex answers subsequence containment") {
+    val rows = TimeSeries.eventsPatternMatch(spark, sfDir).collect()
+    val byUser = Tables(spark, sfDir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val j = r.getAs[String]("journey")
+      assert(j.length == r.getAs[Long]("n_events"))
+      assert(j.length == byUser(r.getAs[Long]("user_id")))
+      assert(j.forall("VCPSE".contains(_)), s"unexpected letter in $j")
+      // the regex must agree with a direct subsequence check
+      val manual = {
+        val v = j.indexOf('V')
+        val c = if (v >= 0) j.indexOf('C', v + 1) else -1
+        v >= 0 && c >= 0 && j.indexOf('P', c + 1) >= 0
+      }
+      assert(r.getAs[Boolean]("converted") == manual, s"regex vs scan: $j")
+      assert(r.getAs[Int]("n_purchases") == j.count(_ == 'P'))
+    }
+    assert(rows.exists(_.getAs[Boolean]("converted")),
+      "no user ever converted — pattern untested")
+  }
+
   test("scd2 as-of: exactly one valid interval per user active at T, " +
       "containment holds") {
     val t = java.sql.Timestamp.valueOf(TimeSeries.Scd2AsofTs)
