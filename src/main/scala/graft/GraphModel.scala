@@ -81,12 +81,18 @@ object GraphModel {
     * reach multi-source sweep). One union+exchange per (session, dir)
     * instead of one per centrality key. */
   def undEdgesCached(spark: SparkSession, dir: String): DataFrame =
-    undCache.getOrElseUpdate((spark, dir), {
-      val d = dedupEdgesCached(spark, dir)
-      d.select(col("src"), col("dst"))
-        .unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")).persist()
-    })
+    // synchronized: bare getOrElseUpdate can double-evaluate under a
+    // concurrent first call and leak one persisted frame (the
+    // Sources.materialize rule, like every other builder that persists)
+    undCache.synchronized {
+      undCache.getOrElseUpdate((spark, dir), {
+        val d = dedupEdgesCached(spark, dir)
+        d.select(col("src"), col("dst"))
+          .unionByName(
+            d.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")).persist()
+      })
+    }
 
   private val undByDstCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
@@ -95,8 +101,10 @@ object GraphModel {
     * backward sweep probes on dst) — same twin-cache rule as the
     * directed pair. */
   def undEdgesByDstCached(spark: SparkSession, dir: String): DataFrame =
-    undByDstCache.getOrElseUpdate((spark, dir),
-      undEdgesCached(spark, dir).repartition(col("dst")).persist())
+    undByDstCache.synchronized {
+      undByDstCache.getOrElseUpdate((spark, dir),
+        undEdgesCached(spark, dir).repartition(col("dst")).persist())
+    }
 
   private val dedupVertsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()

@@ -677,8 +677,9 @@ object Oracle {
          SELECT CAST(m AS BIGINT) AS n_edges, n_communities,
                 CAST(sum_intra AS BIGINT) AS sum_intra,
                 CAST(sum_dc2 AS BIGINT) AS sum_dc2,
-                CAST((num - ((num % den + den) % den)) // den AS BIGINT)
-                  AS q_micro
+                CAST(CASE WHEN den = 0 THEN NULL
+                  ELSE (num - ((num % den + den) % den)) // den END
+                  AS BIGINT) AS q_micro
          FROM nd"""
 
   /** Unrolled earliest-arrival DP replaying
@@ -1793,8 +1794,9 @@ object Oracle {
                 CAST(sx AS BIGINT) AS sum_deg,
                 CAST(sxy AS BIGINT) AS sum_xy,
                 CAST(sxx AS BIGINT) AS sum_x2,
-                CAST((num - ((num % den + den) % den)) // den AS BIGINT)
-                  AS r_micro
+                CAST(CASE WHEN den = 0 THEN NULL
+                  ELSE (num - ((num % den + den) % den)) // den END
+                  AS BIGINT) AS r_micro
          FROM nd""",
     "graph_shortest_path_trace" -> pathTraceSql(3),
     "graph_temporal_reach" -> temporalReachSql(3),

@@ -508,13 +508,30 @@ object GraphOps {
     * 2^63 at m ≈ 1.5e6 edges — within 10× of the sf0.1 corpus. Cost on
     * top of the shared LPA labels: one degree agg + two keyed sums +
     * three single-row joins. */
+  /** Undirected degree (in+out over the dedup edge rows) — shared by
+    * the modularity and assortativity scalars so the two diagnostics
+    * can never disagree on what "degree" means. */
+  private def undDegreesOf(ded: DataFrame): DataFrame =
+    ded.select(col("src").as("id"))
+      .unionByName(ded.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+
+  /** Engine-neutral floor quotient of `num/den` scaled values, NULL on
+    * a zero denominator (Spark `div` yields NULL there but DuckDB `//`
+    * raises — the CASE keeps a degenerate graph from crashing the
+    * oracle compare instead of reporting a value mismatch). The
+    * remainder-subtraction makes the division exact, so engine
+    * rounding conventions cannot differ. Mirror any change in the
+    * modularity/assortativity oracle SQL. */
+  private val FloorDivMicro =
+    """CAST(CASE WHEN den = 0 THEN NULL
+       ELSE (num - ((num % den + den) % den)) div den END AS BIGINT)"""
+
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ded = GraphModel.dedupEdgesCached(spark, dir)
     val lab = lpaLabelsCached(spark, dir)
-    val deg = ded.select(col("src").as("id"))
-      .unionByName(ded.select(col("dst").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val deg = undDegreesOf(ded)
     val parts = deg.join(lab, "id")
       .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dc"))
       .agg(sum(col("dc") * col("dc")).cast(dec).as("sum_dc2"),
@@ -535,8 +552,7 @@ object GraphOps {
         col("m").cast("long").as("n_edges"), col("n_communities"),
         col("sum_intra").cast("long").as("sum_intra"),
         col("sum_dc2").cast("long").as("sum_dc2"),
-        expr("CAST((num - ((num % den + den) % den)) div den AS BIGINT)")
-          .as("q_micro"))
+        expr(FloorDivMicro).as("q_micro"))
       .localCheckpoint(true)
     out
   }
@@ -555,9 +571,7 @@ object GraphOps {
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ded = GraphModel.dedupEdgesCached(spark, dir)
-    val deg = ded.select(col("src").as("id"))
-      .unionByName(ded.select(col("dst").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val deg = undDegreesOf(ded)
     val ends = ded
       .join(deg.select(col("id").as("src"), col("d").as("dx")), "src")
       .join(deg.select(col("id").as("dst"), col("d").as("dy")), "dst")
@@ -575,8 +589,7 @@ object GraphOps {
         col("sx").cast("long").as("sum_deg"),
         col("sxy").cast("long").as("sum_xy"),
         col("sxx").cast("long").as("sum_x2"),
-        expr("CAST((num - ((num % den + den) % den)) div den AS BIGINT)")
-          .as("r_micro"))
+        expr(FloorDivMicro).as("r_micro"))
   }
 
   /** Time-respecting reachability ("who could this customer have

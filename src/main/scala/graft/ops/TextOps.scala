@@ -132,18 +132,8 @@ object TextOps {
     * random candidates, but the verify join and bucket cap already
     * bound that slice. */
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
     val (_, cand) = minhashSigCand(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"),
-        col("shingle").as("shingle_b")), "b_id")
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+    exactOverlap(shingles(spark, dir), cand)
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast(DoubleType)
           / (col("na") + col("nb") - col("inter")), 3).as("jaccard"))
@@ -151,13 +141,52 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Exact shingle overlap for a candidate pair list: (a_id, b_id,
+    * inter, na, nb), zero-intersection candidates kept via the left
+    * join — ONE definition shared by the detector's verify stage and
+    * [[dedupMinhashEval]], so the two can never measure different
+    * quantities. */
+  private def exactOverlap(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"),
+        col("shingle").as("shingle_b")), "b_id")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+        "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        col("na"), col("nb"))
+  }
+
   /** Shared MinHash signature + banded-candidate construction for
     * [[dedupNearMinhash]] and [[dedupMinhashEval]]: 16 affine hashes
     * off one md5, 8×2 banding, bucket cap. Band key = the 2 member
     * minima comma-joined — engine-neutral equality key (a murmur
     * re-hash would be one fewer byte per row but not SQL-replayable).
-    * Returns (signatures with m_0..m_15, candidate pairs). */
+    * Returns (signatures with m_0..m_15, candidate pairs), both
+    * persisted behind a session-lifetime memo: the eval consumes sig
+    * twice and cand twice in ONE plan (Catalyst does not deduplicate
+    * common subplans), so unpersisted frames would re-run the
+    * signature agg and banding join ~4× per action. synchronized:
+    * the Sources.materialize rule. */
+  private val minhashCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
   private def minhashSigCand(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = minhashCache.synchronized {
+    minhashCache.getOrElseUpdate((spark, dir), {
+      val (sig, cand) = buildMinhashSigCand(spark, dir)
+      (sig.persist(), cand.persist())
+    })
+  }
+
+  private def buildMinhashSigCand(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val sh = shingles(spark, dir)
     val hashed = sh.withColumn("hb", md5Hash60(col("shingle")) % MinhashP)
@@ -201,23 +230,11 @@ object TextOps {
       .reduce(_ + _)
     val est = cand.join(sigAs("a"), "a_id").join(sigAs("b"), "b_id")
       .select(col("a_id"), col("b_id"), matches.as("matches"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"),
-        col("shingle").as("shingle_b")), "b_id")
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
     est
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
-        "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
-        "b_id")
+      .join(exactOverlap(sh, cand), Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"),
         expr("CAST(matches * 1000 div 16 AS BIGINT)").as("est_permille"),
-        expr("""CAST(COALESCE(inter, 0) * 1000
-                div (na + nb - COALESCE(inter, 0)) AS BIGINT)""")
+        expr("CAST(inter * 1000 div (na + nb - inter) AS BIGINT)")
           .as("exact_permille"))
       .withColumn("err_permille",
         abs(col("est_permille") - col("exact_permille")))

@@ -135,7 +135,15 @@ object VectorOps {
   /** All vector pairs with cosine ≥ 0.3 within the same label — the
     * label equi-key bounds the self-join (SURVEY.md §7.4: every
     * self-join carries a partition key). */
-  def embedPairSimThreshold(spark: SparkSession, dir: String): DataFrame = {
+  def embedPairSimThreshold(spark: SparkSession, dir: String): DataFrame =
+    pairsAboveThreshold(spark, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** The unordered within-label cosine≥0.3 pair set — ONE definition
+    * shared by the registered pair-similarity surface and
+    * [[graphFeaturePropagate]]'s edge set, so a threshold or rounding
+    * change can never silently split the two. */
+  private def pairsAboveThreshold(spark: SparkSession,
+      dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val e = withNorm(Tables(spark, dir))
     e.as("a").join(e.as("b"),
@@ -146,7 +154,6 @@ object VectorOps {
         round(dot(col("a.v"), col("b.v"))
           / (col("a.nrm") * col("b.nrm")), 3).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** One superstep of neighborhood feature aggregation — the
@@ -164,16 +171,8 @@ object VectorOps {
     * longs per vertex — the standard aggregateMessages superstep cost,
     * with the edge list bucketable by `nb` at 100 TB. */
   def graphFeaturePropagate(spark: SparkSession, dir: String): DataFrame = {
-    VectorExpressions.register(spark)
     val t = Tables(spark, dir)
-    val e = withNorm(t)
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(dot(col("a.v"), col("b.v"))
-          / (col("a.nrm") * col("b.nrm")), 3).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.3)
+    val pairs = pairsAboveThreshold(spark, dir)
     val und = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
       .unionByName(
         pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
