@@ -1016,6 +1016,28 @@ object Oracle {
            ON p.user_id = v.user_id AND p.ts_sec >= v.ts_sec
          ORDER BY p_id""",
 
+    // replays Joins.joinAsofNearest: nearest by (|gap|, v_ts) total
+    // order — tie breaks to the earlier candidate in both engines
+    "join_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            date_trunc('second', ts) AS ts_sec
+                     FROM events),
+         p AS (SELECT event_id AS p_id, user_id AS p_user,
+                      ts_sec AS p_ts
+               FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user, ts_sec AS v_ts
+               FROM ev WHERE event_type IN ('signup', 'view')),
+         j AS (SELECT p_id, p_user, v_ts,
+                      CAST(date_diff('second', p_ts, v_ts) AS BIGINT)
+                        AS gap_sec
+               FROM p JOIN v ON p_user = v_user)
+         SELECT p_id, p_user, nearest_ts, gap_sec FROM (
+           SELECT p_id, p_user, v_ts AS nearest_ts, gap_sec,
+                  row_number() OVER (PARTITION BY p_id
+                    ORDER BY abs(gap_sec), v_ts) AS rk
+           FROM j)
+         WHERE rk = 1 ORDER BY p_id""",
+
     "join_cross_limited" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
          FROM region CROSS JOIN nation

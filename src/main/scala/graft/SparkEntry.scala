@@ -47,6 +47,7 @@ object SparkEntry {
     "join_anti"              -> (Joins.joinAnti _),
     "join_theta_range"       -> (Joins.joinThetaRange _),
     "join_asof"              -> (Joins.joinAsof _),
+    "join_asof_nearest"      -> (Joins.joinAsofNearest _),
     "join_cross_limited"     -> (Joins.joinCrossLimited _),
     "join_range_bucketed"    -> (Joins.joinRangeBucketed _),
     // §2.3bis subqueries + recursive CTE

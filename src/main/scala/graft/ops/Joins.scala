@@ -144,6 +144,40 @@ object Joins {
       .orderBy(col("p_id"))
   }
 
+  /** NEAREST-direction as-of join — [[joinAsof]] looks only backward;
+    * sensor/telemetry alignment wants the temporally closest match in
+    * EITHER direction (pandas `merge_asof(direction='nearest')`).
+    * Expressed as the user-keyed pair join + one per-purchase
+    * row_number over the (|gap|, v_ts) total order, so the winner is
+    * unique and tie-breaks to the earlier candidate identically in
+    * both engines. The equi-key bounds the pair expansion to each
+    * user's own events (~70 here); at 100 TB the join gains a coarse
+    * time-bucket term so candidates stay a bounded window rather than
+    * a user's full history. Signed gap kept (negative = match preceded
+    * the purchase). */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_sec").as("p_ts"))
+    val views = ev.filter(col("event_type").isin("signup", "view"))
+      .select(col("user_id").as("v_user"), col("ts_sec").as("v_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id"))
+      .orderBy(col("abs_gap"), col("v_ts"))
+    purchases
+      .join(views, col("p_user") === col("v_user"))
+      .withColumn("gap_sec",
+        expr("unix_timestamp(v_ts) - unix_timestamp(p_ts)"))
+      .withColumn("abs_gap", abs(col("gap_sec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_id"), col("p_user"), col("v_ts").as("nearest_ts"),
+        col("gap_sec"))
+      .orderBy(col("p_id"))
+  }
+
   /** Small bounded cartesian product. */
   def joinCrossLimited(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

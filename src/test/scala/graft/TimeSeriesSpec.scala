@@ -70,6 +70,34 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("asof nearest: gap is minimal vs the backward asof, ties go " +
+      "to the earlier candidate") {
+    import graft.ops.Joins
+    val nearest = Joins.joinAsofNearest(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p_id") ->
+        (r.getAs[java.sql.Timestamp]("nearest_ts"),
+          r.getAs[Long]("gap_sec"))).toMap
+    val backward = Joins.joinAsof(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p_id") ->
+        r.getAs[java.sql.Timestamp]("prior_ts")).toMap
+    assert(nearest.nonEmpty)
+    // every purchase with a backward match has a nearest match, and
+    // the nearest |gap| can only be <= the backward gap
+    val pTs = Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), date_trunc("second", col("ts")).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[java.sql.Timestamp]("t")).toMap
+    backward.foreach { case (pid, priorTs) =>
+      val (nTs, gap) = nearest(pid)
+      val backGap = (pTs(pid).getTime - priorTs.getTime) / 1000
+      assert(math.abs(gap) <= backGap,
+        s"purchase $pid: nearest |$gap| worse than backward $backGap")
+      // sign convention: negative gap = match preceded the purchase
+      assert(gap == (nTs.getTime - pTs(pid).getTime) / 1000)
+    }
+  }
+
   test("pattern match: journey letters reconcile with event counts " +
       "and the regex answers subsequence containment") {
     val rows = TimeSeries.eventsPatternMatch(spark, sfDir).collect()
