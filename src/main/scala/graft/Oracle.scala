@@ -3044,6 +3044,41 @@ object Oracle {
                 m_q, CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
          FROM q ORDER BY user_id""",
 
+    // replays TimeSeries.timeseriesXcorr: zero-filled common spine,
+    // exact integer moment sums per lag, double Pearson formula
+    "timeseries_xcorr" ->
+      """WITH counts AS (SELECT (epoch_us(ts) // 1000000) // 900 AS b,
+                      SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS x,
+                      SUM(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS y
+               FROM events
+               WHERE event_type IN ('purchase', 'click')
+               GROUP BY 1),
+         bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+         spine AS (SELECT s.b, COALESCE(c.x, 0) AS x,
+                          COALESCE(c.y, 0) AS y
+                   FROM (SELECT unnest(generate_series(b0, b1)) AS b
+                         FROM bounds) s
+                   LEFT JOIN counts c ON c.b = s.b),
+         lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+         pairs AS (SELECT l.lag, a.x, c.y AS yl
+                   FROM spine a CROSS JOIN lags l
+                   JOIN spine c ON c.b = a.b + l.lag),
+         m AS (SELECT lag, count(*) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(yl) AS BIGINT) AS sy,
+                      CAST(SUM(x * yl) AS BIGINT) AS sxy,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx,
+                      CAST(SUM(yl * yl) AS BIGINT) AS syy
+               FROM pairs GROUP BY lag)
+         SELECT lag, n,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                  AS r
+         FROM m ORDER BY lag""",
+
     "timeseries_interpolate" ->
       """WITH agg AS (SELECT (epoch_us(ts) // 1000000) // 900
                         AS bucket_id,

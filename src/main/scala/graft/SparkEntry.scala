@@ -229,6 +229,7 @@ object SparkEntry {
     "events_retention_cohort" -> (TimeSeries.eventsRetentionCohort _),
     "timeseries_anomaly"      -> (TimeSeries.timeseriesAnomaly _),
     "timeseries_ewma"         -> (TimeSeries.timeseriesEwma _),
+    "timeseries_xcorr"        -> (TimeSeries.timeseriesXcorr _),
     "events_markov_transitions" ->
       (TimeSeries.eventsMarkovTransitions _),
     "events_attribution"      -> (TimeSeries.eventsAttribution _),

@@ -132,6 +132,54 @@ object TimeSeries {
       .orderBy(col("bucket_ts"))
   }
 
+  /** Lagged cross-correlation between the purchase and click series —
+    * "do clicks lead purchases, and by how many buckets?", the
+    * lead/lag diagnostic behind every conversion-latency dashboard.
+    * Both series are bucketed to 15 minutes and ZERO-FILLED on the
+    * common spine (correlating only co-occupied buckets biases r
+    * upward); for each lag L in −3..3, r = Pearson over pairs
+    * (x(t), y(t+L)) from EXACT integer count sums (Σx, Σy, Σxy, Σx²,
+    * Σy² — all under 2^53, so the final double formula is bit-identical
+    * cross-engine; the [[graft.ops.Stats.aggStatsMoments]] discipline),
+    * rounded to 6dp. The spine is O(time-range) and the lag set is
+    * constant, so every join here is bounded by the calendar, not the
+    * event volume; at 100 TB the buckets come pre-aggregated and the
+    * whole query runs on the O(thousands)-row spine. */
+  def timeseriesXcorr(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(expr("unix_timestamp(ts) div 900").as("b"),
+        col("event_type"))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("y"))
+    val spine = counts.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val lags = spark.range(-3, 4).select(col("id").as("lag"))
+    val pairs = spine.as("a").crossJoin(broadcast(lags))
+      .join(spine.select(col("b").as("cb"), col("y").as("yl")),
+        col("cb") === col("a.b") + col("lag"))
+      .select(col("lag"), col("a.x").as("x"), col("yl"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("yl")).as("sy"),
+        sum(col("x") * col("yl")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r"))
+      .orderBy(col("lag"))
+  }
+
   /** Sequence-pattern matching over per-user event journeys — the
     * MATCH_RECOGNIZE-style query ("did this user ever view, then
     * click, then purchase, in that order, with anything between") that

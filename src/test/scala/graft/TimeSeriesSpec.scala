@@ -70,6 +70,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("xcorr: 7 lags, Pearson bounds hold, lag 0 matches a direct " +
+      "recomputation") {
+    val rows = TimeSeries.timeseriesXcorr(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (-3L to 3L))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-9)
+      // lag L drops |L| boundary pairs from the spine
+      val n0 = rows.find(_.getAs[Long]("lag") == 0L).get.getAs[Long]("n")
+      assert(r.getAs[Long]("n") ==
+        n0 - math.abs(r.getAs[Long]("lag")))
+    }
+    // recompute lag-0 correlation directly from the bucket counts
+    val counts = Tables(spark, sfDir).events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(expr("unix_timestamp(ts) div 900").as("b"),
+        col("event_type")).collect()
+      .groupBy(_.getLong(0))
+    val (b0, b1) = (counts.keys.min, counts.keys.max)
+    val xs = (b0 to b1).map(b => counts.get(b).fold(0)(
+      _.count(_.getString(1) == "purchase")))
+    val ys = (b0 to b1).map(b => counts.get(b).fold(0)(
+      _.count(_.getString(1) == "click")))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, c) => a * c }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val syy = ys.map(c => c * c).sum.toDouble
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.find(_.getAs[Long]("lag") == 0L).get.getAs[Double]("r")
+    assert(math.abs(got - want) < 1e-6, s"lag0 r=$got, direct=$want")
+  }
+
   test("asof nearest: gap is minimal vs the backward asof, ties go " +
       "to the earlier candidate") {
     import graft.ops.Joins
