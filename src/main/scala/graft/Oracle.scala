@@ -286,6 +286,28 @@ object Oracle {
          FROM ($selects) ORDER BY lm, dist"""
   }
 
+  /** Unrolled within-horizon mean BFS distance per landmark, replaying
+    * [[graft.ops.GraphOps.graphAvgPathLength]] (same dist-only layer
+    * CTEs as the closeness oracle). */
+  private def avgPathSql(depth: Int, landmarks: Seq[Long]): String = {
+    val ctes = landmarks.zipWithIndex
+      .map { case (s, i) => landmarkBfsCtes(s"ap$i", s, depth) }.mkString
+    val selects = landmarks.zipWithIndex.flatMap { case (s, i) =>
+      (1 to depth).map(k =>
+        s"SELECT CAST($s AS BIGINT) AS lm, " +
+          s"CAST($k AS BIGINT) AS dist FROM ap${i}_l$k")
+    }.mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded)$ctes
+         SELECT lm, count(*) AS n_reached,
+                CAST(SUM(dist) AS BIGINT) AS sum_dist,
+                CAST((1000000 * CAST(SUM(dist) AS BIGINT)) // count(*)
+                  AS BIGINT) AS mean_micro
+         FROM ($selects) GROUP BY lm ORDER BY lm"""
+  }
+
   /** Unrolled k-core peeling, replaying
     * [[graft.ops.GraphOps.graphKcore]]: per round, degrees over the
     * remaining subgraph, sub-k vertices dropped, edges restricted to
@@ -1841,6 +1863,10 @@ object Oracle {
         2000000000001L, 6000000000001L)),
 
     "graph_kcore" -> kcoreSql(3, 4),
+
+    "graph_avg_path_length" ->
+      avgPathSql(3, Seq(3000000000001L, 4000000000001L,
+        2000000000001L, 6000000000001L)),
 
     // same capped per-order expansion as the triangle replay, but
     // keeping multiplicity: weight = number of co-ordering orders

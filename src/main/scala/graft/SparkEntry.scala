@@ -167,6 +167,7 @@ object SparkEntry {
     "graph_closeness_harmonic"   -> (GraphOps.graphClosenessHarmonic _),
     "graph_shortest_path_trace"  -> (GraphOps.graphShortestPathTrace _),
     "graph_reach_profile"        -> (GraphOps.graphReachProfile _),
+    "graph_avg_path_length"      -> (GraphOps.graphAvgPathLength _),
     "graph_kcore"                -> (GraphOps.graphKcore _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),

@@ -915,6 +915,29 @@ object GraphOps {
         ClosenessLandmarks, 3))
   }
 
+  /** Characteristic path length estimate — mean BFS distance from
+    * each landmark over its (bounded-depth) reachable set, in exact
+    * integer micro-units: the "how many hops is this graph, typically"
+    * scalar printed next to the reach profile. Landmark sampling is
+    * the standard estimator (exact all-pairs is O(V·E)); rides the
+    * SAME memoized multi-source sweep as closeness/reach, so the
+    * whole metric costs one layer agg. Bounded depth truncates the
+    * tail, so this is the within-horizon mean — the honest quantity a
+    * depth-capped sweep can report (the reach profile shows how much
+    * horizon the cap leaves out). */
+  def graphAvgPathLength(spark: SparkSession, dir: String): DataFrame = {
+    val layers = closenessSweepCached(spark, dir)
+    (1 to 3).map(k =>
+        layers(k).select(col("lm"), lit(k.toLong).as("dist")))
+      .reduce(_ unionByName _)
+      .groupBy(col("lm"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist"))
+      .select(col("lm"), col("n_reached"), col("sum_dist"),
+        expr("(1000000 * sum_dist) div n_reached").as("mean_micro"))
+      .orderBy(col("lm"))
+  }
+
   /** Reach profile — per landmark and BFS depth, how many vertices are
     * FIRST reached at that depth: the expansion census a graph store
     * prints before choosing traversal depth caps and frontier budgets

@@ -575,6 +575,27 @@ class GraphSpec extends SparkSpec {
       r.getAs[Long]("q_micro") <= 1000000L)
   }
 
+  test("avg path length: reconciles with the reach profile layer " +
+      "masses per landmark") {
+    val apl = GraphOps.graphAvgPathLength(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("lm") ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("sum_dist"),
+          r.getAs[Long]("mean_micro"))).toMap
+    val prof = GraphOps.graphReachProfile(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("lm"))
+    assert(apl.keySet == prof.keySet)
+    prof.foreach { case (lm, rows) =>
+      val n = rows.map(_.getAs[Long]("n_reached")).sum
+      val s = rows.map(r =>
+        r.getAs[Int]("dist") * r.getAs[Long]("n_reached")).sum
+      val (gotN, gotS, gotM) = apl(lm)
+      assert(gotN == n && gotS == s, s"landmark $lm masses")
+      assert(gotM == 1000000L * s / n, s"landmark $lm mean")
+      assert(gotM >= 1000000L && gotM <= 3000000L,
+        s"mean outside the 1..3 hop horizon")
+    }
+  }
+
   test("local clustering: coefficients bounded, formula exact, a " +
       "top slice carries signal") {
     val rows = GraphXAlgos.graphLocalClustering(spark, sfDir).collect()
