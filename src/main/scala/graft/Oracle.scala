@@ -308,6 +308,56 @@ object Oracle {
          FROM ($selects) GROUP BY lm ORDER BY lm"""
   }
 
+  /** Unrolled k-truss peel, replaying
+    * [[graft.ops.GraphXAlgos.graphKtruss]]: per round, edge support
+    * from the canonical triangle enumeration credited to all three
+    * sides, sub-(k−2) edges dropped, census emitted. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM capped a JOIN capped b
+                  ON a.ok = b.ok AND a.pk < b.pk)"""
+    // each round references the previous round's CTEs 3+ times;
+    // without MATERIALIZED, DuckDB re-inlines the whole chain per
+    // reference (3^rounds plan blowup → OOM at sf0.01)
+    val steps = (1 to rounds).map { r =>
+      s""",
+         t$r AS MATERIALIZED (
+                 SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                 FROM e${r - 1} e1
+                 JOIN e${r - 1} e2 ON e1.src = e2.src
+                   AND e1.dst < e2.dst
+                 JOIN e${r - 1} e3 ON e3.src = e1.dst
+                   AND e3.dst = e2.dst),
+         sup$r AS MATERIALIZED (
+                   SELECT src, dst, count(*) AS sup FROM (
+                     SELECT x AS src, y AS dst FROM t$r
+                     UNION ALL SELECT x, z FROM t$r
+                     UNION ALL SELECT y, z FROM t$r) GROUP BY 1, 2),
+         sc$r AS MATERIALIZED (
+                  SELECT e.src, e.dst, COALESCE(s.sup, 0) AS sup
+                  FROM e${r - 1} e LEFT JOIN sup$r s
+                    ON s.src = e.src AND s.dst = e.dst),
+         e$r AS MATERIALIZED (
+                 SELECT src, dst FROM sc$r WHERE sup >= ${k - 2}),
+         st$r AS (SELECT $r AS round,
+                         count(*) FILTER (sup < ${k - 2}) AS n_removed,
+                         count(*) FILTER (sup >= ${k - 2})
+                           AS n_remaining
+                  FROM sc$r)"""
+    }.mkString
+    val selects = (1 to rounds)
+      .map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")
+    base + steps + s"""
+         SELECT round, n_removed, n_remaining FROM ($selects)
+         ORDER BY round"""
+  }
+
   /** Unrolled k-core peeling, replaying
     * [[graft.ops.GraphOps.graphKcore]]: per round, degrees over the
     * remaining subgraph, sub-k vertices dropped, edges restricted to
@@ -315,12 +365,14 @@ object Oracle {
   private def kcoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s""",
-         d$r AS (SELECT v.id, COALESCE(dd.d, 0) AS d
+         d$r AS MATERIALIZED (
+                 SELECT v.id, COALESCE(dd.d, 0) AS d
                  FROM v${r - 1} v LEFT JOIN (
                    SELECT src AS id, count(*) AS d FROM e${r - 1}
                    GROUP BY src) dd ON dd.id = v.id),
-         v$r AS (SELECT id FROM d$r WHERE d >= $k),
-         e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         v$r AS MATERIALIZED (SELECT id FROM d$r WHERE d >= $k),
+         e$r AS MATERIALIZED (
+                 SELECT e.src, e.dst FROM e${r - 1} e
                  JOIN v$r a ON e.src = a.id
                  JOIN v$r b ON e.dst = b.id),
          s$r AS (SELECT $r AS round,
@@ -332,9 +384,9 @@ object Oracle {
       .map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
     s"""WITH $EdgesCte,
          ded AS (SELECT DISTINCT src, dst FROM edges),
-         e0 AS (SELECT src, dst FROM ded
+         e0 AS MATERIALIZED (SELECT src, dst FROM ded
                 UNION ALL SELECT dst, src FROM ded),
-         v0 AS (SELECT DISTINCT src AS id FROM e0)$steps
+         v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0)$steps
          SELECT round, n_removed, n_remaining FROM ($selects)
          ORDER BY round"""
   }
@@ -1863,6 +1915,7 @@ object Oracle {
         2000000000001L, 6000000000001L)),
 
     "graph_kcore" -> kcoreSql(3, 4),
+    "graph_ktruss" -> ktrussSql(4, 3),
 
     "graph_avg_path_length" ->
       avgPathSql(3, Seq(3000000000001L, 4000000000001L,
@@ -2414,6 +2467,21 @@ object Oracle {
          FROM (SELECT doc_id, string_split(text, ' ') AS t, text
                FROM documents) d
          ORDER BY doc_id""",
+
+    // replays TextOps.corpusNgramLm: adjacent-pair expansion (1-based
+    // list indexing), keyed counts, exact permille conditionals
+    "corpus_ngram_lm" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM
+                (SELECT t, unnest(range(1, len(t))) AS i FROM d)),
+         c AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+         p AS (SELECT w1, count(*) AS prefix_n FROM bi GROUP BY 1)
+         SELECT c.w1, c.w2, c.c, p.prefix_n,
+                CAST(c.c * 1000 // p.prefix_n AS BIGINT) AS p_permille
+         FROM c JOIN p USING (w1)
+         WHERE c.c >= 3
+         ORDER BY c.c DESC, c.w1, c.w2 LIMIT 200""",
 
     // replays TextOps.corpusChunkOverlap: starts 0,48,96,… < n_tokens,
     // 64-token windows, trailing partial kept (1-based inclusive

@@ -169,6 +169,7 @@ object SparkEntry {
     "graph_reach_profile"        -> (GraphOps.graphReachProfile _),
     "graph_avg_path_length"      -> (GraphOps.graphAvgPathLength _),
     "graph_kcore"                -> (GraphOps.graphKcore _),
+    "graph_ktruss"               -> (GraphXAlgos.graphKtruss _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
     "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
     "corpus_chunk_overlap"      -> (TextOps.corpusChunkOverlap _),
+    "corpus_ngram_lm"           -> (TextOps.corpusNgramLm _),
     "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),
     "corpus_quality_band"       -> (TextOps.corpusQualityBand _),
     "corpus_prepare_pipeline"   -> (TextOps.corpusPreparePipeline _),

@@ -109,6 +109,58 @@ object GraphXAlgos {
       .agg(count(lit(1)).as("weight"))
       .orderBy(col("src"), col("dst"))
 
+  /** Bounded-round k-truss peel (k = 4, 3 synchronous rounds) over the
+    * capped co-purchase projection — the EDGE-cohesion census next to
+    * the vertex-cohesion k-core: each round computes every edge's
+    * support (triangles it closes, via the same canonical x<y<z
+    * enumeration credited to all three sides) and drops edges below
+    * k−2, tightening the remaining triangles. Per-round census output
+    * (n_removed, n_remaining) like the k-core peel; all-integer and
+    * engine-replayable because the edge set and peel order are
+    * deterministic. Cost: rounds × (one 3-way join over the bounded
+    * pair list + a keyed support agg); at 100 TB the truss peel runs
+    * on the capped projection exactly like the triangle census. */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    val K = 4
+    var cur = copurchasePairsCached(spark, dir)
+    var ckpts = Vector.empty[DataFrame]
+    var stats = Vector.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val tri = cur.as("e1")
+        .join(cur.as("e2"), col("e1.src") === col("e2.src") &&
+          col("e1.dst") < col("e2.dst"))
+        .join(cur.as("e3"), col("e3.src") === col("e1.dst") &&
+          col("e3.dst") === col("e2.dst"))
+        .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+          col("e2.dst").as("z"))
+      val support = tri.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(tri.select(col("x").as("src"), col("z").as("dst")))
+        .unionByName(tri.select(col("y").as("src"), col("z").as("dst")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
+      val scored = cur.join(support, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("sup"), lit(0L)).as("sup"))
+        .localCheckpoint(true)
+      stats = stats :+ scored.agg(
+        count_if(col("sup") < K - 2).as("n_removed"),
+        count_if(col("sup") >= K - 2).as("n_remaining"))
+        .select(lit(r).as("round"), col("n_removed"),
+          col("n_remaining"))
+      val next = scored.filter(col("sup") >= K - 2)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      ckpts = ckpts ++ Vector(scored, next)
+      cur = next
+    }
+    val out = stats.reduce(_ unionByName _)
+      .orderBy(col("round"))
+      .localCheckpoint(true)
+    // out is materialized: release the per-round checkpoints (the
+    // seed frame is the session-lifetime co-purchase cache — left)
+    ckpts.foreach(_.unpersist(false))
+    out
+  }
+
   /** Max degree a shared neighbor may have to contribute to
     * common-neighbor scoring — the link-prediction analog of the
     * shingle df-cap: a hub co-purchased with everything produces

@@ -665,6 +665,36 @@ object TextOps {
     * packing parallelizes across shards, never globally; at 100 TB the
     * shard key is (lang, file-partition) and each task packs its own
     * token stream independently. */
+  /** Count-based bigram language model estimation — the statistics
+    * behind n-gram datamix scoring and classic LM pretraining
+    * filters: every adjacent token pair, its corpus count, the prefix
+    * total, and the conditional P(w2|w1) in EXACT integer permille
+    * (`1000·c div c(w1)` — no float probabilities, so the table is
+    * hash-identical on any engine). Reported: bigrams with count ≥ 3,
+    * top-200 by the (count, w1, w2) total order. Bigram expansion is
+    * narrow per-document array work; both aggregations are map-side-
+    * combinable keyed counts, and at 100 TB the bigram key shuffles
+    * exactly like any token-keyed census (first-byte range partition
+    * for a hot vocabulary). */
+  def corpusNgramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables(spark, dir).documents
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2) // sequence(1,0) would descend
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(t[i-1] AS w1, t[i] AS w2))""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val counts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val prefix = bi.groupBy(col("w1")).agg(count(lit(1)).as("prefix_n"))
+    counts.join(prefix, "w1")
+      .filter(col("c") >= 3)
+      .select(col("w1"), col("w2"), col("c"), col("prefix_n"),
+        expr("CAST(c * 1000 div prefix_n AS BIGINT)").as("p_permille"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(200)
+  }
+
   /** Chunk window / stride (tokens) for [[corpusChunkOverlap]] —
     * 64/48 gives the standard 25% overlap so no sentence straddling a
     * boundary is lost to both chunks. */

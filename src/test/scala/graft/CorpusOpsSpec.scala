@@ -178,6 +178,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("ngram lm: conditionals are exact permille of prefix mass and " +
+      "ranking is total") {
+    val rows = graft.ops.TextOps.corpusNgramLm(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 200)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("c"); val p = r.getAs[Long]("prefix_n")
+      assert(c >= 3 && c <= p)
+      assert(r.getAs[Long]("p_permille") == 1000 * c / p)
+    }
+    val cs = rows.map(_.getAs[Long]("c"))
+    assert(cs.toSeq == cs.sortBy(-_).toSeq, "not ranked by count")
+    // prefix mass reconciles with a direct recount for the top bigram
+    val top = rows.head
+    val docs = Tables(spark, sfDir).documents.collect()
+      .map(_.getAs[String]("text"))
+    val expect = docs.map(_.split(" ", -1).sliding(2).count(p =>
+      p.length == 2 && p(0) == top.getAs[String]("w1") &&
+        p(1) == top.getAs[String]("w2"))).sum
+    assert(top.getAs[Long]("c") == expect, "top bigram count mismatch")
+  }
+
   test("chunk overlap: full windows share their stride overlap and " +
       "chunks reconstruct the document") {
     import graft.ops.TextOps.{ChunkStride, ChunkTokens}

@@ -575,6 +575,29 @@ class GraphSpec extends SparkSpec {
       r.getAs[Long]("q_micro") <= 1000000L)
   }
 
+  test("ktruss: monotone peel, masses conserve, round-1 census " +
+      "reconciles with the projection size") {
+    val rows = GraphXAlgos.graphKtruss(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(rows.map(_.getAs[Int]("round")).toSeq == Seq(1, 2, 3))
+    val nPairs = GraphXAlgos.copurchasePairs(
+      Tables(spark, sfDir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .count()
+    assert(rows.head.getAs[Long]("n_removed")
+      + rows.head.getAs[Long]("n_remaining") == nPairs)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        // the next round starts from the previous round's survivors
+        assert(b.getAs[Long]("n_removed") + b.getAs[Long]("n_remaining")
+          == a.getAs[Long]("n_remaining"))
+        // survivor count shrinks monotonically
+        assert(b.getAs[Long]("n_remaining")
+          <= a.getAs[Long]("n_remaining"))
+      case _ =>
+    }
+  }
+
   test("avg path length: reconciles with the reach profile layer " +
       "masses per landmark") {
     val apl = GraphOps.graphAvgPathLength(spark, sfDir).collect()
