@@ -720,7 +720,10 @@ object Oracle {
     val union = (0 to depth).map(i => s"SELECT * FROM p$i")
       .mkString(" UNION ALL ")
     base + steps + s"""
-         SELECT id, hop, path FROM ($union) ORDER BY hop, id"""
+         SELECT id, hop,
+                array_to_string(list_transform(path,
+                  x -> CAST(x AS VARCHAR)), '->') AS path_str
+         FROM ($union) ORDER BY hop, id"""
   }
 
   /** Modularity of the LPA communities, replaying
@@ -2744,9 +2747,10 @@ object Oracle {
          vecs AS (SELECT id, list(s ORDER BY i) AS sv
                   FROM sums GROUP BY id)
          SELECT v.id AS vec_id, c.n_neighbors,
-                list_transform(sv, x -> CAST((x - ((x % c.n_neighbors
-                  + c.n_neighbors) % c.n_neighbors)) // c.n_neighbors
-                  AS BIGINT)) AS prop_micro
+                array_to_string(list_transform(sv,
+                  x -> CAST(CAST((x - ((x % c.n_neighbors
+                    + c.n_neighbors) % c.n_neighbors)) // c.n_neighbors
+                    AS BIGINT) AS VARCHAR)), ',') AS prop_csv
          FROM vecs v JOIN cnt c ON c.id = v.id
          ORDER BY vec_id""",
 

@@ -24,23 +24,46 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * int64 (legacy conf) and truncate ns→µs with integer division
-    * (double division would lose precision above 2^53). Downstream
-    * queries see a normal µs TimestampType column.
+  /** `events.ts` normalized to a session-zone µs TimestampType no
+    * matter which physical type the generator wrote:
     *
-    * The conf belongs in every SparkSession BUILDER (Bench / Verify /
-    * Smoke / Plans / SparkSpec all set it); the runtime set below is a
-    * last-resort fallback for sessions built elsewhere, and is
-    * call-order-sensitive — any scan of `events` planned before the
-    * first `Tables.events` call in such a session would still fail. */
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses to read it as a
+    *    timestamp ([PARQUET_TYPE_ILLEGAL]); the legacy conf reads it
+    *    as a raw int64 and we truncate ns→µs with integer division
+    *    (double division would lose precision above 2^53).
+    *  - parquet TIMESTAMP(MICROS) without UTC adjustment: arrives as
+    *    TIMESTAMP_NTZ; cast to the session-zone type (sessions here
+    *    run UTC, so wall-clock values are unchanged).
+    *
+    * The nanosAsLong conf belongs in every SparkSession BUILDER
+    * (Bench / Verify / Smoke / Plans / SparkSpec all set it); the
+    * runtime set below is a last-resort fallback for sessions built
+    * elsewhere, and is call-order-sensitive — any scan of a NANOS
+    * `events` planned before the first `Tables.events` call in such a
+    * session would still fail. */
   def events: DataFrame = {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Normalize an `events` frame's `ts` to session-zone TimestampType
+    * regardless of the physical parquet type it was read as — see the
+    * [[Tables.events]] Scaladoc for the per-type rationale. Shared by
+    * the batch loader and the streaming file source (which must read
+    * with whatever type the footer declares, then converge here). */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 }

@@ -207,8 +207,14 @@ object GraphOps {
           concat(array(col("id")), col("ppath")).as("path"))
       all = all.unionByName(paths)
     }
-    // lay is the session-lifetime k-hop cache — leave it persisted
-    all.orderBy(col("hop"), col("id")).localCheckpoint(true)
+    // lay is the session-lifetime k-hop cache — leave it persisted.
+    // The path is rendered "a->b->c" rather than ARRAY<BIGINT>: the
+    // cross-engine compare sorts on every output column, so results
+    // must stay scalar-typed.
+    all
+      .select(col("id"), col("hop"),
+        concat_ws("->", col("path").cast("array<string>")).as("path_str"))
+      .orderBy(col("hop"), col("id")).localCheckpoint(true)
   }
 
   /** Fixed-point PageRank core over a (src, dst) edge frame: ranks are

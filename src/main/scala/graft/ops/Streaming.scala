@@ -108,23 +108,23 @@ object Streaming {
     enrich(eventsSec(spark, dir), Tables(spark, dir).customer)
       .orderBy(col("event_id"))
 
-  /** Schema for streaming reads of events.parquet (ts arrives as raw
-    * int64 nanos under the legacy conf — converted exactly like
-    * [[graft.Tables.events]]). */
-  private val EventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING")
-
   private val runIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** File-source streaming view of the events table (the same rows the
     * batch `Tables.events` sees, arriving through FileStreamSource).
-    * Glob rather than exact filename: FileStreamSource requires its
-    * inferred basePath to be a directory. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(EventsSchema)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * The stream must declare its schema up front, and the physical
+    * type of `ts` depends on which generator wrote the file (int64
+    * nanos under the legacy conf vs TIMESTAMP_NTZ micros) — so the
+    * declared schema is taken from a one-off batch footer read and the
+    * column converged via [[graft.Tables.normalizeTs]], exactly like
+    * the batch loader. Glob rather than exact filename:
+    * FileStreamSource requires its inferred basePath to be a
+    * directory. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val footer = spark.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeTs(
+      spark.readStream.schema(footer).parquet(s"$dir/events*.parquet"))
+  }
 
   /** Checkpointed parquet SINK, end to end: file source → stateless
     * transform → `writeStream.format("parquet")` with a checkpoint →

@@ -186,9 +186,12 @@ object VectorOps {
       .agg(count(lit(1)).as("n_neighbors"),
         vecsum(col("embedding")).as("s"))
       .select(col("id").as("vec_id"), col("n_neighbors"),
-        expr("""transform(s, x -> CAST((x - ((x % n_neighbors
-               + n_neighbors) % n_neighbors)) div n_neighbors
-               AS BIGINT))""").as("prop_micro"))
+        // CSV-rendered, not ARRAY<BIGINT>: the cross-engine compare
+        // sorts on every output column, so results must stay scalar.
+        concat_ws(",",
+          expr("""transform(s, x -> CAST((x - ((x % n_neighbors
+                 + n_neighbors) % n_neighbors)) div n_neighbors
+                 AS BIGINT))""").cast("array<string>")).as("prop_csv"))
       .orderBy(col("vec_id"))
   }
 

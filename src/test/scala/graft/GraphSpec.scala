@@ -518,7 +518,7 @@ class GraphSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getAs[Long]("id")
       val hop = r.getAs[Int]("hop")
-      val path = r.getAs[scala.collection.Seq[Long]]("path")
+      val path = r.getAs[String]("path_str").split("->").toSeq.map(_.toLong)
       assert(hop == hops(id), s"$id layered at $hop, BFS says ${hops(id)}")
       assert(path.length == hop + 1, s"$id path length != hop+1")
       assert(path.head == id && path.last == GraphModel.RegionOff)

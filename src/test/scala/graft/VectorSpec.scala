@@ -305,7 +305,8 @@ class VectorSpec extends SparkSpec {
       assert(r.getAs[Long]("n_neighbors") == deg(id) + 1,
         s"neighborhood of $id miscounts")
       if (deg(id) == 0L)
-        assert(r.getAs[scala.collection.Seq[Long]]("prop_micro").toSeq == quant(id),
+        assert(r.getAs[String]("prop_csv").split(",").toSeq
+            .map(_.toLong) == quant(id).toSeq,
           s"isolated $id does not keep its own feature")
     }
     assert(rows.exists(_.getAs[Long]("n_neighbors") > 1L),
