@@ -1115,6 +1115,28 @@ object Oracle {
            FROM j)
          WHERE rk = 1 ORDER BY p_id""",
 
+    // replays Joins.joinIntervalOverlap: user-day activity spans vs
+    // busy purchase hours, day equi-key + exact overlap predicate
+    "join_interval_overlap" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+                             date_trunc('second', ts) AS ts_sec
+                      FROM events),
+         spans AS (SELECT user_id, CAST(ts_sec AS DATE) AS d,
+                          min(ts_sec) AS s_start, max(ts_sec) AS s_end
+                   FROM ev GROUP BY 1, 2),
+         busy AS (SELECT CAST(h_start AS DATE) AS d, h_start,
+                         h_start + INTERVAL 1 HOUR AS h_end
+                  FROM (SELECT date_trunc('hour', ts_sec) AS h_start,
+                               count(*) AS n
+                        FROM ev WHERE event_type = 'purchase'
+                        GROUP BY 1)
+                  WHERE n >= ${graft.ops.Joins.BusyHourMinPurchases})
+         SELECT s.user_id, s.d, count(*) AS n_busy_hours,
+                min(b.h_start) AS first_busy
+         FROM spans s JOIN busy b ON s.d = b.d
+           AND s.s_start < b.h_end AND b.h_start <= s.s_end
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "join_cross_limited" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
          FROM region CROSS JOIN nation
@@ -2148,6 +2170,34 @@ object Oracle {
          FROM customer WHERE c_name = 'Customer#000000042'
          ORDER BY id""",
 
+    // replays GraphOps.graphVertexAsof: the same version-2 delta as
+    // the upsert key, read back through two LWW version cuts
+    "graph_vertex_asof" ->
+      s"""WITH $VertsCte,
+          existing AS (SELECT id, name,
+                              CAST(1 AS BIGINT) AS version FROM verts),
+          upd AS (SELECT 3000000000000 + c_custkey AS id,
+                         'DELINQUENT:' || c_name AS name,
+                         CAST(2 AS BIGINT) AS version
+                  FROM customer WHERE c_acctbal < 0),
+          ins AS (SELECT 7000000000000
+                           + row_number() OVER (ORDER BY name) AS id,
+                         name, CAST(2 AS BIGINT) AS version
+                  FROM (SELECT DISTINCT c_mktsegment AS name
+                        FROM customer)),
+          delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+          h AS (SELECT * FROM existing UNION ALL SELECT * FROM delta),
+          asof1 AS (SELECT id, arg_max(name, version) AS name FROM h
+                    WHERE version <= 1 GROUP BY id),
+          asof2 AS (SELECT id, arg_max(name, version) AS name FROM h
+                    WHERE version <= 2 GROUP BY id)
+          SELECT t.id, COALESCE(a1.name, '<absent>') AS name_v1,
+                 a2.name AS name_v2
+          FROM (SELECT DISTINCT id FROM delta) t
+          LEFT JOIN asof1 a1 ON a1.id = t.id
+          JOIN asof2 a2 ON a2.id = t.id
+          ORDER BY t.id""",
+
     // §2.10 LLM-pipeline ops (oracle=yes subset)
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
@@ -2486,6 +2536,25 @@ object Oracle {
          WHERE c.c >= 3
          ORDER BY c.c DESC, c.w1, c.w2 LIMIT 200""",
 
+    // replays TextOps.textOovRate: the same top-200 bigram LM as
+    // corpus_ngram_lm, then per-document unseen-bigram permille
+    "text_oov_rate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM
+                (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)),
+         c AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+         p AS (SELECT w1, count(*) AS prefix_n FROM bi GROUP BY 1),
+         lm AS (SELECT c.w1, c.w2 FROM c JOIN p USING (w1)
+                WHERE c.c >= 3
+                ORDER BY c.c DESC, c.w1, c.w2 LIMIT 200)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                (1000 * (count(*) - count(l.w1))) // count(*)
+                  AS oov_permille
+         FROM bi b LEFT JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+
     // replays TextOps.corpusChunkOverlap: starts 0,48,96,… < n_tokens,
     // 64-token windows, trailing partial kept (1-based inclusive
     // list_slice = Spark's 1-based slice(start, length))
@@ -2676,6 +2745,16 @@ object Oracle {
     "embed_recall_eval" ->
       s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
           ann AS (SELECT vec_id AS a_id FROM ($EmbedAnnIvfSql))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
+
+    // recall@10 of the PQ-ADC compressed path vs the exact top-10 —
+    // same scoring join as embed_recall_eval over the ADC replay
+    "embed_recall_pq" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM (${searchPqAdcSql(
+            graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK)}))
           SELECT count(*) AS k, count(a_id) AS hits,
                  (count(a_id) * 1000) // count(*) AS recall_permille
           FROM exact LEFT JOIN ann ON vec_id = a_id""",

@@ -48,6 +48,7 @@ object SparkEntry {
     "join_theta_range"       -> (Joins.joinThetaRange _),
     "join_asof"              -> (Joins.joinAsof _),
     "join_asof_nearest"      -> (Joins.joinAsofNearest _),
+    "join_interval_overlap"  -> (Joins.joinIntervalOverlap _),
     "join_cross_limited"     -> (Joins.joinCrossLimited _),
     "join_range_bucketed"    -> (Joins.joinRangeBucketed _),
     // §2.3bis subqueries + recursive CTE
@@ -123,6 +124,7 @@ object SparkEntry {
     "graph_upsert_edges"      -> (GraphOps.graphUpsertEdges _),
     "graph_upsert_vertices"   -> (GraphOps.graphUpsertVertices _),
     "graph_vertex_lookup"     -> (GraphOps.graphVertexLookup _),
+    "graph_vertex_asof"       -> (GraphOps.graphVertexAsof _),
     "motif_chain_2hop"        -> (MotifDsl.motifChain2hop _),
     "motif_vee_shared_nation" -> (MotifDsl.motifVeeSharedNation _),
     "motif_varlen_reach"      -> (MotifDsl.motifVarlenReach _),
@@ -195,6 +197,7 @@ object SparkEntry {
     "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
     "corpus_chunk_overlap"      -> (TextOps.corpusChunkOverlap _),
     "corpus_ngram_lm"           -> (TextOps.corpusNgramLm _),
+    "text_oov_rate"             -> (TextOps.textOovRate _),
     "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),
     "corpus_quality_band"       -> (TextOps.corpusQualityBand _),
     "corpus_prepare_pipeline"   -> (TextOps.corpusPreparePipeline _),
@@ -212,6 +215,7 @@ object SparkEntry {
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
     "embed_recall_eval"        -> (VectorOps.embedRecallEval _),
+    "embed_recall_pq"          -> (VectorOps.embedRecallPq _),
     "graph_feature_propagate"  -> (VectorOps.graphFeaturePropagate _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),

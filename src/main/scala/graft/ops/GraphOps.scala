@@ -1209,10 +1209,13 @@ object GraphOps {
     * Output = the delta-affected rows of the merged table (winning
     * property values prove LWW picked version 2; `was_update` = 1
     * separates updates from inserts). */
-  def graphUpsertVertices(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic version-2 vertex delta shared by the upsert
+    * and time-travel keys: property UPDATES (delinquent customers
+    * renamed with a `DELINQUENT:` prefix) plus INSERTS (one `segment`
+    * vertex per distinct market segment, ids ranked alphabetically in
+    * the [[SegmentOff]] namespace). */
+  private def vertexDelta(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val existing = GraphModel.vertices(spark, dir)
-      .withColumn("version", lit(1L))
     val cust = Tables(spark, dir).customer
     val updates = cust.filter(col("c_acctbal") < 0)
       .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("id"),
@@ -1226,7 +1229,13 @@ object GraphOps {
         row_number().over(Window.orderBy(col("name"))).cast("long"))
       .select(col("id"), lit("segment").as("kind"), col("name"),
         lit(2L).as("version"))
-    upsertVertices(existing, updates.unionByName(inserts))
+    updates.unionByName(inserts)
+  }
+
+  def graphUpsertVertices(spark: SparkSession, dir: String): DataFrame = {
+    val existing = GraphModel.vertices(spark, dir)
+      .withColumn("version", lit(1L))
+    upsertVertices(existing, vertexDelta(spark, dir))
       .filter(col("version") === 2)
       .select(col("id"), col("kind"), col("name"), col("version"),
         (col("n_versions") === 2).cast("int").as("was_update"))
@@ -1248,6 +1257,39 @@ object GraphOps {
       .filter(col("kind") === "customer" &&
         col("name") === "Customer#000000042")
       .select(col("id"), col("kind"), col("name"))
+
+  /** Point-in-time vertex read (time travel): for every vertex the
+    * version-2 delta touches, the property value AS OF version 1 next
+    * to the value AS OF version 2 — the "what did this node look like
+    * before the write" query of a versioned property graph, and the
+    * vertex-side sibling of [[graft.ops.TimeSeries]]' SCD2 as-of
+    * lookup. The as-of read is `max(struct(version ≤ cut, …))` per id
+    * — the same LWW aggregation as [[upsertVertices]] with a version
+    * cut pushed beneath it; inserted-at-v2 vertices have no v1 state
+    * and surface as `<absent>`. One keyed agg per cut over the
+    * history table (at scale: one shuffle on `id`, and a real store
+    * would partition history by id so the cut-filter is
+    * partition-local). */
+  def graphVertexAsof(spark: SparkSession, dir: String): DataFrame = {
+    val delta = vertexDelta(spark, dir)
+    val history = GraphModel.vertices(spark, dir)
+      .select(col("id"), col("kind"), col("name"))
+      .withColumn("version", lit(1L))
+      .unionByName(delta)
+    def asof(cut: Long) = history.filter(col("version") <= cut)
+      .groupBy(col("id"))
+      .agg(max(struct(col("version"), col("name"))).as("m"))
+      .select(col("id"), col("m.name").as("name"))
+    delta.select(col("id")).distinct()
+      .join(asof(1L).select(col("id"), col("name").as("name_v1")),
+        Seq("id"), "left")
+      .join(asof(2L).select(col("id"), col("name").as("name_v2")),
+        Seq("id"))
+      .select(col("id"),
+        coalesce(col("name_v1"), lit("<absent>")).as("name_v1"),
+        col("name_v2"))
+      .orderBy(col("id"))
+  }
 
   /** Registered mutation surface: upsert a deterministic delta — BY
     * edges of urgent orders (duplicates of existing edges, proving

@@ -228,4 +228,44 @@ object Joins {
         Det.sum2(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("bracket"))
   }
+
+  /** Minimum purchases per clock hour for that hour to count as a
+    * "busy window" in [[joinIntervalOverlap]] (3 keeps the window set
+    * non-empty from the smallest SF up). */
+  val BusyHourMinPurchases = 3
+
+  /** INTERVAL-OVERLAP join — `a.start ≤ b.end AND b.start ≤ a.end`,
+    * the temporal/genomic workhorse the as-of family (latest-before,
+    * nearest) does not cover: both operands are interval SETS and a
+    * row matches every interval it overlaps, not one winner. Exhibit:
+    * each user's daily activity span (min..max event second per
+    * user-day) against the corpus's "busy windows" (clock hours with ≥
+    * [[BusyHourMinPurchases]] purchases), counting overlapped busy
+    * hours per span. Both interval sets live on the same clock, so the
+    * join carries the CALENDAR DAY as an equi-key — the shuffle is an
+    * ordinary hash join on `d` and the overlap predicate only fans out
+    * within a day (≤ 24 busy hours), never across the corpus: the same
+    * quantize-to-bucket discipline as [[joinRangeBucketed]], with the
+    * day as the natural bucket (a span crossing midnight would explode
+    * onto both days first). Inner join — spans overlapping no busy
+    * hour drop out, keeping the result the exhibit of the MATCHES. */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val spans = ev.groupBy(col("user_id"), to_date(col("ts_sec")).as("d"))
+      .agg(min(col("ts_sec")).as("s_start"), max(col("ts_sec")).as("s_end"))
+    val busy = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts_sec")).as("h_start"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .filter(col("n_purchases") >= BusyHourMinPurchases)
+      .select(to_date(col("h_start")).as("d"), col("h_start"),
+        (col("h_start") + expr("INTERVAL 1 HOUR")).as("h_end"))
+    spans.join(busy, Seq("d"))
+      .filter(col("s_start") < col("h_end") &&
+        col("h_start") <= col("s_end"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_busy_hours"),
+        min(col("h_start")).as("first_busy"))
+      .orderBy(col("user_id"), col("d"))
+  }
 }

@@ -60,9 +60,14 @@ object Subqueries {
   /** Min-hop reachability from the region-0 vertex over REVERSED edges
     * via WITH RECURSIVE (Spark 4.x UnionLoop execution) — the pure-SQL
     * twin of [[GraphOps.bfsKhop]], unbounded-frontier shape with a
-    * depth guard. Reverse traversal is tree-like here (each child has
-    * at most a couple of parent paths), so the working set stays
-    * linear; the hop<4 guard is the safety bound. */
+    * depth guard. UNION ALL because Spark 4.1 does not yet support
+    * UNION (distinct) inside a recursive CTE
+    * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]) — so the working set
+    * grows with the number of PATHS of length ≤ depth, not vertices.
+    * Reverse traversal is tree-like here (each child has at most a
+    * couple of parent paths) so that stays linear; on a multiplicative
+    * graph at 100 TB use [[GraphOps.bfsKhop]], whose per-level
+    * distinct + anti-join IS the deduplicated recursion. */
   def graphReachRecursive(spark: SparkSession, dir: String): DataFrame = {
     GraphModel.edgesCached(spark, dir)
       .createOrReplaceTempView("graft_edges")

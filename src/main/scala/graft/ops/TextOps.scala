@@ -695,6 +695,35 @@ object TextOps {
       .limit(200)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus bigram LM
+    * — the MODEL-BASED quality filter next to the surface heuristics
+    * ([[textQualityScore]], [[textRepetitionScore]]): documents whose
+    * bigrams rarely appear in the corpus-level top-[[corpusNgramLm]]
+    * table read as atypical/noisy, the integer-exact stand-in for the
+    * perplexity filter every training pipeline runs (log-prob needs
+    * floats; the unseen-bigram rate ranks the same tail without
+    * them). The LM table is 200 rows → broadcast; the per-document
+    * side is one narrow bigram explode + one keyed agg, so the whole
+    * filter is a single shuffle on doc_id at any corpus size. */
+  def textOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val lm = corpusNgramLm(spark, dir)
+      .select(col("w1"), col("w2"), lit(1).as("known"))
+    val bi = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(t[i-1] AS w1, t[i] AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    bi.join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), count(col("known")).as("n_known"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(1000 * (n_bigrams - n_known)) div n_bigrams")
+          .as("oov_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunk window / stride (tokens) for [[corpusChunkOverlap]] —
     * 64/48 gives the standard 25% overlap so no sentence straddling a
     * boundary is lost to both chunks. */

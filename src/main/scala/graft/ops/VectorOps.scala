@@ -613,4 +613,20 @@ object VectorOps {
       .select(col("k"), col("hits"),
         expr("(hits * 1000) div k").as("recall_permille"))
   }
+
+  /** Recall@10 of the PQ-ADC compressed path vs the exact cosine
+    * top-10 — the same one-row eval discipline as [[embedRecallEval]]
+    * applied to the 64× compression lever: ADC ranks by approximate
+    * L2² through 8 one-byte codes, and this key measures exactly what
+    * that compression costs in retrieval quality (the accept/reject
+    * number a serving team pins before rolling PQ out). Integer
+    * permille, both retrieval plans replayed verbatim by the oracle. */
+  def embedRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    val ann = embedSearchPqAdc(spark, dir).select(col("vec_id").as("a_id"))
+    exact.join(ann, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
 }

@@ -233,4 +233,23 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+  test("oov rate: bounded permille matching brute-force LM membership") {
+    val lm = TextOps.corpusNgramLm(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    val rows = TextOps.textOovRate(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1))
+      .filter(_._2.length >= 2).toMap
+    assert(rows.length == docs.size, "one row per multi-token document")
+    rows.foreach { r =>
+      val bis = docs(r.getAs[Long]("doc_id")).sliding(2)
+        .map(a => (a(0), a(1))).toSeq
+      val oov = bis.count(b => !lm(b))
+      assert(r.getAs[Long]("n_bigrams") == bis.length.toLong)
+      val perm = r.getAs[Long]("oov_permille")
+      assert(perm == 1000L * oov / bis.length, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(perm >= 0L && perm <= 1000L)
+    }
+  }
 }

@@ -679,4 +679,22 @@ class GraphSpec extends SparkSpec {
         s"direct edge to $d@$t beats recorded arrival ${arr.get(d)}")
     }
   }
+  test("vertex asof: v1 state precedes the delta, inserts absent at v1") {
+    val rows = GraphOps.graphVertexAsof(spark, sfDir).collect()
+    val upserted = GraphOps.graphUpsertVertices(spark, sfDir).collect()
+    assert(rows.length == upserted.length,
+      "asof reads exactly the delta-touched vertices")
+    val byId = upserted.map(r => r.getAs[Long]("id") -> r).toMap
+    rows.foreach { r =>
+      val u = byId(r.getAs[Long]("id"))
+      assert(r.getAs[String]("name_v2") == u.getAs[String]("name"))
+      if (u.getAs[Int]("was_update") == 1)
+        assert("DELINQUENT:" + r.getAs[String]("name_v1") ==
+          r.getAs[String]("name_v2"),
+          s"update ${r.getAs[Long]("id")} v1 name wrong")
+      else
+        assert(r.getAs[String]("name_v1") == "<absent>",
+          s"insert ${r.getAs[Long]("id")} should have no v1 state")
+    }
+  }
 }

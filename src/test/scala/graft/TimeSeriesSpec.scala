@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Sources, Stats, TimeSeries}
+import graft.ops.{Joins, Sources, Stats, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Semantic checks for the round-4 additions: time-series gap-fill,
@@ -407,5 +407,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(lastTouch.isDefined)
     assert(lastTouch.get.getAs[Long]("event_id") ==
       r0.getAs[Long]("touch_id"))
+  }
+  test("interval overlap: reported counts equal brute-force busy-hour " +
+      "overlaps within the day") {
+    val rows = Joins.joinIntervalOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("tss").getTime))
+    val busyHours = ev.filter(_._2 == "purchase")
+      .groupBy(_._3 / 3600000L)
+      .collect { case (h, rs)
+        if rs.size >= Joins.BusyHourMinPurchases => h }.toSet
+    val spans = ev.groupBy(e => (e._1, e._3 / 86400000L))
+      .map { case (k, es) => k -> (es.map(_._3).min, es.map(_._3).max) }
+    val expect = spans.flatMap { case ((u, d), (s0, s1)) =>
+      val hs = busyHours.filter(h => h * 3600000L / 86400000L == d &&
+        s0 < (h + 1) * 3600000L && h * 3600000L <= s1)
+      if (hs.isEmpty) None
+      else Some((u, d) -> (hs.size.toLong, hs.min * 3600000L))
+    }
+    assert(rows.length == expect.size, "one row per overlapping span")
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay)
+      val (n, first) = expect(key)
+      assert(r.getAs[Long]("n_busy_hours") == n, s"span $key count")
+      assert(r.getAs[java.sql.Timestamp]("first_busy").getTime == first,
+        s"span $key first busy hour")
+    }
   }
 }

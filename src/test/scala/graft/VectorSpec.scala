@@ -312,4 +312,16 @@ class VectorSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_neighbors") > 1L),
       "corpus produced no similarity edges at all")
   }
+  test("pq recall: one-row eval consistent with the two retrieval lists") {
+    val r = VectorOps.embedRecallPq(spark, sfDir).collect().head
+    val k = r.getAs[Long]("k")
+    val hits = r.getAs[Long]("hits")
+    assert(k == 10L && hits >= 0L && hits <= k)
+    assert(r.getAs[Long]("recall_permille") == hits * 1000 / k)
+    val exact = VectorOps.embedCosineTopk(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val adc = VectorOps.embedSearchPqAdc(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(hits == (exact & adc).size.toLong)
+  }
 }
