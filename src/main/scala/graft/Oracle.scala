@@ -2925,6 +2925,35 @@ object Oracle {
                FROM embeddings GROUP BY 1) c USING (label)
          ORDER BY label""",
 
+    // replays VectorOps.embedCentroidShift: vec_id-parity snapshot
+    // halves, decimal-exact per-position centroids, rounded L2 shift
+    "embed_centroid_shift" ->
+      """WITH cells AS (
+           SELECT label, vec_id % 2 AS half, t.u.pos AS pos, t.u.v AS v
+           FROM (
+             SELECT label, vec_id, unnest(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               (x, i) -> struct_pack(pos := i - 1, v := x))) AS u
+             FROM embeddings) t),
+         means AS (SELECT label, half, pos,
+                          CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE)
+                            / COUNT(*) AS mean_v
+                   FROM cells GROUP BY 1, 2, 3),
+         a AS (SELECT label, pos, mean_v AS ma FROM means WHERE half = 0),
+         b AS (SELECT label, pos, mean_v AS mb FROM means WHERE half = 1),
+         shift AS (SELECT label,
+                          ROUND(sqrt(CAST(SUM(CAST((ma - mb) * (ma - mb)
+                            AS DECIMAL(38,18))) AS DOUBLE)), 4)
+                            AS centroid_shift
+                   FROM a JOIN b USING (label, pos) GROUP BY 1)
+         SELECT s.label, centroid_shift, c.n_old, c.n_new
+         FROM shift s
+         JOIN (SELECT label,
+                      count(*) FILTER (vec_id % 2 = 0) AS n_old,
+                      count(*) FILTER (vec_id % 2 = 1) AS n_new
+               FROM embeddings GROUP BY 1) c USING (label)
+         ORDER BY label""",
+
     // §2.8 streaming batch analogs
     "stream_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS ws, event_type,
@@ -3362,6 +3391,18 @@ object Oracle {
     // same watermarked join, committed through the checkpointed
     // parquet file sink — rows must still equal the batch join
     "stream_join_parquet" -> ssJoinSql,
+
+    // replays MultimodalOps.multimodalSizeStats: UTF-8 octet length
+    // replays the Spark text→binary cast; frames = ceil(len/32)
+    "multimodal_size_stats" ->
+      """SELECT string_split(source, '_')[1] AS kind,
+                count(*) AS n_media,
+                SUM(octet_length(encode(text))) AS total_bytes,
+                MIN(octet_length(encode(text))) AS min_bytes,
+                MAX(octet_length(encode(text))) AS max_bytes,
+                SUM((octet_length(encode(text)) + 31) // 32)
+                  AS total_frames
+         FROM documents GROUP BY 1 ORDER BY kind""",
 
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label,

@@ -216,9 +216,11 @@ object SparkEntry {
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
     "embed_recall_eval"        -> (VectorOps.embedRecallEval _),
     "embed_recall_pq"          -> (VectorOps.embedRecallPq _),
+    "embed_centroid_shift"     -> (VectorOps.embedCentroidShift _),
     "graph_feature_propagate"  -> (VectorOps.graphFeaturePropagate _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),
+    "multimodal_size_stats"    -> (MultimodalOps.multimodalSizeStats _),
     // §2.8 streaming batch analogs (streaming variants in tests)
     "stream_tumbling_window"  -> (Streaming.streamTumblingWindow _),
     "stream_sliding_window"   -> (Streaming.streamSlidingWindow _),

@@ -84,4 +84,25 @@ object MultimodalOps {
       }
     }.toDF().orderBy(col("media_id"))
   }
+
+  /** Per-kind size census over the media store — the capacity-planning
+    * read (rows, bytes, frame estimates per modality) every media
+    * pipeline runs before sizing a decode fleet. Unlike the decode
+    * key, nothing here needs the codec: byte length and the
+    * fixed-width frame count come off the binary column itself, so
+    * this IS DuckDB-oracled (UTF-8 octet length replays the
+    * text→binary cast). One map-side-combinable agg on `kind` — a
+    * handful of groups at any corpus size. */
+  def multimodalSizeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(element_at(split(col("source"), "_"), 1).as("kind"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byte_len")).as("total_bytes"),
+        min(col("byte_len")).as("min_bytes"),
+        max(col("byte_len")).as("max_bytes"),
+        sum(expr(s"(byte_len + ${FrameBytes - 1}) div $FrameBytes"))
+          .as("total_frames"))
+      .orderBy(col("kind"))
 }

@@ -220,6 +220,44 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Embedding DRIFT monitor: per-label centroid shift between two
+    * corpus snapshots — the "did the embedding distribution move"
+    * check a serving team runs before trusting yesterday's ANN index
+    * against today's vectors (re-cluster / re-train PQ when it
+    * drifts). Snapshots are the deterministic vec_id parity halves
+    * (stand-ins for the t−1 / t ingest batches); shift = L2 distance
+    * between the halves' per-position decimal-exact centroids, the
+    * same arithmetic discipline as [[embedCentroidPerLabel]] so the
+    * result cross-engine hashes. Shuffle state is (label, half, pos)
+    * cells — 10×2×64 regardless of corpus size. */
+  def embedCentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).embeddings
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "half", "pos", "v")
+    val means = cells.groupBy(col("label"), col("half"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("mean_v"),
+        count(lit(1)).as("n"))
+    val a = means.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("mean_v").as("ma"))
+    val b = means.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("mean_v").as("mb"))
+    a.join(b, Seq("label", "pos"))
+      .select(col("label"),
+        ((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .cast(DecimalType(38, 18)).as("d2"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("d2")).cast(DoubleType)), 4)
+        .as("centroid_shift"))
+      .join(Tables(spark, dir).embeddings.groupBy(col("label"))
+        .agg(count_if(col("vec_id") % 2 === 0).as("n_old"),
+          count_if(col("vec_id") % 2 === 1).as("n_new")), "label")
+      .select(col("label"), col("centroid_shift"), col("n_old"),
+        col("n_new"))
+      .orderBy(col("label"))
+  }
+
   /** k nearest members to each label centroid (composition of centroid
     * + cosine + window top-k). Deterministic — rounded cosine with
     * vec_id tie-break — and DuckDB-oracled since round 2; rounding or

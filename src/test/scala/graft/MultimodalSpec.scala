@@ -41,4 +41,21 @@ class MultimodalSpec extends SparkSpec {
       assert(h >= 360 && h <= 360 + 4 * 16)
     }
   }
+  test("size stats: per-kind byte and frame totals match the decode run") {
+    val stats = MultimodalOps.multimodalSizeStats(spark, sfDir).collect()
+      .map(r => r.getAs[String]("kind") -> r).toMap
+    val decoded = MultimodalOps.multimodalDecode(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("kind"))
+    assert(stats.keySet == decoded.keySet)
+    decoded.foreach { case (kind, rs) =>
+      val s = stats(kind)
+      val lens = rs.map(_.getAs[Long]("byte_len"))
+      assert(s.getAs[Long]("n_media") == rs.length.toLong)
+      assert(s.getAs[Long]("total_bytes") == lens.sum)
+      assert(s.getAs[Long]("min_bytes") == lens.min)
+      assert(s.getAs[Long]("max_bytes") == lens.max)
+      assert(s.getAs[Long]("total_frames") ==
+        rs.map(_.getAs[Long]("n_frames")).sum)
+    }
+  }
 }

@@ -324,4 +324,27 @@ class VectorSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(hits == (exact & adc).size.toLong)
   }
+  test("centroid shift: parity halves partition each label, shift " +
+      "matches a brute-force recompute") {
+    val rows = VectorOps.embedCentroidShift(spark, sfDir).collect()
+    val vecs = Tables(spark, sfDir).embeddings.collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toIndexedSeq))
+    assert(rows.map(_.getAs[Int]("label")).toSet ==
+      vecs.map(_._1).toSet)
+    rows.foreach { r =>
+      val label = r.getAs[Int]("label")
+      val (olds, news) = vecs.filter(_._1 == label).partition(_._2 % 2 == 0)
+      assert(r.getAs[Long]("n_old") == olds.length.toLong)
+      assert(r.getAs[Long]("n_new") == news.length.toLong)
+      def centroid(vs: Array[(Int, Long, IndexedSeq[Double])]) =
+        (0 until 64).map(i => vs.map(_._3(i)).sum / vs.length)
+      val (ca, cb) = (centroid(olds), centroid(news))
+      val shift = math.sqrt(ca.zip(cb).map { case (x, y) =>
+        (x - y) * (x - y) }.sum)
+      assert(math.abs(r.getAs[Double]("centroid_shift") - shift) < 1e-3,
+        s"label $label: got ${r.getAs[Double]("centroid_shift")}, ref $shift")
+    }
+  }
 }
