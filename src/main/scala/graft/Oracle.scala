@@ -964,6 +964,19 @@ object Oracle {
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE lang = 'en' ORDER BY doc_id""",
 
+    // DPP is a plan property (runtime partition pruning) — the result
+    // must equal the plain dim-filtered join
+    "join_dpp_pruned" ->
+      """WITH dim AS (SELECT DISTINCT lang,
+                             CASE WHEN lang IN ('en', 'de')
+                                  THEN 'major' ELSE 'minor' END AS tier
+                      FROM documents)
+         SELECT d.lang, m.tier, count(*) AS n_docs,
+                SUM(n_chars) AS sum_chars
+         FROM documents d JOIN dim m USING (lang)
+         WHERE m.tier = 'major'
+         GROUP BY 1, 2 ORDER BY d.lang""",
+
     // bucketing is a layout/plan property — the result must equal the
     // plain join byte for byte
     "join_bucketed_colocated" ->
@@ -2569,6 +2582,25 @@ object Oracle {
                 array_to_string(list_slice(t, st + 1, st + 64), ' ')
                   AS chunk_text
          FROM s ORDER BY doc_id, chunk_id""",
+
+    // replays TextOps.textWindowDupRate: the same 48-stride/64-token
+    // windows, md5 fingerprints, shared = present in ≥2 distinct docs
+    "text_window_dup_rate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         s AS (SELECT doc_id, t,
+                      unnest(range(0, len(t), 48)) AS st FROM d),
+         ch AS (SELECT doc_id,
+                       md5(array_to_string(
+                         list_slice(t, st + 1, st + 64), ' ')) AS fp
+                FROM s),
+         shared AS (SELECT fp FROM ch GROUP BY fp
+                    HAVING count(DISTINCT doc_id) >= 2)
+         SELECT c.doc_id, count(*) AS n_windows,
+                count(sh.fp) AS n_dup_windows,
+                (1000 * count(sh.fp)) // count(*) AS dup_permille
+         FROM ch c LEFT JOIN shared sh ON sh.fp = c.fp
+         GROUP BY 1 ORDER BY 1""",
 
     "text_redact_pii" ->
       """SELECT event_id,

@@ -31,6 +31,7 @@ object SparkEntry {
     "scan_json_roundtrip" -> (Sources.scanJsonRoundtrip _),
     "scan_orc_roundtrip"  -> (Sources.scanOrcRoundtrip _),
     "scan_partitioned_pruned" -> (Sources.scanPartitionedPruned _),
+    "join_dpp_pruned"        -> (Sources.joinDppPruned _),
     "join_bucketed_colocated" -> (Sources.joinBucketedColocated _),
     // §2.2 filters / projections
     "filter_predicate"      -> (Relational.filterPredicate _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
     "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
     "corpus_chunk_overlap"      -> (TextOps.corpusChunkOverlap _),
+    "text_window_dup_rate"      -> (TextOps.textWindowDupRate _),
     "corpus_ngram_lm"           -> (TextOps.corpusNgramLm _),
     "text_oov_rate"             -> (TextOps.textOovRate _),
     "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),

@@ -100,6 +100,37 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** DYNAMIC partition pruning exhibit: join the lang-partitioned
+    * documents table against a derived language-tier dim whose filter
+    * Catalyst cannot fold at plan time (the dim is an aggregation of
+    * the corpus, not a literal list), so the partition pruning happens
+    * at RUNTIME — Spark broadcasts the filtered dim, collects its
+    * join keys, and injects them as a `dynamicpruning` subquery into
+    * the fact scan's PartitionFilters (asserted in PlanSpec). This is
+    * the star-schema shape that makes a 100 TB fact scan read only
+    * the partitions the dimension filter selects — static pruning
+    * ([[scanPartitionedPruned]]) covers literal predicates; DPP
+    * covers the join-derived ones. */
+  def joinDppPruned(spark: SparkSession, dir: String): DataFrame = {
+    val base = materialize(spark, dir, "part") { b =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("text"), col("lang"))
+        .write.partitionBy("lang").parquet(s"$b/documents")
+    }
+    val facts = spark.read.parquet(s"$base/documents")
+    val dim = Tables(spark, dir).documents
+      .select(col("lang")).distinct()
+      .withColumn("tier",
+        when(col("lang").isin("en", "de"), "major").otherwise("minor"))
+      .filter(col("tier") === "major")
+    facts.join(dim, Seq("lang"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** ORC source: orders written as ORC (the other columnar interchange
     * format Spark ships natively), read back with an explicit DDL
     * schema. Same splittable-columnar properties as parquet at 100 TB

@@ -754,6 +754,33 @@ object TextOps {
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Per-document CROSS-document window-duplication rate — the
+    * window-granular cousin of suffix-array substring dedup (the
+    * "deduplicating training data" signal): a [[ChunkTokens]]-token
+    * window is duplicated when its fingerprint appears in ≥ 2 DISTINCT
+    * documents (within-doc repeats are [[textRepetitionScore]]'s
+    * business, not this key's), and each document reports the permille
+    * of its windows shared with some other document. Fingerprint =
+    * md5 of the window text, so the shuffle key is 32 hex chars
+    * instead of a 64-token string; cost is two keyed aggs + one hash
+    * join on the fingerprint — no pairwise comparison anywhere, the
+    * same no-all-pairs discipline as the shingle dedup family. */
+  def textWindowDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = corpusChunkOverlap(spark, dir)
+      .select(col("doc_id"), md5(col("chunk_text")).as("fp"))
+    val shared = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"), lit(1).as("dup"))
+    chunks.join(shared, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("dup")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("(1000 * n_dup_windows) div n_windows").as("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusPackSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     Tables(spark, dir).documents

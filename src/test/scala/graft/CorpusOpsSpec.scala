@@ -252,4 +252,27 @@ class CorpusOpsSpec extends SparkSpec {
       assert(perm >= 0L && perm <= 1000L)
     }
   }
+  test("window dup rate: permille matches a brute-force cross-doc " +
+      "window recount") {
+    val rows = TextOps.textWindowDupRate(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).toIndexedSeq)
+    val windows = docs.flatMap { case (id, t) =>
+      (0 until t.length by 48).map(st =>
+        (id, t.slice(st, st + 64).mkString(" ")))
+    }
+    val sharedTexts = windows.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expect = windows.groupBy(_._1).map { case (id, ws) =>
+      id -> (ws.length.toLong, ws.count(w => sharedTexts(w._2)).toLong)
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, dup) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_windows") == n)
+      assert(r.getAs[Long]("n_dup_windows") == dup)
+      assert(r.getAs[Long]("dup_permille") == 1000 * dup / n)
+    }
+  }
 }

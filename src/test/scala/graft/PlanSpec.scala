@@ -116,4 +116,12 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
     assert(p.contains("EqualTo(c_name,Customer#000000042)"), p)
   }
+  test("dim-derived filter prunes fact partitions at runtime (DPP)") {
+    val df = graft.ops.Sources.joinDppPruned(spark, sfDir)
+    // DPP shows in the pre-execution physical plan as a dynamicpruning
+    // subquery on the fact scan's partition column
+    val planned = df.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning"), planned)
+    df.collect()
+  }
 }
