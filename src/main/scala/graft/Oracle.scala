@@ -3414,6 +3414,26 @@ object Oracle {
           FROM s JOIN t USING (event_type)
           GROUP BY user_id ORDER BY user_id""",
 
+    // replays Streaming.streamComponentsIncremental's final state:
+    // exact transitive closure over the user↔clock-hour co-activity
+    // bipartite graph, min-reachable-id label per user
+    "stream_components_incremental" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT DISTINCT user_id AS u,
+                  ${graft.ops.Streaming.HourOff}
+                    + CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                      // 3600 AS h
+           FROM events),
+         und AS (SELECT u AS a, h AS b FROM e
+                 UNION ALL SELECT h, u FROM e),
+         reach(src, dst) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM e)
+           UNION
+           SELECT r.src, n.b FROM reach r JOIN und n ON n.a = r.dst
+         )
+         SELECT src AS user_id, min(dst) AS component
+         FROM reach GROUP BY src ORDER BY user_id""",
+
     // the join runs as a true watermarked stream-stream join in Spark
     // (two file-source streams, append mode); once all input is
     // processed the inner join's emitted rows equal the batch interval

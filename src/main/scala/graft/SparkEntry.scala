@@ -254,7 +254,9 @@ object SparkEntry {
     "stream_cdc_parquet"      -> (Streaming.streamCdcParquet _),
     "stream_join_parquet"     -> (Streaming.streamJoinParquet _),
     "stream_degree_parquet"   -> (Streaming.streamDegreeParquet _),
-    "stream_rank_incremental" -> (Streaming.streamRankIncremental _)
+    "stream_rank_incremental" -> (Streaming.streamRankIncremental _),
+    "stream_components_incremental" ->
+      (Streaming.streamComponentsIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -322,6 +322,106 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Vertex-id namespace for clock-hour nodes in the co-activity
+    * bipartite graph (disjoint from every user id). */
+  val HourOff = 900000000000000L
+
+  /** INCREMENTALLY-maintained connected components under the event
+    * stream — the "component labels stay fresh under writes" story
+    * next to [[streamRankIncremental]]'s rank view. The graph is the
+    * user↔clock-hour co-activity bipartite graph (users active in the
+    * same hour chain together; hours chain through users active in
+    * both). Per micro-batch, classic union-find by LABEL CONTRACTION:
+    * (1) seed unseen endpoints with their own id, (2) project the
+    * batch's edges onto current labels — the label-merge pair list,
+    * which is bounded by the BATCH edge count, never the accumulated
+    * graph, (3) collapse that tiny label graph to its per-component
+    * minima with [[GraphOps.minLabelComponents]], and (4) remap the
+    * full label table through the contraction in ONE join. Old edges
+    * never need revisiting: their endpoints already share labels, so
+    * cross-batch merges ride the label remap. State = one long per
+    * vertex in a parquet table (at 100 TB: a keyed store bucketed by
+    * id); per-batch cost = O(batch edges) + the remap join. Final
+    * labels equal the batch min-label components over the full edge
+    * set, which the oracle replays as a recursive closure. */
+  def streamComponentsIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = upsertDirs.synchronized {
+      upsertDirs.getOrElseUpdate((spark, dir, "cc"), {
+        val b = graft.TempDirs.create(
+          s"graft-ccsink-${runIds.incrementAndGet()}")
+        val edges = eventsStream(spark, dir)
+          .select(col("user_id").as("u"),
+            (lit(HourOff) +
+              expr("unix_timestamp(date_trunc('HOUR', ts)) div 3600"))
+              .as("h"))
+        runLabelState(spark, b, edges)
+        b
+      })
+    }
+    spark.read.parquet(s"$base/labels")
+      .filter(col("id") < HourOff)
+      .select(col("id").as("user_id"), col("lbl").as("component"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The foreachBatch loop of [[streamComponentsIncremental]]: label
+    * table in `base/labels`, overwritten once per micro-batch AFTER
+    * eager materialization (the read of the previous state and the
+    * overwrite target the same path, so lineage must be cut first). */
+  private def runLabelState(spark: SparkSession, base: String,
+      edges: DataFrame): Unit =
+    withStatePartitions(spark, 8) {
+      val labelsPath = s"$base/labels"
+      val q = edges.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val e = batch.select(col("u"), col("h")).distinct()
+            .localCheckpoint(true)
+          val prev =
+            if (new java.io.File(labelsPath).exists())
+              sp.read.parquet(labelsPath)
+            else sp.range(0).select(col("id"), col("id").as("lbl"))
+          val nodes = e.select(col("u").as("id"))
+            .unionByName(e.select(col("h").as("id"))).distinct()
+          val all = nodes.join(prev, Seq("id"), "left")
+            .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+            .unionByName(prev.join(nodes, Seq("id"), "left_anti"))
+          val mergePairs = e
+            .join(all.select(col("id").as("u"), col("lbl").as("lu")), "u")
+            .join(all.select(col("id").as("h"), col("lbl").as("lh")), "h")
+            .filter(col("lu") =!= col("lh"))
+            .select(col("lu").as("a_id"), col("lh").as("b_id")).distinct()
+            .localCheckpoint(true)
+          val contraction = if (mergePairs.isEmpty) None else {
+            val lv = mergePairs.select(col("a_id").as("id"))
+              .unionByName(mergePairs.select(col("b_id").as("id")))
+              .distinct()
+            Some(graft.ops.GraphOps.minLabelComponents(lv, mergePairs))
+          }
+          val next = contraction match {
+            case None => all
+            case Some(c) =>
+              all.join(c.select(col("cluster"), col("id").as("lbl")),
+                  Seq("lbl"), "left")
+                .select(col("id"),
+                  coalesce(col("cluster"), col("lbl")).as("lbl"))
+          }
+          val out = next.localCheckpoint(true)
+          out.write.mode("overwrite").parquet(labelsPath)
+          out.unpersist(false)
+          contraction.foreach(_.unpersist(false))
+          mergePairs.unpersist(false)
+          e.unpersist(false)
+          (): Unit
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
   /** The production-sink variant of [[streamCdcLatest]]: the same
     * incrementally-maintained last-write-wins state (the
     * flatMapGroupsWithState fold of [[cdcLatestStream]], one fixed-size

@@ -371,4 +371,28 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+  test("incremental components: final labels equal batch min-label " +
+      "components over the co-activity graph; re-read is stable") {
+    val got = Streaming.streamComponentsIncremental(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("component"))
+      .toMap
+    val again = Streaming.streamComponentsIncremental(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(got == again, "memoized resume must be stable")
+    val e = Tables(spark, sfDir).events
+      .select(col("user_id").as("a_id"),
+        (lit(Streaming.HourOff) +
+          expr("unix_timestamp(date_trunc('HOUR', ts)) div 3600"))
+          .as("b_id"))
+      .distinct()
+    val verts = e.select(col("a_id").as("id"))
+      .unionByName(e.select(col("b_id").as("id"))).distinct()
+    val batch = graft.ops.GraphOps.minLabelComponents(verts, e).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster"))
+      .filter(_._1 < Streaming.HourOff).toMap
+    assert(got == batch, "incremental state diverged from batch labels")
+  }
 }
