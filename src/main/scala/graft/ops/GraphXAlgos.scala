@@ -114,14 +114,48 @@ object GraphXAlgos {
   def trianglesCached(spark: SparkSession, dir: String): DataFrame =
     triangleCache.synchronized {
       triangleCache.getOrElseUpdate((spark, dir), {
+        // DEGREE-ORDERED enumeration: orient every undirected edge
+        // from its (degree, id)-smaller endpoint to the larger one and
+        // enumerate wedges at each vertex's OUT-neighbors only. The
+        // orientation is acyclic and every triangle has exactly one
+        // vertex with out-edges to the other two, so each triangle is
+        // found once; the wedge expansion shrinks from Σ C(deg,2) to
+        // Σ C(outdeg,2) with outdeg = O(√m) — the standard skew
+        // killer for triangle listing on hub-heavy graphs. Emitted
+        // triples are re-sorted to the canonical x<y<z ids, so every
+        // consumer (and every oracle replay) is orientation-blind.
         val pairs = copurchasePairsCached(spark, dir)
-        pairs.as("e1")
-          .join(pairs.as("e2"), col("e1.src") === col("e2.src") &&
-            col("e1.dst") < col("e2.dst"))
-          .join(pairs.as("e3"), col("e3.src") === col("e1.dst") &&
-            col("e3.dst") === col("e2.dst"))
-          .select(col("e1.src").as("x"), col("e1.dst").as("y"),
-            col("e2.dst").as("z"))
+        val deg = pairs.select(col("src").as("id"))
+          .unionByName(pairs.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        val oriented = pairs
+          .join(broadcast(deg).select(col("id").as("src"),
+            col("d").as("ds")), "src")
+          .join(broadcast(deg).select(col("id").as("dst"),
+            col("d").as("dd")), "dst")
+          .select(
+            when(col("ds") < col("dd") ||
+                (col("ds") === col("dd") && col("src") < col("dst")),
+              struct(col("src").as("a"), col("dst").as("b"),
+                col("dd").as("db")))
+              .otherwise(struct(col("dst").as("a"), col("src").as("b"),
+                col("ds").as("db"))).as("e"))
+          .select(col("e.a"), col("e.b"), col("e.db"))
+        val closure = oriented.select(col("a").as("ca"), col("b").as("cb"))
+        oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.a") === col("e2.a") &&
+            (col("e1.db") < col("e2.db") ||
+              (col("e1.db") === col("e2.db") &&
+                col("e1.b") < col("e2.b"))))
+          .select(col("e1.a").as("v"), col("e1.b").as("u"),
+            col("e2.b").as("w"))
+          .join(closure, col("ca") === col("u") && col("cb") === col("w"),
+            "left_semi")
+          .select(least(col("v"), col("u"), col("w")).as("x"),
+            (col("v") + col("u") + col("w")
+              - least(col("v"), col("u"), col("w"))
+              - greatest(col("v"), col("u"), col("w"))).as("y"),
+            greatest(col("v"), col("u"), col("w")).as("z"))
           .localCheckpoint(true)
       })
     }
