@@ -2626,6 +2626,30 @@ object Oracle {
                < rate_permille
          ORDER BY doc_id""",
 
+    // replays TextOps.corpusEpochPlan: same permille weight scheme as
+    // corpus_mix_weighted, floor-allocated token budget, epochs in
+    // micro-units (1e6 = one pass over the source)
+    "corpus_epoch_plan" ->
+      s"""WITH toks AS (SELECT source,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS avail_tokens
+           FROM documents GROUP BY 1),
+         rated AS (SELECT source, avail_tokens,
+                  CASE CAST(substr(source, 4) AS INT) % 4
+                    WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
+                    ELSE 125 END AS rate_permille
+           FROM toks),
+         t AS (SELECT CAST(SUM(rate_permille) AS BIGINT) AS w_total
+               FROM rated)
+         SELECT source, rate_permille, avail_tokens,
+                CAST((CAST(${graft.ops.TextOps.EpochPlanBudget}
+                      AS BIGINT) * rate_permille) // w_total AS BIGINT)
+                  AS target_tokens,
+                CAST(((CAST(${graft.ops.TextOps.EpochPlanBudget}
+                       AS BIGINT) * rate_permille) // w_total * 1000000)
+                     // avail_tokens AS BIGINT) AS epochs_micro
+         FROM rated CROSS JOIN t ORDER BY source""",
+
     "corpus_sample_stratified" ->
       """WITH keyed AS (
            SELECT doc_id, lang, source, n_chars,

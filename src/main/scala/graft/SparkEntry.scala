@@ -196,6 +196,7 @@ object SparkEntry {
     "text_contamination_ngram"  -> (TextOps.textContaminationNgram _),
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
     "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
+    "corpus_epoch_plan"         -> (TextOps.corpusEpochPlan _),
     "corpus_chunk_overlap"      -> (TextOps.corpusChunkOverlap _),
     "text_window_dup_rate"      -> (TextOps.textWindowDupRate _),
     "corpus_ngram_lm"           -> (TextOps.corpusNgramLm _),

@@ -455,6 +455,38 @@ object TextOps {
         length(col("text")).cast(LongType).as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Total token budget the epoch plan allocates across sources. */
+  val EpochPlanBudget = 10000000L
+
+  /** Data-mixture EPOCH PLAN — the table every pretraining run
+    * computes before launching: given per-source mix weights (the
+    * same deterministic permille scheme as [[corpusMixWeighted]]) and
+    * the tokens actually available per source, how many tokens the
+    * budget allocates to each source and how many PASSES over that
+    * source it implies (`epochs_micro`, 1_000_000 = exactly one
+    * epoch; above that the plan repeats data — the over-epoching
+    * warning an engineer reads off this table). All-integer floor
+    * arithmetic; one source-keyed agg plus a broadcast scalar total,
+    * so the plan costs a single shuffle at any corpus size. */
+  def corpusEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), size(col("t")).cast(LongType).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("avail_tokens"))
+      .withColumn("rate_permille", expr(
+        """CAST(CASE CAST(substring(source, 4) AS INT) % 4
+           WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
+           ELSE 125 END AS BIGINT)"""))
+    val totals = toks.agg(sum(col("rate_permille")).as("w_total"))
+    toks.crossJoin(broadcast(totals))
+      .select(col("source"), col("rate_permille"), col("avail_tokens"),
+        expr(s"(CAST($EpochPlanBudget AS BIGINT) * rate_permille)" +
+          " div w_total").as("target_tokens"))
+      .withColumn("epochs_micro",
+        expr("(target_tokens * 1000000) div avail_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Language ID by token-distinctiveness voting, DuckDB-oracled since
     * round 4. Score(tok, lang) = ln(p(tok|lang)/p(tok)); doc gets the
     * argmax language by summed scores. Determinism: per-token scores

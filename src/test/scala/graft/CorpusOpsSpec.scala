@@ -275,4 +275,31 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("dup_permille") == 1000 * dup / n)
     }
   }
+  test("epoch plan: budget allocation and epoch arithmetic from first " +
+      "principles") {
+    val rows = TextOps.corpusEpochPlan(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir).documents.collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+    val avail = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.map(_._2).sum }
+    def rate(src: String) = src.drop(3).toInt % 4 match {
+      case 0 => 1000L; case 1 => 500L; case 2 => 250L; case _ => 125L
+    }
+    val wTotal = avail.keys.toSeq.map(rate).sum
+    assert(rows.map(_.getAs[String]("source")).toSet == avail.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("rate_permille") == rate(src))
+      assert(r.getAs[Long]("avail_tokens") == avail(src))
+      val target = TextOps.EpochPlanBudget * rate(src) / wTotal
+      assert(r.getAs[Long]("target_tokens") == target)
+      assert(r.getAs[Long]("epochs_micro") ==
+        target * 1000000L / avail(src))
+    }
+    // the budget is conserved up to per-source floor loss
+    val allocated = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(allocated <= TextOps.EpochPlanBudget &&
+      allocated > TextOps.EpochPlanBudget - rows.length)
+  }
 }
