@@ -255,14 +255,33 @@ object GraphXAlgos {
     * edges are anti-joined away, top-50 by (count, a, b) total order.
     * Exact integers over a deterministic edge set → DuckDB-oracled
     * with the same capped-pair replay as the triangle oracle. */
+  /** Memoized (member, shared-neighbor, neighbor-degree) frame over
+    * the co-purchase projection with the [[MaxLinkDegree]] hub cap
+    * applied — the identical candidate-generation input of
+    * [[linkPredict]] and [[nodeSimilarity]], built once per
+    * (session, dir) like the pair and triangle caches. */
+  private val cappedNbrCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def cappedNeighborsCached(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = cappedNbrCache.synchronized {
+    cappedNbrCache.getOrElseUpdate((spark, dir), {
+      val e = copurchasePairsCached(spark, dir)
+      val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("n"), col("deg"))
+        .persist()
+      val f = und.select(col("src").as("a"), col("dst").as("n"))
+        .join(deg.filter(col("deg") <= MaxLinkDegree), "n")
+        .select(col("a"), col("n"), col("deg").as("nd"))
+        .persist()
+      (deg, f)
+    })
+  }
+
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
     val e = copurchasePairsCached(spark, dir)
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("n"), col("deg"))
-    val byNeighbor = und.select(col("src").as("a"), col("dst").as("n"))
-      .join(deg.filter(col("deg") <= MaxLinkDegree), "n")
+    val byNeighbor = cappedNeighborsCached(spark, dir)._2
       .select(col("a"), col("n"))
     val cands = byNeighbor
       .join(byNeighbor.select(col("a").as("b"), col("n")), "n")
@@ -291,14 +310,7 @@ object GraphXAlgos {
     * the denominators are the TRUE projection degrees. Top-50 by
     * (jaccard, a, b) total order. */
   def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchasePairsCached(spark, dir)
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("n"), col("deg"))
-    val f = und.select(col("src").as("a"), col("dst").as("n"))
-      .join(deg.filter(col("deg") <= MaxLinkDegree), "n")
-      .select(col("a"), col("n"), col("deg").as("nd"))
+    val (deg, f) = cappedNeighborsCached(spark, dir)
     val cands = f
       .join(f.select(col("a").as("b"), col("n")), "n")
       .filter(col("a") < col("b"))
