@@ -893,8 +893,13 @@ object Oracle {
 
   /** IVF replay (centroid build, nprobe cut, both float shapes) —
     * shared by its own entry and the recall-eval composition below. */
-  private val EmbedAnnIvfSql =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  private val EmbedAnnIvfSql = annIvfSql(3)
+
+  /** The IVF replay with a caller-chosen nprobe — mirrors
+    * [[graft.ops.VectorOps.annIvf]]; shared by the registered
+    * nprobe=3 key and the tuning-sweep oracle. */
+  private def annIvfSql(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
         cells AS (SELECT label, i AS pos, v[i] AS cv
                   FROM e, range(1, 65) r(i)),
@@ -914,7 +919,7 @@ object Oracle {
                                * list_sum(list_transform(range(1, 65),
                                    i -> pv[i] * pv[i]))), 6) AS cs
                  FROM cent, probe)
-               ORDER BY cs DESC, label LIMIT 3)
+               ORDER BY cs DESC, label LIMIT $nprobe)
         SELECT vec_id, label, cos_sim FROM (
           SELECT e.vec_id, e.label,
                  ROUND(list_sum(list_transform(range(1, 65),
@@ -2804,6 +2809,27 @@ object Oracle {
           SELECT count(*) AS k, count(a_id) AS hits,
                  (count(a_id) * 1000) // count(*) AS recall_permille
           FROM exact LEFT JOIN ann ON vec_id = a_id""",
+
+    // the nprobe tuning curve: three IVF replays (nprobe 1..3) each
+    // scored against the exact top-10 — recall monotone in nprobe
+    "embed_ann_tuning" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          a1 AS (SELECT vec_id AS av FROM (${annIvfSql(1)})),
+          a2 AS (SELECT vec_id AS av FROM (${annIvfSql(2)})),
+          a3 AS (SELECT vec_id AS av FROM (${annIvfSql(3)}))
+          SELECT * FROM (
+            SELECT 1 AS nprobe, count(*) AS k, count(av) AS hits,
+                   (count(av) * 1000) // count(*) AS recall_permille
+            FROM exact LEFT JOIN a1 ON vec_id = av
+            UNION ALL
+            SELECT 2, count(*), count(av),
+                   (count(av) * 1000) // count(*)
+            FROM exact LEFT JOIN a2 ON vec_id = av
+            UNION ALL
+            SELECT 3, count(*), count(av),
+                   (count(av) * 1000) // count(*)
+            FROM exact LEFT JOIN a3 ON vec_id = av)
+          ORDER BY nprobe""",
 
     // recall@10 of the PQ-ADC compressed path vs the exact top-10 —
     // same scoring join as embed_recall_eval over the ADC replay

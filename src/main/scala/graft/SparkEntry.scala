@@ -219,6 +219,7 @@ object SparkEntry {
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
     "embed_recall_eval"        -> (VectorOps.embedRecallEval _),
     "embed_recall_pq"          -> (VectorOps.embedRecallPq _),
+    "embed_ann_tuning"         -> (VectorOps.embedAnnTuning _),
     "embed_centroid_shift"     -> (VectorOps.embedCentroidShift _),
     "graph_feature_propagate"  -> (VectorOps.graphFeaturePropagate _),
     "multimodal_join"          -> (VectorOps.multimodalJoin _),

@@ -287,7 +287,13 @@ object VectorOps {
     * centroid build, nprobe choice and both cosine float shapes
     * exactly — changes here must be mirrored there); tests additionally
     * measure recall vs the exact top-k. */
-  def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def embedAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, 3)
+
+  /** The IVF probe with a caller-chosen `nprobe` — shared by the
+    * registered nprobe=3 key and the [[embedAnnTuning]] sweep. */
+  private def annIvf(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     VectorExpressions.register(spark)
     val t = Tables(spark, dir)
     val e = t.embeddings
@@ -299,7 +305,7 @@ object VectorOps {
       .select(col("c_label"),
         round(cosine(col("centroid"), col("probe_vec")), 6).as("c_sim"))
       .orderBy(col("c_sim").desc, col("c_label"))
-      .limit(3)
+      .limit(nprobe)
       .select(col("c_label").as("bucket"))
     withNorm(t).join(broadcast(nearestBuckets), col("label") === col("bucket"))
       .crossJoin(probe)
@@ -308,6 +314,23 @@ object VectorOps {
           / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** The nprobe TUNING CURVE — recall@10 vs probes for the IVF index,
+    * the table an engineer reads before pinning the latency/recall
+    * trade-off (each extra probe scans one more bucket; recall is
+    * monotone non-decreasing in nprobe). Three replays of the shared
+    * probe path scored against the exact top-10; all-integer permille,
+    * every row oracled. */
+  def embedAnnTuning(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    (1 to 3).map { np =>
+      val ann = annIvf(spark, dir, np).select(col("vec_id").as("av"))
+      exact.join(ann, col("vec_id") === col("av"), "left")
+        .agg(count(lit(1)).as("k"), count(col("av")).as("hits"))
+        .select(lit(np).as("nprobe"), col("k"), col("hits"),
+          expr("(hits * 1000) div k").as("recall_permille"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
   }
 
   /** Deterministic argmax-cosine assignment of each vector to its

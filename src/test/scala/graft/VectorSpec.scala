@@ -347,4 +347,20 @@ class VectorSpec extends SparkSpec {
         s"label $label: got ${r.getAs[Double]("centroid_shift")}, ref $shift")
     }
   }
+  test("ann tuning: recall monotone in nprobe, nprobe=3 row equals " +
+      "the registered recall eval") {
+    val rows = VectorOps.embedAnnTuning(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 3))
+    val recalls = rows.map(_.getAs[Long]("recall_permille"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == 10L)
+      assert(r.getAs[Long]("recall_permille") ==
+        r.getAs[Long]("hits") * 1000 / 10)
+    }
+    val eval = VectorOps.embedRecallEval(spark, sfDir).collect().head
+    assert(rows.last.getAs[Long]("hits") == eval.getAs[Long]("hits"))
+  }
 }
