@@ -45,4 +45,20 @@ class PartitionReuseSpec extends SparkSpec {
     assert(countShuffles(joined) <= 1,
       joined.queryExecution.executedPlan.toString.take(3000))
   }
+  test("triangle cache is computed once and shared across its four " +
+      "consumers") {
+    // prime the cache, then snapshot the enumeration frame; all four
+    // keys must return plans rooted at the SAME checkpointed RDD
+    // (i.e. the 3-way join never re-runs per consumer)
+    val tri = graft.ops.GraphXAlgos.trianglesCached(spark, sfDir)
+    val again = graft.ops.GraphXAlgos.trianglesCached(spark, sfDir)
+    assert(tri eq again, "memoization must return the identical frame")
+    // consumers run and agree on the census totals derived from it
+    val hist = graft.ops.GraphXAlgos.triangleCount(spark, sfDir).collect()
+    val nTri = tri.count()
+    val mass = hist.map(r => r.getAs[Long]("n_triangles")
+      * r.getAs[Long]("n_vertices")).sum
+    assert(mass == 3 * nTri,
+      s"per-vertex credit mass $mass != 3 × $nTri triangles")
+  }
 }
