@@ -977,7 +977,7 @@ object Oracle {
                                   THEN 'major' ELSE 'minor' END AS tier
                       FROM documents)
          SELECT d.lang, m.tier, count(*) AS n_docs,
-                SUM(n_chars) AS sum_chars
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents d JOIN dim m USING (lang)
          WHERE m.tier = 'major'
          GROUP BY 1, 2 ORDER BY d.lang""",
@@ -2679,9 +2679,10 @@ object Oracle {
          SELECT doc_id,
                 CAST(sum(c) AS BIGINT) AS n_grams,
                 count(*) AS n_distinct,
-                ROUND(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4)
-                  AS dup_frac,
-                ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac
+                ROUND(CAST(sum(c) - count(*) AS DOUBLE)
+                      / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
+                ROUND(CAST(max(c) AS DOUBLE)
+                      / CAST(sum(c) AS DOUBLE), 4) AS top_frac
          FROM c GROUP BY doc_id ORDER BY doc_id""",
 
     // tri0 = the same distinct token-trigram shingles the Spark side
@@ -3497,12 +3498,13 @@ object Oracle {
     // replays MultimodalOps.multimodalSizeStats: UTF-8 octet length
     // replays the Spark text→binary cast; frames = ceil(len/32)
     "multimodal_size_stats" ->
-      """SELECT string_split(source, '_')[1] AS kind,
+      s"""SELECT string_split(source, '_')[1] AS kind,
                 count(*) AS n_media,
-                SUM(octet_length(encode(text))) AS total_bytes,
+                CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 MIN(octet_length(encode(text))) AS min_bytes,
                 MAX(octet_length(encode(text))) AS max_bytes,
-                SUM((octet_length(encode(text)) + 31) // 32)
+                CAST(SUM((octet_length(encode(text)) + ${ops.MultimodalOps.FrameBytes - 1})
+                         // ${ops.MultimodalOps.FrameBytes}) AS BIGINT)
                   AS total_frames
          FROM documents GROUP BY 1 ORDER BY kind""",
 

@@ -62,6 +62,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the plain cast preserves wall-clock ONLY under a UTC session
+        // zone; every builder in this repo sets it, but a session built
+        // elsewhere would silently shift every event — force it here,
+        // at the cast, like the nanosAsLong fallback in Tables.events
+        if (raw.sparkSession.conf.get("spark.sql.session.timeZone") != "UTC")
+          raw.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

@@ -113,7 +113,15 @@ object GraphXAlgos {
     (SparkSession, String), DataFrame]()
   def trianglesCached(spark: SparkSession, dir: String): DataFrame =
     triangleCache.synchronized {
-      triangleCache.getOrElseUpdate((spark, dir), {
+      triangleCache.getOrElseUpdate((spark, dir),
+        trianglesPlan(spark, dir).localCheckpoint(true))
+    }
+
+  /** The un-checkpointed triangle plan — separate from the memoized
+    * entry point so PlanSpec can assert hint-freedom on the live plan
+    * (the cached frame is a truncated LogicalRDD). */
+  private[graft] def trianglesPlan(spark: SparkSession, dir: String)
+      : DataFrame = {
         // DEGREE-ORDERED enumeration: orient every undirected edge
         // from its (degree, id)-smaller endpoint to the larger one and
         // enumerate wedges at each vertex's OUT-neighbors only. The
@@ -128,10 +136,13 @@ object GraphXAlgos {
         val deg = pairs.select(col("src").as("id"))
           .unionByName(pairs.select(col("dst").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        // no broadcast hint on deg: it's an O(V) per-vertex table, over
+        // the auto-broadcast threshold at 100 TB — let AQE choose (it
+        // still picks broadcast at bench scale, where deg is tiny)
         val oriented = pairs
-          .join(broadcast(deg).select(col("id").as("src"),
+          .join(deg.select(col("id").as("src"),
             col("d").as("ds")), "src")
-          .join(broadcast(deg).select(col("id").as("dst"),
+          .join(deg.select(col("id").as("dst"),
             col("d").as("dd")), "dst")
           .select(
             when(col("ds") < col("dd") ||
@@ -156,9 +167,7 @@ object GraphXAlgos {
               - least(col("v"), col("u"), col("w"))
               - greatest(col("v"), col("u"), col("w"))).as("y"),
             greatest(col("v"), col("u"), col("w")).as("z"))
-          .localCheckpoint(true)
-      })
-    }
+  }
 
   /** The weighted bipartite projection as a first-class registered
     * key — the order↔part two-mode graph collapsed onto parts, edge

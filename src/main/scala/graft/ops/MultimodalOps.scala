@@ -46,7 +46,8 @@ object MultimodalOps {
       360 + math.floorMod(h / 7, 5L).toInt * 16)
   }
 
-  private val FrameBytes = 32
+  /** Shared with Oracle so the SQL replay can't silently drift. */
+  private[graft] val FrameBytes = 32
   private val SampleEvery = 4
 
   /** Decode + frame-sample pipeline over fake media built from the

@@ -121,6 +121,12 @@ object Streaming {
     * FileStreamSource requires its inferred basePath to be a
     * directory. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // same runtime fallback as Tables.events: a TIMESTAMP(NANOS) file
+    // fails schema inference without this in sessions whose builder
+    // didn't set it
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val footer = spark.read.parquet(s"$dir/events.parquet").schema
     Tables.normalizeTs(
       spark.readStream.schema(footer).parquet(s"$dir/events*.parquet"))

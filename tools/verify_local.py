@@ -59,9 +59,13 @@ def main():
             continue
         res_dir = Path(out_dir) / name
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
-            want = con.execute(sql).fetchdf()
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            want_rel = con.sql(sql)
+            got_types = dict(zip(got_rel.columns, map(str, got_rel.types)))
+            want_types = dict(zip(want_rel.columns, map(str, want_rel.types)))
+            got = got_rel.fetchdf()
+            want = want_rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
@@ -69,6 +73,29 @@ def main():
         gc, wc = sorted(got.columns), sorted(want.columns)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} vs oracle {wc}")
+            n_fail += 1
+            continue
+        # Type-sensitive: the driver hashes typed values, so HUGEINT vs
+        # BIGINT (DuckDB integer SUM) hash-mismatches even when pandas
+        # values compare equal. Catch it here, before the driver does.
+        # Types are compared up to the driver's effective normalization
+        # (pandas dtype classes): all machine ints collapse to int64 and
+        # DATE/TIMESTAMP to datetime64 — empirically hash-green in r7 —
+        # while HUGEINT becomes object and hash-breaks, so it stays its
+        # own class.
+        def tclass(t):
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            if t in ("DATE", "TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"):
+                return "datetime"
+            return t
+        tbad = [(c, got_types[c], want_types[c]) for c in gc
+                if tclass(got_types[c]) != tclass(want_types[c])]
+        if tbad:
+            print(f"FAIL {name}: type mismatch (spark-parquet vs oracle): "
+                  + ", ".join(f"{c}: {g} vs {w}" for c, g, w in tbad))
             n_fail += 1
             continue
         if len(got) != len(want):
