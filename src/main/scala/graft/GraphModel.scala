@@ -155,6 +155,69 @@ object GraphModel {
         col("o_orderkey").cast("string").as("name")))
   }
 
+  /** Property-carrying edge table: (src, dst, rel, qty, amt_c, status)
+    * — same row set (and multi-edge discipline) as [[edges]], plus the
+    * natural edge attributes of each relationship, null where a rel has
+    * none:
+    *  - BY   (order→customer): amt_c = o_totalprice in integer CENTS,
+    *         status = o_orderstatus
+    *  - HAS  (order→part):     qty = l_quantity, amt_c = l_extendedprice
+    *         cents, status = l_returnflag
+    *  - FROM (order→supplier): same lineitem attrs as HAS
+    *  - IN   (containment):    all props null
+    * Money is integer cents (the corpus generator writes 2dp doubles)
+    * so motif predicates and RETURN aggregates over edge props stay
+    * exact under the driver's hash compare — the same micro/centi-unit
+    * discipline as [[graft.ops.Det]]. The frame is a union of projected
+    * scans (no build-time shuffle); prop filters push into the parquet
+    * scan of the one contributing table. */
+  def edgesProps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nullQty = lit(null).cast("bigint").as("qty")
+    val nullAmt = lit(null).cast("bigint").as("amt_c")
+    val nullSt  = lit(null).cast("string").as("status")
+    def cents(c: String) = expr(s"CAST(ROUND($c * 100) AS BIGINT)")
+    t.nation.select((lit(NationOff) + col("n_nationkey")).as("src"),
+        (lit(RegionOff) + col("n_regionkey")).as("dst"), lit("IN").as("rel"),
+        nullQty, nullAmt, nullSt)
+      .unionByName(t.customer.select(
+        (lit(CustomerOff) + col("c_custkey")).as("src"),
+        (lit(NationOff) + col("c_nationkey")).as("dst"), lit("IN").as("rel"),
+        nullQty, nullAmt, nullSt))
+      .unionByName(t.supplier.select(
+        (lit(SupplierOff) + col("s_suppkey")).as("src"),
+        (lit(NationOff) + col("s_nationkey")).as("dst"), lit("IN").as("rel"),
+        nullQty, nullAmt, nullSt))
+      .unionByName(t.orders.select(
+        (lit(OrderOff) + col("o_orderkey")).as("src"),
+        (lit(CustomerOff) + col("o_custkey")).as("dst"), lit("BY").as("rel"),
+        nullQty, cents("o_totalprice").as("amt_c"),
+        col("o_orderstatus").as("status")))
+      .unionByName(t.lineitem.select(
+        (lit(OrderOff) + col("l_orderkey")).as("src"),
+        (lit(PartOff) + col("l_partkey")).as("dst"), lit("HAS").as("rel"),
+        col("l_quantity").cast("bigint").as("qty"),
+        cents("l_extendedprice").as("amt_c"),
+        col("l_returnflag").as("status")))
+      .unionByName(t.lineitem.select(
+        (lit(OrderOff) + col("l_orderkey")).as("src"),
+        (lit(SupplierOff) + col("l_suppkey")).as("dst"),
+        lit("FROM").as("rel"),
+        col("l_quantity").cast("bigint").as("qty"),
+        cents("l_extendedprice").as("amt_c"),
+        col("l_returnflag").as("status")))
+  }
+
+  private val edgePropsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized [[edgesProps]] (NOT persisted: each motif term re-filters
+    * it by rel, and Catalyst prunes the union to the one contributing
+    * scan per term — persisting would pin all six projections and
+    * defeat that pruning). */
+  def edgesPropsCached(spark: SparkSession, dir: String): DataFrame =
+    edgePropsCache.getOrElseUpdate((spark, dir), edgesProps(spark, dir))
+
   /** All edges: (src, dst, rel). Multi-edges preserved. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

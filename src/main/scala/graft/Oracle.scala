@@ -1874,6 +1874,25 @@ object Oracle {
          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
          ORDER BY c, n, o NULLS FIRST""",
 
+    // edge-binding exhibits: the [r:HAS] term carries lineitem's edge
+    // props (qty, cents, returnflag) — the compiled plan collapses to
+    // these relational queries. Money is integer cents; lineitem legs
+    // have no unique key, hence ORDER BY ALL.
+    "motif_edge_filter" ->
+      s"""SELECT ${GraphModel.CustomerOff} + o_custkey AS c,
+                 ${GraphModel.OrderOff} + l_orderkey AS o,
+                 ${GraphModel.PartOff} + l_partkey AS p,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS r_amt_c,
+                 CAST(l_quantity AS BIGINT) AS r_qty,
+                 l_returnflag AS r_status
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE CAST(l_quantity AS BIGINT) >= 45
+          ORDER BY ALL""",
+
+    "motif_edge_return" ->
+      """SELECT l_returnflag AS r_status, count(*) AS count_o
+         FROM lineitem GROUP BY 1 ORDER BY r_status""",
+
     "graph_delete_edges" ->
       s"""WITH $EdgesCte,
           ded AS (SELECT DISTINCT src, dst, rel FROM edges),

@@ -134,6 +134,8 @@ object SparkEntry {
     "motif_negation"          -> (MotifDsl.motifNegation _),
     "motif_optional"          -> (MotifDsl.motifOptional _),
     "motif_return_property"   -> (MotifDsl.motifReturnProperty _),
+    "motif_edge_filter"       -> (MotifDsl.motifEdgeFilter _),
+    "motif_edge_return"       -> (MotifDsl.motifEdgeReturn _),
     "graph_delete_edges"      -> (GraphOps.graphDeleteEdges _),
     // §2.9 iterative analytics (GraphX; CC / SP / weighted-SP are
     // oracle-checked via recursive CTEs, the rank/triangle/LPA float

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.GraphModel
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tiny motif query front-end: compile a GraphFrames-style pattern
@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Grammar (one edge term per `;`):
   * {{{
   *   pattern := term (';' term)*
-  *   term    := ('?' | '!')? '(' name ')' '-[' (':' relType)? ']->' '(' name ')'
+  *   term    := ('?' | '!')? '(' name ')' '-[' binding? (':' relType)? ']->' '(' name ')'
   * }}}
   * e.g. `(o)-[:BY]->(c);(c)-[:IN]->(n)` — orders to their customer's
   * nation. Node names repeated across terms bind the terms together
@@ -41,10 +41,11 @@ object MotifDsl {
 
   final case class EdgeTerm(src: String, rel: Option[String], dst: String,
     minHops: Int = 1, maxHops: Int = 1,
-    optional: Boolean = false, negated: Boolean = false)
+    optional: Boolean = false, negated: Boolean = false,
+    binding: Option[String] = None)
 
   private val Term =
-    """([?!])?\((\w+)\)-\[(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]->\((\w+)\)""".r
+    """([?!])?\((\w+)\)-\[(\w+)?(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]->\((\w+)\)""".r
 
   /** Max expansion of a `*min..max` var-length term — keeps a typo'd
     * pattern from compiling an enormous union of join chains. */
@@ -52,14 +53,25 @@ object MotifDsl {
 
   def parse(pattern: String): Seq[EdgeTerm] =
     pattern.split(";").toIndexedSeq.map(_.trim).map {
-      case Term(pre, s, r, lo, hi, d) =>
+      case Term(pre, s, b, r, lo, hi, d) =>
         require(s != d, s"self-loop terms unsupported: ($s)->($d)")
         val (mn, mx) =
           if (lo == null) (1, 1) else (lo.toInt, hi.toInt)
         require(mn >= 1 && mx >= mn && mx <= MaxVarHops,
           s"bad hop range *$lo..$hi (need 1 <= min <= max <= $MaxVarHops)")
+        if (b != null) {
+          // an edge binding names one concrete edge: a var-length term
+          // traverses many, a negated term matches none — neither can
+          // bind its properties
+          require(mx == 1,
+            s"edge binding '$b' on a var-length term cannot bind")
+          require(pre != "!",
+            s"edge binding '$b' on a negated term cannot bind " +
+              "(the matched rows are exactly those with NO such edge)")
+        }
         EdgeTerm(s, Option(r), d, mn, mx,
-          optional = pre == "?", negated = pre == "!")
+          optional = pre == "?", negated = pre == "!",
+          binding = Option(b))
       case t =>
         throw new IllegalArgumentException(s"bad motif term: '$t'")
     }
@@ -69,11 +81,23 @@ object MotifDsl {
     * the UNION of min..max chained joins with DISTINCT — reachability
     * semantics, where each hop is an equi-join the optimizer places
     * like any other (bucketed edge table ⇒ co-located at scale). */
+  /** Edge properties bindable through `[r:REL]` terms — the columns of
+    * [[GraphModel.edgesProps]] beyond (src, dst, rel). */
+  val EdgeProps = Seq("qty", "amt_c", "status")
+
   private def termPairs(edges: DataFrame, t: EdgeTerm): DataFrame = {
     val base = t.rel.fold(edges)(r => edges.filter(col("rel") === r))
-    if (t.minHops == 1 && t.maxHops == 1)
-      base.select(col("src").as(t.src), col("dst").as(t.dst))
-    else {
+    if (t.minHops == 1 && t.maxHops == 1) t.binding match {
+      case Some(b) =>
+        require(EdgeProps.forall(base.columns.contains),
+          s"edge binding '$b' needs a property-carrying edge table " +
+            s"(${EdgeProps.mkString(", ")}) — compile against " +
+            "GraphModel.edgesProps")
+        base.select(col("src").as(t.src) +: col("dst").as(t.dst) +:
+          EdgeProps.map(p => col(p).as(s"${b}_$p")): _*)
+      case None =>
+        base.select(col("src").as(t.src), col("dst").as(t.dst))
+    } else {
       val hops = (t.minHops to t.maxHops).map { len =>
         var acc = base.select(col("src").as("_a"), col("dst").as("_b"))
         for (_ <- 2 to len) {
@@ -89,20 +113,33 @@ object MotifDsl {
     }
   }
 
-  /** Compile `pattern` against an edge table with (src, dst, rel). */
+  /** Compile `pattern` against an edge table with (src, dst, rel) —
+    * plus the [[EdgeProps]] columns when the pattern carries `[r:REL]`
+    * edge bindings. Output: one BIGINT column per node name
+    * (alphabetical), then one `<binding>_<prop>` column per bound edge
+    * property (alphabetical). */
   def compile(edges: DataFrame, pattern: String): DataFrame = {
     val terms = parse(pattern)
     require(terms.nonEmpty, "empty pattern")
+    val nodeNames = terms.flatMap(t => Seq(t.src, t.dst)).toSet
+    terms.flatMap(_.binding).groupBy(identity).foreach { case (b, bs) =>
+      require(bs.size == 1, s"edge binding '$b' bound more than once")
+      require(!nodeNames.contains(b),
+        s"edge binding '$b' collides with a node name")
+    }
     var bound = Vector.empty[String]
+    var boundProps = Vector.empty[String]
     var result: DataFrame = null
     terms.foreach { t =>
       val proj = termPairs(edges, t)
+      val props = t.binding.toSeq.flatMap(b => EdgeProps.map(p => s"${b}_$p"))
       if (result == null) {
         require(!t.optional && !t.negated,
           "first term must be a plain match (nothing precedes it to " +
             "be optional or negated against)")
         result = proj
         bound = (bound ++ Seq(t.src, t.dst)).distinct
+        boundProps ++= props
       } else {
         val keys = Seq(t.src, t.dst).filter(bound.contains)
         require(keys.nonEmpty,
@@ -116,15 +153,22 @@ object MotifDsl {
           result = result.join(proj, keys,
             if (t.optional) "left_outer" else "inner")
           bound = (bound ++ Seq(t.src, t.dst)).distinct
+          boundProps ++= props
         }
       }
     }
-    result.select(bound.sorted.map(col): _*)
+    result.select((bound.sorted ++ boundProps.sorted).map(col): _*)
   }
 
   // literal grammar: single-quoted, SQL-style '' escape for an
   // embedded apostrophe ('O''Brien')
   private val Cond = """(\w+)\.(\w+)\s*=\s*'((?:[^']|'')*)'""".r
+
+  // edge-binding predicate: any comparison operator, string OR integer
+  // literal (edge props are BIGINT or STRING — money is integer cents,
+  // so a numeric threshold needs no decimal grammar)
+  private val CondEdge =
+    """(\w+)\.(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*('(?:[^']|'')*'|-?\d+)""".r
 
   /** Appended to the WHERE/AND split regexes: the keyword only splits
     * when an EVEN number of single quotes follows it — i.e. it sits
@@ -156,11 +200,36 @@ object MotifDsl {
     // strip the RETURN clause first (also quote-aware), then WHERE
     val retSplit = query.split("(?i)\\s+RETURN\\s+" + outsideQuotes, 2)
     val parts = retSplit(0).split("(?i)\\s+WHERE\\s+" + outsideQuotes, 2)
-    val df = compile(GraphModel.edgesCached(spark, dir), parts(0).trim)
+    // edge bindings need the property-carrying frame; patterns without
+    // them keep joining the persisted (src, dst, rel)-only cache
+    val pattern = parts(0).trim
+    val frame =
+      if (parse(pattern).exists(_.binding.isDefined))
+        GraphModel.edgesPropsCached(spark, dir)
+      else GraphModel.edgesCached(spark, dir)
+    val df = compile(frame, pattern)
     val filtered =
       if (parts.length == 1) df
       else parts(1).split("(?i)\\s+AND\\s+" + outsideQuotes)
         .map(_.trim).foldLeft(df) {
+        // an edge-binding predicate filters the bound `<r>_<prop>`
+        // column directly — Catalyst pushes it through the hop joins
+        // into the one parquet scan that feeds the bound term
+        case (acc, CondEdge(node, prop, op, rhs))
+            if df.columns.contains(s"${node}_$prop") =>
+          val c = col(s"${node}_$prop")
+          val v: Column =
+            if (rhs.startsWith("'"))
+              lit(rhs.substring(1, rhs.length - 1).replace("''", "'"))
+            else lit(rhs.toLong)
+          acc.filter(op match {
+            case "="          => c === v
+            case "!=" | "<>"  => c =!= v
+            case "<"          => c < v
+            case "<="         => c <= v
+            case ">"          => c > v
+            case ">="         => c >= v
+          })
         case (acc, Cond(node, prop, value)) =>
           require(df.columns.contains(node),
             s"WHERE references unbound node '$node'")
@@ -171,9 +240,15 @@ object MotifDsl {
             .select(col("id").as(s"__${node}_id"))
           acc.join(broadcast(ids), col(node) === col(s"__${node}_id"),
               "left_semi")
+        case (_, CondEdge(node, prop, _, _)) =>
+          throw new IllegalArgumentException(
+            s"WHERE references unbound edge property '$node.$prop' " +
+              s"(bind the edge as [$node:REL] and use one of: " +
+              s"${EdgeProps.mkString(", ")})")
         case (_, c) =>
           throw new IllegalArgumentException(
-            s"bad WHERE condition: '$c' (need node.prop = 'literal')")
+            s"bad WHERE condition: '$c' (need node.prop = 'literal' " +
+              "or edge.prop <op> literal)")
       }
     if (retSplit.length == 1) filtered
     else applyReturn(spark, dir, filtered, retSplit(1))
@@ -214,6 +289,9 @@ object MotifDsl {
         s"RETURN references unbound node '$n'")
       case Cnt(n) => require(df0.columns.contains(n),
         s"RETURN references unbound node '$n'")
+      case Prop(n, p) if df0.columns.contains(s"${n}_$p") =>
+        // an edge binding's property — already carried by the compiled
+        // frame, no resolution join needed
       case Prop(n, p) =>
         require(df0.columns.contains(n),
           s"RETURN references unbound node '$n'")
@@ -222,8 +300,11 @@ object MotifDsl {
     }
     // resolve each distinct node.prop through ONE broadcast join
     // against the vertex-property bag — the property-fetch step of a
-    // graph query's RETURN, never a full property scan per row
-    val props = parsed.collect { case Prop(n, p) => (n, p) }.distinct
+    // graph query's RETURN, never a full property scan per row (edge
+    // props skip this: their column is already in the frame)
+    val props = parsed.collect {
+      case Prop(n, p) if !df0.columns.contains(s"${n}_$p") => (n, p)
+    }.distinct
     val df = props.foldLeft(df0) { case (acc, (n, p)) =>
       val bag = GraphModel.vertices(spark, dir)
         .select(col("id").as(s"__${n}_pid"), col(p).as(s"${n}_$p"))
@@ -288,6 +369,28 @@ object MotifDsl {
       .filter(col("c").between(GraphModel.CustomerOff,
         GraphModel.SupplierOff - 1))
       .orderBy(col("c"), col("n"), col("o"))
+
+  /** Registered DSL exhibit 9 — EDGE-PROPERTY predicate: high-quantity
+    * line legs (order—HAS→part) with the ordering customer, filtered on
+    * the BOUND edge's `qty` — the `[r:REL]` binding + `WHERE r.prop
+    * <op> literal` extension. The predicate filters the bound
+    * `r_qty` column, which Catalyst pushes through the hop joins into
+    * the lineitem scan (at 100 TB: a selective pushed filter on the fact
+    * table, not a post-join filter). */
+  def motifEdgeFilter(spark: SparkSession, dir: String): DataFrame =
+    compileQuery(spark, dir,
+      "(o)-[r:HAS]->(p);(o)-[:BY]->(c) WHERE r.qty >= 45")
+      // lineitem legs are multi-edges with no unique key: total order
+      // over ALL output columns (the repo's lineitem discipline)
+      .orderBy(col("c"), col("o"), col("p"), col("r_amt_c"),
+        col("r_qty"), col("r_status"))
+
+  /** Registered DSL exhibit 10 — RETURN of an edge property: line-leg
+    * counts grouped by the bound edge's `status` (returnflag). The
+    * edge prop is already a column of the compiled frame — RETURN
+    * resolves it with no extra join, unlike vertex props. */
+  def motifEdgeReturn(spark: SparkSession, dir: String): DataFrame =
+    compileQuery(spark, dir, "(o)-[r:HAS]->(p) RETURN r.status, count(o)")
 
   /** Registered DSL exhibit 1 — a 2-hop chain: every order, its
     * customer, and the customer's nation. */

@@ -204,6 +204,75 @@ class MotifDslSpec extends SparkSpec {
     }
   }
 
+  test("edge bindings parse, carry props, and guard their term shapes") {
+    import spark.implicits._
+    // binding name captured; unbound forms still parse as before
+    assert(MotifDsl.parse("(a)-[r:X]->(b)") ==
+      Seq(EdgeTerm("a", Some("X"), "b", binding = Some("r"))))
+    assert(MotifDsl.parse("(a)-[r]->(b)") ==
+      Seq(EdgeTerm("a", None, "b", binding = Some("r"))))
+    // a binding cannot name a var-length or negated term, and one
+    // binding cannot be bound twice or shadow a node
+    intercept[IllegalArgumentException] {
+      MotifDsl.parse("(a)-[r:X*1..2]->(b)")
+    }
+    intercept[IllegalArgumentException] {
+      MotifDsl.parse("(a)-[:X]->(b);!(a)-[r:Y]->(c)")
+    }
+    val edges = Seq((1L, 2L, "X", 5L, 100L, "A"),
+      (2L, 3L, "Y", 7L, 250L, "B")).toDF(
+      "src", "dst", "rel", "qty", "amt_c", "status")
+    intercept[IllegalArgumentException] {
+      MotifDsl.compile(edges, "(a)-[r:X]->(b);(b)-[r:Y]->(c)")
+    }
+    intercept[IllegalArgumentException] {
+      MotifDsl.compile(edges, "(a)-[b:X]->(b)")
+    }
+    // binding against a prop-less frame is an error, not null columns
+    intercept[IllegalArgumentException] {
+      MotifDsl.compile(
+        Seq((1L, 2L, "X")).toDF("src", "dst", "rel"), "(a)-[r:X]->(b)")
+    }
+    // props surface as <binding>_<prop>, after the node columns
+    val out = MotifDsl.compile(edges, "(a)-[r:X]->(b);(b)-[:Y]->(c)")
+    assert(out.columns.toSeq ==
+      Seq("a", "b", "c", "r_amt_c", "r_qty", "r_status"))
+    val row = out.collect().head
+    assert(row.getAs[Long]("r_qty") == 5L &&
+      row.getAs[Long]("r_amt_c") == 100L &&
+      row.getAs[String]("r_status") == "A")
+  }
+
+  test("edge predicates filter and RETURN r.prop resolves in-frame") {
+    import spark.implicits._
+    // corpus-level: WHERE r.qty >= 45 keeps exactly the high-qty legs
+    val rows = MotifDsl.motifEdgeFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("r_qty") >= 45L))
+    // predicate equals pattern-then-filter semantics
+    val unfiltered = MotifDsl.compileQuery(spark, sfDir,
+      "(o)-[r:HAS]->(p);(o)-[:BY]->(c)")
+    assert(rows.length ==
+      unfiltered.filter(org.apache.spark.sql.functions
+        .col("r_qty") >= 45).count())
+    // RETURN of an edge prop groups without a vertex-bag join
+    val byStatus = MotifDsl.motifEdgeReturn(spark, sfDir).collect()
+    assert(byStatus.map(_.getAs[String]("r_status")).toSeq.sorted ==
+      byStatus.map(_.getAs[String]("r_status")).toSeq)
+    assert(byStatus.map(_.getAs[Long]("count_o")).sum ==
+      Tables(spark, sfDir).lineitem.count())
+    // an unbound edge prop in WHERE throws (parse-error discipline)
+    intercept[IllegalArgumentException] {
+      MotifDsl.compileQuery(spark, sfDir,
+        "(o)-[:HAS]->(p) WHERE r.qty >= 45")
+    }
+    // string predicate on a bound edge prop works through the same path
+    val flagged = MotifDsl.compileQuery(spark, sfDir,
+      "(o)-[r:HAS]->(p) WHERE r.status = 'A'")
+    assert(flagged.filter(org.apache.spark.sql.functions
+      .col("r_status") =!= "A").count() == 0)
+  }
+
   test("RETURN tolerates count case/spacing and rejects unknown items") {
     // COUNT( o ) parses as the aggregate, not a silently-dropped item
     val agg = MotifDsl.compileQuery(spark, sfDir,
