@@ -759,6 +759,52 @@ object Oracle {
                   AS BIGINT) AS q_micro
          FROM nd"""
 
+  /** Replays [[graft.ops.GraphOps.communityMergeOn]] over the shared
+    * LPA labels: pair deltas ΔQ = (4·m·e_ab − 2·d_a·d_b)/(4m²) in exact
+    * micro-units (same remainder-subtraction floor division as
+    * modularity), per-community best partner by (delta DESC, partner
+    * ASC), mutual-best + positive-delta acceptance. */
+  private def communityMergeSql(iters: Int): String =
+    lpaCtes(iters) +
+      s""",
+         deg AS (SELECT id, count(*) AS d FROM
+                   (SELECT src AS id FROM ded
+                    UNION ALL SELECT dst FROM ded)
+                 GROUP BY id),
+         dc AS (SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
+                FROM deg g JOIN l$iters l ON l.id = g.id GROUP BY 1),
+         mr AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ded),
+         prs AS (SELECT least(a.label, b.label) AS la,
+                        greatest(a.label, b.label) AS lb,
+                        count(*) AS e_ab
+                 FROM ded JOIN l$iters a ON a.id = ded.src
+                 JOIN l$iters b ON b.id = ded.dst
+                 WHERE a.label <> b.label GROUP BY 1, 2),
+         scored AS (SELECT la, lb, e_ab,
+                      CAST(CASE WHEN den = 0 THEN NULL
+                        ELSE (num - ((num % den + den) % den)) // den END
+                        AS BIGINT) AS delta_micro
+                    FROM (SELECT la, lb, e_ab,
+                            1000000 * (4 * m * CAST(e_ab AS HUGEINT)
+                              - 2 * x.dcv * y.dcv) AS num,
+                            4 * m * m AS den
+                          FROM prs JOIN dc x ON x.label = prs.la
+                          JOIN dc y ON y.label = prs.lb
+                          CROSS JOIN mr)),
+         cand AS (SELECT la AS label, lb AS partner, e_ab, delta_micro
+                  FROM scored
+                  UNION ALL
+                  SELECT lb, la, e_ab, delta_micro FROM scored),
+         best AS (SELECT label, partner, e_ab, delta_micro FROM (
+                    SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY delta_micro DESC, partner) AS rk
+                    FROM cand) WHERE rk = 1)
+         SELECT b.label, b.partner, b.e_ab, b.delta_micro,
+                COALESCE(p.partner = b.label
+                         AND b.delta_micro > 0, false) AS accepted
+         FROM best b LEFT JOIN best p ON p.label = b.partner
+         ORDER BY b.label"""
+
   /** Unrolled earliest-arrival DP replaying
     * [[graft.ops.GraphOps.graphTemporalReach]]: capped part-mediated
     * influence edges, then per round min-arrival relaxation under the
@@ -1925,6 +1971,7 @@ object Oracle {
 
     "graph_community_stats" -> communityStatsSql(3),
     "graph_modularity" -> modularitySql(3),
+    "graph_community_merge" -> communityMergeSql(3),
 
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree
     // pairs make Pearson's r a pure rational — exact micro-units via

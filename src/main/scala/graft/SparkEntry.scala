@@ -160,6 +160,7 @@ object SparkEntry {
     "graph_lpa_exact"            -> (GraphOps.lpaExact _),
     "graph_community_stats"      -> (GraphOps.graphCommunityStats _),
     "graph_modularity"           -> (GraphOps.graphModularity _),
+    "graph_community_merge"      -> (GraphOps.graphCommunityMerge _),
     "graph_assortativity"        -> (GraphOps.graphAssortativity _),
     "graph_temporal_reach"       -> (GraphOps.graphTemporalReach _),
     "graph_hits_exact"           -> (GraphOps.hitsExact _),

@@ -563,6 +563,83 @@ object GraphOps {
     out
   }
 
+  /** One GREEDY MODULARITY MERGE round (the Louvain phase-2 move, made
+    * deterministic and exact-integer) over a given community labeling:
+    * every adjacent community pair (a, b) is scored by the modularity
+    * delta of merging them,
+    *
+    *   ΔQ(a,b) = (4·m·e_ab − 2·d_a·d_b) / (4·m²)
+    *
+    * (e_ab = inter-community edge count, d_c = community degree sum —
+    * the same integer ingredients as [[graphModularity]]; micro-scaled
+    * via the same exact remainder-subtraction floor division, so ΔQ < 0
+    * needs no special case). Each community nominates its best partner
+    * (max delta, ties to the smallest partner label); a merge is
+    * ACCEPTED only when the choice is MUTUAL and the delta positive —
+    * the standard deterministic parallel variant of Louvain's
+    * sequential greedy sweep (sequential greedy is inherently
+    * order-dependent; mutual best-match is order-free, which is what
+    * makes the round reproducible on any cluster AND oracle-checkable).
+    *
+    * Cost: one labeled-edge pass + a per-pair agg over community
+    * adjacency (bounded by inter-community edges, ≪ m), a per-community
+    * window top-1, and a self-join of the O(#communities) best list —
+    * every frame after the first agg is community-sized, so the round
+    * scales with the SUMMARY graph, not the input graph. */
+  def communityMergeOn(ded: DataFrame, lab: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val deg = undDegreesOf(ded)
+    val dc = deg.join(lab, "id")
+      .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
+    val le = ded
+      .join(lab.select(col("id").as("src"), col("label").as("sl")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("dl")), "dst")
+      .filter(col("sl") =!= col("dl"))
+      .select(least(col("sl"), col("dl")).as("la"),
+        greatest(col("sl"), col("dl")).as("lb"))
+    val pairs = le.groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).as("e_ab"))
+    val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
+    val scored = pairs
+      .join(dc.select(col("label").as("la"), col("dcv").as("da")), "la")
+      .join(dc.select(col("label").as("lb"), col("dcv").as("db")), "lb")
+      .crossJoin(mrow) // 1-row frame
+      .select(col("la"), col("lb"), col("e_ab"),
+        (lit(1000000L).cast(dec) * (lit(4L).cast(dec) * col("m")
+          * col("e_ab").cast(dec)
+          - lit(2L).cast(dec) * col("da") * col("db"))).as("num"),
+        (lit(4L).cast(dec) * col("m") * col("m")).as("den"))
+      .select(col("la"), col("lb"), col("e_ab"),
+        expr(FloorDivMicro).as("delta_micro"))
+    val cand = scored
+      .select(col("la").as("label"), col("lb").as("partner"),
+        col("e_ab"), col("delta_micro"))
+      .unionByName(scored.select(col("lb").as("label"),
+        col("la").as("partner"), col("e_ab"), col("delta_micro")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("delta_micro").desc, col("partner").asc)
+    val best = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val back = best.select(col("label").as("__bl"),
+      col("partner").as("__bp"))
+    best
+      .join(back, col("partner") === col("__bl"), "left")
+      .select(col("label"), col("partner"), col("e_ab"),
+        col("delta_micro"),
+        coalesce(col("__bp") === col("label")
+          && col("delta_micro") > 0L, lit(false)).as("accepted"))
+      .orderBy(col("label"))
+  }
+
+  /** Registered surface: the merge round over the shared 3-round
+    * exact-LPA labels — one row per community with an inter-community
+    * edge: its best merge partner, the exact ΔQ in micro-units, and
+    * whether the mutual-best round accepts the merge. */
+  def graphCommunityMerge(spark: SparkSession, dir: String): DataFrame =
+    communityMergeOn(GraphModel.dedupEdgesCached(spark, dir),
+      lpaLabelsCached(spark, dir))
+
   /** Degree assortativity — "do hubs attach to hubs?", the one-scalar
     * mixing diagnostic next to [[graphModularity]]. Edge ends are
     * SYMMETRIZED (each undirected edge contributes (dx,dy) and

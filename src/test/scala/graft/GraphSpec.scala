@@ -65,6 +65,41 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L), r.toString)
   }
 
+  test("community merge: hand-computed deltas, mutual-best acceptance") {
+    val sess = spark
+    import sess.implicits._
+    // single edge between two singleton communities: m=1, e=1, d=1,1
+    // → ΔQ = (4·1·1 − 2·1·1)/(4·1²) = 1/2 → 500000 micro, accepted
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    val labs = Seq((1L, 1L), (2L, 2L)).toDF("id", "label")
+    val r1 = GraphOps.communityMergeOn(edge, labs).collect()
+      .map(x => (x.getAs[Long]("label"), x.getAs[Long]("partner"),
+        x.getAs[Long]("delta_micro"), x.getAs[Boolean]("accepted")))
+    assert(r1.toSet == Set((1L, 2L, 500000L, true),
+      (2L, 1L, 500000L, true)), r1.mkString(", "))
+    // two triangles bridged by one edge: m=7, e_ab=1, d_a=d_b=7
+    // → ΔQ = (28 − 98)/196 < 0 → floor(−70e6/196) = −357143, refused
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labs2 = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L).toDF("id", "label")
+    val r2 = GraphOps.communityMergeOn(tri2, labs2).collect()
+      .map(x => (x.getAs[Long]("label"), x.getAs[Long]("delta_micro"),
+        x.getAs[Boolean]("accepted")))
+    assert(r2.toSet == Set((1L, -357143L, false), (4L, -357143L, false)),
+      r2.mkString(", "))
+    // corpus invariants: every accepted merge is mutual with positive
+    // delta (the GraphSpec delta-≥-0 guarantee for the greedy round)
+    val rows = GraphOps.graphCommunityMerge(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bestOf = rows.map(r =>
+      r.getAs[Long]("label") -> r.getAs[Long]("partner")).toMap
+    rows.filter(_.getAs[Boolean]("accepted")).foreach { r =>
+      assert(r.getAs[Long]("delta_micro") > 0L)
+      assert(bestOf(r.getAs[Long]("partner")) == r.getAs[Long]("label"))
+    }
+  }
+
   test("pagerank ranks dims above facts (sinks accumulate rank)") {
     val top = GraphXAlgos.pagerank(spark, sfDir).collect()
     // top-5 vertices must be regions/nations (id namespace 1–2 × 1e12)
