@@ -805,6 +805,35 @@ object Oracle {
          FROM best b LEFT JOIN best p ON p.label = b.partner
          ORDER BY b.label"""
 
+  /** Unrolled multi-landmark min-plus relaxation replaying
+    * [[graft.ops.GraphOps.shortestPathsWeightedMultiOn]]: micro-unit
+    * edge lengths (1e6 // multiplicity, floor == truncate on positive
+    * operands), state keyed (lm, id), one min-merge CTE per bounded
+    * round. The frontier pruning on the Spark side is a pure
+    * optimization — the min over ≤rounds-edge paths is identical. */
+  private def spWeightedMultiSql(rounds: Int): String = {
+    val lms = (0L until 5L).map(graft.GraphModel.RegionOff + _)
+      .mkString(", ")
+    val base = s"""WITH $EdgesCte,
+         wed AS (SELECT src, dst,
+                        CAST(1000000 // count(*) AS BIGINT) AS len
+                 FROM edges GROUP BY src, dst),
+         d0 AS (SELECT lm, lm AS id, CAST(0 AS BIGINT) AS d
+                FROM (SELECT unnest([$lms]) AS lm))"""
+    val steps = (1 to rounds).map { i =>
+      s""",
+         d$i AS (SELECT lm, id, min(d) AS d FROM (
+                   SELECT lm, id, d FROM d${i - 1}
+                   UNION ALL
+                   SELECT r.lm, e.src, r.d + e.len
+                   FROM wed e JOIN d${i - 1} r ON e.dst = r.id)
+                 GROUP BY lm, id)"""
+    }.mkString
+    base + steps + s"""
+         SELECT lm, id, d AS wdist_micro FROM d$rounds
+         ORDER BY lm, id"""
+  }
+
   /** Unrolled earliest-arrival DP replaying
     * [[graft.ops.GraphOps.graphTemporalReach]]: capped part-mediated
     * influence edges, then per round min-arrival relaxation under the
@@ -1972,6 +2001,7 @@ object Oracle {
     "graph_community_stats" -> communityStatsSql(3),
     "graph_modularity" -> modularitySql(3),
     "graph_community_merge" -> communityMergeSql(3),
+    "graph_shortest_paths_weighted_multi" -> spWeightedMultiSql(4),
 
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree
     // pairs make Pearson's r a pure rational — exact micro-units via

@@ -150,6 +150,8 @@ object SparkEntry {
     "graph_pagerank_weighted"    -> (GraphXAlgos.pagerankWeighted _),
     "graph_shortest_paths_weighted" ->
       (GraphXAlgos.shortestPathsWeighted _),
+    "graph_shortest_paths_weighted_multi" ->
+      (GraphOps.graphShortestPathsWeightedMulti _),
     // DF-native deterministic counterparts of the float/unordered
     // GraphX iterations — exact arithmetic + total-order tie-breaks
     // make these two oracle-checkable

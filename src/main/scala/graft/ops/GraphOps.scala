@@ -944,6 +944,74 @@ object GraphOps {
     out
   }
 
+  /** MULTI-LANDMARK weighted distances — the batched multi-source frame
+    * pattern (state keyed (lm, id), like [[bfsSigmaLayersMulti]])
+    * applied to MIN-PLUS relaxation over multiplicity-weighted edges.
+    * Edge length = `1_000_000 div multiplicity` in exact integer
+    * micro-units, so every path weight is an exact BIGINT sum and min
+    * is order-insensitive — bit-identical on any engine, fully
+    * oracle-checkable (the float single-source sibling
+    * [[graft.ops.GraphXAlgos.shortestPathsWeighted]] relies on
+    * root-outward accumulation order for its double determinism).
+    *
+    * Frontier-pruned Bellman–Ford, `rounds` bounded: each round relaxes
+    * only the entries IMPROVED last round (messages combine via
+    * min-agg before touching the distance table, the map-side-combine
+    * rule), then min-merges into the running table. A k-landmark sweep
+    * costs the same number of stages as one landmark; per-row state
+    * grows by a single lm column. The relaxation probes edges on dst
+    * (distances propagate child-ward against the edge direction, same
+    * as the single-source sibling); the backward DAG here is ≤ 3 deep,
+    * so bounded rounds reach the true fixpoint with one spare round. */
+  def shortestPathsWeightedMultiOn(wed: DataFrame, landmarks: Seq[Long],
+      rounds: Int): DataFrame = {
+    val spark = wed.sparkSession
+    import spark.implicits._
+    var dist = landmarks.toDF("lm")
+      .select(col("lm"), col("lm").as("id"), lit(0L).as("d"))
+      .persist()
+    var frontier = dist
+    val retired = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val cand = wed
+        .join(frontier.select(col("lm"), col("id").as("dst"),
+          col("d").as("df")), "dst")
+        .groupBy(col("lm"), col("src"))
+        .agg(min(col("df") + col("len")).as("dc"))
+        .select(col("lm"), col("src").as("id"), col("dc"))
+      val improved = cand
+        .join(dist.select(col("lm"), col("id"), col("d").as("dOld")),
+          Seq("lm", "id"), "left")
+        .filter(col("dOld").isNull || col("dc") < col("dOld"))
+        .select(col("lm"), col("id"), col("dc").as("d"))
+        .persist()
+      val merged = dist.unionByName(improved)
+        .groupBy(col("lm"), col("id")).agg(min(col("d")).as("d"))
+        .persist()
+      retired += dist; retired += improved
+      dist = merged
+      frontier = improved
+    }
+    val out = dist.orderBy(col("lm"), col("id")).localCheckpoint(true)
+    retired.foreach(_.unpersist(false))
+    dist.unpersist(false)
+    out
+  }
+
+  /** Registered surface: micro-unit weighted distances from all five
+    * region roots at once over the multiplicity-weighted edge view,
+    * 4 bounded rounds (backward DAG depth 3 + one spare). */
+  def graphShortestPathsWeightedMulti(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wed = GraphModel.edgesCached(spark, dir)
+      .groupBy(col("src"), col("dst"))
+      .agg(expr("CAST(1000000 div count(1) AS BIGINT)").as("len"))
+    val landmarks =
+      (0L until 5L).map(GraphModel.RegionOff + _)
+    shortestPathsWeightedMultiOn(wed, landmarks, 4)
+      .select(col("lm"), col("id"), col("d").as("wdist_micro"))
+  }
+
   /** Landmark set for [[graphClosenessHarmonic]]: one seed per major
     * vertex namespace, so distances are measured from structurally
     * distinct corners of the graph. */

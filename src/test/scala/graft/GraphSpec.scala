@@ -100,6 +100,38 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("multi-landmark weighted distances: hand-computed min-plus") {
+    val sess = spark
+    import sess.implicits._
+    // child→parent edges toward vertex 1; the 3→2→1 route (900000)
+    // beats the direct 3→1 edge (1000000)
+    val wed = Seq((2L, 1L, 500000L), (3L, 2L, 400000L),
+      (3L, 1L, 1000000L)).toDF("src", "dst", "len")
+    val r = GraphOps.shortestPathsWeightedMultiOn(wed, Seq(1L, 2L), 3)
+      .collect()
+      .map(x => (x.getAs[Long]("lm"), x.getAs[Long]("id")) ->
+        x.getAs[Long]("d")).toMap
+    assert(r == Map((1L, 1L) -> 0L, (1L, 2L) -> 500000L,
+      (1L, 3L) -> 900000L, (2L, 2L) -> 0L, (2L, 3L) -> 400000L),
+      r.toString)
+    // corpus: the region-0 slice must agree with the float
+    // single-source sibling within micro-floor rounding
+    val multi = GraphOps.graphShortestPathsWeightedMulti(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("lm")
+        === GraphModel.RegionOff)
+      .collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("wdist_micro"))
+      .toMap
+    val single = GraphXAlgos.shortestPathsWeighted(spark, sfDir)
+      .collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Double]("wdist")).toMap
+    assert(multi.keySet == single.keySet)
+    multi.foreach { case (id, micro) =>
+      assert(math.abs(micro / 1e6 - single(id)) < 1e-3,
+        s"id=$id micro=$micro float=${single(id)}")
+    }
+  }
+
   test("pagerank ranks dims above facts (sinks accumulate rank)") {
     val top = GraphXAlgos.pagerank(spark, sfDir).collect()
     // top-5 vertices must be regions/nations (id namespace 1–2 × 1e12)
