@@ -3073,6 +3073,11 @@ object Oracle {
     // shapes are deliberately distinct and must not be "simplified"
     // into each other.
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
+    // the persisted-index path serves byte-identical results to the
+    // in-session path (same codebook, same probe), so the same replay
+    // checks both — what differs is the PLAN (no Lloyd iterations at
+    // query time; PlanSpec asserts it)
+    "embed_ann_persisted" -> annKmeansSql(8, 3),
 
     "embed_quantize_pq" ->
       quantizePqSql(graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK),

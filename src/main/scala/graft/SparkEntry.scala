@@ -218,6 +218,7 @@ object SparkEntry {
     "embed_matryoshka_topk"    -> (VectorOps.embedMatryoshkaTopk _),
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
+    "embed_ann_persisted"      -> (VectorOps.embedAnnPersisted _),
     "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),
     "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),

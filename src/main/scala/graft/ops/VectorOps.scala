@@ -425,6 +425,68 @@ object VectorOps {
     out
   }
 
+  /** PERSISTED IVF index: the trained k-means codebook and the
+    * per-vector bucket assignments written ONCE as parquet tables —
+    * codebook (cid, centroid; k rows) and assignments (vec_id, v, nrm)
+    * PARTITIONED BY cid, i.e. the vectors physically clustered by
+    * inverted list, which is how a production IVF index is laid out:
+    * at 100 TB the unprobed buckets are directories the probed query
+    * never reads. Train-once semantics per (session, dir) — the
+    * registered query key below serves from these files with NO Lloyd
+    * iteration in its plan (PlanSpec-asserted). Dirs are registered
+    * with [[graft.TempDirs]] for JVM-exit removal. */
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
+  def ivfIndexDir(spark: SparkSession, dir: String): String =
+    ivfIndexCache.synchronized {
+      ivfIndexCache.getOrElseUpdate((spark, dir), {
+        VectorExpressions.register(spark)
+        val t = Tables(spark, dir)
+        val e = t.embeddings.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val cents = kmeansQuantizer(e, 8, 3).persist()
+        val base = graft.TempDirs.create("graft-ivf-index")
+        cents.coalesce(1).write.parquet(s"$base/codebook")
+        assignToCentroids(e, cents)
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+          // one shuffle to co-locate each inverted list in one file
+          .repartition(col("cid"))
+          .write.partitionBy("cid").parquet(s"$base/assignments")
+        cents.unpersist(false)
+        base
+      })
+    }
+
+  /** ANN served from the PERSISTED index — the query path of
+    * [[embedAnnKmeans]] with training replaced by two parquet reads:
+    * the k-row codebook picks nprobe=2 buckets, and the bucket ids
+    * reach the partitioned assignments scan as a runtime partition
+    * filter (broadcast join on the partition column ⇒ dynamic
+    * partition pruning — the unprobed inverted lists are never read,
+    * same mechanism as `join_dpp_pruned`). Results are identical to
+    * the in-session path, so the same DuckDB oracle checks both. */
+  def embedAnnPersisted(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = ivfIndexDir(spark, dir)
+    val probe = broadcast(probeOf(Tables(spark, dir)))
+    val buckets = spark.read.parquet(s"$base/codebook")
+      .crossJoin(probe)
+      .select(col("cid"),
+        round(cosine(col("centroid"), col("probe_vec")), 6).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(2)
+      .select(col("cid").as("bucket"))
+    spark.read.parquet(s"$base/assignments")
+      .join(broadcast(buckets), col("cid") === col("bucket"))
+      .crossJoin(probe)
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Number of PQ subspaces / centroids per subspace — mirrored by
     * `Oracle.quantizePqSql`; change both together. */
   val PqM = 8

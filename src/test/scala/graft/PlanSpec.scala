@@ -126,6 +126,23 @@ class PlanSpec extends SparkSpec {
     assert(!logical.toLowerCase.contains("broadcast"), logical)
     assert(df.count() >= 0) // the hint-free plan still resolves and runs
   }
+  test("persisted-IVF query plan has no training and prunes buckets") {
+    val df = graft.ops.VectorOps.embedAnnPersisted(spark, sfDir)
+    val planned = df.queryExecution.executedPlan.toString
+    // no Lloyd iteration at query time: the k-means update's
+    // posexplode/position-agg shapes must be absent from the plan
+    assert(!planned.toLowerCase.contains("posexplode"), planned)
+    // the served side is the persisted index, not the embeddings table
+    assert(planned.contains("graft-ivf-index"), planned)
+    // the probed bucket ids reach the partitioned assignments scan as
+    // a runtime partition filter (same DPP mechanism as join_dpp_pruned)
+    assert(planned.contains("dynamicpruning"), planned)
+    // and the result equals the in-session training path
+    val a = df.collect().map(_.toString).toSeq
+    val b = graft.ops.VectorOps.embedAnnKmeans(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(a == b, s"persisted=$a in-session=$b")
+  }
   test("dim-derived filter prunes fact partitions at runtime (DPP)") {
     val df = graft.ops.Sources.joinDppPruned(spark, sfDir)
     // DPP shows in the pre-execution physical plan as a dynamicpruning
