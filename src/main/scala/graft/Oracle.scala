@@ -286,6 +286,72 @@ object Oracle {
          FROM ($selects) ORDER BY lm, dist"""
   }
 
+  /** Unrolled landmark eccentricity + diameter lower bound, replaying
+    * [[graft.ops.GraphOps.graphEccentricity]] (same dist-only layer
+    * CTEs as the closeness oracle): per landmark the deepest non-empty
+    * layer and reached count; diameter_lb = max over landmarks. */
+  private def eccentricitySql(depth: Int, landmarks: Seq[Long]): String = {
+    val ctes = landmarks.zipWithIndex
+      .map { case (s, i) => landmarkBfsCtes(s"ec$i", s, depth) }.mkString
+    val selects = landmarks.zipWithIndex.flatMap { case (s, i) =>
+      (1 to depth).map(k =>
+        s"SELECT CAST($s AS BIGINT) AS lm, $k AS dist FROM ec${i}_l$k")
+    }.mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded)$ctes,
+         per AS (SELECT lm, CAST(MAX(dist) AS INT) AS ecc_bounded,
+                        count(*) AS n_reached
+                 FROM ($selects) GROUP BY lm),
+         dm AS (SELECT MAX(ecc_bounded) AS diameter_lb FROM per)
+         SELECT lm, ecc_bounded, n_reached, diameter_lb
+         FROM per CROSS JOIN dm ORDER BY lm"""
+  }
+
+  /** Unrolled bounded-horizon SCC, replaying
+    * [[graft.ops.GraphOps.graphScc]]: basket cycles + brand-hub
+    * one-way edges, reachability closure by relation doubling, mutual
+    * pairs, min-partner labels, non-singleton component census. */
+  private def sccSql: String = {
+    val mod = ops.GraphOps.SccOrderMod
+    val doubling = (1 to ops.GraphOps.SccDoubleRounds).map { i =>
+      s""",
+         r$i AS (SELECT DISTINCT src, dst FROM (
+                   SELECT src, dst FROM r${i - 1}
+                   UNION ALL
+                   SELECT a.src, b.dst
+                   FROM r${i - 1} a JOIN r${i - 1} b ON a.dst = b.src))"""
+    }.mkString
+    val rN = s"r${ops.GraphOps.SccDoubleRounds}"
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem WHERE l_orderkey % $mod = 0),
+         nxt AS (SELECT o, p,
+                        lead(p) OVER (PARTITION BY o ORDER BY p) AS np,
+                        min(p) OVER (PARTITION BY o) AS fp FROM b),
+         cyc AS (SELECT DISTINCT p AS src, COALESCE(np, fp) AS dst
+                 FROM nxt WHERE COALESCE(np, fp) <> p),
+         pin AS (SELECT src AS p FROM cyc UNION SELECT dst FROM cyc),
+         wb AS (SELECT pin.p, pr.p_brand
+                FROM pin JOIN part pr ON pr.p_partkey = pin.p),
+         hub AS (SELECT p_brand, min(p) AS hub FROM wb GROUP BY 1),
+         att AS (SELECT h.hub AS src, w.p AS dst
+                 FROM wb w JOIN hub h ON h.p_brand = w.p_brand
+                 WHERE h.hub <> w.p),
+         r0 AS (SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM cyc
+                  UNION ALL SELECT src, dst FROM att))$doubling,
+         mutual AS (SELECT f.src AS u, f.dst AS v
+                    FROM $rN f JOIN $rN g
+                      ON f.src = g.dst AND f.dst = g.src),
+         lab AS (SELECT u, min(v) AS scc_id FROM (
+                   SELECT u, v FROM mutual
+                   UNION ALL SELECT p, p FROM pin) GROUP BY u)
+         SELECT scc_id, count(*) AS n_members
+         FROM lab GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY n_members DESC, scc_id"""
+  }
+
   /** Unrolled within-horizon mean BFS distance per landmark, replaying
     * [[graft.ops.GraphOps.graphAvgPathLength]] (same dist-only layer
     * CTEs as the closeness oracle). */
@@ -463,18 +529,29 @@ object Oracle {
     * shapes mirror the Spark side: `cosine()` = dot/sqrt(prod) for
     * assignment + bucket choice, dot/(sqrt·sqrt) for the final
     * similarity. */
-  private def annKmeansSql(k: Int, iters: Int): String = {
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
-    def cos(a: String, b: String) =
-      s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
-    def assign(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, v, cid FROM (
-             SELECT e.vec_id, e.v, $cents.cid,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ROUND(${cos("e.v", s"$cents.c")}, 6) DESC,
-                               $cents.cid) AS rk
-             FROM e, $cents) t WHERE rk = 1)"""
+  private def kmDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private def kmCos(a: String, b: String) =
+    s"${kmDot(a, b)} / sqrt(${kmDot(a, a)} * ${kmDot(b, b)})"
+
+  /** Argmax-rounded-cosine assignment CTE against centroid table
+    * `cents` (min-cid tie-break) — the SQL replay of
+    * `VectorOps.assignToCentroids`, parameterized on the input rows. */
+  private def kmAssignCte(name: String, cents: String,
+      from: String = "e"): String =
+    s"""$name AS (SELECT vec_id, v, cid FROM (
+           SELECT $from.vec_id, $from.v, $cents.cid,
+                  row_number() OVER (PARTITION BY $from.vec_id
+                    ORDER BY ROUND(${kmCos(s"$from.v", s"$cents.c")}, 6) DESC,
+                             $cents.cid) AS rk
+           FROM $from, $cents) t WHERE rk = 1)"""
+
+  /** Shared unrolled Lloyd training chain replaying
+    * `VectorOps.kmeansQuantizer` (deterministic seed, decimal-exact
+    * means, empty-cluster carry-forward), ending in codebook CTE
+    * `c<iters>`. Used by the ann-kmeans/persisted and delta-assign
+    * oracles. */
+  private def kmeansTrainCtes(k: Int, iters: Int): String = {
     val base = s"""WITH e AS (SELECT vec_id,
                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
@@ -482,7 +559,7 @@ object Oracle {
                 FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k) s)"""
     val steps = (1 to iters).map { i =>
       s""",
-         ${assign(s"a$i", s"c${i - 1}")},
+         ${kmAssignCte(s"a$i", s"c${i - 1}")},
          u$i AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
                    SELECT cid, i AS pos,
                           CAST(SUM(CAST(v[i] AS DECIMAL(27,10)))
@@ -492,7 +569,14 @@ object Oracle {
          c$i AS (SELECT c${i - 1}.cid, COALESCE(u$i.c, c${i - 1}.c) AS c
                  FROM c${i - 1} LEFT JOIN u$i ON u$i.cid = c${i - 1}.cid)"""
     }.mkString
-    base + steps + s""",
+    base + steps
+  }
+
+  private def annKmeansSql(k: Int, iters: Int): String = {
+    def dot = kmDot _
+    def cos = kmCos _
+    def assign(name: String, cents: String) = kmAssignCte(name, cents)
+    kmeansTrainCtes(k, iters) + s""",
          probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
          bk AS (SELECT cid FROM (
                   SELECT c$iters.cid,
@@ -561,6 +645,84 @@ object Oracle {
                 FROM c0 LEFT JOIN u0
                   ON u0.sub = c0.sub AND u0.cid = c0.cid),
          ${assign("a1", "c1")}"""
+  }
+
+  /** Unrolled IVF-PQ, replaying
+    * [[graft.ops.VectorOps.embedIvfPqSearch]]: the shared kmeans
+    * coarse chain (c3) + full-corpus assignment, residual vectors,
+    * a residual-prefixed PQ chain (seed → one Lloyd round → final
+    * codes), nprobe=2 cells, per-cell query-residual ADC tables, and
+    * the decimal-summed lookup distances. */
+  private def ivfPqSearchSql(k: Int, iters: Int, m: Int,
+      pk: Int): String = {
+    val subDim = 64 / m
+    val d2 = pqD2Sql(subDim) _
+    def rAssign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, sub, subv, dist, cid FROM (
+             SELECT s.vec_id, s.sub, s.subv, c.cid,
+                    ${d2("s.subv", "c.centroid")} AS dist,
+                    row_number() OVER (PARTITION BY s.vec_id, s.sub
+                      ORDER BY ${d2("s.subv", "c.centroid")}, c.cid)
+                      AS rn
+             FROM rsubs s JOIN $cents c ON s.sub = c.sub) t
+           WHERE rn = 1)"""
+    kmeansTrainCtes(k, iters) + s""",
+         ${kmAssignCte("kasg", s"c$iters")},
+         res AS (SELECT a.vec_id,
+                        list_transform(range(1, 65),
+                          i -> a.v[i] - c$iters.c[i]) AS v
+                 FROM kasg a JOIN c$iters ON a.cid = c$iters.cid),
+         rsubs AS (SELECT vec_id, sub,
+                          list_transform(range(1, ${subDim + 1}),
+                            i -> v[sub * $subDim + i]) AS subv
+                   FROM res, range(0, $m) r(sub)),
+         rseeds AS (SELECT vec_id,
+                      CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                        AS cid
+                    FROM (SELECT vec_id FROM res
+                          ORDER BY vec_id LIMIT $pk) t),
+         rc0 AS (SELECT sub, cid, subv AS centroid
+                 FROM rsubs JOIN rseeds USING (vec_id)),
+         ${rAssign("ra0", "rc0")},
+         ru0 AS (SELECT sub, cid, list(m ORDER BY pos) AS centroid
+                 FROM (
+                   SELECT sub, cid, i AS pos,
+                          CAST(SUM(CAST(subv[i] AS DECIMAL(27,10)))
+                            AS DOUBLE) / COUNT(*) AS m
+                   FROM ra0, range(1, ${subDim + 1}) r(i)
+                   GROUP BY sub, cid, i) t
+                 GROUP BY sub, cid),
+         rc1 AS (SELECT rc0.sub, rc0.cid,
+                        COALESCE(ru0.centroid, rc0.centroid) AS centroid
+                 FROM rc0 LEFT JOIN ru0
+                   ON ru0.sub = rc0.sub AND ru0.cid = rc0.cid),
+         ${rAssign("ra1", "rc1")},
+         probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         bk AS (SELECT cid AS cell FROM (
+                  SELECT c$iters.cid,
+                         ROUND(${kmCos(s"c$iters.c", "pv")}, 6) AS csim
+                  FROM c$iters, probe) t
+                ORDER BY csim DESC, cid LIMIT 2),
+         qsub AS (SELECT bk.cell, sub,
+                         list_transform(range(1, ${subDim + 1}),
+                           i -> pv[sub * $subDim + i]
+                                - c$iters.c[sub * $subDim + i]) AS qsubv
+                  FROM bk, c$iters, probe, range(0, $m) r(sub)
+                  WHERE c$iters.cid = bk.cell),
+         lut AS (SELECT q.cell, q.sub, c.cid AS code,
+                        ${d2("q.qsubv", "c.centroid")} AS d
+                 FROM qsub q JOIN rc1 c ON c.sub = q.sub),
+         members AS (SELECT kasg.vec_id, kasg.cid AS cell
+                     FROM kasg JOIN bk ON bk.cell = kasg.cid)
+         SELECT m2.vec_id, m2.cell,
+                CAST(SUM(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE)
+                  AS adc_dist
+         FROM ra1 a
+         JOIN members m2 ON m2.vec_id = a.vec_id
+         JOIN lut l ON l.cell = m2.cell AND l.sub = a.sub
+                   AND l.code = a.cid
+         GROUP BY m2.vec_id, m2.cell
+         ORDER BY adc_dist, m2.vec_id LIMIT 10"""
   }
 
   private def quantizePqSql(m: Int, k: Int): String =
@@ -929,6 +1091,19 @@ object Oracle {
          SELECT 6000000000000 + o_orderkey, 'order',
                 CAST(o_orderkey AS VARCHAR) FROM orders
        )"""
+
+  /** Shared basket CTE chain for the mining family, mirroring
+    * `Mining.frequentBasketItems`: distinct (order, part) → basket-size
+    * cap → a-priori item-support prune. Ends in `opf(o, p)`. */
+  private val BasketCtes =
+    s"""op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+         okb AS (SELECT o FROM op GROUP BY o
+                 HAVING count(*) <= ${ops.Mining.MaxBasket}),
+         opc AS (SELECT op.o, op.p FROM op JOIN okb USING (o)),
+         freq AS (SELECT p FROM opc GROUP BY p
+                  HAVING count(*) >= ${ops.Mining.MinSupport}),
+         opf AS (SELECT opc.o, opc.p FROM opc JOIN freq USING (p))"""
 
   private val EdgesCte =
     """edges AS (
@@ -3079,6 +3254,19 @@ object Oracle {
     // query time; PlanSpec asserts it)
     "embed_ann_persisted" -> annKmeansSql(8, 3),
 
+    "embed_ivfpq_search" -> ivfPqSearchSql(8, 3, 8, 4),
+
+    // replays VectorOps.embedIndexDeltaAssign: the same trained
+    // codebook (chain shared with the ann-kmeans oracle), then the
+    // new-batch filter and per-cell census
+    "embed_index_delta_assign" ->
+      (kmeansTrainCtes(8, 3) + s""",
+         batch AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2),
+         ${kmAssignCte("asg", "c3", "batch")}
+         SELECT cid, count(*) AS n_new, min(vec_id) AS min_vec_id,
+                max(vec_id) AS max_vec_id
+         FROM asg GROUP BY cid ORDER BY cid"""),
+
     "embed_quantize_pq" ->
       quantizePqSql(graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK),
 
@@ -3621,6 +3809,188 @@ object Oracle {
                         i -> v[i] * pv[i])) / (nrm * pnrm), 4) AS cos_sim
          FROM documents JOIN en ON doc_id = en.vec_id CROSS JOIN p
          WHERE lang = 'en'
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // replays Mining.mineFrequentPairs: distinct baskets → basket cap →
+    // a-priori item prune → within-order pair count. The cap/support
+    // constants interpolate the Scala ones so the engines cannot drift.
+    "mine_frequent_pairs" ->
+      s"""WITH $BasketCtes
+         SELECT a.p AS part_a, b.p AS part_b,
+                count(*) AS pair_support
+         FROM opf a JOIN opf b ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2 HAVING count(*) >= ${ops.Mining.MinSupport}
+         ORDER BY pair_support DESC, part_a, part_b""",
+
+    // replays Mining.mineAssocRules: both directions of each frequent
+    // pair scored with integer-permille confidence and lift (floor
+    // division — DuckDB // = Spark div on these positives)
+    "mine_assoc_rules" ->
+      s"""WITH $BasketCtes,
+         isup AS (SELECT p, count(*) AS isup FROM opf GROUP BY p),
+         pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS sup
+                   FROM opf a JOIN opf b ON a.o = b.o AND a.p < b.p
+                   GROUP BY 1, 2
+                   HAVING count(*) >= ${ops.Mining.MinSupport}),
+         directed AS (SELECT pa AS antecedent, pb AS consequent, sup
+                      FROM pairs
+                      UNION ALL
+                      SELECT pb, pa, sup FROM pairs),
+         n AS (SELECT count(DISTINCT o) AS n_orders FROM opf)
+         SELECT antecedent, consequent, sup,
+                CAST((1000 * sup) // ia.isup AS BIGINT) AS conf_permille,
+                CAST((1000 * sup * n.n_orders) // (ia.isup * ic.isup)
+                  AS BIGINT) AS lift_permille
+         FROM directed d
+         JOIN isup ia ON ia.p = d.antecedent
+         JOIN isup ic ON ic.p = d.consequent
+         CROSS JOIN n
+         ORDER BY lift_permille DESC, conf_permille DESC,
+                  antecedent, consequent""",
+
+    // checks Mining.querySkyline via the INDEPENDENT dominance
+    // definition (NOT EXISTS a same-brand dominator) — different
+    // algorithm, same set, the strongest kind of oracle
+    "query_skyline" ->
+      """SELECT p_brand, p_partkey, p_retailprice, p_size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_brand = p.p_brand
+             AND q.p_retailprice <= p.p_retailprice
+             AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice
+                  OR q.p_size > p.p_size))
+         ORDER BY p_brand, p_retailprice, p_partkey""",
+
+    // the Bloom probe is a pure pre-filter with no false negatives and
+    // an exact semi-join behind it, so the result must equal the plain
+    // semi-join — which is exactly what the oracle runs
+    "join_bloom_filtered" ->
+      """SELECT l_partkey, count(*) AS n_lines,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 50)
+         GROUP BY 1 ORDER BY l_partkey""",
+
+    // replays Mining.tableMergeScd1: the deterministic U/D/I change
+    // feed rebuilt from the dimension, merged via one full-outer join
+    "table_merge_scd1" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         changes AS (
+           SELECT c_custkey AS k, c_name AS n,
+                  CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE)
+                    AS b, 'U' AS op
+           FROM base WHERE c_custkey % 10 = 3
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal, 'D'
+           FROM base WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT c_custkey + 9000000, 'new-' || c_name, c_acctbal, 'I'
+           FROM base WHERE c_custkey % 10 = 1)
+         SELECT COALESCE(base.c_custkey, ch.k) AS custkey,
+                COALESCE(ch.n, base.c_name) AS name,
+                COALESCE(ch.b, base.c_acctbal) AS acctbal,
+                CASE WHEN ch.op IS NULL THEN 'kept'
+                     WHEN ch.op = 'U' THEN 'updated'
+                     ELSE 'inserted' END AS action
+         FROM base FULL OUTER JOIN changes ch ON base.c_custkey = ch.k
+         WHERE COALESCE(ch.op, '') <> 'D'
+         ORDER BY custkey""",
+
+    "graph_eccentricity" ->
+      eccentricitySql(3, Seq(3000000000001L, 4000000000001L,
+        2000000000001L, 6000000000001L)),
+
+    "graph_scc" -> sccSql,
+
+    // replays TimeSeries.timeseriesSeasonalDow; DuckDB dayofweek is
+    // 0-based Sunday, Spark's is 1-based — hence the +1
+    "timeseries_seasonal_dow" ->
+      """WITH ev AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                            CAST(hour(ts) AS INT) AS hod,
+                            CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events),
+         tot AS (SELECT count(*) AS n_total,
+                        CAST(SUM(cents) AS BIGINT) AS sum_total FROM ev),
+         b AS (SELECT 'dow' AS kind, dow AS bucket, count(*) AS n_events,
+                      CAST(SUM(cents) AS BIGINT) AS sum_cents
+               FROM ev GROUP BY 2
+               UNION ALL
+               SELECT 'hod', hod, count(*),
+                      CAST(SUM(cents) AS BIGINT)
+               FROM ev GROUP BY 2)
+         SELECT kind, bucket, n_events, sum_cents,
+                CAST((1000 * sum_cents * n_total)
+                  // (sum_total * n_events) AS BIGINT) AS index_permille
+         FROM b CROSS JOIN tot ORDER BY kind, bucket""",
+
+    // replays MultimodalOps.multimodalDedupChecksum; DuckDB md5 takes
+    // VARCHAR and hashes its UTF-8 bytes — the same bytes Spark's
+    // binary-cast md5 sees
+    "multimodal_dedup_checksum" ->
+      """SELECT string_split(source, '_')[1] AS kind,
+                count(*) AS n_media,
+                count(DISTINCT md5(text)) AS n_distinct,
+                count(*) - count(DISTINCT md5(text)) AS n_dup_copies
+         FROM documents GROUP BY 1 ORDER BY kind""",
+
+    // replays TextOps.dedupIncrementalLsh: the shared md5-affine
+    // MinHash signature chain, bands split existing/new, bucket cap on
+    // the EXISTING (indexed) side only, candidate probe, exact-Jaccard
+    // verify, per-new-doc verdict
+    "dedup_incremental_lsh" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         ex AS (SELECT * FROM bands
+                WHERE doc_id % ${graft.ops.TextOps.IncBatchMod}
+                      <> ${graft.ops.TextOps.IncBatchRem}),
+         exok AS (SELECT ex.* FROM ex
+                  JOIN (SELECT b, bk FROM ex GROUP BY b, bk
+                        HAVING count(*) <=
+                          ${graft.ops.TextOps.MaxLshBucket}) c
+                    USING (b, bk)),
+         nw AS (SELECT * FROM bands
+                WHERE doc_id % ${graft.ops.TextOps.IncBatchMod}
+                      = ${graft.ops.TextOps.IncBatchRem}),
+         cand AS (SELECT DISTINCT n.doc_id AS a_id, e.doc_id AS b_id
+                  FROM nw n JOIN exok e ON n.b = e.b AND n.bk = e.bk),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1),
+         dups AS (SELECT a_id, min(b_id) AS dup_of FROM (
+                    SELECT i.a_id, i.b_id FROM ints i
+                    JOIN sz0 sa ON sa.doc_id = i.a_id
+                    JOIN sz0 sb ON sb.doc_id = i.b_id
+                    WHERE ROUND(CAST(inter AS DOUBLE)
+                            / (sa.n + sb.n - inter), 3) >= 0.5)
+                  GROUP BY 1)
+         SELECT d.doc_id,
+                CASE WHEN dup_of IS NULL THEN 'new' ELSE 'dup' END
+                  AS status,
+                dup_of
+         FROM documents d LEFT JOIN dups ON dups.a_id = d.doc_id
+         WHERE d.doc_id % ${graft.ops.TextOps.IncBatchMod}
+               = ${graft.ops.TextOps.IncBatchRem}
+         ORDER BY d.doc_id"""
   )
 }

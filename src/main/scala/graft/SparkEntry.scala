@@ -52,6 +52,12 @@ object SparkEntry {
     "join_interval_overlap"  -> (Joins.joinIntervalOverlap _),
     "join_cross_limited"     -> (Joins.joinCrossLimited _),
     "join_range_bucketed"    -> (Joins.joinRangeBucketed _),
+    // §2.13 mining + decision support
+    "mine_frequent_pairs" -> (Mining.mineFrequentPairs _),
+    "mine_assoc_rules"    -> (Mining.mineAssocRules _),
+    "query_skyline"       -> (Mining.querySkyline _),
+    "join_bloom_filtered" -> (Mining.joinBloomFiltered _),
+    "table_merge_scd1"    -> (Mining.tableMergeScd1 _),
     // §2.3bis subqueries + recursive CTE
     "subquery_scalar"       -> (Subqueries.subqueryScalar _),
     "subquery_in"           -> (Subqueries.subqueryIn _),
@@ -178,11 +184,14 @@ object SparkEntry {
     "graph_avg_path_length"      -> (GraphOps.graphAvgPathLength _),
     "graph_kcore"                -> (GraphOps.graphKcore _),
     "graph_ktruss"               -> (GraphXAlgos.graphKtruss _),
+    "graph_eccentricity"         -> (GraphOps.graphEccentricity _),
+    "graph_scc"                  -> (GraphOps.graphScc _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
     "dedup_simhash"      -> (TextOps.dedupSimhash _),
     "dedup_minhash_eval" -> (TextOps.dedupMinhashEval _),
+    "dedup_incremental_lsh" -> (TextOps.dedupIncrementalLsh _),
     "dedup_cluster_canonical" -> (TextOps.dedupClusterCanonical _),
     "text_ngram_jaccard" -> (TextOps.textNgramJaccard _),
     "text_ngram_containment" -> (TextOps.textNgramContainment _),
@@ -219,6 +228,8 @@ object SparkEntry {
     "embed_ann_ivf"            -> (VectorOps.embedAnnIvf _),
     "embed_ann_kmeans"         -> (VectorOps.embedAnnKmeans _),
     "embed_ann_persisted"      -> (VectorOps.embedAnnPersisted _),
+    "embed_index_delta_assign" -> (VectorOps.embedIndexDeltaAssign _),
+    "embed_ivfpq_search"       -> (VectorOps.embedIvfPqSearch _),
     "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),
     "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
@@ -231,6 +242,8 @@ object SparkEntry {
     "multimodal_join"          -> (VectorOps.multimodalJoin _),
     "multimodal_decode"        -> (MultimodalOps.multimodalDecode _),
     "multimodal_size_stats"    -> (MultimodalOps.multimodalSizeStats _),
+    "multimodal_dedup_checksum" ->
+      (MultimodalOps.multimodalDedupChecksum _),
     // §2.8 streaming batch analogs (streaming variants in tests)
     "stream_tumbling_window"  -> (Streaming.streamTumblingWindow _),
     "stream_sliding_window"   -> (Streaming.streamSlidingWindow _),
@@ -253,6 +266,7 @@ object SparkEntry {
       (TimeSeries.eventsMarkovTransitions _),
     "events_attribution"      -> (TimeSeries.eventsAttribution _),
     "events_rfm_segment"      -> (TimeSeries.eventsRfmSegment _),
+    "timeseries_seasonal_dow" -> (TimeSeries.timeseriesSeasonalDow _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

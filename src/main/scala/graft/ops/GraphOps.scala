@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{GraphModel, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.9 graph traversal operators expressed as Catalyst joins.
@@ -1494,5 +1495,108 @@ object GraphOps {
         col("dst") === col("did"), "left_semi")
       .select(col("src"), col("dst"), col("rel")).distinct()
       .orderBy(col("rel"), col("src"), col("dst"))
+  }
+
+  /** Landmark ECCENTRICITY + diameter lower bound, riding the SAME
+    * memoized multi-source BFS sweep as closeness/reach-profile/avg-
+    * path-length — a fourth consumer of one traversal, zero extra
+    * hops. Per landmark: the bounded eccentricity (deepest non-empty
+    * BFS layer within the depth-3 horizon) and the reached-set size;
+    * `diameter_lb` = max over the landmark set, the standard lower
+    * bound a bounded landmark sweep can certify (the true diameter
+    * needs an exact sweep from every vertex — O(V·E), not a 100 TB
+    * plan). DuckDB-oracled via the shared per-landmark layer CTEs. */
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val layers = closenessSweepCached(spark, dir)
+    val per = (1 to 3).map(k =>
+        layers(k).select(col("lm"), lit(k).as("dist")))
+      .reduce(_ unionByName _)
+      .groupBy(col("lm"))
+      .agg(max(col("dist")).as("ecc_bounded"),
+        count(lit(1)).as("n_reached"))
+    val diam = per.agg(max(col("ecc_bounded")).as("diameter_lb"))
+    per.crossJoin(broadcast(diam)).orderBy(col("lm"))
+  }
+
+  /** Only every [[SccOrderMod]]-th order contributes a basket cycle —
+    * the knob that bounds the SCC subgraph (and its reachability
+    * closure) independently of corpus size; raise it as SF grows. */
+  val SccOrderMod = 97
+
+  /** Doubling rounds for bounded reachability: 5 rounds = 32-hop
+    * horizon, covering every cycle chain in the capped subgraph. */
+  val SccDoubleRounds = 5
+
+  /** STRONGLY connected components over a derived DIRECTED graph where
+    * SCC ≠ weak CC: each sampled order's part basket becomes a directed
+    * cycle (strongly connected by construction; overlapping baskets
+    * merge), plus one-way brand-hub attachment edges (hub → member)
+    * whose sources are singleton SCCs inside a larger weak component —
+    * the structure that forces a real SCC algorithm, not a CC rerun.
+    *
+    * Algorithm: bounded-horizon reachability by relation DOUBLING
+    * (R ← R ∪ R∘R, so [[SccDoubleRounds]] = 5 rounds give a 2⁵ = 32-hop
+    * horizon), mutual-pair join (R ⋈ Rᵀ), then scc_id = min mutual
+    * partner. Each doubling round is one self-join + distinct on the
+    * closure relation, whose size is bounded by Σ|SCC|² over the
+    * CAPPED subgraph — the [[SccOrderMod]] sample is what keeps that
+    * quadratic surface fixed as the corpus grows (at 100 TB you shard
+    * the closure by component, or switch to FW-BW peeling). Output:
+    * non-singleton components by size. Fully integer/deterministic →
+    * DuckDB-oracled with the identical doubling unrolled. */
+  def graphScc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val b = t.lineitem.filter(col("l_orderkey") % SccOrderMod === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val wo = Window.partitionBy(col("o")).orderBy(col("p"))
+    val cyc = b
+      .select(col("o"), col("p"), lead(col("p"), 1).over(wo).as("np"),
+        min(col("p")).over(Window.partitionBy(col("o"))).as("fp"))
+      .select(col("p").as("src"), coalesce(col("np"), col("fp")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val partsIn = cyc.select(col("src").as("p"))
+      .unionByName(cyc.select(col("dst").as("p"))).distinct()
+    val withBrand = partsIn.join(
+      t.part.select(col("p_partkey").as("p"), col("p_brand")), Seq("p"))
+    val hub = withBrand.groupBy(col("p_brand")).agg(min(col("p")).as("hub"))
+    val att = withBrand.join(hub, Seq("p_brand"))
+      .filter(col("hub") =!= col("p"))
+      .select(col("hub").as("src"), col("p").as("dst"))
+    val labels = sccLabelsOn(cyc.unionByName(att), SccDoubleRounds)
+    labels.groupBy(col("scc_id")).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("scc_id"))
+  }
+
+  /** The SCC core on an arbitrary (src, dst) edge frame: bounded-
+    * horizon closure by doubling, mutual-pair join, min-partner label.
+    * Returns (u, scc_id) for every vertex. Exposed for the registered
+    * census above and for hand-graph invariant tests. */
+  def sccLabelsOn(edges: DataFrame, rounds: Int): DataFrame = {
+    var r = edges.select(col("src"), col("dst")).distinct().persist()
+    val verts = r.select(col("src").as("p"))
+      .unionByName(r.select(col("dst").as("p"))).distinct()
+    val retired =
+      scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    for (_ <- 1 to rounds) {
+      val next = r.unionByName(
+          r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst")))
+        .distinct().persist()
+      retired += r
+      r = next
+    }
+    val mutual = r.as("f").join(r.as("g"),
+        col("f.src") === col("g.dst") && col("f.dst") === col("g.src"))
+      .select(col("f.src").as("u"), col("f.dst").as("v"))
+    val out = mutual
+      .unionByName(verts.select(col("p").as("u"), col("p").as("v")))
+      .groupBy(col("u")).agg(min(col("v")).as("scc_id"))
+      .localCheckpoint(true)
+    retired.foreach(_.unpersist(false))
+    r.unpersist(false)
+    out
   }
 }

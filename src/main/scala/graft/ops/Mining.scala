@@ -1,0 +1,226 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Pattern-mining + decision-support operators over the star schema:
+  * frequent co-purchase pairs (a-priori pruned), association rules,
+  * per-group Pareto skyline, a distributed Bloom-pruned semi-join, and
+  * a batch MERGE (SCD1 current view).
+  *
+  * Scale discipline shared by the family: every pairwise surface is
+  * bounded BEFORE it is joined (a-priori item-support pruning and a
+  * hard basket-size cap keep the per-order pair fanout O(cap²); the
+  * Bloom probe is a 64-word broadcast, never a shuffle; the skyline
+  * is two windows over one partitioned sort, never a self-join).
+  */
+object Mining {
+
+  /** Minimum (order-level) support for items and pairs. */
+  val MinSupport = 2
+
+  /** Baskets larger than this are dropped before pair expansion — the
+    * hard bound that keeps the self-join fanout O(cap²) per order even
+    * against a pathological 10⁶-line order at 100 TB. Corpus max is 13,
+    * so nothing is dropped at bench scales. */
+  val MaxBasket = 64
+
+  /** Distinct (order, part) pairs from baskets that pass [[MaxBasket]],
+    * restricted to items with support ≥ [[MinSupport]] (the a-priori
+    * downward-closure prune: an infrequent item cannot appear in a
+    * frequent pair, so it is cheaper to drop items BEFORE the pair
+    * join than to filter pairs after). One distinct-shuffle on the
+    * order key; both trims are semi-joins against small keyed aggs. */
+  private def frequentBasketItems(t: Tables): DataFrame = {
+    val op = t.lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val okBaskets = op.groupBy(col("o"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBasket)
+      .select(col("o"))
+    val opc = op.join(okBaskets, Seq("o"), "left_semi")
+    val freqItems = opc.groupBy(col("p"))
+      .agg(count(lit(1)).as("isup"))
+      .filter(col("isup") >= MinSupport)
+      .select(col("p"))
+    opc.join(freqItems, Seq("p"), "left_semi")
+  }
+
+  /** Frequent co-purchased part pairs (order-level support ≥
+    * [[MinSupport]]), mined a-priori style: prune infrequent items,
+    * self-join the surviving (order, part) pairs within each order
+    * (canonical `part_a < part_b`), count pair support. The self-join
+    * keys on the order id, so the fanout is per-basket-bounded and the
+    * whole mine is two shuffles (distinct + pair count). */
+  def mineFrequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bi = frequentBasketItems(Tables(spark, dir))
+    val a = bi.select(col("o"), col("p").as("part_a"))
+    val b = bi.select(col("o"), col("p").as("part_b"))
+    a.join(b, Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_support"))
+      .filter(col("pair_support") >= MinSupport)
+      .orderBy(col("pair_support").desc, col("part_a"), col("part_b"))
+  }
+
+  /** Association rules from the frequent pairs: both directions of
+    * each pair scored with exact integer permille confidence
+    * `1000·sup(a,b) ÷ sup(a)` and lift
+    * `1000·sup(a,b)·N ÷ (sup(a)·sup(b))` over the N baskets that
+    * passed the cap. All-BIGINT floor arithmetic — engine-identical.
+    * The supports are reused keyed aggs; the rule table is twice the
+    * pair table, never a new join against the fact. */
+  def mineAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val bi = frequentBasketItems(Tables(spark, dir)).persist()
+    val isup = bi.groupBy(col("p")).agg(count(lit(1)).as("isup"))
+    val nOrders = bi.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val a = bi.select(col("o"), col("p").as("part_a"))
+    val b = bi.select(col("o"), col("p").as("part_b"))
+    val pairs = a.join(b, Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= MinSupport)
+    val directed = pairs.select(col("part_a").as("antecedent"),
+        col("part_b").as("consequent"), col("sup"))
+      .unionByName(pairs.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("sup")))
+    val out = directed
+      .join(isup.select(col("p").as("antecedent"),
+        col("isup").as("sup_a")), Seq("antecedent"))
+      .join(isup.select(col("p").as("consequent"),
+        col("isup").as("sup_c")), Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("sup"),
+        expr("(1000 * sup) div sup_a").as("conf_permille"),
+        expr("(1000 * sup * n_orders) div (sup_a * sup_c)")
+          .as("lift_permille"))
+      .orderBy(col("lift_permille").desc, col("conf_permille").desc,
+        col("antecedent"), col("consequent"))
+      .localCheckpoint(true)
+    bi.unpersist(false)
+    out
+  }
+
+  /** Per-brand Pareto SKYLINE of parts: minimize price, maximize size;
+    * a part survives iff no same-brand part is ≤ on price AND ≥ on
+    * size with at least one strict. 2-D skylines need no dominance
+    * self-join: after one sort per brand on exact price cents, a row
+    * is dominated iff a strictly-cheaper row reaches its size
+    * (running-max window) or a same-price row strictly exceeds it
+    * (per-price max). Two window passes over one partitioned sort —
+    * the per-brand partitioning distributes, and the oracle checks the
+    * same answer via the independent NOT EXISTS dominance definition. */
+  def querySkyline(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+    val wLt = Window.partitionBy(col("p_brand")).orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    val wEq = Window.partitionBy(col("p_brand"), col("cents"))
+    Tables(spark, dir).part
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size"), cents.as("cents"))
+      .withColumn("max_sz_cheaper", max(col("p_size")).over(wLt))
+      .withColumn("max_sz_same", max(col("p_size")).over(wEq))
+      .filter((col("max_sz_cheaper").isNull ||
+        col("max_sz_cheaper") < col("p_size")) &&
+        col("max_sz_same") === col("p_size"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+  }
+
+  /** Bloom filter geometry: [[BloomBits]] must be a power of two;
+    * 4096 bits = 64 longs, 3 probes. For the ~40-key dim side here the
+    * false-positive rate is ≈ 2·10⁻⁵; production sizing scales m with
+    * |dim| at 10 bits/key — still broadcast-trivial at millions of
+    * keys. */
+  val BloomBits = 4096
+  val BloomHashes = 3
+
+  /** The i-th bit position of `key` as a SQL fragment: 12-bit slices
+    * of one xxhash64 — one hash invocation feeds all three probes. */
+  private def bloomPosSql(key: String, i: Int): String =
+    s"(shiftrightunsigned(xxhash64($key), ${12 * i}) & ${BloomBits - 1})"
+
+  /** Semi-join through a DISTRIBUTED Bloom filter — the runtime-filter
+    * pattern: the dim side's keys are folded into a 64-word bit array
+    * entirely with keyed aggregation (explode positions → `bit_or` per
+    * word → one map row; no driver collect), broadcast to the fact
+    * scan, and rows failing any of the 3 bit probes are dropped BEFORE
+    * the shuffle semi-join. The exact semi-join afterwards removes
+    * Bloom false positives, so the result is exactly the plain
+    * semi-join (which is what the oracle runs) while the expensive
+    * shuffle sees only the pruned slice — at 100 TB the Bloom probe is
+    * the difference between shuffling the full fact table and
+    * shuffling the matching per-mille of it. */
+  def joinBloomFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.part.filter(col("p_size") === 50).select(col("p_partkey"))
+    val words = dim
+      .select(explode(array((0 until BloomHashes).map(i =>
+        expr(bloomPosSql("p_partkey", i))): _*)).as("pos"))
+      .select(expr("CAST(pos div 64 AS INT)").as("w"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+    val bloom = words.agg(map_from_entries(
+      array_sort(collect_list(struct(col("w"), col("bits"))))).as("bloom"))
+    val fact = t.lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val hit = (0 until BloomHashes).map { i =>
+      val pos = bloomPosSql("l_partkey", i)
+      s"(coalesce(element_at(bloom, CAST($pos div 64 AS INT)), 0L) & " +
+        s"shiftleft(1L, CAST($pos % 64 AS INT))) != 0"
+    }.mkString(" AND ")
+    val probed = fact.crossJoin(broadcast(bloom))
+      .filter(expr(hit))
+      .drop("bloom")
+    probed.join(dim, probed("l_partkey") === dim("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1) - col("l_discount")).cast(DecimalType(12, 2))), 2)
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Batch MERGE (SCD1): apply a keyed change feed (U/I/D ops) to the
+    * customer dimension and emit the current view with per-row action
+    * lineage. The feed here is derived deterministically from the
+    * dimension itself (update every key ≡3, delete every key ≡7 mod
+    * 10, insert a shifted twin of every key ≡1) so the oracle can
+    * rebuild it; the merge itself is the real thing — ONE full-outer
+    * shuffle join on the key, delete as filter, update/insert as
+    * coalesce, the exact plan a Delta/Iceberg MERGE INTO compiles to
+    * and the shape that holds at any scale. */
+  def tableMergeScd1(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val changes = base.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("k"), col("c_name").as("n"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) + 100)
+          .cast(DoubleType).as("b"), lit("U").as("op"))
+      .unionByName(base.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey").as("k"), col("c_name").as("n"),
+          col("c_acctbal").as("b"), lit("D").as("op")))
+      .unionByName(base.filter(col("c_custkey") % 10 === 1)
+        .select((col("c_custkey") + 9000000L).as("k"),
+          concat(lit("new-"), col("c_name")).as("n"),
+          col("c_acctbal").as("b"), lit("I").as("op")))
+    base.join(changes, base("c_custkey") === changes("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("n"), col("c_name")).as("name"),
+        coalesce(col("b"), col("c_acctbal")).as("acctbal"),
+        when(col("op").isNull, "kept")
+          .when(col("op") === "U", "updated")
+          .otherwise("inserted").as("action"))
+      .orderBy(col("custkey"))
+  }
+}

@@ -106,4 +106,24 @@ object MultimodalOps {
         sum(expr(s"(byte_len + ${FrameBytes - 1}) div $FrameBytes"))
           .as("total_frames"))
       .orderBy(col("kind"))
+
+  /** CHECKSUM dedup census over the media store — media dedup in
+    * production is checksum-first (hash the bytes, never decode):
+    * per modality, the blob count, distinct-checksum count, and the
+    * redundant copies a content-addressed store would reclaim. The
+    * md5 runs on the binary column (codec-free); the per-kind
+    * count-distinct is one shuffle on the 32-hex key, the same plan
+    * at any corpus size. This corpus has no byte-identical blobs, so
+    * the reclaim column is zero — the plan, not the number, is the
+    * deliverable (its near-dup siblings live in the text family). */
+  def multimodalDedupChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(element_at(split(col("source"), "_"), 1).as("kind"),
+        md5(col("text").cast("binary")).as("checksum"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct(col("checksum")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("checksum")))
+          .as("n_dup_copies"))
+      .orderBy(col("kind"))
 }

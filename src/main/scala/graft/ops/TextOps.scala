@@ -186,6 +186,16 @@ object TextOps {
     })
   }
 
+  /** 8×2 band rows (doc_id, band_id, band_hash) off a signature frame
+    * — shared by the batch candidate join and the incremental index. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until 8).map { b =>
+      concat_ws(",", (0 until 2).map(r => col(s"m_${2 * b + r}")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_id", "band_hash")
+  }
+
   private def buildMinhashSigCand(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val sh = shingles(spark, dir)
@@ -194,12 +204,7 @@ object TextOps {
       min((lit(minhashA(i)) * col("hb") + lit(minhashB(i))) % MinhashP)
         .as(s"m_$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until 8).map { b =>
-      concat_ws(",", (0 until 2).map(r => col(s"m_${2 * b + r}")): _*)
-    }
-    val bands = capLshBuckets(
-      sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-        .toDF("doc_id", "band_id", "band_hash"))
+    val bands = capLshBuckets(bandsOf(sig))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -239,6 +244,64 @@ object TextOps {
       .withColumn("err_permille",
         abs(col("est_permille") - col("exact_permille")))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The incremental split: every doc_id ≡ 3 (mod 7) plays the role of
+    * "today's batch"; the rest are the already-indexed corpus. */
+  val IncBatchMod = 7
+  val IncBatchRem = 3
+
+  /** Memoized persisted LSH index of the EXISTING corpus: capped band
+    * rows written partitioned by band_id, the artifact an incremental
+    * dedup service keeps warm between batches. */
+  private val lshIndexCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
+  private def lshIndexDir(spark: SparkSession, dir: String): String =
+    lshIndexCache.synchronized {
+      lshIndexCache.getOrElseUpdate((spark, dir), {
+        val (sig, _) = minhashSigCand(spark, dir)
+        val existing = capLshBuckets(bandsOf(
+          sig.filter(col("doc_id") % IncBatchMod =!= IncBatchRem)))
+        val base = graft.TempDirs.create("graft-lsh-index")
+        existing.repartition(col("band_id"))
+          .write.partitionBy("band_id").parquet(s"$base/bands")
+        s"$base/bands"
+      })
+    }
+
+  /** INCREMENTAL near-dup detection — the between-retrains path of the
+    * MinHash family ([[dedupNearMinhash]] is the full-corpus batch
+    * sweep; this is what runs on each arriving batch): the existing
+    * corpus's capped LSH bands are PERSISTED once ([[lshIndexDir]],
+    * partitioned by band_id), and a new batch probes that index with
+    * its own band rows — cost O(batch), never O(corpus), because the
+    * batch only joins the matching band partitions. Candidates are
+    * exact-Jaccard verified (≥ 0.5, the same verify as the batch
+    * detector) and each new doc reports `dup` with its earliest match
+    * or `new`. The signature construction is the shared md5-affine
+    * family, so the whole incremental path is DuckDB-oracled. */
+  def dedupIncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (sig, _) = minhashSigCand(spark, dir)
+    val index = spark.read.parquet(lshIndexDir(spark, dir))
+    val fresh = bandsOf(
+      sig.filter(col("doc_id") % IncBatchMod === IncBatchRem))
+    val cand = fresh.as("n").join(index.as("e"),
+        col("n.band_id") === col("e.band_id") &&
+          col("n.band_hash") === col("e.band_hash"))
+      .select(col("n.doc_id").as("a_id"), col("e.doc_id").as("b_id"))
+      .distinct()
+    val dups = exactOverlap(shingles(spark, dir), cand)
+      .filter(round(col("inter").cast(DoubleType)
+        / (col("na") + col("nb") - col("inter")), 3) >= 0.5)
+      .groupBy(col("a_id")).agg(min(col("b_id")).as("dup_of"))
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % IncBatchMod === IncBatchRem)
+      .select(col("doc_id"))
+      .join(dups, col("doc_id") === col("a_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, "new").otherwise("dup").as("status"),
+        col("dup_of"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup candidates, DuckDB-oracled since round 4 (token

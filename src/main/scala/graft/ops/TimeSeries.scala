@@ -498,4 +498,34 @@ object TimeSeries {
         col("value").as("conv_value"))
       .orderBy(col("conv_id"))
   }
+
+  /** SEASONAL index decomposition of the event-value series along its
+    * two natural cycles — day-of-week and hour-of-day: per bucket, the
+    * event count, exact cent total, and the seasonal index in integer
+    * permille (`1000 · bucket_mean ÷ overall_mean`, computed as one
+    * cross-multiplied BIGINT floor division so no float mean ever
+    * forms — engine-identical). 100 is a flat bucket ×10; >1000 means
+    * the bucket runs above the overall mean. Two keyed aggs over one
+    * scan plus a broadcast scalar — the classic seasonal-naive
+    * decomposition step a forecasting pipeline runs first, at any
+    * scale (the cross-product stays within BIGINT for cent totals up
+    * to ~10¹² — prescale before the multiply beyond that). */
+  def timeseriesSeasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val tot = ev.agg(count(lit(1)).as("n_total"),
+      sum(col("cents")).as("sum_total"))
+    def cycle(kind: String, bucket: org.apache.spark.sql.Column) =
+      ev.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .select(lit(kind).as("kind"), col("bucket"), col("n_events"),
+          col("sum_cents"))
+    cycle("dow", col("dow")).unionByName(cycle("hod", col("hod")))
+      .crossJoin(broadcast(tot))
+      .select(col("kind"), col("bucket"), col("n_events"), col("sum_cents"),
+        expr("(1000 * sum_cents * n_total) div (sum_total * n_events)")
+          .as("index_permille"))
+      .orderBy(col("kind"), col("bucket"))
+  }
 }

@@ -487,6 +487,31 @@ object VectorOps {
       .limit(10)
   }
 
+  /** INCREMENTAL index maintenance: assign a NEW batch of vectors
+    * (here: every vec_id ≡ 2 mod 5, standing in for the day's
+    * arrivals) against the PERSISTED codebook — no Lloyd iteration
+    * anywhere in the plan, which is the entire point: the index is
+    * trained once ([[ivfIndexDir]]) and the daily delta is one
+    * broadcast-assign + one keyed count, the O(batch) append path an
+    * ANN service runs between retrains ([[embedCentroidShift]] is the
+    * monitor that decides WHEN to retrain). Output: per-cell arrival
+    * census (count + id range) — the inverted-list growth report.
+    * DuckDB-oracled by replaying the training chain + the assignment
+    * of the filtered batch. */
+  def embedIndexDeltaAssign(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = ivfIndexDir(spark, dir)
+    val cents = spark.read.parquet(s"$base/codebook")
+    val batch = Tables(spark, dir).embeddings
+      .filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    assignToCentroids(batch, cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_new"), min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+      .orderBy(col("cid"))
+  }
+
   /** Number of PQ subspaces / centroids per subspace — mirrored by
     * `Oracle.quantizePqSql`; change both together. */
   val PqM = 8
@@ -541,10 +566,16 @@ object VectorOps {
     * (subspace rows, codebook), both persisted for the session (see
     * [[pqCache]]). */
   private def pqTrain(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = pqCache.getOrElseUpdate((spark, dir), {
+      : (DataFrame, DataFrame) = pqCache.getOrElseUpdate((spark, dir),
+    pqTrainOn(Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))))
+
+  /** The PQ training core on an arbitrary (vec_id, v) frame — shared
+    * by the raw-vector path above and the IVF-residual path
+    * ([[embedIvfPqSearch]]), which quantizes `v − coarse_centroid`. */
+  private def pqTrainOn(e: DataFrame): (DataFrame, DataFrame) = {
     val subDim = 64 / PqM
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val subs = e
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v"))
@@ -572,7 +603,7 @@ object VectorOps {
         coalesce(col("new_centroid"), col("centroid")).as("centroid"))
       .persist()
     (subs, c1)
-  })
+  }
 
   def embedQuantizePq(spark: SparkSession, dir: String): DataFrame = {
     val (subs, codebook) = pqTrain(spark, dir)
@@ -618,6 +649,71 @@ object VectorOps {
     val result = pqAssign(subs, codebook)
       .join(broadcast(dtable), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
+      .agg(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType)
+        .as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(10)
+    result.localCheckpoint(true)
+  }
+
+  /** Memoized residual-PQ training per (session, dir): the residual
+    * subspace rows + codebook stay persisted like [[pqCache]]. */
+  private val ivfPqCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** IVF-PQ — the full FAISS-style index: coarse quantizer (the
+    * PERSISTED k-means codebook of [[ivfIndexDir]]) routes each vector
+    * to a cell, and product quantization compresses the RESIDUAL
+    * `v − cell_centroid` (residuals cluster around 0 across cells, so
+    * one shared 8×4 codebook spends its precision on the fine
+    * structure the coarse step left — the reason FAISS quantizes
+    * residuals, not raw vectors). Query: nprobe=2 cells by rounded
+    * cosine; per probed cell ONE M×K ADC table against the
+    * QUERY residual `q − cell_centroid`; each member's approximate L2²
+    * is M table lookups through its code. At 100 TB: codes are 8 bytes
+    * per vector partitioned by cell (unprobed cells unread), both
+    * codebooks constant-size broadcasts, the ADC join is
+    * broadcast-only. Deterministic end to end (rounded L2², min-cid
+    * tie-breaks, decimal sums) → DuckDB-oracled via the shared kmeans
+    * chain + a residual-prefixed PQ chain. */
+  def embedIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = ivfIndexDir(spark, dir)
+    val cents = spark.read.parquet(s"$base/codebook")
+    val asg = spark.read.parquet(s"$base/assignments")
+      .select(col("vec_id"), col("v"), col("cid"))
+    val probe = broadcast(probeOf(Tables(spark, dir)))
+    val buckets = cents.crossJoin(probe)
+      .select(col("cid"),
+        round(cosine(col("centroid"), col("probe_vec")), 6).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(2)
+      .select(col("cid").as("cell"))
+    val (rsubs, rcode) = ivfPqCache.getOrElseUpdate((spark, dir),
+      pqTrainOn(asg.join(cents, Seq("cid"))
+        .select(col("vec_id"),
+          expr("zip_with(v, centroid, (x, c) -> x - c)").as("v"))))
+    // per probed cell: the query residual's M×K ADC table (2×8×4 rows)
+    val subDim = 64 / PqM
+    val qres = cents.join(broadcast(buckets), col("cid") === col("cell"))
+      .crossJoin(probe)
+      .select(col("cell"),
+        expr("zip_with(probe_vec, centroid, (x, c) -> x - c)").as("qr"))
+      .select(col("cell"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("qr"))
+      .select(col("cell"), col("sub"),
+        expr(s"slice(qr, sub * $subDim + 1, $subDim)").as("qsubv"))
+    val lut = qres.join(rcode, Seq("sub"))
+      .select(col("cell"), col("sub"), col("cid").as("code"),
+        pqD2(col("qsubv"), col("centroid")).as("d"))
+    val members = asg.select(col("vec_id"), col("cid").as("cell"))
+      .join(broadcast(buckets), Seq("cell"))
+    val codes = pqAssign(rsubs, rcode)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      .join(members, Seq("vec_id"))
+    val result = codes
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .groupBy(col("vec_id"), col("cell"))
       .agg(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType)
         .as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))

@@ -206,4 +206,21 @@ class DedupSpec extends SparkSpec {
       assert(est(p) >= 125L, s"verified pair $p estimates ${est(p)}")
     }
   }
+
+  test("incremental lsh: every batch doc verdicts once, dup targets " +
+      "point outside the batch, dup_of ⇔ status") {
+    val t = Tables(spark, sfDir)
+    val batch = t.documents
+      .filter(col("doc_id") % TextOps.IncBatchMod === TextOps.IncBatchRem)
+      .count()
+    val rows = TextOps.dedupIncrementalLsh(spark, sfDir).collect()
+    assert(rows.length == batch)
+    rows.foreach { r =>
+      val dup = r.getAs[String]("status") == "dup"
+      assert(r.isNullAt(r.fieldIndex("dup_of")) != dup)
+      if (dup)
+        assert(r.getAs[Long]("dup_of") % TextOps.IncBatchMod
+          != TextOps.IncBatchRem, "dup_of must be an indexed doc")
+    }
+  }
 }

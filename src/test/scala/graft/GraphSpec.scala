@@ -764,4 +764,53 @@ class GraphSpec extends SparkSpec {
           s"insert ${r.getAs[Long]("id")} should have no v1 state")
     }
   }
+
+  test("eccentricity rides the closeness sweep: bounds, diameter, " +
+      "and reach-profile consistency") {
+    val ecc = GraphOps.graphEccentricity(spark, sfDir).collect()
+    assert(ecc.nonEmpty)
+    val dlb = ecc.head.getAs[Int]("diameter_lb")
+    assert(ecc.forall(r => r.getAs[Int]("diameter_lb") == dlb))
+    assert(dlb == ecc.map(_.getAs[Int]("ecc_bounded")).max)
+    ecc.foreach { r =>
+      val e = r.getAs[Int]("ecc_bounded")
+      assert(e >= 1 && e <= 3)
+    }
+    // n_reached must equal the reach profile's per-landmark layer sum
+    val rp = GraphOps.graphReachProfile(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("lm"))
+      .map { case (lm, rs) => lm -> rs.map(_.getAs[Long]("n_reached")).sum }
+    ecc.foreach { r =>
+      assert(r.getAs[Long]("n_reached") == rp(r.getAs[Long]("lm")))
+    }
+  }
+
+  test("scc core: shared-vertex cycles merge, one-way attachments " +
+      "stay singletons") {
+    val sess = spark
+    import sess.implicits._
+    // cycle A: 1→2→3→1; cycle B: 3→4→5→3 (shares 3 ⇒ one SCC of 5);
+    // one-way attachment 9→1 (9 reaches the SCC, never returns)
+    val e = Seq((1L,2L),(2L,3L),(3L,1L),(3L,4L),(4L,5L),(5L,3L),(9L,1L))
+      .toDF("src", "dst")
+    val lab = GraphOps.sccLabelsOn(e, 4).collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Long]("scc_id")).toMap
+    assert(Seq(1L,2L,3L,4L,5L).map(lab).distinct.size == 1)
+    assert(lab(1L) == 1L)
+    assert(lab(9L) == 9L)
+  }
+
+  test("scc census: every sampled basket's parts land in ONE scc, " +
+      "and sizes cover at least the largest basket") {
+    val t = Tables(spark, sfDir)
+    val census = GraphOps.graphScc(spark, sfDir).collect()
+    assert(census.nonEmpty)
+    assert(census.forall(_.getAs[Long]("n_members") >= 2))
+    val biggestBasket = t.lineitem
+      .filter(col("l_orderkey") % GraphOps.SccOrderMod === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey")).count().agg(max(col("count")))
+      .collect().head.getLong(0)
+    assert(census.map(_.getAs[Long]("n_members")).max >= biggestBasket)
+  }
 }

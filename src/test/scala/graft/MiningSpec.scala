@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Mining
+import org.apache.spark.sql.functions._
+
+/** Invariants for the mining / decision-support family (the DuckDB
+  * oracle checks exact values; these pin the algebraic properties that
+  * must hold at ANY scale). */
+class MiningSpec extends SparkSpec {
+
+  test("frequent pairs: support threshold + downward closure") {
+    val pairs = Mining.mineFrequentPairs(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("pair_support") >= Mining.MinSupport))
+    // downward closure: a pair's support cannot exceed either item's
+    val t = Tables(spark, sfDir)
+    val isup = t.lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { p =>
+      val s = p.getAs[Long]("pair_support")
+      assert(s <= isup(p.getAs[Long]("part_a")))
+      assert(s <= isup(p.getAs[Long]("part_b")))
+    }
+  }
+
+  test("assoc rules: two per pair, bounded confidence, symmetric lift") {
+    val nPairs = Mining.mineFrequentPairs(spark, sfDir).count()
+    val rules = Mining.mineAssocRules(spark, sfDir).collect()
+    assert(rules.length == 2 * nPairs)
+    assert(rules.forall(r => r.getAs[Long]("conf_permille") >= 0 &&
+      r.getAs[Long]("conf_permille") <= 1000))
+    // lift's cross-product is commutative, so the floor division gives
+    // the IDENTICAL value in both directions
+    val lift = rules.map(r => (r.getAs[Long]("antecedent"),
+      r.getAs[Long]("consequent")) -> r.getAs[Long]("lift_permille")).toMap
+    lift.foreach { case ((a, c), l) => assert(lift((c, a)) == l) }
+  }
+
+  test("skyline: sound (nothing dominated) and complete (everything " +
+      "excluded is dominated)") {
+    val parts = Tables(spark, sfDir).part
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val sky = Mining.querySkyline(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p_partkey")).toSet
+    def dominated(b: String, pr: Double, sz: Int) = parts.exists {
+      case (qb, _, qp, qs) => qb == b && qp <= pr && qs >= sz &&
+        (qp < pr || qs > sz)
+    }
+    parts.foreach { case (b, k, pr, sz) =>
+      assert(sky.contains(k) == !dominated(b, pr, sz),
+        s"part $k skyline membership mismatch")
+    }
+  }
+
+  test("bloom-filtered join equals the plain semi-join (no false " +
+      "negatives survive, false positives removed)") {
+    val t = Tables(spark, sfDir)
+    val expect = t.lineitem
+      .join(t.part.filter(col("p_size") === 50).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_lines"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Mining.joinBloomFiltered(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("n_lines"))
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("scd1 merge: action accounting and key uniqueness") {
+    val base = Tables(spark, sfDir).customer
+    val nBase = base.count()
+    val nDel = base.filter(col("c_custkey") % 10 === 7).count()
+    val nUpd = base.filter(col("c_custkey") % 10 === 3).count()
+    val nIns = base.filter(col("c_custkey") % 10 === 1).count()
+    val out = Mining.tableMergeScd1(spark, sfDir)
+    val byAction = out.groupBy(col("action")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction("updated") == nUpd)
+    assert(byAction("inserted") == nIns)
+    assert(byAction("kept") == nBase - nDel - nUpd)
+    assert(out.select(col("custkey")).distinct().count() == out.count())
+  }
+}

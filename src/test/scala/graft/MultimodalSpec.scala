@@ -58,4 +58,18 @@ class MultimodalSpec extends SparkSpec {
         rs.map(_.getAs[Long]("n_frames")).sum)
     }
   }
+
+  test("checksum dedup census: distinct ≤ media, reclaim = gap, and " +
+      "the corpus has no byte-identical blobs") {
+    val rows = MultimodalOps.multimodalDedupChecksum(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_media")
+      val d = r.getAs[Long]("n_distinct")
+      assert(d <= n)
+      assert(r.getAs[Long]("n_dup_copies") == n - d)
+      assert(d == n, "this corpus has no exact-duplicate blobs")
+    }
+  }
 }

@@ -440,4 +440,22 @@ class TimeSeriesSpec extends SparkSpec {
         s"span $key first busy hour")
     }
   }
+
+  test("seasonal dow/hod: bucket partition sums to the corpus and the " +
+      "weighted index centers on 1000") {
+    val rows = TimeSeries.timeseriesSeasonalDow(spark, sfDir).collect()
+    val total = Tables(spark, sfDir).events.count()
+    Seq("dow", "hod").foreach { kind =>
+      val ks = rows.filter(_.getAs[String]("kind") == kind)
+      assert(ks.map(_.getAs[Long]("n_events")).sum == total, s"$kind sum")
+      // Σ n·index ÷ N = 1000 up to per-bucket floor loss (< 1 each)
+      val wsum = ks.map(r =>
+        r.getAs[Long]("n_events") * r.getAs[Long]("index_permille")).sum
+      val mean = wsum.toDouble / total
+      assert(mean > 995 && mean <= 1000.5, s"$kind weighted mean $mean")
+    }
+    val dows = rows.filter(_.getAs[String]("kind") == "dow")
+      .map(_.getAs[Int]("bucket")).sorted
+    assert(dows.sameElements(1 to 7))
+  }
 }

@@ -363,4 +363,40 @@ class VectorSpec extends SparkSpec {
     val eval = VectorOps.embedRecallEval(spark, sfDir).collect().head
     assert(rows.last.getAs[Long]("hits") == eval.getAs[Long]("hits"))
   }
+
+  test("index delta assign: the batch is fully assigned to trained " +
+      "cells with no Lloyd step at query time") {
+    val batchSize = Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") % 5 === 2).count()
+    val df = VectorOps.embedIndexDeltaAssign(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == batchSize)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("cid") >= 1 && r.getAs[Int]("cid") <= 8)
+      assert(r.getAs[Long]("min_vec_id") <= r.getAs[Long]("max_vec_id"))
+      assert(r.getAs[Long]("min_vec_id") % 5 == 2)
+    }
+    // serving path: the plan reads the persisted codebook, it does not
+    // re-run Lloyd training (no per-position mean aggregate)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("posexplode"),
+      "delta assign must not retrain (posexplode appears only in the " +
+        "Lloyd update)")
+  }
+
+  test("ivf-pq: 10 ascending non-negative ADC distances from the two " +
+      "probed cells, codes decoded against the persisted coarse index") {
+    val rows = VectorOps.embedIvfPqSearch(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val dists = rows.map(_.getAs[Double]("adc_dist"))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.sameElements(dists.sorted))
+    assert(rows.map(_.getAs[Int]("cell")).distinct.length <= 2)
+    // the probe itself (vec 0) has residual ≈ its own cell's fine
+    // structure; ADC should place it (or a near neighbor) in the list
+    // — sanity: SOME overlap with the exact cosine top-10
+    val exact = VectorOps.embedCosineTopk(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).count(exact) >= 1)
+  }
 }
