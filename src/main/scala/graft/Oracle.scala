@@ -309,27 +309,32 @@ object Oracle {
          FROM per CROSS JOIN dm ORDER BY lm"""
   }
 
-  /** Unrolled bounded-horizon SCC, replaying
+  /** Contract-then-close SCC, replaying
     * [[graft.ops.GraphOps.graphScc]]: basket cycles + brand-hub
-    * one-way edges, reachability closure by relation doubling, mutual
-    * pairs, min-partner labels, non-singleton component census. */
+    * one-way edges; weak components of the cycle frame contracted to
+    * supernodes (recursive CTE — each weak component of a union of
+    * directed cycles is strongly connected), doubling closure + mutual
+    * pairs on the contracted attachment graph only, labels lifted
+    * back, min-member-id census of the non-singleton components. */
   private def sccSql: String = {
     val mod = ops.GraphOps.SccOrderMod
     val doubling = (1 to ops.GraphOps.SccDoubleRounds).map { i =>
       s""",
-         r$i AS (SELECT DISTINCT src, dst FROM (
+         r$i AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
                    SELECT src, dst FROM r${i - 1}
                    UNION ALL
                    SELECT a.src, b.dst
                    FROM r${i - 1} a JOIN r${i - 1} b ON a.dst = b.src))"""
     }.mkString
     val rN = s"r${ops.GraphOps.SccDoubleRounds}"
-    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    s"""WITH RECURSIVE
+         b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                    FROM lineitem WHERE l_orderkey % $mod = 0),
          nxt AS (SELECT o, p,
                         lead(p) OVER (PARTITION BY o ORDER BY p) AS np,
                         min(p) OVER (PARTITION BY o) AS fp FROM b),
-         cyc AS (SELECT DISTINCT p AS src, COALESCE(np, fp) AS dst
+         cyc AS MATERIALIZED (
+                 SELECT DISTINCT p AS src, COALESCE(np, fp) AS dst
                  FROM nxt WHERE COALESCE(np, fp) <> p),
          pin AS (SELECT src AS p FROM cyc UNION SELECT dst FROM cyc),
          wb AS (SELECT pin.p, pr.p_brand
@@ -338,17 +343,28 @@ object Oracle {
          att AS (SELECT h.hub AS src, w.p AS dst
                  FROM wb w JOIN hub h ON h.p_brand = w.p_brand
                  WHERE h.hub <> w.p),
-         r0 AS (SELECT DISTINCT src, dst FROM (
-                  SELECT src, dst FROM cyc
-                  UNION ALL SELECT src, dst FROM att))$doubling,
+         undc AS (SELECT src AS a, dst AS b FROM cyc
+                  UNION ALL SELECT dst, src FROM cyc),
+         reach(src, dst) AS (
+           SELECT p, p FROM pin
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN undc u ON u.a = r.dst),
+         comp AS MATERIALIZED (
+                 SELECT src AS p, min(dst) AS c FROM reach GROUP BY src),
+         r0 AS MATERIALIZED (
+                 SELECT DISTINCT ch.c AS src, cm.c AS dst
+                 FROM att JOIN comp ch ON ch.p = att.src
+                          JOIN comp cm ON cm.p = att.dst
+                 WHERE ch.c <> cm.c)$doubling,
          mutual AS (SELECT f.src AS u, f.dst AS v
                     FROM $rN f JOIN $rN g
                       ON f.src = g.dst AND f.dst = g.src),
-         lab AS (SELECT u, min(v) AS scc_id FROM (
-                   SELECT u, v FROM mutual
-                   UNION ALL SELECT p, p FROM pin) GROUP BY u)
-         SELECT scc_id, count(*) AS n_members
-         FROM lab GROUP BY 1 HAVING count(*) >= 2
+         slab AS (SELECT u AS c, min(v) AS sc FROM (
+                    SELECT u, v FROM mutual
+                    UNION ALL SELECT DISTINCT c, c FROM comp) GROUP BY u)
+         SELECT min(comp.p) AS scc_id, count(*) AS n_members
+         FROM comp JOIN slab ON slab.c = comp.c
+         GROUP BY slab.sc HAVING count(*) >= 2
          ORDER BY n_members DESC, scc_id"""
   }
 
@@ -455,6 +471,34 @@ object Oracle {
          v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0)$steps
          SELECT round, n_removed, n_remaining FROM ($selects)
          ORDER BY round"""
+  }
+
+  /** Unrolled h-index coreness iteration, replaying
+    * [[graft.ops.GraphOps.corenessOn]]: per round, each vertex takes
+    * the H-index of its neighbors' values (rank the neighbor values
+    * descending, H = max over i of min(i, v_i)), clamped nonincreasing
+    * from the degree. */
+  private def corenessSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""",
+         h$r AS (SELECT src, max(LEAST(rn, cn)) AS h FROM (
+                   SELECT e.src, c.c AS cn,
+                          row_number() OVER (PARTITION BY e.src
+                                             ORDER BY c.c DESC) AS rn
+                   FROM e0 e JOIN c${r - 1} c ON c.id = e.dst)
+                 GROUP BY src),
+         c$r AS MATERIALIZED (
+                 SELECT c.id, LEAST(c.c, COALESCE(h.h, 0)) AS c
+                 FROM c${r - 1} c LEFT JOIN h$r h ON h.src = c.id)"""
+    }.mkString
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         e0 AS MATERIALIZED (SELECT src, dst FROM ded
+                UNION ALL SELECT dst, src FROM ded),
+         c0 AS MATERIALIZED (
+                 SELECT src AS id, count(*) AS c FROM e0
+                 GROUP BY src)$steps
+         SELECT id, c AS coreness FROM c$rounds ORDER BY id"""
   }
 
   /** Deterministic random walks, replaying
@@ -1141,6 +1185,24 @@ object Oracle {
         FROM en CROSS JOIN p
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** INT8 scalar-quantization replay (per-dimension absmax scale +
+    * floor-half-up codes), mirroring `VectorOps.int8Codes` — shared by
+    * the quantize census and the int8 recall eval. Ends in
+    * `q(vec_id, v, q8)` and `am(amax)`. */
+  private val Int8Ctes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+        ex AS (SELECT vec_id, i, v[i] AS x FROM e, range(1, 65) r(i)),
+        am0 AS (SELECT i, max(abs(x)) AS a FROM ex GROUP BY i),
+        am AS (SELECT list(a ORDER BY i) AS amax FROM am0),
+        q AS (SELECT vec_id, v,
+                     list_transform(range(1, 65), i ->
+                       CASE WHEN amax[i] = 0
+                            THEN CAST(0 AS BIGINT)
+                            ELSE CAST(floor(127 * v[i] / amax[i] + 0.5)
+                                      AS BIGINT) END) AS q8
+              FROM e CROSS JOIN am)"""
+
   /** IVF replay (centroid build, nprobe cut, both float shapes) —
     * shared by its own entry and the recall-eval composition below. */
   private val EmbedAnnIvfSql = annIvfSql(3)
@@ -1574,6 +1636,25 @@ object Oracle {
                        * sqrt(n * syy - sy * sy)), 6) AS corr_qp
          FROM m ORDER BY l_returnflag""",
 
+    // replays Stats.aggWeightedMedian — the RANGE (default) cumulative
+    // frame sums peer rows together, making the threshold row
+    // independent of tie order
+    "agg_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                CAST(round(l_quantity) AS BIGINT) AS qty
+              FROM lineitem),
+         c AS (SELECT l_returnflag, cents,
+                      SUM(qty) OVER (PARTITION BY l_returnflag
+                                     ORDER BY cents) AS cw,
+                      SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+               FROM li)
+         SELECT l_returnflag,
+                CAST(min(cents) AS BIGINT) AS weighted_median_cents,
+                CAST(min(tot) AS BIGINT) AS total_qty
+         FROM c WHERE cw * 2 >= tot
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "agg_percentile" ->
       """SELECT l_returnflag,
                 ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -1753,6 +1834,45 @@ object Oracle {
                       ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderkey""",
 
+    // replays Windows.windowCountDistinct — DuckDB spells the moving
+    // distinct count natively; Spark's size(collect_set() OVER) is the
+    // same frame over the same total order
+    "window_count_distinct" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                l_shipdate,
+                count(DISTINCT p_brand) OVER (
+                  PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                           l_partkey
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                  AS distinct_brands_10
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                  l_partkey""",
+
+    // replays Windows.windowFirstLast — the explicit full frame on
+    // last_value/nth_value is the point (default running frame would
+    // read "current row" for last_value)
+    "window_first_last" ->
+      """WITH li AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                l_partkey, l_shipdate,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem)
+         SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                l_shipdate, cents,
+                first_value(cents) OVER (w ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS first_cents,
+                last_value(cents) OVER (w ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents,
+                nth_value(cents, 2) OVER (w ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND UNBOUNDED FOLLOWING) AS second_cents
+         FROM li
+         WINDOW w AS (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                               l_partkey)
+         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                  l_partkey""",
+
     // §2.6 sorts / limits / set ops
     "sort_multikey" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_nn,
@@ -1926,6 +2046,20 @@ object Oracle {
           ORDER BY id""",
 
     // log2 bucket via binary-string length — exact on both engines
+    // replays GraphOps.graphAvgNeighborDegree over the dedup
+    // undirected frame (the k-core family's degree convention)
+    "graph_avg_neighbor_degree" ->
+      s"""WITH $EdgesCte,
+          ded AS (SELECT DISTINCT src, dst FROM edges),
+          und AS (SELECT src, dst FROM ded
+                  UNION ALL SELECT dst, src FROM ded),
+          deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1)
+          SELECT u.src AS id, count(*) AS deg,
+                 CAST((1000 * SUM(g.d)) // count(*) AS BIGINT)
+                   AS avg_nb_deg_permille
+          FROM und u JOIN deg g ON g.src = u.dst
+          GROUP BY u.src ORDER BY id""",
+
     "graph_degree_histogram" ->
       s"""WITH $EdgesCte,
           outd AS (SELECT src AS id_o, count(*) AS out_deg
@@ -2229,6 +2363,8 @@ object Oracle {
         2000000000001L, 6000000000001L)),
 
     "graph_kcore" -> kcoreSql(3, 4),
+
+    "graph_coreness" -> corenessSql(graft.ops.GraphOps.CorenessRounds),
     "graph_ktruss" -> ktrussSql(4, 3),
 
     "graph_avg_path_length" ->
@@ -2595,6 +2731,67 @@ object Oracle {
          JOIN sz0 sa ON sa.doc_id = e.a_id
          JOIN sz0 sb ON sb.doc_id = e.b_id
          ORDER BY e.a_id, e.b_id""",
+
+    // replays TextOps.dedupEditDistance: the near-minhash candidate
+    // chain (same banding, same bucket cap), then built-in levenshtein
+    // over the EditPrefix-char prefixes with permille similarity of
+    // the longer prefix (// floors = Spark div on the nonneg operands)
+    "dedup_edit_distance" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         pfx AS (SELECT doc_id,
+                        substr(text, 1, ${graft.ops.TextOps.EditPrefix})
+                          AS p,
+                        LEAST(length(text),
+                              ${graft.ops.TextOps.EditPrefix}) AS plen
+                 FROM documents)
+         SELECT a_id, b_id,
+                CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist,
+                CAST(1000 - (1000 * levenshtein(pa.p, pb.p))
+                  // GREATEST(pa.plen, pb.plen) AS BIGINT)
+                  AS edit_sim_permille
+         FROM cand
+         JOIN pfx pa ON pa.doc_id = a_id
+         JOIN pfx pb ON pb.doc_id = b_id
+         ORDER BY a_id, b_id""",
+
+    // replays TextOps.corpusRejectionSample: length-band acceptance
+    // thresholds + the engine-neutral md5Hash60 acceptance draw
+    "corpus_rejection_sample" ->
+      s"""WITH k AS (
+           SELECT doc_id, lang, n_chars,
+                  CAST(CASE ${graft.ops.TextOps.RejectBands.map { case (lo, p) =>
+                         s"WHEN n_chars >= $lo THEN $p" }.mkString(" ")}
+                            ELSE ${graft.ops.TextOps.RejectBaseP} END
+                    AS BIGINT) AS accept_permille,
+                  ${md5Hash60Sql(
+                    "'graft-reject:' || CAST(doc_id AS VARCHAR)")} % 1000
+                    AS u
+           FROM documents)
+         SELECT doc_id, lang, n_chars, accept_permille
+         FROM k WHERE u < accept_permille ORDER BY doc_id""",
 
     // Replays TextOps.dedupSimhash: md5Hash60 per token, 60 bit votes,
     // signature reassembly, 4 exact 15-bit chunk buckets, hamming ≤ 3.
@@ -2974,6 +3171,75 @@ object Oracle {
           FROM tgt LEFT JOIN bench ON tgt.g = bench.g
           GROUP BY doc_id ORDER BY doc_id""",
 
+    // replays TextOps.textLmScore: the oov oracle's LM CTE chain, kept
+    // probability-weighted (sum of p_permille over known bigrams)
+    "text_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM
+                (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)),
+         c AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+         p AS (SELECT w1, count(*) AS prefix_n FROM bi GROUP BY 1),
+         lm AS (SELECT c.w1, c.w2,
+                       CAST(c.c * 1000 // p.prefix_n AS BIGINT)
+                         AS p_permille
+                FROM c JOIN p USING (w1)
+                WHERE c.c >= 3
+                ORDER BY c.c DESC, c.w1, c.w2 LIMIT 200)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                CAST(count(l.p_permille) AS BIGINT) AS n_known,
+                CASE WHEN count(l.p_permille) = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(SUM(l.p_permille) // count(l.p_permille)
+                               AS BIGINT) END AS lm_score_permille
+         FROM bi b LEFT JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+
+    // replays TextOps.textNgramNovelty: first occurrence = min doc_id
+    // per distinct 3-shingle
+    "text_ngram_novelty" ->
+      s"""WITH $Tri0Ctes,
+          first AS (SELECT g, min(doc_id) AS first_doc
+                    FROM tri0 GROUP BY g)
+          SELECT t.doc_id, count(*) AS n_shingles,
+                 CAST(SUM(CASE WHEN f.first_doc = t.doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                 CAST((1000 * SUM(CASE WHEN f.first_doc = t.doc_id
+                                       THEN 1 ELSE 0 END)) // count(*)
+                      AS BIGINT) AS novelty_permille
+          FROM tri0 t JOIN first f USING (g)
+          GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    // replays TextOps.corpusDecontamFilter: the contamination oracle's
+    // verdict, thresholded and rolled up per source; unshingleable
+    // docs carry no evidence and are kept
+    "corpus_decontam_filter" ->
+      s"""WITH $Tri0Ctes,
+          src AS (SELECT doc_id, source, n_chars FROM documents
+                  WHERE source <> 'src0'),
+          bench AS (SELECT DISTINCT g FROM tri0
+                    JOIN (SELECT doc_id FROM documents
+                          WHERE source = 'src0') b USING (doc_id)),
+          tgt AS (SELECT tri0.doc_id AS doc_id, g FROM tri0
+                  JOIN src USING (doc_id)),
+          contam AS (SELECT doc_id,
+                       (1000 * SUM(CASE WHEN bench.g IS NOT NULL
+                                        THEN 1 ELSE 0 END)) // count(*)
+                         AS cp
+                     FROM tgt LEFT JOIN bench ON tgt.g = bench.g
+                     GROUP BY doc_id)
+          SELECT source, count(*) AS n_docs,
+                 CAST(SUM(CASE WHEN COALESCE(cp, 0) >
+                                    ${graft.ops.TextOps.ContamMaxPermille}
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+                 CAST(SUM(CASE WHEN COALESCE(cp, 0) >
+                                    ${graft.ops.TextOps.ContamMaxPermille}
+                               THEN 0 ELSE n_chars END) AS BIGINT)
+                   AS kept_chars
+          FROM src LEFT JOIN contam USING (doc_id)
+          GROUP BY source ORDER BY source""",
+
     "corpus_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, lang,
                           CAST(len(string_split(text, ' ')) AS BIGINT)
@@ -3109,6 +3375,35 @@ object Oracle {
       s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
           ann AS (SELECT vec_id AS a_id FROM (${searchPqAdcSql(
             graft.ops.VectorOps.PqM, graft.ops.VectorOps.PqK)}))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
+
+    // replays VectorOps.embedQuantizeInt8: per-dimension absmax scale,
+    // floor(y + 0.5) round-half-up codes (floor is bit-deterministic
+    // cross-engine where round() on doubles is not), sequential-order
+    // L2 reconstruction error
+    "embed_quantize_int8" ->
+      s"""WITH $Int8Ctes
+         SELECT vec_id, q8,
+                ROUND(sqrt(list_sum(list_transform(range(1, 65), i ->
+                  (v[i] - q8[i] * amax[i] / 127.0)
+                    * (v[i] - q8[i] * amax[i] / 127.0)))), 4)
+                  AS recon_l2
+         FROM q CROSS JOIN am ORDER BY vec_id""",
+
+    // replays VectorOps.embedRecallInt8: all-integer code dot product
+    // top-10 vs the exact cosine top-10
+    "embed_recall_int8" ->
+      s"""WITH $Int8Ctes,
+          p AS (SELECT q8 AS pq8 FROM q WHERE vec_id = 0),
+          i8 AS (SELECT vec_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     i -> q8[i] * pq8[i])) AS BIGINT) AS dot_i8
+                 FROM q CROSS JOIN p
+                 ORDER BY dot_i8 DESC, vec_id LIMIT 10),
+          exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM i8)
           SELECT count(*) AS k, count(a_id) AS hits,
                  (count(a_id) * 1000) // count(*) AS recall_permille
           FROM exact LEFT JOIN ann ON vec_id = a_id""",
@@ -3848,9 +4143,69 @@ object Oracle {
          ORDER BY lift_permille DESC, conf_permille DESC,
                   antecedent, consequent""",
 
+    // replays Mining.mineSeqPairs: earliest-MaxSeqOrders cap, distinct
+    // (customer, order, brand) baskets, the strict temporal pair join,
+    // distinct-customer support
+    "mine_seq_pairs" ->
+      s"""WITH capped AS (
+           SELECT o_orderkey, o_custkey, o_orderdate FROM (
+             SELECT o_orderkey, o_custkey, o_orderdate,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                      AS rn
+             FROM orders)
+           WHERE rn <= ${ops.Mining.MaxSeqOrders}),
+         ob AS (SELECT DISTINCT o_custkey AS cust, o_orderkey AS ok,
+                       o_orderdate AS od, p_brand AS brand
+                FROM capped
+                JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN part ON l_partkey = p_partkey),
+         pairs AS (SELECT DISTINCT a.cust, a.brand AS brand_a,
+                          b.brand AS brand_b
+                   FROM ob a JOIN ob b ON a.cust = b.cust
+                    AND (a.od < b.od OR (a.od = b.od AND a.ok < b.ok))
+                    AND a.brand <> b.brand)
+         SELECT brand_a, brand_b, count(*) AS seq_support
+         FROM pairs GROUP BY 1, 2
+         HAVING count(*) >= ${ops.Mining.MinSupport}
+         ORDER BY seq_support DESC, brand_a, brand_b""",
+
     // checks Mining.querySkyline via the INDEPENDENT dominance
     // definition (NOT EXISTS a same-brand dominator) — different
     // algorithm, same set, the strongest kind of oracle
+    // replays Mining.mineOutlierMad — both medians are the LOWER
+    // median (rank (n+1)//2 of the sorted multiset): tie-order
+    // independent, no interpolation float anywhere
+    "mine_outlier_mad" ->
+      s"""WITH px AS (SELECT p_brand AS brand,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+          r1 AS (SELECT brand, cents,
+                        row_number() OVER (PARTITION BY brand
+                                           ORDER BY cents) AS rn,
+                        count(*) OVER (PARTITION BY brand) AS n
+                 FROM px),
+          med AS (SELECT brand, cents AS med FROM r1
+                  WHERE rn = (n + 1) // 2),
+          dev AS (SELECT px.brand, cents, med,
+                         abs(cents - med) AS d
+                  FROM px JOIN med USING (brand)),
+          r2 AS (SELECT brand, d,
+                        row_number() OVER (PARTITION BY brand
+                                           ORDER BY d) AS rn,
+                        count(*) OVER (PARTITION BY brand) AS n
+                 FROM dev),
+          mad AS (SELECT brand, d AS mad FROM r2
+                  WHERE rn = (n + 1) // 2)
+          SELECT dev.brand, count(*) AS n,
+                 CAST(min(med) AS BIGINT) AS median_cents,
+                 CAST(min(mad.mad) AS BIGINT) AS mad_cents,
+                 CAST(SUM(CASE WHEN d > ${graft.ops.Mining.MadK} * mad.mad
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+          FROM dev JOIN mad USING (brand)
+          GROUP BY dev.brand ORDER BY dev.brand""",
+
     "query_skyline" ->
       """SELECT p_brand, p_partkey, p_retailprice, p_size
          FROM part p
@@ -3926,6 +4281,73 @@ object Oracle {
                 CAST((1000 * sum_cents * n_total)
                   // (sum_total * n_events) AS BIGINT) AS index_permille
          FROM b CROSS JOIN tot ORDER BY kind, bucket""",
+
+    // replays TimeSeries.timeseriesCusum: per-day cent totals, the
+    // cross-multiplied integer CUSUM S_t = n·prefix_t − t·total, and
+    // the max-|S| changepoint with earliest-day tie-break
+    "timeseries_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, day,
+                 CAST(row_number() OVER w AS BIGINT) AS t,
+                 CAST(SUM(x) OVER w AS BIGINT) AS pre,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n,
+                 CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS tot
+               FROM daily
+               WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         sc AS (SELECT event_type, day, n,
+                       n * pre - t * tot AS sv FROM s),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY event_type ORDER BY abs(sv) DESC, day)
+                 AS rn
+               FROM sc)
+         SELECT event_type, n AS n_days, day AS cp_day,
+                CAST(abs(sv) AS BIGINT) AS cusum_stat,
+                CASE WHEN sv < 0 THEN 'up' ELSE 'down' END AS direction
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // replays TimeSeries.timeseriesAcf — lag() pairing over the same
+    // daily cent series as the cusum key; exact BIGINT moments, float
+    // only in the final guarded division (the xcorr discipline)
+    "timeseries_acf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2),
+         lg AS (SELECT event_type, x,
+                       lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+                       lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4,
+                       lag(x, 5) OVER w AS x5
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         pairs AS (
+           SELECT event_type, CAST(1 AS BIGINT) AS lag, x, x1 AS y
+           FROM lg WHERE x1 IS NOT NULL
+           UNION ALL SELECT event_type, 2, x, x2 FROM lg
+           WHERE x2 IS NOT NULL
+           UNION ALL SELECT event_type, 3, x, x3 FROM lg
+           WHERE x3 IS NOT NULL
+           UNION ALL SELECT event_type, 4, x, x4 FROM lg
+           WHERE x4 IS NOT NULL
+           UNION ALL SELECT event_type, 5, x, x5 FROM lg
+           WHERE x5 IS NOT NULL),
+         m AS (SELECT event_type, lag, count(*) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(x * y) AS BIGINT) AS sxy,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx,
+                      CAST(SUM(y * y) AS BIGINT) AS syy
+               FROM pairs GROUP BY 1, 2)
+         SELECT event_type, lag, n,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                  AS acf
+         FROM m ORDER BY event_type, lag""",
 
     // replays MultimodalOps.multimodalDedupChecksum; DuckDB md5 takes
     // VARCHAR and hashes its UTF-8 bytes — the same bytes Spark's

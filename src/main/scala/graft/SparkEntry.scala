@@ -55,6 +55,8 @@ object SparkEntry {
     // §2.13 mining + decision support
     "mine_frequent_pairs" -> (Mining.mineFrequentPairs _),
     "mine_assoc_rules"    -> (Mining.mineAssocRules _),
+    "mine_outlier_mad"    -> (Mining.mineOutlierMad _),
+    "mine_seq_pairs"      -> (Mining.mineSeqPairs _),
     "query_skyline"       -> (Mining.querySkyline _),
     "join_bloom_filtered" -> (Mining.joinBloomFiltered _),
     "table_merge_scd1"    -> (Mining.tableMergeScd1 _),
@@ -80,6 +82,7 @@ object SparkEntry {
     "agg_custom_vecsum_exact" -> (Aggregations.aggCustomVecsumExact _),
     // §2.4bis statistics / reshaping / sampling / skew patterns
     "agg_stats_moments" -> (Stats.aggStatsMoments _),
+    "agg_weighted_median" -> (Stats.aggWeightedMedian _),
     "agg_percentile"    -> (Stats.aggPercentile _),
     "agg_percentile_approx" -> (Stats.aggPercentileApprox _),
     "pivot_wide"        -> (Stats.pivotWide _),
@@ -96,6 +99,8 @@ object SparkEntry {
     "window_range_frame"    -> (Windows.windowRangeFrame _),
     "window_ntile_percent"  -> (Windows.windowNtilePercent _),
     "window_sessionize"     -> (Windows.windowSessionize _),
+    "window_count_distinct" -> (Windows.windowCountDistinct _),
+    "window_first_last"     -> (Windows.windowFirstLast _),
     // §2.6 sorts / limits / set ops
     "sort_multikey"      -> (SetOps.sortMultikey _),
     "limit_topk_global"  -> (SetOps.limitTopkGlobal _),
@@ -183,6 +188,8 @@ object SparkEntry {
     "graph_reach_profile"        -> (GraphOps.graphReachProfile _),
     "graph_avg_path_length"      -> (GraphOps.graphAvgPathLength _),
     "graph_kcore"                -> (GraphOps.graphKcore _),
+    "graph_avg_neighbor_degree"  -> (GraphOps.graphAvgNeighborDegree _),
+    "graph_coreness"             -> (GraphOps.graphCoreness _),
     "graph_ktruss"               -> (GraphXAlgos.graphKtruss _),
     "graph_eccentricity"         -> (GraphOps.graphEccentricity _),
     "graph_scc"                  -> (GraphOps.graphScc _),
@@ -192,6 +199,7 @@ object SparkEntry {
     "dedup_simhash"      -> (TextOps.dedupSimhash _),
     "dedup_minhash_eval" -> (TextOps.dedupMinhashEval _),
     "dedup_incremental_lsh" -> (TextOps.dedupIncrementalLsh _),
+    "dedup_edit_distance"   -> (TextOps.dedupEditDistance _),
     "dedup_cluster_canonical" -> (TextOps.dedupClusterCanonical _),
     "text_ngram_jaccard" -> (TextOps.textNgramJaccard _),
     "text_ngram_containment" -> (TextOps.textNgramContainment _),
@@ -208,13 +216,17 @@ object SparkEntry {
     "text_redact_pii"    -> (TextOps.textRedactPii _),
     "text_repetition_score"     -> (TextOps.textRepetitionScore _),
     "text_contamination_ngram"  -> (TextOps.textContaminationNgram _),
+    "corpus_decontam_filter"    -> (TextOps.corpusDecontamFilter _),
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
+    "corpus_rejection_sample"  -> (TextOps.corpusRejectionSample _),
     "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
     "corpus_epoch_plan"         -> (TextOps.corpusEpochPlan _),
     "corpus_chunk_overlap"      -> (TextOps.corpusChunkOverlap _),
     "text_window_dup_rate"      -> (TextOps.textWindowDupRate _),
     "corpus_ngram_lm"           -> (TextOps.corpusNgramLm _),
     "text_oov_rate"             -> (TextOps.textOovRate _),
+    "text_lm_score"             -> (TextOps.textLmScore _),
+    "text_ngram_novelty"        -> (TextOps.textNgramNovelty _),
     "corpus_pack_sequences"     -> (TextOps.corpusPackSequences _),
     "corpus_quality_band"       -> (TextOps.corpusQualityBand _),
     "corpus_prepare_pipeline"   -> (TextOps.corpusPreparePipeline _),
@@ -231,6 +243,8 @@ object SparkEntry {
     "embed_index_delta_assign" -> (VectorOps.embedIndexDeltaAssign _),
     "embed_ivfpq_search"       -> (VectorOps.embedIvfPqSearch _),
     "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),
+    "embed_quantize_int8"      -> (VectorOps.embedQuantizeInt8 _),
+    "embed_recall_int8"        -> (VectorOps.embedRecallInt8 _),
     "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),
@@ -267,6 +281,8 @@ object SparkEntry {
     "events_attribution"      -> (TimeSeries.eventsAttribution _),
     "events_rfm_segment"      -> (TimeSeries.eventsRfmSegment _),
     "timeseries_seasonal_dow" -> (TimeSeries.timeseriesSeasonalDow _),
+    "timeseries_cusum"        -> (TimeSeries.timeseriesCusum _),
+    "timeseries_acf"          -> (TimeSeries.timeseriesAcf _),
     // true streaming runs (file source → checkpointed sink / in-memory
     // incrementally-maintained state), oracle-checked on final output
     "stream_sink_parquet"     -> (Streaming.streamSinkParquet _),

@@ -1162,6 +1162,60 @@ object GraphOps {
     out
   }
 
+  /** Rounds for the coreness h-index iteration. The iteration is
+    * monotone nonincreasing from the degree and converges to the
+    * k-core number (Lü et al., "The H-index of a network and its
+    * relation to degree and coreness"); measured stable at round 9
+    * (sf0.001) / 10 (sf0.01), so 12 leaves margin — GraphSpec pins
+    * rounds-1 == rounds so a corpus change that needs more rounds
+    * fails loudly instead of silently shipping a non-converged
+    * decomposition. */
+  val CorenessRounds = 12
+
+  /** Full K-CORE DECOMPOSITION — the coreness (max k such that the
+    * vertex survives k-core peeling) of EVERY vertex at once, where
+    * [[graphKcore]] answers one fixed k. Algorithm: the distributed
+    * h-index fixed point — start from degree, then repeatedly replace
+    * each vertex's value with the H-index of its neighbors' values
+    * (max h with ≥ h neighbors valued ≥ h). No global peel order
+    * exists at scale; this iteration needs only per-vertex messages
+    * and converges in a handful of rounds. Per round: one join of the
+    * src-partitioned und frame against the value table, one per-src
+    * window (frame = neighbor list, bounded by degree), one keyed agg
+    * — all shuffles on the same src key the frame is pre-partitioned
+    * by. All-integer, total-order-free (the H-index of a multiset is
+    * order-independent), hence DuckDB-replayable by unrolling. */
+  def graphCoreness(spark: SparkSession, dir: String): DataFrame =
+    corenessOn(GraphModel.undEdgesCached(spark, dir), CorenessRounds)
+
+  /** The h-index loop itself, separate for spec use on hand graphs. */
+  def corenessOn(und: DataFrame, rounds: Int): DataFrame = {
+    var cur = und.groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .select(col("src").as("id"), col("c"))
+      .localCheckpoint(true)
+    var retired = Vector(cur)
+    for (_ <- 1 to rounds) {
+      val nb = und
+        .join(cur.select(col("id").as("dst"), col("c").as("cn")), "dst")
+        .select(col("src"), col("cn"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cn").desc)
+      val h = nb.withColumn("rn", row_number().over(w))
+        .select(col("src"),
+          least(col("rn").cast("long"), col("cn")).as("m"))
+        .groupBy(col("src")).agg(max(col("m")).as("h"))
+      val nxt = cur.join(h, cur("id") === h("src"), "left")
+        .select(cur("id"),
+          least(col("c"), coalesce(col("h"), lit(0L))).as("c"))
+        .localCheckpoint(true)
+      retired = retired :+ nxt
+      cur = nxt
+    }
+    val out = cur.select(col("id"), col("c").as("coreness"))
+      .orderBy(col("id")).localCheckpoint(true)
+    retired.foreach(_.unpersist(false))
+    out
+  }
+
   /** Deterministic "random" walks — the corpus generator for
     * DeepWalk/node2vec-style graph embeddings: from every order
     * vertex, take 3 steps, at each step choosing the out-neighbor
@@ -1224,6 +1278,20 @@ object GraphOps {
     * otherwise exponentially-nested join lineage.
     * Input: `verts(id)`, `pairs(a_id, b_id)`; output: `(id, cluster)`
     * with cluster = component-min id. */
+  /** Rebuild an (already materialized, eagerly checkpointed) frame
+    * from its RDD, discarding the logical plan AND its estimated
+    * statistics. `localCheckpoint` truncates *lineage* but preserves
+    * the origin plan's Catalyst statistics, so in an iterative loop
+    * the join-cardinality estimate of round r feeds round r+1 and
+    * sizeInBytes SQUARES every round — by round ~15 the optimizer is
+    * multiplying million-digit BigIntegers (measured: >15 min of
+    * driver CPU inside BigInteger.multiply on a 6k-row frame at
+    * sf0.1). Rebasing the carried frame each round pins the estimate
+    * at a constant, breaking the recurrence. Cost: one row
+    * deserialization pass over a frame these loops keep small. */
+  private def dropStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def minLabelComponents(verts: DataFrame, pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"),
@@ -1233,8 +1301,12 @@ object GraphOps {
       // as dedupEdgesCached
       .repartition(col("b_id"))
     val undM = und.localCheckpoint()
-    var labels = verts.select(col("id"), col("id").as("cluster"))
+    // chk = the eagerly checkpointed frame (owns the cached blocks,
+    // the handle unpersist needs); labels = its stats-rebased view
+    // (see dropStats) that the next round builds on
+    var chk = verts.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
+    var labels = dropStats(chk)
     var converged = false
     var round = 0
     while (!converged && round < 50) {
@@ -1244,7 +1316,7 @@ object GraphOps {
           col("cluster").as("nb_cluster")), "b_id")
         .groupBy(col("a_id"))
         .agg(min(col("nb_cluster")).as("min_nb"))
-      val next = labels
+      val nextChk = labels
         .join(prop.select(col("a_id").as("id"), col("min_nb")),
           Seq("id"), "left")
         .join(labels.select(col("id").as("jid"),
@@ -1254,15 +1326,17 @@ object GraphOps {
             least(coalesce(col("min_nb"), col("cluster")),
               coalesce(col("jump"), col("cluster")))).as("cluster"))
         .localCheckpoint()
+      val next = dropStats(nextChk)
       converged = next.join(labels.withColumnRenamed("cluster", "prev"),
           "id")
         .filter(col("cluster") =!= col("prev"))
         .isEmpty
-      // next is materialized (eager checkpoint) and the convergence
+      // nextChk is materialized (eager checkpoint) and the convergence
       // check above is done with it, so the predecessor's blocks can be
       // released now — without this every invocation permanently parked
       // one block set per round in the block manager
-      labels.unpersist(false)
+      chk.unpersist(false)
+      chk = nextChk
       labels = next
     }
     undM.unpersist(false)
@@ -1534,16 +1608,23 @@ object GraphOps {
     * whose sources are singleton SCCs inside a larger weak component —
     * the structure that forces a real SCC algorithm, not a CC rerun.
     *
-    * Algorithm: bounded-horizon reachability by relation DOUBLING
-    * (R ← R ∪ R∘R, so [[SccDoubleRounds]] = 5 rounds give a 2⁵ = 32-hop
-    * horizon), mutual-pair join (R ⋈ Rᵀ), then scc_id = min mutual
-    * partner. Each doubling round is one self-join + distinct on the
-    * closure relation, whose size is bounded by Σ|SCC|² over the
-    * CAPPED subgraph — the [[SccOrderMod]] sample is what keeps that
-    * quadratic surface fixed as the corpus grows (at 100 TB you shard
-    * the closure by component, or switch to FW-BW peeling). Output:
+    * Algorithm: CONTRACT-THEN-CLOSE. Every cycle edge lies on a
+    * directed cycle, so each weak component of the cycle frame is
+    * strongly connected (weakly-connected union of directed cycles ⇒
+    * strong) — [[minLabelComponents]] contracts them to supernodes in
+    * O(log d) pointer-jumping rounds with one long of state per
+    * vertex. Only the one-way attachment edges survive contraction
+    * (cycle edges become self-loops), so the bounded-horizon doubling
+    * closure + mutual-pair join of [[sccLabelsOn]] runs on the TINY
+    * contracted graph (supernodes × cross-component attachments), not
+    * the raw one — the closure's Σ|SCC|² quadratic surface collapses
+    * to the supernode count. Lifting back is one join; scc_id = min
+    * member part id. A naive closure over the raw frame measured 109 s
+    * at sf0.01 (143k-pair closure from a 493-vertex graph); this shape
+    * is bounded by the contracted size at every SF. Output:
     * non-singleton components by size. Fully integer/deterministic →
-    * DuckDB-oracled with the identical doubling unrolled. */
+    * DuckDB-oracled with recursive-CTE contraction + the identical
+    * doubling unrolled. */
   def graphScc(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val b = t.lineitem.filter(col("l_orderkey") % SccOrderMod === 0)
@@ -1564,9 +1645,30 @@ object GraphOps {
     val att = withBrand.join(hub, Seq("p_brand"))
       .filter(col("hub") =!= col("p"))
       .select(col("hub").as("src"), col("p").as("dst"))
-    val labels = sccLabelsOn(cyc.unionByName(att), SccDoubleRounds)
-    labels.groupBy(col("scc_id")).agg(count(lit(1)).as("n_members"))
+    // contract: weak components of the cycle frame are SCCs already
+    val comp = minLabelComponents(
+      partsIn.select(col("p").as("id")),
+      cyc.select(col("src").as("a_id"), col("dst").as("b_id")))
+    // attachments between supernodes; within-supernode ones vanish
+    val ce = att
+      .join(comp.select(col("id").as("src"), col("cluster").as("csrc")),
+        Seq("src"))
+      .join(comp.select(col("id").as("dst"), col("cluster").as("cdst")),
+        Seq("dst"))
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .distinct()
+    // doubling closure over the contracted graph only
+    val superLab = sccLabelsOn(ce, SccDoubleRounds)
+    val lifted = comp
+      .join(superLab.select(col("u").as("cluster"), col("scc_id")),
+        Seq("cluster"), "left")
+      .select(col("id"),
+        coalesce(col("scc_id"), col("cluster")).as("sl"))
+    lifted.groupBy(col("sl"))
+      .agg(min(col("id")).as("scc_id"), count(lit(1)).as("n_members"))
       .filter(col("n_members") >= 2)
+      .select(col("scc_id"), col("n_members"))
       .orderBy(col("n_members").desc, col("scc_id"))
   }
 
@@ -1575,18 +1677,28 @@ object GraphOps {
     * Returns (u, scc_id) for every vertex. Exposed for the registered
     * census above and for hand-graph invariant tests. */
   def sccLabelsOn(edges: DataFrame, rounds: Int): DataFrame = {
-    var r = edges.select(col("src"), col("dst")).distinct().persist()
+    // eager localCheckpoint per round, NOT lazy persist: the doubling
+    // plan references the previous round 2× (and the mutual join 2×
+    // more), so without lineage truncation the logical plan — and
+    // Catalyst's optimization time — grows 2^rounds-fold (measured:
+    // 82 s of pure planning on a 282-edge input; 1.5 s checkpointed).
+    // dropStats additionally pins the carried stats estimate, which
+    // otherwise squares per round (see dropStats).
+    var rChk = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    var r = dropStats(rChk)
     val verts = r.select(col("src").as("p"))
       .unionByName(r.select(col("dst").as("p"))).distinct()
     val retired =
       scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
     for (_ <- 1 to rounds) {
-      val next = r.unionByName(
+      val nextChk = r.unionByName(
           r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
             .select(col("a.src").as("src"), col("b.dst").as("dst")))
-        .distinct().persist()
-      retired += r
-      r = next
+        .distinct().localCheckpoint()
+      retired += rChk
+      rChk = nextChk
+      r = dropStats(nextChk)
     }
     val mutual = r.as("f").join(r.as("g"),
         col("f.src") === col("g.dst") && col("f.dst") === col("g.src"))
@@ -1596,7 +1708,28 @@ object GraphOps {
       .groupBy(col("u")).agg(min(col("v")).as("scc_id"))
       .localCheckpoint(true)
     retired.foreach(_.unpersist(false))
-    r.unpersist(false)
+    rChk.unpersist(false)
     out
+  }
+
+  /** AVERAGE NEIGHBOR DEGREE per vertex — the local ingredient of
+    * degree–degree correlation (the per-vertex view of what
+    * [[graphAssortativity]] reduces to one scalar): for each vertex,
+    * the mean undirected dedup degree of its neighbors, in exact
+    * integer permille (`1000·Σ deg(n) div deg(v)`). Hubs surrounded by
+    * leaves score low; the fact spine scores high — the disassortative
+    * fingerprint read vertex by vertex. Shape: one keyed degree agg +
+    * one join of the und frame against it (both on the src key the
+    * frame is pre-partitioned by) + one keyed agg. */
+  def graphAvgNeighborDegree(spark: SparkSession, dir: String): DataFrame = {
+    val und = GraphModel.undEdgesCached(spark, dir)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    und
+      .join(deg.select(col("src").as("dst"), col("d").as("nd")), "dst")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"), sum(col("nd")).as("nd_sum"))
+      .select(col("src").as("id"), col("deg"),
+        expr("(1000 * nd_sum) div deg").as("avg_nb_deg_permille"))
+      .orderBy(col("id"))
   }
 }

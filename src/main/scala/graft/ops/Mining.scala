@@ -190,6 +190,55 @@ object Mining {
       .orderBy(col("l_partkey"))
   }
 
+  /** Orders per customer entering the sequence mine — the hard cap
+    * that bounds the temporal self-join fanout per customer at
+    * O(cap² · basket²) even against a pathological always-buying
+    * account at 100 TB. Corpus max is 25 orders/customer at sf0.01, so
+    * the cap keeps the earliest 8 — a real (deterministic) truncation,
+    * matched exactly by the oracle. */
+  val MaxSeqOrders = 8
+
+  /** SEQUENTIAL pattern mining (the temporal cousin of
+    * [[mineFrequentPairs]]): brand A → brand B counts one unit of
+    * support for each customer with some order containing A strictly
+    * before some order containing B (order by date, orderkey
+    * tie-break). Support = distinct customers, never raw pair
+    * multiplicity (one binge customer must not fake a pattern).
+    * The temporal join keys on the customer id, so fanout is bounded
+    * by [[MaxSeqOrders]]² · brands-per-order² per customer; the
+    * distinct collapses to (customer, A, B) BEFORE the support count,
+    * keeping the final agg linear in distinct triples. */
+  def mineSeqPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val capped = t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxSeqOrders)
+    val ob = capped
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        col("o_orderdate").as("od"), col("p_brand").as("brand"))
+      .distinct()
+    val a = ob.select(col("cust"), col("ok").as("ok_a"),
+      col("od").as("od_a"), col("brand").as("brand_a"))
+    val b = ob.select(col("cust"), col("ok").as("ok_b"),
+      col("od").as("od_b"), col("brand").as("brand_b"))
+    a.join(b, Seq("cust"))
+      .filter(col("od_a") < col("od_b") ||
+        (col("od_a") === col("od_b") && col("ok_a") < col("ok_b")))
+      .filter(col("brand_a") =!= col("brand_b"))
+      .select(col("cust"), col("brand_a"), col("brand_b")).distinct()
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("seq_support"))
+      .filter(col("seq_support") >= MinSupport)
+      .orderBy(col("seq_support").desc, col("brand_a"), col("brand_b"))
+  }
+
   /** Batch MERGE (SCD1): apply a keyed change feed (U/I/D ops) to the
     * customer dimension and emit the current view with per-row action
     * lineage. The feed here is derived deterministically from the
@@ -222,5 +271,52 @@ object Mining {
           .when(col("op") === "U", "updated")
           .otherwise("inserted").as("action"))
       .orderBy(col("custkey"))
+  }
+
+  /** Outlier threshold multiplier: |x − median| > [[MadK]] · MAD. */
+  val MadK = 3L
+
+  /** ROBUST OUTLIER DETECTION per brand — median / MAD (median
+    * absolute deviation), the estimator that survives the very
+    * outliers a mean/stddev gate is blinded by. Both medians are the
+    * LOWER median (the element at rank `(n+1) div 2` of the sorted
+    * multiset) — rank-of-a-multiset is tie-order-independent, so the
+    * whole census is exact integer cents with no interpolation float
+    * anywhere, unlike `percentile_cont`-style medians whose even-count
+    * averaging differs across engines. Shape: two ranked windows + one
+    * keyed agg, all partitioned on the brand key — the per-group state
+    * is a sort, never a collect, so a brand with 10⁹ rows at 100 TB
+    * spills instead of OOMing. */
+  def mineOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val px = t.lineitem
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("cents"))
+    val wAll = Window.partitionBy(col("brand"))
+    val med = px
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("brand")).orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("brand"), col("cents").as("med"))
+    val dev = px.join(med, "brand")
+      .withColumn("d", abs(col("cents") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("brand")).orderBy(col("d"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("brand"), col("d").as("mad"))
+    dev.join(mad, "brand")
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("median_cents"),
+        min(col("mad")).as("mad_cents"),
+        sum(when(col("d") > lit(MadK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("brand"))
   }
 }

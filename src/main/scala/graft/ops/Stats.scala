@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -171,5 +172,33 @@ object Stats {
       .agg(count(lit(1)).as("n_orders"),
         Det.sum2(col("o_totalprice")).as("sum_price"))
       .orderBy(col("label"))
+  }
+
+  /** WEIGHTED MEDIAN per group — the price point at which half the
+    * shipped QUANTITY (not half the rows) is cheaper: smallest cents
+    * value c with cumulative weight through all rows priced ≤ c
+    * reaching half the total. The cumulative sum uses the RANGE frame
+    * (default frame under ORDER BY), which aggregates peer rows
+    * together — that is what makes the threshold row independent of
+    * tie order, so the whole statistic is exact integers with no
+    * interpolation. Shape: one window sort partitioned on the group
+    * key + one keyed min — the same scale envelope as any ranked
+    * window; nothing is collected. */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+    // default frame under orderBy = RANGE UNBOUNDED PRECEDING..CURRENT
+    // ROW: peers (equal cents) are summed together, hence tie-safe
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    li.withColumn("cw", sum(col("qty")).over(w))
+      .withColumn("tot", sum(col("qty")).over(wAll))
+      .filter(col("cw") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("weighted_median_cents"),
+        min(col("tot")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
   }
 }

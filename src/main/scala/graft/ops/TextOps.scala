@@ -959,4 +959,166 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
       .orderBy(col("lang"), col("doc_id"))
   }
+
+  /** Edit-distance verify cap: levenshtein is O(n·m) PER PAIR, so the
+    * comparison runs on the first [[EditPrefix]] chars only — a
+    * constant 128×128 worst-case cell count per candidate, the bound
+    * that keeps the verify stage linear in candidates regardless of
+    * document length. Prefix comparison is the standard cheap proxy
+    * (near-dup docs share their opening); a production pipeline that
+    * needs full-text certainty chains this with the Jaccard verify,
+    * which is already exact over the whole shingle set. */
+  val EditPrefix = 128
+
+  /** Near-dup detection by EDIT DISTANCE — the character-level cousin
+    * of the shingle-Jaccard verify, catching insert/delete edits that
+    * token-set measures under-weigh. Candidate pairs are the SAME
+    * capped MinHash-LSH buckets as [[dedupNearMinhash]] (never
+    * all-pairs; the verify metric changes, the candidate discipline
+    * does not), then each pair is scored with `levenshtein` over the
+    * [[EditPrefix]]-char prefixes: exact distance, plus similarity in
+    * integer permille of the longer prefix. Both engines ship the same
+    * Wagner–Fischer levenshtein built-in, so the key is fully
+    * DuckDB-oracled. */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cand) = minhashSigCand(spark, dir)
+    val docs = Tables(spark, dir).documents.select(col("doc_id"),
+      substring(col("text"), 1, EditPrefix).as("p"),
+      least(length(col("text")), lit(EditPrefix))
+        .cast(LongType).as("plen"))
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("p").as("pa"),
+        col("plen").as("la")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("p").as("pb"),
+        col("plen").as("lb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"),
+        col("la"), col("lb"))
+      .withColumn("edit_sim_permille",
+        expr("1000 - (1000 * edit_dist) div greatest(la, lb)"))
+      .select(col("a_id"), col("b_id"), col("edit_dist"),
+        col("edit_sim_permille"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Length-band acceptance rates (permille) for the rejection
+    * sampler: longer documents are kept at a higher rate — the usual
+    * quality-proportional curation bias, made deterministic. */
+  val RejectBands: Seq[(Long, Long)] = Seq(400L -> 900L, 200L -> 600L)
+  val RejectBaseP = 250L
+
+  /** Quality-proportional REJECTION SAMPLING — the curation pass that
+    * keeps each document with probability proportional to a quality
+    * proxy instead of a flat rate (the FineWeb/DCLM-style biased
+    * sampling step). Acceptance is per-row deterministic: accept iff
+    * `md5Hash60('graft-reject:' || doc_id) mod 1000 < accept_permille`
+    * where the threshold comes from the document's length band
+    * ([[RejectBands]]). No shuffle at all until the final presentation
+    * sort — the accept decision is a scan-side filter, which is what
+    * makes this the 100 TB-safe shape (a sampler that needs a global
+    * pass to decide acceptance has already lost). Seeded-hash
+    * acceptance also makes the sample REPRODUCIBLE across runs and
+    * engines, which flat `rand()` sampling is not. */
+  def corpusRejectionSample(spark: SparkSession, dir: String): DataFrame = {
+    val bandExpr = RejectBands.foldRight(lit(RejectBaseP): Column) {
+      case ((lo, p), e) => when(col("n_chars") >= lo, p).otherwise(e)
+    }
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        bandExpr.cast(LongType).as("accept_permille"),
+        (md5Hash60(concat(lit("graft-reject:"),
+          col("doc_id").cast("string"))) % 1000).as("u"))
+      .filter(col("u") < col("accept_permille"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("accept_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LM-based document QUALITY SCORE — the probability-weighted cousin
+    * of [[textOovRate]] (which only asks membership): each document's
+    * mean conditional bigram probability under the corpus LM
+    * ([[corpusNgramLm]]'s top-200 table, broadcast), in integer
+    * permille. A fluency proxy in the perplexity-filter role of the
+    * classic pretraining pipelines, kept log-free so every value is
+    * exact integer arithmetic both engines reproduce bit-identically:
+    * score = Σ p_permille(known bigrams) div n_known (0 when no bigram
+    * is known — the "model has no opinion" floor). One broadcast join
+    * + one keyed agg; the LM table is constant-size, so the pass is a
+    * single scan at any corpus scale. */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val lm = corpusNgramLm(spark, dir)
+      .select(col("w1"), col("w2"), col("p_permille"))
+    val bi = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(t[i-1] AS w1, t[i] AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    bi.join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("p_permille")).as("n_known"),
+        coalesce(sum(col("p_permille")), lit(0L)).as("p_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        when(col("n_known") === 0L, 0L)
+          .otherwise(expr("p_sum div n_known")).as("lm_score_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-GRAM NOVELTY per document — what fraction of a doc's distinct
+    * 3-shingles appear here FIRST (no earlier doc_id carries them)?
+    * The streaming-ingest view of duplication: a crawl snapshot's
+    * marginal contribution to the corpus, read per document. First
+    * occurrence = `min(doc_id)` per shingle (one keyed agg over the
+    * shared shingle frame), joined back and compared — novelty is
+    * then an exact integer permille. Both aggs key on the shingle /
+    * doc hash keys the dedup family already shuffles on; nothing is
+    * pairwise. */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(1000 * n_novel) div n_shingles").as("novelty_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Max tolerated benchmark-overlap permille before a document is
+    * dropped by the decontamination filter. */
+  val ContamMaxPermille = 500L
+
+  /** DECONTAMINATION FILTER CENSUS — the action [[textContaminationNgram]]
+    * only measures: drop every candidate document whose benchmark
+    * (src0) shingle overlap exceeds [[ContamMaxPermille]], and report
+    * per source what survived (docs and characters kept/removed — the
+    * token-budget ledger a pretraining run reads before mixing).
+    * Documents too short to shingle carry no overlap evidence and are
+    * KEPT (left join, null-safe), matching how production decontam
+    * treats un-fingerprint-able rows. Same bounded shapes as the
+    * measurement pass: the benchmark shingle set is broadcast, the
+    * verdict is one keyed agg per doc, the census one more per
+    * source. */
+  def corpusDecontamFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val contam = textContaminationNgram(spark, dir)
+      .select(col("doc_id"),
+        expr("(1000 * n_hit) div n_grams").as("contam_permille"))
+    docs.join(contam, Seq("doc_id"), "left")
+      .withColumn("removed",
+        coalesce(col("contam_permille"), lit(0L)) > ContamMaxPermille)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("removed"), col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy(col("source"))
+  }
 }

@@ -528,4 +528,83 @@ object TimeSeries {
           .as("index_permille"))
       .orderBy(col("kind"), col("bucket"))
   }
+
+  /** CUSUM CHANGEPOINT detection per event-type series — where did the
+    * daily level shift? The classic statistic is the cumulative sum of
+    * deviations from the mean, argmax'd; forming the mean would put a
+    * float in the recursion, so the whole thing is cross-multiplied
+    * into exact BIGINTs: with per-day cent totals x_t,
+    * `S_t = n·prefix_t − t·total` is n times the classical CUSUM — the
+    * argmax is unchanged and every value engine-identical. The
+    * changepoint is the day with max |S_t| (earliest-day tie-break);
+    * `direction` reads the sign (a negative dip means the level
+    * SHIFTED UP after the changepoint — prefix sums lag the total).
+    * Shape: one keyed agg + windows partitioned by event_type — the
+    * same one-exchange discipline as every series op here. Cent totals
+    * up to ~10¹² keep n·prefix inside BIGINT for series up to ~10⁶
+    * days; longer series prescale x before the cross-multiply. */
+  def timeseriesCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val s = daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("pre", sum(col("x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("x")).over(wAll))
+      .withColumn("s", col("n") * col("pre") - col("t") * col("tot"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("day"))
+    s.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("cp_day"), abs(col("s")).as("cusum_stat"),
+        when(col("s") < 0, "up").otherwise("down").as("direction"))
+      .orderBy(col("event_type"))
+  }
+
+  /** AUTOCORRELATION FUNCTION per event-type series — Pearson r of the
+    * daily cent series against itself at lags 1..5, the standard
+    * seasonality/memory read before choosing a forecasting window.
+    * The lagged pairing is a `lag(k)` WINDOW over the per-series day
+    * order — no self-join, one exchange on event_type — and every
+    * moment (Σx, Σy, Σxy, Σx², Σy² over the n−k overlapping pairs) is
+    * an exact BIGINT cross-multiply; floats appear only in the final
+    * guarded sqrt division, rounded to 6dp exactly as
+    * [[timeseriesXcorr]] does (same determinism argument). Constant
+    * output: one row per (event_type, lag). */
+  def timeseriesAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily.select(
+      col("event_type") +: col("x") +:
+        (1 to 5).map(k => lag(col("x"), k).over(w).as(s"x$k")): _*)
+    // melt the 5 lag columns into (lag, x, y) rows so ALL moments fall
+    // out of ONE grouped agg (one exchange), not five
+    val pairs = lagged.select(col("event_type"), explode(array(
+        (1 to 5).map(k => struct(lit(k.toLong).as("lag"),
+          col("x"), col(s"x$k").as("y"))): _*)).as("p"))
+      .select(col("event_type"), col("p.lag"), col("p.x"), col("p.y"))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
 }

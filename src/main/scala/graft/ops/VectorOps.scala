@@ -848,4 +848,84 @@ object VectorOps {
       .select(col("k"), col("hits"),
         expr("(hits * 1000) div k").as("recall_permille"))
   }
+
+  /** Memoized INT8 scalar quantization per (session, dir): the
+    * per-dimension absmax array (one 64-double row) and the per-vector
+    * code arrays, shared by the quantize census and the int8 retrieval
+    * eval. Persisted like [[pqCache]]; synchronized: the
+    * Sources.materialize rule. */
+  private val int8Cache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def int8Codes(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = int8Cache.synchronized {
+    int8Cache.getOrElseUpdate((spark, dir), {
+      val e = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+      val ex = e.select(col("vec_id"), posexplode(col("v")))
+        .toDF("vec_id", "pos", "x")
+      // per-dimension absmax — a D-row agg (constant size), then ONE
+      // broadcast row holding the scale array in position order
+      val amax = ex.groupBy(col("pos")).agg(max(abs(col("x"))).as("am"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("am"))))
+          .as("ps"))
+        .select(expr("transform(ps, p -> p.am)").as("amax"))
+      // q_d = round-half-up(127 · x / amax_d) via floor(y + 0.5) —
+      // floor is bit-deterministic cross-engine where round() on
+      // doubles is not (shortest-string vs binary rounding)
+      val codes = e.crossJoin(broadcast(amax))
+        .select(col("vec_id"), col("v"), col("amax"),
+          expr("""zip_with(v, amax, (x, a) ->
+                    CASE WHEN a = 0D THEN 0L
+                         ELSE CAST(floor(127D * x / a + 0.5D) AS BIGINT)
+                    END)""").as("q8"))
+        .persist()
+      (codes, amax.persist())
+    })
+  }
+
+  /** INT8 scalar quantization of the embedding store — the simplest
+    * (and most deployed) compression lever: one absmax scale per
+    * dimension, codes in [−127, 127], 8× smaller than float64 with no
+    * codebook to train (contrast [[embedQuantizePq]]'s 64×). Output =
+    * per-vector code array + the L2 reconstruction error — the
+    * quantization-loss census a serving team reads before flipping a
+    * corpus to int8. Two scans (a D-row scale agg, then the per-row
+    * encode against the broadcast scale array) and NO shuffle in the
+    * encode — the 100 TB shape for a full-corpus re-encode. */
+  def embedQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, _) = int8Codes(spark, dir)
+    codes
+      .select(col("vec_id"), col("q8"),
+        round(sqrt(expr("""aggregate(
+            zip_with(v, zip_with(q8, amax, (q, a) -> q * a / 127.0D),
+                     (x, d) -> (x - d) * (x - d)),
+            0D, (acc, y) -> acc + y)""")), 4).as("recon_l2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Recall@10 of INT8 dot-product retrieval vs the exact cosine
+    * top-10 — the eval that decides whether the 8× compression is
+    * free at serving time. The int8 ranking is an ALL-INTEGER dot
+    * product of code arrays (no float compare anywhere in the
+    * ranking, so no rounding guard is even needed), TakeOrdered
+    * per-partition heaps, then the same one-row overlap metric as
+    * [[embedRecallEval]]. */
+  def embedRecallInt8(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, _) = int8Codes(spark, dir)
+    val probe = codes.filter(col("vec_id") === 0)
+      .select(col("q8").as("pq8"))
+    val i8 = codes.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        expr("""aggregate(zip_with(q8, pq8, (a, b) -> a * b),
+                          0L, (acc, y) -> acc + y)""").as("dot_i8"))
+      .orderBy(col("dot_i8").desc, col("vec_id"))
+      .limit(10)
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    exact.join(i8.select(col("vec_id").as("a_id")),
+        col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
 }

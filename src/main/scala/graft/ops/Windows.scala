@@ -147,4 +147,67 @@ object Windows {
         round(cume_dist().over(w), 6).as("cume"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** DISTINCT COUNT over a moving row frame — brand diversity of each
+    * supplier's last 10 shipments. Spark has no `count(DISTINCT) OVER`,
+    * so the idiom is `size(collect_set() OVER)`: the frame's set state
+    * is bounded by the FRAME (10 rows), not the partition, so per-row
+    * cost is O(frame) and the whole pass is the usual one hash
+    * exchange + per-partition sort. The frame order is tie-broken to a
+    * total order (shipdate, orderkey, linenumber) — with a ROWS frame
+    * anything less makes the answer nondeterministic. DuckDB spells
+    * the same thing natively as `count(DISTINCT …) OVER`, which is
+    * what the oracle runs. */
+  def windowCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // l_partkey closes the total order: lineitem carries duplicate
+    // (orderkey, linenumber) pairs (FIXTURES.md), and with a ROWS
+    // frame anything short of a total order is nondeterministic
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      .rowsBetween(-9, Window.currentRow)
+    t.lineitem
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_partkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_shipdate"),
+        size(collect_set(col("p_brand")).over(w)).cast("long")
+          .as("distinct_brands_10"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))
+  }
+
+  /** FIRST / LAST / NTH value navigation over ordered frames — each
+    * shipment annotated with its supplier's first-ever price (running
+    * frame), latest price (full-partition frame, which REQUIRES the
+    * explicit unbounded-following frame: the default running frame
+    * silently makes `last_value` mean "current row", the classic
+    * window bug), and second-shipment price (`nth_value`, null for the
+    * first row of a 1-shipment supplier). The order is the family's
+    * total tie-break (shipdate, orderkey, linenumber, partkey); prices
+    * in exact cents. One hash exchange + per-partition sort serves all
+    * three frames. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+    val run = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables(spark, dir).lineitem
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_shipdate"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_shipdate"), col("cents"),
+        first(col("cents")).over(run).as("first_cents"),
+        last(col("cents")).over(full).as("last_cents"),
+        nth_value(col("cents"), 2).over(full).as("second_cents"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))
+  }
 }

@@ -302,4 +302,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(allocated <= TextOps.EpochPlanBudget &&
       allocated > TextOps.EpochPlanBudget - rows.length)
   }
+
+  test("rejection sample: reproducible, band-thresholded, acceptance " +
+      "rate tracks the band permille") {
+    val run1 = TextOps.corpusRejectionSample(spark, sfDir).collect()
+    val run2 = TextOps.corpusRejectionSample(spark, sfDir).collect()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq)
+    assert(run1.nonEmpty)
+    val all = Tables(spark, sfDir).documents
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def band(n: Long): Long =
+      TextOps.RejectBands.collectFirst {
+        case (lo, p) if n >= lo => p
+      }.getOrElse(TextOps.RejectBaseP)
+    run1.foreach { r =>
+      assert(r.getAs[Long]("accept_permille") ==
+        band(all(r.getAs[Long]("doc_id"))))
+    }
+    // acceptance rate per band within a generous binomial tolerance
+    val acceptedByBand = run1.groupBy(_.getAs[Long]("accept_permille"))
+      .view.mapValues(_.length.toLong).toMap
+    val totalByBand = all.values.groupBy(band)
+      .view.mapValues(_.size.toLong).toMap
+    totalByBand.foreach { case (p, n) =>
+      if (n >= 100) {
+        val rate = 1000L * acceptedByBand.getOrElse(p, 0L) / n
+        assert(math.abs(rate - p) <= 150,
+          s"band $p permille accepted at $rate of $n docs")
+      }
+    }
+  }
 }

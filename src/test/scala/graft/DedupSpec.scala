@@ -223,4 +223,44 @@ class DedupSpec extends SparkSpec {
           != TextOps.IncBatchRem, "dup_of must be an indexed doc")
     }
   }
+
+  test("edit-distance dedup: covers the verified minhash pairs, " +
+      "distances match a reference Wagner–Fischer on the prefixes") {
+    val rows = TextOps.dedupEditDistance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getAs[Long]("a_id"),
+      r.getAs[Long]("b_id")) -> r.getAs[Long]("edit_dist")).toMap
+    // candidate discipline: same buckets as the Jaccard detector, so
+    // every pair the detector verified must be scored here too
+    TextOps.dedupNearMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .foreach(p => assert(byPair.contains(p),
+        s"verified minhash pair $p missing from edit-distance output"))
+    // bounds + reference distance on a sample of pairs
+    val texts = Tables(spark, sfDir).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").take(TextOps.EditPrefix)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(b.length)
+    }
+    rows.foreach { r =>
+      val sim = r.getAs[Long]("edit_sim_permille")
+      assert(sim >= 0L && sim <= 1000L, s"sim out of range: $r")
+    }
+    rows.take(25).foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(r.getAs[Long]("edit_dist") == lev(texts(a), texts(b)),
+        s"distance mismatch for ($a,$b)")
+    }
+  }
 }

@@ -813,4 +813,29 @@ class GraphSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(census.map(_.getAs[Long]("n_members")).max >= biggestBasket)
   }
+
+  test("coreness: hand graph exact, corpus iteration CONVERGED at " +
+      "CorenessRounds, values bounded by degree and ≥ 1") {
+    import spark.implicits._
+    // triangle {1,2,3} (coreness 2) + pendant 4–1 (1) + edge 5–6 (1)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val hand = GraphOps.corenessOn(und, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hand == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L))
+    val undC = graft.GraphModel.undEdgesCached(spark, sfDir)
+    val atR = GraphOps.graphCoreness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atR1 = GraphOps.corenessOn(undC, GraphOps.CorenessRounds - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atR == atR1,
+      "h-index iteration not converged at CorenessRounds — raise it")
+    val deg = undC.groupBy(col("src")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    atR.foreach { case (id, c) =>
+      assert(c >= 1L && c <= deg(id), s"coreness($id)=$c vs deg")
+    }
+  }
 }

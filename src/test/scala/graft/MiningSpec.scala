@@ -85,4 +85,38 @@ class MiningSpec extends SparkSpec {
     assert(byAction("kept") == nBase - nDel - nUpd)
     assert(out.select(col("custkey")).distinct().count() == out.count())
   }
+
+  test("seq pairs: asymmetric support, ≥ MinSupport, and one pattern's " +
+      "support equals a first-principles recompute") {
+    val rows = Mining.mineSeqPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("seq_support") >= Mining.MinSupport)
+      assert(r.getAs[String]("brand_a") != r.getAs[String]("brand_b"))
+    }
+    // recompute the top pattern's support driver-side from raw tables
+    val top = rows.head
+    val (ba, bb) = (top.getAs[String]("brand_a"),
+      top.getAs[String]("brand_b"))
+    val t = Tables(spark, sfDir)
+    val ords = t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._2).view.mapValues(_.sortBy(o => (o._3, o._1))
+        .take(Mining.MaxSeqOrders)).toMap
+    val brandOf = t.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val partBrand = t.part.select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val support = ords.count { case (_, os) =>
+      val seq = os.map(o => brandOf.getOrElse(o._1, Set.empty)
+        .map(partBrand))
+      seq.indices.exists(i => seq(i).contains(ba) &&
+        (i + 1 until seq.length).exists(j => seq(j).contains(bb)))
+    }
+    assert(top.getAs[Long]("seq_support") == support,
+      s"top pattern ($ba→$bb) support mismatch")
+  }
 }

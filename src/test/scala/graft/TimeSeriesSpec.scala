@@ -458,4 +458,43 @@ class TimeSeriesSpec extends SparkSpec {
       .map(_.getAs[Int]("bucket")).sorted
     assert(dows.sameElements(1 to 7))
   }
+
+  test("cusum changepoint: one row per type, statistic matches a " +
+      "sequential recompute, zero-sum telescoping holds") {
+    val rows = graft.ops.TimeSeries.timeseriesCusum(spark, sfDir)
+      .collect()
+    val types = Tables(spark, sfDir).events
+      .select("event_type").distinct().count()
+    assert(rows.length == types)
+    // recompute per type from the raw table
+    val daily = Tables(spark, sfDir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString,
+        r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { row =>
+      val et = row.getAs[String]("event_type")
+      val series = daily(et).sortBy(_._2)
+      val n = series.length.toLong
+      val tot = series.map(_._3).sum
+      var pre = 0L
+      val svs = series.zipWithIndex.map { case ((_, day, x), i) =>
+        pre += x
+        (day, n * pre - (i + 1) * tot)
+      }
+      // CUSUM telescopes to zero at the last point
+      assert(svs.last._2 == 0L, s"$et CUSUM endpoint not zero")
+      val maxAbs = svs.map(s => math.abs(s._2)).max
+      val expected = svs.filter(s =>
+        math.abs(s._2) == maxAbs).minBy(_._1)
+      assert(row.getAs[Long]("n_days") == n)
+      assert(row.getAs[Long]("cusum_stat") == math.abs(expected._2))
+      assert(row.getAs[java.sql.Date]("cp_day").toString == expected._1)
+      assert(row.getAs[String]("direction") ==
+        (if (expected._2 < 0) "up" else "down"))
+    }
+  }
 }

@@ -399,4 +399,35 @@ class VectorSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(rows.map(_.getAs[Long]("vec_id")).count(exact) >= 1)
   }
+
+  test("int8 quantize: codes in [-127,127], every vector coded, recon " +
+      "error within the per-dim scale bound") {
+    val rows = VectorOps.embedQuantizeInt8(spark, sfDir).collect()
+    val n = Tables(spark, sfDir).embeddings.count()
+    assert(rows.length == n)
+    // per-dimension worst-case quantization error is amax/254 (half a
+    // code step), so L2 error ≤ sqrt(64)·max(amax)/254
+    val amax = Tables(spark, sfDir).embeddings
+      .selectExpr("explode(cast(embedding as array<double>)) AS x")
+      .agg(max(abs(col("x")))).collect()(0).getDouble(0)
+    val bound = math.sqrt(64.0) * amax / 254.0 + 1e-6
+    rows.foreach { r =>
+      val q = r.getAs[scala.collection.Seq[Long]]("q8")
+      assert(q.length == 64)
+      assert(q.forall(c => c >= -127L && c <= 127L), s"code range: $r")
+      val err = r.getAs[Double]("recon_l2")
+      assert(err >= 0.0 && err <= bound, s"recon $err > bound $bound")
+    }
+  }
+
+  test("int8 recall: one row, k=10, hits consistent with the two lists") {
+    val r = VectorOps.embedRecallInt8(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("k") == 10L)
+    val hits = r(0).getAs[Long]("hits")
+    assert(hits >= 0L && hits <= 10L)
+    assert(r(0).getAs[Long]("recall_permille") == hits * 1000L / 10L)
+    // int8 at 64 dims loses little: expect strong overlap with exact
+    assert(hits >= 5L, s"int8 recall suspiciously low: $hits/10")
+  }
 }
