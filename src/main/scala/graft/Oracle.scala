@@ -309,6 +309,79 @@ object Oracle {
          FROM per CROSS JOIN dm ORDER BY lm"""
   }
 
+  /** Unrolled Borůvka MSF, replaying
+    * [[graft.ops.GraphOps.graphMsfBoruvka]] round for round: per
+    * round, each component's minimum incident cross edge under the
+    * canonical physical-edge total order (w, min end, max end)
+    * (row_number partitioned by the a-side component), forest
+    * accumulated with UNION (distinct), and the
+    * component relabel replayed as a recursive-CTE min-reach over the
+    * picked COMPONENT pairs only — the same contracted-graph
+    * contraction the Spark side delegates to minLabelComponents.
+    * Converged tail rounds pick nothing and change nothing, matching
+    * the Spark loop's early exit. NOTE (DuckDB 1.0.0): inside a WITH
+    * RECURSIVE clause, bare UNION in a NON-recursive CTE silently
+    * loses its distinct semantics (duplicates survive — minimal
+    * repro: `WITH RECURSIVE r(..) .., f AS (SELECT 1 UNION SELECT 1)
+    * SELECT count(*) FROM f` → 2), so every dedup here is an
+    * explicit SELECT DISTINCT over UNION ALL. */
+  private def msfSql: String = {
+    val mod = ops.GraphOps.MsfPartMod
+    val rounds = ops.GraphOps.MsfRounds
+    val sup = GraphModel.SupplierOff
+    val part = GraphModel.PartOff
+    val roundCtes = (1 to rounds).map { r =>
+      val pf = s"f${r - 1}"
+      val pl = s"lab${r - 1}"
+      s""",
+         x$r AS MATERIALIZED (
+                SELECT la.c AS ca, lb.c AS cb, und.w,
+                       least(und.a, und.b) AS u,
+                       greatest(und.a, und.b) AS v,
+                       row_number() OVER (PARTITION BY la.c
+                                          ORDER BY und.w,
+                                            least(und.a, und.b),
+                                            greatest(und.a, und.b))
+                         AS rn
+                FROM und JOIN $pl la ON la.id = und.a
+                         JOIN $pl lb ON lb.id = und.b
+                WHERE la.c <> lb.c),
+         f$r AS MATERIALIZED (
+                SELECT DISTINCT u, v, w FROM (
+                  SELECT u, v, w FROM $pf
+                  UNION ALL
+                  SELECT u, v, w FROM x$r WHERE rn = 1)),
+         cp$r AS (SELECT DISTINCT least(ca, cb) AS s, greatest(ca, cb) AS d
+                  FROM x$r WHERE rn = 1),
+         cu$r AS (SELECT s, d FROM cp$r UNION ALL SELECT d, s FROM cp$r),
+         reach$r(s, d) AS (
+           SELECT c, c FROM (SELECT DISTINCT c FROM $pl)
+           UNION
+           SELECT rr.s, u2.d FROM reach$r rr JOIN cu$r u2 ON u2.s = rr.d),
+         cc$r AS MATERIALIZED (
+                SELECT s AS oldc, min(d) AS newc FROM reach$r GROUP BY 1),
+         lab$r AS MATERIALIZED (
+                SELECT l.id, cc.newc AS c
+                FROM $pl l JOIN cc$r cc ON cc.oldc = l.c)"""
+    }.mkString
+    s"""WITH RECURSIVE
+         base AS (SELECT l_suppkey AS s, l_partkey AS p,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                  FROM lineitem WHERE l_partkey % $mod = 0),
+         ew AS MATERIALIZED (
+                SELECT CAST($sup + s AS BIGINT) AS u,
+                       CAST($part + p AS BIGINT) AS v, min(c) AS w
+                FROM base GROUP BY 1, 2),
+         und AS MATERIALIZED (
+                SELECT u AS a, v AS b, w FROM ew
+                UNION ALL SELECT v, u, w FROM ew),
+         lab0 AS (SELECT id, id AS c FROM
+                    (SELECT DISTINCT id FROM (SELECT u AS id FROM ew
+                                              UNION ALL SELECT v FROM ew))),
+         f0 AS (SELECT u, v, w FROM ew WHERE 1 = 0)$roundCtes
+         SELECT u, v, w AS w_cents FROM f$rounds ORDER BY u, v"""
+  }
+
   /** Contract-then-close SCC, replaying
     * [[graft.ops.GraphOps.graphScc]]: basket cycles + brand-hub
     * one-way edges; weak components of the cycle frame contracted to
@@ -636,6 +709,31 @@ object Oracle {
            FROM af JOIN bk USING (cid), probe) t
          ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
+
+  /** Centroid-based silhouette on top of the unrolled Lloyd chain,
+    * replaying [[graft.ops.VectorOps.embedSilhouette]]: rounded-cosine
+    * distances to all k trained centroids ranked per vector
+    * (sim DESC, cid tie-break), a = own (rank 1), b = nearest other
+    * (rank 2), s = (b − a)/max(a, b) rounded 6dp, decimal-exact mean
+    * per cluster. */
+  private def silhouetteSql(k: Int, iters: Int): String =
+    kmeansTrainCtes(k, iters) + s""",
+         sims AS (SELECT e.vec_id, c$iters.cid,
+                         ROUND(${kmCos("e.v", s"c$iters.c")}, 6) AS sim,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ROUND(${kmCos("e.v", s"c$iters.c")},
+                                          6) DESC,
+                                    c$iters.cid) AS rn
+                  FROM e, c$iters),
+         own AS (SELECT vec_id, cid, 1 - sim AS a FROM sims WHERE rn = 1),
+         sec AS (SELECT vec_id, 1 - sim AS b FROM sims WHERE rn = 2),
+         s AS (SELECT own.vec_id, own.cid,
+                      ROUND((b - a) / greatest(a, b), 6) AS sil
+               FROM own JOIN sec USING (vec_id))
+         SELECT cid, count(*) AS n_members,
+                ROUND(CAST(SUM(CAST(sil AS DECIMAL(27,10))) AS DOUBLE)
+                  / COUNT(*) + 1e-9, 6) AS mean_silhouette
+         FROM s GROUP BY cid ORDER BY cid"""
 
   /** Unrolled product quantization, replaying
     * [[graft.ops.VectorOps.embedQuantizePq]] subspace for subspace:
@@ -1345,6 +1443,24 @@ object Oracle {
           GROUP BY n_name, o_orderpriority
           ORDER BY n_name, o_orderpriority""",
 
+    // replays Relational.sqlStarTopk — returned-item revenue top-20,
+    // revenue decimal-exact, ties broken by custkey for a
+    // deterministic LIMIT
+    "sql_star_topk" ->
+      """SELECT c_custkey, c_name, n_name, count(*) AS n_items,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
     "graph_traverse_3hop_agg" ->
       s"""SELECT r_name, n_name, count(*) AS n_orders,
                  ${sqlSum2("o_totalprice")} AS revenue
@@ -1654,6 +1770,47 @@ object Oracle {
                 CAST(min(tot) AS BIGINT) AS total_qty
          FROM c WHERE cw * 2 >= tot
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // replays Stats.aggGiniImpurity — all-integer micro impurity of
+    // the per-nation priority mix; `//` and Spark's `div` both
+    // truncate toward zero
+    "agg_gini_impurity" ->
+      """WITH c AS (SELECT n_name, o_orderpriority, count(*) AS c
+                    FROM orders
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    GROUP BY 1, 2)
+         SELECT n_name, CAST(SUM(c) AS BIGINT) AS n_orders,
+                count(*) AS n_classes,
+                CAST((1000000 * (SUM(c) * SUM(c) - SUM(c * c)))
+                  // (SUM(c) * SUM(c)) AS BIGINT) AS gini_micro
+         FROM c GROUP BY n_name ORDER BY n_name""",
+
+    // replays Stats.statsLinreg — integer OLS over the pre-reduced
+    // (brand, year-index) frame; the intercept reuses the
+    // already-truncated slope so both engines round identically
+    "stats_linreg" ->
+      """WITH yearly AS (
+           SELECT p_brand, CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
+                  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         s AS (SELECT p_brand, count(*) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx,
+                      CAST(SUM(x * y) AS BIGINT) AS sxy
+               FROM yearly GROUP BY 1)
+         SELECT p_brand, n,
+                CAST((1000 * (n * sxy - sx * sy))
+                  // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+                CAST((1000 * sy - CAST((1000 * (n * sxy - sx * sy))
+                    // (n * sxx - sx * sx) AS BIGINT) * sx)
+                  // n AS BIGINT) AS intercept_milli
+         FROM s ORDER BY p_brand""",
 
     "agg_percentile" ->
       """SELECT l_returnflag,
@@ -3543,6 +3700,7 @@ object Oracle {
     // shapes are deliberately distinct and must not be "simplified"
     // into each other.
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
+    "embed_silhouette" -> silhouetteSql(8, 3),
     // the persisted-index path serves byte-identical results to the
     // in-session path (same codebook, same probe), so the same replay
     // checks both — what differs is the PLAN (no Lloyd iterations at
@@ -4260,6 +4418,7 @@ object Oracle {
         2000000000001L, 6000000000001L)),
 
     "graph_scc" -> sccSql,
+    "graph_msf_boruvka" -> msfSql,
 
     // replays TimeSeries.timeseriesSeasonalDow; DuckDB dayofweek is
     // 0-based Sunday, Spark's is 1-based — hence the +1

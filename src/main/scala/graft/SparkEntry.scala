@@ -39,6 +39,7 @@ object SparkEntry {
     "filter_null_semantics" -> (Relational.filterNullSemantics _),
     "project_case_when"     -> (Relational.projectCaseWhen _),
     "sql_query_interface"   -> (Relational.sqlQueryInterface _),
+    "sql_star_topk"         -> (Relational.sqlStarTopk _),
     // §2.3 joins
     "join_broadcast"         -> (Joins.joinBroadcast _),
     "join_shuffle_sortmerge" -> (Joins.joinShuffleSortMerge _),
@@ -83,6 +84,8 @@ object SparkEntry {
     // §2.4bis statistics / reshaping / sampling / skew patterns
     "agg_stats_moments" -> (Stats.aggStatsMoments _),
     "agg_weighted_median" -> (Stats.aggWeightedMedian _),
+    "agg_gini_impurity" -> (Stats.aggGiniImpurity _),
+    "stats_linreg"      -> (Stats.statsLinreg _),
     "agg_percentile"    -> (Stats.aggPercentile _),
     "agg_percentile_approx" -> (Stats.aggPercentileApprox _),
     "pivot_wide"        -> (Stats.pivotWide _),
@@ -193,6 +196,7 @@ object SparkEntry {
     "graph_ktruss"               -> (GraphXAlgos.graphKtruss _),
     "graph_eccentricity"         -> (GraphOps.graphEccentricity _),
     "graph_scc"                  -> (GraphOps.graphScc _),
+    "graph_msf_boruvka"          -> (GraphOps.graphMsfBoruvka _),
     // §2.10 dedup + text analysis
     "dedup_exact"        -> (TextOps.dedupExact _),
     "dedup_near_minhash" -> (TextOps.dedupNearMinhash _),
@@ -245,6 +249,7 @@ object SparkEntry {
     "embed_quantize_pq"        -> (VectorOps.embedQuantizePq _),
     "embed_quantize_int8"      -> (VectorOps.embedQuantizeInt8 _),
     "embed_recall_int8"        -> (VectorOps.embedRecallInt8 _),
+    "embed_silhouette"         -> (VectorOps.embedSilhouette _),
     "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),
     "dedup_embed_cosine"       -> (VectorOps.dedupEmbedCosine _),

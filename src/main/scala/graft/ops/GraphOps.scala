@@ -1732,4 +1732,115 @@ object GraphOps {
         expr("(1000 * nd_sum) div deg").as("avg_nb_deg_permille"))
       .orderBy(col("id"))
   }
+
+  /** Modulo cap on parts entering the MSF graph — bounds the weighted
+    * co-supply graph (supplier—part, weight = cheapest observed line)
+    * the same way [[SccOrderMod]] bounds the cycle census. */
+  val MsfPartMod = 4
+
+  /** Borůvka round budget. Components at least HALVE per round (every
+    * component with an incident cross edge merges), so 14 rounds cover
+    * ≥ 2¹⁴ = 16k initial vertices — margin over sf0.1's 6k. The Spark
+    * loop exits early once no cross edges remain; the oracle unrolls
+    * all 14 (converged tail rounds add nothing on either side). */
+  val MsfRounds = 14
+
+  /** MINIMUM SPANNING FOREST via distributed BORŮVKA — the cheapest
+    * edge set connecting each component of the supplier—part co-supply
+    * graph (edge weight = min observed line price in cents). Borůvka
+    * is THE parallel MSF algorithm: per round every component picks
+    * its minimum incident cross edge (the total order
+    * (w, min end, max end) on PHYSICAL edges breaks ties consistently
+    * from both sides, making the forest unique, cycle-free, and
+    * engine-replayable), picked
+    * edges merge components, repeat — O(log V) rounds, each round one
+    * join of the edge frame against the label table + one keyed min.
+    * Kruskal/Prim are inherently sequential (global sort order /
+    * single frontier); Borůvka's per-component local minima need no
+    * coordination, which is what survives 1000 executors. Component
+    * contraction runs on the CONTRACTED pair graph (picked component
+    * pairs, ≤ #components rows) via [[minLabelComponents]], never on
+    * the full edge frame. State: one (id, comp) long pair per vertex;
+    * the weighted frame stays partitioned on its join key across
+    * rounds. Output: the forest edge list (u, v, w_cents). */
+  def graphMsfBoruvka(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ew = t.lineitem.filter(col("l_partkey") % MsfPartMod === 0)
+      .select(
+        (lit(GraphModel.SupplierOff) + col("l_suppkey")).as("u"),
+        (lit(GraphModel.PartOff) + col("l_partkey")).as("v"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("u"), col("v")).agg(min(col("c")).as("w"))
+    msfOn(ew, MsfRounds)
+  }
+
+  /** The Borůvka loop itself, separate for spec use on hand graphs.
+    * Input: weighted undirected edges as canonical `(u, v, w)` rows
+    * (u < v, one row per physical edge). */
+  def msfOn(ewIn: DataFrame, rounds: Int): DataFrame = {
+    val ew = ewIn.localCheckpoint(true)
+    val und = ew.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .unionByName(
+        ew.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .localCheckpoint(true)
+    var labels = ew.select(col("u").as("id"))
+      .unionByName(ew.select(col("v").as("id"))).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var forest = ew.select(col("u"), col("v"), col("w")).limit(0)
+      .localCheckpoint(true)
+    val retired =
+      scala.collection.mutable.Buffer.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      round += 1
+      // each component's min incident cross edge. The order key is the
+      // CANONICAL physical edge (w, min end, max end) — a total order
+      // the two sides of an edge agree on. Ordering by the directed
+      // (w, a, b) instead is the classic Borůvka cycle bug: two
+      // equal-weight edges between the same two components can both
+      // win (each from its own side) and close a cycle.
+      val pick = und
+        .join(labels.select(col("id").as("a"), col("comp").as("ca")),
+          "a")
+        .join(labels.select(col("id").as("b"), col("comp").as("cb")),
+          "b")
+        .filter(col("ca") =!= col("cb"))
+        .groupBy(col("ca"))
+        .agg(min(struct(col("w"), least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"), col("cb"))).as("m"))
+        .select(col("ca"), col("m.w").as("w"), col("m.u").as("u"),
+          col("m.v").as("v"), col("m.cb").as("cb"))
+        .localCheckpoint(true)
+      val chosen = pick.select(col("u"), col("v"), col("w")).distinct()
+      val nextForest = forest.unionByName(chosen).distinct()
+        .localCheckpoint(true)
+      retired += forest
+      forest = nextForest
+      if (pick.isEmpty) done = true
+      else {
+        // contract: CC over the picked COMPONENT pairs only
+        val cverts = labels.select(col("comp").as("id")).distinct()
+        val cpairs = pick.select(
+          least(col("ca"), col("cb")).as("a_id"),
+          greatest(col("ca"), col("cb")).as("b_id")).distinct()
+        val cc = minLabelComponents(cverts, cpairs)
+        val nextLabels = labels
+          .join(cc.select(col("id").as("comp"),
+            col("cluster").as("newc")), "comp")
+          .select(col("id"), col("newc").as("comp"))
+          .localCheckpoint(true)
+        retired += labels
+        labels = nextLabels
+      }
+      retired += pick
+    }
+    val out = forest
+      .select(col("u"), col("v"), col("w").as("w_cents"))
+      .orderBy(col("u"), col("v")).localCheckpoint(true)
+    retired.foreach(_.unpersist(false))
+    Seq(ew, und, labels, forest).foreach(_.unpersist(false))
+    out
+  }
 }

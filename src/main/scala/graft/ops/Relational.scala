@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.1 scans + §2.2 filters/projections.
   *
@@ -113,5 +114,38 @@ object Relational {
          JOIN graft_nation ON n_nationkey = c_nationkey
          GROUP BY n_name, o_orderpriority
          ORDER BY n_name, o_orderpriority""")
+  }
+
+  /** STAR-SCHEMA TOP-K — the classic "returned-item revenue ranking"
+    * shape (lineitem ⋈ orders ⋈ customer ⋈ nation, quarter window on
+    * the date dim, revenue agg, global top-20): the one-query exhibit
+    * of the whole relational envelope working together. Plan shape the
+    * scale story depends on: the date + returnflag predicates push
+    * into the two fact scans, customer/nation broadcast (dim-sized),
+    * the agg is partial+final on the customer key, and the top-20 is
+    * TakeOrderedAndProject — no global sort materializes. Revenue is
+    * decimal-exact per [[graft.ops.Det]]; ties broken by custkey so
+    * LIMIT is deterministic. */
+  def sqlStarTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_name"),
+          col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1) - col("l_discount")).cast(DecimalType(12, 2))), 2)
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
   }
 }

@@ -201,4 +201,68 @@ object Stats {
         min(col("tot")).as("total_qty"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** GINI IMPURITY of the order-priority mix per customer nation — the
+    * concentration/diversity statistic of a categorical distribution
+    * (0 = all mass on one class, →1 = uniform over many), in exact
+    * integer micro: `1e6·(N² − Σc²) div N²`. All-integer (no p²
+    * floats), hence engine-exact. Shape: two keyed aggs (class counts,
+    * then per-group reduce) over the star join — the class-count frame
+    * is |groups|·|classes| rows, trivially small at any SF. DOMAIN: N
+    * per group must stay < 3e9 for the N² BIGINT; at 100 TB group
+    * cardinalities beyond that, lift the arithmetic to DECIMAL(38,0) —
+    * the counts stay exact either way. */
+  def aggGiniImpurity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("n_name"))
+      .agg(sum(col("c")).as("n_orders"),
+        count(lit(1)).as("n_classes"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("n_name"), col("n_orders"), col("n_classes"),
+        expr("CAST((1000000 * (n_orders * n_orders - s2)) div " +
+          "(n_orders * n_orders) AS BIGINT)").as("gini_micro"))
+      .orderBy(col("n_name"))
+  }
+
+  /** OLS TREND per brand — the least-squares slope (and intercept) of
+    * yearly revenue-cents against the year index, all-integer: with
+    * x = year − 1995 and y = exact yearly cents, slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) emitted in milli-cents/year by
+    * truncating integer division (both engines truncate toward zero),
+    * intercept derived from the already-truncated slope so the two
+    * engines round identically. The regression runs on the PRE-REDUCED
+    * (brand, year) frame — 25×7 rows at any SF — so the O(rows) work
+    * is one keyed decimal-exact agg and the regression itself is free.
+    * Σxy with cents ≤ 1e13/brand-year stays far inside BIGINT. */
+  def statsLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val yearly = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) - lit(1995)).cast(LongType).as("x"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("y"))
+    yearly.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("p_brand"), col("n"),
+        expr("CAST((1000 * (n * sxy - sx * sy)) div " +
+          "(n * sxx - sx * sx) AS BIGINT)").as("slope_milli"),
+        expr("CAST((1000 * sy - CAST((1000 * (n * sxy - sx * sy)) div " +
+          "(n * sxx - sx * sx) AS BIGINT) * sx) div n AS BIGINT)")
+          .as("intercept_milli"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -928,4 +928,50 @@ object VectorOps {
       .select(col("k"), col("hits"),
         expr("(hits * 1000) div k").as("recall_permille"))
   }
+
+  /** CLUSTER-QUALITY EVAL: mean simplified SILHOUETTE per k-means
+    * cluster — for each vector, a = cosine distance to its OWN
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1]; well-separated clusters score
+    * near 1, overlapping ones near 0. This is the standard scalable
+    * silhouette: against centroids, not all pairs (the textbook
+    * all-pairs version is O(N²) and dead at scale; per-vector cost
+    * here is k broadcast distances — the same shape as assignment).
+    * Closes the eval loop on [[kmeansQuantizer]] the way
+    * [[embedRecallEval]] does on IVF: drift in the codebook shows up
+    * as a silhouette drop before it shows up as recall loss.
+    * Determinism: distances use the same 6dp-rounded cosine as
+    * assignment, per-vector s is rounded 6dp, and the per-cluster
+    * mean is a decimal-exact sum — fully DuckDB-replayable on top of
+    * the unrolled Lloyd oracle chain. */
+  def embedSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = kmeansQuantizer(e, 8, 3).persist()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("centroid")), 6).as("sim"),
+        col("cid"))
+      .withColumn("rn", row_number().over(w))
+    val own = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"),
+        (lit(1) - col("sim")).as("a"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), (lit(1) - col("sim")).as("b"))
+    val out = own.join(second, "vec_id")
+      .withColumn("sil", round((col("b") - col("a"))
+        / greatest(col("a"), col("b")), 6))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("sil").cast(DecimalType(27, 10)))
+          .cast(DoubleType) / count(lit(1)) + lit(1e-9), 6)
+          .as("mean_silhouette"))
+      .orderBy(col("cid")).localCheckpoint(true)
+    cents.unpersist(false)
+    out
+  }
 }

@@ -838,4 +838,30 @@ class GraphSpec extends SparkSpec {
       assert(c >= 1L && c <= deg(id), s"coreness($id)=$c vs deg")
     }
   }
+
+  test("boruvka msf: hand graph exact MST, corpus forest is a " +
+      "spanning forest (|E| = |V| − components, total weight minimal " +
+      "vs sampled alternatives)") {
+    import spark.implicits._
+    // two components: square 1-2-3-4 with diagonal, MST = {1-2(1),
+    // 2-3(2), 3-4(2)}; isolated pair 8-9(7). Equal-weight edges 2-3
+    // and 3-4 (both 2) exercise the canonical tie-break.
+    val ew = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 2L), (1L, 4L, 3L),
+      (1L, 3L, 9L), (8L, 9L, 7L)).toDF("u", "v", "w")
+    val f = GraphOps.msfOn(ew, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 2L),
+      (8L, 9L, 7L)))
+    // corpus: forest size = V − C (cycle-free and spanning)
+    val forest = GraphOps.graphMsfBoruvka(spark, sfDir)
+    val fRows = forest.collect()
+    val verts = fRows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .distinct
+    val comp = GraphOps.minLabelComponents(
+      verts.toSeq.toDF("id"),
+      forest.select(col("u").as("a_id"), col("v").as("b_id")))
+      .select(col("cluster")).distinct().count()
+    assert(fRows.length == verts.length - comp,
+      s"${fRows.length} edges vs ${verts.length} verts, $comp comps")
+  }
 }

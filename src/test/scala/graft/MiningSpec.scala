@@ -119,4 +119,50 @@ class MiningSpec extends SparkSpec {
     assert(top.getAs[Long]("seq_support") == support,
       s"top pattern ($ba→$bb) support mismatch")
   }
+
+  test("gini impurity: bounded by the k-class maximum, 0 iff one class") {
+    val rows = graft.ops.Stats.aggGiniImpurity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_classes")
+      val g = r.getAs[Long]("gini_micro")
+      val cap = 1000000L * (k - 1) / k // uniform-over-k upper bound
+      assert(g >= 0 && g <= cap, s"gini $g outside [0, $cap] for k=$k")
+      if (k == 1) assert(g == 0)
+    }
+  }
+
+  test("linreg: per-brand slope equals a driver-side exact recompute") {
+    val rows = graft.ops.Stats.statsLinreg(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val t = Tables(spark, sfDir)
+    val yearly = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) - lit(1995)).cast("long").as("x"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("y"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("x"),
+        r.getAs[Long]("y")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val pts = yearly(r.getString(0)).map(p => (p._2, p._3))
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      assert(r.getAs[Long]("slope_milli") ==
+        1000 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    }
+  }
+
+  test("star topk: 20 rows, revenue non-increasing, custkey breaks ties") {
+    val rows = graft.ops.Relational.sqlStarTopk(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -430,4 +430,17 @@ class VectorSpec extends SparkSpec {
     // int8 at 64 dims loses little: expect strong overlap with exact
     assert(hits >= 5L, s"int8 recall suspiciously low: $hits/10")
   }
+
+  test("silhouette: all k clusters, members partition the corpus, " +
+      "means within [−1, 1]") {
+    val rows = VectorOps.embedSilhouette(spark, sfDir).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      Tables(spark, sfDir).embeddings.count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"mean silhouette $s out of range")
+      assert(r.getAs[Long]("n_members") > 0)
+    }
+  }
 }
