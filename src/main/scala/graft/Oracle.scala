@@ -389,7 +389,14 @@ object Oracle {
     * directed cycles is strongly connected), doubling closure + mutual
     * pairs on the contracted attachment graph only, labels lifted
     * back, min-member-id census of the non-singleton components. */
-  private def sccSql: String = {
+  /** The shared SCC WITH-body through `slab` (c → super label),
+    * replaying [[graft.ops.GraphOps.sccLifted]] — used by both the
+    * census ([[sccSql]]) and the condensation ([[condensationSql]]).
+    * `pin` dedups via DISTINCT-over-UNION-ALL, not bare UNION (the
+    * DuckDB 1.0.0 WITH RECURSIVE bug documented at [[msfSql]] —
+    * duplicate pins would double att's edge multiplicities, which the
+    * condensation COUNTS). */
+  private def sccCommonCtes: String = {
     val mod = ops.GraphOps.SccOrderMod
     val doubling = (1 to ops.GraphOps.SccDoubleRounds).map { i =>
       s""",
@@ -409,7 +416,8 @@ object Oracle {
          cyc AS MATERIALIZED (
                  SELECT DISTINCT p AS src, COALESCE(np, fp) AS dst
                  FROM nxt WHERE COALESCE(np, fp) <> p),
-         pin AS (SELECT src AS p FROM cyc UNION SELECT dst FROM cyc),
+         pin AS (SELECT DISTINCT p FROM (SELECT src AS p FROM cyc
+                                         UNION ALL SELECT dst FROM cyc)),
          wb AS (SELECT pin.p, pr.p_brand
                 FROM pin JOIN part pr ON pr.p_partkey = pin.p),
          hub AS (SELECT p_brand, min(p) AS hub FROM wb GROUP BY 1),
@@ -434,12 +442,40 @@ object Oracle {
                       ON f.src = g.dst AND f.dst = g.src),
          slab AS (SELECT u AS c, min(v) AS sc FROM (
                     SELECT u, v FROM mutual
-                    UNION ALL SELECT DISTINCT c, c FROM comp) GROUP BY u)
+                    UNION ALL SELECT DISTINCT c, c FROM comp) GROUP BY u)"""
+  }
+
+  private def sccSql: String =
+    sccCommonCtes + s"""
          SELECT min(comp.p) AS scc_id, count(*) AS n_members
          FROM comp JOIN slab ON slab.c = comp.c
          GROUP BY slab.sc HAVING count(*) >= 2
          ORDER BY n_members DESC, scc_id"""
-  }
+
+  /** Condensation DAG on top of the shared SCC chain, replaying
+    * [[graft.ops.GraphOps.graphCondensation]]: per-part scc label =
+    * min member id of its super label, original edges (cyc ∪ att,
+    * multiplicity kept) mapped through the labels, cross-SCC counted. */
+  private def condensationSql: String =
+    sccCommonCtes + s""",
+         lab AS (SELECT comp.p, slab.sc
+                 FROM comp JOIN slab ON slab.c = comp.c),
+         nodes AS (SELECT sc, min(p) AS scc_id, count(*) AS n_members
+                   FROM lab GROUP BY sc),
+         idlab AS (SELECT lab.p, nodes.scc_id
+                   FROM lab JOIN nodes USING (sc)),
+         alledges AS (SELECT src, dst FROM cyc
+                      UNION ALL SELECT src, dst FROM att),
+         adj AS (SELECT a.scc_id AS ssrc, b.scc_id AS sdst,
+                        count(*) AS ne
+                 FROM alledges e JOIN idlab a ON a.p = e.src
+                                 JOIN idlab b ON b.p = e.dst
+                 WHERE a.scc_id <> b.scc_id
+                 GROUP BY 1, 2)
+         SELECT scc_id, n_members, sdst AS succ_scc,
+                CAST(COALESCE(ne, 0) AS BIGINT) AS n_edges
+         FROM nodes LEFT JOIN adj ON scc_id = ssrc
+         ORDER BY scc_id, succ_scc NULLS FIRST"""
 
   /** Unrolled within-horizon mean BFS distance per landmark, replaying
     * [[graft.ops.GraphOps.graphAvgPathLength]] (same dist-only layer
@@ -1538,6 +1574,24 @@ object Oracle {
                     WHERE event_type IN ('signup','view')) v
            ON p.user_id = v.user_id AND p.ts_sec >= v.ts_sec
          ORDER BY p_id""",
+
+    // replays Joins.joinAsofTolerance: backward as-of bounded by the
+    // staleness window, LEFT semantics with a matched flag
+    "join_asof_tolerance" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+                            date_trunc('second', ts) AS p_ts
+                     FROM events WHERE event_type = 'purchase'),
+          v AS (SELECT user_id AS v_user,
+                       date_trunc('second', ts) AS v_ts
+                FROM events WHERE event_type IN ('signup','view'))
+          SELECT p_id, p_user, max(v_ts) AS prior_ts,
+                 CAST(CASE WHEN max(v_ts) IS NOT NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS matched
+          FROM p LEFT JOIN v
+            ON p_user = v_user AND v_ts <= p_ts
+               AND v_ts >= p_ts -
+                 INTERVAL ${graft.ops.Joins.AsofToleranceSec} SECOND
+          GROUP BY p_id, p_user ORDER BY p_id""",
 
     // replays Joins.joinAsofNearest: nearest by (|gap|, v_ts) total
     // order — tie breaks to the earlier candidate in both engines
@@ -4027,6 +4081,29 @@ object Oracle {
          SELECT user_id, view_sec, click_sec, purchase_sec FROM p
          ORDER BY user_id""",
 
+    // replays TimeSeries.eventsFunnelLatency: first view → first
+    // strictly-later purchase, lower-median + nearest-rank p90 of the
+    // exact integer latency seconds
+    "events_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                            epoch_us(ts) // 1000000 AS sec FROM events),
+         fv AS (SELECT user_id, min(sec) AS v_sec FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         fp AS (SELECT ev.user_id, fv.v_sec, min(sec) AS p_sec
+                FROM ev JOIN fv ON ev.user_id = fv.user_id
+                WHERE event_type = 'purchase' AND sec > v_sec
+                GROUP BY ev.user_id, fv.v_sec),
+         lat AS (SELECT p_sec - v_sec AS lat,
+                        row_number() OVER (ORDER BY p_sec - v_sec) AS rn,
+                        count(*) OVER () AS n
+                 FROM fp)
+         SELECT CAST(max(n) AS BIGINT) AS n_converted,
+                CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END)
+                  AS BIGINT) AS median_s,
+                CAST(max(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN lat
+                  END) AS BIGINT) AS p90_s
+         FROM lat""",
+
     // replays TimeSeries.eventsPatternMatch: per-user journey string
     // in the (ts_sec, event_id) total order, regex conversion test
     "events_pattern_match" ->
@@ -4418,6 +4495,7 @@ object Oracle {
         2000000000001L, 6000000000001L)),
 
     "graph_scc" -> sccSql,
+    "graph_condensation" -> condensationSql,
     "graph_msf_boruvka" -> msfSql,
 
     // replays TimeSeries.timeseriesSeasonalDow; DuckDB dayofweek is

@@ -1316,28 +1316,29 @@ object GraphOps {
           col("cluster").as("nb_cluster")), "b_id")
         .groupBy(col("a_id"))
         .agg(min(col("nb_cluster")).as("min_nb"))
+      // the previous cluster rides along as `prev`, so the
+      // convergence check below is a FILTER over the already-cached
+      // checkpoint blocks — not the extra shuffle join per round it
+      // used to be (a measurable job tax for iterative callers like
+      // Borůvka that invoke this once per outer round)
       val nextChk = labels
         .join(prop.select(col("a_id").as("id"), col("min_nb")),
           Seq("id"), "left")
         .join(labels.select(col("id").as("jid"),
           col("cluster").as("jump")), col("cluster") === col("jid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"),
             least(coalesce(col("min_nb"), col("cluster")),
               coalesce(col("jump"), col("cluster")))).as("cluster"))
         .localCheckpoint()
-      val next = dropStats(nextChk)
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"),
-          "id")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
+      converged = nextChk.filter(col("cluster") =!= col("prev")).isEmpty
       // nextChk is materialized (eager checkpoint) and the convergence
       // check above is done with it, so the predecessor's blocks can be
       // released now — without this every invocation permanently parked
       // one block set per round in the block manager
       chk.unpersist(false)
       chk = nextChk
-      labels = next
+      labels = dropStats(nextChk).select(col("id"), col("cluster"))
     }
     undM.unpersist(false)
     labels
@@ -1626,50 +1627,108 @@ object GraphOps {
     * DuckDB-oracled with recursive-CTE contraction + the identical
     * doubling unrolled. */
   def graphScc(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val b = t.lineitem.filter(col("l_orderkey") % SccOrderMod === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val wo = Window.partitionBy(col("o")).orderBy(col("p"))
-    val cyc = b
-      .select(col("o"), col("p"), lead(col("p"), 1).over(wo).as("np"),
-        min(col("p")).over(Window.partitionBy(col("o"))).as("fp"))
-      .select(col("p").as("src"), coalesce(col("np"), col("fp")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val partsIn = cyc.select(col("src").as("p"))
-      .unionByName(cyc.select(col("dst").as("p"))).distinct()
-    val withBrand = partsIn.join(
-      t.part.select(col("p_partkey").as("p"), col("p_brand")), Seq("p"))
-    val hub = withBrand.groupBy(col("p_brand")).agg(min(col("p")).as("hub"))
-    val att = withBrand.join(hub, Seq("p_brand"))
-      .filter(col("hub") =!= col("p"))
-      .select(col("hub").as("src"), col("p").as("dst"))
-    // contract: weak components of the cycle frame are SCCs already
-    val comp = minLabelComponents(
-      partsIn.select(col("p").as("id")),
-      cyc.select(col("src").as("a_id"), col("dst").as("b_id")))
-    // attachments between supernodes; within-supernode ones vanish
-    val ce = att
-      .join(comp.select(col("id").as("src"), col("cluster").as("csrc")),
-        Seq("src"))
-      .join(comp.select(col("id").as("dst"), col("cluster").as("cdst")),
-        Seq("dst"))
-      .filter(col("csrc") =!= col("cdst"))
-      .select(col("csrc").as("src"), col("cdst").as("dst"))
-      .distinct()
-    // doubling closure over the contracted graph only
-    val superLab = sccLabelsOn(ce, SccDoubleRounds)
-    val lifted = comp
-      .join(superLab.select(col("u").as("cluster"), col("scc_id")),
-        Seq("cluster"), "left")
-      .select(col("id"),
-        coalesce(col("scc_id"), col("cluster")).as("sl"))
+    val (lifted, _) = sccLifted(spark, dir)
     lifted.groupBy(col("sl"))
       .agg(min(col("id")).as("scc_id"), count(lit(1)).as("n_members"))
       .filter(col("n_members") >= 2)
       .select(col("scc_id"), col("n_members"))
       .orderBy(col("n_members").desc, col("scc_id"))
+  }
+
+  /** CONDENSATION — the DAG the SCC decomposition induces: one node
+    * per SCC (labeled by min member id, singletons included), one
+    * adjacency row per (SCC, successor SCC) with original-edge
+    * multiplicity; sinks and isolated SCCs keep a NULL-successor row
+    * so the relation carries the node set too. This is the query a
+    * user runs right after the SCC census: "how do the
+    * strongly-connected blocks feed each other". Cost on top of
+    * [[graphScc]]: two label joins + one keyed count — the
+    * contraction and closure are shared via [[sccLifted]], not
+    * recomputed. The edge set is acyclic by construction (an
+    * SCC-cross cycle would have merged its SCCs). */
+  def graphCondensation(spark: SparkSession, dir: String): DataFrame = {
+    val (lifted, edges) = sccLifted(spark, dir)
+    val nodes = lifted.groupBy(col("sl"))
+      .agg(min(col("id")).as("scc_id"), count(lit(1)).as("n_members"))
+    val idlab = lifted
+      .join(nodes.select(col("sl"), col("scc_id")), "sl")
+      .select(col("id"), col("scc_id"))
+    val adj = edges
+      .join(idlab.select(col("id").as("src"), col("scc_id").as("ssrc")),
+        Seq("src"))
+      .join(idlab.select(col("id").as("dst"), col("scc_id").as("sdst")),
+        Seq("dst"))
+      .filter(col("ssrc") =!= col("sdst"))
+      .groupBy(col("ssrc"), col("sdst"))
+      .agg(count(lit(1)).as("ne"))
+    // LEFT: an SCC with no successors (a condensation sink, or the
+    // single SCC a small sample collapses to) survives with a NULL
+    // successor — the adjacency relation carries the node set too
+    nodes.join(adj, col("scc_id") === col("ssrc"), "left")
+      .select(col("scc_id"), col("n_members"),
+        col("sdst").as("succ_scc"),
+        coalesce(col("ne"), lit(0L)).as("n_edges"))
+      .orderBy(col("scc_id"), col("succ_scc"))
+  }
+
+  private val sccLiftCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** Shared SCC pipeline: basket cycles + brand-hub attachments,
+    * cycle-frame contraction, doubling closure, labels lifted back.
+    * Returns (`(id, sl)` per-part scc label frame, the directed
+    * `(src, dst)` edge frame cyc ∪ att) — memoized + persisted per
+    * (session, dir) so the census and the condensation pay for ONE
+    * contraction+closure, the same sharing discipline as
+    * [[GraphModel.edgesCached]]. */
+  private def sccLifted(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = sccLiftCache.synchronized {
+    sccLiftCache.getOrElseUpdate((spark, dir), {
+      val t = Tables(spark, dir)
+      val b = t.lineitem.filter(col("l_orderkey") % SccOrderMod === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val wo = Window.partitionBy(col("o")).orderBy(col("p"))
+      val cyc = b
+        .select(col("o"), col("p"), lead(col("p"), 1).over(wo).as("np"),
+          min(col("p")).over(Window.partitionBy(col("o"))).as("fp"))
+        .select(col("p").as("src"),
+          coalesce(col("np"), col("fp")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val partsIn = cyc.select(col("src").as("p"))
+        .unionByName(cyc.select(col("dst").as("p"))).distinct()
+      val withBrand = partsIn.join(
+        t.part.select(col("p_partkey").as("p"), col("p_brand")), Seq("p"))
+      val hub = withBrand.groupBy(col("p_brand"))
+        .agg(min(col("p")).as("hub"))
+      val att = withBrand.join(hub, Seq("p_brand"))
+        .filter(col("hub") =!= col("p"))
+        .select(col("hub").as("src"), col("p").as("dst"))
+      // contract: weak components of the cycle frame are SCCs already
+      val comp = minLabelComponents(
+        partsIn.select(col("p").as("id")),
+        cyc.select(col("src").as("a_id"), col("dst").as("b_id")))
+      // attachments between supernodes; within-supernode ones vanish
+      val ce = att
+        .join(comp.select(col("id").as("src"), col("cluster").as("csrc")),
+          Seq("src"))
+        .join(comp.select(col("id").as("dst"), col("cluster").as("cdst")),
+          Seq("dst"))
+        .filter(col("csrc") =!= col("cdst"))
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .distinct()
+      // doubling closure over the contracted graph only
+      val superLab = sccLabelsOn(ce, SccDoubleRounds)
+      val lifted = comp
+        .join(superLab.select(col("u").as("cluster"), col("scc_id")),
+          Seq("cluster"), "left")
+        .select(col("id"),
+          coalesce(col("scc_id"), col("cluster")).as("sl"))
+        .localCheckpoint(true)
+      val edges = cyc.unionByName(att).localCheckpoint(true)
+      (lifted, edges)
+    })
   }
 
   /** The SCC core on an arbitrary (src, dst) edge frame: bounded-
@@ -1787,8 +1846,11 @@ object GraphOps {
       .unionByName(ew.select(col("v").as("id"))).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    var forest = ew.select(col("u"), col("v"), col("w")).limit(0)
-      .localCheckpoint(true)
+    // chosen-edge frames accumulate here and union+distinct ONCE at
+    // the end — the forest is never read inside the loop, so
+    // materializing it per round would only add a job per round
+    val chosenFrames =
+      scala.collection.mutable.Buffer.empty[DataFrame]
     val retired =
       scala.collection.mutable.Buffer.empty[DataFrame]
     var round = 0
@@ -1813,11 +1875,7 @@ object GraphOps {
         .select(col("ca"), col("m.w").as("w"), col("m.u").as("u"),
           col("m.v").as("v"), col("m.cb").as("cb"))
         .localCheckpoint(true)
-      val chosen = pick.select(col("u"), col("v"), col("w")).distinct()
-      val nextForest = forest.unionByName(chosen).distinct()
-        .localCheckpoint(true)
-      retired += forest
-      forest = nextForest
+      chosenFrames += pick.select(col("u"), col("v"), col("w"))
       if (pick.isEmpty) done = true
       else {
         // contract: CC over the picked COMPONENT pairs only
@@ -1836,11 +1894,11 @@ object GraphOps {
       }
       retired += pick
     }
-    val out = forest
+    val out = chosenFrames.reduce(_ unionByName _).distinct()
       .select(col("u"), col("v"), col("w").as("w_cents"))
       .orderBy(col("u"), col("v")).localCheckpoint(true)
     retired.foreach(_.unpersist(false))
-    Seq(ew, und, labels, forest).foreach(_.unpersist(false))
+    Seq(ew, und, labels).foreach(_.unpersist(false))
     out
   }
 }

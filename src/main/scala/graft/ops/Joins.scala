@@ -144,6 +144,40 @@ object Joins {
       .orderBy(col("p_id"))
   }
 
+  /** Max staleness for [[joinAsofTolerance]], seconds (1 day). */
+  val AsofToleranceSec = 86400L
+
+  /** As-of join with a TOLERANCE bound — [[joinAsof]] accepts a prior
+    * event however stale; real feature-lookup pipelines bound the
+    * staleness (pandas `merge_asof(tolerance=...)`): a purchase whose
+    * latest prior signup/view is older than [[AsofToleranceSec]]
+    * matches nothing and must still SURVIVE (left semantics, matched
+    * flag) so downstream sees the coverage gap instead of silently
+    * dropping rows. Same user-equi-key shape as [[joinAsof]]; the
+    * tolerance predicate additionally BOUNDS the per-user candidate
+    * window, which at 100 TB is what turns the as-of from
+    * full-history-per-key into a time-bucketed range join. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_sec").as("p_ts"))
+    val views = ev.filter(col("event_type").isin("signup", "view"))
+      .select(col("user_id").as("v_user"), col("ts_sec").as("v_ts"))
+    purchases
+      .join(views,
+        col("p_user") === col("v_user") && col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") -
+            expr(s"INTERVAL $AsofToleranceSec SECOND"),
+        "left")
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(max(col("v_ts")).as("prior_ts"))
+      .select(col("p_id"), col("p_user"), col("prior_ts"),
+        when(col("prior_ts").isNotNull, 1L).otherwise(0L).as("matched"))
+      .orderBy(col("p_id"))
+  }
+
   /** NEAREST-direction as-of join — [[joinAsof]] looks only backward;
     * sensor/telemetry alignment wants the temporally closest match in
     * EITHER direction (pandas `merge_asof(direction='nearest')`).

@@ -607,4 +607,38 @@ object TimeSeries {
           .as("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
+
+  /** FUNNEL LATENCY — time-to-convert from a user's first view to
+    * their first STRICTLY-LATER purchase, reduced to the one-row
+    * census a dashboard reads: converted-user count and the exact
+    * latency distribution (lower median + nearest-rank p90, both the
+    * rank-of-a-multiset discipline of agg_weighted_median — integer
+    * seconds, no interpolation float anywhere). The per-user reduce is
+    * two keyed min-aggs + one join on the user key; the global ranks
+    * are one sort of 150..10⁹ scalar latencies — a single-column
+    * frame, the cheapest possible global sort, and replaceable by
+    * approx_percentile at 100 TB (that twin already exists as
+    * agg_percentile_approx). */
+  def eventsFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        expr("unix_seconds(date_trunc('second', ts))").as("sec"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("sec") > col("v_sec"))
+      .groupBy(col("user_id"), col("v_sec"))
+      .agg(min(col("sec")).as("p_sec"))
+    val lat = fp.select((col("p_sec") - col("v_sec")).as("lat"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("lat"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    lat.agg(
+        max(col("n")).as("n_converted"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("lat")))
+          .as("median_s"),
+        max(when(col("rn") === expr("(9 * (n - 1)) div 10 + 1"),
+          col("lat"))).as("p90_s"))
+      .select(col("n_converted"), col("median_s"), col("p90_s"))
+  }
 }

@@ -399,8 +399,7 @@ object VectorOps {
     val t = Tables(spark, dir)
     val e = t.embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    // tiny (k rows) and consumed twice (bucket choice + assignment)
-    val cents = kmeansQuantizer(e, 8, 3).persist()
+    val cents = kmeansCodebookCached(spark, dir)
     val probe = broadcast(probeOf(t))
     val buckets = cents.crossJoin(probe)
       .select(col("cid"),
@@ -417,13 +416,26 @@ object VectorOps {
           / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
-    // materialize the (10-row) result eagerly so the cached codebook can
-    // be released before returning — same persist/release discipline as
-    // pagerankExactOn; without this every call leaked one cached frame
-    val out = result.localCheckpoint(true)
-    cents.unpersist(false)
-    out
+    result
   }
+
+  /** Memoized trained codebook (k=8, 3 Lloyd iterations over the
+    * standard embedding frame), persisted for the process lifetime —
+    * the SAME TrieMap discipline as [[pqCache]]/GraphModel's builders.
+    * Four keys consume this exact training run (ann-kmeans, the
+    * persisted-index writer, delta-assign's base, silhouette); one
+    * Lloyd chain per (session, dir) instead of one per key. */
+  private val kmCodebookCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  def kmeansCodebookCached(spark: SparkSession, dir: String): DataFrame =
+    kmCodebookCache.synchronized {
+      kmCodebookCache.getOrElseUpdate((spark, dir), {
+        VectorExpressions.register(spark)
+        val e = Tables(spark, dir).embeddings.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        kmeansQuantizer(e, 8, 3).persist()
+      })
+    }
 
   /** PERSISTED IVF index: the trained k-means codebook and the
     * per-vector bucket assignments written ONCE as parquet tables —
@@ -444,7 +456,7 @@ object VectorOps {
         val t = Tables(spark, dir)
         val e = t.embeddings.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
-        val cents = kmeansQuantizer(e, 8, 3).persist()
+        val cents = kmeansCodebookCached(spark, dir)
         val base = graft.TempDirs.create("graft-ivf-index")
         cents.coalesce(1).write.parquet(s"$base/codebook")
         assignToCentroids(e, cents)
@@ -453,7 +465,6 @@ object VectorOps {
           // one shuffle to co-locate each inverted list in one file
           .repartition(col("cid"))
           .write.partitionBy("cid").parquet(s"$base/assignments")
-        cents.unpersist(false)
         base
       })
     }
@@ -949,7 +960,7 @@ object VectorOps {
     val t = Tables(spark, dir)
     val e = t.embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cents = kmeansQuantizer(e, 8, 3).persist()
+    val cents = kmeansCodebookCached(spark, dir)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cid"))
     val ranked = e.crossJoin(broadcast(cents))
@@ -970,8 +981,7 @@ object VectorOps {
         round(sum(col("sil").cast(DecimalType(27, 10)))
           .cast(DoubleType) / count(lit(1)) + lit(1e-9), 6)
           .as("mean_silhouette"))
-      .orderBy(col("cid")).localCheckpoint(true)
-    cents.unpersist(false)
+      .orderBy(col("cid"))
     out
   }
 }

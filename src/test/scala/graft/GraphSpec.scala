@@ -864,4 +864,31 @@ class GraphSpec extends SparkSpec {
     assert(fRows.length == verts.length - comp,
       s"${fRows.length} edges vs ${verts.length} verts, $comp comps")
   }
+
+  test("condensation: no 2-cycles (DAG necessary condition), every " +
+      "census scc is a node, members sum to the part universe") {
+    val cond = GraphOps.graphCondensation(spark, sfDir).collect()
+    assert(cond.nonEmpty)
+    val pairs = cond.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    pairs.foreach { case (a, b) =>
+      assert(a != b)
+      assert(!pairs.contains((b, a)),
+        s"2-cycle $a <-> $b — SCCs not maximal")
+    }
+    // NULL-successor rows are exactly the zero-edge ones
+    cond.foreach { r =>
+      assert(r.isNullAt(2) == (r.getAs[Long]("n_edges") == 0L))
+    }
+    // every census scc (multi-member) appears as a node with the
+    // census's member count
+    val census = GraphOps.graphScc(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodeMembers = cond.groupBy(_.getLong(0)).view
+      .mapValues(_.head.getAs[Long]("n_members")).toMap
+    census.foreach { case (s, n) =>
+      assert(nodeMembers.get(s).contains(n),
+        s"census scc $s ($n members) missing/mismatched in condensation")
+    }
+  }
 }

@@ -497,4 +497,42 @@ class TimeSeriesSpec extends SparkSpec {
         (if (expected._2 < 0) "up" else "down"))
     }
   }
+
+  test("asof tolerance: matched rows within the window, unmatched rows " +
+      "survive with null prior, tolerance only removes matches") {
+    val tol = graft.ops.Joins.joinAsofTolerance(spark, sfDir).collect()
+    val plain = graft.ops.Joins.joinAsof(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p_id") ->
+        r.getAs[java.sql.Timestamp]("prior_ts")).toMap
+    // every purchase survives (left semantics): one row per purchase
+    val nPurch = Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase").count()
+    assert(tol.length == nPurch)
+    var unmatched = 0
+    tol.foreach { r =>
+      val m = r.getAs[Long]("matched")
+      val p = r.getAs[java.sql.Timestamp]("prior_ts")
+      assert((m == 1L) == (p != null))
+      if (m == 0L) unmatched += 1
+      // a bounded match must equal the unbounded one (same latest
+      // prior); a dropped match means the unbounded prior was stale
+      if (p != null)
+        assert(p == plain(r.getAs[Long]("p_id")))
+    }
+    assert(unmatched > 0, "tolerance never fired — widen the probe")
+  }
+
+  test("funnel latency: one row, median <= p90, converted bounded by " +
+      "viewing users") {
+    val r = graft.ops.TimeSeries.eventsFunnelLatency(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val (n, med, p90) = (r(0).getAs[Long]("n_converted"),
+      r(0).getAs[Long]("median_s"), r(0).getAs[Long]("p90_s"))
+    val viewers = Tables(spark, sfDir).events
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(n > 0 && n <= viewers)
+    assert(med > 0 && med <= p90)
+  }
 }
