@@ -764,7 +764,9 @@ object Oracle {
          own AS (SELECT vec_id, cid, 1 - sim AS a FROM sims WHERE rn = 1),
          sec AS (SELECT vec_id, 1 - sim AS b FROM sims WHERE rn = 2),
          s AS (SELECT own.vec_id, own.cid,
-                      ROUND((b - a) / greatest(a, b), 6) AS sil
+                      CASE WHEN greatest(a, b) = 0 THEN 0.0
+                           ELSE ROUND((b - a) / greatest(a, b), 6)
+                      END AS sil
                FROM own JOIN sec USING (vec_id))
          SELECT cid, count(*) AS n_members,
                 ROUND(CAST(SUM(CAST(sil AS DECIMAL(27,10))) AS DOUBLE)
@@ -1860,9 +1862,9 @@ object Oracle {
                FROM yearly GROUP BY 1)
          SELECT p_brand, n,
                 CAST((1000 * (n * sxy - sx * sy))
-                  // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+                  // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_milli,
                 CAST((1000 * sy - CAST((1000 * (n * sxy - sx * sy))
-                    // (n * sxx - sx * sx) AS BIGINT) * sx)
+                    // nullif(n * sxx - sx * sx, 0) AS BIGINT) * sx)
                   // n AS BIGINT) AS intercept_milli
          FROM s ORDER BY p_brand""",
 
@@ -1992,16 +1994,18 @@ object Oracle {
          ORDER BY o_custkey, o_orderkey""",
 
     "window_moving_avg" ->
-      """SELECT order_date,
-                CAST(ROUND(rev, 2) AS DOUBLE) AS day_revenue,
-                ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
+      """SELECT o_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS order_date,
+                CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                  AS DOUBLE) AS order_value,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        OVER w AS DOUBLE)
                       / COUNT(*) OVER w + 1e-9, 2) AS ma7
-         FROM (SELECT CAST(o_orderdate AS DATE) AS order_date,
-                      SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
-               FROM orders GROUP BY 1) d
-         WINDOW w AS (ORDER BY order_date
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-         ORDER BY order_date""",
+         ORDER BY o_custkey, o_orderkey""",
 
     "window_range_frame" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -3596,7 +3600,9 @@ object Oracle {
     // L2 reconstruction error
     "embed_quantize_int8" ->
       s"""WITH $Int8Ctes
-         SELECT vec_id, q8,
+         SELECT vec_id,
+                array_to_string(list_transform(q8,
+                  x -> CAST(x AS VARCHAR)), ',') AS q8,
                 ROUND(sqrt(list_sum(list_transform(range(1, 65), i ->
                   (v[i] - q8[i] * amax[i] / 127.0)
                     * (v[i] - q8[i] * amax[i] / 127.0)))), 4)

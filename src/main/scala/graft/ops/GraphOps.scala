@@ -534,10 +534,15 @@ object GraphOps {
     """CAST(CASE WHEN den = 0 THEN NULL
        ELSE (num - ((num % den + den) % den)) div den END AS BIGINT)"""
 
-  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    modularityStatsOn(GraphModel.dedupEdgesCached(spark, dir),
+      lpaLabelsCached(spark, dir))
+
+  /** The modularity census on an arbitrary (edges, labels) pair —
+    * shared by the registered LPA-label scalar above and the Louvain
+    * monotonicity invariant in GraphSpec. */
+  def modularityStatsOn(ded: DataFrame, lab: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ded = GraphModel.dedupEdgesCached(spark, dir)
-    val lab = lpaLabelsCached(spark, dir)
     val deg = undDegreesOf(ded)
     val parts = deg.join(lab, "id")
       .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dc"))
@@ -640,6 +645,56 @@ object GraphOps {
   def graphCommunityMerge(spark: SparkSession, dir: String): DataFrame =
     communityMergeOn(GraphModel.dedupEdgesCached(spark, dir),
       lpaLabelsCached(spark, dir))
+
+  /** Round budget for [[graphLouvain]]: bounded so the oracle can
+    * unroll the identical chain; on this corpus the mutual-best
+    * matching runs dry inside the budget (later rounds accept nothing
+    * and cost only community-sized aggs). */
+  val LouvainRounds = 3
+
+  /** ITERATED LOUVAIN over a starting labeling: per round, score every
+    * adjacent community pair with [[communityMergeOn]]'s exact-integer
+    * ΔQ, accept the mutual-best positive matching, and CONTRACT
+    * accepted pairs to their min label. A mutual-best matching is a
+    * set of DISJOINT pairs — contraction is a plain label remap (no
+    * component machinery: a matching cannot chain) and the accepted
+    * ΔQs are additive, so modularity is monotone nondecreasing round
+    * over round (the GraphSpec invariant vs the one-round merge).
+    * One eager checkpoint per round bounds the plan (the scorer reads
+    * the label frame three times); every post-agg frame is
+    * community-sized, so the loop scales with the summary graph, not
+    * the input — the multi-level community detection a graph DB ships
+    * where a single merge round under-fits. */
+  def louvainLabels(ded: DataFrame, lab0: DataFrame,
+      rounds: Int): DataFrame = {
+    var lab = lab0
+    var owned: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val dec = communityMergeOn(ded, lab)
+      val merges = dec.filter(col("accepted"))
+        .select(col("label"),
+          least(col("label"), col("partner")).as("newlab"))
+      val next = lab.join(merges, Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("newlab"), col("label")).as("label"))
+        .localCheckpoint(true)
+      // the next round's checkpoint has absorbed the previous one;
+      // lab0 is the caller's (often the shared LPA cache) — never ours
+      owned.foreach(_.unpersist(false))
+      owned = Some(next)
+      lab = next
+    }
+    lab
+  }
+
+  /** Registered surface: final community sizes after
+    * [[LouvainRounds]] mutual-best merge-and-contract rounds seeded by
+    * the shared 3-round exact-LPA labels. */
+  def graphLouvain(spark: SparkSession, dir: String): DataFrame =
+    louvainLabels(GraphModel.dedupEdgesCached(spark, dir),
+      lpaLabelsCached(spark, dir), LouvainRounds)
+      .groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .orderBy(col("label"))
 
   /** Degree assortativity — "do hubs attach to hubs?", the one-scalar
     * mixing diagnostic next to [[graphModularity]]. Edge ends are
@@ -1292,7 +1347,21 @@ object GraphOps {
   private def dropStats(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
-  def minLabelComponents(verts: DataFrame, pairs: DataFrame): DataFrame = {
+  /** One-shot entry: the returned labels view pins one checkpointed
+    * block set for the session (callers that consume it once and stop
+    * are fine). Iterative callers — [[msfOn]], [[sccLifted]] — use
+    * [[minLabelComponentsChk]] and release the handle as soon as their
+    * next eager checkpoint has absorbed the labels, so a long-lived
+    * session doesn't park one block set per loop round. */
+  def minLabelComponents(verts: DataFrame, pairs: DataFrame): DataFrame =
+    minLabelComponentsChk(verts, pairs)._1
+
+  /** As [[minLabelComponents]], but also returns the final
+    * localCheckpoint handle that owns the labels' cached blocks —
+    * `_2.unpersist(false)` once `_1` has been materialized into a
+    * downstream checkpoint. */
+  def minLabelComponentsChk(verts: DataFrame,
+      pairs: DataFrame): (DataFrame, DataFrame) = {
     val und = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
@@ -1341,7 +1410,7 @@ object GraphOps {
       labels = dropStats(nextChk).select(col("id"), col("cluster"))
     }
     undM.unpersist(false)
-    labels
+    (labels, chk)
   }
 
   /** Batch graph mutation: merge an edge delta into an edge table,
@@ -1510,6 +1579,60 @@ object GraphOps {
         coalesce(col("name_v1"), lit("<absent>")).as("name_v1"),
         col("name_v2"))
       .orderBy(col("id"))
+  }
+
+  /** Point-in-time EDGE read (time travel) — the edge-side sibling of
+    * [[graphVertexAsof]], completing the property-graph time-travel
+    * story: the edge history is the deduplicated v1 edge set plus a
+    * version-2 delta of INSERTS (the upsert exhibit's URGENT-rel
+    * edges, alive=1) and TOMBSTONES (the delete exhibit's pending-BY
+    * edges, alive=0); a key written twice at the same version resolves
+    * insert-wins (max(alive) per key+version — vacuous for this delta,
+    * whose insert and tombstone rel-spaces are disjoint, but the
+    * writer-contract guard that keeps the LWW cut deterministic). The
+    * as-of read at each cut is `max(struct(version ≤ cut, alive))` per
+    * edge key — one keyed agg per cut, the same shape as the vertex
+    * read (at scale the history is bucketed by edge key, so the cut
+    * filter is partition-local). Output = per-rel liveness census of
+    * the delta-touched keys: URGENT inserts absent at v1 and alive at
+    * v2, pending BY tombstones alive at v1 and dead at v2. */
+  def graphEdgeAsof(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    val v1 = GraphModel.edgesCached(spark, dir)
+      .select(col("src"), col("dst"), col("rel")).distinct()
+      .select(col("src"), col("dst"), col("rel"),
+        lit(1L).as("version"), lit(1).as("alive"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select((lit(GraphModel.OrderOff) + col("o_orderkey")).as("src"),
+        (lit(GraphModel.CustomerOff) + col("o_custkey")).as("dst"))
+    val inserts = urgent
+      .select(col("src"), col("dst"), lit("URGENT").as("rel"),
+        lit(2L).as("version"), lit(1).as("alive"))
+    val tomb = orders.filter(col("o_orderstatus") === "P")
+      .select((lit(GraphModel.OrderOff) + col("o_orderkey")).as("src"),
+        (lit(GraphModel.CustomerOff) + col("o_custkey")).as("dst"),
+        lit("BY").as("rel"), lit(2L).as("version"), lit(0).as("alive"))
+    // insert-wins per (key, version) so the history has unique
+    // versions per key and the LWW argmax below is deterministic
+    val delta = inserts.unionByName(tomb)
+      .groupBy(col("src"), col("dst"), col("rel"), col("version"))
+      .agg(max(col("alive")).as("alive"))
+    val history = v1.unionByName(delta)
+    def asof(cut: Long) = history.filter(col("version") <= cut)
+      .groupBy(col("src"), col("dst"), col("rel"))
+      .agg(max(struct(col("version"), col("alive"))).as("m"))
+      .select(col("src"), col("dst"), col("rel"),
+        col("m.alive").as("alive"))
+    delta.select(col("src"), col("dst"), col("rel")).distinct()
+      .join(asof(1L).withColumnRenamed("alive", "a1"),
+        Seq("src", "dst", "rel"), "left")
+      .join(asof(2L).withColumnRenamed("alive", "a2"),
+        Seq("src", "dst", "rel"))
+      .groupBy(col("rel"))
+      .agg(count(lit(1)).as("n_touched"),
+        count_if(coalesce(col("a1"), lit(0)) === 1).as("alive_v1"),
+        count_if(col("a2") === 1).as("alive_v2"))
+      .orderBy(col("rel"))
   }
 
   /** Registered mutation surface: upsert a deterministic delta — BY
@@ -1706,7 +1829,7 @@ object GraphOps {
         .filter(col("hub") =!= col("p"))
         .select(col("hub").as("src"), col("p").as("dst"))
       // contract: weak components of the cycle frame are SCCs already
-      val comp = minLabelComponents(
+      val (comp, compChk) = minLabelComponentsChk(
         partsIn.select(col("p").as("id")),
         cyc.select(col("src").as("a_id"), col("dst").as("b_id")))
       // attachments between supernodes; within-supernode ones vanish
@@ -1727,6 +1850,9 @@ object GraphOps {
           coalesce(col("scc_id"), col("cluster")).as("sl"))
         .localCheckpoint(true)
       val edges = cyc.unionByName(att).localCheckpoint(true)
+      // lifted and edges are both eager — the contraction labels'
+      // block set is no longer referenced
+      compChk.unpersist(false)
       (lifted, edges)
     })
   }
@@ -1883,12 +2009,15 @@ object GraphOps {
         val cpairs = pick.select(
           least(col("ca"), col("cb")).as("a_id"),
           greatest(col("ca"), col("cb")).as("b_id")).distinct()
-        val cc = minLabelComponents(cverts, cpairs)
+        val (cc, ccChk) = minLabelComponentsChk(cverts, cpairs)
         val nextLabels = labels
           .join(cc.select(col("id").as("comp"),
             col("cluster").as("newc")), "comp")
           .select(col("id"), col("newc").as("comp"))
           .localCheckpoint(true)
+        // nextLabels is eager, so the contraction's block set can go
+        // NOW instead of accumulating one per Borůvka round
+        ccChk.unpersist(false)
         retired += labels
         labels = nextLabels
       }

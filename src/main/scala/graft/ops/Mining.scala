@@ -50,21 +50,47 @@ object Mining {
     opc.join(freqItems, Seq("p"), "left_semi")
   }
 
+  private val pairStatsCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** Memoized pair mine — (pair supports ≥ [[MinSupport]], item
+    * supports, basket count), computed ONCE per (session, dir) and
+    * shared by [[mineFrequentPairs]] and [[mineAssocRules]]: the
+    * per-order pair join is the family's only expensive surface, and
+    * rebuilding it per query doubled the family's cost (the
+    * lpaLabelsCached sharing discipline). */
+  private def pairStatsCached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = pairStatsCache.synchronized {
+    pairStatsCache.getOrElseUpdate((spark, dir), {
+      val bi = frequentBasketItems(Tables(spark, dir)).persist()
+      val isup = bi.groupBy(col("p")).agg(count(lit(1)).as("isup"))
+        .localCheckpoint(true)
+      val nOrders = bi.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders")).localCheckpoint(true)
+      val a = bi.select(col("o"), col("p").as("part_a"))
+      val b = bi.select(col("o"), col("p").as("part_b"))
+      val pairs = a.join(b, Seq("o"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= MinSupport)
+        .localCheckpoint(true)
+      bi.unpersist(false)
+      (pairs, isup, nOrders)
+    })
+  }
+
   /** Frequent co-purchased part pairs (order-level support ≥
     * [[MinSupport]]), mined a-priori style: prune infrequent items,
     * self-join the surviving (order, part) pairs within each order
     * (canonical `part_a < part_b`), count pair support. The self-join
     * keys on the order id, so the fanout is per-basket-bounded and the
-    * whole mine is two shuffles (distinct + pair count). */
+    * whole mine is two shuffles (distinct + pair count), paid once for
+    * the family via [[pairStatsCached]]. */
   def mineFrequentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bi = frequentBasketItems(Tables(spark, dir))
-    val a = bi.select(col("o"), col("p").as("part_a"))
-    val b = bi.select(col("o"), col("p").as("part_b"))
-    a.join(b, Seq("o"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("pair_support"))
-      .filter(col("pair_support") >= MinSupport)
+    val (pairs, _, _) = pairStatsCached(spark, dir)
+    pairs.select(col("part_a"), col("part_b"),
+        col("sup").as("pair_support"))
       .orderBy(col("pair_support").desc, col("part_a"), col("part_b"))
   }
 
@@ -76,22 +102,12 @@ object Mining {
     * The supports are reused keyed aggs; the rule table is twice the
     * pair table, never a new join against the fact. */
   def mineAssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val bi = frequentBasketItems(Tables(spark, dir)).persist()
-    val isup = bi.groupBy(col("p")).agg(count(lit(1)).as("isup"))
-    val nOrders = bi.select(col("o")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val a = bi.select(col("o"), col("p").as("part_a"))
-    val b = bi.select(col("o"), col("p").as("part_b"))
-    val pairs = a.join(b, Seq("o"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= MinSupport)
+    val (pairs, isup, nOrders) = pairStatsCached(spark, dir)
     val directed = pairs.select(col("part_a").as("antecedent"),
         col("part_b").as("consequent"), col("sup"))
       .unionByName(pairs.select(col("part_b").as("antecedent"),
         col("part_a").as("consequent"), col("sup")))
-    val out = directed
+    directed
       .join(isup.select(col("p").as("antecedent"),
         col("isup").as("sup_a")), Seq("antecedent"))
       .join(isup.select(col("p").as("consequent"),
@@ -103,9 +119,6 @@ object Mining {
           .as("lift_permille"))
       .orderBy(col("lift_permille").desc, col("conf_permille").desc,
         col("antecedent"), col("consequent"))
-      .localCheckpoint(true)
-    bi.unpersist(false)
-    out
   }
 
   /** Per-brand Pareto SKYLINE of parts: minimize price, maximize size;

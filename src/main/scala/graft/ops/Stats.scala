@@ -257,11 +257,14 @@ object Stats {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"))
+      // nullif guards the single-support-point brand (all lineitems in
+      // one year → zero x-variance): NULL slope/intercept identically
+      // in both engines instead of a divide-by-zero divergence
       .select(col("p_brand"), col("n"),
         expr("CAST((1000 * (n * sxy - sx * sy)) div " +
-          "(n * sxx - sx * sx) AS BIGINT)").as("slope_milli"),
+          "nullif(n * sxx - sx * sx, 0) AS BIGINT)").as("slope_milli"),
         expr("CAST((1000 * sy - CAST((1000 * (n * sxy - sx * sy)) div " +
-          "(n * sxx - sx * sx) AS BIGINT) * sx) div n AS BIGINT)")
+          "nullif(n * sxx - sx * sx, 0) AS BIGINT) * sx) div n AS BIGINT)")
           .as("intercept_milli"))
       .orderBy(col("p_brand"))
   }

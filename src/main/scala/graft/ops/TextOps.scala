@@ -1121,4 +1121,79 @@ object TextOps {
           .as("kept_chars"))
       .orderBy(col("source"))
   }
+
+  /** Merge rounds for [[corpusBpeMerges]] — bounded so the oracle can
+    * unroll the same chain. */
+  val BpeRounds = 6
+
+  /** BPE TOKENIZER TRAINING — the merge-pair selection loop between
+    * the vocab census ([[textVocabZipf]]) and the training mix: K
+    * rounds of "count adjacent symbol pairs weighted by word
+    * frequency, merge the most frequent pair everywhere" over the
+    * character-symbolized WORD-FREQUENCY table (classic BPE trains on
+    * the word dict, so per-round cost is O(vocab), independent of
+    * corpus volume — the pair stats themselves come from ONE corpus
+    * pass up front, the 100 TB shape). Symbolizations are '|'-joined
+    * strings; the merge is applied with a greedy LEFT-TO-RIGHT fold
+    * (`aggregate` HOF: if the accumulated string ends with symbol `x`
+    * and the next symbol is `y`, fuse — exactly BPE's non-overlapping
+    * scan, so "aaa" under (a,a) becomes [aa, a]). Everything is
+    * exact-integer / string: the winner per round is (count DESC, x,
+    * y) — engine-neutral — and the oracle replays the identical K
+    * rounds with DuckDB's list_reduce. One eager checkpoint per round
+    * bounds the plan (vocab-sized frames). Output = the merge table a
+    * tokenizer build emits: round, pair, fused symbol, pair count. */
+  def corpusBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    var words = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"),
+        expr("""array_join(transform(sequence(1, length(w)),
+                  i -> substring(w, i, 1)), '|')""").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer.empty[DataFrame]
+    val retired = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val prs = words
+        .filter(expr("size(split(syms, '\\\\|')) >= 2"))
+        .select(col("wc"), expr(
+          """explode(transform(
+               sequence(1, size(split(syms, '\\|')) - 1),
+               i -> struct(element_at(split(syms, '\\|'), i) AS x,
+                           element_at(split(syms, '\\|'), i + 1) AS y)))
+          """).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("wc")).as("cnt"))
+      val top = prs
+        .agg(min(struct((-col("cnt")).as("nc"), col("x"), col("y")))
+          .as("m"))
+        .select(lit(r).as("round"), col("m.x").as("x"),
+          col("m.y").as("y"), (-col("m.nc")).as("cnt"))
+        .localCheckpoint(true)
+      merges += top
+      val next = words.crossJoin(broadcast(top.select("x", "y")))
+        .select(col("w"), col("wc"), expr(
+          """aggregate(
+               slice(split(syms, '\\|'), 2, size(split(syms, '\\|')) - 1),
+               element_at(split(syms, '\\|'), 1),
+               (acc, s) -> CASE
+                 WHEN (acc = x OR endswith(acc, concat('|', x))) AND s = y
+                 THEN concat(substring(acc, 1, length(acc) - length(x)),
+                             x, y)
+                 ELSE concat(acc, '|', s) END)""").as("syms"))
+        .localCheckpoint(true)
+      retired += words
+      words = next
+    }
+    val out = merges.reduce(_ unionByName _)
+      .select(col("round"), col("x").as("left_sym"),
+        col("y").as("right_sym"),
+        concat(col("x"), col("y")).as("merged"),
+        col("cnt").as("pair_count"))
+      .orderBy(col("round")).localCheckpoint(true)
+    (retired :+ words).foreach(_.unpersist(false))
+    merges.foreach(_.unpersist(false))
+    out
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,18 +211,49 @@ object TimeSeries {
           .as("n_purchases"))
       .orderBy(col("user_id"))
 
+  /** Two-phase distributed row_number over `order`, the
+    * corpus_shuffle_deterministic trick generalized to range shards:
+    * per-shard PARTITIONED rank + a broadcast prefix-sum of shard
+    * sizes (the only unpartitioned window runs over the bounded shard
+    * frame). `shard` must be a coarse monotone cut of `order` — rows
+    * in a lower shard precede every row of a higher one. */
+  private def shardedRank(df: DataFrame, shard: Column,
+      order: Seq[Column], rn: String): DataFrame = {
+    val s = df.withColumn("__shard", shard)
+    val offW = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = s.groupBy(col("__shard")).agg(count(lit(1)).as("__c"))
+      .select(col("__shard"),
+        coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
+    s.join(broadcast(offs), "__shard")
+      .withColumn(rn, col("__off") + row_number().over(
+        Window.partitionBy(col("__shard")).orderBy(order: _*)))
+      .drop("__shard", "__off")
+  }
+
+  /** ntile(k) reconstructed from a 1-based global rank `rn` and the
+    * total count column `__n` — bit-identical to the SQL NTILE
+    * remainder rule (first n%k buckets get one extra row), so the
+    * two-phase rank above replaces the global ntile window exactly. */
+  private def ntileExpr(rn: String, k: Int): Column =
+    expr(s"""CAST(CASE
+      WHEN $rn <= (__n % $k) * ((__n div $k) + 1)
+      THEN ($rn - 1) div ((__n div $k) + 1) + 1
+      ELSE (__n % $k) + ($rn - (__n % $k) * ((__n div $k) + 1) - 1)
+             div (__n div $k) + 1 END AS INT)""")
+
   /** RFM segmentation — the canonical customer-value partition every
     * event warehouse ships: per purchasing user, Recency (days from
     * last purchase to the corpus's last purchase date), Frequency
     * (purchase count) and Monetary (exact centi-unit spend), each cut
-    * into quartiles by `ntile(4)` over a DETERMINISTIC total order
-    * (metric, then user_id — ntile's uneven-remainder assignment is
-    * identical across engines once the order is total), composed into
-    * the familiar 3-digit segment code. The three ntile windows are
-    * global but run over the per-user AGGREGATE (O(users), the same
-    * bounded-window exception as the gap-fill spine); at 100 TB the
-    * quartile boundaries would come from `approx_percentile` instead
-    * and the assignment becomes a broadcast range lookup. */
+    * into quartiles over a DETERMINISTIC total order (metric, then
+    * user_id — the remainder assignment is identical across engines
+    * once the order is total), composed into the familiar 3-digit
+    * segment code. The three quartile cuts are DISTRIBUTED two-phase
+    * ranks ([[shardedRank]]: metric-value shards for R and F, spend
+    * mega-cent buckets for M) + the exact [[ntileExpr]] remainder rule
+    * — no unpartitioned window ever sees the per-user frame, so the
+    * plan holds when "users" is 10⁹ rows. */
   def eventsRfmSegment(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables(spark, dir).events
       .filter(col("event_type") === "purchase")
@@ -236,14 +267,19 @@ object TimeSeries {
       .select(col("user_id"),
         datediff(col("ref_d"), col("last_d")).as("recency_days"),
         col("frequency"), col("spend_c"))
-    val rW = Window.orderBy(col("recency_days"), col("user_id"))
-    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
-    val mW = Window.orderBy(col("spend_c").desc, col("user_id"))
-    base
+    val n = base.agg(count(lit(1)).as("__n"))
+    val ranked = shardedRank(
+      shardedRank(
+        shardedRank(base,
+          col("recency_days"), Seq(col("user_id")), "r_rn"),
+        -col("frequency"), Seq(col("user_id")), "f_rn"),
+      -expr("spend_c div 1000000"),
+      Seq(col("spend_c").desc, col("user_id")), "m_rn")
+    ranked.crossJoin(broadcast(n))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("spend_c"),
-        ntile(4).over(rW).as("r_q"), ntile(4).over(fW).as("f_q"),
-        ntile(4).over(mW).as("m_q"))
+        ntileExpr("r_rn", 4).as("r_q"), ntileExpr("f_rn", 4).as("f_q"),
+        ntileExpr("m_rn", 4).as("m_q"))
       .withColumn("rfm_code",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .orderBy(col("user_id"))
@@ -615,10 +651,16 @@ object TimeSeries {
     * rank-of-a-multiset discipline of agg_weighted_median — integer
     * seconds, no interpolation float anywhere). The per-user reduce is
     * two keyed min-aggs + one join on the user key; the global ranks
-    * are one sort of 150..10⁹ scalar latencies — a single-column
-    * frame, the cheapest possible global sort, and replaceable by
-    * approx_percentile at 100 TB (that twin already exists as
-    * agg_percentile_approx). */
+    * come from a DISTRIBUTED two-phase rank, never a single-partition
+    * sort: (1) one keyed combinable agg to per-distinct-latency counts,
+    * (2) hour-bucket shards with a prefix-sum of shard sizes over the
+    * BOUNDED shard frame (≤ corpus-span hours, constant in SF — the
+    * same bounded-window exception as the gap-fill spine), broadcast
+    * back, (3) within-shard cumulative counts under a PARTITIONED
+    * window. Value at rank r over a multiset = min value whose
+    * cumulative count reaches r — identical to the row-rank
+    * formulation, with no unpartitioned window over an unbounded
+    * frame anywhere in the plan. */
   def eventsFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_type"),
@@ -630,14 +672,24 @@ object TimeSeries {
       .filter(col("sec") > col("v_sec"))
       .groupBy(col("user_id"), col("v_sec"))
       .agg(min(col("sec")).as("p_sec"))
-    val lat = fp.select((col("p_sec") - col("v_sec")).as("lat"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("lat"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    lat.agg(
+    val cnt = fp.select((col("p_sec") - col("v_sec")).as("lat"))
+      .groupBy(col("lat")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("lat div 3600"))
+    val offW = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cnt.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      .select(col("bkt"), coalesce(sum(col("bc")).over(offW), lit(0L))
+        .as("off"))
+    val cum = cnt.join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("off") + sum(col("c"))
+        .over(Window.partitionBy(col("bkt")).orderBy(col("lat"))))
+    val n = cnt.agg(sum(col("c")).as("n"))
+    cum.crossJoin(broadcast(n))
+      .agg(
         max(col("n")).as("n_converted"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("lat")))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("lat")))
           .as("median_s"),
-        max(when(col("rn") === expr("(9 * (n - 1)) div 10 + 1"),
+        min(when(col("cum") >= expr("(9 * (n - 1)) div 10 + 1"),
           col("lat"))).as("p90_s"))
       .select(col("n_converted"), col("median_s"), col("p90_s"))
   }

@@ -903,11 +903,16 @@ object VectorOps {
     * quantization-loss census a serving team reads before flipping a
     * corpus to int8. Two scans (a D-row scale agg, then the per-row
     * encode against the broadcast scale array) and NO shuffle in the
-    * encode — the 100 TB shape for a full-corpus re-encode. */
+    * encode — the 100 TB shape for a full-corpus re-encode. The code
+    * array is RENDERED AS a comma-joined scalar string: the round-7
+    * convention for array outputs (the correctness harness hashes
+    * scalar cells; a raw array column crashes its pandas sort). */
   def embedQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
     val (codes, _) = int8Codes(spark, dir)
     codes
-      .select(col("vec_id"), col("q8"),
+      .select(col("vec_id"),
+        array_join(expr("transform(q8, x -> CAST(x AS STRING))"), ",")
+          .as("q8"),
         round(sqrt(expr("""aggregate(
             zip_with(v, zip_with(q8, amax, (q, a) -> q * a / 127.0D),
                      (x, d) -> (x - d) * (x - d)),
@@ -973,9 +978,14 @@ object VectorOps {
         (lit(1) - col("sim")).as("a"))
     val second = ranked.filter(col("rn") === 2)
       .select(col("vec_id"), (lit(1) - col("sim")).as("b"))
+    // a = b = 0 (vector at rounded-cosine 1.0 to two centroids — a
+    // degenerate codebook) would be 0/0: NaN here, engine-defined in
+    // DuckDB. Pin s = 0 on both sides.
     val out = own.join(second, "vec_id")
-      .withColumn("sil", round((col("b") - col("a"))
-        / greatest(col("a"), col("b")), 6))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise(round((col("b") - col("a"))
+            / greatest(col("a"), col("b")), 6)))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("sil").cast(DecimalType(27, 10)))

@@ -18,7 +18,25 @@ class OperatorSmokeSpec extends SparkSpec {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes with rows > 0") {
-      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+      val df = fn(spark, sfDir)
+      // Nested result columns (array/map/struct) crash the DRIVER's
+      // pandas comparator (`sort_values` → "unhashable type:
+      // numpy.ndarray" — round-8's embed_quantize_int8 ERROR), so an
+      // oracle-eligible query must only output scalars; render arrays
+      // as comma-joined strings (the round-7 convention).
+      if (SparkEntry.oracleSql.contains(name)) {
+        val nested = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        assert(nested.isEmpty,
+          s"$name: nested output column(s) would crash the driver's " +
+            s"comparator: ${nested.map(f => s"${f.name}: ${f.dataType}")
+              .mkString(", ")}")
+      }
+      assert(df.count() > 0, s"$name returned no rows")
     }
   }
 }

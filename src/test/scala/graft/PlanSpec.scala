@@ -151,4 +151,29 @@ class PlanSpec extends SparkSpec {
     assert(planned.contains("dynamicpruning"), planned)
     df.collect()
   }
+
+  test("rank family: unpartitioned windows only over aggregated frames") {
+    // the round-8 scale audit's single-task shapes — an unpartitioned
+    // window is tolerable ONLY over a frame an Aggregate has already
+    // bounded (shard offsets, distinct-day spines), never over raw
+    // per-row data where one task would sort the world
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    Seq(
+      "events_funnel_latency" ->
+        graft.ops.TimeSeries.eventsFunnelLatency(spark, sfDir),
+      "events_rfm_segment" ->
+        graft.ops.TimeSeries.eventsRfmSegment(spark, sfDir),
+      "window_moving_avg" ->
+        graft.ops.Windows.windowMovingAvg(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name: unpartitioned window over a non-aggregated frame:\n" +
+          bad.mkString("\n"))
+    }
+  }
 }

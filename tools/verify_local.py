@@ -75,6 +75,21 @@ def main():
             print(f"FAIL {name}: columns {gc} vs oracle {wc}")
             n_fail += 1
             continue
+        # Nested output columns (LIST/STRUCT/MAP) crash the DRIVER's
+        # pandas sort_values ("unhashable type: numpy.ndarray") even
+        # though norm() below would tuple-ize them fine — this gate must
+        # be at least as strict as the driver's (round-8 harness-parity
+        # miss: embed_quantize_int8). Render arrays as scalar strings.
+        def nested(t):
+            return "[" in t or t.startswith("STRUCT") or t.startswith("MAP")
+        nbad = [(c, got_types[c], want_types[c]) for c in gc
+                if nested(got_types[c]) or nested(want_types[c])]
+        if nbad:
+            print(f"FAIL {name}: nested output column(s) would crash the "
+                  "driver's comparator: "
+                  + ", ".join(f"{c}: {g} / {w}" for c, g, w in nbad))
+            n_fail += 1
+            continue
         # Type-sensitive: the driver hashes typed values, so HUGEINT vs
         # BIGINT (DuckDB integer SUM) hash-mismatches even when pandas
         # values compare equal. Catch it here, before the driver does.
