@@ -1147,6 +1147,107 @@ object Oracle {
          FROM best b LEFT JOIN best p ON p.label = b.partner
          ORDER BY b.label"""
 
+  /** Unrolled iterated Louvain replaying
+    * [[graft.ops.GraphOps.louvainLabels]]: per round the
+    * communityMergeSql scoring (pair ΔQ in exact micro-units,
+    * per-community best partner by (delta DESC, partner ASC), mutual
+    * positive acceptance) followed by the min-label contraction of the
+    * accepted matching, seeded by the shared LPA chain. */
+  private def louvainSql(iters: Int, rounds: Int): String = {
+    val base = lpaCtes(iters) + s""",
+         deg AS (SELECT id, count(*) AS d FROM
+                   (SELECT src AS id FROM ded
+                    UNION ALL SELECT dst FROM ded)
+                 GROUP BY id),
+         mr AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ded),
+         g0 AS (SELECT id, label FROM l$iters)"""
+    val steps = (1 to rounds).map { r =>
+      s""",
+         dc$r AS (SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
+                  FROM deg g JOIN g${r - 1} l ON l.id = g.id GROUP BY 1),
+         prs$r AS (SELECT least(a.label, b.label) AS la,
+                          greatest(a.label, b.label) AS lb,
+                          count(*) AS e_ab
+                   FROM ded JOIN g${r - 1} a ON a.id = ded.src
+                   JOIN g${r - 1} b ON b.id = ded.dst
+                   WHERE a.label <> b.label GROUP BY 1, 2),
+         sc$r AS (SELECT la, lb, e_ab,
+                    CAST(CASE WHEN den = 0 THEN NULL
+                      ELSE (num - ((num % den + den) % den)) // den END
+                      AS BIGINT) AS delta_micro
+                  FROM (SELECT la, lb, e_ab,
+                          1000000 * (4 * m * CAST(e_ab AS HUGEINT)
+                            - 2 * x.dcv * y.dcv) AS num,
+                          4 * m * m AS den
+                        FROM prs$r JOIN dc$r x ON x.label = prs$r.la
+                        JOIN dc$r y ON y.label = prs$r.lb
+                        CROSS JOIN mr)),
+         cd$r AS (SELECT la AS label, lb AS partner, delta_micro
+                  FROM sc$r
+                  UNION ALL SELECT lb, la, delta_micro FROM sc$r),
+         bs$r AS (SELECT label, partner, delta_micro FROM (
+                    SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY delta_micro DESC, partner) AS rk
+                    FROM cd$r) WHERE rk = 1),
+         ac$r AS (SELECT b.label, least(b.label, b.partner) AS newlab
+                  FROM bs$r b JOIN bs$r p ON p.label = b.partner
+                  WHERE p.partner = b.label AND b.delta_micro > 0),
+         g$r AS (SELECT g.id, COALESCE(a.newlab, g.label) AS label
+                 FROM g${r - 1} g LEFT JOIN ac$r a ON a.label = g.label)"""
+    }.mkString
+    base + steps + s"""
+         SELECT label, count(*) AS size FROM g$rounds
+         GROUP BY label ORDER BY label"""
+  }
+
+  /** Unrolled BPE merge training replaying
+    * [[graft.ops.TextOps.corpusBpeMerges]]: word-frequency dict, char
+    * symbolization, per round adjacent-pair counts → (cnt DESC, x, y)
+    * winner → greedy left-to-right fused re-symbolization via
+    * list_reduce (the same fold as the Spark side's aggregate HOF). */
+  private def bpeMergesSql(rounds: Int): String = {
+    val base = s"""WITH w0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$$')
+           GROUP BY w),
+         s0 AS (SELECT w, wc,
+                       array_to_string(list_transform(
+                         range(1, length(w) + 1),
+                         i -> substring(w, i, 1)), '|') AS syms
+                FROM w0)"""
+    val steps = (1 to rounds).map { r =>
+      s""",
+         p$r AS (SELECT p.x AS x, p.y AS y,
+                        CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                   SELECT wc, unnest(list_transform(
+                     range(1, len(string_split(syms, '|'))),
+                     i -> struct_pack(
+                       x := string_split(syms, '|')[i],
+                       y := string_split(syms, '|')[i + 1]))) AS p
+                   FROM s${r - 1}
+                   WHERE len(string_split(syms, '|')) >= 2)
+                 GROUP BY 1, 2),
+         t$r AS (SELECT x, y, cnt FROM p$r
+                 ORDER BY cnt DESC, x, y LIMIT 1),
+         s$r AS (SELECT w, wc,
+                   list_reduce(string_split(syms, '|'), (acc, s) ->
+                     CASE WHEN (acc = x OR ends_with(acc, '|' || x))
+                               AND s = y
+                          THEN substring(acc, 1,
+                                 length(acc) - length(x)) || x || y
+                          ELSE acc || '|' || s END) AS syms
+                 FROM s${r - 1} CROSS JOIN t$r)"""
+    }.mkString
+    val union = (1 to rounds).map(r =>
+      s"SELECT $r AS round, x, y, cnt FROM t$r").mkString(" UNION ALL ")
+    base + steps + s"""
+         SELECT CAST(round AS INT) AS round, x AS left_sym,
+                y AS right_sym, x || y AS merged, cnt AS pair_count
+         FROM ($union) ORDER BY round"""
+  }
+
   /** Unrolled multi-landmark min-plus relaxation replaying
     * [[graft.ops.GraphOps.shortestPathsWeightedMultiOn]]: micro-unit
     * edge lengths (1e6 // multiplicity, floor == truncate on positive
@@ -2525,6 +2626,8 @@ object Oracle {
     "graph_community_stats" -> communityStatsSql(3),
     "graph_modularity" -> modularitySql(3),
     "graph_community_merge" -> communityMergeSql(3),
+    "graph_louvain" -> louvainSql(3, 3),
+    "corpus_bpe_merges" -> bpeMergesSql(6),
     "graph_shortest_paths_weighted_multi" -> spWeightedMultiSql(4),
 
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree
@@ -2809,6 +2912,43 @@ object Oracle {
                 c_name AS name
          FROM customer WHERE c_name = 'Customer#000000042'
          ORDER BY id""",
+
+    // replays GraphOps.graphEdgeAsof: dedup v1 edge set + v2 delta
+    // (URGENT inserts alive=1, pending-BY tombstones alive=0), LWW
+    // liveness read per edge key at each version cut (arg_max is
+    // deterministic: versions unique per key after the insert-wins
+    // dedup), per-rel census of the delta-touched keys
+    "graph_edge_asof" ->
+      s"""WITH $EdgesCte,
+          v1 AS (SELECT src, dst, rel, CAST(1 AS BIGINT) AS version,
+                        1 AS alive
+                 FROM (SELECT DISTINCT src, dst, rel FROM edges)),
+          ins AS (SELECT 6000000000000 + o_orderkey AS src,
+                         3000000000000 + o_custkey AS dst,
+                         'URGENT' AS rel, CAST(2 AS BIGINT) AS version,
+                         1 AS alive
+                  FROM orders WHERE o_orderpriority = '1-URGENT'),
+          tomb AS (SELECT 6000000000000 + o_orderkey AS src,
+                          3000000000000 + o_custkey AS dst, 'BY' AS rel,
+                          CAST(2 AS BIGINT) AS version, 0 AS alive
+                   FROM orders WHERE o_orderstatus = 'P'),
+          delta AS (SELECT src, dst, rel, version, max(alive) AS alive
+                    FROM (SELECT * FROM ins UNION ALL SELECT * FROM tomb)
+                    GROUP BY 1, 2, 3, 4),
+          h AS (SELECT * FROM v1 UNION ALL SELECT * FROM delta),
+          a1 AS (SELECT src, dst, rel, arg_max(alive, version) AS alive
+                 FROM h WHERE version <= 1 GROUP BY 1, 2, 3),
+          a2 AS (SELECT src, dst, rel, arg_max(alive, version) AS alive
+                 FROM h WHERE version <= 2 GROUP BY 1, 2, 3),
+          t AS (SELECT DISTINCT src, dst, rel FROM delta)
+          SELECT t.rel, count(*) AS n_touched,
+                 count(*) FILTER (COALESCE(a1.alive, 0) = 1) AS alive_v1,
+                 count(*) FILTER (a2.alive = 1) AS alive_v2
+          FROM t
+          LEFT JOIN a1 ON a1.src = t.src AND a1.dst = t.dst
+                      AND a1.rel = t.rel
+          JOIN a2 ON a2.src = t.src AND a2.dst = t.dst AND a2.rel = t.rel
+          GROUP BY t.rel ORDER BY t.rel""",
 
     // replays GraphOps.graphVertexAsof: the same version-2 delta as
     // the upsert key, read back through two LWW version cuts
