@@ -972,18 +972,27 @@ object Oracle {
     * its neighbors' most frequent label (row_number tie-break on
     * smallest label — the total order the Spark side uses too). */
   /** The shared LPA CTE chain (ends at `l$iters(id, label)`), reused
-    * by the lpa_exact oracle and the community-stats oracle. */
-  private def lpaCtes(iters: Int): String = {
-    val base = s"""WITH $EdgesCte,
-         ded AS (SELECT DISTINCT src, dst FROM edges),
-         und AS (SELECT src AS v, dst AS n FROM ded
+    * by the lpa_exact oracle and the community-stats oracle. `mat`
+    * emits every CTE `AS MATERIALIZED`: DuckDB inlines plain CTEs once
+    * per reference, so chains whose rounds reference the previous
+    * round's CTE several times (Louvain: 4×/round over 3 rounds)
+    * explode the scan tree past the fd limit — materialization
+    * collapses each CTE to a single evaluation. */
+  private def lpaCtes(iters: Int, mat: Boolean = false): String = {
+    val M = if (mat) "MATERIALIZED " else ""
+    val edges =
+      if (mat) EdgesCte.replaceFirst("edges AS \\(", "edges AS MATERIALIZED (")
+      else EdgesCte
+    val base = s"""WITH $edges,
+         ded AS $M(SELECT DISTINCT src, dst FROM edges),
+         und AS $M(SELECT src AS v, dst AS n FROM ded
                  UNION ALL SELECT dst, src FROM ded),
-         verts AS (SELECT DISTINCT id FROM
+         verts AS $M(SELECT DISTINCT id FROM
            (SELECT src AS id FROM ded UNION SELECT dst FROM ded)),
-         l0 AS (SELECT id, id AS label FROM verts)"""
+         l0 AS $M(SELECT id, id AS label FROM verts)"""
     val steps = (1 to iters).map { i =>
       s""",
-         l$i AS (SELECT vv.id, COALESCE(p.newlab, vv.id) AS label
+         l$i AS $M(SELECT vv.id, COALESCE(p.newlab, vv.id) AS label
                  FROM verts vv LEFT JOIN (
                    SELECT v, label AS newlab FROM (
                      SELECT u.v, l.label, count(*) AS c,
@@ -1154,24 +1163,28 @@ object Oracle {
     * positive acceptance) followed by the min-label contraction of the
     * accepted matching, seeded by the shared LPA chain. */
   private def louvainSql(iters: Int, rounds: Int): String = {
-    val base = lpaCtes(iters) + s""",
-         deg AS (SELECT id, count(*) AS d FROM
+    val base = lpaCtes(iters, mat = true) + s""",
+         deg AS MATERIALIZED (SELECT id, count(*) AS d FROM
                    (SELECT src AS id FROM ded
                     UNION ALL SELECT dst FROM ded)
                  GROUP BY id),
-         mr AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ded),
-         g0 AS (SELECT id, label FROM l$iters)"""
+         mr AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS m
+                             FROM ded),
+         g0 AS MATERIALIZED (SELECT id, label FROM l$iters)"""
     val steps = (1 to rounds).map { r =>
       s""",
-         dc$r AS (SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
+         dc$r AS MATERIALIZED (
+                  SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
                   FROM deg g JOIN g${r - 1} l ON l.id = g.id GROUP BY 1),
-         prs$r AS (SELECT least(a.label, b.label) AS la,
+         prs$r AS MATERIALIZED (
+                   SELECT least(a.label, b.label) AS la,
                           greatest(a.label, b.label) AS lb,
                           count(*) AS e_ab
                    FROM ded JOIN g${r - 1} a ON a.id = ded.src
                    JOIN g${r - 1} b ON b.id = ded.dst
                    WHERE a.label <> b.label GROUP BY 1, 2),
-         sc$r AS (SELECT la, lb, e_ab,
+         sc$r AS MATERIALIZED (
+                  SELECT la, lb, e_ab,
                     CAST(CASE WHEN den = 0 THEN NULL
                       ELSE (num - ((num % den + den) % den)) // den END
                       AS BIGINT) AS delta_micro
@@ -1182,17 +1195,21 @@ object Oracle {
                         FROM prs$r JOIN dc$r x ON x.label = prs$r.la
                         JOIN dc$r y ON y.label = prs$r.lb
                         CROSS JOIN mr)),
-         cd$r AS (SELECT la AS label, lb AS partner, delta_micro
+         cd$r AS MATERIALIZED (
+                  SELECT la AS label, lb AS partner, delta_micro
                   FROM sc$r
                   UNION ALL SELECT lb, la, delta_micro FROM sc$r),
-         bs$r AS (SELECT label, partner, delta_micro FROM (
+         bs$r AS MATERIALIZED (
+                  SELECT label, partner, delta_micro FROM (
                     SELECT *, row_number() OVER (PARTITION BY label
                       ORDER BY delta_micro DESC, partner) AS rk
                     FROM cd$r) WHERE rk = 1),
-         ac$r AS (SELECT b.label, least(b.label, b.partner) AS newlab
+         ac$r AS MATERIALIZED (
+                  SELECT b.label, least(b.label, b.partner) AS newlab
                   FROM bs$r b JOIN bs$r p ON p.label = b.partner
                   WHERE p.partner = b.label AND b.delta_micro > 0),
-         g$r AS (SELECT g.id, COALESCE(a.newlab, g.label) AS label
+         g$r AS MATERIALIZED (
+                 SELECT g.id, COALESCE(a.newlab, g.label) AS label
                  FROM g${r - 1} g LEFT JOIN ac$r a ON a.label = g.label)"""
     }.mkString
     base + steps + s"""

@@ -592,9 +592,17 @@ object GraphOps {
     * window top-1, and a self-join of the O(#communities) best list —
     * every frame after the first agg is community-sized, so the round
     * scales with the SUMMARY graph, not the input graph. */
-  def communityMergeOn(ded: DataFrame, lab: DataFrame): DataFrame = {
+  def communityMergeOn(ded: DataFrame, lab: DataFrame): DataFrame =
+    communityMergeOn(ded, lab, undDegreesOf(ded))
+
+  /** [[communityMergeOn]] with the per-vertex degree frame supplied by
+    * the caller: degrees are a property of `ded` alone and never change
+    * across label contractions, so iterative callers ([[louvainLabels]])
+    * compute them ONCE and pass the checkpointed frame in instead of
+    * re-aggregating the edge list every round. */
+  def communityMergeOn(ded: DataFrame, lab: DataFrame,
+      deg: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val deg = undDegreesOf(ded)
     val dc = deg.join(lab, "id")
       .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
     val le = ded
@@ -667,10 +675,13 @@ object GraphOps {
     * where a single merge round under-fits. */
   def louvainLabels(ded: DataFrame, lab0: DataFrame,
       rounds: Int): DataFrame = {
+    // degrees depend on ded alone, not on the evolving labeling —
+    // aggregate once, reuse every round (the scorer reads it twice)
+    val deg = undDegreesOf(ded).localCheckpoint(true)
     var lab = lab0
     var owned: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val dec = communityMergeOn(ded, lab)
+      val dec = communityMergeOn(ded, lab, deg)
       val merges = dec.filter(col("accepted"))
         .select(col("label"),
           least(col("label"), col("partner")).as("newlab"))
@@ -684,6 +695,7 @@ object GraphOps {
       owned = Some(next)
       lab = next
     }
+    deg.unpersist(false)
     lab
   }
 

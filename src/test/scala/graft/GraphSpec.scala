@@ -100,6 +100,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("louvain: modularity monotone nondecreasing round over round") {
+    // mutual-best accepted merges are disjoint with positive additive
+    // ΔQ, so each contraction round can only raise modularity — the
+    // invariant modularityStatsOn was factored out to check
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+    val seed = GraphOps.lpaExactOn(ded, 3,
+      Some(GraphModel.dedupVertsCached(spark, sfDir)))
+    val qs = (0 to GraphOps.LouvainRounds).map { r =>
+      val lab = if (r == 0) seed else GraphOps.louvainLabels(ded, seed, r)
+      GraphOps.modularityStatsOn(ded, lab)
+        .collect()(0).getAs[Long]("q_micro")
+    }
+    qs.sliding(2).foreach { w => assert(w(1) >= w(0), qs.toString) }
+    // on this corpus the first merge round accepts at least one pair,
+    // so round 1 strictly beats the LPA seed (= graph_community_merge)
+    assert(qs(1) > qs(0), qs.toString)
+  }
+
   test("multi-landmark weighted distances: hand-computed min-plus") {
     val sess = spark
     import sess.implicits._

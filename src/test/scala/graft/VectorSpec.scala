@@ -412,7 +412,7 @@ class VectorSpec extends SparkSpec {
       .agg(max(abs(col("x")))).collect()(0).getDouble(0)
     val bound = math.sqrt(64.0) * amax / 254.0 + 1e-6
     rows.foreach { r =>
-      val q = r.getAs[scala.collection.Seq[Long]]("q8")
+      val q = r.getAs[String]("q8").split(",").toSeq.map(_.toLong)
       assert(q.length == 64)
       assert(q.forall(c => c >= -127L && c <= 127L), s"code range: $r")
       val err = r.getAs[Double]("recon_l2")
