@@ -1162,8 +1162,10 @@ object Oracle {
     * per-community best partner by (delta DESC, partner ASC), mutual
     * positive acceptance) followed by the min-label contraction of the
     * accepted matching, seeded by the shared LPA chain. */
-  private def louvainSql(iters: Int, rounds: Int): String = {
-    val base = lpaCtes(iters, mat = true) + s""",
+  /** Shared base for the Louvain oracles: the materialized LPA chain
+    * plus degree/edge-count frames and `g0` = the seed labeling. */
+  private def louvainBaseSql(iters: Int): String =
+    lpaCtes(iters, mat = true) + s""",
          deg AS MATERIALIZED (SELECT id, count(*) AS d FROM
                    (SELECT src AS id FROM ded
                     UNION ALL SELECT dst FROM ded)
@@ -1171,19 +1173,23 @@ object Oracle {
          mr AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS m
                              FROM ded),
          g0 AS MATERIALIZED (SELECT id, label FROM l$iters)"""
-    val steps = (1 to rounds).map { r =>
-      s""",
-         dc$r AS MATERIALIZED (
+
+  /** One mutual-best merge-and-contract round: reads label CTE
+    * `$prev(id, label)`, emits `$cur(id, label)`; helper CTEs are
+    * namespaced by `$cur`. */
+  private def louvainMergeRoundSql(prev: String, cur: String): String =
+    s""",
+         dc_$cur AS MATERIALIZED (
                   SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
-                  FROM deg g JOIN g${r - 1} l ON l.id = g.id GROUP BY 1),
-         prs$r AS MATERIALIZED (
+                  FROM deg g JOIN $prev l ON l.id = g.id GROUP BY 1),
+         prs_$cur AS MATERIALIZED (
                    SELECT least(a.label, b.label) AS la,
                           greatest(a.label, b.label) AS lb,
                           count(*) AS e_ab
-                   FROM ded JOIN g${r - 1} a ON a.id = ded.src
-                   JOIN g${r - 1} b ON b.id = ded.dst
+                   FROM ded JOIN $prev a ON a.id = ded.src
+                   JOIN $prev b ON b.id = ded.dst
                    WHERE a.label <> b.label GROUP BY 1, 2),
-         sc$r AS MATERIALIZED (
+         sc_$cur AS MATERIALIZED (
                   SELECT la, lb, e_ab,
                     CAST(CASE WHEN den = 0 THEN NULL
                       ELSE (num - ((num % den + den) % den)) // den END
@@ -1192,28 +1198,107 @@ object Oracle {
                           1000000 * (4 * m * CAST(e_ab AS HUGEINT)
                             - 2 * x.dcv * y.dcv) AS num,
                           4 * m * m AS den
-                        FROM prs$r JOIN dc$r x ON x.label = prs$r.la
-                        JOIN dc$r y ON y.label = prs$r.lb
+                        FROM prs_$cur JOIN dc_$cur x ON x.label = prs_$cur.la
+                        JOIN dc_$cur y ON y.label = prs_$cur.lb
                         CROSS JOIN mr)),
-         cd$r AS MATERIALIZED (
+         cd_$cur AS MATERIALIZED (
                   SELECT la AS label, lb AS partner, delta_micro
-                  FROM sc$r
-                  UNION ALL SELECT lb, la, delta_micro FROM sc$r),
-         bs$r AS MATERIALIZED (
+                  FROM sc_$cur
+                  UNION ALL SELECT lb, la, delta_micro FROM sc_$cur),
+         bs_$cur AS MATERIALIZED (
                   SELECT label, partner, delta_micro FROM (
                     SELECT *, row_number() OVER (PARTITION BY label
                       ORDER BY delta_micro DESC, partner) AS rk
-                    FROM cd$r) WHERE rk = 1),
-         ac$r AS MATERIALIZED (
+                    FROM cd_$cur) WHERE rk = 1),
+         ac_$cur AS MATERIALIZED (
                   SELECT b.label, least(b.label, b.partner) AS newlab
-                  FROM bs$r b JOIN bs$r p ON p.label = b.partner
+                  FROM bs_$cur b JOIN bs_$cur p ON p.label = b.partner
                   WHERE p.partner = b.label AND b.delta_micro > 0),
-         g$r AS MATERIALIZED (
+         $cur AS MATERIALIZED (
                  SELECT g.id, COALESCE(a.newlab, g.label) AS label
-                 FROM g${r - 1} g LEFT JOIN ac$r a ON a.label = g.label)"""
-    }.mkString
-    base + steps + s"""
+                 FROM $prev g LEFT JOIN ac_$cur a ON a.label = g.label)"""
+
+  /** One per-node move round replaying
+    * [[graft.ops.GraphOps.louvainMoveLabels]]: per vertex the best
+    * positive ΔQ(i, a→b) move (ties → smallest target), accepted only
+    * when it is the top (ΔQ DESC, id ASC) priority in BOTH touched
+    * communities. Reads `$prev(id, label)`, emits `$cur(id, label)`. */
+  private def louvainMoveRoundSql(prev: String, cur: String): String =
+    s""",
+         dc_$cur AS MATERIALIZED (
+                  SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
+                  FROM deg g JOIN $prev l ON l.id = g.id GROUP BY 1),
+         nk_$cur AS MATERIALIZED (
+                  SELECT u.v AS id, l.label AS nl, count(*) AS k
+                  FROM und u JOIN $prev l ON l.id = u.n GROUP BY 1, 2),
+         st_$cur AS MATERIALIZED (
+                  SELECT g.id, g.label AS a, d.d,
+                         COALESCE(o.k, 0) AS k_own
+                  FROM $prev g JOIN deg d ON d.id = g.id
+                  LEFT JOIN nk_$cur o ON o.id = g.id
+                                     AND o.nl = g.label),
+         cnd_$cur AS MATERIALIZED (
+                  SELECT id, a, b,
+                    CAST(CASE WHEN den = 0 THEN NULL
+                      ELSE (num - ((num % den + den) % den)) // den END
+                      AS BIGINT) AS delta_micro
+                  FROM (SELECT s.id, s.a, n.nl AS b,
+                          1000000 * (4 * m
+                              * CAST(n.k - s.k_own AS HUGEINT)
+                            - 2 * CAST(s.d AS HUGEINT)
+                              * (db.dcv - da.dcv
+                                 + CAST(s.d AS HUGEINT))) AS num,
+                          4 * m * m AS den
+                        FROM st_$cur s
+                        JOIN nk_$cur n ON n.id = s.id AND n.nl <> s.a
+                        JOIN dc_$cur da ON da.label = s.a
+                        JOIN dc_$cur db ON db.label = n.nl
+                        CROSS JOIN mr)),
+         bt_$cur AS MATERIALIZED (
+                  SELECT id, a, b, delta_micro FROM (
+                    SELECT *, row_number() OVER (PARTITION BY id
+                      ORDER BY delta_micro DESC, b) AS rk
+                    FROM cnd_$cur)
+                  WHERE rk = 1 AND delta_micro > 0),
+         ex_$cur AS MATERIALIZED (
+                  SELECT a AS c, id, delta_micro FROM bt_$cur
+                  UNION ALL SELECT b, id, delta_micro FROM bt_$cur),
+         wn_$cur AS MATERIALIZED (
+                  SELECT id FROM (
+                    SELECT id FROM (
+                      SELECT c, id, row_number() OVER (PARTITION BY c
+                        ORDER BY delta_micro DESC, id) AS rk
+                      FROM ex_$cur) WHERE rk = 1)
+                  GROUP BY id HAVING count(*) = 2),
+         ac_$cur AS MATERIALIZED (
+                  SELECT b.id, b.b FROM bt_$cur b
+                  JOIN wn_$cur w ON w.id = b.id),
+         $cur AS MATERIALIZED (
+                 SELECT g.id, COALESCE(a.b, g.label) AS label
+                 FROM $prev g LEFT JOIN ac_$cur a ON a.id = g.id)"""
+
+  private def louvainSql(iters: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map(r =>
+      louvainMergeRoundSql(s"g${r - 1}", s"g$r")).mkString
+    louvainBaseSql(iters) + steps + s"""
          SELECT label, count(*) AS size FROM g$rounds
+         GROUP BY label ORDER BY label"""
+  }
+
+  /** Two-phase Louvain replaying
+    * [[graft.ops.GraphOps.graphLouvainMove]]: per-node move rounds,
+    * then the mutual-best merge rounds, seeded by the shared LPA
+    * chain. */
+  private def louvainMoveSql(iters: Int, moveRounds: Int,
+      mergeRounds: Int): String = {
+    val moves = (1 to moveRounds).map(r =>
+      louvainMoveRoundSql(if (r == 1) "g0" else s"mv${r - 1}", s"mv$r"))
+      .mkString
+    val merges = (1 to mergeRounds).map(r =>
+      louvainMergeRoundSql(if (r == 1) s"mv$moveRounds" else s"h${r - 1}",
+        s"h$r")).mkString
+    louvainBaseSql(iters) + moves + merges + s"""
+         SELECT label, count(*) AS size FROM h$mergeRounds
          GROUP BY label ORDER BY label"""
   }
 
@@ -1223,6 +1308,19 @@ object Oracle {
     * winner → greedy left-to-right fused re-symbolization via
     * list_reduce (the same fold as the Spark side's aggregate HOF). */
   private def bpeMergesSql(rounds: Int): String = {
+    val union = (1 to rounds).map(r =>
+      s"SELECT $r AS round, x, y, cnt FROM t$r").mkString(" UNION ALL ")
+    bpeCtes(rounds) + s"""
+         SELECT CAST(round AS INT) AS round, x AS left_sym,
+                y AS right_sym, x || y AS merged, cnt AS pair_count
+         FROM ($union) ORDER BY round"""
+  }
+
+  /** The shared unrolled BPE training chain (ends at `s$rounds(w, wc,
+    * syms)` = the fully-merged word symbolization and `t$r` = round
+    * r's winning pair), reused by the merge-table oracle and the
+    * encode oracle. */
+  private def bpeCtes(rounds: Int): String = {
     val base = s"""WITH w0 AS (
            SELECT w, CAST(count(*) AS BIGINT) AS wc
            FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -1257,13 +1355,32 @@ object Oracle {
                           ELSE acc || '|' || s END) AS syms
                  FROM s${r - 1} CROSS JOIN t$r)"""
     }.mkString
-    val union = (1 to rounds).map(r =>
-      s"SELECT $r AS round, x, y, cnt FROM t$r").mkString(" UNION ALL ")
-    base + steps + s"""
-         SELECT CAST(round AS INT) AS round, x AS left_sym,
-                y AS right_sym, x || y AS merged, cnt AS pair_count
-         FROM ($union) ORDER BY round"""
+    base + steps
   }
+
+  /** Per-source BPE token census replaying
+    * [[graft.ops.TextOps.corpusBpeEncode]]: the trained chain's final
+    * symbolization joined back to every whitespace token, OOV tokens
+    * charged one token each. */
+  private def bpeEncodeSql(rounds: Int): String =
+    bpeCtes(rounds) + s""",
+         enc AS (SELECT w, CAST(len(string_split(syms, '|')) AS BIGINT)
+                          AS n_sym
+                 FROM s$rounds),
+         dw AS (SELECT * FROM (
+                  SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+                WHERE length(w) > 0)
+         SELECT source,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(SUM(CASE WHEN e.n_sym IS NOT NULL THEN 1 ELSE 0
+                         END) AS BIGINT) AS n_encodable,
+                CAST(SUM(COALESCE(e.n_sym, 1)) AS BIGINT) AS n_tokens,
+                CAST(SUM(length(w)) AS BIGINT) AS n_chars
+         FROM dw LEFT JOIN enc e USING (w)
+         GROUP BY source ORDER BY source"""
 
   /** Unrolled multi-landmark min-plus relaxation replaying
     * [[graft.ops.GraphOps.shortestPathsWeightedMultiOn]]: micro-unit
@@ -1292,6 +1409,93 @@ object Oracle {
     base + steps + s"""
          SELECT lm, id, d AS wdist_micro FROM d$rounds
          ORDER BY lm, id"""
+  }
+
+  /** Unrolled weighted Brandes replaying
+    * [[graft.ops.GraphOps.betweennessWeightedMulti]]: the min-plus
+    * distance chain, the shortest-path DAG (d(src) = len + d(dst)),
+    * max-edge-depth layers by max-plus rounds, sigma by increasing
+    * layer, dependency `(sigma_v·(1e6+delta_w)) // sigma_w` by
+    * decreasing layer, then the per-vertex landmark sum, top-50. */
+  private def wBetweennessSql(rounds: Int): String = {
+    val lms = (0L until 5L).map(graft.GraphModel.RegionOff + _)
+      .mkString(", ")
+    val base = s"""WITH $EdgesCte,
+         wed AS MATERIALIZED (SELECT src, dst,
+                        CAST(1000000 // count(*) AS BIGINT) AS len
+                 FROM edges GROUP BY src, dst),
+         d0 AS (SELECT lm, lm AS id, CAST(0 AS BIGINT) AS d
+                FROM (SELECT unnest([$lms]) AS lm))"""
+    val dsteps = (1 to rounds).map { i =>
+      s""",
+         d$i AS MATERIALIZED (SELECT lm, id, min(d) AS d FROM (
+                   SELECT lm, id, d FROM d${i - 1}
+                   UNION ALL
+                   SELECT r.lm, e.src, r.d + e.len
+                   FROM wed e JOIN d${i - 1} r ON e.dst = r.id)
+                 GROUP BY lm, id)"""
+    }.mkString
+    val dag = s""",
+         dag AS MATERIALIZED (
+                 SELECT s.lm, e.src, e.dst
+                 FROM wed e
+                 JOIN d$rounds t ON t.id = e.dst
+                 JOIN d$rounds s ON s.lm = t.lm AND s.id = e.src
+                 WHERE s.d = t.d + e.len),
+         lv0 AS (SELECT lm, lm AS id, 0 AS l
+                 FROM (SELECT unnest([$lms]) AS lm))"""
+    val lsteps = (1 to rounds).map { k =>
+      s""",
+         lv$k AS MATERIALIZED (SELECT lm, id, max(l) AS l FROM (
+                   SELECT lm, id, l FROM lv${k - 1}
+                   UNION ALL
+                   SELECT g.lm, g.src, x.l + 1
+                   FROM dag g JOIN lv${k - 1} x
+                     ON x.lm = g.lm AND x.id = g.dst)
+                 GROUP BY lm, id)"""
+    }.mkString
+    val sg0 = s""",
+         sg0 AS (SELECT lm, lm AS id, CAST(1 AS BIGINT) AS sigma
+                 FROM (SELECT unnest([$lms]) AS lm))"""
+    val ssteps = (1 to rounds).map { k =>
+      s""",
+         sg$k AS MATERIALIZED (
+                 SELECT lm, id, sigma FROM sg${k - 1}
+                 UNION ALL
+                 SELECT g.lm, g.src,
+                        CAST(SUM(s.sigma) AS BIGINT) AS sigma
+                 FROM dag g
+                 JOIN sg${k - 1} s ON s.lm = g.lm AND s.id = g.dst
+                 JOIN lv$rounds x ON x.lm = g.lm AND x.id = g.src
+                   AND x.l = $k
+                 GROUP BY g.lm, g.src)"""
+    }.mkString
+    val dl0 = s""",
+         dl$rounds AS MATERIALIZED (
+                 SELECT lm, id, CAST(0 AS BIGINT) AS delta
+                 FROM lv$rounds WHERE l = $rounds)"""
+    val dlsteps = ((rounds - 1) to 1 by -1).map { k =>
+      s""",
+         dl$k AS MATERIALIZED (
+                 SELECT lm, id, delta FROM dl${k + 1}
+                 UNION ALL
+                 SELECT v.lm, v.id, COALESCE(c.delta, 0) AS delta
+                 FROM (SELECT lm, id FROM lv$rounds WHERE l = $k) v
+                 LEFT JOIN (
+                   SELECT g.lm, g.dst AS id,
+                          CAST(SUM((sv.sigma * (1000000 + dw.delta))
+                                   // sw.sigma) AS BIGINT) AS delta
+                   FROM dag g
+                   JOIN dl${k + 1} dw ON dw.lm = g.lm AND dw.id = g.src
+                   JOIN sg$rounds sw ON sw.lm = g.lm AND sw.id = g.src
+                   JOIN sg$rounds sv ON sv.lm = g.lm AND sv.id = g.dst
+                   GROUP BY g.lm, g.dst) c
+                   ON c.lm = v.lm AND c.id = v.id)"""
+    }.mkString
+    base + dsteps + dag + lsteps + sg0 + ssteps + dl0 + dlsteps + s"""
+         SELECT id, CAST(SUM(delta) AS BIGINT) AS bcw_micro
+         FROM dl1 GROUP BY id
+         ORDER BY bcw_micro DESC, id LIMIT 50"""
   }
 
   /** Unrolled earliest-arrival DP replaying
@@ -2644,7 +2848,9 @@ object Oracle {
     "graph_modularity" -> modularitySql(3),
     "graph_community_merge" -> communityMergeSql(3),
     "graph_louvain" -> louvainSql(3, 3),
+    "graph_louvain_move" -> louvainMoveSql(3, 2, 3),
     "corpus_bpe_merges" -> bpeMergesSql(6),
+    "corpus_bpe_encode" -> bpeEncodeSql(6),
     "graph_shortest_paths_weighted_multi" -> spWeightedMultiSql(4),
 
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree
@@ -2688,6 +2894,8 @@ object Oracle {
 
     "graph_betweenness" ->
       betweennessSql(3, Seq(3000000000001L, 4000000000001L)),
+
+    "graph_betweenness_weighted" -> wBetweennessSql(4),
 
     "graph_closeness_harmonic" ->
       closenessSql(3, Seq(3000000000001L, 4000000000001L,

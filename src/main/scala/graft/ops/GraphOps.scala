@@ -708,6 +708,119 @@ object GraphOps {
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
+  /** Round budget for the phase-1 per-node sweep of
+    * [[graphLouvainMove]] — bounded so the oracle can unroll it. */
+  val LouvainMoveRounds = 2
+
+  /** LOUVAIN PHASE-1, the per-NODE sweep the literature means by
+    * "Louvain": each round, every vertex scores moving to each
+    * neighboring community with the exact-integer delta
+    *
+    *   ΔQ(i, a→b) = (4·m·(k_ib − k_ia) − 2·d_i·(d_b − d_a + d_i)) / (4·m²)
+    *
+    * (k_ic = i's neighbors currently in community c, d_c = community
+    * degree sum WITH i still in a — the textbook formula, micro-scaled
+    * through the same remainder-subtraction floor division as
+    * [[communityMergeOn]]). Sequential greedy sweeps are inherently
+    * order-dependent, so parallel acceptance is made order-free the
+    * same way the merge round is: a vertex's best positive move
+    * (ties → smallest target label) is ACCEPTED only if it carries the
+    * top (ΔQ DESC, id ASC) priority in BOTH of the communities it
+    * touches. Accepted moves therefore touch pairwise-DISJOINT
+    * {source, target} community sets, which makes their ΔQs exactly
+    * additive (degrees are vertex properties; an edge between two
+    * movers stays inter-community because the four communities are
+    * distinct) — so modularity is monotone nondecreasing round over
+    * round, the same GraphSpec invariant as the merge phase, and the
+    * whole round is oracle-replayable. Per round: one edge-ends agg
+    * keyed (vertex, neighbor community) — the dominant, shuffle-
+    * partitioned cost — then vertex- and community-sized frames only;
+    * this is what un-sticks a bad LPA seed that the merge phase alone
+    * (which can only fuse whole communities) cannot repair. */
+  def louvainMoveLabels(ded: DataFrame, lab0: DataFrame,
+      rounds: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val deg = undDegreesOf(ded).localCheckpoint(true)
+    val und = ded.select(col("src").as("v"), col("dst").as("n"))
+      .unionByName(ded.select(col("dst").as("v"), col("src").as("n")))
+      .localCheckpoint(true)
+    val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
+      .localCheckpoint(true)
+    var lab = lab0
+    var owned: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val dc = deg.join(lab, "id")
+        .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
+      // k_ic: per vertex, how many neighbors sit in each community
+      val nk = und
+        .join(lab.select(col("id").as("n"), col("label").as("nl")), "n")
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("k"))
+      val own = nk.select(col("v").as("oid"), col("nl").as("ol"),
+        col("k").as("k_own"))
+      val st = lab.join(deg, "id")
+        .join(own, col("id") === col("oid") && col("ol") === col("label"),
+          "left")
+        .select(col("id"), col("label").as("a"), col("d"),
+          coalesce(col("k_own"), lit(0L)).as("k_own"))
+      val cand = st
+        .join(nk.select(col("v").as("id"), col("nl").as("b"),
+          col("k").as("k_b")), "id")
+        .filter(col("b") =!= col("a"))
+        .join(dc.select(col("label").as("a"), col("dcv").as("da")), "a")
+        .join(dc.select(col("label").as("b"), col("dcv").as("db")), "b")
+        .crossJoin(mrow) // 1-row frame
+        .select(col("id"), col("a"), col("b"),
+          (lit(1000000L).cast(dec) * (lit(4L).cast(dec) * col("m")
+            * (col("k_b").cast(dec) - col("k_own").cast(dec))
+            - lit(2L).cast(dec) * col("d").cast(dec)
+              * (col("db") - col("da") + col("d").cast(dec)))).as("num"),
+          (lit(4L).cast(dec) * col("m") * col("m")).as("den"))
+        .select(col("id"), col("a"), col("b"),
+          expr(FloorDivMicro).as("delta_micro"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("delta_micro").desc, col("b").asc)
+      val best = cand.withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1 && col("delta_micro") > 0L).drop("rk")
+      val ex = best.select(col("a").as("c"), col("id"), col("delta_micro"))
+        .unionByName(best.select(col("b").as("c"), col("id"),
+          col("delta_micro")))
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c"))
+        .orderBy(col("delta_micro").desc, col("id").asc)
+      val win = ex.withColumn("rk", row_number().over(wC))
+        .filter(col("rk") === 1)
+        .groupBy(col("id")).agg(count(lit(1)).as("nw"))
+        .filter(col("nw") === 2).select(col("id"))
+      val acc = best.join(win, "id").select(col("id"), col("b"))
+      val next = lab.join(acc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("b"), col("label")).as("label"))
+        .localCheckpoint(true)
+      owned.foreach(_.unpersist(false))
+      owned = Some(next)
+      lab = next
+    }
+    deg.unpersist(false)
+    und.unpersist(false)
+    mrow.unpersist(false)
+    lab
+  }
+
+  /** Registered surface: TWO-PHASE LOUVAIN — [[LouvainMoveRounds]]
+    * per-node sweep rounds to repair the LPA seed, then the
+    * [[LouvainRounds]] mutual-best merge-and-contract rounds; output =
+    * final community sizes. */
+  def graphLouvainMove(spark: SparkSession, dir: String): DataFrame = {
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val moved = louvainMoveLabels(ded, lpaLabelsCached(spark, dir),
+      LouvainMoveRounds)
+    val out = louvainLabels(ded, moved, LouvainRounds)
+      .groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .orderBy(col("label")).localCheckpoint(true)
+    moved.unpersist(false) // ours, absorbed by the merge checkpoints
+    out
+  }
+
   /** Degree assortativity — "do hubs attach to hubs?", the one-scalar
     * mixing diagnostic next to [[graphModularity]]. Edge ends are
     * SYMMETRIZED (each undirected edge contributes (dx,dy) and
@@ -1078,6 +1191,138 @@ object GraphOps {
       (0L until 5L).map(GraphModel.RegionOff + _)
     shortestPathsWeightedMultiOn(wed, landmarks, 4)
       .select(col("lm"), col("id"), col("d").as("wdist_micro"))
+  }
+
+  /** WEIGHTED Brandes betweenness over the min-plus layers — the
+    * missing sibling of [[betweennessMulti]]. Hop-count Brandes gets
+    * its processing order for free from BFS layers; under weighted
+    * shortest paths the order has to come from the SHORTEST-PATH DAG
+    * itself, so the sweep is staged as:
+    *
+    *  1. exact micro-unit distances ([[shortestPathsWeightedMultiOn]]
+    *     — one batched run for the whole landmark set);
+    *  2. the DAG: edges with d(src) = len + d(dst), i.e. the edges
+    *     some min-weight path actually uses;
+    *  3. per-vertex layer ℓ = MAX edge count over the vertex's
+    *     shortest paths, by bounded max-plus rounds (a DAG successor
+    *     always has strictly smaller ℓ, which is exactly the finality
+    *     guarantee the two sweeps need — weighted shortest paths of
+    *     EQUAL weight may use different edge counts, so min-depth or
+    *     hop layers would process a vertex before its sigma/delta
+    *     inputs are final);
+    *  4. sigma (number of min-weight paths, exact BIGINT) by
+    *     increasing ℓ: sigma(v) = Σ sigma over DAG successors;
+    *  5. dependency by decreasing ℓ, the same order-independent
+    *     integer form as the unweighted sweep:
+    *     delta(v) = Σ over DAG predecessors w of
+    *     `(sigma_v · (1_000_000 + delta_w)) div sigma_w`.
+    *
+    * Every stage is a keyed equi-join + agg on (lm, id) or (lm, edge)
+    * — the same co-partitioned shape as the distance relaxation, no
+    * all-pairs surface anywhere; bounded rounds = the landmark-sampled
+    * estimator shape that is THE way betweenness runs at 100 TB.
+    * Returns (lm, id, delta) for every on-a-shortest-path vertex,
+    * landmarks excluded. */
+  def betweennessWeightedMulti(wed: DataFrame, landmarks: Seq[Long],
+      rounds: Int): DataFrame = {
+    val spark = wed.sparkSession
+    import spark.implicits._
+    val retired = scala.collection.mutable.Buffer.empty[DataFrame]
+    val dist = shortestPathsWeightedMultiOn(wed, landmarks, rounds)
+    val dag = wed
+      .join(dist.select(col("lm"), col("id").as("dst"),
+        col("d").as("dd")), "dst")
+      .join(dist.select(col("lm"), col("id").as("src"),
+        col("d").as("ds")), Seq("lm", "src"))
+      .filter(col("ds") === col("dd") + col("len"))
+      .select(col("lm"), col("src"), col("dst"))
+      .localCheckpoint(true)
+    dist.unpersist(false)
+    // max-edge-depth layers (max-plus analogue of the min-plus rounds)
+    var lvl = landmarks.toDF("lm")
+      .select(col("lm"), col("lm").as("id"), lit(0).as("l"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cand = dag
+        .join(lvl.select(col("lm"), col("id").as("dst"), col("l")),
+          Seq("lm", "dst"))
+        .groupBy(col("lm"), col("src"))
+        .agg((max(col("l")) + 1).as("l"))
+        .select(col("lm"), col("src").as("id"), col("l"))
+      val merged = lvl.unionByName(cand)
+        .groupBy(col("lm"), col("id")).agg(max(col("l")).as("l"))
+        .localCheckpoint(true)
+      retired += lvl
+      lvl = merged
+    }
+    // sigma by increasing layer: all DAG successors sit in smaller
+    // layers, so the accumulated frame is always final when probed
+    var sig = landmarks.toDF("lm")
+      .select(col("lm"), col("lm").as("id"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    for (k <- 1 to rounds) {
+      val sk = dag
+        .join(sig.select(col("lm"), col("id").as("dst"),
+          col("sigma")), Seq("lm", "dst"))
+        .join(lvl.filter(col("l") === k)
+          .select(col("lm"), col("id").as("src")), Seq("lm", "src"))
+        .groupBy(col("lm"), col("src"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("lm"), col("src").as("id"), col("sigma"))
+      val merged = sig.unionByName(sk).localCheckpoint(true)
+      retired += sig
+      sig = merged
+    }
+    // dependency by decreasing layer: every DAG predecessor is
+    // strictly deeper, hence already in the accumulated delta frame
+    var delta = lvl.filter(col("l") === rounds)
+      .select(col("lm"), col("id"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    for (k <- (rounds - 1) to 1 by -1) {
+      val contrib = dag
+        .join(delta.select(col("lm"), col("id").as("src"),
+          col("delta").as("dw")), Seq("lm", "src"))
+        .join(sig.select(col("lm"), col("id").as("src"),
+          col("sigma").as("sw")), Seq("lm", "src"))
+        .join(sig.select(col("lm"), col("id").as("dst"),
+          col("sigma").as("sv")), Seq("lm", "dst"))
+        .groupBy(col("lm"), col("dst"))
+        .agg(sum(expr("(sv * (1000000 + dw)) div sw")).as("c"))
+        .select(col("lm"), col("dst").as("id"), col("c"))
+      val dk = lvl.filter(col("l") === k).select(col("lm"), col("id"))
+        .join(contrib, Seq("lm", "id"), "left")
+        .select(col("lm"), col("id"),
+          coalesce(col("c"), lit(0L)).as("delta"))
+      val merged = delta.unionByName(dk).localCheckpoint(true)
+      retired += delta
+      delta = merged
+    }
+    val out = delta
+      .join(lvl.filter(col("l") >= 1).select(col("lm"), col("id")),
+        Seq("lm", "id"))
+      .localCheckpoint(true)
+    (retired ++ Seq(dag, lvl, sig, delta)).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Registered surface: weighted landmark betweenness from the five
+    * region roots over the multiplicity-weighted edge view — the
+    * per-landmark dependency deltas summed per vertex, top-50
+    * (micro-units, id tie-break). */
+  def graphBetweennessWeighted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wed = GraphModel.edgesCached(spark, dir)
+      .groupBy(col("src"), col("dst"))
+      .agg(expr("CAST(1000000 div count(1) AS BIGINT)").as("len"))
+    val landmarks = (0L until 5L).map(GraphModel.RegionOff + _)
+    val per = betweennessWeightedMulti(wed, landmarks, 4)
+    val out = per
+      .groupBy(col("id")).agg(sum(col("delta")).as("bcw_micro"))
+      .orderBy(col("bcw_micro").desc, col("id"))
+      .limit(50)
+      .localCheckpoint(true)
+    per.unpersist(false)
+    out
   }
 
   /** Landmark set for [[graphClosenessHarmonic]]: one seed per major

@@ -1143,7 +1143,25 @@ object TextOps {
     * rounds with DuckDB's list_reduce. One eager checkpoint per round
     * bounds the plan (vocab-sized frames). Output = the merge table a
     * tokenizer build emits: round, pair, fused symbol, pair count. */
-  def corpusBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  def corpusBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainedCached(spark, dir)._1
+
+  /** Memoized BPE training artifacts per (session, dir): the merge
+    * table AND the fully-merged symbolization of every trainable word
+    * — the trainer's final loop state, which IS the encoder lookup
+    * table ("tokenize word w" = the symbol list the K merges leave
+    * behind). `corpus_bpe_merges` reads the first, `corpus_bpe_encode`
+    * the second; training runs once per (session, dir). synchronized:
+    * the Sources.materialize rule. */
+  private val bpeCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def bpeTrainedCached(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = bpeCache.synchronized {
+    bpeCache.getOrElseUpdate((spark, dir), trainBpe(spark, dir))
+  }
+
+  private def trainBpe(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     var words = Tables(spark, dir).documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -1192,8 +1210,39 @@ object TextOps {
         concat(col("x"), col("y")).as("merged"),
         col("cnt").as("pair_count"))
       .orderBy(col("round")).localCheckpoint(true)
-    (retired :+ words).foreach(_.unpersist(false))
+    retired.foreach(_.unpersist(false))
     merges.foreach(_.unpersist(false))
-    out
+    (out, words) // words = final symbolization, kept as the encoder
+  }
+
+  /** BPE ENCODE — the apply step that closes the tokenizer loop: run
+    * the corpus back through the merge table [[corpusBpeMerges]]
+    * trained. The trainer's final word-dict state already holds each
+    * trainable word's post-merge symbol list (encoding is
+    * deterministic per word — BPE's whole point), so encoding a
+    * 100 TB corpus is a broadcast-sized VOCAB JOIN, not a per-token
+    * fold: per document, count whitespace tokens, join the
+    * lowercase-alpha ones against the encoded vocab, and charge
+    * non-trainable tokens one token each (the OOV convention). Output
+    * = per-source token census: documents, words, BPE tokens, and the
+    * compression ratio denominator a training-mix planner reads
+    * (chars per token ≈ how far the vocab stretches the byte budget). */
+  def corpusBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeTrainedCached(spark, dir)._2
+      .select(col("w"),
+        expr("size(split(syms, '\\\\|'))").cast("long").as("n_sym"))
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(when(col("n_sym").isNotNull, lit(1)).otherwise(0L))
+          .as("n_encodable"),
+        sum(coalesce(col("n_sym"), lit(1L))).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .orderBy(col("source"))
   }
 }

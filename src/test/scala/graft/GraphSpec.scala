@@ -116,6 +116,49 @@ class GraphSpec extends SparkSpec {
     // on this corpus the first merge round accepts at least one pair,
     // so round 1 strictly beats the LPA seed (= graph_community_merge)
     assert(qs(1) > qs(0), qs.toString)
+    // phase-1 per-node moves: community-disjoint accepted moves make
+    // the positive ΔQs additive, so the same invariant holds — and the
+    // merge phase stacked on the moved labels can only raise Q further
+    val mq = (0 to GraphOps.LouvainMoveRounds).map { r =>
+      val lab = if (r == 0) seed
+        else GraphOps.louvainMoveLabels(ded, seed, r)
+      GraphOps.modularityStatsOn(ded, lab)
+        .collect()(0).getAs[Long]("q_micro")
+    }
+    mq.sliding(2).foreach { w => assert(w(1) >= w(0), mq.toString) }
+    val moved = GraphOps.louvainMoveLabels(ded, seed,
+      GraphOps.LouvainMoveRounds)
+    val full = GraphOps.modularityStatsOn(ded,
+      GraphOps.louvainLabels(ded, moved, GraphOps.LouvainRounds))
+      .collect()(0).getAs[Long]("q_micro")
+    assert(full >= mq.last, s"$full < ${mq.last}")
+  }
+
+  test("weighted betweenness: hand-computed sigma and dependency") {
+    val sess = spark
+    import sess.implicits._
+    // equal-weight diamond: two 4→1 routes through 2 and 3, so
+    // sigma(4)=2 and each middle vertex carries exactly half the
+    // dependency — the sigma split the integer form must preserve
+    val dia = Seq((4L, 2L, 100L), (4L, 3L, 100L),
+      (2L, 1L, 100L), (3L, 1L, 100L)).toDF("src", "dst", "len")
+    val r = GraphOps.betweennessWeightedMulti(dia, Seq(1L), 3)
+      .collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("delta"))).toMap
+    assert(r == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L), r.toString)
+    // unequal weights: the cheap 4→3→1 route wins outright, so vertex
+    // 3 carries the whole unit and the expensive branch carries none
+    val skew = Seq((4L, 2L, 100L), (2L, 1L, 100L),
+      (4L, 3L, 50L), (3L, 1L, 50L)).toDF("src", "dst", "len")
+    val r2 = GraphOps.betweennessWeightedMulti(skew, Seq(1L), 3)
+      .collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("delta"))).toMap
+    assert(r2 == Map(2L -> 0L, 3L -> 1000000L, 4L -> 0L), r2.toString)
+    // corpus: deltas are nonnegative and some vertex carries load
+    val top = GraphOps.graphBetweennessWeighted(spark, sfDir).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getAs[Long]("bcw_micro") >= 0L))
+    assert(top.head.getAs[Long]("bcw_micro") > 0L)
   }
 
   test("multi-landmark weighted distances: hand-computed min-plus") {
