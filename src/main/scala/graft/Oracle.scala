@@ -1411,6 +1411,44 @@ object Oracle {
          ORDER BY lm, id"""
   }
 
+  /** Unrolled exact-integer power iteration replaying
+    * [[graft.ops.VectorOps.embedPcaPower]]: floor(x·1e6) micro cells,
+    * per round s = E·v then u = Eᵀ·s in HUGEINT, deterministic
+    * (u·1e6) floor-div max|u| renormalization. */
+  private def pcaPowerSql(rounds: Int): String = {
+    val base = s"""WITH cells AS MATERIALIZED (
+           SELECT vec_id, p.i - 1 AS pos,
+                  CAST(floor(CAST(embedding[p.i] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS em
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p),
+         v0 AS (SELECT unnest(range(0, 64)) AS pos,
+                       CAST(1000000 AS HUGEINT) AS vm)"""
+    val steps = (1 to rounds).map { k =>
+      s""",
+         s$k AS MATERIALIZED (
+                 SELECT c.vec_id, CAST(SUM(c.em * v.vm) AS HUGEINT) AS s
+                 FROM cells c JOIN v${k - 1} v ON v.pos = c.pos
+                 GROUP BY 1),
+         u$k AS MATERIALIZED (
+                 SELECT c.pos, SUM(CAST(c.em AS HUGEINT) * s.s) AS u
+                 FROM cells c JOIN s$k s ON s.vec_id = c.vec_id
+                 GROUP BY 1),
+         m$k AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM u$k),
+         v$k AS MATERIALIZED (
+                 SELECT pos,
+                        CASE WHEN den = 0 THEN NULL
+                          ELSE (num - ((num % den + den) % den)) // den
+                        END AS vm
+                 FROM (SELECT pos, u * 1000000 AS num, mx AS den
+                       FROM u$k CROSS JOIN m$k))"""
+    }.mkString
+    base + steps + s"""
+         SELECT CAST(pos AS INT) AS pos, CAST(vm AS BIGINT)
+                AS loading_micro
+         FROM v$rounds ORDER BY pos"""
+  }
+
   /** Unrolled weighted Brandes replaying
     * [[graft.ops.GraphOps.betweennessWeightedMulti]]: the min-plus
     * distance chain, the shortest-path DAG (d(src) = len + d(dst)),
@@ -4126,6 +4164,7 @@ object Oracle {
     // into each other.
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
     "embed_silhouette" -> silhouetteSql(8, 3),
+    "embed_pca_power" -> pcaPowerSql(6),
     // the persisted-index path serves byte-identical results to the
     // in-session path (same codebook, same probe), so the same replay
     // checks both — what differs is the PLAN (no Lloyd iterations at

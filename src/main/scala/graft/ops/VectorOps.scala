@@ -994,4 +994,71 @@ object VectorOps {
       .orderBy(col("cid"))
     out
   }
+
+  /** Round budget for [[embedPcaPower]] — bounded so the oracle can
+    * unroll the identical chain. */
+  val PcaRounds = 6
+
+  /** TOP PRINCIPAL DIRECTION of the embedding matrix by EXACT-INTEGER
+    * power iteration — the one-vector PCA an embedding platform runs
+    * for drift monitoring, whitening decisions and "is this corpus
+    * one blob or two" reads. Iterates v ← Gv on the SECOND-MOMENT
+    * Gram matrix G = EᵀE (uncentered, so G is PSD and the iteration
+    * cannot sign-flip; the data mean is part of the direction, which
+    * is what a drift monitor wants anyway) without ever materializing
+    * G: each round is two keyed aggregations over the micro-unit
+    * cells —
+    *
+    *   s_i = Σ_d  E[i,d] · v[d]      (row projections)
+    *   u_d = Σ_i  E[i,d] · s_i       (re-projection, DECIMAL(38,0))
+    *
+    * then deterministic renormalization v'_d = (u_d·1e6) floorDiv
+    * max|u| (the same remainder-subtraction floor division as the
+    * graph family — no sqrt, no float norm, so every round is
+    * bit-identical cross-engine). Cells are floor(x·1e6) BIGINT micro
+    * (the [[graft.ops.Det]] / vecsum discipline). At 100 TB: v is a
+    * 64-row broadcast, both aggs are map-side combinable with
+    * constant-size (D or N-row) outputs, state never exceeds one
+    * vector — the classic scalable one-pass-per-round PCA. Output =
+    * the 64 loadings in micro-units of the max-abs-1e6 scale. */
+  def embedPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val floorDiv =
+      """CAST(CASE WHEN den = 0 THEN NULL
+         ELSE (num - ((num % den + den) % den)) div den END AS BIGINT)"""
+    val cells = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "pos", "x")
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(1000000.0)).as("em"))
+      .localCheckpoint(true) // probed twice per round
+    var v = spark.range(64)
+      .select(col("id").cast("int").as("pos"), lit(1000000L).as("vm"))
+      .localCheckpoint(true)
+    var owned = v
+    for (_ <- 1 to PcaRounds) {
+      val s = cells.join(broadcast(v), "pos")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("em") * col("vm")).as("s"))
+      val u = cells.join(s, "vec_id")
+        .groupBy(col("pos"))
+        .agg(sum(col("em").cast(dec) * col("s").cast(dec)).as("u"))
+      val mx = u.agg(max(abs(col("u"))).as("mx"))
+      val next = u.crossJoin(mx) // 1-row frame
+        .select(col("pos"),
+          (col("u") * lit(1000000L).cast(dec)).as("num"),
+          col("mx").as("den"))
+        .select(col("pos"), expr(floorDiv).as("vm"))
+        .localCheckpoint(true)
+      owned.unpersist(false)
+      owned = next
+      v = next
+    }
+    val out = v.select(col("pos"), col("vm").as("loading_micro"))
+      .orderBy(col("pos")).localCheckpoint(true)
+    owned.unpersist(false)
+    cells.unpersist(false)
+    out
+  }
 }

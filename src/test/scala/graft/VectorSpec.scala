@@ -431,6 +431,39 @@ class VectorSpec extends SparkSpec {
     assert(hits >= 5L, s"int8 recall suspiciously low: $hits/10")
   }
 
+  test("pca power: 64 loadings on the max-abs-1e6 scale, direction " +
+      "nontrivial and a fixed point of one more Gram application") {
+    val rows = VectorOps.embedPcaPower(spark, sfDir).collect()
+    assert(rows.length == 64)
+    val v = rows.sortBy(_.getAs[Int]("pos"))
+      .map(_.getAs[Long]("loading_micro"))
+    // renormalization pins max |loading| to exactly 1e6
+    assert(v.map(math.abs).max == 1000000L, v.mkString(","))
+    assert(v.forall(x => math.abs(x) <= 1000000L))
+    // a degenerate all-equal direction would mean the iteration never
+    // left the ones seed — the corpus has real structure
+    assert(v.distinct.length > 8, v.mkString(","))
+    // convergence: applying G once more (double arithmetic) must keep
+    // the direction nearly parallel. The synthetic corpus is close to
+    // isotropic (small spectral gap), so 6 bounded rounds land at
+    // cos ≈ 0.997, not 1 − 1e-6 — the bound asserts the iteration is
+    // converging on the dominant direction, not that it finished
+    val e = Tables(spark, sfDir).embeddings
+      .select(col("embedding").cast("array<double>").as("x")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val vd = v.map(_.toDouble)
+    val s = e.map(x => x.indices.map(d => x(d) * vd(d)).sum)
+    val gv = Array.tabulate(64)(d =>
+      e.indices.map(i => e(i)(d) * s(i)).sum)
+    val cos = {
+      val dot = vd.indices.map(d => vd(d) * gv(d)).sum
+      val na = math.sqrt(vd.map(x => x * x).sum)
+      val nb = math.sqrt(gv.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    assert(cos > 0.99, s"v not near-invariant under G: cos=$cos")
+  }
+
   test("silhouette: all k clusters, members partition the corpus, " +
       "means within [−1, 1]") {
     val rows = VectorOps.embedSilhouette(spark, sfDir).collect()
