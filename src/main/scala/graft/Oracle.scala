@@ -1415,7 +1415,42 @@ object Oracle {
     * [[graft.ops.VectorOps.embedPcaPower]]: floor(x·1e6) micro cells,
     * per round s = E·v then u = Eᵀ·s in HUGEINT, deterministic
     * (u·1e6) floor-div max|u| renormalization. */
-  private def pcaPowerSql(rounds: Int): String = {
+  private def pcaPowerSql(rounds: Int): String =
+    pcaCtes(rounds) + s"""
+         SELECT CAST(pos AS INT) AS pos, CAST(vm AS BIGINT)
+                AS loading_micro
+         FROM v$rounds ORDER BY pos"""
+
+  /** Per-label projection census replaying
+    * [[graft.ops.VectorOps.embedPcaProject]]: every vector dotted
+    * against the trained direction, micro-rescaled by the same
+    * remainder-subtraction floor division, then per-label
+    * min/max/floor-mean. */
+  private def pcaProjectSql(rounds: Int): String =
+    pcaCtes(rounds) + s""",
+         pl AS MATERIALIZED (
+           SELECT e.vec_id, e.label, p.i - 1 AS pos,
+                  CAST(floor(CAST(e.embedding[p.i] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS em
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p),
+         pr AS MATERIALIZED (
+           SELECT vec_id, label,
+                  CAST((s - ((s % 1000000 + 1000000) % 1000000))
+                       // 1000000 AS BIGINT) AS pm
+           FROM (SELECT c.vec_id, c.label, SUM(c.em * v.vm) AS s
+                 FROM pl c JOIN v$rounds v ON v.pos = c.pos
+                 GROUP BY 1, 2))
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                min(pm) AS proj_min, max(pm) AS proj_max,
+                CAST((SUM(pm) - ((SUM(pm) % count(*) + count(*))
+                     % count(*))) // count(*) AS BIGINT) AS proj_mean
+         FROM pr GROUP BY label ORDER BY label"""
+
+  /** The shared unrolled power-iteration chain (ends at
+    * `v$rounds(pos, vm)` = the trained direction), reused by the
+    * loading oracle and the projection oracle. */
+  private def pcaCtes(rounds: Int): String = {
     val base = s"""WITH cells AS MATERIALIZED (
            SELECT vec_id, p.i - 1 AS pos,
                   CAST(floor(CAST(embedding[p.i] AS DOUBLE) * 1000000)
@@ -1443,10 +1478,7 @@ object Oracle {
                  FROM (SELECT pos, u * 1000000 AS num, mx AS den
                        FROM u$k CROSS JOIN m$k))"""
     }.mkString
-    base + steps + s"""
-         SELECT CAST(pos AS INT) AS pos, CAST(vm AS BIGINT)
-                AS loading_micro
-         FROM v$rounds ORDER BY pos"""
+    base + steps
   }
 
   /** Unrolled weighted Brandes replaying
@@ -4165,6 +4197,7 @@ object Oracle {
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
     "embed_silhouette" -> silhouetteSql(8, 3),
     "embed_pca_power" -> pcaPowerSql(6),
+    "embed_pca_project" -> pcaProjectSql(6),
     // the persisted-index path serves byte-identical results to the
     // in-session path (same codebook, same probe), so the same replay
     // checks both — what differs is the PLAN (no Lloyd iterations at

@@ -1061,4 +1061,41 @@ object VectorOps {
     cells.unpersist(false)
     out
   }
+
+  /** Per-label distribution along the [[embedPcaPower]] direction —
+    * the read a drift monitor actually consumes: project every vector
+    * onto the trained principal direction (one broadcast join + a
+    * per-vector sum, micro-units via the same floor divisions) and
+    * summarize min/max/mean per label. Two labels with separated
+    * projection bands = the corpus is split along its top direction;
+    * a label whose band moved since the last snapshot = drift. One
+    * corpus pass after the bounded training rounds. */
+  def embedPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val v = embedPcaPower(spark, dir)
+    val floorDiv1e6 =
+      """CAST((s - ((s % 1000000 + 1000000) % 1000000))
+         div 1000000 AS BIGINT)"""
+    val proj = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "pos", "x")
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x") * lit(1000000.0)).as("em"))
+      .join(broadcast(v), "pos")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("em") * col("loading_micro")).as("s"))
+      .select(col("vec_id"), col("label"),
+        expr(floorDiv1e6).as("pm"))
+    val out = proj.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("pm")).as("proj_min"),
+        max(col("pm")).as("proj_max"),
+        expr("""CAST((sum(pm) - ((sum(pm) % count(1) + count(1))
+                % count(1))) div count(1) AS BIGINT)""")
+          .as("proj_mean"))
+      .orderBy(col("label"))
+      .localCheckpoint(true) // materialize BEFORE releasing v
+    v.unpersist(false)
+    out
+  }
 }
