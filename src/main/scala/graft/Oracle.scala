@@ -4480,6 +4480,36 @@ object Oracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
          ORDER BY user_id, ts_sec, event_id"""),
 
+    // Holt level+trend: the same lag frame as ewma, exact dyadic
+    // weight pairs from TimeSeries.holtWeights, per-term
+    // remainder-subtraction floor division (floor — not truncate —
+    // because the trend weights go negative)
+    "timeseries_holt" -> {
+      val (wl, wb) = graft.ops.TimeSeries.holtWeights(8)
+      def comb(ws: Seq[Long]): String = ws.zipWithIndex.map {
+        case (wj, j) =>
+          s"((l$j * $wj) - (((l$j * $wj) % 65536 + 65536) % 65536))" +
+            " // 65536"
+      }.mkString(" + ")
+      """WITH p AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS ts_sec,
+                           CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                AS BIGINT) AS v_micro
+                    FROM events WHERE event_type = 'purchase'),
+         lg AS (SELECT user_id, event_id, ts_sec, v_micro,
+                """ +
+        (0 to 7).map(k =>
+          s"COALESCE(lag(v_micro, $k) OVER w, 0) AS l$k")
+          .mkString(", ") +
+        """ FROM p
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+         SELECT user_id, event_id, ts_sec, v_micro,
+                """ +
+        s"${comb(wl)} AS level_micro, ${comb(wb)} AS trend_micro, " +
+        s"(${comb(wl)}) + (${comb(wb)}) AS forecast_micro" +
+        """ FROM lg ORDER BY user_id, ts_sec, event_id"""
+    },
+
     // trailing-20 z-score: decimal-exact frame sums, identical double
     // division/sqrt, epsilon-rounded like Det.avg2
     "timeseries_anomaly" ->

@@ -602,6 +602,25 @@ object GraphOps {
     * re-aggregating the edge list every round. */
   def communityMergeOn(ded: DataFrame, lab: DataFrame,
       deg: DataFrame): DataFrame = {
+    val (out, hs) = communityMergeChk(ded, lab, deg)
+    val res = out.localCheckpoint(true)
+    hs.foreach(_.unpersist(false))
+    res
+  }
+
+  /** [[communityMergeOn]] returning the round's eager checkpoint
+    * handles so iterative callers ([[louvainLabels]]) can release them
+    * as soon as the next label checkpoint has absorbed the result —
+    * the [[minLabelComponentsChk]] discipline. The checkpoint inside
+    * exists because this plan reads `scored` twice (both directed
+    * copies of each pair) and `best` twice (the mutual-best back
+    * join), and Catalyst does not deduplicate common subplans — the
+    * labeled-edge join would otherwise replay 4× per action. The
+    * per-community winner is a combinable max(struct) agg, not a
+    * window: no sort, map-side partials, the [[corpusBpeMerges]]
+    * winner-selection shape. */
+  private[graft] def communityMergeChk(ded: DataFrame, lab: DataFrame,
+      deg: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val dc = deg.join(lab, "id")
       .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
@@ -625,25 +644,30 @@ object GraphOps {
         (lit(4L).cast(dec) * col("m") * col("m")).as("den"))
       .select(col("la"), col("lb"), col("e_ab"),
         expr(FloorDivMicro).as("delta_micro"))
+      .localCheckpoint(true) // community-pair-sized; le runs ONCE
     val cand = scored
       .select(col("la").as("label"), col("lb").as("partner"),
         col("e_ab"), col("delta_micro"))
       .unionByName(scored.select(col("lb").as("label"),
         col("la").as("partner"), col("e_ab"), col("delta_micro")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("label"))
-      .orderBy(col("delta_micro").desc, col("partner").asc)
-    val best = cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1).drop("rk")
+    // winner per community by (delta DESC, partner ASC): (delta,
+    // partner) is unique within a community, so the combinable
+    // max(struct) picks exactly the row_number()=1 row
+    val best = cand.groupBy(col("label"))
+      .agg(max(struct(col("delta_micro"), (-col("partner")).as("np"),
+        col("e_ab"))).as("m"))
+      .select(col("label"), (-col("m.np")).as("partner"),
+        col("m.e_ab").as("e_ab"), col("m.delta_micro").as("delta_micro"))
     val back = best.select(col("label").as("__bl"),
       col("partner").as("__bp"))
-    best
+    val out = best
       .join(back, col("partner") === col("__bl"), "left")
       .select(col("label"), col("partner"), col("e_ab"),
         col("delta_micro"),
         coalesce(col("__bp") === col("label")
           && col("delta_micro") > 0L, lit(false)).as("accepted"))
       .orderBy(col("label"))
+    (out, Seq(scored))
   }
 
   /** Registered surface: the merge round over the shared 3-round
@@ -681,7 +705,7 @@ object GraphOps {
     var lab = lab0
     var owned: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val dec = communityMergeOn(ded, lab, deg)
+      val (dec, hs) = communityMergeChk(ded, lab, deg)
       val merges = dec.filter(col("accepted"))
         .select(col("label"),
           least(col("label"), col("partner")).as("newlab"))
@@ -689,8 +713,10 @@ object GraphOps {
         .select(col("id"),
           coalesce(col("newlab"), col("label")).as("label"))
         .localCheckpoint(true)
-      // the next round's checkpoint has absorbed the previous one;
-      // lab0 is the caller's (often the shared LPA cache) — never ours
+      // the next round's checkpoint has absorbed the previous one AND
+      // the scorer's internal checkpoint; lab0 is the caller's (often
+      // the shared LPA cache) — never ours
+      hs.foreach(_.unpersist(false))
       owned.foreach(_.unpersist(false))
       owned = Some(next)
       lab = next
@@ -749,12 +775,20 @@ object GraphOps {
     var lab = lab0
     var owned: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
+      // Catalyst does not deduplicate common subplans, and this round
+      // reads nk twice (own-community + target-community sides), dc
+      // twice (source/target degree sums) and best three times (both
+      // conflict expansions + the final move set) — without the eager
+      // checkpoints the candidate subtree replays ~4× per action
+      // (measured: 60.6 s → 18.1 s warm for the registered key at sf0.1)
       val dc = deg.join(lab, "id")
         .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
+        .localCheckpoint(true)
       // k_ic: per vertex, how many neighbors sit in each community
       val nk = und
         .join(lab.select(col("id").as("n"), col("label").as("nl")), "n")
         .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("k"))
+        .localCheckpoint(true)
       val own = nk.select(col("v").as("oid"), col("nl").as("ol"),
         col("k").as("k_own"))
       val st = lab.join(deg, "id")
@@ -777,25 +811,34 @@ object GraphOps {
           (lit(4L).cast(dec) * col("m") * col("m")).as("den"))
         .select(col("id"), col("a"), col("b"),
           expr(FloorDivMicro).as("delta_micro"))
-      val wBest = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"))
-        .orderBy(col("delta_micro").desc, col("b").asc)
-      val best = cand.withColumn("rk", row_number().over(wBest))
-        .filter(col("rk") === 1 && col("delta_micro") > 0L).drop("rk")
+      // winner per vertex by (delta DESC, b ASC), positive only:
+      // (delta, b) is unique per vertex, so the combinable max(struct)
+      // agg picks the window's rank-1 row without a sort
+      val best = cand.groupBy(col("id"))
+        .agg(max(struct(col("delta_micro"), (-col("b")).as("nb"),
+          col("a"))).as("m"))
+        .select(col("id"), col("m.a").as("a"), (-col("m.nb")).as("b"),
+          col("m.delta_micro").as("delta_micro"))
+        .filter(col("delta_micro") > 0L)
+        .localCheckpoint(true)
       val ex = best.select(col("a").as("c"), col("id"), col("delta_micro"))
         .unionByName(best.select(col("b").as("c"), col("id"),
           col("delta_micro")))
-      val wC = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c"))
-        .orderBy(col("delta_micro").desc, col("id").asc)
-      val win = ex.withColumn("rk", row_number().over(wC))
-        .filter(col("rk") === 1)
+      // community winner by (delta DESC, id ASC) — same agg shape; a
+      // move is accepted only when it wins BOTH its communities
+      val win = ex.groupBy(col("c"))
+        .agg(max(struct(col("delta_micro"), (-col("id")).as("ni")))
+          .as("m"))
+        .select((-col("m.ni")).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("nw"))
         .filter(col("nw") === 2).select(col("id"))
       val acc = best.join(win, "id").select(col("id"), col("b"))
       val next = lab.join(acc, Seq("id"), "left")
         .select(col("id"), coalesce(col("b"), col("label")).as("label"))
         .localCheckpoint(true)
+      dc.unpersist(false)
+      nk.unpersist(false)
+      best.unpersist(false)
       owned.foreach(_.unpersist(false))
       owned = Some(next)
       lab = next
@@ -1179,19 +1222,39 @@ object GraphOps {
     out
   }
 
+  /** The multiplicity-weighted edge view shared by the weighted
+    * distance and weighted betweenness surfaces. */
+  private def wedOf(spark: SparkSession, dir: String): DataFrame =
+    GraphModel.edgesCached(spark, dir)
+      .groupBy(col("src"), col("dst"))
+      .agg(expr("CAST(1000000 div count(1) AS BIGINT)").as("len"))
+
+  /** Landmark set for the weighted family: all five region roots. */
+  private val WeightedLandmarks: Seq[Long] =
+    (0L until 5L).map(GraphModel.RegionOff + _)
+
+  /** Memoized region-root weighted distance frame — the forward sweep
+    * is IDENTICAL between `graph_shortest_paths_weighted_multi` and
+    * `graph_betweenness_weighted` (which builds its shortest-path DAG
+    * from it), so it runs once per (session, dir). Eager checkpoint;
+    * consumers must NOT unpersist. synchronized: the
+    * Sources.materialize rule. */
+  private val spwMultiCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  private def spwMultiCached(spark: SparkSession,
+      dir: String): DataFrame = spwMultiCache.synchronized {
+    spwMultiCache.getOrElseUpdate((spark, dir),
+      shortestPathsWeightedMultiOn(wedOf(spark, dir),
+        WeightedLandmarks, 4))
+  }
+
   /** Registered surface: micro-unit weighted distances from all five
     * region roots at once over the multiplicity-weighted edge view,
     * 4 bounded rounds (backward DAG depth 3 + one spare). */
   def graphShortestPathsWeightedMulti(spark: SparkSession,
-      dir: String): DataFrame = {
-    val wed = GraphModel.edgesCached(spark, dir)
-      .groupBy(col("src"), col("dst"))
-      .agg(expr("CAST(1000000 div count(1) AS BIGINT)").as("len"))
-    val landmarks =
-      (0L until 5L).map(GraphModel.RegionOff + _)
-    shortestPathsWeightedMultiOn(wed, landmarks, 4)
+      dir: String): DataFrame =
+    spwMultiCached(spark, dir)
       .select(col("lm"), col("id"), col("d").as("wdist_micro"))
-  }
 
   /** WEIGHTED Brandes betweenness over the min-plus layers — the
     * missing sibling of [[betweennessMulti]]. Hop-count Brandes gets
@@ -1224,11 +1287,14 @@ object GraphOps {
     * Returns (lm, id, delta) for every on-a-shortest-path vertex,
     * landmarks excluded. */
   def betweennessWeightedMulti(wed: DataFrame, landmarks: Seq[Long],
-      rounds: Int): DataFrame = {
+      rounds: Int, sharedDist: Option[DataFrame] = None): DataFrame = {
     val spark = wed.sparkSession
     import spark.implicits._
     val retired = scala.collection.mutable.Buffer.empty[DataFrame]
-    val dist = shortestPathsWeightedMultiOn(wed, landmarks, rounds)
+    // the forward min-plus sweep is shared with the distance surface
+    // when the caller holds the session cache; otherwise build and own
+    val dist = sharedDist.getOrElse(
+      shortestPathsWeightedMultiOn(wed, landmarks, rounds))
     val dag = wed
       .join(dist.select(col("lm"), col("id").as("dst"),
         col("d").as("dd")), "dst")
@@ -1237,7 +1303,7 @@ object GraphOps {
       .filter(col("ds") === col("dd") + col("len"))
       .select(col("lm"), col("src"), col("dst"))
       .localCheckpoint(true)
-    dist.unpersist(false)
+    if (sharedDist.isEmpty) dist.unpersist(false): Unit
     // max-edge-depth layers (max-plus analogue of the min-plus rounds)
     var lvl = landmarks.toDF("lm")
       .select(col("lm"), col("lm").as("id"), lit(0).as("l"))
@@ -1311,11 +1377,8 @@ object GraphOps {
     * (micro-units, id tie-break). */
   def graphBetweennessWeighted(spark: SparkSession,
       dir: String): DataFrame = {
-    val wed = GraphModel.edgesCached(spark, dir)
-      .groupBy(col("src"), col("dst"))
-      .agg(expr("CAST(1000000 div count(1) AS BIGINT)").as("len"))
-    val landmarks = (0L until 5L).map(GraphModel.RegionOff + _)
-    val per = betweennessWeightedMulti(wed, landmarks, 4)
+    val per = betweennessWeightedMulti(wedOf(spark, dir),
+      WeightedLandmarks, 4, Some(spwMultiCached(spark, dir)))
     val out = per
       .groupBy(col("id")).agg(sum(col("delta")).as("bcw_micro"))
       .orderBy(col("bcw_micro").desc, col("id"))

@@ -451,6 +451,69 @@ object TimeSeries {
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
   }
 
+  /** Exact dyadic weight pairs (level, trend) for [[timeseriesHolt]],
+    * scaled by 65536: the truncated expansion [l_t; b_t] =
+    * Σ_j A^j·c·y_{t−j} of Holt's α=β=½ recursion
+    *   l_t = (y_t + l_{t−1} + b_{t−1})/2,
+    *   b_t = (l_t − l_{t−1})/2 + b_{t−1}/2
+    * with A = [[½, ½], [−¼, ¾]], c = [½; ¼]. True denominators are
+    * 2^(2j+2) ≤ 2^16 for j ≤ 7, so every division below is integral
+    * and the weights are exact. */
+  private[graft] def holtWeights(k: Int): (Seq[Long], Seq[Long]) = {
+    val wl = Array.ofDim[Long](k)
+    val wb = Array.ofDim[Long](k)
+    var a = 32768L // ½ · 65536
+    var b = 16384L // ¼ · 65536
+    for (j <- 0 until k) {
+      wl(j) = a; wb(j) = b
+      val na = (a + b) / 2
+      val nb = (-a + 3 * b) / 4
+      a = na; b = nb
+    }
+    (wl.toSeq, wb.toSeq)
+  }
+
+  /** HOLT LINEAR (level + trend) exponential smoothing per user
+    * purchase series — the forecasting sibling of [[timeseriesEwma]]
+    * that also tracks WHERE the series is heading: forecast(t+1) =
+    * level + trend. α=β=½ makes the truncated 8-lag expansion an
+    * EXACT dyadic-weight frame sum ([[holtWeights]]); every term is
+    * floor-divided individually through the remainder-subtraction
+    * identity (sum-of-floors is order-independent and floor agrees
+    * across engines on negative products — the trend weights DO go
+    * negative, that is what extrapolation means), so the whole row is
+    * bit-identical in DuckDB. Zero-padding beyond the window is the
+    * deterministic truncation both engines share. Same keyed-window
+    * shape as EWMA: one hash exchange on user_id, bounded 8-row
+    * frames, no global state. */
+  def timeseriesHolt(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val base = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        (col("value").cast(D) * 1000000).cast("long").as("v_micro"))
+    val lagged = (0 to 7).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k",
+        coalesce(lag(col("v_micro"), k).over(w), lit(0L)))
+    }
+    val (wl, wb) = holtWeights(8)
+    def comb(ws: Seq[Long]): String = ws.zipWithIndex.map {
+      case (wj, j) =>
+        s"((l$j * ${wj}L) - (((l$j * ${wj}L) % 65536L + 65536L) " +
+          s"% 65536L)) div 65536L"
+    }.mkString(" + ")
+    lagged
+      .withColumn("level_micro", expr(comb(wl)))
+      .withColumn("trend_micro", expr(comb(wb)))
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("v_micro"), col("level_micro"), col("trend_micro"),
+        (col("level_micro") + col("trend_micro")).as("forecast_micro"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
   /** Trailing-window z-score anomaly detection: each purchase value
     * scored against the SAME user's previous 20 purchases (mean/std
     * from decimal-EXACT frame sums Σx/Σx², the [[graft.ops.Stats]]

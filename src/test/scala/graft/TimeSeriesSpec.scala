@@ -350,6 +350,43 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("holt: weights are the exact A^j*c expansion, recompute matches, " +
+      "forecast = level + trend, constant series converges to level") {
+    val (wl, wb) = graft.ops.TimeSeries.holtWeights(8)
+    // j=0..4 pairs hand-derived from A^j·c (over 65536): (1/2, 1/4)
+    // (3/8, 1/16) (7/32, −3/64) (11/128, −23/256) (−1/512, −91/1024)
+    // — the trend weight turns negative at j=2, the level at j=4
+    assert(wl.take(5) == Seq(32768L, 24576L, 14336L, 5632L, -128L), wl)
+    assert(wb.take(5) == Seq(16384L, 4096L, -3072L, -5888L, -5824L), wb)
+    val rows = graft.ops.TimeSeries.timeseriesHolt(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("forecast_micro")
+        == r.getAs[Long]("level_micro") + r.getAs[Long]("trend_micro"))
+    }
+    // sequential recompute of the truncated floor-term sums per user
+    val uid = rows.head.getAs[Long]("user_id")
+    val mine = rows.filter(_.getAs[Long]("user_id") == uid)
+    val vs = mine.map(_.getAs[Long]("v_micro"))
+    def fd(p: Long): Long = (p - (((p % 65536) + 65536) % 65536)) / 65536
+    mine.zipWithIndex.foreach { case (r, i) =>
+      val lvl = (0 to 7).map(k =>
+        fd((if (i - k >= 0) vs(i - k) else 0L) * wl(k))).sum
+      val trd = (0 to 7).map(k =>
+        fd((if (i - k >= 0) vs(i - k) else 0L) * wb(k))).sum
+      assert(r.getAs[Long]("level_micro") == lvl, s"level row $i")
+      assert(r.getAs[Long]("trend_micro") == trd, s"trend row $i")
+    }
+    // invariant of the exact weights: a steady series has level → y
+    // and trend → 0 (Σwl = 65536·(1−tail), Σwb ≈ 0); after 8 equal
+    // points of 1.0 the level is within 6% of 1.0 and |trend| < 0.07
+    val y = 1000000L
+    val lvlSteady = (0 to 7).map(k => fd(y * wl(k))).sum
+    val trdSteady = (0 to 7).map(k => fd(y * wb(k))).sum
+    assert(math.abs(lvlSteady - y) < 60000L, lvlSteady.toString)
+    assert(math.abs(trdSteady) < 70000L, trdSteady.toString)
+  }
+
   test("anomaly z-scores: |z| >= 2, trailing frame never sees the " +
       "current row") {
     val rows = graft.ops.TimeSeries.timeseriesAnomaly(spark, sfDir)
