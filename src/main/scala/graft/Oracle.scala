@@ -477,6 +477,43 @@ object Oracle {
          FROM nodes LEFT JOIN adj ON scc_id = ssrc
          ORDER BY scc_id, succ_scc NULLS FIRST"""
 
+  /** Topological layers of the condensation DAG, replaying
+    * [[graft.ops.GraphOps.graphCondensationLayers]]: the shared SCC
+    * chain, the DEDUPLICATED condensation adjacency, then bounded
+    * max-plus rounds (layer = longest condensation path from a
+    * source). */
+  private def condensationLayersSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s""",
+         cl$k AS MATERIALIZED (SELECT scc_id, max(l) AS l FROM (
+                   SELECT scc_id, l FROM cl${k - 1}
+                   UNION ALL
+                   SELECT d.sdst, x.l + 1
+                   FROM dadj d JOIN cl${k - 1} x ON x.scc_id = d.ssrc)
+                 GROUP BY scc_id)"""
+    }.mkString
+    sccCommonCtes + s""",
+         lab AS (SELECT comp.p, slab.sc
+                 FROM comp JOIN slab ON slab.c = comp.c),
+         nodes AS MATERIALIZED (
+                   SELECT sc, min(p) AS scc_id, count(*) AS n_members
+                   FROM lab GROUP BY sc),
+         idlab AS MATERIALIZED (
+                   SELECT lab.p, nodes.scc_id
+                   FROM lab JOIN nodes USING (sc)),
+         alledges AS (SELECT src, dst FROM cyc
+                      UNION ALL SELECT src, dst FROM att),
+         dadj AS MATERIALIZED (
+                 SELECT DISTINCT a.scc_id AS ssrc, b.scc_id AS sdst
+                 FROM alledges e JOIN idlab a ON a.p = e.src
+                                 JOIN idlab b ON b.p = e.dst
+                 WHERE a.scc_id <> b.scc_id),
+         cl0 AS (SELECT scc_id, 0 AS l FROM nodes)$steps
+         SELECT n.scc_id, n.n_members, CAST(c.l AS INT) AS layer
+         FROM nodes n JOIN cl$rounds c USING (scc_id)
+         ORDER BY n.scc_id"""
+  }
+
   /** Unrolled within-horizon mean BFS distance per landmark, replaying
     * [[graft.ops.GraphOps.graphAvgPathLength]] (same dist-only layer
     * CTEs as the closeness oracle). */
@@ -1986,6 +2023,22 @@ object Oracle {
                AND v_ts >= p_ts -
                  INTERVAL ${graft.ops.Joins.AsofToleranceSec} SECOND
           GROUP BY p_id, p_user ORDER BY p_id""",
+
+    // replays Joins.joinAsofForward: earliest at-or-after candidate,
+    // left semantics with matched flag
+    "join_asof_forward" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+                           date_trunc('second', ts) AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user,
+                      date_trunc('second', ts) AS v_ts
+               FROM events WHERE event_type IN ('signup','view'))
+         SELECT p_id, p_user, min(v_ts) AS next_ts,
+                CAST(CASE WHEN min(v_ts) IS NOT NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS matched
+         FROM p LEFT JOIN v
+           ON p_user = v_user AND v_ts >= p_ts
+         GROUP BY p_id, p_user ORDER BY p_id""",
 
     // replays Joins.joinAsofNearest: nearest by (|gap|, v_ts) total
     // order — tie breaks to the earlier candidate in both engines
@@ -4969,6 +5022,8 @@ object Oracle {
 
     "graph_scc" -> sccSql,
     "graph_condensation" -> condensationSql,
+    "graph_condensation_layers" ->
+      condensationLayersSql(ops.GraphOps.CondLayerRounds),
     "graph_msf_boruvka" -> msfSql,
 
     // replays TimeSeries.timeseriesSeasonalDow; DuckDB dayofweek is

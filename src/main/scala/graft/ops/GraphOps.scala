@@ -2114,6 +2114,60 @@ object GraphOps {
       .orderBy(col("scc_id"), col("succ_scc"))
   }
 
+  /** Round budget for [[graphCondensationLayers]] — bounded so the
+    * oracle can unroll it; one spare above the condensation depth
+    * (GraphSpec asserts the budget is not saturated). */
+  val CondLayerRounds = 4
+
+  /** TOPOLOGICAL LAYERS of the SCC condensation — the "how deep is
+    * the cycle-free dependency structure" read a graph DB pairs with
+    * the condensation itself: layer(S) = longest path (in condensation
+    * edges) from any source SCC, by bounded max-plus rounds over the
+    * deduplicated condensation adjacency (acyclic by construction, so
+    * the iteration is a fixpoint within the DAG depth; same max-merge
+    * shape as the weighted-betweenness layering). Rides the memoized
+    * [[sccLifted]] contraction — no new heavy lifting; per round one
+    * keyed join + max agg over SCC-sized frames. */
+  def graphCondensationLayers(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (lifted, edges) = sccLifted(spark, dir)
+    val nodes = lifted.groupBy(col("sl"))
+      .agg(min(col("id")).as("scc_id"), count(lit(1)).as("n_members"))
+      .localCheckpoint(true)
+    val idlab = lifted
+      .join(nodes.select(col("sl"), col("scc_id")), "sl")
+      .select(col("id"), col("scc_id"))
+    val dadj = edges
+      .join(idlab.select(col("id").as("src"), col("scc_id").as("ssrc")),
+        Seq("src"))
+      .join(idlab.select(col("id").as("dst"), col("scc_id").as("sdst")),
+        Seq("dst"))
+      .filter(col("ssrc") =!= col("sdst"))
+      .select(col("ssrc"), col("sdst")).distinct()
+      .localCheckpoint(true)
+    var lay = nodes.select(col("scc_id"), lit(0).as("l"))
+      .localCheckpoint(true)
+    val retired = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to CondLayerRounds) {
+      val cand = dadj
+        .join(lay.select(col("scc_id").as("ssrc"), col("l")), "ssrc")
+        .groupBy(col("sdst")).agg((max(col("l")) + 1).as("l"))
+        .select(col("sdst").as("scc_id"), col("l"))
+      val merged = lay.unionByName(cand)
+        .groupBy(col("scc_id")).agg(max(col("l")).as("l"))
+        .localCheckpoint(true)
+      retired += lay
+      lay = merged
+    }
+    val out = nodes.join(lay, "scc_id")
+      .select(col("scc_id"), col("n_members"),
+        col("l").cast("int").as("layer"))
+      .orderBy(col("scc_id"))
+      .localCheckpoint(true)
+    (retired ++ Seq(nodes, dadj, lay)).foreach(_.unpersist(false))
+    out
+  }
+
   private val sccLiftCache = scala.collection.concurrent.TrieMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 

@@ -178,6 +178,33 @@ object Joins {
       .orderBy(col("p_id"))
   }
 
+  /** FORWARD-direction as-of join — the mirror of [[joinAsof]]
+    * (pandas `merge_asof(direction='forward')`): each purchase picks
+    * the EARLIEST signup/view at or after it, LEFT semantics with a
+    * matched flag so tail purchases with nothing after them survive.
+    * Same user-equi-key + min-agg shape as the backward variant — the
+    * agg IS the as-of (no window, map-side combinable); at 100 TB the
+    * predicate gains a coarse time-bucket term exactly like the
+    * tolerance variant. */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_sec").as("p_ts"))
+    val views = ev.filter(col("event_type").isin("signup", "view"))
+      .select(col("user_id").as("v_user"), col("ts_sec").as("v_ts"))
+    purchases
+      .join(views,
+        col("p_user") === col("v_user") && col("v_ts") >= col("p_ts"),
+        "left")
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(min(col("v_ts")).as("next_ts"))
+      .select(col("p_id"), col("p_user"), col("next_ts"),
+        when(col("next_ts").isNotNull, 1L).otherwise(0L).as("matched"))
+      .orderBy(col("p_id"))
+  }
+
   /** NEAREST-direction as-of join — [[joinAsof]] looks only backward;
     * sensor/telemetry alignment wants the temporally closest match in
     * EITHER direction (pandas `merge_asof(direction='nearest')`).

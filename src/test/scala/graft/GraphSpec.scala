@@ -134,6 +134,27 @@ class GraphSpec extends SparkSpec {
     assert(full >= mq.last, s"$full < ${mq.last}")
   }
 
+  test("condensation layers: topological fixpoint inside the round " +
+      "budget, every condensation edge descends a layer") {
+    val rows = GraphOps.graphCondensationLayers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val layers = rows.map(_.getAs[Int]("layer"))
+    assert(layers.min == 0) // at least one source SCC
+    // strictly inside the budget = the max-plus iteration CONVERGED
+    // (a saturated budget could mean a truncated longest path)
+    assert(layers.max < GraphOps.CondLayerRounds,
+      s"round budget saturated at ${layers.max}")
+    val lay = rows.map(r =>
+      r.getAs[Long]("scc_id") -> r.getAs[Int]("layer")).toMap
+    GraphOps.graphCondensation(spark, sfDir).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("succ_scc")))
+      .foreach { r =>
+        val s = r.getAs[Long]("scc_id")
+        val d = r.getAs[Long]("succ_scc")
+        assert(lay(d) > lay(s), s"edge $s->$d: ${lay(s)} !< ${lay(d)}")
+      }
+  }
+
   test("weighted betweenness: hand-computed sigma and dependency") {
     val sess = spark
     import sess.implicits._

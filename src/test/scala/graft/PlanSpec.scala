@@ -176,4 +176,35 @@ class PlanSpec extends SparkSpec {
           bad.mkString("\n"))
     }
   }
+
+  test("louvain merge scorer selects winners via aggregation — no " +
+      "Window in the pre-checkpoint plan") {
+    // the round-10 perf pass replaced the per-community sorted window
+    // with a combinable max(struct) agg; the registered surfaces
+    // truncate lineage at their checkpoints, so assert on the
+    // scorer's own frame BEFORE it materializes
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ded = graft.GraphModel.dedupEdgesCached(spark, sfDir)
+    val lab = graft.ops.GraphOps.lpaExactOn(ded, 1, None)
+    val deg = ded.select(col("src").as("id"))
+      .unionByName(ded.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val (out, hs) =
+      graft.ops.GraphOps.communityMergeChk(ded, lab, deg)
+    val ws = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(ws.isEmpty, "window in merge scorer plan:\n" + ws.mkString("\n"))
+    hs.foreach(_.unpersist(false))
+    lab.unpersist(false)
+  }
+
+  test("bpe encode joins the vocab broadcast — no shuffle of the " +
+      "token stream onto the vocab") {
+    val df = graft.ops.TextOps.corpusBpeEncode(spark, sfDir)
+    val planned = df.queryExecution.executedPlan.toString
+    assert(planned.contains("BroadcastHashJoin"), planned)
+    assert(!planned.contains("SortMergeJoin"), planned)
+  }
 }
