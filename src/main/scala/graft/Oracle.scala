@@ -1395,6 +1395,20 @@ object Oracle {
     base + steps
   }
 
+  /** Trained-vocab census replaying
+    * [[graft.ops.TextOps.corpusBpeVocab]]: symbols of the final
+    * symbolization weighted by word frequency, top-K by
+    * (count DESC, symbol). */
+  private def bpeVocabSql(rounds: Int, topK: Int): String =
+    bpeCtes(rounds) + s""",
+         vs AS (SELECT unnest(string_split(syms, '|')) AS sym, wc
+                FROM s$rounds)
+         SELECT sym, CAST(length(sym) AS INT) AS sym_len,
+                CAST(SUM(wc) AS BIGINT) AS n_occurrences,
+                CAST(count(*) AS BIGINT) AS n_words
+         FROM vs GROUP BY sym
+         ORDER BY n_occurrences DESC, sym LIMIT $topK"""
+
   /** Per-source BPE token census replaying
     * [[graft.ops.TextOps.corpusBpeEncode]]: the trained chain's final
     * symbolization joined back to every whitespace token, OOV tokens
@@ -2974,6 +2988,8 @@ object Oracle {
     "graph_louvain_move" -> louvainMoveSql(3, 2, 3),
     "corpus_bpe_merges" -> bpeMergesSql(6),
     "corpus_bpe_encode" -> bpeEncodeSql(6),
+    "corpus_bpe_vocab" ->
+      bpeVocabSql(6, ops.TextOps.BpeVocabTopK),
     "graph_shortest_paths_weighted_multi" -> spWeightedMultiSql(4),
 
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree

@@ -1215,6 +1215,31 @@ object TextOps {
     (out, words) // words = final symbolization, kept as the encoder
   }
 
+  /** Vocab size cap for [[corpusBpeVocab]]. */
+  val BpeVocabTopK = 50
+
+  /** TRAINED-VOCAB CENSUS — the artifact between training and encode
+    * that a tokenizer build actually ships: every symbol the merge
+    * table leaves in the corpus symbolization, with its occurrence
+    * count weighted by word frequency (= how often the encoder will
+    * emit that token). Top-[[BpeVocabTopK]] by (count DESC, symbol) —
+    * multi-char rows are exactly the [[BpeRounds]] merge products that
+    * earned their slot, the long singleton tail stays out of the
+    * output. One explode + keyed agg over the vocab-sized trained
+    * dict — corpus volume only enters through the word counts the
+    * trainer already aggregated. */
+  def corpusBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainedCached(spark, dir)._2
+      .select(col("wc"),
+        explode(split(col("syms"), "\\|")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("wc")).as("n_occurrences"),
+        count(lit(1)).as("n_words"))
+      .select(col("sym"), length(col("sym")).as("sym_len"),
+        col("n_occurrences"), col("n_words"))
+      .orderBy(col("n_occurrences").desc, col("sym"))
+      .limit(BpeVocabTopK)
+
   /** BPE ENCODE — the apply step that closes the tokenizer loop: run
     * the corpus back through the merge table [[corpusBpeMerges]]
     * trained. The trainer's final word-dict state already holds each
