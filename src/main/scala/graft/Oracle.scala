@@ -1532,6 +1532,35 @@ object Oracle {
     base + steps
   }
 
+  /** Weighted harmonic closeness replaying
+    * [[graft.ops.GraphOps.graphClosenessWeighted]]: the shared
+    * min-plus distance chain, then per-vertex reciprocal sums. */
+  private def wClosenessSql(rounds: Int): String = {
+    val lms = (0L until 5L).map(graft.GraphModel.RegionOff + _)
+      .mkString(", ")
+    val base = s"""WITH $EdgesCte,
+         wed AS MATERIALIZED (SELECT src, dst,
+                        CAST(1000000 // count(*) AS BIGINT) AS len
+                 FROM edges GROUP BY src, dst),
+         d0 AS (SELECT lm, lm AS id, CAST(0 AS BIGINT) AS d
+                FROM (SELECT unnest([$lms]) AS lm))"""
+    val steps = (1 to rounds).map { i =>
+      s""",
+         d$i AS MATERIALIZED (SELECT lm, id, min(d) AS d FROM (
+                   SELECT lm, id, d FROM d${i - 1}
+                   UNION ALL
+                   SELECT r.lm, e.src, r.d + e.len
+                   FROM wed e JOIN d${i - 1} r ON e.dst = r.id)
+                 GROUP BY lm, id)"""
+    }.mkString
+    base + steps + s"""
+         SELECT id, CAST(SUM(1000000000000 // d) AS BIGINT)
+                  AS hcw_micro,
+                CAST(count(*) AS BIGINT) AS n_reached
+         FROM d$rounds WHERE d > 0
+         GROUP BY id ORDER BY hcw_micro DESC, id LIMIT 50"""
+  }
+
   /** Unrolled weighted Brandes replaying
     * [[graft.ops.GraphOps.betweennessWeightedMulti]]: the min-plus
     * distance chain, the shortest-path DAG (d(src) = len + d(dst)),
@@ -3035,6 +3064,7 @@ object Oracle {
       betweennessSql(3, Seq(3000000000001L, 4000000000001L)),
 
     "graph_betweenness_weighted" -> wBetweennessSql(4),
+    "graph_closeness_weighted" -> wClosenessSql(4),
 
     "graph_closeness_harmonic" ->
       closenessSql(3, Seq(3000000000001L, 4000000000001L,

@@ -1256,6 +1256,27 @@ object GraphOps {
     spwMultiCached(spark, dir)
       .select(col("lm"), col("id"), col("d").as("wdist_micro"))
 
+  /** WEIGHTED harmonic closeness — [[graphClosenessHarmonic]]'s
+    * sibling over the multiplicity-weighted metric: HC_w(v) =
+    * Σ over landmarks of `1e12 div wdist_micro(lm, v)` (reciprocals
+    * of micro-unit distances scaled back to micro — 1/1.0 = 1e6,
+    * 1/0.5 = 2e6; shorter weighted routes through heavy multi-edge
+    * relationships score HIGHER, which is what "closeness in a
+    * multigraph" should mean). Unreachable pairs contribute 0, the
+    * harmonic convention; landmarks themselves (d = 0) are excluded
+    * rows, not poisoned sums. Rides the memoized [[spwMultiCached]]
+    * forward sweep — the marginal cost is one keyed agg. Top-50 by
+    * (hc DESC, id). */
+  def graphClosenessWeighted(spark: SparkSession,
+      dir: String): DataFrame =
+    spwMultiCached(spark, dir)
+      .filter(col("d") > 0L)
+      .select(col("id"), expr("1000000000000 div d").as("hc"))
+      .groupBy(col("id"))
+      .agg(sum(col("hc")).as("hcw_micro"), count(lit(1)).as("n_reached"))
+      .orderBy(col("hcw_micro").desc, col("id"))
+      .limit(50)
+
   /** WEIGHTED Brandes betweenness over the min-plus layers — the
     * missing sibling of [[betweennessMulti]]. Hop-count Brandes gets
     * its processing order for free from BFS layers; under weighted
