@@ -171,4 +171,36 @@ class PropertySpec extends SparkSpec {
         s"planted pair ($i, ${i + 8}) missed; found=$found")
     }
   }
+
+  test("louvain phases: modularity monotone on random graphs the " +
+      "operators were never tuned against") {
+    // the structural claim behind both phases — community-disjoint
+    // accepted steps with positive additive ΔQ — must hold on ANY
+    // graph, not just the corpus; random multigraph-free undirected
+    // graphs of varying density exercise acceptance paths the corpus
+    // never hits (isolated vertices, tiny communities, dense cores)
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val n = 20 + rnd.nextInt(30)
+      val edges = (0 until n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val ded = edges.toDF("src", "dst")
+      def q(lab: org.apache.spark.sql.DataFrame): Long =
+        graft.ops.GraphOps.modularityStatsOn(ded, lab)
+          .collect()(0).getAs[Long]("q_micro")
+      val seed = graft.ops.GraphOps.lpaExactOn(ded, 2, None)
+      val q0 = q(seed)
+      val moved = graft.ops.GraphOps.louvainMoveLabels(ded, seed, 2)
+      val q1 = q(moved)
+      val merged = graft.ops.GraphOps.louvainLabels(ded, moved, 2)
+      val q2 = q(merged)
+      assert(q1 >= q0, s"trial $trial: move phase dropped Q $q0 -> $q1")
+      assert(q2 >= q1, s"trial $trial: merge phase dropped Q $q1 -> $q2")
+    }
+  }
 }
