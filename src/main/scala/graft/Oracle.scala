@@ -1532,6 +1532,36 @@ object Oracle {
     base + steps
   }
 
+  /** Weighted eccentricity + diameter lower bound replaying
+    * [[graft.ops.GraphOps.graphEccentricityWeighted]] over the shared
+    * min-plus chain. */
+  private def wEccentricitySql(rounds: Int): String = {
+    val lms = (0L until 5L).map(graft.GraphModel.RegionOff + _)
+      .mkString(", ")
+    val base = s"""WITH $EdgesCte,
+         wed AS MATERIALIZED (SELECT src, dst,
+                        CAST(1000000 // count(*) AS BIGINT) AS len
+                 FROM edges GROUP BY src, dst),
+         d0 AS (SELECT lm, lm AS id, CAST(0 AS BIGINT) AS d
+                FROM (SELECT unnest([$lms]) AS lm))"""
+    val steps = (1 to rounds).map { i =>
+      s""",
+         d$i AS MATERIALIZED (SELECT lm, id, min(d) AS d FROM (
+                   SELECT lm, id, d FROM d${i - 1}
+                   UNION ALL
+                   SELECT r.lm, e.src, r.d + e.len
+                   FROM wed e JOIN d${i - 1} r ON e.dst = r.id)
+                 GROUP BY lm, id)"""
+    }.mkString
+    base + steps + s""",
+         per AS (SELECT lm, max(d) AS ecc_micro,
+                        CAST(count(*) AS BIGINT) AS n_reached
+                 FROM d$rounds GROUP BY lm),
+         dm AS (SELECT max(ecc_micro) AS diameter_lb_micro FROM per)
+         SELECT lm, ecc_micro, n_reached, diameter_lb_micro
+         FROM per CROSS JOIN dm ORDER BY lm"""
+  }
+
   /** Weighted harmonic closeness replaying
     * [[graft.ops.GraphOps.graphClosenessWeighted]]: the shared
     * min-plus distance chain, then per-vertex reciprocal sums. */
@@ -3065,6 +3095,7 @@ object Oracle {
 
     "graph_betweenness_weighted" -> wBetweennessSql(4),
     "graph_closeness_weighted" -> wClosenessSql(4),
+    "graph_eccentricity_weighted" -> wEccentricitySql(4),
 
     "graph_closeness_harmonic" ->
       closenessSql(3, Seq(3000000000001L, 4000000000001L,
@@ -4694,6 +4725,29 @@ object Oracle {
                   - length(replace(journey, 'P', '')) AS INT)
                   AS n_purchases
          FROM j ORDER BY user_id""",
+
+    // replays TimeSeries.eventsJourneyTopk: the same journey build,
+    // censused by 8-step prefix with full-journey conversion
+    "events_journey_topk" ->
+      s"""WITH ev AS (SELECT user_id,
+                            date_trunc('second', ts) AS ts_sec,
+                            event_id,
+                            upper(substr(event_type, 1, 1)) AS ch
+                     FROM events),
+         j AS (SELECT user_id,
+                      string_agg(ch, ''
+                        ORDER BY ts_sec, event_id) AS journey
+               FROM ev GROUP BY user_id),
+         p AS (SELECT substr(journey, 1,
+                        ${graft.ops.TimeSeries.JourneyPrefixLen})
+                        AS prefix,
+                      regexp_matches(journey, 'V.*C.*P') AS conv
+               FROM j)
+         SELECT prefix, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_converted
+         FROM p GROUP BY prefix
+         ORDER BY n_users DESC, prefix LIMIT 20""",
 
     // replays TimeSeries.eventsRfmSegment: ntile(4) over the same
     // deterministic total orders; recency anchored at the corpus's

@@ -2057,6 +2057,23 @@ object GraphOps {
     per.crossJoin(broadcast(diam)).orderBy(col("lm"))
   }
 
+  /** WEIGHTED eccentricity per landmark + the certified weighted
+    * diameter lower bound — [[graphEccentricity]]'s sibling over the
+    * multiplicity-weighted metric, riding the memoized
+    * [[spwMultiCached]] forward sweep (marginal cost: one keyed agg).
+    * Bounded-horizon semantics as everywhere in the weighted family:
+    * ecc = max micro-distance among REACHED vertices; the global max
+    * over landmarks certifies diameter ≥ that value. */
+  def graphEccentricityWeighted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val per = spwMultiCached(spark, dir)
+      .groupBy(col("lm"))
+      .agg(max(col("d")).as("ecc_micro"),
+        count(lit(1)).as("n_reached"))
+    val diam = per.agg(max(col("ecc_micro")).as("diameter_lb_micro"))
+    per.crossJoin(broadcast(diam)).orderBy(col("lm"))
+  }
+
   /** Only every [[SccOrderMod]]-th order contributes a basket cycle —
     * the knob that bounds the SCC subgraph (and its reachability
     * closure) independently of corpus size; raise it as SF grows. */

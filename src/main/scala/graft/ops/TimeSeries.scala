@@ -211,6 +211,37 @@ object TimeSeries {
           .as("n_purchases"))
       .orderBy(col("user_id"))
 
+  /** Cap on the journey prefix for [[eventsJourneyTopk]] — bounds the
+    * census key space however long user histories get. */
+  val JourneyPrefixLen = 8
+
+  /** TOP JOURNEY SHAPES — the census behind the per-user journeys of
+    * [[eventsPatternMatch]]: users grouped by the FIRST
+    * [[JourneyPrefixLen]] steps of their event-initial string, with
+    * the conversion rate of each shape (did V…C…P appear anywhere in
+    * the FULL journey). The product question this answers: which
+    * opening sequences convert. The prefix cap bounds the group-key
+    * space at |alphabet|^8 regardless of history length — without it
+    * the census key is the unbounded journey itself. Top-20 by
+    * (users DESC, prefix). */
+  def eventsJourneyTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_id"),
+        upper(substring(col("event_type"), 1, 1)).as("ch"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ts_sec"), col("event_id"), col("ch"))))
+        .getField("ch")).as("journey"))
+      .select(substring(col("journey"), 1, JourneyPrefixLen)
+          .as("prefix"),
+        col("journey").rlike("V.*C.*P").as("conv"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"))
+      .orderBy(col("n_users").desc, col("prefix"))
+      .limit(20)
+
   /** Two-phase distributed row_number over `order`, the
     * corpus_shuffle_deterministic trick generalized to range shards:
     * per-shard PARTITIONED rank + a broadcast prefix-sum of shard
