@@ -4610,6 +4610,25 @@ object Oracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
          ORDER BY user_id, ts_sec, event_id"""),
 
+    // replays Windows.windowRunningMedian: lower median of the
+    // trailing-9 frame via list() OVER + list_sort
+    "window_running_median" ->
+      """WITH p AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS ts_sec,
+                           CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                AS BIGINT) AS v_micro
+                    FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, event_id, ts_sec, v_micro,
+                      list_sort(list(v_micro) OVER w) AS fr
+               FROM p
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id
+                            ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, ts_sec, v_micro,
+                fr[CAST((len(fr) + 1) // 2 AS INT)] AS median_micro,
+                CAST(len(fr) AS INT) AS n_frame
+         FROM f ORDER BY user_id, ts_sec, event_id""",
+
     // Holt level+trend: the same lag frame as ewma, exact dyadic
     // weight pairs from TimeSeries.holtWeights, per-term
     // remainder-subtraction floor division (floor — not truncate —

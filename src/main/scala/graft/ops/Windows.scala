@@ -217,4 +217,32 @@ object Windows {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"))
   }
+
+  /** TRAILING EXACT MEDIAN — the robust sibling of the moving average:
+    * per user purchase series, the LOWER median of the bounded
+    * trailing-9 frame in integer micro-units (lower median = element
+    * (n+1) div 2 of the sorted frame — no float midpoint, so the row
+    * is bit-identical cross-engine; the same exact-median convention
+    * as `events_funnel_latency`). The frame is collected, sorted and
+    * indexed per row — bounded 9-element state however long the
+    * history, one hash exchange on the series key like every keyed
+    * window. DuckDB replays it with `list() OVER` + `list_sort`. */
+  def windowRunningMedian(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(18, 6)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(-8, Window.currentRow)
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        (col("value").cast(D) * 1000000).cast("long").as("v_micro"))
+      .withColumn("fr", sort_array(collect_list(col("v_micro")).over(w)))
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("v_micro"),
+        expr("element_at(fr, CAST((size(fr) + 1) div 2 AS INT))")
+          .as("median_micro"),
+        size(col("fr")).as("n_frame"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
 }
