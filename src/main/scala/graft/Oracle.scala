@@ -1322,6 +1322,73 @@ object Oracle {
          GROUP BY label ORDER BY label"""
   }
 
+  /** Weighted Louvain replaying
+    * [[graft.ops.GraphOps.graphLouvainWeighted]]: canonicalized
+    * multiplicity-weighted edges, weighted degrees, and the same
+    * unrolled mutual-best merge rounds with every count replaced by a
+    * weight sum. */
+  private def louvainWeightedSql(iters: Int, rounds: Int): String = {
+    val base = lpaCtes(iters, mat = true) + s""",
+         wded AS MATERIALIZED (
+                 SELECT least(src, dst) AS src, greatest(src, dst)
+                          AS dst,
+                        CAST(count(*) AS BIGINT) AS w
+                 FROM edges GROUP BY 1, 2),
+         wdeg AS MATERIALIZED (
+                 SELECT id, CAST(SUM(w) AS HUGEINT) AS d FROM (
+                   SELECT src AS id, w FROM wded
+                   UNION ALL SELECT dst, w FROM wded)
+                 GROUP BY id),
+         mrw AS MATERIALIZED (SELECT CAST(SUM(w) AS HUGEINT) AS m
+                              FROM wded),
+         h0 AS MATERIALIZED (SELECT id, label FROM l$iters)"""
+    val steps = (1 to rounds).map { r =>
+      s""",
+         dcw$r AS MATERIALIZED (
+                  SELECT l.label, CAST(SUM(g.d) AS HUGEINT) AS dcv
+                  FROM wdeg g JOIN h${r - 1} l ON l.id = g.id
+                  GROUP BY 1),
+         prw$r AS MATERIALIZED (
+                   SELECT least(a.label, b.label) AS la,
+                          greatest(a.label, b.label) AS lb,
+                          CAST(SUM(wded.w) AS HUGEINT) AS w_ab
+                   FROM wded JOIN h${r - 1} a ON a.id = wded.src
+                   JOIN h${r - 1} b ON b.id = wded.dst
+                   WHERE a.label <> b.label GROUP BY 1, 2),
+         scw$r AS MATERIALIZED (
+                  SELECT la, lb,
+                    CAST(CASE WHEN den = 0 THEN NULL
+                      ELSE (num - ((num % den + den) % den)) // den END
+                      AS BIGINT) AS delta_micro
+                  FROM (SELECT la, lb,
+                          1000000 * (4 * m * w_ab
+                            - 2 * x.dcv * y.dcv) AS num,
+                          4 * m * m AS den
+                        FROM prw$r JOIN dcw$r x ON x.label = prw$r.la
+                        JOIN dcw$r y ON y.label = prw$r.lb
+                        CROSS JOIN mrw)),
+         cdw$r AS MATERIALIZED (
+                  SELECT la AS label, lb AS partner, delta_micro
+                  FROM scw$r
+                  UNION ALL SELECT lb, la, delta_micro FROM scw$r),
+         bsw$r AS MATERIALIZED (
+                  SELECT label, partner, delta_micro FROM (
+                    SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY delta_micro DESC, partner) AS rk
+                    FROM cdw$r) WHERE rk = 1),
+         acw$r AS MATERIALIZED (
+                  SELECT b.label, least(b.label, b.partner) AS newlab
+                  FROM bsw$r b JOIN bsw$r p ON p.label = b.partner
+                  WHERE p.partner = b.label AND b.delta_micro > 0),
+         h$r AS MATERIALIZED (
+                 SELECT g.id, COALESCE(a.newlab, g.label) AS label
+                 FROM h${r - 1} g LEFT JOIN acw$r a ON a.label = g.label)"""
+    }.mkString
+    base + steps + s"""
+         SELECT label, count(*) AS size FROM h$rounds
+         GROUP BY label ORDER BY label"""
+  }
+
   /** Two-phase Louvain replaying
     * [[graft.ops.GraphOps.graphLouvainMove]]: per-node move rounds,
     * then the mutual-best merge rounds, seeded by the shared LPA
@@ -3045,6 +3112,7 @@ object Oracle {
     "graph_community_merge" -> communityMergeSql(3),
     "graph_louvain" -> louvainSql(3, 3),
     "graph_louvain_move" -> louvainMoveSql(3, 2, 3),
+    "graph_louvain_weighted" -> louvainWeightedSql(3, 3),
     "corpus_bpe_merges" -> bpeMergesSql(6),
     "corpus_bpe_encode" -> bpeEncodeSql(6),
     "corpus_bpe_vocab" ->

@@ -183,6 +183,8 @@ object SparkEntry {
     "graph_community_merge"      -> (GraphOps.graphCommunityMerge _),
     "graph_louvain"              -> (GraphOps.graphLouvain _),
     "graph_louvain_move"         -> (GraphOps.graphLouvainMove _),
+    "graph_louvain_weighted"     ->
+      (GraphOps.graphLouvainWeighted _),
     "graph_assortativity"        -> (GraphOps.graphAssortativity _),
     "graph_temporal_reach"       -> (GraphOps.graphTemporalReach _),
     "graph_hits_exact"           -> (GraphOps.hitsExact _),

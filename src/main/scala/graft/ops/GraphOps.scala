@@ -702,10 +702,23 @@ object GraphOps {
     // degrees depend on ded alone, not on the evolving labeling —
     // aggregate once, reuse every round (the scorer reads it twice)
     val deg = undDegreesOf(ded).localCheckpoint(true)
+    val out = louvainLoop(lab0, rounds,
+      lab => communityMergeChk(ded, lab, deg))
+    deg.unpersist(false)
+    out
+  }
+
+  /** The shared merge-and-contract driver: per round run `scorer` on
+    * the current labeling, remap accepted (mutual positive) pairs to
+    * their min label, checkpoint, release the scorer's handles and the
+    * previous round's checkpoint. `lab0` is the caller's — never
+    * unpersisted here. */
+  private def louvainLoop(lab0: DataFrame, rounds: Int,
+      scorer: DataFrame => (DataFrame, Seq[DataFrame])): DataFrame = {
     var lab = lab0
     var owned: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val (dec, hs) = communityMergeChk(ded, lab, deg)
+      val (dec, hs) = scorer(lab)
       val merges = dec.filter(col("accepted"))
         .select(col("label"),
           least(col("label"), col("partner")).as("newlab"))
@@ -713,15 +726,11 @@ object GraphOps {
         .select(col("id"),
           coalesce(col("newlab"), col("label")).as("label"))
         .localCheckpoint(true)
-      // the next round's checkpoint has absorbed the previous one AND
-      // the scorer's internal checkpoint; lab0 is the caller's (often
-      // the shared LPA cache) — never ours
       hs.foreach(_.unpersist(false))
       owned.foreach(_.unpersist(false))
       owned = Some(next)
       lab = next
     }
-    deg.unpersist(false)
     lab
   }
 
@@ -861,6 +870,96 @@ object GraphOps {
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label")).localCheckpoint(true)
     moved.unpersist(false) // ours, absorbed by the merge checkpoints
+    out
+  }
+
+  /** WEIGHTED merge scorer — [[communityMergeChk]] over a weighted
+    * edge frame `wded(src, dst, w)`: weighted modularity
+    * Q = Σ_c [w_c/W − (D_c/(2W))²] with W = Σw and D = weighted
+    * degree, so the pair delta keeps the same exact-integer shape,
+    *
+    *   ΔQ(a,b) = (4·W·w_ab − 2·D_a·D_b) / (4·W²),
+    *
+    * with every count replaced by a weight sum (DECIMAL(38,0) —
+    * multiplicities push the micro products past 2^63 sooner than
+    * counts do). Same checkpoint + max(struct) winner discipline. */
+  private[graft] def communityMergeWeightedChk(wded: DataFrame,
+      lab: DataFrame, wdeg: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dc = wdeg.join(lab, "id")
+      .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
+    val le = wded
+      .join(lab.select(col("id").as("src"), col("label").as("sl")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("dl")), "dst")
+      .filter(col("sl") =!= col("dl"))
+      .select(least(col("sl"), col("dl")).as("la"),
+        greatest(col("sl"), col("dl")).as("lb"), col("w"))
+    val pairs = le.groupBy(col("la"), col("lb"))
+      .agg(sum(col("w")).as("w_ab"))
+    val mrow = wded.agg(sum(col("w")).cast(dec).as("m"))
+    val scored = pairs
+      .join(dc.select(col("label").as("la"), col("dcv").as("da")), "la")
+      .join(dc.select(col("label").as("lb"), col("dcv").as("db")), "lb")
+      .crossJoin(mrow) // 1-row frame
+      .select(col("la"), col("lb"), col("w_ab"),
+        (lit(1000000L).cast(dec) * (lit(4L).cast(dec) * col("m")
+          * col("w_ab").cast(dec)
+          - lit(2L).cast(dec) * col("da") * col("db"))).as("num"),
+        (lit(4L).cast(dec) * col("m") * col("m")).as("den"))
+      .select(col("la"), col("lb"), col("w_ab"),
+        expr(FloorDivMicro).as("delta_micro"))
+      .localCheckpoint(true)
+    val cand = scored
+      .select(col("la").as("label"), col("lb").as("partner"),
+        col("w_ab"), col("delta_micro"))
+      .unionByName(scored.select(col("lb").as("label"),
+        col("la").as("partner"), col("w_ab"), col("delta_micro")))
+    val best = cand.groupBy(col("label"))
+      .agg(max(struct(col("delta_micro"), (-col("partner")).as("np"),
+        col("w_ab"))).as("m"))
+      .select(col("label"), (-col("m.np")).as("partner"),
+        col("m.w_ab").as("w_ab"), col("m.delta_micro").as("delta_micro"))
+    val back = best.select(col("label").as("__bl"),
+      col("partner").as("__bp"))
+    val out = best
+      .join(back, col("partner") === col("__bl"), "left")
+      .select(col("label"), col("partner"), col("w_ab"),
+        col("delta_micro"),
+        coalesce(col("__bp") === col("label")
+          && col("delta_micro") > 0L, lit(false)).as("accepted"))
+      .orderBy(col("label"))
+    (out, Seq(scored))
+  }
+
+  /** Registered surface: WEIGHTED Louvain — [[LouvainRounds]]
+    * mutual-best merge rounds where edge MULTIPLICITY is the weight
+    * (a customer with 30 orders binds 30× harder than one with 1 —
+    * the semantics a multigraph wants), seeded by the shared LPA
+    * labels; output = final community sizes. Same contraction loop
+    * as [[graphLouvain]] with the weighted scorer. */
+  def graphLouvainWeighted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wded = GraphModel.edgesCached(spark, dir)
+      .select(when(col("src") < col("dst"), col("src"))
+          .otherwise(col("dst")).as("src"),
+        when(col("src") < col("dst"), col("dst"))
+          .otherwise(col("src")).as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val wdeg = wded
+      .select(col("src").as("id"), col("w"))
+      .unionByName(wded.select(col("dst").as("id"), col("w")))
+      .groupBy(col("id")).agg(sum(col("w")).as("d"))
+      .localCheckpoint(true)
+    val labs = louvainLoop(lpaLabelsCached(spark, dir), LouvainRounds,
+      lab => communityMergeWeightedChk(wded, lab, wdeg))
+    val out = labs
+      .groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .orderBy(col("label")).localCheckpoint(true)
+    labs.unpersist(false)
+    wdeg.unpersist(false)
+    wded.unpersist(false)
     out
   }
 

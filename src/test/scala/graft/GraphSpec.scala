@@ -100,6 +100,44 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weighted merge scorer: w=1 collapses to the unweighted scorer; " +
+      "weights can flip the decision counts cannot") {
+    val sess = spark
+    import sess.implicits._
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labs2 = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L).toDF("id", "label")
+    // all weights 1 → identical deltas to the count-based scorer
+    val w1 = tri2.withColumn("w",
+      org.apache.spark.sql.functions.lit(1L))
+    val wdeg1 = w1.select(col("src").as("id"), col("w"))
+      .unionByName(w1.select(col("dst").as("id"), col("w")))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.sum(col("w")).as("d"))
+    val (o1, h1) = GraphOps.communityMergeWeightedChk(w1, labs2, wdeg1)
+    val got = o1.collect().map(x => (x.getAs[Long]("label"),
+      x.getAs[Long]("delta_micro"), x.getAs[Boolean]("accepted"))).toSet
+    h1.foreach(_.unpersist(false))
+    assert(got == Set((1L, -357143L, false), (4L, -357143L, false)), got)
+    // weight the bridge 20×: W=26, w_ab=20, D_a=D_b=26 →
+    // ΔQ = (4·26·20 − 2·26·26)/(4·26²) = (2080−1352)/2704 > 0 → the
+    // same topology the count scorer refuses is now ACCEPTED
+    val wb = tri2.withColumn("w",
+      org.apache.spark.sql.functions.when(
+        col("src") === 3L && col("dst") === 4L, 20L).otherwise(1L))
+    val wdegB = wb.select(col("src").as("id"), col("w"))
+      .unionByName(wb.select(col("dst").as("id"), col("w")))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.sum(col("w")).as("d"))
+    val (o2, h2) = GraphOps.communityMergeWeightedChk(wb, labs2, wdegB)
+    val got2 = o2.collect().map(x => (x.getAs[Long]("label"),
+      x.getAs[Long]("delta_micro"), x.getAs[Boolean]("accepted"))).toSet
+    h2.foreach(_.unpersist(false))
+    // (4·26·20 − 2·26·26)·1e6 / (4·26²) = 728e6/2704 → floor 269230
+    assert(got2 == Set((1L, 269230L, true), (4L, 269230L, true)), got2)
+  }
+
   test("louvain: modularity monotone nondecreasing round over round") {
     // mutual-best accepted merges are disjoint with positive additive
     // ΔQ, so each contraction round can only raise modularity — the
