@@ -5311,6 +5311,20 @@ object Oracle {
                 count(*) - count(DISTINCT md5(text)) AS n_dup_copies
          FROM documents GROUP BY 1 ORDER BY kind""",
 
+    // replays MultimodalOps.multimodalMagicCensus: first-4-bytes hex
+    // per blob, top-5 magics per modality
+    "multimodal_magic_census" ->
+      """WITH m AS (SELECT string_split(source, '_')[1] AS kind,
+                           hex(encode(substr(text, 1, 4))) AS magic_hex
+                    FROM documents),
+         c AS (SELECT kind, magic_hex,
+                      CAST(count(*) AS BIGINT) AS n_media
+               FROM m GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY kind
+                 ORDER BY n_media DESC, magic_hex) AS rk FROM c)
+         SELECT kind, magic_hex, n_media, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 5 ORDER BY kind, rk""",
+
     // replays TextOps.dedupIncrementalLsh: the shared md5-affine
     // MinHash signature chain, bands split existing/new, bucket cap on
     // the EXISTING (indexed) side only, candidate probe, exact-Jaccard

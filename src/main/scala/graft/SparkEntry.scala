@@ -285,6 +285,8 @@ object SparkEntry {
     "multimodal_size_stats"    -> (MultimodalOps.multimodalSizeStats _),
     "multimodal_dedup_checksum" ->
       (MultimodalOps.multimodalDedupChecksum _),
+    "multimodal_magic_census" ->
+      (MultimodalOps.multimodalMagicCensus _),
     // §2.8 streaming batch analogs (streaming variants in tests)
     "stream_tumbling_window"  -> (Streaming.streamTumblingWindow _),
     "stream_sliding_window"   -> (Streaming.streamSlidingWindow _),

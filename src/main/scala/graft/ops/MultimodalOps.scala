@@ -126,4 +126,27 @@ object MultimodalOps {
         (count(lit(1)) - countDistinct(col("checksum")))
           .as("n_dup_copies"))
       .orderBy(col("kind"))
+
+  /** MAGIC-NUMBER census — the format-validation read an ingest
+    * pipeline runs before any decode: the first 4 bytes of every blob
+    * hex-encoded (the "magic", codec-free) censused per modality,
+    * top-5 magics per kind. A kind whose top magic isn't its
+    * container signature, or whose census fragments across many
+    * magics, is a corrupted/mislabeled batch. One narrow projection +
+    * a (kind, magic) keyed agg + a per-kind bounded window — the
+    * shuffle carries 8-hex keys, never payloads. */
+  def multimodalMagicCensus(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"))
+      .orderBy(col("n_media").desc, col("magic_hex"))
+    Tables(spark, dir).documents
+      .select(element_at(split(col("source"), "_"), 1).as("kind"),
+        hex(substring(col("text"), 1, 4).cast("binary")).as("magic_hex"))
+      .groupBy(col("kind"), col("magic_hex"))
+      .agg(count(lit(1)).as("n_media"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("kind"), col("magic_hex"), col("n_media"), col("rk"))
+      .orderBy(col("kind"), col("rk"))
+  }
 }
