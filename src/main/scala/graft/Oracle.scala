@@ -1053,7 +1053,8 @@ object Oracle {
     * member count, internal edges (both endpoints inside) and cut
     * edges (counted once per endpoint side). */
   private def communityStatsSql(iters: Int): String =
-    lpaCtes(iters) +
+    // mat: the closer references l$iters three times
+    lpaCtes(iters, mat = true) +
       s""",
          le AS (SELECT ls.label AS src_lab, ld.label AS dst_lab
                 FROM ded
@@ -1153,7 +1154,9 @@ object Oracle {
     * modularity), per-community best partner by (delta DESC, partner
     * ASC), mutual-best + positive-delta acceptance. */
   private def communityMergeSql(iters: Int): String =
-    lpaCtes(iters) +
+    // mat: the closer references l$iters four times and ded three —
+    // DuckDB would inline the whole LPA subtree per reference
+    lpaCtes(iters, mat = true) +
       s""",
          deg AS (SELECT id, count(*) AS d FROM
                    (SELECT src AS id FROM ded
@@ -1517,7 +1520,7 @@ object Oracle {
                 FROM (SELECT unnest([$lms]) AS lm))"""
     val steps = (1 to rounds).map { i =>
       s""",
-         d$i AS (SELECT lm, id, min(d) AS d FROM (
+         d$i AS MATERIALIZED (SELECT lm, id, min(d) AS d FROM (
                    SELECT lm, id, d FROM d${i - 1}
                    UNION ALL
                    SELECT r.lm, e.src, r.d + e.len
