@@ -1465,6 +1465,31 @@ object Oracle {
     base + steps
   }
 
+  /** Temperature-scaled mixture weights replaying
+    * [[graft.ops.TextOps.corpusMixTemperature]]: corrected integer
+    * sqrt of n·1e12, floor-div permille at T=2 and T=1. */
+  private def mixTemperatureSql: String =
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY source),
+         s AS (SELECT source, n_docs,
+                      n_docs * 1000000000000 AS x,
+                      CAST(FLOOR(SQRT(CAST(n_docs * 1000000000000
+                        AS DOUBLE))) AS BIGINT) AS s0
+               FROM c),
+         w AS (SELECT source, n_docs,
+                      CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                           WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END
+                        AS w_micro
+               FROM s),
+         t AS (SELECT CAST(SUM(w_micro) AS HUGEINT) AS tw,
+                      CAST(SUM(n_docs) AS HUGEINT) AS tn FROM w)
+         SELECT source, n_docs, w_micro,
+                CAST((1000 * w_micro - ((1000 * w_micro % tw + tw)
+                  % tw)) // tw AS BIGINT) AS permille_t2,
+                CAST((1000 * n_docs - ((1000 * n_docs % tn + tn)
+                  % tn)) // tn AS BIGINT) AS permille_t1
+         FROM w CROSS JOIN t ORDER BY source"""
+
   /** Trained-vocab census replaying
     * [[graft.ops.TextOps.corpusBpeVocab]]: symbols of the final
     * symbolization weighted by word frequency, top-K by
@@ -3934,6 +3959,8 @@ object Oracle {
                 regexp_replace(props, '[0-9]+', '<NUM>', 'g')
                   AS props_redacted
          FROM events ORDER BY event_id""",
+
+    "corpus_mix_temperature" -> mixTemperatureSql,
 
     // replays corpusMixWeighted: per-source permille rates off the
     // source index, engine-neutral md5Hash60 membership predicate

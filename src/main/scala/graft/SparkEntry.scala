@@ -244,6 +244,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratified _),
     "corpus_rejection_sample"  -> (TextOps.corpusRejectionSample _),
     "corpus_mix_weighted"      -> (TextOps.corpusMixWeighted _),
+    "corpus_mix_temperature"   -> (TextOps.corpusMixTemperature _),
     "corpus_epoch_plan"         -> (TextOps.corpusEpochPlan _),
     "corpus_chunk_overlap"      -> (TextOps.corpusChunkOverlap _),
     "text_window_dup_rate"      -> (TextOps.textWindowDupRate _),

@@ -641,6 +641,40 @@ object TextOps {
         col("rate_permille"))
       .orderBy(col("doc_id"))
 
+  /** TEMPERATURE-SCALED mixture weights — the multilingual-training
+    * upsampling knob (weight ∝ n^(1/T); T=2 here, the common choice):
+    * small sources get boosted relative to proportional sampling, big
+    * sources damped, so the mix stops being dominated by whichever
+    * crawl is largest. All-integer: w_i = isqrt(n_i·1e12) = floor of
+    * 1e6·√n_i, where isqrt is floor(sqrt(double)) CORRECTED by one
+    * ±1 step against the exact integer square — double rounding can
+    * be off by at most one ulp at these magnitudes, so the corrected
+    * value is engine-neutral exact. Output per source: the T=2 and
+    * T=1 (proportional) permille allocations side by side — the
+    * delta IS the upsampling decision. One grouped count + one
+    * 1-row total cross join. */
+  def corpusMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val isqrt =
+      """CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+              WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END"""
+    val counts = Tables(spark, dir).documents
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("x", col("n_docs") * lit(1000000000000L))
+      .withColumn("s0",
+        expr("CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_micro", expr(isqrt))
+      .drop("x", "s0")
+    val tot = counts.agg(sum(col("w_micro")).as("tw"),
+      sum(col("n_docs")).as("tn"))
+    counts.crossJoin(tot) // 1-row frame
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        expr("""CAST((1000 * w_micro - ((1000 * w_micro % tw + tw)
+                % tw)) div tw AS BIGINT)""").as("permille_t2"),
+        expr("""CAST((1000 * n_docs - ((1000 * n_docs % tn + tn)
+                % tn)) div tn AS BIGINT)""").as("permille_t1"))
+      .orderBy(col("source"))
+  }
+
   def corpusSampleStratified(spark: SparkSession, dir: String): DataFrame = {
     val keyed = Tables(spark, dir).documents
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
