@@ -1325,6 +1325,43 @@ object Oracle {
          GROUP BY label ORDER BY label"""
   }
 
+  /** Exact-integer Rand index replaying
+    * [[graft.ops.GraphOps.graphPartitionAgreement]]: the shared LPA
+    * chain and the unrolled Louvain merge rounds, contingency cells,
+    * pair sums, floor-div micro Rand index. */
+  private def partitionAgreementSql(iters: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map(r =>
+      louvainMergeRoundSql(s"g${r - 1}", s"g$r")).mkString
+    louvainBaseSql(iters) + steps + s""",
+         ct AS MATERIALIZED (
+                 SELECT l.id, l.label AS la, g.label AS lb
+                 FROM l$iters l JOIN g$rounds g ON g.id = l.id),
+         cells AS (SELECT la, lb, CAST(count(*) AS HUGEINT) AS c
+                   FROM ct GROUP BY 1, 2),
+         rs AS (SELECT la, CAST(count(*) AS HUGEINT) AS c
+                FROM ct GROUP BY 1),
+         cs AS (SELECT lb, CAST(count(*) AS HUGEINT) AS c
+                FROM ct GROUP BY 1),
+         agg AS (SELECT
+                   (SELECT CAST(count(*) AS HUGEINT) FROM ct) AS n,
+                   (SELECT SUM(c * (c - 1) // 2) FROM cells) AS sij,
+                   (SELECT SUM(c * (c - 1) // 2) FROM rs) AS si,
+                   (SELECT SUM(c * (c - 1) // 2) FROM cs) AS sj,
+                   (SELECT CAST(count(*) AS BIGINT) FROM rs) AS ka,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cs) AS kb)
+         SELECT CAST(n AS BIGINT) AS n_items,
+                ka AS n_comms_lpa, kb AS n_comms_louvain,
+                CAST(sij AS BIGINT) AS pairs_both_together,
+                CAST(CASE WHEN den = 0 THEN NULL
+                  ELSE (num - ((num % den + den) % den)) // den END
+                  AS BIGINT) AS rand_micro
+         FROM (SELECT n, sij, si, sj, ka, kb,
+                 1000000 * (sij + (n * (n - 1) // 2 - si - sj + sij))
+                   AS num,
+                 n * (n - 1) // 2 AS den
+               FROM agg)"""
+  }
+
   /** Weighted Louvain replaying
     * [[graft.ops.GraphOps.graphLouvainWeighted]]: canonicalized
     * multiplicity-weighted edges, weighted degrees, and the same
@@ -3141,6 +3178,7 @@ object Oracle {
     "graph_louvain" -> louvainSql(3, 3),
     "graph_louvain_move" -> louvainMoveSql(3, 2, 3),
     "graph_louvain_weighted" -> louvainWeightedSql(3, 3),
+    "graph_partition_agreement" -> partitionAgreementSql(3, 3),
     "corpus_bpe_merges" -> bpeMergesSql(6),
     "corpus_bpe_encode" -> bpeEncodeSql(6),
     "corpus_bpe_vocab" ->

@@ -185,6 +185,8 @@ object SparkEntry {
     "graph_louvain_move"         -> (GraphOps.graphLouvainMove _),
     "graph_louvain_weighted"     ->
       (GraphOps.graphLouvainWeighted _),
+    "graph_partition_agreement"  ->
+      (GraphOps.graphPartitionAgreement _),
     "graph_assortativity"        -> (GraphOps.graphAssortativity _),
     "graph_temporal_reach"       -> (GraphOps.graphTemporalReach _),
     "graph_hits_exact"           -> (GraphOps.hitsExact _),

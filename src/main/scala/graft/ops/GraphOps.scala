@@ -873,6 +873,58 @@ object GraphOps {
     out
   }
 
+  /** PARTITION AGREEMENT — the exact-integer RAND INDEX between the
+    * LPA seed labeling and the Louvain refinement: from the
+    * contingency table n_ij = |items in LPA community i ∩ Louvain
+    * community j|, pairs together in both a = Σ C(n_ij, 2), pairs
+    * apart in both b = C(n,2) − ΣC(n_i·,2) − ΣC(n_·j,2) + a, and
+    * RI = (a+b)/C(n,2) in micro-units via the usual remainder-
+    * subtraction floor division (C(x,2) products are even, so every
+    * intermediate is exact). The standard "did the refinement change
+    * the clustering or just rename it" read; cost = one id join +
+    * three keyed counts + a handful of 1-row aggs — contingency
+    * cells, not pairs, so never O(n²). */
+  def graphPartitionAgreement(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val lpa = lpaLabelsCached(spark, dir)
+    val lou = louvainLabels(ded, lpa, LouvainRounds)
+    val ct = lpa.select(col("id"), col("label").as("la"))
+      .join(lou.select(col("id"), col("label").as("lb")), "id")
+      .localCheckpoint(true) // read by four independent aggs
+    def pairSum(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2").cast(dec)).as("s"),
+          count(lit(1)).as("k"))
+    val sij = pairSum(ct.select(concat_ws("|", col("la"), col("lb"))
+      .as("cell")), "cell").select(col("s").as("sij"))
+    val si = pairSum(ct, "la")
+      .select(col("s").as("si"), col("k").as("ka"))
+    val sj = pairSum(ct, "lb")
+      .select(col("s").as("sj"), col("k").as("kb"))
+    val nrow = ct.agg(count(lit(1)).cast(dec).as("n"))
+    val out = nrow.crossJoin(sij).crossJoin(si).crossJoin(sj)
+      .select(col("n").cast("long").as("n_items"),
+        col("ka").as("n_comms_lpa"), col("kb").as("n_comms_louvain"),
+        col("sij").cast("long").as("pairs_both_together"),
+        (col("n") * (col("n") - 1) / 2).cast(dec).as("tp"),
+        col("sij"), col("si"), col("sj"))
+      .select(col("n_items"), col("n_comms_lpa"),
+        col("n_comms_louvain"), col("pairs_both_together"),
+        (lit(1000000L).cast(dec) * (col("sij")
+          + (col("tp") - col("si") - col("sj") + col("sij"))))
+          .as("num"),
+        col("tp").as("den"))
+      .select(col("n_items"), col("n_comms_lpa"),
+        col("n_comms_louvain"), col("pairs_both_together"),
+        expr(FloorDivMicro).as("rand_micro"))
+      .localCheckpoint(true)
+    ct.unpersist(false)
+    lou.unpersist(false)
+    out
+  }
+
   /** WEIGHTED merge scorer — [[communityMergeChk]] over a weighted
     * edge frame `wded(src, dst, w)`: weighted modularity
     * Q = Σ_c [w_c/W − (D_c/(2W))²] with W = Σw and D = weighted
