@@ -1955,6 +1955,59 @@ object Oracle {
         FROM en CROSS JOIN p
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** Unrolled MMR greedy picks replaying
+    * [[graft.ops.VectorOps.embedMmrRerank]]: top-20 candidate pool by
+    * micro-rounded probe cosine, then K rounds of (7·sim_q −
+    * 3·max-sim-to-selected) floorDiv 10, each pick the (score DESC,
+    * id) top-1 over the remaining pool. */
+  private def mmrRerankSql(picks: Int): String = {
+    val dotExpr = (a: String, b: String, na: String, nb: String) =>
+      s"""CAST(ROUND(list_sum(list_transform(range(1, 65),
+            i -> $a[i] * $b[i])) / ($na * $nb) * 1000000) AS BIGINT)"""
+    val base = s"""WITH e AS (SELECT vec_id,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+         en AS (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i]))) AS nrm FROM e),
+         p AS (SELECT v AS pv, nrm AS pnrm FROM en WHERE vec_id = 0),
+         pool AS MATERIALIZED (
+                 SELECT vec_id, v, nrm,
+                        ${dotExpr("v", "pv", "nrm", "pnrm")} AS sq
+                 FROM en CROSS JOIN p WHERE vec_id <> 0
+                 ORDER BY sq DESC, vec_id LIMIT 20),
+         s1 AS MATERIALIZED (
+                 SELECT vec_id, v, nrm, sq, 1 AS rank,
+                        CAST((7 * sq - ((7 * sq % 10 + 10) % 10)) // 10
+                          AS BIGINT) AS score_micro
+                 FROM pool ORDER BY score_micro DESC, vec_id LIMIT 1),
+         sel1 AS (SELECT * FROM s1)"""
+    val steps = (2 to picks).map { k =>
+      s""",
+         ms$k AS MATERIALIZED (
+                 SELECT c.vec_id,
+                        max(${dotExpr("c.v", "s.v", "c.nrm", "s.nrm")})
+                          AS ms
+                 FROM pool c JOIN sel${k - 1} s ON true
+                 WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+                 GROUP BY c.vec_id),
+         s$k AS MATERIALIZED (
+                 SELECT vec_id, v, nrm, sq, $k AS rank,
+                        CAST((raw - ((raw % 10 + 10) % 10)) // 10
+                          AS BIGINT) AS score_micro
+                 FROM (SELECT c.vec_id, c.v, c.nrm, c.sq,
+                              7 * c.sq - 3 * m.ms AS raw
+                       FROM pool c JOIN ms$k m ON m.vec_id = c.vec_id)
+                 ORDER BY score_micro DESC, vec_id LIMIT 1),
+         sel$k AS (SELECT * FROM sel${k - 1}
+                   UNION ALL SELECT * FROM s$k)"""
+    }.mkString
+    base + steps + s"""
+         SELECT CAST(rank AS INT) AS rank, vec_id,
+                sq AS sim_q_micro, score_micro
+         FROM sel$picks ORDER BY rank"""
+  }
+
   /** INT8 scalar-quantization replay (per-dimension absmax scale +
     * floor-half-up codes), mirroring `VectorOps.int8Codes` — shared by
     * the quantize census and the int8 recall eval. Ends in
@@ -4463,6 +4516,7 @@ object Oracle {
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
     "embed_silhouette" -> silhouetteSql(8, 3),
     "embed_pca_power" -> pcaPowerSql(6),
+    "embed_mmr_rerank" -> mmrRerankSql(ops.VectorOps.MmrPicks),
     "embed_pca_project" -> pcaProjectSql(6),
     // the persisted-index path serves byte-identical results to the
     // in-session path (same codebook, same probe), so the same replay

@@ -274,6 +274,7 @@ object SparkEntry {
     "embed_recall_int8"        -> (VectorOps.embedRecallInt8 _),
     "embed_silhouette"         -> (VectorOps.embedSilhouette _),
     "embed_pca_power"          -> (VectorOps.embedPcaPower _),
+    "embed_mmr_rerank"         -> (VectorOps.embedMmrRerank _),
     "embed_pca_project"        -> (VectorOps.embedPcaProject _),
     "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),

@@ -1062,6 +1062,77 @@ object VectorOps {
     out
   }
 
+  /** Pick budget for [[embedMmrRerank]]. λ is fixed at 7/10. */
+  val MmrPicks = 5
+
+  /** MMR RERANK — maximal marginal relevance diversification, the
+    * standard RAG serving step between retrieval and the context
+    * window: from the top-20 candidate pool of the probe, greedily
+    * pick K results maximizing
+    *
+    *   score(i) = (7·sim_q(i) − 3·max_{j∈S} sim(i, j)) floorDiv 10
+    *
+    * (λ = 0.7 in exact micro-units; the penalty term is what stops
+    * five near-duplicates of the best hit from filling the window).
+    * Greedy selection is inherently sequential in K, but each round
+    * is a TINY frame job — the pool is 20 rows, the selected set ≤ K,
+    * every pairwise term recomputed against the broadcast selected
+    * set — so the sequentiality costs K small jobs, never a shuffle
+    * of the corpus; the corpus-sized work happened once in the
+    * candidate retrieval. All sims are micro-rounded BEFORE the
+    * arithmetic and the division floors through the remainder
+    * identity (scores go negative), so every pick replays exactly in
+    * DuckDB. */
+  def embedMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val t = Tables(spark, dir)
+    val e = withNorm(t)
+    val pool = e.crossJoin(broadcast(probeOf(t)))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")) * 1000000)
+          .cast("long").as("sq"))
+      .orderBy(col("sq").desc, col("vec_id")).limit(20)
+      .localCheckpoint(true)
+    var sel = pool.limit(0)
+      .select(col("vec_id"), col("v"), col("nrm"), col("sq"),
+        lit(0).as("rank"), lit(0L).as("score_micro"))
+      .localCheckpoint(true)
+    for (k <- 1 to MmrPicks) {
+      val selV = sel.select(col("vec_id").as("sid"), col("v").as("sv"),
+        col("nrm").as("snrm"))
+      val cur = pool.join(sel.select(col("vec_id").as("sid2")),
+        col("vec_id") === col("sid2"), "left_anti")
+      val pen = cur.crossJoin(broadcast(selV))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("sv"))
+            / (col("nrm") * col("snrm")) * 1000000)
+            .cast("long").as("ps"))
+        .groupBy(col("vec_id")).agg(max(col("ps")).as("ms"))
+      val pick = cur.join(pen, Seq("vec_id"), "left")
+        .withColumn("raw",
+          lit(7L) * col("sq") - lit(3L) * coalesce(col("ms"), lit(0L)))
+        .withColumn("score_micro",
+          expr("(raw - ((raw % 10 + 10) % 10)) div 10"))
+        .agg(max(struct(col("score_micro"), (-col("vec_id")).as("ni"),
+          col("sq"), col("v"), col("nrm"))).as("m"))
+        .select((-col("m.ni")).as("vec_id"), col("m.v").as("v"),
+          col("m.nrm").as("nrm"), col("m.sq").as("sq"),
+          lit(k).as("rank"), col("m.score_micro").as("score_micro"))
+      val next = sel.unionByName(pick).localCheckpoint(true)
+      sel.unpersist(false)
+      sel = next
+    }
+    val out = sel
+      .select(col("rank"), col("vec_id"), col("sq").as("sim_q_micro"),
+        col("score_micro"))
+      .orderBy(col("rank")).localCheckpoint(true)
+    sel.unpersist(false)
+    pool.unpersist(false)
+    out
+  }
+
   /** Per-label distribution along the [[embedPcaPower]] direction —
     * the read a drift monitor actually consumes: project every vector
     * onto the trained principal direction (one broadcast join + a

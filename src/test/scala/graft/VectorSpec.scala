@@ -431,6 +431,26 @@ class VectorSpec extends SparkSpec {
     assert(hits >= 5L, s"int8 recall suspiciously low: $hits/10")
   }
 
+  test("mmr rerank: first pick is the top similarity, greedy scores " +
+      "nonincreasing, picks distinct") {
+    val rows = VectorOps.embedMmrRerank(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == VectorOps.MmrPicks)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length ==
+      rows.length)
+    // each later round maximizes over a smaller set with a larger (or
+    // equal) penalty, so the greedy pick scores can only descend
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    scores.sliding(2).foreach(w => assert(w(1) <= w(0), scores.toSeq))
+    // rank 1 carries no penalty: score = floor(7·sq/10) and its sq is
+    // the maximum over everything MMR ever picks
+    val sq = rows.head.getAs[Long]("sim_q_micro")
+    val raw = 7L * sq
+    assert(rows.head.getAs[Long]("score_micro")
+      == (raw - ((raw % 10 + 10) % 10)) / 10)
+    assert(sq == rows.map(_.getAs[Long]("sim_q_micro")).max)
+  }
+
   test("pca power: 64 loadings on the max-abs-1e6 scale, direction " +
       "nontrivial and a fixed point of one more Gram application") {
     val rows = VectorOps.embedPcaPower(spark, sfDir).collect()
