@@ -1955,6 +1955,36 @@ object Oracle {
         FROM en CROSS JOIN p
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** Shared BM25 CTE chain replaying [[graft.ops.TextOps.bm25MicroOf]]
+    * term for term — the k1/b constants and the fixed query interpolate
+    * from TextOps so the two engines cannot drift, and per-term scores
+    * are micro-rounded BEFORE the cross-term sum (exact BIGINT
+    * addition, no float fold order). Ends in `bm(doc_id, bm25_micro,
+    * n_terms_hit)`. Used by text_bm25_topk and retrieval_hybrid_rrf. */
+  private lazy val Bm25Ctes: String = {
+    import graft.ops.TextOps._
+    val q = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""btk AS (SELECT doc_id, tok FROM (SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS tok FROM documents)
+                WHERE len(tok) > 0),
+         bdl AS (SELECT doc_id, count(*) AS dl FROM btk GROUP BY 1),
+         bst AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                        count(*) AS n_docs FROM bdl),
+         btf AS (SELECT doc_id, tok, count(*) AS tf FROM btk
+                 WHERE tok IN ($q) GROUP BY 1, 2),
+         bdf AS (SELECT tok, count(*) AS df FROM btf GROUP BY 1),
+         bsc AS (SELECT doc_id,
+                   CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * (tf * $Bm25K1p1)
+                        / (tf + $Bm25K1
+                           * ($Bm25OneMinusB + $Bm25B * dl / avgdl))
+                        * 1000000.0) AS BIGINT) AS s_micro
+                 FROM btf JOIN bdf USING (tok) JOIN bdl USING (doc_id)
+                 CROSS JOIN bst),
+         bm AS (SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro,
+                       count(*) AS n_terms_hit FROM bsc GROUP BY 1)"""
+  }
+
   /** Unrolled MMR greedy picks replaying
     * [[graft.ops.VectorOps.embedMmrRerank]]: top-20 candidate pool by
     * micro-rounded probe cosine, then K rounds of (7·sim_q −
@@ -3908,6 +3938,44 @@ object Oracle {
                      ORDER BY tfidf DESC, tok) AS INT) AS rk
            FROM scored) r
          WHERE rk <= 3 ORDER BY source, rk""",
+
+    "text_bm25_topk" ->
+      s"""WITH $Bm25Ctes
+          SELECT doc_id, bm25_micro, n_terms_hit FROM bm
+          ORDER BY bm25_micro DESC, doc_id LIMIT 10""",
+
+    // RRF fusion of the BM25 leg and the dense cosine leg: each leg's
+    // top-100 pool ranked independently, full-outer joined, fused as
+    // exact-integer 1e6 // (60 + rank) per present leg
+    "retrieval_hybrid_rrf" ->
+      s"""WITH $Bm25Ctes,
+          lexp AS (SELECT doc_id, CAST(row_number() OVER
+                     (ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank_lex
+                   FROM (SELECT * FROM bm WHERE doc_id <> 0
+                         ORDER BY bm25_micro DESC, doc_id
+                         LIMIT ${graft.ops.VectorOps.RrfPoolK})),
+          he AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+          hen AS (SELECT vec_id, v,
+                         sqrt(list_sum(list_transform(range(1, 65),
+                           i -> v[i] * v[i]))) AS nrm FROM he),
+          hp AS (SELECT v AS pv, nrm AS pnrm FROM hen WHERE vec_id = 0),
+          semp AS (SELECT doc_id, CAST(row_number() OVER
+                     (ORDER BY cos_micro DESC, doc_id) AS INT) AS rank_sem
+                   FROM (SELECT vec_id AS doc_id,
+                           CAST(ROUND(list_sum(list_transform(range(1, 65),
+                             i -> v[i] * pv[i])) / (nrm * pnrm) * 1000000)
+                             AS BIGINT) AS cos_micro
+                         FROM hen CROSS JOIN hp WHERE vec_id <> 0
+                         ORDER BY cos_micro DESC, doc_id
+                         LIMIT ${graft.ops.VectorOps.RrfPoolK}))
+          SELECT doc_id, rank_lex, rank_sem,
+                 COALESCE(CAST(1000000 // (${graft.ops.VectorOps.RrfC}
+                     + rank_lex) AS BIGINT), 0)
+                 + COALESCE(CAST(1000000 // (${graft.ops.VectorOps.RrfC}
+                     + rank_sem) AS BIGINT), 0) AS rrf_micro
+          FROM lexp FULL OUTER JOIN semp USING (doc_id)
+          ORDER BY rrf_micro DESC, doc_id LIMIT 10""",
 
     "text_lang_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -228,6 +228,7 @@ object SparkEntry {
     "text_ngram_containment" -> (TextOps.textNgramContainment _),
     "text_tokenize_tf"   -> (TextOps.textTokenizeTf _),
     "text_tfidf_topk"    -> (TextOps.textTfidfTopk _),
+    "text_bm25_topk"     -> (TextOps.textBm25Topk _),
     "text_vocab_zipf"    -> (TextOps.textVocabZipf _),
     "corpus_bpe_merges"  -> (TextOps.corpusBpeMerges _),
     "corpus_bpe_encode"  -> (TextOps.corpusBpeEncode _),
@@ -275,6 +276,7 @@ object SparkEntry {
     "embed_silhouette"         -> (VectorOps.embedSilhouette _),
     "embed_pca_power"          -> (VectorOps.embedPcaPower _),
     "embed_mmr_rerank"         -> (VectorOps.embedMmrRerank _),
+    "retrieval_hybrid_rrf"     -> (VectorOps.retrievalHybridRrf _),
     "embed_pca_project"        -> (VectorOps.embedPcaProject _),
     "embed_search_pq_adc"      -> (VectorOps.embedSearchPqAdc _),
     "embed_pair_sim_lsh"       -> (VectorOps.embedPairSimLsh _),

@@ -1304,4 +1304,61 @@ object TextOps {
         sum(length(col("w")).cast("long")).as("n_chars"))
       .orderBy(col("source"))
   }
+
+  /** Fixed retrieval query for the BM25 / hybrid-retrieval exhibits:
+    * three mid-frequency corpus terms. Shared with the oracle SQL so
+    * the two engines score the same query. */
+  private[graft] val Bm25Query = Seq("spark", "join", "window")
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  // Derived constants computed ONCE here and interpolated into both
+  // the Spark literals and the oracle SQL (Scala's shortest-round-trip
+  // toString re-parses to the identical double in DuckDB), so neither
+  // engine re-derives k1+1 / 1−b with its own float fold.
+  private[graft] val Bm25K1p1 = Bm25K1 + 1
+  private[graft] val Bm25OneMinusB = 1 - Bm25B
+
+  /** Per-document Okapi BM25 total for [[Bm25Query]] in exact micro
+    * units — the lexical leg of retrieval. Per-term scores are
+    * micro-rounded BEFORE the cross-term sum, so the ≤|Q|-term
+    * addition is exact BIGINT and no float summation order exists for
+    * the engines to disagree on. Shape: one corpus tokenize (doc
+    * lengths + query-term tf), a |Q|-row df broadcast, a 2-row stats
+    * broadcast — the only shuffle is the per-doc tf groupBy, so at
+    * 100 TB the cost is the scan plus one keyed agg on doc_id. */
+  private[graft] def bm25MicroOf(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("tok").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(Bm25K1p1))
+          / (col("tf") + lit(Bm25K1) * (lit(Bm25OneMinusB)
+              + lit(Bm25B) * col("dl") / col("avgdl")))
+          * lit(1000000.0)).cast(LongType).as("s_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_micro")).as("bm25_micro"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** BM25 top-10 documents for the fixed query — the classic lexical
+    * retrieval operator next to [[textTfidfTopk]]'s per-source census.
+    * Global top-k via orderBy+limit = TakeOrdered (per-partition
+    * bounded heaps merged on the driver, no global sort shuffle). */
+  def textBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25MicroOf(spark, dir)
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("bm25_micro"), col("n_terms_hit"))
 }

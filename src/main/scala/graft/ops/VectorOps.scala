@@ -1169,4 +1169,50 @@ object VectorOps {
     v.unpersist(false)
     out
   }
+
+  /** Candidate-pool size per retrieval leg for [[retrievalHybridRrf]];
+    * shared with the oracle replay. */
+  private[graft] val RrfPoolK = 100
+  private[graft] val RrfC = 60
+
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion of a lexical BM25 leg
+    * and a semantic embedding-cosine leg, the standard RAG serving
+    * shape (sparse + dense union beats either alone; RRF needs only
+    * ranks, no score calibration). Production form: each leg retrieves
+    * its own top-[[RrfPoolK]] INDEPENDENTLY (TakeOrdered heaps — never
+    * a global rank over the corpus), ranks live only inside the two
+    * bounded pools, and fusion is a full-outer join of two K-row
+    * frames. rrf = Σ_legs 1e6 div (c + rank) in exact integers (a doc
+    * absent from a leg contributes 0 from it). Doc 0 is the query
+    * document (its embedding is the dense probe) and is excluded from
+    * both pools. At 100 TB only the two leg scans touch the corpus;
+    * everything after is O(K). */
+  def retrievalHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val t = Tables(spark, dir)
+    val wLex = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+    val lex = TextOps.bm25MicroOf(spark, dir)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(RrfPoolK)
+      .select(col("doc_id"),
+        row_number().over(wLex).as("rank_lex"))
+    val wSem = Window.orderBy(col("cos_micro").desc, col("doc_id"))
+    val sem = withNorm(t).crossJoin(broadcast(probeOf(t)))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")) * 1000000)
+          .cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("doc_id")).limit(RrfPoolK)
+      .select(col("doc_id"),
+        row_number().over(wSem).as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+        (coalesce(expr(s"CAST(1000000 div ($RrfC + rank_lex) AS BIGINT)"),
+            lit(0L))
+          + coalesce(expr(s"CAST(1000000 div ($RrfC + rank_sem) AS BIGINT)"),
+            lit(0L))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+  }
 }

@@ -333,4 +333,75 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  /** First-principles BM25 recomputation over the raw text (same
+    * double-arithmetic shape as the operator, half-up micro round). */
+  private def bm25Expected: Map[Long, (Long, Long)] = {
+    val tokens = docs.view.mapValues(_.split(" ").filter(_.nonEmpty))
+    val dl = tokens.mapValues(_.length.toLong).toMap
+    val nDocs = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val q = TextOps.Bm25Query
+    val tf: Map[(Long, String), Long] = tokens.toMap.flatMap {
+      case (id, ts) =>
+        q.flatMap { t =>
+          val n = ts.count(_ == t)
+          if (n > 0) Some((id, t) -> n.toLong) else None
+        }
+    }
+    val df = q.map(t => t -> tf.keys.count(_._2 == t).toLong).toMap
+    tf.groupBy(_._1._1).map { case (id, m) =>
+      val micros = m.map { case ((_, t), f) =>
+        val idf = math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        val s = idf * (f * TextOps.Bm25K1p1) /
+          (f + TextOps.Bm25K1 *
+            (TextOps.Bm25OneMinusB + TextOps.Bm25B * dl(id) / avgdl)) *
+          1000000.0
+        math.floor(s + 0.5).toLong // HALF_UP for the positive scores
+      }
+      id -> (micros.sum, micros.size.toLong)
+    }
+  }
+
+  test("bm25 topk: matches a first-principles Scala recomputation, " +
+      "scores positive and descending") {
+    val rows = TextOps.textBm25Topk(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val exp = bm25Expected
+    val expTop = exp.toSeq.map { case (id, (s, h)) => (id, s, h) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val got = rows.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("bm25_micro"), r.getAs[Long]("n_terms_hit")))
+    assert(got.toSeq == expTop, s"\ngot ${got.toSeq}\nexp $expTop")
+    val scores = got.map(_._2)
+    assert(scores.forall(_ > 0L))
+    scores.sliding(2).foreach(w => assert(w(1) <= w(0)))
+  }
+
+  test("hybrid rrf: fusion arithmetic exact from the leg ranks, " +
+      "probe doc excluded, descending, lex leg consistent with bm25") {
+    import graft.ops.VectorOps
+    val rows = VectorOps.retrievalHybridRrf(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == 10 && !ids.contains(0L))
+    def leg(r: org.apache.spark.sql.Row, c: String): Long =
+      if (r.isNullAt(r.fieldIndex(c))) 0L
+      else 1000000L / (VectorOps.RrfC + r.getAs[Int](c))
+    rows.foreach { r =>
+      assert(!(r.isNullAt(r.fieldIndex("rank_lex")) &&
+        r.isNullAt(r.fieldIndex("rank_sem"))))
+      assert(r.getAs[Long]("rrf_micro") ==
+        leg(r, "rank_lex") + leg(r, "rank_sem"))
+    }
+    val s = rows.map(_.getAs[Long]("rrf_micro"))
+    s.sliding(2).foreach(w => assert(w(1) <= w(0), s.toSeq))
+    // the lex leg's rank-1 doc is bm25's global top doc (doc 0 is not
+    // in the bm25 top anyway at this corpus, but guard independently)
+    val bmTop = bm25Expected.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, (sc, _)) => (-sc, id) }.head._1
+    rows.find(r => !r.isNullAt(r.fieldIndex("rank_lex")) &&
+        r.getAs[Int]("rank_lex") == 1)
+      .foreach(r => assert(r.getAs[Long]("doc_id") == bmTop))
+  }
 }
