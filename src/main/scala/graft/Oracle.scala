@@ -2575,6 +2575,36 @@ object Oracle {
                   // (SUM(c) * SUM(c)) AS BIGINT) AS gini_micro
          FROM c GROUP BY n_name ORDER BY n_name""",
 
+    // replays Stats.statsChi2 — full R×C grid (absent combos at
+    // obs = 0), expected in exact centi via integer div, per-cell
+    // contributions micro-rounded before the exact BIGINT total
+    "stats_chi2" ->
+      """WITH o AS (SELECT lang, source, count(*) AS o
+                    FROM documents GROUP BY 1, 2),
+         rr AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+                FROM o GROUP BY 1),
+         cgrp AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+                  FROM o GROUP BY 1),
+         nn AS (SELECT CAST(sum(r) AS BIGINT) AS n, count(*) AS nr
+                FROM rr),
+         ncc AS (SELECT count(*) AS nc FROM cgrp),
+         cells AS (SELECT lang, source, r, c, COALESCE(o, 0) AS obs
+                   FROM rr CROSS JOIN cgrp
+                   LEFT JOIN o USING (lang, source)),
+         sc AS (SELECT lang, source, obs, r, c, n, nr, nc,
+                       CAST(r AS DOUBLE) * c / n AS e
+                FROM cells CROSS JOIN nn CROSS JOIN ncc),
+         sm AS (SELECT *, CAST(round((obs - e) * (obs - e) / e
+                    * 1000000.0) AS BIGINT) AS contrib_micro
+                FROM sc),
+         tt AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro
+                FROM sm)
+         SELECT lang, source, obs AS observed,
+                CAST((r * c * 100) // n AS BIGINT) AS expected_centi,
+                contrib_micro, chi2_micro,
+                (nr - 1) * (nc - 1) AS dof
+         FROM sm CROSS JOIN tt ORDER BY lang, source""",
+
     // replays Stats.statsLinreg — integer OLS over the pre-reduced
     // (brand, year-index) frame; the intercept reuses the
     // already-truncated slope so both engines round identically
@@ -3298,6 +3328,32 @@ object Oracle {
                   ELSE (num - ((num % den + den) % den)) // den END
                   AS BIGINT) AS r_micro
          FROM nd""",
+    // replays GraphOps.graphRichClub: two histograms on the shared
+    // degree-value axis + one strictly-greater suffix-sum window
+    "graph_rich_club" ->
+      s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         deg AS (SELECT id, count(*) AS d FROM
+                   (SELECT src AS id FROM ded
+                    UNION ALL SELECT dst FROM ded)
+                 GROUP BY id),
+         em AS (SELECT least(a.d, b.d) AS d, count(*) AS g
+                FROM ded JOIN deg a ON a.id = ded.src
+                         JOIN deg b ON b.id = ded.dst
+                GROUP BY 1),
+         hd AS (SELECT d, count(*) AS h FROM deg GROUP BY 1),
+         j AS (SELECT hd.d AS k, h, COALESCE(g, 0) AS g
+               FROM hd LEFT JOIN em ON em.d = hd.d),
+         s AS (SELECT k,
+                      COALESCE(CAST(sum(h) OVER w AS BIGINT), 0) AS n_k,
+                      COALESCE(CAST(sum(g) OVER w AS BIGINT), 0) AS e_k
+               FROM j WINDOW w AS (ORDER BY k DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT k, n_k, e_k,
+                CAST((2000 * e_k) // nullif(n_k * (n_k - 1), 0)
+                  AS BIGINT) AS phi_permille
+         FROM s ORDER BY k""",
+
     "graph_shortest_path_trace" -> pathTraceSql(3),
     "graph_temporal_reach" -> temporalReachSql(3),
 
@@ -4867,6 +4923,28 @@ object Oracle {
          FROM p
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
          ORDER BY user_id, ts_sec, event_id"""),
+
+    // replays Windows.windowRollingSlope: exact integer OLS moment
+    // sums over the trailing-5 keyed frame, milli slope by integer div
+    "window_rolling_slope" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           CAST(date_diff('day', DATE '1970-01-01',
+                             o_orderdate) AS BIGINT) AS x,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS y
+                    FROM orders),
+         s AS (SELECT o_custkey, o_orderkey,
+                      count(*) OVER w AS n,
+                      CAST(sum(x) OVER w AS BIGINT) AS sx,
+                      CAST(sum(y) OVER w AS BIGINT) AS sy,
+                      CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                      CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+               FROM o WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY x, o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT o_custkey, o_orderkey, n,
+                CAST((1000 * (n * sxy - sx * sy))
+                  // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_milli
+         FROM s ORDER BY o_custkey, o_orderkey""",
 
     // replays Windows.windowRunningMedian: lower median of the
     // trailing-9 frame via list() OVER + list_sort

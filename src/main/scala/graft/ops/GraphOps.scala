@@ -1050,6 +1050,41 @@ object GraphOps {
         expr(FloorDivMicro).as("r_micro"))
   }
 
+  /** Rich-club coefficient curve φ(k) = 2·E_k / (N_k·(N_k−1)) — do the
+    * high-degree vertices preferentially link to EACH OTHER (the
+    * "rich club" of hubs) or only to the periphery. N_k = vertices of
+    * degree > k, E_k = edges whose BOTH ends have degree > k (i.e.
+    * min endpoint degree > k), one row per distinct degree value k.
+    * Shape: the corpus reduces to two bounded histograms — per-degree
+    * vertex counts and per-min-endpoint-degree edge counts (min of two
+    * real degrees is itself a degree value, so both live on the same
+    * axis) — then ONE strictly-greater suffix-sum window over the
+    * joined histogram. The unpartitioned window runs over the
+    * aggregated degree-value frame (O(distinct degrees), never corpus
+    * rows); the corpus-sized work is the degree agg + one edge-ends
+    * join. φ in exact permille by integer div, NULL when N_k < 2. */
+  def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val deg = undDegreesOf(ded)
+    val em = ded
+      .join(deg.select(col("id").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dy")), "dst")
+      .select(least(col("dx"), col("dy")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("g"))
+    val hd = deg.groupBy(col("d")).agg(count(lit(1)).as("h"))
+    val w = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hd.join(em, Seq("d"), "left")
+      .withColumn("g", coalesce(col("g"), lit(0L)))
+      .select(col("d").as("k"),
+        coalesce(sum(col("h")).over(w), lit(0L)).as("n_k"),
+        coalesce(sum(col("g")).over(w), lit(0L)).as("e_k"))
+      .select(col("k"), col("n_k"), col("e_k"),
+        expr("CAST((2000 * e_k) div nullif(n_k * (n_k - 1), 0) " +
+          "AS BIGINT)").as("phi_permille"))
+      .orderBy(col("k"))
+  }
+
   /** Time-respecting reachability ("who could this customer have
     * influenced, and how early") over part-mediated influence edges:
     * a → b dated t if a first bought some part strictly before b, with

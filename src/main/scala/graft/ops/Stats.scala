@@ -268,4 +268,45 @@ object Stats {
           .as("intercept_milli"))
       .orderBy(col("p_brand"))
   }
+
+  /** Pearson chi-square independence test of `lang` × `source` over
+    * documents — "is the language mix the same across sources", the
+    * pre-read before stratified sampling treats them as independent
+    * axes. Full R×C grid (absent combos enter at observed = 0, as the
+    * statistic requires), expected counts e = r·c/N in identical
+    * double shape both engines, per-cell contributions micro-rounded
+    * BEFORE the total so chi2 is an exact BIGINT sum. Scale: the
+    * corpus collapses to an R×C contingency table in ONE keyed agg
+    * (map-side combined); everything after is grid-sized broadcasts —
+    * the 100 TB cost is the scan. */
+  def statsChi2(spark: SparkSession, dir: String): DataFrame = {
+    // one corpus pass: the R×C contingency is materialized (grid-sized)
+    // so the row/col/total reductions and the final select all read it
+    // instead of rescanning documents
+    val o = Tables(spark, dir).documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val r = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val c = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = r.agg(sum(col("r")).as("n"), count(lit(1)).as("nr"))
+      .crossJoin(c.agg(count(lit(1)).as("nc")))
+    val cells = broadcast(r).crossJoin(broadcast(c))
+      .join(o, Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("r").cast(DoubleType) * col("c") / col("n"))
+      .withColumn("contrib_micro",
+        round((col("obs") - col("e")) * (col("obs") - col("e"))
+          / col("e") * lit(1000000.0)).cast(LongType))
+    val tot = cells.agg(sum(col("contrib_micro")).as("chi2_micro"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("obs").as("observed"),
+        // exact integer centi expected — scale-2 double ROUND has a
+        // cross-engine half-up tie hazard, integer div does not
+        expr("CAST((r * c * 100) div n AS BIGINT)").as("expected_centi"),
+        col("contrib_micro"), col("chi2_micro"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** §2.5 window functions.
   *
@@ -244,5 +244,34 @@ object Windows {
           .as("median_micro"),
         size(col("fr")).as("n_frame"))
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** Trailing OLS trend per customer order series — the rolling
+    * "is this account's spend rising" read. Slope over the bounded
+    * 5-row frame from EXACT integer moment sums (x = epoch day,
+    * y = price cents; n·Σxy − Σx·Σy over n·Σx² − (Σx)², milli units
+    * via integer div — the [[Stats.statsLinreg]] discipline applied
+    * to a sliding frame). nullif → NULL slope when the frame has no
+    * x-variance (single order, or same-day frame) in both engines.
+    * Keyed window, O(1) frame state, one hash exchange at any scale. */
+  def windowRollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("x"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast(LongType).as("x"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"))
+      .select(col("o_custkey"), col("o_orderkey"), col("n"),
+        expr("CAST((1000 * (n * sxy - sx * sy)) div " +
+          "nullif(n * sxx - sx * sx, 0) AS BIGINT)").as("slope_milli"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 }

@@ -841,6 +841,32 @@ class GraphSpec extends SparkSpec {
       r.getAs[Long]("r_micro") < 0L)
   }
 
+  test("rich club: N_k/E_k match a driver-side recompute over the " +
+      "dedup edges, phi exact permille") {
+    val rows = GraphOps.graphRichClub(spark, sfDir).collect()
+    val edges = GraphModel.dedupEdgesCached(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == deg.values.toSeq.distinct.length)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val nk = deg.values.count(_ > k).toLong
+      val ek = edges.count(e =>
+        deg(e._1) > k && deg(e._2) > k).toLong
+      assert(r.getAs[Long]("n_k") == nk, s"n_$k")
+      assert(r.getAs[Long]("e_k") == ek, s"e_$k")
+      if (nk < 2) assert(r.isNullAt(r.fieldIndex("phi_permille")))
+      else assert(r.getAs[Long]("phi_permille") ==
+        2000 * ek / (nk * (nk - 1)))
+    }
+    // E_k can never exceed the complete graph on the club
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val nk = r.getAs[Long]("n_k")
+      assert(r.getAs[Long]("e_k") <= nk * (nk - 1) / 2)
+    }
+  }
+
   test("temporal reach: arrivals are time-respecting and minimal " +
       "w.r.t. the influence edges") {
     val reach = GraphOps.graphTemporalReach(spark, sfDir).collect()

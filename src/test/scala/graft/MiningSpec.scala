@@ -159,6 +159,69 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("chi2: grid complete, totals conserved, contributions and " +
+      "statistic match an exact recompute") {
+    val rows = graft.ops.Stats.statsChi2(spark, sfDir).collect()
+    val obs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("o"))
+      .toMap
+    val langs = obs.keys.map(_._1).toSeq.distinct
+    val srcs = obs.keys.map(_._2).toSeq.distinct
+    assert(rows.length == langs.length * srcs.length) // full R×C grid
+    val n = obs.values.sum
+    assert(rows.map(_.getAs[Long]("observed")).sum == n)
+    val rTot = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cTot = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    var total = 0L
+    rows.foreach { r =>
+      val (l, s) = (r.getString(0), r.getString(1))
+      val o = r.getAs[Long]("observed")
+      assert(o == obs.getOrElse((l, s), 0L))
+      val e = rTot(l).toDouble * cTot(s) / n
+      assert(r.getAs[Long]("expected_centi") == rTot(l) * cTot(s) * 100 / n)
+      val contrib = math.floor((o - e) * (o - e) / e * 1000000.0 + 0.5)
+      assert(r.getAs[Long]("contrib_micro") == contrib.toLong)
+      total += contrib.toLong
+      assert(r.getAs[Long]("dof") ==
+        (langs.length - 1).toLong * (srcs.length - 1))
+    }
+    assert(rows.forall(_.getAs[Long]("chi2_micro") == total))
+  }
+
+  test("rolling slope: every trailing-5 frame matches the exact " +
+      "integer OLS recompute; variance-free frames are NULL") {
+    val rows = graft.ops.Windows.windowRollingSlope(spark, sfDir)
+      .collect()
+    val orders = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("x"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == orders.length)
+    val frames = orders.groupBy(_._1).view.mapValues { os =>
+      val sorted = os.sortBy(o => (o._3, o._2))
+      sorted.zipWithIndex.map { case ((_, ok, _, _), i) =>
+        ok -> sorted.slice(math.max(0, i - 4), i + 1)
+      }.toMap
+    }.toMap
+    rows.foreach { r =>
+      val fr = frames(r.getAs[Long]("o_custkey"))(r.getAs[Long]("o_orderkey"))
+      val nn = fr.length.toLong
+      assert(r.getAs[Long]("n") == nn)
+      val sx = fr.map(_._3).sum; val sy = fr.map(_._4).sum
+      val sxx = fr.map(o => o._3 * o._3).sum
+      val sxy = fr.map(o => o._3 * o._4).sum
+      val den = nn * sxx - sx * sx
+      if (den == 0) assert(r.isNullAt(r.fieldIndex("slope_milli")))
+      else assert(r.getAs[Long]("slope_milli") ==
+        1000 * (nn * sxy - sx * sy) / den)
+    }
+  }
+
   test("star topk: 20 rows, revenue non-increasing, custkey breaks ties") {
     val rows = graft.ops.Relational.sqlStarTopk(spark, sfDir).collect()
     assert(rows.length == 20)
