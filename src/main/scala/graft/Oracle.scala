@@ -2575,6 +2575,50 @@ object Oracle {
                   // (SUM(c) * SUM(c)) AS BIGINT) AS gini_micro
          FROM c GROUP BY n_name ORDER BY n_name""",
 
+    // replays Stats.statsKsTest — exact cross-multiplied integer KS
+    // distance over the merged value support, argmax by (D, value)
+    "stats_ks_test" ->
+      """WITH h AS (SELECT n_chars,
+                  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+           FROM documents WHERE source IN ('src0', 'src1')
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                      CAST(sum(b) AS BIGINT) AS n_b FROM h),
+         c AS (SELECT n_chars,
+                      CAST(sum(a) OVER w AS BIGINT) AS ca,
+                      CAST(sum(b) OVER w AS BIGINT) AS cb
+               FROM h WINDOW w AS (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         d AS (SELECT n_chars, n_a, n_b,
+                      abs(ca * n_b - cb * n_a) AS d_num
+               FROM c CROSS JOIN t
+               ORDER BY d_num DESC, n_chars LIMIT 1)
+         SELECT n_a, n_b, n_chars AS d_at, d_num,
+                CAST((1000 * d_num) // (n_a * n_b) AS BIGINT)
+                  AS ks_permille
+         FROM d""",
+
+    // replays Stats.statsEntropy — per-(source, lang) −p·ln p terms
+    // micro-rounded before the exact per-source BIGINT sum
+    "stats_entropy" ->
+      """WITH cl AS (SELECT source, lang, count(*) AS c
+                     FROM documents GROUP BY 1, 2),
+         cn AS (SELECT source, lang, c,
+                       CAST(sum(c) OVER (PARTITION BY source)
+                         AS BIGINT) AS n
+                FROM cl),
+         tm AS (SELECT source, n,
+                       CAST(round(-(c / n) * ln(c / n) * 1000000.0)
+                         AS BIGINT) AS t_micro
+                FROM cn)
+         SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                count(*) AS n_langs,
+                CAST(sum(t_micro) AS BIGINT) AS entropy_micro
+         FROM tm GROUP BY 1 ORDER BY source""",
+
     // replays Stats.statsChi2 — full R×C grid (absent combos at
     // obs = 0), expected in exact centi via integer div, per-cell
     // contributions micro-rounded before the exact BIGINT total
@@ -5307,6 +5351,28 @@ object Oracle {
                          // ${ops.MultimodalOps.FrameBytes}) AS BIGINT)
                   AS total_frames
          FROM documents GROUP BY 1 ORDER BY kind""",
+
+    // replays MultimodalOps.multimodalShardPlan: offset-addressed
+    // shard assignment from a per-kind exclusive running byte sum
+    "multimodal_shard_plan" ->
+      s"""WITH b AS (SELECT doc_id AS media_id,
+                            string_split(source, '_')[1] AS kind,
+                            CAST(octet_length(encode(text)) AS BIGINT)
+                              AS byte_len
+                     FROM documents),
+         o AS (SELECT media_id, kind, byte_len,
+                      COALESCE(CAST(sum(byte_len) OVER
+                        (PARTITION BY kind ORDER BY media_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS BIGINT), 0) AS off
+               FROM b)
+         SELECT kind,
+                CAST(off // ${ops.MultimodalOps.ShardBudgetBytes}
+                  AS BIGINT) AS shard_id,
+                count(*) AS n_blobs,
+                CAST(sum(byte_len) AS BIGINT) AS shard_bytes,
+                min(media_id) AS first_id, max(media_id) AS last_id
+         FROM o GROUP BY 1, 2 ORDER BY kind, shard_id""",
 
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label,

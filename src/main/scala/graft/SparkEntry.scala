@@ -89,6 +89,8 @@ object SparkEntry {
     "agg_gini_impurity" -> (Stats.aggGiniImpurity _),
     "stats_linreg"      -> (Stats.statsLinreg _),
     "stats_chi2"        -> (Stats.statsChi2 _),
+    "stats_ks_test"     -> (Stats.statsKsTest _),
+    "stats_entropy"     -> (Stats.statsEntropy _),
     "agg_percentile"    -> (Stats.aggPercentile _),
     "agg_percentile_approx" -> (Stats.aggPercentileApprox _),
     "pivot_wide"        -> (Stats.pivotWide _),
@@ -296,6 +298,8 @@ object SparkEntry {
       (MultimodalOps.multimodalDedupChecksum _),
     "multimodal_magic_census" ->
       (MultimodalOps.multimodalMagicCensus _),
+    "multimodal_shard_plan" ->
+      (MultimodalOps.multimodalShardPlan _),
     // §2.8 streaming batch analogs (streaming variants in tests)
     "stream_tumbling_window"  -> (Streaming.streamTumblingWindow _),
     "stream_sliding_window"   -> (Streaming.streamSlidingWindow _),

@@ -149,4 +149,38 @@ object MultimodalOps {
       .select(col("kind"), col("magic_hex"), col("n_media"), col("rk"))
       .orderBy(col("kind"), col("rk"))
   }
+
+  /** Byte budget per output shard for [[multimodalShardPlan]];
+    * shared with the oracle replay. */
+  private[graft] val ShardBudgetBytes = 4096L
+
+  /** SHARD-PLAN — the webdataset-style layout step between ingest and
+    * training: media blobs are packed into fixed-byte-budget shards
+    * per modality so a trainer streams whole shards instead of seeking
+    * per blob. Deterministic offset-addressed assignment: within each
+    * kind (ordered by media_id), a blob starts in shard
+    * floor(preceding-bytes / budget) — the exact rule a sequential
+    * shard writer implements, replayable with no RNG or state. Output
+    * = the plan manifest per (kind, shard): blob count, byte size, id
+    * range. The running sum is a KEYED window (O(1) state per kind);
+    * at 100 TB the plan is one narrow scan + one hash exchange on
+    * kind, and the manifest is shard-count-sized. */
+  def multimodalShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("kind")).orderBy(col("media_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    Tables(spark, dir).documents
+      .select(col("doc_id").as("media_id"),
+        element_at(split(col("source"), "_"), 1).as("kind"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .withColumn("off", coalesce(sum(col("byte_len")).over(w), lit(0L)))
+      .withColumn("shard_id",
+        expr(s"CAST(off div $ShardBudgetBytes AS BIGINT)"))
+      .groupBy(col("kind"), col("shard_id"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("byte_len")).as("shard_bytes"),
+        min(col("media_id")).as("first_id"),
+        max(col("media_id")).as("last_id"))
+      .orderBy(col("kind"), col("shard_id"))
+  }
 }

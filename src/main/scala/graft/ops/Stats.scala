@@ -269,6 +269,59 @@ object Stats {
       .orderBy(col("p_brand"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the `n_chars`
+    * distributions of two fixed sources — the distribution-drift test
+    * a pipeline runs when a source's content profile may have shifted.
+    * EXACT: D = max_v |F_a(v) − F_b(v)| is evaluated on the merged
+    * support by cross-multiplied integer counts (|c_a·n_b − c_b·n_a|,
+    * never a float CDF), permille by integer div. The samples collapse
+    * to a value histogram in one keyed agg; the cumulative window runs
+    * over the aggregated support (O(distinct values)), and the argmax
+    * is a bounded TakeOrdered. */
+  def statsKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val (sa, sb) = ("src0", "src1")
+    val h = Tables(spark, dir).documents
+      .filter(col("source").isin(sa, sb))
+      .groupBy(col("n_chars"))
+      .agg(sum(when(col("source") === sa, 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === sb, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    h.select(col("n_chars"),
+        sum(col("a")).over(w).as("ca"), sum(col("b")).over(w).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_chars"), col("n_a"), col("n_b"),
+        abs(col("ca") * col("n_b") - col("cb") * col("n_a"))
+          .as("d_num"))
+      .orderBy(col("d_num").desc, col("n_chars"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("n_chars").as("d_at"),
+        col("d_num"),
+        expr("CAST((1000 * d_num) div (n_a * n_b) AS BIGINT)")
+          .as("ks_permille"))
+  }
+
+  /** Shannon entropy of each source's LANGUAGE mix — the diversity
+    * monitor a multilingual sampler reads (entropy 0 = monolingual
+    * source, ln(L) = uniform). Per-(source, lang) terms
+    * −p·ln p are micro-rounded BEFORE the per-source sum, so the
+    * entropy is an exact BIGINT sum of identically-shaped double
+    * terms. One (source, lang) keyed agg + a source-keyed reduce. */
+  def statsEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .select(col("source"), col("n"),
+        round(-(col("c") / col("n")) * log(col("c") / col("n"))
+          * lit(1000000.0)).cast(LongType).as("t_micro"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("t_micro")).as("entropy_micro"))
+      .orderBy(col("source"))
+
   /** Pearson chi-square independence test of `lang` × `source` over
     * documents — "is the language mix the same across sources", the
     * pre-read before stratified sampling treats them as independent

@@ -222,6 +222,52 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("ks test: exact cross-multiplied distance matches a driver " +
+      "recompute over both samples") {
+    val r = graft.ops.Stats.statsKsTest(spark, sfDir).collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val a = docs.filter(_._1 == "src0").map(_._2).sorted
+    val b = docs.filter(_._1 == "src1").map(_._2).sorted
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    val support = (a ++ b).distinct.sorted
+    val dn = support.map(v => v ->
+      math.abs(a.count(_ <= v).toLong * b.length -
+        b.count(_ <= v).toLong * a.length)).toMap
+    val best = support.map(v => (dn(v), v)).sortBy(p => (-p._1, p._2)).head
+    assert(r.getAs[Long]("d_num") == best._1)
+    assert(r.getAs[Long]("d_at") == best._2)
+    assert(r.getAs[Long]("ks_permille") ==
+      1000 * best._1 / (a.length.toLong * b.length))
+  }
+
+  test("entropy: per-source language-mix entropy matches recompute " +
+      "and sits in [0, ln(L)]") {
+    val rows = graft.ops.Stats.statsEntropy(spark, sfDir).collect()
+    val cl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("c")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.length == cl.size)
+    rows.foreach { r =>
+      val cs = cl(r.getString(0))
+      val n = cs.sum
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_langs") == cs.length.toLong)
+      val exp = cs.map { c =>
+        val p = c.toDouble / n
+        math.floor(-p * math.log(p) * 1000000.0 + 0.5).toLong
+      }.sum
+      val got = r.getAs[Long]("entropy_micro")
+      assert(got == exp, s"${r.getString(0)}: $got vs $exp")
+      assert(got >= 0 &&
+        got <= math.ceil(math.log(cs.length.toDouble) * 1000000).toLong)
+    }
+  }
+
   test("star topk: 20 rows, revenue non-increasing, custkey breaks ties") {
     val rows = graft.ops.Relational.sqlStarTopk(spark, sfDir).collect()
     assert(rows.length == 20)

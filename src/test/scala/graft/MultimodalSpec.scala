@@ -72,4 +72,40 @@ class MultimodalSpec extends SparkSpec {
       assert(d == n, "this corpus has no exact-duplicate blobs")
     }
   }
+
+  test("shard plan: mass conserved, shards contiguous, assignment " +
+      "replays the offset rule exactly") {
+    import org.apache.spark.sql.functions._
+    val plan = MultimodalOps.multimodalShardPlan(spark, sfDir).collect()
+    val blobs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        element_at(split(col("source"), "_"), 1).as("kind"),
+        length(col("text").cast("binary")).cast("long").as("len"))
+      .collect()
+      .map(r => (r.getAs[String]("kind"), r.getLong(0), r.getLong(2)))
+    val budget = MultimodalOps.ShardBudgetBytes
+    val expected = blobs.groupBy(_._1).toSeq.flatMap { case (k, bs) =>
+      var off = 0L
+      bs.sortBy(_._2).map { case (_, id, len) =>
+        val s = off / budget; off += len; (k, s, id, len)
+      }
+    }.groupBy(p => (p._1, p._2)).map { case ((k, s), ps) =>
+      (k, s) -> (ps.length.toLong, ps.map(_._4).sum,
+        ps.map(_._3).min, ps.map(_._3).max)
+    }
+    assert(plan.length == expected.size)
+    plan.foreach { r =>
+      val key = (r.getString(0), r.getAs[Long]("shard_id"))
+      val (n, bytes, lo, hi) = expected(key)
+      assert(r.getAs[Long]("n_blobs") == n, key)
+      assert(r.getAs[Long]("shard_bytes") == bytes, key)
+      assert(r.getAs[Long]("first_id") == lo &&
+        r.getAs[Long]("last_id") == hi, key)
+    }
+    // shards are contiguous 0..max within each kind
+    plan.groupBy(_.getString(0)).values.foreach { rs =>
+      val ids = rs.map(_.getAs[Long]("shard_id")).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq)
+    }
+  }
 }
