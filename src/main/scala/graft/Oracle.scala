@@ -1325,6 +1325,38 @@ object Oracle {
          GROUP BY label ORDER BY label"""
   }
 
+  /** Leiden-style connectivity audit replaying
+    * [[graft.ops.GraphOps.graphCommunityRefine]]: the shared Louvain
+    * chain, within-community edges, exact components via recursive
+    * min-reachable closure (bounded by community size — within-edges
+    * never cross labels), per-community part census. */
+  private def communityRefineSql(iters: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map(r =>
+      louvainMergeRoundSql(s"g${r - 1}", s"g$r")).mkString
+    (louvainBaseSql(iters) + steps + s""",
+         win AS MATERIALIZED (
+                 SELECT ded.src, ded.dst FROM ded
+                 JOIN g$rounds a ON a.id = ded.src
+                 JOIN g$rounds b ON b.id = ded.dst
+                 WHERE a.label = b.label),
+         wund AS MATERIALIZED (
+                 SELECT src AS a, dst AS b FROM win
+                 UNION ALL SELECT dst, src FROM win),
+         reach(src, dst) AS (
+           SELECT id, id FROM g$rounds
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN wund u ON u.a = r.dst),
+         parts AS MATERIALIZED (
+                 SELECT src AS id, min(dst) AS cluster
+                 FROM reach GROUP BY src)
+         SELECT g.label, count(*) AS n_nodes,
+                count(DISTINCT p.cluster) AS n_parts,
+                (count(DISTINCT p.cluster) > 1) AS is_split
+         FROM parts p JOIN g$rounds g ON g.id = p.id
+         GROUP BY 1 ORDER BY g.label""")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+  }
+
   /** Exact-integer Rand index replaying
     * [[graft.ops.GraphOps.graphPartitionAgreement]]: the shared LPA
     * chain and the unrolled Louvain merge rounds, contingency cells,
@@ -3333,6 +3365,7 @@ object Oracle {
     "graph_modularity" -> modularitySql(3),
     "graph_community_merge" -> communityMergeSql(3),
     "graph_louvain" -> louvainSql(3, 3),
+    "graph_community_refine" -> communityRefineSql(3, 3),
     "graph_louvain_move" -> louvainMoveSql(3, 2, 3),
     "graph_louvain_weighted" -> louvainWeightedSql(3, 3),
     "graph_partition_agreement" -> partitionAgreementSql(3, 3),

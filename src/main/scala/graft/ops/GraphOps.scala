@@ -743,6 +743,40 @@ object GraphOps {
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
+  /** LEIDEN-STYLE REFINEMENT — the connectivity audit on the Louvain
+    * labeling. Louvain's merge/move phases guarantee modularity gain
+    * but NOT that each community is internally connected (the defect
+    * the Leiden paper demonstrates and its refinement phase repairs):
+    * a community can be two clumps glued by a vertex that later moved
+    * away. Check = exact connected components of the WITHIN-community
+    * subgraph (within-edges never cross communities, so global
+    * [[minLabelComponents]] pointer jumping respects community
+    * boundaries for free — no per-community machinery). Output: per
+    * community, its size, the number of internal parts, and the split
+    * flag; n_parts > 1 rows are exactly what Leiden would re-split
+    * before the next contraction. Cost: the labeling itself + two
+    * label joins + the component rounds — each one keyed join/agg. */
+  def graphCommunityRefine(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val lab = louvainLabels(ded, lpaLabelsCached(spark, dir),
+      LouvainRounds)
+    val within = ded
+      .join(lab.select(col("id").as("src"), col("label").as("ls")),
+        "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("ld")),
+        "dst")
+      .filter(col("ls") === col("ld"))
+      .select(col("src").as("a_id"), col("dst").as("b_id"))
+    val parts = minLabelComponents(lab.select(col("id")), within)
+    parts.join(lab, "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("cluster")).as("n_parts"))
+      .withColumn("is_split", col("n_parts") > 1)
+      .orderBy(col("label"))
+  }
+
   /** Round budget for the phase-1 per-node sweep of
     * [[graphLouvainMove]] — bounded so the oracle can unroll it. */
   val LouvainMoveRounds = 2

@@ -841,6 +841,44 @@ class GraphSpec extends SparkSpec {
       r.getAs[Long]("r_micro") < 0L)
   }
 
+  test("community refine: sizes agree with louvain, part counts " +
+      "match a driver-side component recompute") {
+    val refine = GraphOps.graphCommunityRefine(spark, sfDir).collect()
+    val sizes = GraphOps.graphLouvain(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("size")).toMap
+    assert(refine.map(_.getLong(0)).toSet == sizes.keySet)
+    refine.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == sizes(r.getLong(0)))
+      val p = r.getAs[Long]("n_parts")
+      assert(p >= 1 && p <= r.getAs[Long]("n_nodes"))
+      assert(r.getAs[Boolean]("is_split") == (p > 1))
+    }
+    // recompute parts from first principles: per community, connected
+    // components over its internal edges (union-find on the driver)
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+    val lab = GraphOps.louvainLabels(ded,
+      GraphOps.lpaExactOn(ded, 3,
+        Some(GraphModel.dedupVertsCached(spark, sfDir))),
+      GraphOps.LouvainRounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val within = ded.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => lab(e._1) == lab(e._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    lab.keys.foreach(v => parent(v) = v)
+    within.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expParts = lab.keys.groupBy(lab)
+      .view.mapValues(_.map(find).toSet.size.toLong).toMap
+    refine.foreach { r =>
+      assert(r.getAs[Long]("n_parts") == expParts(r.getLong(0)),
+        s"community ${r.getLong(0)}")
+    }
+  }
+
   test("rich club: N_k/E_k match a driver-side recompute over the " +
       "dedup edges, phi exact permille") {
     val rows = GraphOps.graphRichClub(spark, sfDir).collect()
