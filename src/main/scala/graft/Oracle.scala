@@ -4768,6 +4768,31 @@ object Oracle {
                FROM embeddings GROUP BY 1) c USING (label)
          ORDER BY label""",
 
+    // replays VectorOps.embedOutlierTopk: decimal-exact centroids,
+    // per-position micro terms summed exact, per-label top-3 farthest
+    "embed_outlier_topk" ->
+      """WITH cells AS (
+           SELECT label, vec_id, t.u.pos AS pos, t.u.v AS x FROM (
+             SELECT label, vec_id, unnest(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               (x, i) -> struct_pack(pos := i - 1, v := x))) AS u
+             FROM embeddings) t),
+         means AS (SELECT label, pos,
+                          CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+                            / COUNT(*) AS mean_v
+                   FROM cells GROUP BY 1, 2),
+         d2 AS (SELECT label, vec_id,
+                       CAST(SUM(CAST(round((x - mean_v) * (x - mean_v)
+                         * 1000000.0) AS BIGINT)) AS BIGINT)
+                         AS dist2_micro
+                FROM cells JOIN means USING (label, pos)
+                GROUP BY 1, 2)
+         SELECT label, rk, vec_id, dist2_micro FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY label
+             ORDER BY dist2_micro DESC, vec_id) AS INT) AS rk
+           FROM d2) r
+         WHERE rk <= 3 ORDER BY label, rk""",
+
     // replays VectorOps.embedCentroidShift: vec_id-parity snapshot
     // halves, decimal-exact per-position centroids, rounded L2 shift
     "embed_centroid_shift" ->

@@ -456,8 +456,20 @@ object GraphOps {
 
   def lpaExact(spark: SparkSession, dir: String): DataFrame =
     lpaLabelsCached(spark, dir)
-      .groupBy(col("label")).agg(count(lit(1)).as("size"))
-      .orderBy(col("label"))
+
+  /** Memoized Louvain labeling ([[louvainLabels]] over the shared LPA
+    * seed, [[LouvainRounds]] rounds) — `graph_louvain`,
+    * `graph_community_refine` and `graph_partition_agreement` all read
+    * the IDENTICAL labeling, so the merge-contract iteration runs once
+    * per (session, dir); same retention contract as the LPA cache. */
+  private val louvainLabelsCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  private def louvainLabelsCached(spark: SparkSession,
+      dir: String): DataFrame = louvainLabelsCache.synchronized {
+    louvainLabelsCache.getOrElseUpdate((spark, dir),
+      louvainLabels(GraphModel.dedupEdgesCached(spark, dir),
+        lpaLabelsCached(spark, dir), LouvainRounds))
+  }
 
   /** Community quality over the final [[lpaExactOn]] labels: per
     * community, member count, INTERNAL edge count (both endpoints
@@ -738,8 +750,7 @@ object GraphOps {
     * [[LouvainRounds]] mutual-best merge-and-contract rounds seeded by
     * the shared 3-round exact-LPA labels. */
   def graphLouvain(spark: SparkSession, dir: String): DataFrame =
-    louvainLabels(GraphModel.dedupEdgesCached(spark, dir),
-      lpaLabelsCached(spark, dir), LouvainRounds)
+    louvainLabelsCached(spark, dir)
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
@@ -759,8 +770,7 @@ object GraphOps {
   def graphCommunityRefine(spark: SparkSession, dir: String)
       : DataFrame = {
     val ded = GraphModel.dedupEdgesCached(spark, dir)
-    val lab = louvainLabels(ded, lpaLabelsCached(spark, dir),
-      LouvainRounds)
+    val lab = louvainLabelsCached(spark, dir)
     val within = ded
       .join(lab.select(col("id").as("src"), col("label").as("ls")),
         "src")
@@ -921,9 +931,8 @@ object GraphOps {
   def graphPartitionAgreement(spark: SparkSession,
       dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ded = GraphModel.dedupEdgesCached(spark, dir)
     val lpa = lpaLabelsCached(spark, dir)
-    val lou = louvainLabels(ded, lpa, LouvainRounds)
+    val lou = louvainLabelsCached(spark, dir)
     val ct = lpa.select(col("id"), col("label").as("la"))
       .join(lou.select(col("id"), col("label").as("lb")), "id")
       .localCheckpoint(true) // read by four independent aggs

@@ -1170,6 +1170,38 @@ object VectorOps {
     out
   }
 
+  /** EMBEDDING OUTLIER detection — the top-3 vectors FARTHEST from
+    * their own label's centroid, per label: the mislabeled/noise-vector
+    * read an embedding-store curation pass runs before training on the
+    * labels. Distance = squared L2 to the decimal-exact per-position
+    * centroid (same mean discipline as [[embedCentroidPerLabel]]);
+    * per-position terms are micro-rounded BEFORE the 64-term sum so
+    * the distance is an exact BIGINT and ranks cannot drift on float
+    * fold order. The centroid frame is labels×dims (broadcast); the
+    * corpus-side work is one posexplode + one keyed agg, and the
+    * per-label top-3 is a bounded window — one pass at any scale. */
+  def embedOutlierTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "vec_id", "pos", "x")
+    val means = cells.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("mean_v"))
+    val d2 = cells.join(broadcast(means), Seq("label", "pos"))
+      .select(col("label"), col("vec_id"),
+        round((col("x") - col("mean_v")) * (col("x") - col("mean_v"))
+          * lit(1000000.0)).cast("long").as("t_micro"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("t_micro")).as("dist2_micro"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2_micro").desc, col("vec_id"))
+    d2.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("label"), col("rk"), col("vec_id"),
+        col("dist2_micro"))
+      .orderBy(col("label"), col("rk"))
+  }
+
   /** Candidate-pool size per retrieval leg for [[retrievalHybridRrf]];
     * shared with the oracle replay. */
   private[graft] val RrfPoolK = 100

@@ -496,4 +496,45 @@ class VectorSpec extends SparkSpec {
       assert(r.getAs[Long]("n_members") > 0)
     }
   }
+
+  test("outlier topk: 3 per label descending, top-1 matches a " +
+      "first-principles farthest-from-centroid recompute") {
+    val rows = VectorOps.embedOutlierTopk(spark, sfDir).collect()
+    val vecs = Tables(spark, sfDir).embeddings
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toArray))
+    val labels = vecs.map(_._1).distinct
+    assert(rows.length == labels.length * 3)
+    rows.groupBy(_.getInt(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
+      val ds = sorted.map(_.getAs[Long]("dist2_micro"))
+      assert(ds.forall(_ >= 0L))
+      ds.sliding(2).foreach(w => assert(w(1) <= w(0)))
+    }
+    // replicate the exact arithmetic: DECIMAL(27,10) sums → double
+    // mean, per-position micro-rounded squared residuals, exact sum
+    val byLabel = vecs.groupBy(_._1)
+    def d2(x: Array[Double], m: Array[Double]): Long =
+      x.indices.map { i =>
+        val t = (x(i) - m(i)) * (x(i) - m(i)) * 1000000.0
+        math.floor(t + 0.5).toLong
+      }.sum
+    byLabel.foreach { case (l, vs) =>
+      val n = vs.length
+      val mean = Array.tabulate(64) { p =>
+        val s = vs.map(v => BigDecimal(v._3(p))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toDouble / n
+      }
+      val best = vs.map(v => (d2(v._3, mean), v._2))
+        .sortBy(p => (-p._1, p._2)).head
+      val got = rows.filter(r => r.getInt(0) == l &&
+        r.getAs[Int]("rk") == 1).head
+      assert(got.getAs[Long]("vec_id") == best._2, s"label $l")
+      assert(got.getAs[Long]("dist2_micro") == best._1, s"label $l")
+    }
+  }
 }
