@@ -3759,6 +3759,56 @@ object Oracle {
                 min(doc_id) AS keep_id
          FROM documents GROUP BY 1 ORDER BY keep_id""",
 
+    // replays TextOps.corpusSourceOverlap: the near-minhash verified
+    // pair chain (identical to dedup_near_minhash), censused by the
+    // canonicalized source pair — "which sources copy from each other"
+    "corpus_source_overlap" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS jaccard
+                  FROM ints
+                  JOIN sz0 sa ON sa.doc_id = a_id
+                  JOIN sz0 sb ON sb.doc_id = b_id)
+                WHERE jaccard >= 0.5),
+         sp AS (SELECT least(da.source, db.source) AS src_a,
+                       greatest(da.source, db.source) AS src_b
+                FROM jp JOIN documents da ON da.doc_id = jp.a_id
+                        JOIN documents db ON db.doc_id = jp.b_id)
+         SELECT src_a, src_b, count(*) AS n_pairs,
+                (src_a = src_b) AS within_source
+         FROM sp GROUP BY 1, 2 ORDER BY src_a, src_b""",
+
     // Replays TextOps.dedupNearMinhash bit-for-bit: 16 affine-derived
     // md5Hash60 minima per doc, 8 bands of 2 comma-joined into the band
     // key, bucket cap, candidate self-join, exact-Jaccard ≥ 0.5 verify

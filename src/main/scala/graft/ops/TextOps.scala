@@ -1305,6 +1305,30 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** CROSS-SOURCE duplication census — which sources copy from each
+    * other: the verified near-dup pairs from [[dedupNearMinhash]]
+    * (same memoized signature/candidate frames) grouped by the
+    * canonicalized source pair. A hot off-diagonal cell is a
+    * mirror/scrape relationship the mix planner should know about
+    * before weighting sources as independent; the diagonal is
+    * within-source redundancy. Marginal cost over the dedup key: two
+    * doc_id-keyed source joins + one census agg on a ≤S² key space. */
+  def corpusSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    dedupNearMinhash(spark, dir)
+      .join(src.select(col("doc_id").as("a_id"),
+        col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"),
+        col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("src_a") === col("src_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Fixed retrieval query for the BM25 / hybrid-retrieval exhibits:
     * three mid-frequency corpus terms. Shared with the oracle SQL so
     * the two engines score the same query. */

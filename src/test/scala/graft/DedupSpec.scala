@@ -263,4 +263,26 @@ class DedupSpec extends SparkSpec {
         s"distance mismatch for ($a,$b)")
     }
   }
+
+  test("source overlap: census equals regrouping the verified " +
+      "near-dup pairs, canonical pair order, flags exact") {
+    val census = TextOps.corpusSourceOverlap(spark, sfDir).collect()
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = TextOps.dedupNearMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val exp = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(census.map(_.getAs[Long]("n_pairs")).sum == pairs.length)
+    assert(census.length == exp.size)
+    census.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(k._1 <= k._2)
+      assert(r.getAs[Long]("n_pairs") == exp(k), k)
+      assert(r.getAs[Boolean]("within_source") == (k._1 == k._2))
+    }
+  }
 }
