@@ -3809,6 +3809,68 @@ object Oracle {
                 (src_a = src_b) AS within_source
          FROM sp GROUP BY 1, 2 ORDER BY src_a, src_b""",
 
+    // replays TextOps.corpusSplitLeakage: the same verified-pair
+    // chain, salted-hash permille split, 3-row spine census
+    "corpus_split_leakage" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS jaccard
+                  FROM ints
+                  JOIN sz0 sa ON sa.doc_id = a_id
+                  JOIN sz0 sb ON sb.doc_id = b_id)
+                WHERE jaccard >= 0.5),
+         sp AS (SELECT doc_id,
+                       CASE WHEN ${md5Hash60Sql(
+                         "'graft-split:' || CAST(doc_id AS VARCHAR)")}
+                              % 1000 < 900
+                            THEN 'train' ELSE 'val' END AS split
+                FROM documents),
+         cls AS (SELECT CASE WHEN sa.split = sb.split THEN sa.split
+                             ELSE 'leak' END AS pair_class
+                 FROM jp JOIN sp sa ON sa.doc_id = jp.a_id
+                         JOIN sp sb ON sb.doc_id = jp.b_id),
+         cen AS (SELECT pair_class, count(*) AS n_pairs
+                 FROM cls GROUP BY 1),
+         tot AS (SELECT split AS pair_class, count(*) AS n_docs
+                 FROM sp GROUP BY 1),
+         spn AS (SELECT unnest(['train', 'val', 'leak']) AS pair_class)
+         SELECT s.pair_class, COALESCE(n_pairs, 0) AS n_pairs,
+                COALESCE(n_docs, 0) AS n_docs
+         FROM spn s LEFT JOIN cen USING (pair_class)
+                    LEFT JOIN tot USING (pair_class)
+         ORDER BY pair_class""",
+
     // Replays TextOps.dedupNearMinhash bit-for-bit: 16 affine-derived
     // md5Hash60 minima per doc, 8 bands of 2 comma-joined into the band
     // key, bucket cap, candidate self-join, exact-Jaccard ≥ 0.5 verify

@@ -1329,6 +1329,43 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** TRAIN/VAL SPLIT LEAKAGE audit — the check a pipeline must run
+    * between dedup and training: near-duplicate pairs that STRADDLE a
+    * train/validation split silently inflate eval scores (the val doc
+    * is a near-copy of a train doc). Split = deterministic salted-hash
+    * permille on doc_id (train < 900‰), pair classes censused over the
+    * verified [[dedupNearMinhash]] pairs on a fixed 3-row spine
+    * (train / val / leak) with the split doc counts alongside — the
+    * `leak` row is the number the release gate reads. Same memoized
+    * pair frames; marginal cost two id joins + a 3-key census. */
+  def corpusSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        when(md5Hash60(concat(lit("graft-split:"),
+          col("doc_id").cast("string"))) % 1000 < 900, "train")
+          .otherwise("val").as("split"))
+    val census = dedupNearMinhash(spark, dir)
+      .join(split.select(col("doc_id").as("a_id"),
+        col("split").as("sa")), "a_id")
+      .join(split.select(col("doc_id").as("b_id"),
+        col("split").as("sb")), "b_id")
+      .select(when(col("sa") === col("sb"), col("sa"))
+        .otherwise("leak").as("pair_class"))
+      .groupBy(col("pair_class")).agg(count(lit(1)).as("n_pairs"))
+    val totals = split.groupBy(col("split")).agg(
+      count(lit(1)).as("n_docs"))
+    spark.range(1)
+      .select(explode(array(lit("train"), lit("val"), lit("leak")))
+        .as("pair_class"))
+      .join(census, Seq("pair_class"), "left")
+      .join(totals.withColumnRenamed("split", "pair_class"),
+        Seq("pair_class"), "left")
+      .select(col("pair_class"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("pair_class"))
+  }
+
   /** Fixed retrieval query for the BM25 / hybrid-retrieval exhibits:
     * three mid-frequency corpus terms. Shared with the oracle SQL so
     * the two engines score the same query. */

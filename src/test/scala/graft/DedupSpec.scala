@@ -285,4 +285,36 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Boolean]("within_source") == (k._1 == k._2))
     }
   }
+
+  test("split leakage: spine complete, pair census regroups the " +
+      "near-dup pairs under the salted-hash split, doc mass conserved") {
+    val rows = TextOps.corpusSplitLeakage(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("leak", "train", "val"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-split:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 1000 < 900) "train"
+      else "val"
+    }
+    val nTrain = docs.count(splitOf(_) == "train").toLong
+    val m = rows.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    assert(m("train")._2 == nTrain)
+    assert(m("val")._2 == docs.length - nTrain)
+    assert(m("leak")._2 == 0L)
+    val pairs = TextOps.dedupNearMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val expCls = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      if (sa == sb) sa else "leak"
+    }.view.mapValues(_.length.toLong).toMap
+    Seq("train", "val", "leak").foreach { c =>
+      assert(m(c)._1 == expCls.getOrElse(c, 0L), c)
+    }
+    assert(m.values.map(_._1).sum == pairs.length.toLong)
+  }
 }
