@@ -2607,6 +2607,33 @@ object Oracle {
                   // (SUM(c) * SUM(c)) AS BIGINT) AS gini_micro
          FROM c GROUP BY n_name ORDER BY n_name""",
 
+    // replays TimeSeries.eventsAbLift: salted-hash variant, exact
+    // floor-mean-cents conversion, pooled two-proportion z in micro
+    "events_ab_lift" ->
+      s"""WITH u AS (SELECT user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                   // count(*) AS BIGINT) AS mean_cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         uv AS (SELECT user_id,
+                       CAST(mean_cents >= 5000 AS BIGINT) AS conv,
+                       ${md5Hash60Sql(
+                         "'graft-ab:' || CAST(user_id AS VARCHAR)")}
+                         % 2 AS v
+                FROM u),
+         ag AS (SELECT v, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+                FROM uv GROUP BY 1),
+         av AS (SELECT n AS n_a, c AS c_a FROM ag WHERE v = 0),
+         bv AS (SELECT n AS n_b, c AS c_b FROM ag WHERE v = 1)
+         SELECT n_a, c_a, n_b, c_b,
+                CAST((1000 * c_a) // n_a AS BIGINT) AS rate_a_permille,
+                CAST((1000 * c_b) // n_b AS BIGINT) AS rate_b_permille,
+                CAST(round((c_a / n_a - c_b / n_b)
+                  / sqrt((c_a + c_b) / (n_a + n_b)
+                       * (1.0 - (c_a + c_b) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b))
+                  * 1000000.0) AS BIGINT) AS z_micro
+         FROM av CROSS JOIN bv""",
+
     // replays Stats.statsKsTest — exact cross-multiplied integer KS
     // distance over the merged value support, argmax by (D, value)
     "stats_ks_test" ->

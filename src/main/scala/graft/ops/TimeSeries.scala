@@ -787,4 +787,45 @@ object TimeSeries {
           col("lat"))).as("p90_s"))
       .select(col("n_converted"), col("median_s"), col("p90_s"))
   }
+
+  /** A/B EXPERIMENT read — deterministic 50/50 variant assignment by
+    * salted user hash (the assignment rule an experimentation platform
+    * actually ships: stable, storage-free, replayable), conversion =
+    * floor-mean purchase ≥ 50.00 (exact integer cents, scale-free),
+    * and the two-proportion pooled z-test in identical double shape
+    * both engines, micro-rounded. One row: per-variant counts, exact
+    * permille rates, and z_micro — |z| > 1.96e6 is the "ship it"
+    * line. Per-user reduce + 2-group agg; the corpus never leaves the
+    * user_id-keyed plan. */
+  def eventsAbLift(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr("""CAST(sum(CAST(round(value * 100) AS BIGINT))
+                   div count(1) AS BIGINT)""").as("mean_cents"))
+      .select(col("user_id"),
+        (col("mean_cents") >= 5000L).cast("long").as("conv"),
+        (TextOps.md5Hash60(concat(lit("graft-ab:"),
+          col("user_id").cast("string"))) % 2).as("v"))
+    val agg = users.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .localCheckpoint(true) // 2-row frame read by both pivot legs
+    val a = agg.filter(col("v") === 0)
+      .select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = agg.filter(col("v") === 1)
+      .select(col("n").as("n_b"), col("c").as("c_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("CAST((1000 * c_a) div n_a AS BIGINT)")
+          .as("rate_a_permille"),
+        expr("CAST((1000 * c_b) div n_b AS BIGINT)")
+          .as("rate_b_permille"),
+        round((col("c_a") / col("n_a") - col("c_b") / col("n_b"))
+          / sqrt((col("c_a") + col("c_b"))
+              / (col("n_a") + col("n_b"))
+            * (lit(1.0) - (col("c_a") + col("c_b"))
+              / (col("n_a") + col("n_b")))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+          * lit(1000000.0)).cast("long").as("z_micro"))
+  }
 }

@@ -572,4 +572,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n > 0 && n <= viewers)
     assert(med > 0 && med <= p90)
   }
+
+  test("ab lift: assignment/conversion/z replay exactly from the raw " +
+      "events, variants partition the purchasers") {
+    val r = TimeSeries.eventsAbLift(spark, sfDir).collect().head
+    val purch = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val byUser = purch.groupBy(_._1).toSeq.map { case (u, vs) =>
+      val cents = vs.map(v => math.floor(v._2 * 100 + 0.5).toLong).sum
+      val conv = if (cents / vs.length >= 5000) 1L else 0L
+      (hash60(s"graft-ab:$u") % 2, conv)
+    }
+    val a = byUser.filter(_._1 == 0); val b = byUser.filter(_._1 == 1)
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(a.size + b.size == purch.map(_._1).distinct.length)
+    val (ca, cb) = (a.map(_._2).sum, b.map(_._2).sum)
+    assert(r.getAs[Long]("c_a") == ca && r.getAs[Long]("c_b") == cb)
+    assert(r.getAs[Long]("rate_a_permille") == 1000 * ca / a.size)
+    assert(r.getAs[Long]("rate_b_permille") == 1000 * cb / b.size)
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb)) * 1000000.0
+    // HALF_UP = away from zero on ties, mirrored for either sign
+    val zMicro = if (z >= 0) math.floor(z + 0.5).toLong
+      else -math.floor(-z + 0.5).toLong
+    assert(r.getAs[Long]("z_micro") == zMicro)
+  }
 }
