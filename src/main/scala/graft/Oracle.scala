@@ -2607,6 +2607,24 @@ object Oracle {
                   // (SUM(c) * SUM(c)) AS BIGINT) AS gini_micro
          FROM c GROUP BY n_name ORDER BY n_name""",
 
+    // replays TimeSeries.timeseriesDrawdown: cumulative-max window
+    // over the cents series, per-user peak-to-trough reduce
+    "timeseries_drawdown" ->
+      """WITH p AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS ts_sec,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, cents,
+                      max(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts_sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS peak
+               FROM p)
+         SELECT user_id, count(*) AS n_purchases,
+                max(cents) AS peak_cents,
+                max(peak - cents) AS max_drawdown_cents
+         FROM r GROUP BY 1 ORDER BY user_id""",
+
     // replays TimeSeries.eventsAbLift: salted-hash variant, exact
     // floor-mean-cents conversion, pooled two-proportion z in micro
     "events_ab_lift" ->
@@ -5648,6 +5666,36 @@ object Oracle {
          FROM pairs GROUP BY 1, 2
          HAVING count(*) >= ${ops.Mining.MinSupport}
          ORDER BY seq_support DESC, brand_a, brand_b""",
+
+    // replays Mining.mineSeqTriples: the same capped event frame,
+    // 3-leg ordered self-join, customer-distinct support, top-20
+    "mine_seq_triples" ->
+      s"""WITH capped AS (
+           SELECT o_orderkey, o_custkey, o_orderdate FROM (
+             SELECT o_orderkey, o_custkey, o_orderdate,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                      AS rn
+             FROM orders)
+           WHERE rn <= ${ops.Mining.MaxSeqOrders}),
+         ob AS (SELECT DISTINCT o_custkey AS cust, o_orderkey AS ok,
+                       o_orderdate AS od, p_brand AS brand
+                FROM capped
+                JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN part ON l_partkey = p_partkey),
+         tri AS (SELECT DISTINCT a.cust, a.brand AS brand_a,
+                        b.brand AS brand_b, c.brand AS brand_c
+                 FROM ob a
+                 JOIN ob b ON a.cust = b.cust
+                  AND (a.od < b.od OR (a.od = b.od AND a.ok < b.ok))
+                 JOIN ob c ON b.cust = c.cust
+                  AND (b.od < c.od OR (b.od = c.od AND b.ok < c.ok))
+                 WHERE a.brand <> b.brand AND b.brand <> c.brand
+                   AND a.brand <> c.brand)
+         SELECT brand_a, brand_b, brand_c, count(*) AS seq_support
+         FROM tri GROUP BY 1, 2, 3
+         ORDER BY seq_support DESC, brand_a, brand_b, brand_c
+         LIMIT 20""",
 
     // checks Mining.querySkyline via the INDEPENDENT dominance
     // definition (NOT EXISTS a same-brand dominator) — different

@@ -221,15 +221,16 @@ object Mining {
     * by [[MaxSeqOrders]]² · brands-per-order² per customer; the
     * distinct collapses to (customer, A, B) BEFORE the support count,
     * keeping the final agg linear in distinct triples. */
-  def mineSeqPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+  /** The capped per-customer (order, brand) event frame both sequence
+    * miners walk: first [[MaxSeqOrders]] orders per customer by
+    * (date, orderkey), joined to brands, distinct. */
+  private def seqBrandEvents(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val capped = t.orders
+    t.orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MaxSeqOrders)
-    val ob = capped
       .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .join(t.part.select(col("p_partkey"), col("p_brand")),
@@ -237,6 +238,10 @@ object Mining {
       .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
         col("o_orderdate").as("od"), col("p_brand").as("brand"))
       .distinct()
+  }
+
+  def mineSeqPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ob = seqBrandEvents(Tables(spark, dir))
     val a = ob.select(col("cust"), col("ok").as("ok_a"),
       col("od").as("od_a"), col("brand").as("brand_a"))
     val b = ob.select(col("cust"), col("ok").as("ok_b"),
@@ -250,6 +255,36 @@ object Mining {
       .agg(count(lit(1)).as("seq_support"))
       .filter(col("seq_support") >= MinSupport)
       .orderBy(col("seq_support").desc, col("brand_a"), col("brand_b"))
+  }
+
+  /** 3-step sequential patterns (brand₁ → brand₂ → brand₃ across a
+    * customer's order timeline, all three distinct), top-20 by
+    * support — the depth-3 extension of [[mineSeqPairs]] over the
+    * same capped event frame. The per-customer cap bounds the cubic
+    * candidate surface at ≤ C([[MaxSeqOrders]]·brands-per-order, 3)
+    * however large the corpus; support counts customers, not
+    * occurrences (the DISTINCT before the census), and the global
+    * top-20 is a TakeOrdered heap. */
+  def mineSeqTriples(spark: SparkSession, dir: String): DataFrame = {
+    val ob = seqBrandEvents(Tables(spark, dir))
+    def leg(s: String) = ob.select(col("cust"), col("ok").as(s"ok_$s"),
+      col("od").as(s"od_$s"), col("brand").as(s"brand_$s"))
+    def before(x: String, y: String) =
+      col(s"od_$x") < col(s"od_$y") ||
+        (col(s"od_$x") === col(s"od_$y") &&
+          col(s"ok_$x") < col(s"ok_$y"))
+    leg("a").join(leg("b"), Seq("cust")).filter(before("a", "b"))
+      .join(leg("c"), Seq("cust")).filter(before("b", "c"))
+      .filter(col("brand_a") =!= col("brand_b") &&
+        col("brand_b") =!= col("brand_c") &&
+        col("brand_a") =!= col("brand_c"))
+      .select(col("cust"), col("brand_a"), col("brand_b"),
+        col("brand_c")).distinct()
+      .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
+      .agg(count(lit(1)).as("seq_support"))
+      .orderBy(col("seq_support").desc, col("brand_a"),
+        col("brand_b"), col("brand_c"))
+      .limit(20)
   }
 
   /** Batch MERGE (SCD1): apply a keyed change feed (U/I/D ops) to the

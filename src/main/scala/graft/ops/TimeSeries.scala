@@ -788,6 +788,30 @@ object TimeSeries {
       .select(col("n_converted"), col("median_s"), col("p90_s"))
   }
 
+  /** MAX DRAWDOWN per user purchase series — the largest drop from a
+    * running peak (peakₜ − valueₜ maximized over t), the classic
+    * series-health read applied to spend: a large drawdown is a user
+    * whose purchase size collapsed from its high. Exact integer cents,
+    * running peak via the keyed cumulative-max window (O(1) frame
+    * state), then one per-user reduce — one hash exchange on the
+    * series key at any scale. */
+  def timeseriesDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("peak", max(col("cents")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        max(col("cents")).as("peak_cents"),
+        max(col("peak") - col("cents")).as("max_drawdown_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** A/B EXPERIMENT read — deterministic 50/50 variant assignment by
     * salted user hash (the assignment rule an experimentation platform
     * actually ships: stable, storage-free, replayable), conversion =

@@ -268,6 +268,72 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("seq triples: top-20 matches a full driver-side enumeration, " +
+      "support anti-monotone vs pairs") {
+    val rows = graft.ops.Mining.mineSeqTriples(spark, sfDir).collect()
+    assert(rows.length <= 20)
+    val t = Tables(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ob = t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.ops.Mining.MaxSeqOrders)
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("p_brand")).distinct()
+      .withColumn("o_orderdate",
+        col("o_orderdate").cast("timestamp").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val support = ob.groupBy(_._1).values.flatMap { evs =>
+      val es = evs.map(e => ((e._3, e._2), e._4))
+      (for {
+        a <- es; b <- es if a._1._1 < b._1._1 ||
+          (a._1._1 == b._1._1 && a._1._2 < b._1._2)
+        c <- es if b._1._1 < c._1._1 ||
+          (b._1._1 == c._1._1 && b._1._2 < c._1._2)
+        if a._2 != b._2 && b._2 != c._2 && a._2 != c._2
+      } yield (a._2, b._2, c._2)).distinct
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expTop = support.toSeq
+      .map { case ((a, b, c), s) => (a, b, c, s) }
+      .sortBy(x => (-x._4, x._1, x._2, x._3)).take(20)
+    val got = rows.map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getAs[Long]("seq_support")))
+    assert(got.toSeq == expTop, s"\ngot ${got.take(3).toSeq}…" +
+      s"\nexp ${expTop.take(3)}…")
+  }
+
+  test("drawdown: per-user peak/trough replay exactly in cents") {
+    val rows = graft.ops.TimeSeries.timeseriesDrawdown(spark, sfDir)
+      .collect()
+    val purch = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).cast("long").as("s"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    assert(rows.length == purch.map(_._1).distinct.length)
+    val series = purch.groupBy(_._1)
+    rows.foreach { r =>
+      val vs = series(r.getLong(0)).sortBy(p => (p._3, p._2))
+        .map(_._4)
+      assert(r.getAs[Long]("n_purchases") == vs.length.toLong)
+      assert(r.getAs[Long]("peak_cents") == vs.max)
+      val dd = vs.scanLeft(Long.MinValue)(math.max).tail
+        .zip(vs).map { case (pk, v) => pk - v }.max
+      assert(r.getAs[Long]("max_drawdown_cents") == dd, r.getLong(0))
+    }
+  }
+
   test("star topk: 20 rows, revenue non-increasing, custkey breaks ties") {
     val rows = graft.ops.Relational.sqlStarTopk(spark, sfDir).collect()
     assert(rows.length == 20)
