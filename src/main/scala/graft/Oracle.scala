@@ -2678,6 +2678,26 @@ object Oracle {
                   AS ks_permille
          FROM d""",
 
+    // replays Stats.statsQqTable — nearest-rank deciles per source,
+    // rank-addressed off the per-source sorted window
+    "stats_qq_table" ->
+      """WITH d AS (SELECT source, n_chars, doc_id,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY source)
+                    AS BIGINT) AS n
+           FROM documents WHERE source IN ('src0', 'src1')),
+         dec AS (SELECT s.decile, d.source, d.n_chars
+                 FROM d CROSS JOIN
+                   (SELECT unnest(range(1, 10)) AS decile) s
+                 WHERE d.rn = (s.decile * d.n + 9) // 10),
+         a AS (SELECT decile, n_chars AS q_a FROM dec
+               WHERE source = 'src0'),
+         b AS (SELECT decile, n_chars AS q_b FROM dec
+               WHERE source = 'src1')
+         SELECT decile, q_a, q_b, q_a - q_b AS qq_diff
+         FROM a JOIN b USING (decile) ORDER BY decile""",
+
     // replays Stats.statsEntropy — per-(source, lang) −p·ln p terms
     // micro-rounded before the exact per-source BIGINT sum
     "stats_entropy" ->
@@ -5182,6 +5202,31 @@ object Oracle {
          FROM p
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
          ORDER BY user_id, ts_sec, event_id"""),
+
+    // replays Windows.windowStreaks: break flag off NULL-safe lag
+    // comparison, island id = running break sum, two keyed reduces
+    "window_streaks" ->
+      """WITH p AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS ts_sec,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, event_id, ts_sec, cents,
+                      CASE WHEN cents > lag(cents) OVER
+                        (PARTITION BY user_id ORDER BY ts_sec, event_id)
+                        THEN 0 ELSE 1 END AS brk
+               FROM p),
+         i AS (SELECT user_id,
+                      CAST(sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts_sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS isl
+               FROM f),
+         isle AS (SELECT user_id, isl, count(*) AS len
+                  FROM i GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_purchases,
+                max(len) AS longest_streak,
+                count(*) AS n_streaks
+         FROM isle GROUP BY 1 ORDER BY user_id""",
 
     // replays Windows.windowRollingSlope: exact integer OLS moment
     // sums over the trailing-5 keyed frame, milli slope by integer div

@@ -302,6 +302,37 @@ object Stats {
           .as("ks_permille"))
   }
 
+  /** Q-Q DECILE table between the same two sources [[statsKsTest]]
+    * compares — WHERE the distributions drift, not just how much:
+    * the nine nearest-rank deciles (rank = ceil(i·n/10), exact
+    * integer, no interpolation float) side by side with their
+    * differences. Per-source sorted window over the bounded samples,
+    * a 9-row broadcast rank spine, and a 9-row join — the decile
+    * extraction is rank-addressed, so at scale it is the same
+    * one-sort-per-key shape as every keyed window here. */
+  def statsQqTable(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("source"))))
+    val dec = ranked.crossJoin(broadcast(spark.range(1, 10)
+        .select(col("id").as("decile"))))
+      .filter(col("rn") === expr("(decile * n + 9) div 10"))
+      .select(col("decile"), col("source"), col("n_chars"))
+    val a = dec.filter(col("source") === "src0")
+      .select(col("decile"), col("n_chars").as("q_a"))
+    val b = dec.filter(col("source") === "src1")
+      .select(col("decile"), col("n_chars").as("q_b"))
+    a.join(b, "decile")
+      .select(col("decile"), col("q_a"), col("q_b"),
+        (col("q_a") - col("q_b")).as("qq_diff"))
+      .orderBy(col("decile"))
+  }
+
   /** Shannon entropy of each source's LANGUAGE mix — the diversity
     * monitor a multilingual sampler reads (entropy 0 = monolingual
     * source, ln(L) = uniform). Per-(source, lang) terms

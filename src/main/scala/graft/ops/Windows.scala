@@ -246,6 +246,36 @@ object Windows {
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
   }
 
+  /** GAPS-AND-ISLANDS streak detection — per user purchase series,
+    * the longest run of strictly-increasing purchase amounts (exact
+    * cents): the classic island construction, break flag = NOT
+    * (value > lag), island id = running sum of breaks, then two keyed
+    * reduces (island lengths → per-user max/count). A first row's
+    * NULL lag comparison is null → break, identically in both
+    * engines. All windows are series-keyed with O(1) state; nothing
+    * global anywhere. */
+  def windowStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("brk",
+        when(col("cents") > lag(col("cents"), 1).over(wo), 0L)
+          .otherwise(1L))
+      .withColumn("isl", sum(col("brk")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_purchases"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   /** Trailing OLS trend per customer order series — the rolling
     * "is this account's spend rising" read. Slope over the bounded
     * 5-row frame from EXACT integer moment sums (x = epoch day,

@@ -334,6 +334,58 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("qq table: nine deciles, nearest-rank exact for both samples") {
+    val rows = graft.ops.Stats.statsQqTable(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 9L))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def dec(src: String, i: Long): Long = {
+      val s = docs.filter(_._1 == src).sortBy(d => (d._2, d._3))
+      s(((i * s.length + 9) / 10 - 1).toInt)._2
+    }
+    rows.foreach { r =>
+      val i = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("q_a") == dec("src0", i))
+      assert(r.getAs[Long]("q_b") == dec("src1", i))
+      assert(r.getAs[Long]("qq_diff") ==
+        r.getAs[Long]("q_a") - r.getAs[Long]("q_b"))
+    }
+    // deciles are nondecreasing in i for each sample
+    val qa = rows.map(_.getAs[Long]("q_a"))
+    qa.sliding(2).foreach(w => assert(w(1) >= w(0)))
+  }
+
+  test("streaks: island decomposition replays exactly per user") {
+    val rows = graft.ops.Windows.windowStreaks(spark, sfDir).collect()
+    val purch = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).cast("long").as("s"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    assert(rows.length == purch.map(_._1).distinct.length)
+    val series = purch.groupBy(_._1)
+    rows.foreach { r =>
+      val vs = series(r.getLong(0)).sortBy(p => (p._3, p._2))
+        .map(_._4)
+      val runs = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 0L
+      vs.indices.foreach { i =>
+        if (i == 0 || vs(i) <= vs(i - 1)) {
+          if (cur > 0) runs += cur
+          cur = 1L
+        } else cur += 1
+      }
+      if (cur > 0) runs += cur
+      assert(r.getAs[Long]("n_purchases") == vs.length.toLong)
+      assert(r.getAs[Long]("longest_streak") == runs.max, r.getLong(0))
+      assert(r.getAs[Long]("n_streaks") == runs.length.toLong)
+    }
+  }
+
   test("star topk: 20 rows, revenue non-increasing, custkey breaks ties") {
     val rows = graft.ops.Relational.sqlStarTopk(spark, sfDir).collect()
     assert(rows.length == 20)
