@@ -2160,6 +2160,15 @@ object Oracle {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey""",
 
+    // line-oriented text carries no ids — the census IS the contract
+    "scan_text_roundtrip" ->
+      """SELECT count(*) AS n_lines,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                min(length(text)) AS min_chars,
+                max(length(text)) AS max_chars,
+                count(DISTINCT text) AS n_distinct
+         FROM documents""",
+
     // the partitioned round-trip prunes to lang='en' directories; the
     // oracle is the equivalent plain filter on the originals
     "scan_partitioned_pruned" ->
@@ -3648,6 +3657,30 @@ object Oracle {
          WHERE NOT EXISTS (SELECT 1 FROM e
                            WHERE e.src = c.a AND e.dst = c.b)
          ORDER BY cn DESC, a, b LIMIT 50""",
+
+    // replays GraphXAlgos.adamicAdar — same capped co-purchase chain,
+    // per-neighbor 1e6/ln(deg) micro-rounded before the exact sum
+    "graph_adamic_adar" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+               FROM capped a JOIN capped b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         und AS (SELECT src, dst FROM e
+                 UNION ALL SELECT dst, src FROM e),
+         deg AS (SELECT src AS n, count(*) AS deg FROM und GROUP BY 1),
+         f AS (SELECT und.src AS a, und.dst AS n, deg.deg AS nd
+               FROM und JOIN deg ON deg.n = und.dst
+               WHERE deg.deg <= ${graft.ops.GraphXAlgos.MaxLinkDegree})
+         SELECT f1.a AS a, f2.a AS b, count(*) AS cn,
+                CAST(SUM(CAST(round(1000000.0 / ln(f1.nd)) AS BIGINT))
+                  AS BIGINT) AS aa_micro
+         FROM f f1 JOIN f f2 ON f1.n = f2.n AND f1.a < f2.a
+         GROUP BY 1, 2
+         ORDER BY aa_micro DESC, a, b LIMIT 50""",
 
     // same capped co-purchase replay; Jaccard permille + resource
     // allocation micro in exact integer arithmetic (// == div)

@@ -307,6 +307,27 @@ object GraphXAlgos {
     out
   }
 
+  /** ADAMIC-ADAR link scores over the co-purchase projection — the
+    * textbook 1/ln(deg) hub down-weighting next to
+    * [[nodeSimilarity]]'s rational Resource Allocation: per shared
+    * neighbor z, the term round(1e6 / ln(deg z)) is micro-rounded
+    * BEFORE the per-pair sum (exact BIGINT addition, identical ln
+    * shape both engines — the same discipline that made BM25 and the
+    * entropy ops oracle-able). Shared neighbors connect both ends,
+    * so deg z ≥ 2 and ln never hits zero. Same degree-capped
+    * candidate join as [[linkPredict]]; top-50 by (score, a, b). */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val (_, f) = cappedNeighborsCached(spark, dir)
+    f.join(f.select(col("a").as("b"), col("n")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1000000.0) / log(col("nd"))).cast("long"))
+          .as("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   /** Node similarity over the co-purchase projection — the
     * `nodeSimilarity` API of a graph-DB analytics library — scoring
     * every candidate pair by TWO classic measures in exact integer

@@ -79,6 +79,27 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** Plain-text source: the documents corpus written as raw text
+    * lines (one document per line — the interchange format half the
+    * world's corpora still arrive in) and read back with
+    * `spark.read.text`. Line-oriented text carries no ids, so the
+    * graded output is the corpus census (counts, char mass, length
+    * bounds, distinct lines) the ingest step would log — checked
+    * against the same census on the original column. */
+  def scanTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = materialize(spark, dir, "text") { b =>
+      // coalesce(1): setup-only, same note as the CSV writer above
+      Tables(spark, dir).documents.select(col("text"))
+        .coalesce(1).write.text(s"$b/documents")
+    }
+    spark.read.text(s"$base/documents")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value")).cast("long")).as("total_chars"),
+        min(length(col("value"))).as("min_chars"),
+        max(length(col("value"))).as("max_chars"),
+        count_distinct(col("value")).as("n_distinct"))
+  }
+
   /** Hive-style partitioned layout: documents written
     * `partitionBy("lang")` (one directory per language), read back
     * with a partition-column filter. The scan's `PartitionFilters`

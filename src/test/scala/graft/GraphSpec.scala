@@ -879,6 +879,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("adamic adar: descending, positive, cn consistent with node " +
+      "similarity on shared pairs") {
+    val aa = GraphXAlgos.adamicAdar(spark, sfDir).collect()
+    assert(aa.length == 50)
+    val scores = aa.map(_.getAs[Long]("aa_micro"))
+    assert(scores.forall(_ > 0L))
+    scores.sliding(2).foreach(w => assert(w(1) <= w(0)))
+    // a shared neighbor has degree ≥ 2, so each term ≤ 1e6/ln 2:
+    // score is bounded by cn · round(1e6/ln 2)
+    val cap = math.floor(1000000.0 / math.log(2.0) + 0.5).toLong
+    aa.foreach(r =>
+      assert(r.getAs[Long]("aa_micro") <= r.getAs[Long]("cn") * cap))
+    // cn agrees with node_similarity wherever both surfaces kept the
+    // pair (identical candidate construction)
+    val ns = GraphXAlgos.nodeSimilarity(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("cn")).toMap
+    aa.foreach { r =>
+      ns.get((r.getAs[Long]("a"), r.getAs[Long]("b")))
+        .foreach(c => assert(c == r.getAs[Long]("cn")))
+    }
+  }
+
   test("rich club: N_k/E_k match a driver-side recompute over the " +
       "dedup edges, phi exact permille") {
     val rows = GraphOps.graphRichClub(spark, sfDir).collect()

@@ -98,4 +98,19 @@ class SourceSinkSpec extends SparkSpec {
     assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
       plan.take(3000))
   }
+
+  test("text round-trip census equals the direct column census") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.Sources.scanTextRoundtrip(spark, sfDir)
+      .collect().head
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        min(length(col("text"))), max(length(col("text"))),
+        countDistinct(col("text"))).collect().head
+    assert(r.getAs[Long]("n_lines") == d.getLong(0))
+    assert(r.getAs[Long]("total_chars") == d.getLong(1))
+    assert(r.getAs[Int]("min_chars") == d.getInt(2))
+    assert(r.getAs[Int]("max_chars") == d.getInt(3))
+    assert(r.getAs[Long]("n_distinct") == d.getLong(4))
+  }
 }
