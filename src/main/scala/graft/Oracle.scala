@@ -2616,6 +2616,38 @@ object Oracle {
                   // (SUM(c) * SUM(c)) AS BIGINT) AS gini_micro
          FROM c GROUP BY n_name ORDER BY n_name""",
 
+    // replays TimeSeries.eventsInterArrival: keyed lag gaps, then
+    // exact quantiles off the per-type distinct-gap histogram
+    "events_inter_arrival" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                           date_trunc('second', ts) AS ts_sec
+                    FROM events),
+         g AS (SELECT event_type,
+                      CAST(epoch(ts_sec) AS BIGINT)
+                        - CAST(epoch(prev) AS BIGINT) AS gap_s
+               FROM (SELECT *, lag(ts_sec) OVER
+                       (PARTITION BY user_id, event_type
+                        ORDER BY ts_sec, event_id) AS prev
+                     FROM e)
+               WHERE prev IS NOT NULL),
+         c AS (SELECT event_type, gap_s, count(*) AS c
+               FROM g GROUP BY 1, 2),
+         r AS (SELECT event_type, gap_s, c,
+                      CAST(sum(c) OVER (PARTITION BY event_type
+                        ORDER BY gap_s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum,
+                      CAST(sum(c) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+               FROM c)
+         SELECT event_type, max(n) AS n_gaps,
+                min(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END)
+                  AS median_gap_s,
+                min(CASE WHEN cum >= (9 * (n - 1)) // 10 + 1
+                  THEN gap_s END) AS p90_gap_s,
+                min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+         FROM r GROUP BY 1 ORDER BY event_type""",
+
     // replays TimeSeries.timeseriesDrawdown: cumulative-max window
     // over the cents series, per-user peak-to-trough reduce
     "timeseries_drawdown" ->

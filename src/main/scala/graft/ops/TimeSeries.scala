@@ -788,6 +788,45 @@ object TimeSeries {
       .select(col("n_converted"), col("median_s"), col("p90_s"))
   }
 
+  /** INTER-ARRIVAL census per event type — the cadence read behind
+    * rate limiting and anomaly thresholds: consecutive same-type gaps
+    * within each user stream (lag over the keyed window), then EXACT
+    * lower-median / nearest-rank p90 per type via the distinct-gap
+    * histogram + cumulative rank (the `events_funnel_latency`
+    * discipline: the quantile windows run over the value histogram,
+    * never the raw event stream, so the unbounded frame is
+    * histogram-sized at any scale). All integer seconds. */
+  def eventsInterArrival(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val gaps = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+      .withColumn("prev", lag(col("ts_sec"), 1).over(wo))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (col("ts_sec").cast("long") - col("prev").cast("long"))
+          .as("gap_s"))
+    val cnt = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("gap_s")))
+          .as("median_gap_s"),
+        min(when(col("cum") >= expr("(9 * (n - 1)) div 10 + 1"),
+          col("gap_s"))).as("p90_gap_s"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   /** MAX DRAWDOWN per user purchase series — the largest drop from a
     * running peak (peakₜ − valueₜ maximized over t), the classic
     * series-health read applied to spend: a large drawdown is a user

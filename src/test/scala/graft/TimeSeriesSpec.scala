@@ -573,6 +573,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(med > 0 && med <= p90)
   }
 
+  test("inter arrival: per-type gap quantiles replay exactly from " +
+      "the raw streams") {
+    val rows = TimeSeries.eventsInterArrival(spark, sfDir).collect()
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_trunc("second", col("ts")).cast("long").as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val gapsByType = evs.groupBy(e => (e._1, e._2)).toSeq
+      .flatMap { case ((_, t), es) =>
+        val sorted = es.sortBy(e => (e._4, e._3))
+        sorted.sliding(2).collect {
+          case Array(a, b) => t -> (b._4 - a._4)
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.length == gapsByType.size)
+    rows.foreach { r =>
+      val g = gapsByType(r.getString(0))
+      val n = g.length
+      assert(r.getAs[Long]("n_gaps") == n.toLong)
+      assert(r.getAs[Long]("median_gap_s") == g(((n + 1) / 2 - 1)))
+      assert(r.getAs[Long]("p90_gap_s") == g((9 * (n - 1)) / 10))
+      assert(r.getAs[Long]("min_gap_s") == g.head)
+      assert(r.getAs[Long]("max_gap_s") == g.last)
+    }
+  }
+
   test("ab lift: assignment/conversion/z replay exactly from the raw " +
       "events, variants partition the purchasers") {
     val r = TimeSeries.eventsAbLift(spark, sfDir).collect().head
