@@ -456,6 +456,8 @@ object GraphOps {
 
   def lpaExact(spark: SparkSession, dir: String): DataFrame =
     lpaLabelsCached(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .orderBy(col("label"))
 
   /** Memoized Louvain labeling ([[louvainLabels]] over the shared LPA
     * seed, [[LouvainRounds]] rounds) — `graph_louvain`,

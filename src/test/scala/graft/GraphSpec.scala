@@ -879,6 +879,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("lpa exact registered surface: (label, size) census, vertex " +
+      "mass conserved") {
+    // regression guard: the r10 Louvain-cache refactor briefly turned
+    // this into the raw (id, label) frame — pin the registered shape
+    val rows = GraphOps.lpaExact(spark, sfDir).collect()
+    assert(rows.head.schema.fieldNames.toSeq == Seq("label", "size"))
+    val nVerts = GraphModel.dedupEdgesCached(spark, sfDir)
+      .select(col("src").as("id"))
+      .unionByName(GraphModel.dedupEdgesCached(spark, sfDir)
+        .select(col("dst").as("id")))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("size")).sum == nVerts)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("adamic adar: descending, positive, cn consistent with node " +
       "similarity on shared pairs") {
     val aa = GraphXAlgos.adamicAdar(spark, sfDir).collect()
