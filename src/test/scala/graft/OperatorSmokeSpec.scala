@@ -16,9 +16,21 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
   }
 
+  test("every registered key has a golden schema entry") {
+    val missing = SparkEntry.queries.keySet -- GoldenSchemas.cols.keySet
+    assert(missing.isEmpty,
+      s"regenerate tools/golden_schemas.py for: $missing")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes with rows > 0") {
       val df = fn(spark, sfDir)
+      // golden schema pin: catches silent output-shape regressions
+      // (see GoldenSchemas) before the driver's comparator does
+      GoldenSchemas.cols.get(name).foreach { want =>
+        assert(df.schema.fieldNames.sorted.mkString(",") == want,
+          s"$name schema drifted from golden '$want'")
+      }
       // Nested result columns (array/map/struct) crash the DRIVER's
       // pandas comparator (`sort_values` → "unhashable type:
       // numpy.ndarray" — round-8's embed_quantize_int8 ERROR), so an
