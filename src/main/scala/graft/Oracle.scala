@@ -3583,6 +3583,23 @@ object Oracle {
            ON a.ok = b.ok AND a.pk < b.pk
          GROUP BY 1, 2 ORDER BY src, dst""",
 
+    // replays GraphXAlgos.butterflyCount: the bipartite-projection
+    // pair weights, C(cn, 2) butterflies per pair, top-10
+    "graph_butterfly_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         cn AS (SELECT a.pk AS a, b.pk AS b, count(*) AS cn
+                FROM capped a JOIN capped b
+                  ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2)
+         SELECT a, b, cn,
+                CAST(cn * (cn - 1) // 2 AS BIGINT) AS pair_butterflies
+         FROM cn WHERE cn >= 2
+         ORDER BY pair_butterflies DESC, a, b LIMIT 10""",
+
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered
     // pairs, dedup; then canonical x<y<z triangle enumeration and the

@@ -96,6 +96,26 @@ object GraphXAlgos {
           y => struct(x.as("src"), y.as("dst")))))).as("e"))
       .select(col("e.src"), col("e.dst"))
 
+  /** BUTTERFLY (bipartite 4-cycle) census over the capped order–part
+    * graph — the bipartite cohesion metric (two parts + two orders
+    * both containing both parts = one butterfly; the bipartite
+    * analogue of a triangle). Per part pair with cn ≥ 2 shared
+    * orders, butterflies = C(cn, 2) exactly; top-10 by count. The
+    * wedge surface is the SAME capped per-order pair expansion as the
+    * projection ops (≤ C(32,2) pairs per order whatever the hub
+    * order's true fanout), so the count never goes quadratic in
+    * catalog size. */
+  def butterflyCount(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairsMulti(Tables(spark, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+      .select(col("src").as("a"), col("dst").as("b"), col("cn"),
+        expr("CAST(cn * (cn - 1) div 2 AS BIGINT)")
+          .as("pair_butterflies"))
+      .orderBy(col("pair_butterflies").desc, col("a"), col("b"))
+      .limit(10)
+
   /** Memoized canonical triangle list (x < y < z, one row per
     * triangle) over the co-purchase projection — the 3-way self-join
     * of the bounded pair list. Four keys consume the identical

@@ -879,6 +879,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("butterfly count: C(cn,2) exact off the projection weights, " +
+      "descending top-10") {
+    val rows = GraphXAlgos.butterflyCount(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val weights = GraphXAlgos.bipartiteProject(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("weight"))
+      .toMap
+    rows.foreach { r =>
+      val cn = r.getAs[Long]("cn")
+      assert(cn >= 2)
+      assert(cn == weights((r.getLong(0), r.getLong(1))))
+      assert(r.getAs[Long]("pair_butterflies") == cn * (cn - 1) / 2)
+    }
+    val b = rows.map(_.getAs[Long]("pair_butterflies"))
+    b.sliding(2).foreach(w => assert(w(1) <= w(0)))
+    // the top pair really is the global max over the projection
+    assert(b.head == weights.values.map(c => c * (c - 1) / 2).max)
+  }
+
   test("lpa exact registered surface: (label, size) census, vertex " +
       "mass conserved") {
     // regression guard: the r10 Louvain-cache refactor briefly turned
