@@ -2739,6 +2739,39 @@ object Oracle {
          SELECT decile, q_a, q_b, q_a - q_b AS qq_diff
          FROM a JOIN b USING (decile) ORDER BY decile""",
 
+    // replays Stats.statsBenford — leading cents digit, exact micro
+    // shares, identically-shaped log10 reference
+    "stats_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice
+                      * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                      AS digit
+                    FROM orders),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         SELECT digit, n,
+                CAST((1000000 * n) // total AS BIGINT) AS obs_micro,
+                CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0)
+                  * 1000000.0) AS BIGINT) AS benford_micro
+         FROM c CROSS JOIN t ORDER BY digit""",
+
+    // replays TimeSeries.eventsDauWau — user-day distinct frame, 7-day
+    // range join against the day spine, per-day distinct census
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                         date_trunc('day', ts)) AS BIGINT) AS day
+                     FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         spine AS (SELECT DISTINCT day AS d FROM ud),
+         wau AS (SELECT d, count(DISTINCT user_id) AS wau
+                 FROM spine JOIN ud
+                   ON ud.day BETWEEN spine.d - 6 AND spine.d
+                 GROUP BY 1)
+         SELECT day, dau, wau,
+                CAST((1000 * dau) // wau AS BIGINT)
+                  AS stickiness_permille
+         FROM dau JOIN wau ON d = day ORDER BY day""",
+
     // replays Stats.statsEntropy — per-(source, lang) −p·ln p terms
     // micro-rounded before the exact per-source BIGINT sum
     "stats_entropy" ->
@@ -5284,6 +5317,26 @@ object Oracle {
          FROM p
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
          ORDER BY user_id, ts_sec, event_id"""),
+
+    // replays Windows.windowVolatility: exact integer trailing-5
+    // population variance from the keyed moment-sum window
+    "window_volatility" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           CAST(date_diff('day', DATE '1970-01-01',
+                             o_orderdate) AS BIGINT) AS x,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS y
+                    FROM orders),
+         s AS (SELECT o_custkey, o_orderkey,
+                      count(*) OVER w AS n,
+                      CAST(sum(y) OVER w AS BIGINT) AS sy,
+                      CAST(sum(y * y) OVER w AS BIGINT) AS syy
+               FROM o WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY x, o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT o_custkey, o_orderkey, n,
+                CAST((n * syy - sy * sy) // (n * n) AS BIGINT)
+                  AS var_cents2
+         FROM s ORDER BY o_custkey, o_orderkey""",
 
     // replays Windows.windowStreaks: break flag off NULL-safe lag
     // comparison, island id = running break sum, two keyed reduces

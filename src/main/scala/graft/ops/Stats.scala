@@ -333,6 +333,30 @@ object Stats {
       .orderBy(col("decile"))
   }
 
+  /** BENFORD first-digit census over order totals — the classic
+    * fabricated-numbers screen: natural multiplicative amounts follow
+    * P(d) = log₁₀(1 + 1/d); a flat or spiked digit histogram is a
+    * data-quality red flag. Leading digit via integer cents string
+    * (scale shifts never change the first significant digit), observed
+    * share in exact micro by integer div, the Benford reference in
+    * identically-shaped double micro-rounded. One digit-keyed agg —
+    * the corpus reduces to 9 rows in a single map-side-combined
+    * pass. */
+  def statsBenford(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).orders
+      .select(substring(expr(
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+        1, 1).cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("total"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("CAST((1000000 * n) div total AS BIGINT)").as("obs_micro"),
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+          * lit(1000000.0)).cast(LongType).as("benford_micro"))
+      .orderBy(col("digit"))
+  }
+
   /** Shannon entropy of each source's LANGUAGE mix — the diversity
     * monitor a multilingual sampler reads (entropy 0 = monolingual
     * source, ln(L) = uniform). Per-(source, lang) terms

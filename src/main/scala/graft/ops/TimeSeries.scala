@@ -788,6 +788,35 @@ object TimeSeries {
       .select(col("n_converted"), col("median_s"), col("p90_s"))
   }
 
+  /** DAU / WAU / stickiness — the product-analytics headline: distinct
+    * daily actives, trailing-7-day actives, and their permille ratio
+    * per day. Exact distinct-over-sliding-window via the user-day
+    * frame: one distinct reduce to (user, day), then a bounded 7-row
+    * day-range join against the day spine (each user-day feeds ≤ 7
+    * spine days — linear fanout, never a distinct-merge over raw
+    * events), and per-day count_distinct. Spine = distinct active
+    * days, so state scales with the calendar, not the event volume. */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .distinct()
+      .localCheckpoint(true) // read by the spine and both censuses
+    val dau = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val spine = ud.select(col("day").as("d")).distinct()
+    val wau = spine
+      .join(ud, col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("CAST((1000 * dau) div wau AS BIGINT)")
+          .as("stickiness_permille"))
+      .orderBy(col("day"))
+  }
+
   /** INTER-ARRIVAL census per event type — the cadence read behind
     * rate limiting and anomaly thresholds: consecutive same-type gaps
     * within each user stream (lag over the keyed window), then EXACT

@@ -246,6 +246,31 @@ object Windows {
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
   }
 
+  /** Trailing VOLATILITY per customer order series — the rolling
+    * spend-dispersion read next to [[windowRollingSlope]]'s trend:
+    * exact integer population variance of the bounded 5-row frame,
+    * var = (n·Σy² − (Σy)²) div n² in cents² — same moment-sum
+    * discipline, no float accumulation anywhere, NULL-free (variance
+    * of a 1-row frame is 0, as the formula gives). */
+  def windowVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("x"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast(LongType).as("x"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      .select(col("o_custkey"), col("o_orderkey"), col("n"),
+        expr("CAST((n * syy - sy * sy) div (n * n) AS BIGINT)")
+          .as("var_cents2"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** GAPS-AND-ISLANDS streak detection — per user purchase series,
     * the longest run of strictly-increasing purchase amounts (exact
     * cents): the classic island construction, break flag = NOT

@@ -386,6 +386,54 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("benford: digit census and reference replay exactly, shares " +
+      "sum to ~1e6") {
+    val rows = graft.ops.Stats.statsBenford(spark, sfDir).collect()
+    val digits = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_totalprice")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong
+        .toString.head.asDigit.toLong)
+    val exp = digits.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(rows.map(_.getAs[Long]("digit")).toSet == exp.keySet)
+    val total = digits.length.toLong
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(r.getAs[Long]("n") == exp(d))
+      assert(r.getAs[Long]("obs_micro") == 1000000L * exp(d) / total)
+      val b = math.log(1.0 + 1.0 / d) / math.log(10.0) * 1000000.0
+      assert(r.getAs[Long]("benford_micro") == math.floor(b + 0.5).toLong)
+    }
+    val s = rows.map(_.getAs[Long]("obs_micro")).sum
+    assert(s > 999900L && s <= 1000000L) // floor-div shortfall only
+  }
+
+  test("volatility: trailing-5 exact variance replays per frame, " +
+      "zero on 1-row frames") {
+    val rows = graft.ops.Windows.windowVolatility(spark, sfDir)
+      .collect()
+    val orders = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("x"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val frames = orders.groupBy(_._1).view.mapValues { os =>
+      val s = os.sortBy(o => (o._3, o._2))
+      s.zipWithIndex.map { case ((_, ok, _, _), i) =>
+        ok -> s.slice(math.max(0, i - 4), i + 1).map(_._4)
+      }.toMap
+    }.toMap
+    rows.foreach { r =>
+      val ys = frames(r.getAs[Long]("o_custkey"))(r.getAs[Long]("o_orderkey"))
+      val n = ys.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      val v = (n * ys.map(y => y * y).sum - ys.sum * ys.sum) / (n * n)
+      assert(r.getAs[Long]("var_cents2") == v)
+      if (n == 1) assert(v == 0L)
+    }
+  }
+
   test("star topk: 20 rows, revenue non-increasing, custkey breaks ties") {
     val rows = graft.ops.Relational.sqlStarTopk(spark, sfDir).collect()
     assert(rows.length == 20)

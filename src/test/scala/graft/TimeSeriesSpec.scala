@@ -573,6 +573,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(med > 0 && med <= p90)
   }
 
+  test("dau wau: distinct censuses replay exactly, wau >= dau, " +
+      "stickiness exact") {
+    val rows = TimeSeries.eventsDauWau(spark, sfDir).collect()
+    val ud = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).distinct.sorted
+    assert(rows.map(_.getAs[Long]("day")).toSeq == days.toSeq)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(u => u._2 >= d - 6 && u._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau)
+      assert(r.getAs[Long]("wau") == wau)
+      assert(wau >= dau)
+      assert(r.getAs[Long]("stickiness_permille") == 1000 * dau / wau)
+    }
+  }
+
   test("inter arrival: per-type gap quantiles replay exactly from " +
       "the raw streams") {
     val rows = TimeSeries.eventsInterArrival(spark, sfDir).collect()
