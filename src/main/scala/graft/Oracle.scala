@@ -2582,6 +2582,35 @@ object Oracle {
                        * sqrt(n * syy - sy * sy)), 6) AS corr_qp
          FROM m ORDER BY l_returnflag""",
 
+    // replays Stats.aggSkewKurtosis — same decimal power sums, central
+    // moments in identical double shape, m2^1.5 as m2·sqrt(m2)
+    "agg_skew_kurtosis" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)))
+                    AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(l_quantity * l_quantity
+                    AS DECIMAL(30,4))) AS DOUBLE) AS s2,
+                  CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                    AS DECIMAL(30,4))) AS DOUBLE) AS s3,
+                  CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                    * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT l_returnflag, n, s1 / n AS mu, s1, s2, s3, s4
+               FROM m),
+         mm AS (SELECT l_returnflag, n,
+                       s2 / n - mu * mu AS m2,
+                       s3 / n - 3.0 * mu * (s2 / n)
+                         + 2.0 * mu * mu * mu AS m3,
+                       s4 / n - 4.0 * mu * (s3 / n)
+                         + 6.0 * mu * mu * (s2 / n)
+                         - 3.0 * mu * mu * mu * mu AS m4
+                FROM c)
+         SELECT l_returnflag, n,
+                ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+                ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+         FROM mm ORDER BY l_returnflag""",
+
     // replays Stats.aggWeightedMedian — the RANGE (default) cumulative
     // frame sums peer rows together, making the threshold row
     // independent of tie order
@@ -4401,6 +4430,15 @@ object Oracle {
                      + rank_sem) AS BIGINT), 0) AS rrf_micro
           FROM lexp FULL OUTER JOIN semp USING (doc_id)
           ORDER BY rrf_micro DESC, doc_id LIMIT 10""",
+
+    // replays TextOps.corpusTokenHistogram — power-of-two token-count
+    // buckets via binary-string length (the degree-histogram idiom)
+    "corpus_token_histogram" ->
+      """SELECT source,
+                CAST(1 << (length(bin(len(string_split(text, ' '))))
+                  - 1) AS BIGINT) AS bucket_lo,
+                count(*) AS n_docs
+         FROM documents GROUP BY 1, 2 ORDER BY source, bucket_lo""",
 
     "text_lang_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

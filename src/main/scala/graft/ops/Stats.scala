@@ -51,6 +51,39 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Skewness + excess kurtosis per flag from the same exact power
+    * sums as [[aggStatsMoments]] (Σx..Σx⁴ in DECIMAL, then identical
+    * double central-moment arithmetic both engines). m2^1.5 is written
+    * m2·sqrt(m2) — sqrt is IEEE-correctly-rounded in both engines
+    * where `pow` is not, so the rounded ratios can't drift. */
+  def aggSkewKurtosis(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_quantity").as("x"))
+      .withColumn("x2", col("x") * col("x"))
+      .withColumn("x3", col("x") * col("x") * col("x"))
+      .withColumn("x4", col("x") * col("x") * col("x") * col("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).cast(DoubleType).as("s1"),
+        sum(col("x2").cast(D)).cast(DoubleType).as("s2"),
+        sum(col("x3").cast(D)).cast(DoubleType).as("s3"),
+        sum(col("x4").cast(D)).cast(DoubleType).as("s4"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("mu") * (col("s2") / col("n"))
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("mu") * (col("s3") / col("n"))
+        + lit(6.0) * col("mu") * col("mu") * (col("s2") / col("n"))
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("m3") / (col("m2") * sqrt(col("m2"))), 6)
+          .as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+          .as("kurtosis_excess"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact interpolated percentiles (median, p90) per flag. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem

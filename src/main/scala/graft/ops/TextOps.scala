@@ -1329,6 +1329,23 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Token-length HISTOGRAM per source in power-of-two buckets — the
+    * sequence-length profile a packing/batching planner reads before
+    * fixing a context budget (which sources are short-form, where the
+    * truncation tail starts). Bucket = 2^⌊log₂ n⌋ via binary-string
+    * length (exact integers — no float log at bucket boundaries, the
+    * `graph_degree_histogram` idiom); one keyed agg, histogram-sized
+    * output at any corpus scale. */
+  def corpusTokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .select(col("source"),
+        expr("shiftleft(1L, length(bin(n_tok)) - 1)").as("bucket_lo"))
+      .groupBy(col("source"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("bucket_lo"))
+
   /** TRAIN/VAL SPLIT LEAKAGE audit — the check a pipeline must run
     * between dedup and training: near-duplicate pairs that STRADDLE a
     * train/validation split silently inflate eval scores (the val doc

@@ -434,6 +434,53 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("skew/kurtosis: central moments replay exactly from decimal " +
+      "power sums") {
+    val rows = graft.ops.Stats.aggSkewKurtosis(spark, sfDir).collect()
+    val xs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val v = xs(r.getString(0))
+      val n = v.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      def psum(p: Int): Double =
+        v.map(x => BigDecimal(Seq.fill(p)(x).product) // exact products
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val (s1, s2, s3, s4) = (psum(1), psum(2), psum(3), psum(4))
+      val mu = s1 / n
+      val m2 = s2 / n - mu * mu
+      val m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+      val m4 = s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) -
+        3.0 * mu * mu * mu * mu
+      assert(r.getAs[Double]("skewness") == r6(m3 / (m2 * math.sqrt(m2))))
+      assert(r.getAs[Double]("kurtosis_excess") ==
+        r6(m4 / (m2 * m2) - 3.0))
+    }
+  }
+
+  test("token histogram: power-of-two buckets replay, doc mass " +
+      "conserved per source") {
+    val rows = graft.ops.TextOps.corpusTokenHistogram(spark, sfDir)
+      .collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length))
+    val exp = docs.map { case (s, n) =>
+      (s, java.lang.Long.highestOneBit(n.toLong))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == exp.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getAs[Long]("bucket_lo"))
+      assert((k._2 & (k._2 - 1)) == 0L) // a power of two
+      assert(r.getAs[Long]("n_docs") == exp(k), k)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+  }
+
   test("star topk: 20 rows, revenue non-increasing, custkey breaks ties") {
     val rows = graft.ops.Relational.sqlStarTopk(spark, sfDir).collect()
     assert(rows.length == 20)
