@@ -2748,6 +2748,54 @@ object Oracle {
                   AS ks_permille
          FROM d""",
 
+    // replays Stats.statsMannWhitney — per-value histograms, then
+    // 2·U1 from the histogram cross join (ties at single credit,
+    // greater at double), AUC in exact micro
+    "stats_mannwhitney" ->
+      """WITH d AS (SELECT source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+           FROM documents WHERE source IN ('src0', 'src1')),
+         h AS (SELECT source, v, count(*) AS c FROM d GROUP BY 1, 2),
+         ha AS (SELECT v AS va, c AS ca FROM h WHERE source = 'src0'),
+         hb AS (SELECT v AS vb, c AS cb FROM h WHERE source = 'src1'),
+         u AS (SELECT CAST(COALESCE(sum(
+                  CASE WHEN va > vb THEN 2 * ca * cb
+                       WHEN va = vb THEN ca * cb
+                       ELSE 0 END), 0) AS BIGINT) AS u1_x2
+               FROM ha CROSS JOIN hb),
+         n AS (SELECT CAST((SELECT sum(ca) FROM ha) AS BIGINT) AS n_a,
+                      CAST((SELECT sum(cb) FROM hb) AS BIGINT) AS n_b)
+         SELECT n_a, n_b, u1_x2,
+                CAST(2 * n_a * n_b - u1_x2 AS BIGINT) AS u2_x2,
+                CAST((1000000 * u1_x2) // (2 * n_a * n_b) AS BIGINT)
+                  AS auc_micro
+         FROM u CROSS JOIN n""",
+
+    // replays Stats.statsGiniLorenz — per-nation sorted-rank Gini over
+    // customer lifetime spend (zero-order customers in at 0); Σ i·x
+    // needs HUGEINT/DECIMAL headroom on both engines
+    "stats_gini_lorenz" ->
+      """WITH sp AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+               FROM orders GROUP BY 1),
+         per AS (SELECT n_name, c_custkey, COALESCE(x, 0) AS x
+                 FROM customer
+                 LEFT JOIN sp ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey),
+         r AS (SELECT n_name, x,
+                      CAST(row_number() OVER (PARTITION BY n_name
+                        ORDER BY x, c_custkey) AS BIGINT) AS i
+               FROM per),
+         a AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+                      CAST(sum(x) AS BIGINT) AS total_cents,
+                      sum(i * x) AS six
+               FROM r GROUP BY 1)
+         SELECT n_name, n_cust, total_cents,
+                CAST((1000000 * (2 * six - (n_cust + 1) * total_cents))
+                     // (n_cust * total_cents) AS BIGINT) AS gini_micro
+         FROM a ORDER BY n_name""",
+
     // replays Stats.statsQqTable — nearest-rank deciles per source,
     // rank-addressed off the per-source sorted window
     "stats_qq_table" ->
@@ -2818,6 +2866,61 @@ object Oracle {
                 count(*) AS n_langs,
                 CAST(sum(t_micro) AS BIGINT) AS entropy_micro
          FROM tm GROUP BY 1 ORDER BY source""",
+
+    // replays TimeSeries.eventsCohortLtv — Monday-week cohorts off the
+    // first event of any type, purchase cents per (cohort, age-week),
+    // running sum over the aggregated triangle, per-member ltv by
+    // truncating div
+    "events_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+                  CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+         coh AS MATERIALIZED (
+           SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+         sizes AS (SELECT cohort_week,
+                          CAST(count(*) AS BIGINT) AS cohort_users
+                   FROM coh GROUP BY 1),
+         cells AS (SELECT cohort_week,
+                          CAST(date_diff('day', cohort_week, wk) // 7
+                            AS INT) AS age_week,
+                          CAST(count(DISTINCT ev.user_id) AS BIGINT)
+                            AS n_buyers,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS rev_cents
+                   FROM ev JOIN coh ON ev.user_id = coh.user_id
+                   WHERE event_type = 'purchase'
+                   GROUP BY 1, 2),
+         cum AS (SELECT *, CAST(sum(rev_cents) OVER (
+                     PARTITION BY cohort_week ORDER BY age_week)
+                   AS BIGINT) AS cum_rev_cents
+                 FROM cells)
+         SELECT cohort_week, age_week, cohort_users, n_buyers,
+                rev_cents, cum_rev_cents,
+                CAST(cum_rev_cents // cohort_users AS BIGINT)
+                  AS ltv_cents_per_user
+         FROM cum JOIN sizes USING (cohort_week)
+         ORDER BY cohort_week, age_week""",
+
+    // replays VectorOps.embedDimVariance — floor(x·1e6) micro cells,
+    // exact population variance by one truncating division
+    "embed_dim_variance" ->
+      """WITH cells AS (
+           SELECT p.i - 1 AS pos,
+                  CAST(floor(CAST(embedding[p.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS em
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p),
+         a AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                      sum(em) AS s1, sum(em * em) AS s2,
+                      CAST(min(em) AS BIGINT) AS min_micro,
+                      CAST(max(em) AS BIGINT) AS max_micro
+               FROM cells GROUP BY 1)
+         SELECT CAST(pos AS INT) AS pos, n,
+                CAST(s1 // n AS BIGINT) AS mean_micro,
+                CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT)
+                  AS var_micro2,
+                min_micro, max_micro
+         FROM a ORDER BY pos""",
 
     // replays Stats.statsChi2 — full R×C grid (absent combos at
     // obs = 0), expected in exact centi via integer div, per-cell
@@ -3662,6 +3765,75 @@ object Oracle {
          FROM cn WHERE cn >= 2
          ORDER BY pair_butterflies DESC, a, b LIMIT 10""",
 
+    // replays GraphXAlgos.graphLocalBridges — same capped projection +
+    // canonical triangle enumeration; bridges = edges with no triangle
+    // support (span > 2); CTEs materialized (multi-referenced)
+    "graph_local_bridges" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS MATERIALIZED (
+           SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM capped a JOIN capped b
+             ON a.ok = b.ok AND a.pk < b.pk),
+         tri AS MATERIALIZED (
+           SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+           FROM e e1
+           JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+           JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         sup AS MATERIALIZED (
+           SELECT src, dst, count(*) AS sup FROM (
+             SELECT x AS src, y AS dst FROM tri
+             UNION ALL SELECT x, z FROM tri
+             UNION ALL SELECT y, z FROM tri) GROUP BY 1, 2),
+         und AS (SELECT src, dst FROM e
+                 UNION ALL SELECT dst, src FROM e),
+         deg AS MATERIALIZED (
+           SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+           FROM und GROUP BY 1),
+         se AS MATERIALIZED (
+           SELECT e.src, e.dst,
+                  CAST(COALESCE(sup.sup, 0) AS BIGINT) AS sup
+           FROM e
+           LEFT JOIN sup ON e.src = sup.src AND e.dst = sup.dst),
+         cen AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM se WHERE sup = 0)
+               AS n_bridges)
+         SELECT se.src, se.dst, se.sup, se.sup = 0 AS is_bridge,
+                ds.d AS deg_src, dd.d AS deg_dst,
+                n_edges, n_bridges
+         FROM se JOIN deg ds ON ds.id = se.src
+                 JOIN deg dd ON dd.id = se.dst
+                 CROSS JOIN cen
+         ORDER BY se.sup, se.src, se.dst LIMIT 50""",
+
+    // replays GraphOps.graphNationMixing — supplier→customer trade
+    // edges per lineitem, nation×nation cell census with exact
+    // permille shares
+    "graph_nation_mixing" ->
+      """WITH cells AS (
+           SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                  CAST(count(*) AS BIGINT) AS n_edges
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n_edges) AS BIGINT) AS tot FROM cells)
+         SELECT supp_nation, cust_nation, n_edges,
+                CAST((1000 * n_edges) // tot AS BIGINT)
+                  AS share_permille,
+                supp_nation = cust_nation AS same_nation
+         FROM cells CROSS JOIN t
+         ORDER BY supp_nation, cust_nation""",
+
     // replays GraphXAlgos.copurchasePairs exactly: per order the 32
     // smallest distinct parts (row_number == sorted-slice cap), ordered
     // pairs, dedup; then canonical x<y<z triangle enumeration and the
@@ -4439,6 +4611,47 @@ object Oracle {
                   - 1) AS BIGINT) AS bucket_lo,
                 count(*) AS n_docs
          FROM documents GROUP BY 1, 2 ORDER BY source, bucket_lo""",
+
+    // replays TextOps.corpusGopherFilters — per-doc exact-integer rule
+    // verdicts (token count band, mean-token-length micro band, short
+    // fraction, stopword hits), then the per-source failure census
+    "corpus_gopher_filters" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+                    FROM documents),
+         f AS (SELECT source,
+                      CAST(len(toks) AS BIGINT) AS n_tok,
+                      CAST(list_sum(list_transform(toks,
+                        x -> CAST(len(x) AS BIGINT))) AS BIGINT)
+                        AS sum_len,
+                      CAST(len(list_filter(toks, x -> len(x) <= 2))
+                        AS BIGINT) AS n_short,
+                      CAST(len(list_filter(toks, x -> list_contains(
+                          ['the', 'a', 'of', 'to', 'and', 'in',
+                           'is', 'it'], x))) AS BIGINT) AS n_stop
+               FROM t),
+         v AS (SELECT source,
+                      (n_tok >= 25 AND n_tok <= 500) AS r_count,
+                      ((1000000 * sum_len) // n_tok >= 3900000 AND
+                       (1000000 * sum_len) // n_tok <= 5000000)
+                        AS r_mtl,
+                      ((1000 * n_short) // n_tok <= 300) AS r_short,
+                      (n_stop >= 2) AS r_stop
+               FROM f)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN NOT r_count THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_count,
+                CAST(sum(CASE WHEN NOT r_mtl THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_mtl,
+                CAST(sum(CASE WHEN NOT r_short THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_short,
+                CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fail_stop,
+                CAST(sum(CASE WHEN r_count AND r_mtl AND r_short
+                  AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                CAST((1000 * sum(CASE WHEN r_count AND r_mtl
+                  AND r_short AND r_stop THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS pass_permille
+         FROM v GROUP BY source ORDER BY source""",
 
     "text_lang_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -2673,4 +2673,50 @@ object GraphOps {
     Seq(ew, und, labels).foreach(_.unpersist(false))
     out
   }
+
+  /** ATTRIBUTE MIXING MATRIX — homophily by nation over the
+    * supplier→customer trade edges (every lineitem is one edge from
+    * the shipping supplier's nation to the ordering customer's
+    * nation): per (supplier nation, customer nation) cell the edge
+    * count, its permille share of all edges, and the same-nation
+    * flag whose weighted share IS the homophily index (the
+    * attribute-level companion to `graph_assortativity`'s
+    * degree-level read — "do nations trade with themselves"). Shape:
+    * the fact table joins orders on the orderkey spine (the one real
+    * shuffle), the nation lookups broadcast inside the entity chains
+    * (the entity joins themselves are hint-free — AQE broadcasts them
+    * at bench scale, shuffles them at 100 TB), then ONE keyed agg
+    * collapses everything to ≤ 625 cells; the share division is
+    * integer against the broadcast total. */
+  def graphNationMixing(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cn = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t.nation
+        .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val sn = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t.nation
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cells = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      // no broadcast hint on the customer/supplier chains: they are
+      // O(SF) per-entity tables, over the threshold at 100 TB — AQE
+      // still picks broadcast at bench scale where they are tiny
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(count(lit(1)).as("n_edges"))
+    val tot = cells.agg(sum(col("n_edges")).as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("supp_nation"), col("cust_nation"), col("n_edges"),
+        expr("CAST((1000 * n_edges) div tot AS BIGINT)")
+          .as("share_permille"),
+        (col("supp_nation") === col("cust_nation")).as("same_nation"))
+      .orderBy(col("supp_nation"), col("cust_nation"))
+  }
 }

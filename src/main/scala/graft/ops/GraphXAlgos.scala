@@ -587,4 +587,47 @@ object GraphXAlgos {
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
       .orderBy(col("size"))
   }
+
+  /** LOCAL BRIDGES / WEAKEST TIES — the 50 lowest-triangle-support
+    * edges of the co-purchase projection, support-0 rows flagged as
+    * local bridges (endpoints share NO other common neighbor, span
+    * > 2): Granovetter's weak ties, the edges whose removal lengthens
+    * every alternative path and along which novel information
+    * actually travels. Support comes free from the SAME memoized
+    * canonical triangle list the census/truss keys share — each
+    * (x,y,z) credits its three sides — so the op is one left join +
+    * one TakeOrdered over the bounded pair list; the global
+    * edge/bridge census rides every row via a 1-row broadcast. (The
+    * listing is support-ascending rather than bridges-only because a
+    * dense tiny graph can have zero bridges — the census still
+    * reports that honestly while the frame stays non-empty.) */
+  def graphLocalBridges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairsCached(spark, dir)
+    val tri = trianglesCached(spark, dir)
+    val support = tri.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(tri.select(col("x").as("src"), col("z").as("dst")))
+      .unionAll(tri.select(col("y").as("src"), col("z").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
+    val deg = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val supported = pairs.join(support, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+    val census = pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(supported.filter(col("sup") === 0L)
+        .agg(count(lit(1)).as("n_bridges")))
+    supported
+      .join(deg.select(col("id").as("src"), col("d").as("deg_src")),
+        "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("deg_dst")),
+        "dst")
+      .crossJoin(broadcast(census))
+      .select(col("src"), col("dst"), col("sup"),
+        (col("sup") === 0L).as("is_bridge"),
+        col("deg_src"), col("deg_dst"),
+        col("n_edges"), col("n_bridges"))
+      .orderBy(col("sup"), col("src"), col("dst"))
+      .limit(50)
+  }
 }

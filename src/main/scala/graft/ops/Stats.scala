@@ -450,4 +450,84 @@ object Stats {
         ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** MANN–WHITNEY U — the rank-sum two-sample test between two
+    * sources' document-length (whitespace-token) distributions, the
+    * nonparametric sibling of the KS drift test and the standard "did
+    * this crawl batch shift the length mix" read. Computed WITHOUT a
+    * global rank: both samples collapse to per-value histograms (one
+    * keyed agg each — the distinct token counts, bounded by the value
+    * range, not the corpus), and 2·U₁ = Σ 2·cₐ·c_b·[vₐ>v_b] +
+    * Σ cₐ·c_b·[vₐ=v_b] over the histogram cross join — the same exact
+    * cross-multiplied-counts trick as `stats_ks_test`, doubled so ties
+    * contribute the half-credit without any fraction. The AUC
+    * (common-language effect size) U₁/(nₐ·n_b) follows in exact micro
+    * units. At 100 TB the corpus reduces map-side to two bounded
+    * histograms; the cross join is histogram² and broadcast. */
+  def statsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir).documents
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // histogram-sized; probed three times
+    val ha = h.filter(col("source") === "src0")
+      .select(col("v").as("va"), col("c").as("ca"))
+    val hb = h.filter(col("source") === "src1")
+      .select(col("v").as("vb"), col("c").as("cb"))
+    val u = broadcast(ha).crossJoin(broadcast(hb))
+      .agg(coalesce(sum(
+        when(col("va") > col("vb"), lit(2L) * col("ca") * col("cb"))
+          .when(col("va") === col("vb"), col("ca") * col("cb"))
+          .otherwise(lit(0L))), lit(0L)).as("u1_x2"))
+    val n = ha.agg(sum(col("ca")).as("n_a"))
+      .crossJoin(hb.agg(sum(col("cb")).as("n_b")))
+    u.crossJoin(n)
+      .select(col("n_a"), col("n_b"), col("u1_x2"),
+        (lit(2L) * col("n_a") * col("n_b") - col("u1_x2")).as("u2_x2"),
+        expr("CAST((1000000 * u1_x2) div (2 * n_a * n_b) AS BIGINT)")
+          .as("auc_micro"))
+  }
+
+  /** GINI COEFFICIENT per nation over customer lifetime spend — the
+    * revenue-concentration read (how top-heavy is each market), with
+    * zero-order customers included at spend 0 via the left join. Uses
+    * the sorted-rank identity G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx) on the
+    * per-customer AGGREGATED frame: the rank window is partitioned on
+    * the nation key, so the sort is distributed and the per-group
+    * state is a spill-able sort, never a collect. Ties in x leave
+    * Σ i·xᵢ invariant under any tie order, so the row_number
+    * tie-break (custkey) is determinism-only. Σ i·xᵢ is accumulated
+    * in DECIMAL(38,0) — at 100 TB i ≈ 10⁸ and x ≈ 10⁸ cents per
+    * term, past BIGINT after the 10⁶ micro rescale — and the single
+    * integral division happens once at the end (both engines floor:
+    * the numerator is ≥ 0 by the sorted-order rearrangement
+    * inequality). */
+  def statsGiniLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dec = DecimalType(38, 0)
+    val spend = t.orders.groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("x0"))
+    val per = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        coalesce(col("x0"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("x"), col("c_custkey"))
+    per.select(col("n_name"), col("x"),
+        row_number().over(w).cast(LongType).as("i"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("x").cast(dec)).as("tot"),
+        sum((col("i") * col("x")).cast(dec)).as("six"))
+      .select(col("n_name"), col("n_cust"),
+        col("tot").cast(LongType).as("total_cents"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+                      * (2 * six - (n_cust + 1) * tot))
+                     div (n_cust * tot) AS BIGINT)""").as("gini_micro"))
+      .orderBy(col("n_name"))
+  }
 }

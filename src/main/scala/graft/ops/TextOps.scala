@@ -1439,4 +1439,56 @@ object TextOps {
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"), col("bm25_micro"), col("n_terms_hit"))
+
+  /** GOPHER-STYLE heuristic quality gate — the rule battery the
+    * classic pretraining pipelines run before any model-based filter,
+    * as a per-source census: token count in [25, 500], mean token
+    * length in [3.9, 5.0] (exact micro via one integral division per
+    * doc), short-token (≤ 2 chars) fraction ≤ 300‰, and ≥ 2 stopword
+    * hits (the "real prose" signal). Every rule is exact integer
+    * arithmetic on the whitespace tokens, so the verdicts replay
+    * bit-for-bit; the census reports per-source per-rule failure
+    * counts plus the all-rules pass rate — which rule is doing the
+    * rejecting is the tuning read, not just how much survived. Scale:
+    * per-doc map work + ONE source-keyed agg; nothing joins. */
+  def corpusGopherFilters(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val perDoc = Tables(spark, dir).documents
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"),
+        size(col("t")).cast(LongType).as("n_tok"),
+        aggregate(transform(col("t"), x => length(x).cast(LongType)),
+          lit(0L), (acc, x) => acc + x).as("sum_len"),
+        size(filter(col("t"), x => length(x) <= 2))
+          .cast(LongType).as("n_short"),
+        size(filter(col("t"), x => array_contains(stopArr, x)))
+          .cast(LongType).as("n_stop"))
+      .select(col("source"), col("n_tok"),
+        expr("CAST((1000000 * sum_len) div n_tok AS BIGINT)")
+          .as("mtl_micro"),
+        expr("CAST((1000 * n_short) div n_tok AS BIGINT)")
+          .as("short_permille"),
+        col("n_stop"))
+      .select(col("source"),
+        (col("n_tok") >= 25 && col("n_tok") <= 500).as("r_count"),
+        (col("mtl_micro") >= 3900000L && col("mtl_micro") <= 5000000L)
+          .as("r_mtl"),
+        (col("short_permille") <= 300L).as("r_short"),
+        (col("n_stop") >= 2L).as("r_stop"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r_count"), 1L).otherwise(0L)).as("fail_count"),
+        sum(when(!col("r_mtl"), 1L).otherwise(0L)).as("fail_mtl"),
+        sum(when(!col("r_short"), 1L).otherwise(0L)).as("fail_short"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(col("r_count") && col("r_mtl") && col("r_short")
+          && col("r_stop"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("source"), col("n_docs"), col("fail_count"),
+        col("fail_mtl"), col("fail_short"), col("fail_stop"),
+        col("n_pass"),
+        expr("CAST((1000 * n_pass) div n_docs AS BIGINT)")
+          .as("pass_permille"))
+      .orderBy(col("source"))
+  }
 }

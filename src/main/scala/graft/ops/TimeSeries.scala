@@ -920,4 +920,41 @@ object TimeSeries {
             * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
           * lit(1000000.0)).cast("long").as("z_micro"))
   }
+
+  /** COHORT LTV CURVE — cumulative purchase revenue per signup-week
+    * cohort by account-age week, normalized per cohort member: the
+    * "how much is a week-N user worth by week K" table every
+    * growth/payback model reads, and the revenue-weighted sibling of
+    * [[eventsRetentionCohort]]'s headcount triangle. Cohort = the
+    * Monday week of the user's FIRST event of any type; revenue in
+    * exact cents. Shape: one user-keyed min (the cohort frame), one
+    * join back, one (cohort, age) keyed agg — the triangle is
+    * weeks² rows — then the running sum is a window over that
+    * AGGREGATED frame and the per-user normalization one integral
+    * division against the cohort headcount. */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+    val coh = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val sizes = coh.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(coh, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("cohort_users"),
+        col("n_buyers"), col("rev_cents"), col("cum_rev_cents"),
+        expr("CAST(cum_rev_cents div cohort_users AS BIGINT)")
+          .as("ltv_cents_per_user"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
 }

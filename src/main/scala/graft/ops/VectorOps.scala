@@ -1247,4 +1247,35 @@ object VectorOps {
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(10)
   }
+
+  /** PER-DIMENSION moment census over the embedding matrix — which
+    * coordinates carry signal and which are dead: per position the
+    * exact-integer mean, population variance, and min/max of the
+    * floor(x·1e6) micro cells (the same cells the PCA power iteration
+    * reads — this is its cheap screening pre-read, and the variance
+    * ranking is what an index builder uses to order PQ subspaces or
+    * prune dimensions). Sums accumulate in DECIMAL(38,0): at 10⁹
+    * vectors Σx² ≈ 10⁹·10¹² is past BIGINT; the variance is then ONE
+    * integral division (n·Σx² − (Σx)²) div n² so both engines
+    * truncate the same value. Shape: one posexplode + one 64-key agg — map-side
+    * combinable, constant output. */
+  def embedDimVariance(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    Tables(spark, dir).embeddings
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .toDF("pos", "x")
+      .select(col("pos"), floor(col("x") * lit(1000000.0)).as("em"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("em").cast(dec)).as("s1"),
+        sum((col("em") * col("em")).cast(dec)).as("s2"),
+        min(col("em")).as("min_micro"),
+        max(col("em")).as("max_micro"))
+      .select(col("pos"), col("n"),
+        expr("CAST(s1 div n AS BIGINT)").as("mean_micro"),
+        expr("CAST((n * s2 - s1 * s1) div (n * n) AS BIGINT)")
+          .as("var_micro2"),
+        col("min_micro"), col("max_micro"))
+      .orderBy(col("pos"))
+  }
 }

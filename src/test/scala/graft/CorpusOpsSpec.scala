@@ -404,4 +404,39 @@ class CorpusOpsSpec extends SparkSpec {
         r.getAs[Int]("rank_lex") == 1)
       .foreach(r => assert(r.getAs[Long]("doc_id") == bmTop))
   }
+
+  test("gopher filters: census matches the per-doc rule recompute") {
+    val rows = TextOps.corpusGopherFilters(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "it")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val verdicts = docs.map { case (src, text) =>
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val mtl = 1000000L * t.map(_.length.toLong).sum / n
+      val short = 1000L * t.count(_.length <= 2) / n
+      val nStop = t.count(stop).toLong
+      (src, n >= 25 && n <= 500, mtl >= 3900000L && mtl <= 5000000L,
+        short <= 300L, nStop >= 2L)
+    }
+    verdicts.groupBy(_._1).foreach { case (src, vs) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == vs.length.toLong)
+      assert(r.getAs[Long]("fail_count") == vs.count(!_._2).toLong)
+      assert(r.getAs[Long]("fail_mtl") == vs.count(!_._3).toLong)
+      assert(r.getAs[Long]("fail_short") == vs.count(!_._4).toLong)
+      assert(r.getAs[Long]("fail_stop") == vs.count(!_._5).toLong)
+      val nPass = vs.count(v => v._2 && v._3 && v._4 && v._5).toLong
+      assert(r.getAs[Long]("n_pass") == nPass)
+      assert(r.getAs[Long]("pass_permille") == 1000L * nPass / vs.length)
+    }
+    // the battery must actually discriminate at this corpus: some doc
+    // fails somewhere, most pass overall
+    val all = rows.values.toSeq
+    assert(all.map(_.getAs[Long]("n_pass")).sum <
+      all.map(_.getAs[Long]("n_docs")).sum)
+    assert(all.map(_.getAs[Long]("n_pass")).sum > 0L)
+  }
 }

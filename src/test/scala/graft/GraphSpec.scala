@@ -1132,4 +1132,45 @@ class GraphSpec extends SparkSpec {
         s"census scc $s ($n members) missing/mismatched in condensation")
     }
   }
+
+  test("local bridges: support equals the common-neighbor count, " +
+      "bridge flag = zero support, census exact") {
+    val rows = GraphXAlgos.graphLocalBridges(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = GraphXAlgos.copurchasePairsCached(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def common(u: Long, v: Long) = (adj(u) & adj(v)).size.toLong
+    val trueBridges = pairs.count(p => common(p._1, p._2) == 0L).toLong
+    rows.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      assert(r.getAs[Long]("sup") == common(u, v), s"($u,$v)")
+      assert(r.getAs[Boolean]("is_bridge") == (r.getAs[Long]("sup") == 0L))
+      assert(r.getAs[Long]("deg_src") == adj(u).size.toLong)
+      assert(r.getAs[Long]("deg_dst") == adj(v).size.toLong)
+      assert(r.getAs[Long]("n_edges") == pairs.length.toLong)
+      assert(r.getAs[Long]("n_bridges") == trueBridges)
+    }
+    // support-ascending listing: the reported rows are the global
+    // minimum-support prefix
+    val sups = rows.map(_.getAs[Long]("sup"))
+    assert(sups.zip(sups.tail).forall { case (a, b) => a <= b })
+    val allSups = pairs.map(p => common(p._1, p._2)).sorted
+    assert(sups.toSeq == allSups.take(rows.length).toSeq)
+  }
+
+  test("nation mixing: cells sum to the lineitem count, shares to " +
+      "~1000 permille, same_nation flag consistent") {
+    val rows = GraphOps.graphNationMixing(spark, sfDir).collect()
+    val nLi = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_edges")).sum == nLi)
+    val shares = rows.map(_.getAs[Long]("share_permille"))
+    // integer-truncated shares undershoot by < 1 permille per cell
+    assert(shares.sum <= 1000L && shares.sum >= 1000L - rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("same_nation") ==
+        (r.getString(0) == r.getString(1)))
+    }
+  }
 }

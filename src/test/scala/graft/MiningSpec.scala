@@ -487,4 +487,54 @@ class MiningSpec extends SparkSpec {
     val rev = rows.map(_.getAs[Double]("revenue"))
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
   }
+
+  test("mann-whitney: 2U1 matches the brute-force pairwise count and " +
+      "U1 + U2 = 2·na·nb") {
+    val r = graft.ops.Stats.statsMannWhitney(spark, sfDir).collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = docs.filter(_._1 == "src0").map(_._2)
+    val b = docs.filter(_._1 == "src1").map(_._2)
+    val u1x2 = (for (x <- a; y <- b) yield
+      if (x > y) 2L else if (x == y) 1L else 0L).sum
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    assert(r.getAs[Long]("u1_x2") == u1x2)
+    assert(r.getAs[Long]("u1_x2") + r.getAs[Long]("u2_x2") ==
+      2L * a.length * b.length)
+    assert(r.getAs[Long]("auc_micro") ==
+      1000000L * u1x2 / (2L * a.length * b.length))
+  }
+
+  test("gini: per-nation coefficient matches the sorted-rank recompute " +
+      "and sits in [0, 1e6)") {
+    val rows = graft.ops.Stats.statsGiniLorenz(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val t = Tables(spark, sfDir)
+    val spend = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byNation = t.customer
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(p => spend.getOrElse(p._2, 0L)).sorted).toMap
+    rows.foreach { r =>
+      val xs = byNation(r.getString(0))
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x }.sum
+      val g = (BigInt(1000000) * (2 * six - BigInt(n + 1) * tot) /
+        (BigInt(n) * tot)).toLong
+      assert(r.getAs[Long]("n_cust") == n)
+      assert(r.getAs[Long]("total_cents") == tot)
+      assert(r.getAs[Long]("gini_micro") == g, r.getString(0))
+      assert(g >= 0L && g < 1000000L)
+    }
+  }
 }

@@ -658,4 +658,31 @@ class TimeSeriesSpec extends SparkSpec {
       else -math.floor(-z + 0.5).toLong
     assert(r.getAs[Long]("z_micro") == zMicro)
   }
+
+  test("cohort ltv: cumulative revenue monotone per cohort, ltv = " +
+      "cum div members, buyers bounded by cohort size") {
+    val rows = TimeSeries.eventsCohortLtv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+      val byAge = rs.sortBy(_.getAs[Int]("age_week"))
+      val cum = byAge.map(_.getAs[Long]("cum_rev_cents"))
+      assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+      // running sum reconstructs from the per-age cells
+      assert(cum.last == byAge.map(_.getAs[Long]("rev_cents")).sum)
+      byAge.foreach { r =>
+        assert(r.getAs[Long]("n_buyers") <=
+          r.getAs[Long]("cohort_users"))
+        assert(r.getAs[Long]("ltv_cents_per_user") ==
+          r.getAs[Long]("cum_rev_cents") /
+            r.getAs[Long]("cohort_users"))
+        assert(r.getAs[Int]("age_week") >= 0)
+      }
+    }
+    // cohort sizes partition the user universe
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id")).distinct().count()
+    val sizes = rows.groupBy(_.getDate(0)).view
+      .mapValues(_.head.getAs[Long]("cohort_users")).values.sum
+    assert(sizes <= nUsers)
+  }
 }

@@ -537,4 +537,27 @@ class VectorSpec extends SparkSpec {
       assert(got.getAs[Long]("dist2_micro") == best._1, s"label $l")
     }
   }
+
+  test("dim variance: 64 rows, exact moments match the direct " +
+      "recompute, variance non-negative") {
+    val rows = VectorOps.embedDimVariance(spark, sfDir).collect()
+    assert(rows.length == 64)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    val n = vecs.length.toLong
+    rows.foreach { r =>
+      val pos = r.getInt(0)
+      val ems = vecs.map(v => math.floor(v(pos) * 1000000.0).toLong)
+      val s1 = ems.map(BigInt(_)).sum
+      val s2 = ems.map(e => BigInt(e) * e).sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("mean_micro") == (s1 / n).toLong)
+      val v = (BigInt(n) * s2 - s1 * s1) / (BigInt(n) * n)
+      assert(r.getAs[Long]("var_micro2") == v.toLong, s"pos $pos")
+      assert(v >= 0)
+      assert(r.getAs[Long]("min_micro") == ems.min)
+      assert(r.getAs[Long]("max_micro") == ems.max)
+    }
+  }
 }
