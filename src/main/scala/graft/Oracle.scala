@@ -2128,6 +2128,32 @@ object Oracle {
           FROM e JOIN nb ON e.label = nb.label, probe)
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** Shared 1-bit code replay (floor-micro cells, per-dim truncating
+    * mean threshold, shifted-sum packing into two BIGINT words) —
+    * mirrors [[graft.ops.VectorOps.binaryCodes]]; shared by the
+    * quantize and hamming-recall entries. */
+  private val BinaryCodesCtes =
+    """cells AS MATERIALIZED (
+          SELECT e.vec_id, e.label, p.i - 1 AS pos,
+                 CAST(floor(CAST(e.embedding[p.i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS em
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p),
+        mu AS (SELECT pos, CAST(sum(em) // count(*) AS BIGINT) AS mu
+               FROM cells GROUP BY 1),
+        bits AS (SELECT vec_id, label, pos,
+                        CASE WHEN em > mu THEN CAST(1 AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END AS bit
+                 FROM cells JOIN mu USING (pos)),
+        codes AS MATERIALIZED (
+          SELECT vec_id, label,
+                 CAST(sum(CASE WHEN pos < 32 THEN bit << pos
+                               ELSE 0 END) AS BIGINT) AS code_lo,
+                 CAST(sum(CASE WHEN pos >= 32 THEN bit << (pos - 32)
+                               ELSE 0 END) AS BIGINT) AS code_hi,
+                 CAST(sum(bit) AS BIGINT) AS n_ones
+          FROM bits GROUP BY 1, 2)"""
+
   val sql: Map[String, String] = Map(
     // lineitem has no unique key (dup (l_orderkey,l_linenumber) pairs) →
     // ORDER BY ALL output columns, matching the Spark side's totalOrder.
@@ -2315,6 +2341,21 @@ object Oracle {
     // the bucketed variant must produce the IDENTICAL result to the
     // plain theta join — the buckets are a join-strategy detail the
     // exact re-filter erases, so the oracle is the same range join
+    // replays Relational.joinLateralTopk — DuckDB runs the same
+    // LATERAL text natively
+    "join_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+         FROM customer c
+         JOIN LATERAL (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS price_cents
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY price_cents DESC, o_orderkey
+           LIMIT 2) t ON true
+         ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""",
+
     "join_range_bucketed" ->
       s"""SELECT bracket, count(*) AS n_lines,
                  ${sqlSum2("l_extendedprice")} AS sum_price
@@ -2435,6 +2476,26 @@ object Oracle {
           FROM lineitem
           GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+
+    // replays Aggregations.aggBitmapDistinct — OR-aggregated 32-bit
+    // chunks, distinct = sum of popcounts, exact twin side by side
+    "agg_bitmap_distinct" ->
+      """WITH ch AS (SELECT event_type, user_id // 32 AS bkt,
+                  bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+                    AS bits
+           FROM events GROUP BY 1, 2),
+         bm AS (SELECT event_type,
+                       CAST(sum(bit_count(bits)) AS BIGINT)
+                         AS n_users_bitmap,
+                       CAST(count(*) AS BIGINT) AS n_chunks
+                FROM ch GROUP BY 1),
+         ex AS (SELECT event_type,
+                       count(DISTINCT user_id) AS n_users_exact
+                FROM events GROUP BY 1)
+         SELECT event_type, n_users_bitmap, n_users_exact, n_chunks,
+                n_users_bitmap = n_users_exact AS agree
+         FROM bm JOIN ex USING (event_type)
+         ORDER BY event_type""",
 
     "agg_count_distinct" ->
       """SELECT l_returnflag,
@@ -2955,6 +3016,67 @@ object Oracle {
     // replays Stats.statsLinreg — integer OLS over the pre-reduced
     // (brand, year-index) frame; the intercept reuses the
     // already-truncated slope so both engines round identically
+    // replays Stats.statsTheilSen — pairwise slopes off the same
+    // (brand, year) frame as the OLS oracle, lower median
+    // rank-addressed per brand
+    "stats_theil_sen" ->
+      """WITH yearly AS MATERIALIZED (
+           SELECT p_brand, CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         sl AS (SELECT a.p_brand, a.x AS xa, b.x AS xb,
+                       CAST((1000 * (b.y - a.y)) // (b.x - a.x)
+                         AS BIGINT) AS slope_milli
+                FROM yearly a JOIN yearly b
+                  ON a.p_brand = b.p_brand AND a.x < b.x),
+         r AS (SELECT p_brand, slope_milli,
+                      row_number() OVER (PARTITION BY p_brand
+                        ORDER BY slope_milli, xa, xb) AS rk,
+                      CAST(count(*) OVER (PARTITION BY p_brand)
+                        AS BIGINT) AS np
+               FROM sl)
+         SELECT p_brand, np AS n_pairs,
+                slope_milli AS ts_slope_milli
+         FROM r WHERE rk = (np + 1) // 2
+         ORDER BY p_brand""",
+
+    // replays Stats.statsBootstrapCi — Poissonized bootstrap with the
+    // md5Hash60 micro draw; cutoffs mirror Stats.BootCuts literally
+    "stats_bootstrap_ci" ->
+      s"""WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         r AS (SELECT o_orderkey, cents, b
+               FROM o CROSS JOIN (SELECT unnest(range(1, 17)) AS b)),
+         u AS (SELECT b, cents,
+                      ${md5Hash60Sql("'graft-boot:' || CAST(b AS VARCHAR)" +
+                        " || ':' || CAST(o_orderkey AS VARCHAR)")}
+                        % 1000000 AS u
+               FROM r),
+         w AS (SELECT b, cents,
+                      CASE WHEN u < 367879 THEN 0
+                           WHEN u < 735759 THEN 1
+                           WHEN u < 919699 THEN 2
+                           WHEN u < 981012 THEN 3
+                           ELSE 4 END AS w
+               FROM u),
+         m AS (SELECT b, CAST(sum(w * cents) // nullif(sum(w), 0)
+                  AS BIGINT) AS mean_cents
+               FROM w GROUP BY b),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                      CAST(sum(cents) // count(*) AS BIGINT)
+                        AS mean_cents
+               FROM o)
+         SELECT n_orders, s.mean_cents,
+                CAST(count(*) AS BIGINT) AS n_replicates,
+                CAST(min(m.mean_cents) AS BIGINT) AS boot_lo_cents,
+                CAST(max(m.mean_cents) AS BIGINT) AS boot_hi_cents
+         FROM s, m GROUP BY 1, 2""",
+
     "stats_linreg" ->
       """WITH yearly AS (
            SELECT p_brand, CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
@@ -3649,6 +3771,25 @@ object Oracle {
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree
     // pairs make Pearson's r a pure rational — exact micro-units via
     // the same remainder-subtraction floor division
+    // replays GraphOps.graphDegreeCentralization — Freeman index off
+    // the same ded/deg frames as assortativity, HUGEINT headroom
+    "graph_degree_centralization" ->
+      s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         deg AS (SELECT id, count(*) AS d FROM
+                   (SELECT src AS id FROM ded
+                    UNION ALL SELECT dst FROM ded)
+                 GROUP BY id),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(max(d) AS HUGEINT) AS dmax,
+                      CAST(sum(d) AS HUGEINT) AS sd FROM deg)
+         SELECT CAST(n AS BIGINT) AS n_vertices,
+                CAST(dmax AS BIGINT) AS max_degree,
+                CAST(n * dmax - sd AS BIGINT) AS deg_gap_sum,
+                CAST((1000000 * (n * dmax - sd))
+                     // ((n - 1) * (n - 2)) AS BIGINT) AS central_micro
+         FROM m""",
+
     "graph_assortativity" ->
       s"""WITH $EdgesCte,
          ded AS (SELECT DISTINCT src, dst FROM edges),
@@ -4970,6 +5111,48 @@ object Oracle {
                  min(doc_id) AS first_doc, max(doc_id) AS last_doc
           FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
 
+    // replays TextOps.corpusPackBestfit — per-shard (tokens DESC, id)
+    // item list, first-fit-decreasing fold via list_reduce (acc seeds
+    // itself from the first 1-element item, matching Spark's
+    // empty-array aggregate init)
+    "corpus_pack_bestfit" -> {
+      val c = graft.ops.TextOps.PackCapacity
+      s"""WITH it AS (SELECT doc_id,
+                  md5('graft-shuffle:' || CAST(doc_id AS VARCHAR))
+                    AS skey,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+          sh AS (SELECT CAST(strpos('0123456789abcdef',
+                     substr(skey, 1, 1)) - 1 AS INT) AS shard_id,
+                   doc_id, n_tok
+                 FROM it),
+          ag AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                        list(n_tok ORDER BY n_tok DESC, doc_id) AS ns
+                 FROM sh GROUP BY 1),
+          ffd AS (SELECT shard_id, n_docs, total_tokens,
+                    list_reduce(list_transform(ns, x -> [x]),
+                      (acc, x) -> CASE
+                        WHEN len(list_filter(acc,
+                               b -> b + x[1] <= $c)) > 0
+                        THEN list_transform(acc, (b, i) ->
+                          CASE WHEN i = list_filter(
+                                 range(1, len(acc) + 1),
+                                 j -> acc[j] + x[1] <= $c)[1]
+                               THEN b + x[1] ELSE b END)
+                        ELSE list_append(acc, x[1]) END) AS bins
+                  FROM ag)
+          SELECT shard_id, n_docs, total_tokens,
+                 CAST(len(bins) AS BIGINT) AS bins_ffd,
+                 CAST((total_tokens + ${c - 1}) // $c AS BIGINT)
+                   AS bins_lb,
+                 CAST((1000 * (CAST(len(bins) AS BIGINT) * $c
+                        - total_tokens))
+                      // (CAST(len(bins) AS BIGINT) * $c) AS BIGINT)
+                   AS waste_permille
+          FROM ffd ORDER BY shard_id"""
+    },
+
     // the three curation stages composed: quality band → exact dedup
     // (no-op on this dup-free corpus, but replayed identically) →
     // per-language packing
@@ -5119,6 +5302,30 @@ object Oracle {
                  ORDER BY dot_i8 DESC, vec_id LIMIT 10),
           exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
           ann AS (SELECT vec_id AS a_id FROM i8)
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
+
+    // replays VectorOps.embedQuantizeBinary — shared 1-bit code CTEs
+    "embed_quantize_binary" ->
+      s"""WITH $BinaryCodesCtes
+          SELECT vec_id, label, code_lo, code_hi, n_ones
+          FROM codes ORDER BY vec_id""",
+
+    // replays VectorOps.embedRecallBinary — hamming = xor + popcount
+    // over the two packed words, same overlap metric as the int8 eval
+    "embed_recall_binary" ->
+      s"""WITH $BinaryCodesCtes,
+          p AS (SELECT code_lo AS plo, code_hi AS phi
+                FROM codes WHERE vec_id = 0),
+          hm AS (SELECT vec_id,
+                   CAST(bit_count(xor(code_lo, plo))
+                      + bit_count(xor(code_hi, phi)) AS BIGINT)
+                     AS hamming
+                 FROM codes CROSS JOIN p
+                 ORDER BY hamming, vec_id LIMIT 10),
+          exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM hm)
           SELECT count(*) AS k, count(a_id) AS hits,
                  (count(a_id) * 1000) // count(*) AS recall_permille
           FROM exact LEFT JOIN ann ON vec_id = a_id""",
@@ -5462,6 +5669,23 @@ object Oracle {
            AND (valid_to IS NULL
                 OR valid_to > TIMESTAMP '2024-01-16 00:00:00')
          ORDER BY user_id""",
+
+    // replays TimeSeries.scd2MergeIncremental — the merge's contract
+    // IS rebuild equivalence, so the oracle is the full-range rebuild
+    // (same SQL as scd2_history)
+    "scd2_merge_incremental" ->
+      """SELECT user_id, event_id,
+                date_trunc('second', ts) AS valid_from,
+                lead(date_trunc('second', ts), 1) OVER (
+                  PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts), event_id) AS valid_to,
+                value,
+                lead(date_trunc('second', ts), 1) OVER (
+                  PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts), event_id) IS NULL
+                  AS is_current
+         FROM events
+         ORDER BY user_id, valid_from, event_id""",
 
     "scd2_history" ->
       """SELECT user_id, event_id,

@@ -213,4 +213,38 @@ object Aggregations {
           .as("sum_all_micro"))
       .orderBy(col("label"))
   }
+
+  /** BITMAP DISTINCT — exact distinct-user counts per event type via
+    * OR-aggregated bitmap chunks (the bitmap-index / roaring trick):
+    * user u sets bit u mod 32 of chunk u div 32, chunks combine with
+    * the `bit_or` aggregate (map-side combinable, commutative), and
+    * the distinct count is Σ popcount — EXACT like count(DISTINCT)
+    * but with two ordinary hash aggregations instead of a
+    * distinct-expand shuffle of raw ids: per-type state is
+    * (#chunks ≈ maxid/32) longs, not #users ids, and chunk rows merge
+    * associatively so skewed types cost the same as uniform ones.
+    * 32-bit chunks because a 63-bit shift overflows DuckDB's checked
+    * BIGINT — the replay stays engine-neutral. Both counts emitted;
+    * their equality is the operator's own proof. */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("user_id div 32").as("bkt"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+          .as("bit"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(expr("bit_or(bit)").as("bits"))
+    val exact = Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    chunks.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bits)")).cast("long")
+          .as("n_users_bitmap"),
+        count(lit(1)).as("n_chunks"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_users_bitmap"),
+        col("n_users_exact"), col("n_chunks"),
+        (col("n_users_bitmap") === col("n_users_exact")).as("agree"))
+      .orderBy(col("event_type"))
+  }
 }

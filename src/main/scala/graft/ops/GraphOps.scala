@@ -2674,6 +2674,27 @@ object GraphOps {
     out
   }
 
+  /** FREEMAN DEGREE CENTRALIZATION — how star-like the whole graph is
+    * on one row: C = Σ_v (d_max − d_v) / ((n−1)(n−2)), 0 for a
+    * regular graph, 1 for a perfect star; the network-LEVEL summary
+    * next to the per-vertex centralities. Exact micro via one
+    * identity (Σ(d_max − d) = n·d_max − Σd), so the whole read is the
+    * shared undirected degree frame + ONE scalar aggregate — the
+    * numerator product goes through DECIMAL(38,0) because n·d_max·10⁶
+    * passes BIGINT at 10⁹ vertices. */
+  def graphDegreeCentralization(spark: SparkSession, dir: String)
+      : DataFrame =
+    undDegreesOf(GraphModel.dedupEdgesCached(spark, dir))
+      .agg(count(lit(1)).as("n_vertices"),
+        max(col("d")).as("max_degree"),
+        sum(col("d")).as("sum_deg"))
+      .select(col("n_vertices"), col("max_degree"),
+        expr("n_vertices * max_degree - sum_deg").as("deg_gap_sum"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+                 * (n_vertices * max_degree - sum_deg))
+                div ((n_vertices - 1) * (n_vertices - 2))
+                AS BIGINT)""").as("central_micro"))
+
   /** ATTRIBUTE MIXING MATRIX — homophily by nation over the
     * supplier→customer trade edges (every lineitem is one edge from
     * the shipping supplier's nation to the ordering customer's

@@ -148,4 +148,32 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
+
+  /** LATERAL JOIN — the correlated table-subquery surface of the SQL
+    * interface: each customer joined to its OWN top-2 orders by value
+    * (`JOIN LATERAL ... ORDER BY ... LIMIT 2`), the "top-N related
+    * rows per outer row" idiom every application query layer reaches
+    * for. Catalyst DECORRELATES the limit-in-lateral into a ranked
+    * window over one orders shuffle — not a per-customer re-scan —
+    * which is exactly the rewrite you'd hand-write at 100 TB, so the
+    * declarative form costs nothing (ties broken by orderkey; cents
+    * exact). Customers with no orders simply produce no rows (inner
+    * lateral). */
+  def joinLateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("graft_orders")
+    t.customer.createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+         FROM graft_customer c
+         JOIN LATERAL (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS price_cents
+           FROM graft_orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY price_cents DESC, o_orderkey
+           LIMIT 2) t
+         ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""")
+  }
 }

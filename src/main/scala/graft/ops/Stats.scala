@@ -302,6 +302,92 @@ object Stats {
       .orderBy(col("p_brand"))
   }
 
+  /** THEIL–SEN robust trend per brand — the MEDIAN of all pairwise
+    * yearly-revenue slopes, the outlier-resistant sibling of
+    * [[statsLinreg]]'s OLS (one anomalous year drags an OLS slope but
+    * moves one of C(7,2)=21 pairwise slopes): each slope is one exact
+    * truncating division (1000·Δy div Δx, both engines truncate
+    * negatives toward zero), the lower median is rank-addressed off a
+    * brand-partitioned sort. The pair expansion runs on the
+    * PRE-REDUCED (brand, year) frame — 25×7 rows at any SF, so the
+    * corpus-sized work is the same keyed agg OLS needs and the O(k²)
+    * part is constant. Brands with one support year have no pairs and
+    * are absent (OLS's NULL-slope rows). */
+  def statsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val yearly = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) - lit(1995)).cast(LongType).as("x"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("y"))
+      .localCheckpoint(true) // 25×7 rows, probed twice by the self-join
+    val slopes = yearly.as("a").join(yearly.as("b"),
+        col("a.p_brand") === col("b.p_brand") && col("a.x") < col("b.x"))
+      .select(col("a.p_brand").as("p_brand"), col("a.x").as("xa"),
+        col("b.x").as("xb"),
+        expr("CAST((1000 * (b.y - a.y)) div (b.x - a.x) AS BIGINT)")
+          .as("slope_milli"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("slope_milli"), col("xa"), col("xb"))
+    slopes
+      .withColumn("rk", row_number().over(w))
+      .withColumn("np", count(lit(1))
+        .over(Window.partitionBy(col("p_brand"))))
+      .filter(col("rk") === expr("(np + 1) div 2"))
+      .select(col("p_brand"), col("np").cast(LongType).as("n_pairs"),
+        col("slope_milli").as("ts_slope_milli"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Poisson(1) inverse-CDF cutoffs on a micro-uniform draw — the
+    * deterministic bootstrap weights (P(w=0)=e⁻¹ etc., quantized at
+    * 1e-6; mirrored literally in the oracle SQL). */
+  val BootCuts: Seq[Long] = Seq(367879L, 735759L, 919699L, 981012L)
+  val BootReplicates = 16
+
+  /** DETERMINISTIC POISSON BOOTSTRAP — a 16-replicate confidence range
+    * for the mean order value WITHOUT any RNG state: replicate b gives
+    * row r the weight w = Poisson(1)-inverse-CDF of an engine-neutral
+    * md5 micro draw on (b, orderkey), so the "resample" is a weighted
+    * aggregate that is rerun-identical and DuckDB-replayable. This is
+    * the production-shape bootstrap: the classic resample-with-
+    * replacement needs a global sample of rows per replicate, the
+    * Poissonized form is ONE map pass emitting B weighted copies that
+    * combine map-side (the 16× expansion never shuffles raw rows —
+    * only B partial (Σwx, Σw) pairs). Replicate means are exact
+    * truncating cents; the reported range is the min/max of the 16
+    * replicate means next to the plain mean. */
+  def statsBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val rep = o
+      .select(col("o_orderkey"), col("cents"),
+        explode(expr(s"sequence(1, $BootReplicates)")).as("b"))
+      .withColumn("u", TextOps.md5Hash60(
+        concat(lit("graft-boot:"), col("b").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))) % 1000000L)
+      .withColumn("w",
+        when(col("u") < BootCuts(0), 0L)
+          .when(col("u") < BootCuts(1), 1L)
+          .when(col("u") < BootCuts(2), 2L)
+          .when(col("u") < BootCuts(3), 3L)
+          .otherwise(4L))
+    val means = rep.groupBy(col("b"))
+      .agg(expr("CAST(sum(w * cents) div nullif(sum(w), 0) AS BIGINT)")
+        .as("mean_cents"))
+    val plain = o.agg(count(lit(1)).as("n_orders"),
+      expr("CAST(sum(cents) div count(1) AS BIGINT)").as("mean_cents"))
+    plain.crossJoin(
+      means.agg(count(lit(1)).as("n_replicates"),
+        min(col("mean_cents")).as("boot_lo_cents"),
+        max(col("mean_cents")).as("boot_hi_cents")))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the `n_chars`
     * distributions of two fixed sources — the distribution-drift test
     * a pipeline runs when a source's content profile may have shifted.

@@ -1491,4 +1491,55 @@ object TextOps {
           .as("pass_permille"))
       .orderBy(col("source"))
   }
+
+  /** BEST-FIT SEQUENCE PACKING — first-fit-decreasing bin packing of
+    * whole documents into [[PackCapacity]]-token training sequences,
+    * per deterministic md5 shard: the packing planner that does NOT
+    * split documents (cf. [[corpusPackSequences]]' concat-then-chunk,
+    * which cuts documents at chunk boundaries — FFD trades a little
+    * waste for intact attention spans, and this census is the
+    * trade-off read: bins_ffd vs the ⌈Σtokens/C⌉ lower bound and the
+    * waste permille). FFD is inherently sequential, so it runs
+    * INSIDE each bounded shard: items sorted (tokens DESC, doc_id)
+    * per shard, then one `aggregate` fold whose state is the bin-load
+    * array — the same bounded-list discipline as the BPE trainer, and
+    * the DuckDB replay is the same fold via `list_reduce`. At 100 TB
+    * the 16-way hex shard becomes a longer prefix (shard count scales
+    * with the corpus, per-shard state stays bounded); the packing
+    * quality is per-shard FFD either way. Docs longer than C get a
+    * bin of their own (no fit ever succeeds), overflowing honestly. */
+  def corpusPackBestfit(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(concat(lit("graft-shuffle:"), col("doc_id").cast("string")))
+          .as("skey"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("shard_id",
+        expr("instr('0123456789abcdef', substring(skey, 1, 1)) - 1")
+          .cast("int"))
+    items
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sort_array(collect_list(struct((-col("n_tok")).as("neg"),
+          col("doc_id").as("d")))).as("st"))
+      .withColumn("ns", expr("transform(st, s -> -s.neg)"))
+      .withColumn("bins", expr(
+        s"""aggregate(ns, CAST(array() AS ARRAY<BIGINT>), (acc, x) ->
+            CASE WHEN size(filter(acc, b -> b + x <= $PackCapacity)) > 0
+            THEN transform(acc, (b, i) -> IF(i = element_at(
+                filter(transform(acc, (b2, i2) ->
+                         IF(b2 + x <= $PackCapacity, i2, -1)),
+                       p -> p >= 0), 1), b + x, b))
+            ELSE concat(acc, array(x)) END)"""))
+      .select(col("shard_id"), col("n_docs"), col("total_tokens"),
+        size(col("bins")).cast(LongType).as("bins_ffd"),
+        expr(s"CAST((total_tokens + ${PackCapacity - 1})" +
+          s" div $PackCapacity AS BIGINT)").as("bins_lb"),
+        expr(s"""CAST((1000 * (CAST(size(bins) AS BIGINT)
+                 * $PackCapacity - total_tokens))
+                 div (CAST(size(bins) AS BIGINT) * $PackCapacity)
+                 AS BIGINT)""").as("waste_permille"))
+      .orderBy(col("shard_id"))
+  }
 }

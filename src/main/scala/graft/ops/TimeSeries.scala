@@ -921,6 +921,43 @@ object TimeSeries {
           * lit(1000000.0)).cast("long").as("z_micro"))
   }
 
+  /** INCREMENTAL SCD2 MERGE — apply a CDC batch to an existing SCD2
+    * table: the base intervals (built from events at or before the
+    * [[Scd2AsofTs]] cut) have their open rows CLOSED at each entity's
+    * first batch timestamp, and the batch rows chain into new
+    * intervals whose last stays open — the nightly lakehouse merge
+    * that maintains validity history without rebuilding it. The
+    * correctness contract is the rebuild equivalence: merged output ≡
+    * [[scd2History]] over the full range (exactly what the oracle
+    * checks), while the incremental plan touches base rows only
+    * through one broadcast-size (user, first-batch-ts) frame — at
+    * 100 TB the base table rewrite is limited to entities present in
+    * the batch (here expressed as one left join; with a sorted/
+    * bucketed base it is a merge-on-read upsert). */
+  def scd2MergeIncremental(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val cut = lit(Scd2AsofTs).cast("timestamp")
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("valid_from"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    val base = ev.filter(col("valid_from") <= cut)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val delta = ev.filter(col("valid_from") > cut)
+    val firstDelta = delta.groupBy(col("user_id"))
+      .agg(min(struct(col("valid_from"), col("event_id"))).as("fd"))
+      .select(col("user_id"), col("fd.valid_from").as("d0"))
+    val closed = base.join(firstDelta, Seq("user_id"), "left")
+      .withColumn("valid_to", coalesce(col("valid_to"), col("d0")))
+      .drop("d0")
+    val deltaIv = delta
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    closed.unionByName(deltaIv)
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** COHORT LTV CURVE — cumulative purchase revenue per signup-week
     * cohort by account-age week, normalized per cohort member: the
     * "how much is a week-N user worth by week K" table every

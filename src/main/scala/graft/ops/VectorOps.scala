@@ -1259,6 +1259,72 @@ object VectorOps {
     * integral division (n·Σx² − (Σx)²) div n² so both engines
     * truncate the same value. Shape: one posexplode + one 64-key agg — map-side
     * combinable, constant output. */
+  /** Shared 1-bit codes for the binary-quantization pair: per
+    * dimension the exact-integer mean of the floor(x·1e6) micro cells
+    * is the threshold (mean-centering keeps each bit near balanced,
+    * where raw sign would waste bits on biased dimensions), then the
+    * 64 bits pack into TWO BIGINT words via shifted sums — one keyed
+    * agg, map-side combinable, and the 64-dim vector compresses 32×
+    * to 16 bytes. The threshold frame is 64 rows broadcast. */
+  private def binaryCodes(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "pos", "x")
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x") * lit(1000000.0)).as("em"))
+    val mu = cells.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("em").cast(dec)).as("s1"))
+      .select(col("pos"), expr("CAST(s1 div n AS BIGINT)").as("mu"))
+    cells.join(broadcast(mu), "pos")
+      .select(col("vec_id"), col("label"),
+        col("pos"), (col("em") > col("mu")).cast("long").as("bit"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("IF(pos < 32, shiftleft(bit, pos), 0L)"))
+          .as("code_lo"),
+        sum(expr("IF(pos >= 32, shiftleft(bit, pos - 32), 0L)"))
+          .as("code_hi"),
+        sum(col("bit")).as("n_ones"))
+  }
+
+  /** BINARY (1-bit) QUANTIZATION — the most aggressive point on the
+    * compression curve next to [[embedQuantizeInt8]] (8×) and the PQ
+    * codes (64×): each vector becomes two BIGINT bit-words, and
+    * similarity becomes XOR + popcount — a register-level distance
+    * with no table lookups at all, the binary-embedding serving trick.
+    * Output: the packed words + the per-vector population count
+    * (whose corpus-wide near-balance is the threshold-quality read). */
+  def embedQuantizeBinary(spark: SparkSession, dir: String): DataFrame =
+    binaryCodes(spark, dir)
+      .select(col("vec_id"), col("label"), col("code_lo"),
+        col("code_hi"), col("n_ones"))
+      .orderBy(col("vec_id"))
+
+  /** Recall@10 of HAMMING-distance retrieval over the 1-bit codes vs
+    * the exact cosine top-10 — what 32× compression costs at serving
+    * time, closing the eval loop the way [[embedRecallInt8]] does for
+    * int8. The ranking is bit_count(xor) on two words per candidate
+    * (ties broken by vec_id), TakeOrdered heaps, then the same
+    * one-row overlap metric. */
+  def embedRecallBinary(spark: SparkSession, dir: String): DataFrame = {
+    val codes = binaryCodes(spark, dir)
+    val probe = codes.filter(col("vec_id") === 0)
+      .select(col("code_lo").as("plo"), col("code_hi").as("phi"))
+    val ham = codes.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        expr("bit_count(code_lo ^ plo) + bit_count(code_hi ^ phi)")
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(10)
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    exact.join(ham.select(col("vec_id").as("a_id")),
+        col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
+
   def embedDimVariance(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     Tables(spark, dir).embeddings

@@ -439,4 +439,46 @@ class CorpusOpsSpec extends SparkSpec {
       all.map(_.getAs[Long]("n_docs")).sum)
     assert(all.map(_.getAs[Long]("n_pass")).sum > 0L)
   }
+
+  test("pack bestfit: FFD recomputed per shard, bounded by the " +
+      "token lower bound") {
+    val C = TextOps.PackCapacity
+    val rows = TextOps.corpusPackBestfit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    def shardOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-shuffle:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex.head)
+    }
+    def ffd(ns: Seq[Long]): Int = {
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ns.foreach { x =>
+        bins.indexWhere(_ + x <= C) match {
+          case -1 => bins += x
+          case i  => bins(i) += x
+        }
+      }
+      bins.length
+    }
+    val byShard = docs.groupBy(d => shardOf(d._1))
+    assert(rows.length == byShard.size)
+    rows.foreach { r =>
+      val ds = byShard(r.getInt(0))
+      val ns = ds.sortBy(d => (-d._2, d._1)).map(_._2).toSeq
+      val tot = ns.sum
+      val nb = ffd(ns).toLong
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == tot)
+      assert(r.getAs[Long]("bins_ffd") == nb, s"shard ${r.getInt(0)}")
+      val lb = (tot + C - 1) / C
+      assert(r.getAs[Long]("bins_lb") == lb)
+      assert(nb >= lb)
+      assert(r.getAs[Long]("waste_permille") ==
+        1000L * (nb * C - tot) / (nb * C))
+    }
+  }
 }

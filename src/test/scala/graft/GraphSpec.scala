@@ -1160,6 +1160,26 @@ class GraphSpec extends SparkSpec {
     assert(sups.toSeq == allSups.take(rows.length).toSeq)
   }
 
+  test("degree centralization: matches the Freeman recompute off the " +
+      "dedup degree frame, in [0, 1e6)") {
+    val r = GraphOps.graphDegreeCentralization(spark, sfDir)
+      .collect().head
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+      .select(col("src"), col("dst")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val deg = (ded.map(_._1) ++ ded.map(_._2)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val dmax = deg.values.max
+    val gap = n * dmax - deg.values.sum
+    assert(r.getAs[Long]("n_vertices") == n)
+    assert(r.getAs[Long]("max_degree") == dmax)
+    assert(r.getAs[Long]("deg_gap_sum") == gap)
+    val c = (BigInt(1000000) * gap / (BigInt(n - 1) * (n - 2))).toLong
+    assert(r.getAs[Long]("central_micro") == c)
+    assert(c >= 0L && c < 1000000L)
+  }
+
   test("nation mixing: cells sum to the lineitem count, shares to " +
       "~1000 permille, same_nation flag consistent") {
     val rows = GraphOps.graphNationMixing(spark, sfDir).collect()

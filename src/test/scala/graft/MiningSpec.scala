@@ -488,6 +488,47 @@ class MiningSpec extends SparkSpec {
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
   }
 
+  test("lateral topk: at most 2 rows per customer, each exactly the " +
+      "customer's top-2 orders by cents") {
+    val rows = graft.ops.Relational.joinLateralTopk(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCust = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.groupBy(_.getLong(0)).foreach { case (ck, rs) =>
+      assert(rs.length <= 2)
+      val want = byCust(ck).sortBy(o => (-o._3, o._2)).take(2)
+        .map(o => (o._2, o._3)).toSeq
+      val got = rs.sortBy(r => (-r.getLong(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"cust $ck")
+    }
+    // every customer with at least one order is present
+    assert(rows.map(_.getLong(0)).distinct.length == byCust.size)
+  }
+
+  test("bitmap distinct: popcount sum equals the exact distinct " +
+      "count for every event type") {
+    val rows = graft.ops.Aggregations.aggBitmapDistinct(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("agree"))
+      assert(r.getAs[Long]("n_users_bitmap") == exact(r.getString(0)))
+      assert(r.getAs[Long]("n_users_exact") == exact(r.getString(0)))
+      // chunking actually compresses: fewer chunks than users
+      assert(r.getAs[Long]("n_chunks") <= r.getAs[Long]("n_users_exact"))
+    }
+  }
+
   test("mann-whitney: 2U1 matches the brute-force pairwise count and " +
       "U1 + U2 = 2·na·nb") {
     val r = graft.ops.Stats.statsMannWhitney(spark, sfDir).collect().head
@@ -506,6 +547,70 @@ class MiningSpec extends SparkSpec {
       2L * a.length * b.length)
     assert(r.getAs[Long]("auc_micro") ==
       1000000L * u1x2 / (2L * a.length * b.length))
+  }
+
+  test("theil-sen: per-brand slope is the lower median of the exact " +
+      "pairwise slopes") {
+    val rows = graft.ops.Stats.statsTheilSen(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val t = Tables(spark, sfDir)
+    val yearly = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) - lit(1995)).cast("long").as("x"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ys = yearly(r.getString(0)).sortBy(_._2)
+      // BigInt / truncates toward zero, same as Spark div / DuckDB //
+      val slopes = (for {
+        (_, xa, ya) <- ys; (_, xb, yb) <- ys if xa < xb
+      } yield (BigInt(1000) * (yb - ya) / (xb - xa)).toLong).sorted
+      assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+      assert(r.getAs[Long]("ts_slope_milli") ==
+        slopes((slopes.length + 1) / 2 - 1), r.getString(0))
+    }
+  }
+
+  test("bootstrap ci: range brackets the plain mean, 16 replicates, " +
+      "weights recompute from the md5 draw") {
+    val r = graft.ops.Stats.statsBootstrapCi(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_replicates") == 16L)
+    val lo = r.getAs[Long]("boot_lo_cents")
+    val hi = r.getAs[Long]("boot_hi_cents")
+    assert(lo <= hi)
+    assert(lo <= r.getAs[Long]("mean_cents") &&
+      r.getAs[Long]("mean_cents") <= hi)
+    // replicate means recomputed from first principles (md5 draw →
+    // Poisson weight → weighted truncating mean)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(b: Int, id: Long): Long = {
+      val hex = md.digest(s"graft-boot:$b:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val cuts = graft.ops.Stats.BootCuts
+    val means = (1 to 16).map { b =>
+      val ws = orders.map { case (id, c) =>
+        val x = u(b, id)
+        val w = cuts.indexWhere(x < _) match {
+          case -1 => 4L; case i => i.toLong
+        }
+        (w, w * c)
+      }
+      ws.map(_._2).sum / ws.map(_._1).sum
+    }
+    assert(lo == means.min && hi == means.max)
   }
 
   test("gini: per-nation coefficient matches the sorted-rank recompute " +

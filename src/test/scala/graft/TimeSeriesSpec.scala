@@ -659,6 +659,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("z_micro") == zMicro)
   }
 
+  test("scd2 merge: incremental apply reproduces the full rebuild " +
+      "row for row") {
+    val merged = TimeSeries.scd2MergeIncremental(spark, sfDir)
+    val rebuilt = TimeSeries.scd2History(spark, sfDir)
+      .select(merged.columns.map(col): _*)
+    assert(merged.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(merged).isEmpty)
+    // the cut actually splits the corpus: both sides non-trivial
+    val cut = lit(TimeSeries.Scd2AsofTs).cast("timestamp")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(ev.filter(col("ts") <= cut).count() > 0)
+    assert(ev.filter(col("ts") > cut).count() > 0)
+  }
+
   test("cohort ltv: cumulative revenue monotone per cohort, ltv = " +
       "cum div members, buyers bounded by cohort size") {
     val rows = TimeSeries.eventsCohortLtv(spark, sfDir).collect()

@@ -538,6 +538,45 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("binary quantize: packed words reconstruct the per-dim " +
+      "threshold bits, n_ones = popcount") {
+    val rows = VectorOps.embedQuantizeBinary(spark, sfDir).collect()
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.length == vecs.size)
+    // per-dim truncating-mean thresholds recomputed exactly
+    val n = vecs.size.toLong
+    val mu = (0 until 64).map { d =>
+      val s1 = vecs.values.map(v =>
+        BigInt(math.floor(v(d) * 1000000.0).toLong)).sum
+      (s1 / n).toLong
+    }
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0))
+      val bits = (0 until 64).map(d =>
+        if (math.floor(v(d) * 1000000.0).toLong > mu(d)) 1L else 0L)
+      val lo = (0 until 32).map(d => bits(d) << d).sum
+      val hi = (32 until 64).map(d => bits(d) << (d - 32)).sum
+      assert(r.getAs[Long]("code_lo") == lo, s"vec ${r.getLong(0)}")
+      assert(r.getAs[Long]("code_hi") == hi)
+      assert(r.getAs[Long]("n_ones") ==
+        java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))
+    }
+    // mean-centering keeps the code population roughly balanced
+    val avgOnes = rows.map(_.getAs[Long]("n_ones")).sum.toDouble /
+      rows.length
+    assert(avgOnes > 24 && avgOnes < 40)
+  }
+
+  test("binary recall: k = 10, hits bounded, permille consistent") {
+    val r = VectorOps.embedRecallBinary(spark, sfDir).collect().head
+    assert(r.getAs[Long]("k") == 10L)
+    val hits = r.getAs[Long]("hits")
+    assert(hits >= 0L && hits <= 10L)
+    assert(r.getAs[Long]("recall_permille") == hits * 100L)
+  }
+
   test("dim variance: 64 rows, exact moments match the direct " +
       "recompute, variance non-negative") {
     val rows = VectorOps.embedDimVariance(spark, sfDir).collect()
