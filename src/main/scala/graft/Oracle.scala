@@ -680,6 +680,70 @@ object Oracle {
          ORDER BY walk_id"""
   }
 
+  /** Unrolled node2vec biased walk, replaying
+    * [[graft.ops.GraphOps.graphNode2vecWalk]]: step 1 uniform
+    * min-hash, later steps the cumulative-weight draw over
+    * (return/adjacent/far) milli classes. */
+  private def node2vecWalkSql(steps: Int): String = {
+    def biasedCte(t: Int, fromExpr: String) = {
+      val key = s"CAST(c.walk_id AS VARCHAR) || ':$t'"
+      s"""s$t AS MATERIALIZED (
+           SELECT walk_id, dst AS v$t FROM (
+             SELECT c.walk_id, c.dst, c.w,
+                    sum(c.w) OVER (PARTITION BY c.walk_id
+                      ORDER BY c.dst) AS cum,
+                    sum(c.w) OVER (PARTITION BY c.walk_id) AS tw,
+                    ${md5Hash60Sql(key)} AS h
+             FROM (SELECT f.walk_id, f.prev, d.dst,
+                          CASE WHEN d.dst = f.prev
+                                 THEN ${graft.ops.GraphOps.N2vReturnW}
+                               WHEN a.is_adj IS NOT NULL
+                                 THEN ${graft.ops.GraphOps.N2vNeighborW}
+                               ELSE ${graft.ops.GraphOps.N2vFarW}
+                          END AS w
+                   FROM $fromExpr JOIN ded d ON d.src = f.cur
+                   LEFT JOIN (SELECT src AS prev, dst, 1 AS is_adj
+                              FROM ded) a
+                     ON a.prev = f.prev AND a.dst = d.dst) c) x
+           WHERE cum - w <= h % tw AND h % tw < cum)"""
+    }
+    val s1key = "CAST(walk_id AS VARCHAR) || ':1:' || " +
+      "CAST(d.dst AS VARCHAR)"
+    val s1 =
+      s"""s1 AS MATERIALIZED (
+           SELECT walk_id, walk_id AS prev, dst AS v1 FROM (
+             SELECT f.walk_id AS walk_id, d.dst,
+                    row_number() OVER (PARTITION BY f.walk_id
+                      ORDER BY ${md5Hash60Sql(s1key)}, d.dst) AS rn
+             FROM (SELECT walk_id, walk_id AS cur FROM starts) f
+             JOIN ded d ON d.src = f.cur) t
+           WHERE rn = 1)"""
+    val later = (2 to steps).map { t =>
+      val from =
+        if (t == 2)
+          "(SELECT walk_id, walk_id AS prev, v1 AS cur FROM s1) f"
+        else
+          s"""(SELECT s1.walk_id, s${t - 2}.v${t - 2} AS prev,
+                s${t - 1}.v${t - 1} AS cur
+               FROM s1 JOIN s${t - 1} USING (walk_id)
+               ${if (t - 2 >= 2) s"JOIN s${t - 2} USING (walk_id)"
+                 else ""}) f"""
+      biasedCte(t, from)
+    }.mkString(",\n         ")
+    val joins = (1 to steps)
+      .map(t => s"LEFT JOIN (SELECT walk_id, v$t FROM s$t) t$t" +
+        " USING (walk_id)").mkString(" ")
+    val cols = (1 to steps).map(t => s"v$t").mkString(", ")
+    s"""WITH $EdgesCte,
+         ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         starts AS (SELECT DISTINCT 6000000000000 + o_orderkey
+                      AS walk_id FROM orders),
+         $s1,
+         $later
+         SELECT walk_id, $cols FROM starts $joins
+         ORDER BY walk_id"""
+  }
+
   /** Unrolled exact-integer HITS, replaying
     * [[graft.ops.GraphOps.hitsExactOn]]: hub⁰ = 1, per round
     * auth = Σ in-hub then hub = Σ out-auth, no normalization (the
@@ -3077,6 +3141,32 @@ object Oracle {
                 CAST(max(m.mean_cents) AS BIGINT) AS boot_hi_cents
          FROM s, m GROUP BY 1, 2""",
 
+    // replays Stats.statsAnova — per-group power sums, micro-quantized
+    // SSB/SSW terms, F as a final integral division (HUGEINT headroom)
+    "stats_anova" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS HUGEINT) AS ng,
+                  CAST(sum(n_chars) AS HUGEINT) AS s1,
+                  CAST(sum(n_chars * n_chars) AS HUGEINT) AS s2
+           FROM documents GROUP BY 1),
+         t AS (SELECT ng, s1, s2,
+                      (1000000 * s1 * s1) // ng AS b_micro,
+                      (1000000 * (ng * s2 - s1 * s1)) // ng AS w_micro
+               FROM g),
+         a AS (SELECT CAST(sum(ng) AS HUGEINT) AS n,
+                      CAST(count(*) AS HUGEINT) AS k,
+                      CAST(sum(s1) AS HUGEINT) AS s1t,
+                      CAST(sum(b_micro) AS HUGEINT) AS bsum,
+                      CAST(sum(w_micro) AS HUGEINT) AS ssw
+               FROM t)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                CAST(bsum - (1000000 * s1t * s1t) // n AS BIGINT)
+                  AS ssb_micro,
+                CAST(ssw AS BIGINT) AS ssw_micro,
+                CAST((1000000 * (bsum - (1000000 * s1t * s1t) // n)
+                      * (n - k)) // (ssw * (k - 1)) AS BIGINT)
+                  AS f_micro
+         FROM a""",
+
     "stats_linreg" ->
       """WITH yearly AS (
            SELECT p_brand, CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
@@ -3849,6 +3939,7 @@ object Oracle {
     "graph_hits_exact" -> hitsExactSql(2),
 
     "graph_random_walk" -> randomWalkSql(3),
+    "graph_node2vec_walk" -> node2vecWalkSql(3),
 
     "graph_path_count" -> pathCountSql(3),
 
@@ -3866,6 +3957,22 @@ object Oracle {
     "graph_reach_profile" ->
       reachProfileSql(3, Seq(3000000000001L, 4000000000001L,
         2000000000001L, 6000000000001L)),
+
+    // replays GraphOps.graphEffectiveDiameter — one keyed window over
+    // the wrapped reach-profile replay, 90%-of-horizon depth
+    "graph_effective_diameter" ->
+      s"""WITH prof AS (SELECT * FROM (${reachProfileSql(3,
+            Seq(3000000000001L, 4000000000001L, 2000000000001L,
+              6000000000001L))})),
+          c AS (SELECT lm, dist, n_reached,
+                       sum(n_reached) OVER (PARTITION BY lm
+                         ORDER BY dist) AS cum,
+                       sum(n_reached) OVER (PARTITION BY lm) AS total
+                FROM prof)
+          SELECT lm, CAST(min(dist) AS INT) AS eff_diam_90,
+                 CAST(max(total) AS BIGINT) AS total_reached
+          FROM c WHERE cum * 10 >= total * 9
+          GROUP BY lm ORDER BY lm""",
 
     "graph_kcore" -> kcoreSql(3, 4),
 
@@ -5726,6 +5833,94 @@ object Oracle {
 
     // Markov transitions: lead over the per-user total order, counts
     // + integer-permille row probabilities (// == div, positive)
+    // replays TimeSeries.eventsAbsorptionProb — unrolled 6-round
+    // quantized fixed-point over the transition grid, purchase pinned
+    // absorbing at 1e6
+    "events_absorption_prob" ->
+      """WITH e AS (SELECT user_id, event_id,
+                  date_trunc('second', ts) AS ts_sec, event_type
+           FROM events),
+         tr AS MATERIALIZED (
+           SELECT event_type, next_type, count(*) AS c FROM (
+             SELECT event_type, lead(event_type, 1) OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts_sec, event_id) AS next_type
+             FROM e)
+           WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         tot AS MATERIALIZED (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS tot
+           FROM tr GROUP BY 1),
+         st AS MATERIALIZED (
+           SELECT DISTINCT event_type FROM (
+             SELECT event_type FROM tr
+             UNION ALL SELECT next_type FROM tr)),
+         a0 AS (SELECT event_type,
+                       CASE WHEN event_type = 'purchase' THEN 1000000
+                            ELSE 0 END AS a
+                FROM st),
+         s1 AS (SELECT tr.event_type,
+                  CAST(sum(tr.c * p.a) // max(tot.tot) AS BIGINT) AS a1
+                FROM tr JOIN tot USING (event_type)
+                JOIN a0 p ON p.event_type = tr.next_type
+                GROUP BY tr.event_type),
+         a1 AS MATERIALIZED (
+           SELECT st.event_type,
+                  CASE WHEN st.event_type = 'purchase' THEN 1000000
+                       ELSE COALESCE(s1.a1, 0) END AS a
+           FROM st LEFT JOIN s1 USING (event_type)),
+         s2 AS (SELECT tr.event_type,
+                  CAST(sum(tr.c * p.a) // max(tot.tot) AS BIGINT) AS a1
+                FROM tr JOIN tot USING (event_type)
+                JOIN a1 p ON p.event_type = tr.next_type
+                GROUP BY tr.event_type),
+         a2 AS MATERIALIZED (
+           SELECT st.event_type,
+                  CASE WHEN st.event_type = 'purchase' THEN 1000000
+                       ELSE COALESCE(s2.a1, 0) END AS a
+           FROM st LEFT JOIN s2 USING (event_type)),
+         s3 AS (SELECT tr.event_type,
+                  CAST(sum(tr.c * p.a) // max(tot.tot) AS BIGINT) AS a1
+                FROM tr JOIN tot USING (event_type)
+                JOIN a2 p ON p.event_type = tr.next_type
+                GROUP BY tr.event_type),
+         a3 AS MATERIALIZED (
+           SELECT st.event_type,
+                  CASE WHEN st.event_type = 'purchase' THEN 1000000
+                       ELSE COALESCE(s3.a1, 0) END AS a
+           FROM st LEFT JOIN s3 USING (event_type)),
+         s4 AS (SELECT tr.event_type,
+                  CAST(sum(tr.c * p.a) // max(tot.tot) AS BIGINT) AS a1
+                FROM tr JOIN tot USING (event_type)
+                JOIN a3 p ON p.event_type = tr.next_type
+                GROUP BY tr.event_type),
+         a4 AS MATERIALIZED (
+           SELECT st.event_type,
+                  CASE WHEN st.event_type = 'purchase' THEN 1000000
+                       ELSE COALESCE(s4.a1, 0) END AS a
+           FROM st LEFT JOIN s4 USING (event_type)),
+         s5 AS (SELECT tr.event_type,
+                  CAST(sum(tr.c * p.a) // max(tot.tot) AS BIGINT) AS a1
+                FROM tr JOIN tot USING (event_type)
+                JOIN a4 p ON p.event_type = tr.next_type
+                GROUP BY tr.event_type),
+         a5 AS MATERIALIZED (
+           SELECT st.event_type,
+                  CASE WHEN st.event_type = 'purchase' THEN 1000000
+                       ELSE COALESCE(s5.a1, 0) END AS a
+           FROM st LEFT JOIN s5 USING (event_type)),
+         s6 AS (SELECT tr.event_type,
+                  CAST(sum(tr.c * p.a) // max(tot.tot) AS BIGINT) AS a1
+                FROM tr JOIN tot USING (event_type)
+                JOIN a5 p ON p.event_type = tr.next_type
+                GROUP BY tr.event_type),
+         a6 AS MATERIALIZED (
+           SELECT st.event_type,
+                  CASE WHEN st.event_type = 'purchase' THEN 1000000
+                       ELSE COALESCE(s6.a1, 0) END AS a
+           FROM st LEFT JOIN s6 USING (event_type))
+         SELECT event_type, CAST(a AS BIGINT) AS absorb6_micro
+         FROM a6 ORDER BY event_type""",
+
     "events_markov_transitions" ->
       """WITH ev AS (SELECT user_id, event_id,
                             date_trunc('second', ts) AS ts_sec,

@@ -1736,6 +1736,32 @@ object GraphOps {
       .orderBy(col("lm"), col("dist"))
   }
 
+  /** EFFECTIVE DIAMETER (landmark-approximate, 90th percentile) — the
+    * robust "how far apart are things really" read next to the exact
+    * eccentricity/diameter keys (a single stray long path moves the
+    * diameter; the 90%-reached depth doesn't): per landmark, the
+    * smallest depth d with 10·(reached within d) ≥ 9·(reached within
+    * the horizon), off the SAME memoized closeness sweep as
+    * `graph_reach_profile` — zero extra traversal, one keyed window
+    * over the (landmark × depth)-sized profile. Certified WITHIN the
+    * bounded 3-hop horizon (the honest landmark estimator: the true
+    * effective diameter is ≥ this iff mass beyond the horizon exists,
+    * which `graph_reach_profile` exposes next to it). */
+  def graphEffectiveDiameter(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val prof = graphReachProfile(spark, dir)
+    val wc = Window.partitionBy(col("lm")).orderBy(col("dist"))
+    prof
+      .withColumn("cum", sum(col("n_reached")).over(wc))
+      .withColumn("total",
+        sum(col("n_reached")).over(Window.partitionBy(col("lm"))))
+      .filter(col("cum") * 10 >= col("total") * 9)
+      .groupBy(col("lm"))
+      .agg(min(col("dist")).as("eff_diam_90"),
+        max(col("total")).as("total_reached"))
+      .orderBy(col("lm"))
+  }
+
   /** Bounded-round k-core peeling (k = 3, 4 synchronous rounds) over
     * the undirected derived graph: each round drops every vertex whose
     * CURRENT degree is below k, then restricts the edge set to
@@ -1880,6 +1906,80 @@ object GraphOps {
     val s2 = pick(s1.select(col("walk_id"), col("v1").as("cur")), 2)
     val s3 = pick(s2.select(col("walk_id"), col("v2").as("cur")), 3)
     starts.join(s1, Seq("walk_id"), "left")
+      .join(s2, Seq("walk_id"), "left")
+      .join(s3, Seq("walk_id"), "left")
+      .select(col("walk_id"), col("v1"), col("v2"), col("v3"))
+      .orderBy(col("walk_id"))
+  }
+
+  /** node2vec bias weights ×1000 for p = q = 4: return 1/p, stay-close
+    * (next adjacent to prev) 1, explore 1/q. */
+  val N2vReturnW = 250L
+  val N2vNeighborW = 1000L
+  val N2vFarW = 250L
+
+  /** NODE2VEC WALK — the SECOND-ORDER biased walk that feeds graph
+    * embeddings (the p/q knob between BFS-like and DFS-like
+    * exploration), with the same hash-derived determinism as
+    * [[graphRandomWalk]]: step 1 is the uniform min-hash pick; steps
+    * 2-3 weight each out-neighbor by its distance CLASS to the
+    * previous vertex (return 1/p, adjacent-to-prev 1, far 1/q,
+    * p = q = 4 in exact milli weights) and select by an engine-neutral
+    * cumulative-weight draw — per walk, candidates sorted by id carry
+    * a running weight sum, and md5Hash60(walk, step) mod total picks
+    * the unique row whose interval contains the draw. The distance
+    * class costs ONE extra left join per step against the edge frame
+    * (the (prev, dst) adjacency probe — key-partitioned like every
+    * other hop); the per-walk window state is the out-degree, the
+    * same envelope as the uniform walk. Dead-end walks end with null
+    * tail columns, as the uniform walk does. */
+  def graphNode2vecWalk(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphModel.dedupEdgesCached(spark, dir)
+    val adj = e.select(col("src").as("prev"), col("dst"),
+      lit(1).as("is_adj"))
+    val starts = Tables(spark, dir).orders
+      .select((lit(GraphModel.OrderOff) + col("o_orderkey"))
+        .as("walk_id")).distinct()
+    // step 1: uniform min-hash pick out of the start vertex
+    val s1 = starts.select(col("walk_id"), col("walk_id").as("cur"))
+      .join(e, col("cur") === e("src"))
+      .select(col("walk_id"),
+        TextOps.md5Hash60(concat_ws(":",
+          col("walk_id").cast("string"), lit("1"),
+          col("dst").cast("string"))).as("score"), col("dst"))
+      .groupBy(col("walk_id"))
+      .agg(min(struct(col("score"), col("dst"))).as("m"))
+      .select(col("walk_id"), col("walk_id").as("prev"),
+        col("m.dst").as("v1"))
+    def biasedStep(frontier: DataFrame, t: Int): DataFrame = {
+      // frontier: (walk_id, prev, cur)
+      val cand = frontier.join(e, frontier("cur") === e("src"))
+        .select(col("walk_id"), col("prev"), col("dst"))
+        // adjacency probe: O(E) frame, deliberately NOT broadcast —
+        // it shuffles on the (prev, dst) key like any other hop
+        .join(adj, Seq("prev", "dst"), "left")
+        .withColumn("w",
+          when(col("dst") === col("prev"), lit(N2vReturnW))
+            .when(col("is_adj").isNotNull, lit(N2vNeighborW))
+            .otherwise(lit(N2vFarW)))
+      val wOrd = Window.partitionBy(col("walk_id")).orderBy(col("dst"))
+      val wAll = Window.partitionBy(col("walk_id"))
+      cand
+        .withColumn("cum", sum(col("w")).over(wOrd))
+        .withColumn("tw", sum(col("w")).over(wAll))
+        .withColumn("draw", TextOps.md5Hash60(concat_ws(":",
+          col("walk_id").cast("string"), lit(t.toString))) % col("tw"))
+        .filter(col("cum") - col("w") <= col("draw") &&
+          col("draw") < col("cum"))
+        .select(col("walk_id"), col("dst").as(s"v$t"))
+    }
+    val s2 = biasedStep(s1.select(col("walk_id"), col("prev"),
+      col("v1").as("cur")), 2)
+    val s3 = biasedStep(s1.join(s2, "walk_id")
+      .select(col("walk_id"), col("v1").as("prev"),
+        col("v2").as("cur")), 3)
+    starts.join(s1.select(col("walk_id"), col("v1")),
+        Seq("walk_id"), "left")
       .join(s2, Seq("walk_id"), "left")
       .join(s3, Seq("walk_id"), "left")
       .select(col("walk_id"), col("v1"), col("v2"), col("v3"))

@@ -302,6 +302,41 @@ object Stats {
       .orderBy(col("p_brand"))
   }
 
+  /** ONE-WAY ANOVA — does mean document length differ across
+    * languages: between/within sum-of-squares from per-group power
+    * sums (SSB = Σ S1g²/ng − S1²/n, SSW = Σ (ng·S2g − S1g²)/ng), each
+    * term micro-quantized by ONE truncating division so both engines
+    * compound identically, F = (SSB/(k−1))/(SSW/(n−k)) as a final
+    * integral division of already-micro terms. The omnibus k-group
+    * test completing the two-sample family (KS, Mann–Whitney): the
+    * corpus collapses to k rows of decimal-exact power sums in one
+    * keyed agg — at 100 TB the cost is the scan, the test is free. */
+  def statsAnova(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = Tables(spark, dir).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("n_chars").cast(dec)).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast(dec)).as("s2"))
+    val terms = g.select(col("ng"), col("s1"), col("s2"),
+      expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * s1 * s1) div ng
+              AS DECIMAL(38,0))""").as("b_micro"),
+      expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (ng * s2 - s1 * s1))
+              div ng AS DECIMAL(38,0))""").as("w_micro"))
+    terms
+      .agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("s1")).as("s1t"),
+        sum(col("b_micro")).as("bsum"), sum(col("w_micro")).as("ssw"))
+      .select(col("n"), col("k"),
+        expr("""CAST(bsum - (CAST(1000000 AS DECIMAL(38,0)) * s1t * s1t)
+                div n AS BIGINT)""").as("ssb_micro"),
+        col("ssw").cast(LongType).as("ssw_micro"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+                 * (bsum - (CAST(1000000 AS DECIMAL(38,0)) * s1t * s1t)
+                    div n) * (n - k))
+                div (ssw * (k - 1)) AS BIGINT)""").as("f_micro"))
+  }
+
   /** THEIL–SEN robust trend per brand — the MEDIAN of all pairwise
     * yearly-revenue slopes, the outlier-resistant sibling of
     * [[statsLinreg]]'s OLS (one anomalous year drags an OLS slope but

@@ -921,6 +921,56 @@ object TimeSeries {
           * lit(1000000.0)).cast("long").as("z_micro"))
   }
 
+  /** Absorption-probability horizon (transitions). */
+  val AbsorbSteps = 6
+
+  /** MARKOV ABSORPTION — P(reach a purchase within [[AbsorbSteps]]
+    * transitions | current event type), the forward-looking read the
+    * transition matrix exists for ("how close is this state to
+    * converting"), computed by pinning 'purchase' absorbing at 1e6 and
+    * iterating a_{k+1}(s) = Σ_t P(s→t)·a_k(t) in quantized micro
+    * fixed-point: each round is ONE truncating division per state
+    * (Σ c·a div rowtotal), so the compounding is deterministic and
+    * DuckDB-replayable via an unrolled CTE chain. The corpus collapses
+    * to the |types|² transition table once (same keyed lead window as
+    * `events_markov_transitions`); every round after is grid-sized —
+    * the 100 TB cost is the one scan, the iteration is free. */
+  def eventsAbsorptionProb(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val trans = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // |types|² rows, probed every round
+    val rowTot = trans.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("tot"))
+    val states = trans.select(col("event_type"))
+      .unionByName(trans.select(col("next_type").as("event_type")))
+      .distinct().localCheckpoint(true)
+    var a = states.select(col("event_type"),
+      when(col("event_type") === "purchase", 1000000L).otherwise(0L)
+        .as("a"))
+    for (_ <- 1 to AbsorbSteps) {
+      val step = trans.join(rowTot, "event_type")
+        .join(a.select(col("event_type").as("next_type"),
+          col("a").as("an")), "next_type")
+        .groupBy(col("event_type"))
+        .agg(expr("CAST(sum(c * an) div max(tot) AS BIGINT)").as("a1"))
+      a = states.join(step, Seq("event_type"), "left")
+        .select(col("event_type"),
+          when(col("event_type") === "purchase", 1000000L)
+            .otherwise(coalesce(col("a1"), lit(0L))).as("a"))
+    }
+    a.select(col("event_type"),
+        col("a").as(s"absorb${AbsorbSteps}_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** INCREMENTAL SCD2 MERGE — apply a CDC batch to an existing SCD2
     * table: the base intervals (built from events at or before the
     * [[Scd2AsofTs]] cut) have their open rows CLOSED at each entity's

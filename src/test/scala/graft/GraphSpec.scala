@@ -1160,6 +1160,68 @@ class GraphSpec extends SparkSpec {
     assert(sups.toSeq == allSups.take(rows.length).toSeq)
   }
 
+  test("effective diameter: 90%-of-horizon depth recomputed from the " +
+      "reach profile") {
+    val rows = GraphOps.graphEffectiveDiameter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val prof = GraphOps.graphReachProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Long]("n_reached")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val layers = prof(r.getLong(0)).sortBy(_._2)
+      val total = layers.map(_._3).sum
+      var cum = 0L
+      val eff = layers.find { l => cum += l._3; cum * 10 >= total * 9 }
+        .get._2
+      assert(r.getAs[Int]("eff_diam_90") == eff)
+      assert(r.getAs[Long]("total_reached") == total)
+      assert(eff >= 1 && eff <= 3)
+    }
+  }
+
+  test("node2vec walk: every step follows an out-edge and matches the " +
+      "weighted-draw recompute") {
+    val rows = GraphOps.graphNode2vecWalk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = ded.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val edgeSet = ded.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15), 16)
+    def uniform(walk: Long, t: Int, cands: Seq[Long]): Long =
+      cands.map(d => (h60(s"$walk:$t:$d"), d)).min._2
+    def biased(walk: Long, t: Int, prev: Long, cands: Seq[Long])
+        : Long = {
+      val ws = cands.map { d =>
+        d -> (if (d == prev) GraphOps.N2vReturnW
+          else if (edgeSet((prev, d))) GraphOps.N2vNeighborW
+          else GraphOps.N2vFarW)
+      }
+      val tw = ws.map(_._2).sum
+      val draw = h60(s"$walk:$t") % tw
+      var cum = 0L
+      ws.find { case (_, w) => cum += w; draw < cum }.get._1
+    }
+    rows.take(400).foreach { r =>
+      val walk = r.getLong(0)
+      if (!r.isNullAt(1)) {
+        val v1 = r.getLong(1)
+        assert(v1 == uniform(walk, 1, out(walk)))
+        if (!r.isNullAt(2)) {
+          val v2 = r.getLong(2)
+          assert(edgeSet((v1, v2)))
+          assert(v2 == biased(walk, 2, walk, out(v1)))
+          if (!r.isNullAt(3))
+            assert(r.getLong(3) == biased(walk, 3, v1, out(v2)))
+        }
+      } else assert(!out.contains(walk))
+    }
+  }
+
   test("degree centralization: matches the Freeman recompute off the " +
       "dedup degree frame, in [0, 1e6)") {
     val r = GraphOps.graphDegreeCentralization(spark, sfDir)

@@ -549,6 +549,38 @@ class MiningSpec extends SparkSpec {
       1000000L * u1x2 / (2L * a.length * b.length))
   }
 
+  test("anova: SSB/SSW match the power-sum recompute and F is " +
+      "non-negative") {
+    val r = graft.ops.Stats.statsAnova(spark, sfDir).collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val groups = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = docs.length.toLong
+    val k = groups.size.toLong
+    def bTerm(xs: Array[Long]) = {
+      val s1 = xs.map(BigInt(_)).sum
+      (BigInt(1000000) * s1 * s1 / xs.length).toLong
+    }
+    def wTerm(xs: Array[Long]) = {
+      val s1 = xs.map(BigInt(_)).sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      (BigInt(1000000) * (s2 * xs.length - s1 * s1) / xs.length).toLong
+    }
+    val s1t = docs.map(d => BigInt(d._2)).sum
+    val bsum = groups.values.map(g => BigInt(bTerm(g))).sum
+    val ssb = (bsum - BigInt(1000000) * s1t * s1t / n).toLong
+    val ssw = groups.values.map(g => BigInt(wTerm(g))).sum.toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("k") == k)
+    assert(r.getAs[Long]("ssb_micro") == ssb)
+    assert(r.getAs[Long]("ssw_micro") == ssw)
+    val f = (BigInt(1000000) * ssb * (n - k) / (BigInt(ssw) * (k - 1)))
+      .toLong
+    assert(r.getAs[Long]("f_micro") == f)
+    assert(f >= 0L)
+  }
+
   test("theil-sen: per-brand slope is the lower median of the exact " +
       "pairwise slopes") {
     val rows = graft.ops.Stats.statsTheilSen(spark, sfDir).collect()

