@@ -5833,6 +5833,96 @@ object Oracle {
 
     // Markov transitions: lead over the per-user total order, counts
     // + integer-permille row probabilities (// == div, positive)
+    // replays TimeSeries.eventsMarkovStationary — unrolled 8-round
+    // quantized power iteration over the transition grid, uniform init
+    "events_markov_stationary" ->
+      """WITH e AS (SELECT user_id, event_id,
+                  date_trunc('second', ts) AS ts_sec, event_type
+           FROM events),
+         tr AS MATERIALIZED (
+           SELECT event_type, next_type, count(*) AS c FROM (
+             SELECT event_type, lead(event_type, 1) OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts_sec, event_id) AS next_type
+             FROM e)
+           WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         tot AS MATERIALIZED (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS tot
+           FROM tr GROUP BY 1),
+         st AS MATERIALIZED (
+           SELECT DISTINCT event_type FROM (
+             SELECT event_type FROM tr
+             UNION ALL SELECT next_type FROM tr)),
+         kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+         p0 AS (SELECT event_type, CAST(1000000 // k AS BIGINT) AS pi
+                FROM st CROSS JOIN kk),
+         q1 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p0 p USING (event_type)
+                GROUP BY 1),
+         p1 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q1.pi1, 0) AS pi
+           FROM st LEFT JOIN q1 USING (event_type)),
+         q2 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p1 p USING (event_type)
+                GROUP BY 1),
+         p2 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q2.pi1, 0) AS pi
+           FROM st LEFT JOIN q2 USING (event_type)),
+         q3 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p2 p USING (event_type)
+                GROUP BY 1),
+         p3 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q3.pi1, 0) AS pi
+           FROM st LEFT JOIN q3 USING (event_type)),
+         q4 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p3 p USING (event_type)
+                GROUP BY 1),
+         p4 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q4.pi1, 0) AS pi
+           FROM st LEFT JOIN q4 USING (event_type)),
+         q5 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p4 p USING (event_type)
+                GROUP BY 1),
+         p5 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q5.pi1, 0) AS pi
+           FROM st LEFT JOIN q5 USING (event_type)),
+         q6 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p5 p USING (event_type)
+                GROUP BY 1),
+         p6 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q6.pi1, 0) AS pi
+           FROM st LEFT JOIN q6 USING (event_type)),
+         q7 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p6 p USING (event_type)
+                GROUP BY 1),
+         p7 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q7.pi1, 0) AS pi
+           FROM st LEFT JOIN q7 USING (event_type)),
+         q8 AS (SELECT tr.next_type AS event_type,
+                  CAST(sum((p.pi * tr.c) // tot.tot) AS BIGINT) AS pi1
+                FROM tr JOIN tot USING (event_type)
+                JOIN p7 p USING (event_type)
+                GROUP BY 1),
+         p8 AS MATERIALIZED (
+           SELECT st.event_type, COALESCE(q8.pi1, 0) AS pi
+           FROM st LEFT JOIN q8 USING (event_type))
+         SELECT event_type, CAST(pi AS BIGINT) AS pi8_micro
+         FROM p8 ORDER BY event_type""",
+
     // replays TimeSeries.eventsAbsorptionProb — unrolled 6-round
     // quantized fixed-point over the transition grid, purchase pinned
     // absorbing at 1e6
@@ -6406,6 +6496,33 @@ object Oracle {
 
     // replays MultimodalOps.multimodalSizeStats: UTF-8 octet length
     // replays the Spark text→binary cast; frames = ceil(len/32)
+    // replays MultimodalOps.multimodalPayloadEntropy — per-blob symbol
+    // histogram, per-term micro-rounded log2 entropy (the stats_entropy
+    // idiom), rail flags
+    "multimodal_payload_entropy" ->
+      """WITH cells AS (
+           SELECT doc_id AS media_id,
+                  string_split(source, '_')[1] AS kind,
+                  unnest(list_transform(range(1, len(text) + 1),
+                    i -> substr(text, i, 1))) AS sym
+           FROM documents),
+         c AS (SELECT media_id, kind, sym, count(*) AS c
+               FROM cells GROUP BY 1, 2, 3),
+         n AS (SELECT media_id, kind, c,
+                      CAST(sum(c) OVER (PARTITION BY media_id)
+                        AS BIGINT) AS n
+               FROM c),
+         t AS (SELECT media_id, kind, n,
+                      CAST(round(-(c / n) * log2(c / n) * 1000000.0)
+                        AS BIGINT) AS t_micro
+               FROM n)
+         SELECT media_id, kind, CAST(max(n) AS BIGINT) AS n_bytes,
+                count(*) AS n_symbols,
+                CAST(sum(t_micro) AS BIGINT) AS entropy_bits_micro,
+                CAST(sum(t_micro) AS BIGINT) < 500000 AS flag_low,
+                CAST(sum(t_micro) AS BIGINT) > 7900000 AS flag_high
+         FROM t GROUP BY 1, 2 ORDER BY media_id""",
+
     "multimodal_size_stats" ->
       s"""SELECT string_split(source, '_')[1] AS kind,
                 count(*) AS n_media,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column plumbing (§2.10).
@@ -182,5 +183,41 @@ object MultimodalOps {
         min(col("media_id")).as("first_id"),
         max(col("media_id")).as("last_id"))
       .orderBy(col("kind"), col("shard_id"))
+  }
+
+  /** PAYLOAD BYTE-ENTROPY — the codec-free corruption/encryption QC
+    * read before any decode is attempted: a blob whose symbol entropy
+    * is near-maximal is compressed/encrypted/noise, one near zero is
+    * padding or a stuck encoder; both get quarantined without opening
+    * a codec. Per blob the symbol histogram (one (media_id, symbol)
+    * keyed count, map-side combinable — per-blob work at any corpus
+    * size) and Shannon entropy with each term micro-rounded exactly
+    * like `stats_entropy` (identical double shape both engines).
+    * Flags at < 0.5 or > 7.9 of the 8-bit ceiling — on this corpus
+    * the symbols are text bytes so values sit far from both rails;
+    * the FLAGS are the operator, the rails are production-real. */
+  def multimodalPayloadEntropy(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .select(col("doc_id").as("media_id"),
+        element_at(split(col("source"), "_"), 1).as("kind"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("sym"))
+      .groupBy(col("media_id"), col("kind"), col("sym"))
+      .agg(count(lit(1)).as("c"))
+    cells
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("media_id"))))
+      .select(col("media_id"), col("kind"), col("n"),
+        round(-(col("c") / col("n")) * log(2.0, col("c") / col("n"))
+          * lit(1000000.0)).cast("long").as("t_micro"))
+      .groupBy(col("media_id"), col("kind"))
+      .agg(max(col("n")).as("n_bytes"),
+        count(lit(1)).as("n_symbols"),
+        sum(col("t_micro")).as("entropy_bits_micro"))
+      .withColumn("flag_low", col("entropy_bits_micro") < 500000L)
+      .withColumn("flag_high", col("entropy_bits_micro") > 7900000L)
+      .orderBy(col("media_id"))
   }
 }

@@ -971,6 +971,49 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** STATIONARY DISTRIBUTION — the long-run share of time the event
+    * process spends in each state, by 8 rounds of quantized power
+    * iteration π_{k+1}(t) = Σ_s π_k(s)·P(s→t) over the SAME
+    * transition grid as [[eventsAbsorptionProb]] (each (s,t) term is
+    * one truncating division (π_s·c) div tot_s, so both engines
+    * compound identically); π₀ uniform. The capacity-planning read
+    * next to the absorption read — "which states dominate at
+    * equilibrium" vs "which states convert". Grid-sized rounds after
+    * one corpus pass. */
+  def eventsMarkovStationary(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val trans = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val rowTot = trans.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("tot"))
+    val states = trans.select(col("event_type"))
+      .unionByName(trans.select(col("next_type").as("event_type")))
+      .distinct().localCheckpoint(true)
+    val k = states.count()
+    var pi = states.select(col("event_type"),
+      lit(1000000L / k).as("pi"))
+    for (_ <- 1 to 8) {
+      val step = trans.join(rowTot, "event_type")
+        .join(pi, "event_type")
+        .groupBy(col("next_type"))
+        .agg(sum(expr("(pi * c) div tot")).as("pi1"))
+        .select(col("next_type").as("event_type"), col("pi1"))
+      pi = states.join(step, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("pi1"), lit(0L)).as("pi"))
+    }
+    pi.select(col("event_type"), col("pi").as("pi8_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** INCREMENTAL SCD2 MERGE — apply a CDC batch to an existing SCD2
     * table: the base intervals (built from events at or before the
     * [[Scd2AsofTs]] cut) have their open rows CLOSED at each entity's

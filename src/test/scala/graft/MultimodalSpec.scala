@@ -108,4 +108,32 @@ class MultimodalSpec extends SparkSpec {
       assert(ids.toSeq == (0L until ids.length).toSeq)
     }
   }
+
+  test("payload entropy: per-blob recompute, bounded by log2 of the " +
+      "symbol count, rails consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = MultimodalOps.multimodalPayloadEntropy(spark, sfDir)
+      .collect()
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.take(100).foreach { r =>
+      val t = texts(r.getLong(0))
+      val counts = t.groupBy(identity).view.mapValues(_.length).toMap
+      val n = t.length.toDouble
+      val h = counts.values.map { c =>
+        math.round(-(c / n) * (math.log(c / n) / math.log(2.0))
+          * 1000000.0)
+      }.sum
+      assert(r.getAs[Long]("n_bytes") == t.length.toLong)
+      assert(r.getAs[Long]("n_symbols") == counts.size.toLong)
+      assert(r.getAs[Long]("entropy_bits_micro") == h, r.getLong(0))
+      // entropy ≤ log2(distinct symbols), modulo per-term rounding
+      val cap = math.log(counts.size.toDouble) / math.log(2.0)
+      assert(h <= (cap * 1000000.0).toLong + counts.size)
+      assert(r.getAs[Boolean]("flag_low") == (h < 500000L))
+      assert(r.getAs[Boolean]("flag_high") == (h > 7900000L))
+    }
+  }
 }

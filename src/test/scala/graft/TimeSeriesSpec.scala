@@ -659,6 +659,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("z_micro") == zMicro)
   }
 
+  test("stationary distribution: matches the 8-round power-iteration " +
+      "recompute, mass within quantization of 1e6") {
+    val rows = TimeSeries.eventsMarkovStationary(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("pi8_micro")).toMap
+    val trans = TimeSeries.eventsMarkovTransitions(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n")))
+      .toMap
+    val states = trans.keySet.flatMap(k => Seq(k._1, k._2))
+    val tot = states.map(s =>
+      s -> trans.collect { case ((a, _), c) if a == s => c }.sum).toMap
+    var pi = states.map(s => s -> 1000000L / states.size).toMap
+    for (_ <- 1 to 8) {
+      pi = states.map { t =>
+        t -> states.toSeq.map { s =>
+          val c = trans.getOrElse((s, t), 0L)
+          if (c == 0L) 0L else pi(s) * c / tot(s)
+        }.sum
+      }.toMap
+    }
+    states.foreach(s => assert(rows(s) == pi(s), s))
+    // truncating divisions only ever LOSE mass, boundedly
+    val mass = rows.values.sum
+    assert(mass <= 1000000L && mass > 990000L, mass)
+  }
+
   test("absorption prob: matches the 6-round fixed-point recompute, " +
       "purchase pinned at 1e6, bounded") {
     val rows = TimeSeries.eventsAbsorptionProb(spark, sfDir).collect()
