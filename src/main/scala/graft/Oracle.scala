@@ -3050,6 +3050,37 @@ object Oracle {
     // replays Stats.statsChi2 — full R×C grid (absent combos at
     // obs = 0), expected in exact centi via integer div, per-cell
     // contributions micro-rounded before the exact BIGINT total
+    // replays Stats.statsCramersV — same grid ingredients as the chi2
+    // oracle, effect size via one rounded sqrt
+    "stats_cramers_v" ->
+      """WITH o AS (SELECT lang, source, count(*) AS o
+                    FROM documents GROUP BY 1, 2),
+         rr AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+                FROM o GROUP BY 1),
+         cc AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+                FROM o GROUP BY 1),
+         nn AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM rr) AS n,
+                       (SELECT CAST(count(*) AS BIGINT) FROM rr) AS nr,
+                       (SELECT CAST(count(*) AS BIGINT) FROM cc) AS nc),
+         cells AS (SELECT COALESCE(o.o, 0) AS obs,
+                          CAST(rr.r AS DOUBLE) * cc.c / nn.n AS e,
+                          nn.n, least(nn.nr - 1, nn.nc - 1) AS dof_min
+                   FROM rr CROSS JOIN cc
+                   LEFT JOIN o ON o.lang = rr.lang
+                              AND o.source = cc.source
+                   CROSS JOIN nn),
+         agg AS (SELECT CAST(sum(CAST(round((obs - e) * (obs - e) / e
+                          * 1000000.0) AS BIGINT)) AS BIGINT)
+                          AS chi2_micro,
+                        CAST(max(n) AS BIGINT) AS n,
+                        CAST(max(dof_min) AS BIGINT) AS dof_min
+                 FROM cells)
+         SELECT n, dof_min, chi2_micro,
+                CAST(round(sqrt(chi2_micro / 1000000.0
+                  / (n * dof_min)) * 1000000.0) AS BIGINT)
+                  AS cramers_v_micro
+         FROM agg""",
+
     "stats_chi2" ->
       """WITH o AS (SELECT lang, source, count(*) AS o
                     FROM documents GROUP BY 1, 2),
@@ -6080,6 +6111,25 @@ object Oracle {
 
     // replays Windows.windowVolatility: exact integer trailing-5
     // population variance from the keyed moment-sum window
+    // replays Windows.windowPctChange — keyed daily agg then lag on
+    // the aggregated frame, truncating signed permille
+    "window_pct_change" ->
+      """WITH d AS (SELECT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS d,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY 1, 2),
+         l AS (SELECT user_id, d, rev_cents,
+                      lag(rev_cents, 1) OVER (PARTITION BY user_id
+                        ORDER BY d) AS prev_cents
+               FROM d)
+         SELECT user_id, d, rev_cents, prev_cents,
+                CAST((1000 * (rev_cents - prev_cents))
+                     // nullif(prev_cents, 0) AS BIGINT)
+                  AS pct_change_permille
+         FROM l ORDER BY user_id, d""",
+
     "window_volatility" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
                            CAST(date_diff('day', DATE '1970-01-01',

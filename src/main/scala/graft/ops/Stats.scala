@@ -302,6 +302,39 @@ object Stats {
       .orderBy(col("p_brand"))
   }
 
+  /** CRAMÉR'S V — the effect SIZE on top of [[statsChi2]]'s
+    * significance (a giant corpus makes any association "significant";
+    * V = √(χ²/(n·min(r−1,c−1))) ∈ [0,1] says whether it MATTERS).
+    * Rebuilt from the same exact ingredients: grid-sized keyed agg,
+    * per-cell contributions micro-rounded before the total, one
+    * final rounded sqrt (6dp, IEEE-correctly-rounded on both
+    * engines). One row. */
+  def statsCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val r = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val c = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = r.agg(sum(col("r")).as("n"), count(lit(1)).as("nr"))
+      .crossJoin(c.agg(count(lit(1)).as("nc")))
+    val chi2 = broadcast(r).crossJoin(broadcast(c))
+      .join(o, Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("r").cast(DoubleType) * col("c") / col("n"))
+      .withColumn("contrib_micro",
+        round((col("obs") - col("e")) * (col("obs") - col("e"))
+          / col("e") * lit(1000000.0)).cast(LongType))
+      .agg(sum(col("contrib_micro")).as("chi2_micro"),
+        max(col("n")).as("n"),
+        max(least(col("nr") - 1, col("nc") - 1)).as("dof_min"))
+    chi2.select(col("n"), col("dof_min"), col("chi2_micro"),
+      round(sqrt(col("chi2_micro") / lit(1000000.0)
+        / (col("n") * col("dof_min"))) * lit(1000000.0))
+        .cast(LongType).as("cramers_v_micro"))
+  }
+
   /** ONE-WAY ANOVA — does mean document length differ across
     * languages: between/within sum-of-squares from per-group power
     * sums (SSB = Σ S1g²/ng − S1²/n, SSW = Σ (ng·S2g − S1g²)/ng), each

@@ -329,4 +329,29 @@ object Windows {
           "nullif(n * sxx - sx * sx, 0) AS BIGINT)").as("slope_milli"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** PERIOD-OVER-PERIOD PERCENT CHANGE — each user's day-over-day
+    * purchase-revenue delta in exact permille (the growth read under
+    * every "up/down X% vs yesterday" tile): one keyed daily agg, one
+    * lag window on the AGGREGATED per-(user, day) frame, delta =
+    * 1000·(cur − prev) div prev with the first day NULL (no prior
+    * period — the honest answer, not 0). Deltas are signed and both
+    * engines truncate toward zero. */
+  def windowPctChange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+        .as("rev_cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    daily
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("user_id"), col("d"), col("rev_cents"),
+        col("prev_cents"),
+        expr("""CAST((1000 * (rev_cents - prev_cents))
+                div nullif(prev_cents, 0) AS BIGINT)""")
+          .as("pct_change_permille"))
+      .orderBy(col("user_id"), col("d"))
+  }
 }

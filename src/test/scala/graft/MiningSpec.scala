@@ -549,6 +549,48 @@ class MiningSpec extends SparkSpec {
       1000000L * u1x2 / (2L * a.length * b.length))
   }
 
+  test("cramers v: effect size in [0, 1e6], chi2 total matches the " +
+      "chi2 key's sum") {
+    val r = graft.ops.Stats.statsCramersV(spark, sfDir).collect().head
+    val v = r.getAs[Long]("cramers_v_micro")
+    assert(v >= 0L && v <= 1000000L)
+    val chi2 = graft.ops.Stats.statsChi2(spark, sfDir).collect()
+      .head.getAs[Long]("chi2_micro")
+    assert(r.getAs[Long]("chi2_micro") == chi2)
+    val want = math.round(math.sqrt(chi2 / 1000000.0 /
+      (r.getAs[Long]("n") * r.getAs[Long]("dof_min"))) * 1000000.0)
+    assert(v == want)
+  }
+
+  test("pct change: recomputes from the daily frame, first day null, " +
+      "signed truncation") {
+    val rows = graft.ops.Windows.windowPctChange(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDate(1), r.getLong(2)))
+    assert(rows.length == daily.length)
+    val byUser = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val want = byUser(u)
+      val got = rs.sortBy(_.getDate(1).getTime)
+      assert(got.head.isNullAt(got.head.fieldIndex("prev_cents")))
+      got.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("rev_cents") == want(i)._3)
+        if (i > 0) {
+          val prev = want(i - 1)._3
+          assert(r.getAs[Long]("prev_cents") == prev)
+          assert(r.getAs[Long]("pct_change_permille") ==
+            1000L * (want(i)._3 - prev) / prev)
+        }
+      }
+    }
+  }
+
   test("anova: SSB/SSW match the power-sum recompute and F is " +
       "non-negative") {
     val r = graft.ops.Stats.statsAnova(spark, sfDir).collect().head
