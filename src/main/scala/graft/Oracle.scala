@@ -3892,6 +3892,21 @@ object Oracle {
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree
     // pairs make Pearson's r a pure rational — exact micro-units via
     // the same remainder-subtraction floor division
+    // replays GraphOps.graphReciprocity — semi join of the dedup edge
+    // frame against its own swap, exact permille
+    "graph_reciprocity" ->
+      s"""WITH $EdgesCte,
+         ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         rec AS (SELECT d.src, d.dst FROM ded d
+                 WHERE EXISTS (SELECT 1 FROM ded r
+                               WHERE r.src = d.dst AND r.dst = d.src))
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM ded) AS n_edges,
+                (SELECT CAST(count(*) AS BIGINT) FROM rec)
+                  AS n_reciprocal,
+                CAST((1000 * (SELECT count(*) FROM rec))
+                     // (SELECT count(*) FROM ded) AS BIGINT)
+                  AS reciprocity_permille""",
+
     // replays GraphOps.graphDegreeCentralization — Freeman index off
     // the same ded/deg frames as assortativity, HUGEINT headroom
     "graph_degree_centralization" ->
@@ -4797,6 +4812,23 @@ object Oracle {
 
     // Zipf census: rank + cumulative permille over the unique-keyed
     // (cnt DESC, tok) total order (RANGE==ROWS when the key is unique)
+    // replays TextOps.textHapaxRatio — (lang, token) counts then the
+    // per-language hapax census
+    "text_hapax_ratio" ->
+      """WITH c AS (SELECT lang, tok, count(*) AS c FROM (
+                      SELECT lang, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                    GROUP BY 1, 2)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                     // count(*) AS BIGINT) AS hapax_type_permille,
+                CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                     // sum(c) AS BIGINT) AS hapax_token_permille
+         FROM c GROUP BY lang ORDER BY lang""",
+
     "text_vocab_zipf" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
                        FROM documents),

@@ -2774,6 +2774,30 @@ object GraphOps {
     out
   }
 
+  /** RECIPROCITY — the share of directed edges whose reverse edge
+    * also exists, the mutual-link statistic every directed-network
+    * read starts with (follower-graph mutuality, trade balance):
+    * one left-semi join of the deduplicated edge frame against its
+    * own swap (key-partitioned both sides, no expansion), exact
+    * permille. The derived graph's IN/HAS edges are one-directional
+    * by construction, so the corpus value is 0 — the PLAN is the
+    * operator; the spec feeds a hand graph where it isn't. */
+  def graphReciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocityOn(GraphModel.dedupEdgesCached(spark, dir))
+
+  /** The reciprocity census on any (src, dst) frame — separated so
+    * the spec can drive a hand-built mutual graph through the same
+    * plan the registered key runs. */
+  def reciprocityOn(ded: DataFrame): DataFrame = {
+    val rev = ded.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = ded.join(rev, Seq("src", "dst"), "left_semi")
+    ded.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("CAST((1000 * n_reciprocal) div n_edges AS BIGINT)")
+          .as("reciprocity_permille"))
+  }
+
   /** FREEMAN DEGREE CENTRALIZATION — how star-like the whole graph is
     * on one row: C = Σ_v (d_max − d_v) / ((n−1)(n−2)), 0 for a
     * regular graph, 1 for a perfect star; the network-LEVEL summary

@@ -1492,6 +1492,30 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** HAPAX RATIO — the share of vocabulary types seen exactly once
+    * (and the token share they carry), per language: the classic
+    * corpus-maturity read next to [[textVocabZipf]]'s rank curve — a
+    * high hapax share means the vocabulary hasn't saturated (more
+    * data still buys new types), and it is the denominator-side
+    * sanity check before freezing a tokenizer's vocab size. One
+    * (lang, token) keyed count then one lang-keyed census — both
+    * map-side combinable, type-table-sized state. */
+  def textHapaxRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        col("n_hapax"),
+        expr("CAST((1000 * n_hapax) div n_types AS BIGINT)")
+          .as("hapax_type_permille"),
+        expr("CAST((1000 * n_hapax) div n_tokens AS BIGINT)")
+          .as("hapax_token_permille"))
+      .orderBy(col("lang"))
+
   /** BEST-FIT SEQUENCE PACKING — first-fit-decreasing bin packing of
     * whole documents into [[PackCapacity]]-token training sequences,
     * per deterministic md5 shard: the packing planner that does NOT

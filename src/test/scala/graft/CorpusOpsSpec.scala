@@ -440,6 +440,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(all.map(_.getAs[Long]("n_pass")).sum > 0L)
   }
 
+  test("hapax ratio: per-language census matches the type-table " +
+      "recompute") {
+    val rows = TextOps.textHapaxRatio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues { ds =>
+      val counts = ds.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      (counts.size.toLong, counts.values.sum,
+        counts.values.count(_ == 1L).toLong)
+    }.toMap
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val (types, tokens, hapax) = byLang(r.getString(0))
+      assert(r.getAs[Long]("n_types") == types)
+      assert(r.getAs[Long]("n_tokens") == tokens)
+      assert(r.getAs[Long]("n_hapax") == hapax)
+      assert(r.getAs[Long]("hapax_type_permille") ==
+        1000L * hapax / types)
+      assert(r.getAs[Long]("hapax_token_permille") ==
+        1000L * hapax / tokens)
+    }
+  }
+
   test("pack bestfit: FFD recomputed per shard, bounded by the " +
       "token lower bound") {
     val C = TextOps.PackCapacity

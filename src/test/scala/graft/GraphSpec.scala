@@ -1160,6 +1160,21 @@ class GraphSpec extends SparkSpec {
     assert(sups.toSeq == allSups.take(rows.length).toSeq)
   }
 
+  test("reciprocity: hand mutual graph scores 666 permille; the " +
+      "derived DAG scores 0 with the full edge count") {
+    import spark.implicits._
+    val hand = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val h = GraphOps.reciprocityOn(hand).collect().head
+    assert(h.getAs[Long]("n_edges") == 3L)
+    assert(h.getAs[Long]("n_reciprocal") == 2L)
+    assert(h.getAs[Long]("reciprocity_permille") == 666L)
+    val r = GraphOps.graphReciprocity(spark, sfDir).collect().head
+    val nDed = GraphModel.dedupEdgesCached(spark, sfDir).count()
+    assert(r.getAs[Long]("n_edges") == nDed)
+    assert(r.getAs[Long]("n_reciprocal") == 0L)
+    assert(r.getAs[Long]("reciprocity_permille") == 0L)
+  }
+
   test("effective diameter: 90%-of-horizon depth recomputed from the " +
       "reach profile") {
     val rows = GraphOps.graphEffectiveDiameter(spark, sfDir).collect()
