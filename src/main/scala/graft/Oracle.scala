@@ -1605,23 +1605,29 @@ object Oracle {
     """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
                   FROM documents GROUP BY source),
          s AS (SELECT source, n_docs,
-                      n_docs * 1000000000000 AS x,
-                      CAST(FLOOR(SQRT(CAST(n_docs * 1000000000000
-                        AS DOUBLE))) AS BIGINT) AS s0
+                      CAST(n_docs AS HUGEINT) * 1000000000000 AS x,
+                      CAST(FLOOR(SQRT(CAST(CAST(n_docs AS HUGEINT)
+                        * 1000000000000 AS DOUBLE))) AS BIGINT) AS s0
                FROM c),
          w AS (SELECT source, n_docs,
-                      CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
-                           WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END
+                      CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= x
+                           THEN s0 + 1
+                           WHEN CAST(s0 AS HUGEINT) * s0 > x THEN s0 - 1
+                           ELSE s0 END
                         AS w_micro
                FROM s),
          t AS (SELECT CAST(SUM(w_micro) AS HUGEINT) AS tw,
-                      CAST(SUM(n_docs) AS HUGEINT) AS tn FROM w)
+                      CAST(SUM(n_docs) AS HUGEINT) AS tn FROM w),
+         k AS (SELECT source, n_docs, w_micro,
+                      1000 * CAST(w_micro AS HUGEINT) AS wk,
+                      1000 * CAST(n_docs AS HUGEINT) AS nk, tw, tn
+               FROM w CROSS JOIN t)
          SELECT source, n_docs, w_micro,
-                CAST((1000 * w_micro - ((1000 * w_micro % tw + tw)
-                  % tw)) // tw AS BIGINT) AS permille_t2,
-                CAST((1000 * n_docs - ((1000 * n_docs % tn + tn)
-                  % tn)) // tn AS BIGINT) AS permille_t1
-         FROM w CROSS JOIN t ORDER BY source"""
+                CAST((wk - ((wk % tw + tw) % tw)) // tw AS BIGINT)
+                  AS permille_t2,
+                CAST((nk - ((nk % tn + tn) % tn)) // tn AS BIGINT)
+                  AS permille_t1
+         FROM k ORDER BY source"""
 
   /** Trained-vocab census replaying
     * [[graft.ops.TextOps.corpusBpeVocab]]: symbols of the final
@@ -5636,9 +5642,9 @@ object Oracle {
     // into each other.
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
     "embed_silhouette" -> silhouetteSql(8, 3),
-    "embed_pca_power" -> pcaPowerSql(6),
+    "embed_pca_power" -> pcaPowerSql(ops.VectorOps.PcaRounds),
     "embed_mmr_rerank" -> mmrRerankSql(ops.VectorOps.MmrPicks),
-    "embed_pca_project" -> pcaProjectSql(6),
+    "embed_pca_project" -> pcaProjectSql(ops.VectorOps.PcaRounds),
     // the persisted-index path serves byte-identical results to the
     // in-session path (same codebook, same probe), so the same replay
     // checks both — what differs is the PLAN (no Lloyd iterations at
@@ -6943,7 +6949,7 @@ object Oracle {
     // per blob, top-5 magics per modality
     "multimodal_magic_census" ->
       """WITH m AS (SELECT string_split(source, '_')[1] AS kind,
-                           hex(encode(substr(text, 1, 4))) AS magic_hex
+                           substr(hex(encode(text)), 1, 8) AS magic_hex
                     FROM documents),
          c AS (SELECT kind, magic_hex,
                       CAST(count(*) AS BIGINT) AS n_media

@@ -142,7 +142,10 @@ object MultimodalOps {
       .orderBy(col("n_media").desc, col("magic_hex"))
     Tables(spark, dir).documents
       .select(element_at(split(col("source"), "_"), 1).as("kind"),
-        hex(substring(col("text"), 1, 4).cast("binary")).as("magic_hex"))
+        // cast to binary FIRST, then slice: the magic is the first 4
+        // BYTES of the payload (a multibyte char must not widen the
+        // slice, as the earlier substring-then-encode shape did)
+        hex(substring(col("text").cast("binary"), 1, 4)).as("magic_hex"))
       .groupBy(col("kind"), col("magic_hex"))
       .agg(count(lit(1)).as("n_media"))
       .withColumn("rk", row_number().over(w))

@@ -654,24 +654,35 @@ object TextOps {
     * delta IS the upsampling decision. One grouped count + one
     * 1-row total cross join. */
   def corpusMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    // x = n_docs·1e12 and the isqrt correction squares run in
+    // DECIMAL(38,0): the BIGINT shape overflowed once a source passed
+    // ~9.2M documents (x > 2^63), contradicting the 100 TB claim; the
+    // ±1 correction stays safe because double sqrt is within 1 ulp of
+    // exact far beyond these magnitudes (relative 2^-52 ≈ 0.00002
+    // absolute at s0 = 1e11)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val isqrt =
-      """CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
-              WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END"""
+      """CASE WHEN CAST(s0 + 1 AS DECIMAL(38,0)) * (s0 + 1) <= x
+              THEN s0 + 1
+              WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > x THEN s0 - 1
+              ELSE s0 END"""
     val counts = Tables(spark, dir).documents
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("x", col("n_docs") * lit(1000000000000L))
+      .withColumn("x", col("n_docs").cast(dec) * lit(1000000000000L))
       .withColumn("s0",
         expr("CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)"))
       .withColumn("w_micro", expr(isqrt))
       .drop("x", "s0")
-    val tot = counts.agg(sum(col("w_micro")).as("tw"),
-      sum(col("n_docs")).as("tn"))
+    val tot = counts.agg(sum(col("w_micro").cast(dec)).as("tw"),
+      sum(col("n_docs").cast(dec)).as("tn"))
     counts.crossJoin(tot) // 1-row frame
+      .withColumn("wk", expr("1000 * CAST(w_micro AS DECIMAL(38,0))"))
+      .withColumn("nk", expr("1000 * CAST(n_docs AS DECIMAL(38,0))"))
       .select(col("source"), col("n_docs"), col("w_micro"),
-        expr("""CAST((1000 * w_micro - ((1000 * w_micro % tw + tw)
-                % tw)) div tw AS BIGINT)""").as("permille_t2"),
-        expr("""CAST((1000 * n_docs - ((1000 * n_docs % tn + tn)
-                % tn)) div tn AS BIGINT)""").as("permille_t1"))
+        expr("""CAST((wk - ((wk % tw + tw) % tw)) div tw AS BIGINT)""")
+          .as("permille_t2"),
+        expr("""CAST((nk - ((nk % tn + tn) % tn)) div tn AS BIGINT)""")
+          .as("permille_t1"))
       .orderBy(col("source"))
   }
 
