@@ -37,6 +37,40 @@ object Oracle {
                    HAVING count(*) <= ${graft.ops.TextOps.MaxShingleDf})),
          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1)"""
 
+  /** Shared positional-shingle maximal-run CTE chain for the exact
+    * substring dedup pair, mirroring `TextOps.substringRuns`:
+    * k=[[graft.ops.TextOps.SubstrShingle]]-token positional shingles →
+    * occurrence cap → cross-doc position pairs → maximal same-diagonal
+    * runs (rownum-difference grouping). Ends in
+    * `sruns(a_id, b_id, diag, a_start, span_tokens)`. */
+  private def SubstrRunCtes: String = {
+    val k = graft.ops.TextOps.SubstrShingle
+    s"""sd AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents),
+         ssh AS MATERIALIZED (
+           SELECT doc_id, i AS pos,
+                  md5(array_to_string(
+                    list_slice(t, i, i + ${k - 1}), ' ')) AS fp
+           FROM sd, unnest(range(1, len(t) - ${k - 2})) AS u(i)),
+         scap AS (SELECT * FROM ssh WHERE fp IN (
+                    SELECT fp FROM ssh GROUP BY fp
+                    HAVING count(*) <= ${graft.ops.TextOps.SubstrMaxOcc})),
+         spr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+                        a.pos - b.pos AS diag
+                 FROM scap a JOIN scap b USING (fp)
+                 WHERE a.doc_id < b.doc_id),
+         srn AS (SELECT a_id, b_id, diag, pa,
+                        pa - row_number() OVER (
+                          PARTITION BY a_id, b_id, diag
+                          ORDER BY pa) AS grp
+                 FROM spr),
+         sruns AS (SELECT a_id, b_id, diag,
+                          CAST(min(pa) AS BIGINT) AS a_start,
+                          CAST(count(*) + ${k - 1} AS BIGINT)
+                            AS span_tokens
+                   FROM srn GROUP BY 1, 2, 3, grp)"""
+  }
+
   /** The engine-neutral 60-bit hash `TextOps.md5Hash60`, DuckDB side:
     * first 15 hex chars of md5 read as a BIGINT. */
   private def md5Hash60Sql(x: String): String =
@@ -4439,6 +4473,50 @@ object Oracle {
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
                 min(doc_id) AS keep_id
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // replays TextOps.dedupSubstringExact: positional 8-token shingle
+    // fingerprints, occurrence-capped fp join, maximal same-diagonal
+    // runs via the rownum-difference grouping
+    "dedup_substring_exact" ->
+      s"""WITH $SubstrRunCtes
+         SELECT a_id, b_id, a_start, a_start - diag AS b_start,
+                span_tokens
+         FROM sruns ORDER BY a_id, b_id, a_start, b_start""",
+
+    // replays TextOps.dedupSubstringCensus: both endpoints of every
+    // pair-span as intervals, union-merged per document by the
+    // running-max sweep, joined to token counts
+    "dedup_substring_census" ->
+      s"""WITH $SubstrRunCtes,
+         iv AS (SELECT a_id AS doc_id, a_start AS st,
+                       a_start + span_tokens - 1 AS en FROM sruns
+                UNION ALL
+                SELECT b_id, a_start - diag,
+                       a_start - diag + span_tokens - 1 FROM sruns),
+         mg AS (SELECT doc_id, st, en,
+                       max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_max
+                FROM iv),
+         op AS (SELECT doc_id, st, en,
+                       CASE WHEN st > prev_max THEN 1 ELSE 0 END AS opens
+                FROM mg),
+         gr AS (SELECT doc_id, st, en,
+                       sum(opens) OVER (PARTITION BY doc_id
+                         ORDER BY st, en) AS grp
+                FROM op),
+         cov AS (SELECT doc_id, grp, max(en) - min(st) + 1 AS cov
+                 FROM gr GROUP BY 1, 2),
+         pc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(cov) AS BIGINT) AS dup_tokens
+                FROM cov GROUP BY 1),
+         tok AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+                 FROM documents)
+         SELECT p.doc_id, n_spans, dup_tokens, n_tokens,
+                (1000 * dup_tokens) // n_tokens AS dup_permille
+         FROM pc p JOIN tok USING (doc_id) ORDER BY doc_id""",
 
     // replays TextOps.corpusSourceOverlap: the near-minhash verified
     // pair chain (identical to dedup_near_minhash), censused by the

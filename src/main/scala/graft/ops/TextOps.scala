@@ -921,6 +921,130 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Positional-shingle window for [[dedupSubstringExact]]: spans are
+    * detected at [[SubstrShingle]]-token granularity, so the minimum
+    * reportable duplicated span is SubstrShingle tokens (the k of the
+    * suffix-array recipe's "spans ≥ k tokens"). */
+  val SubstrShingle = 8
+
+  /** Occurrence cap for a positional-shingle fingerprint before the
+    * pair join: an fp occurring n times corpus-wide produces ≤ C(n,2)
+    * position pairs, so one boilerplate 8-gram at 100 TB would go
+    * quadratic without the cap; ultra-common 8-grams pair half the
+    * corpus with the other half and carry no span-attribution signal
+    * (they surface via [[textWindowDupRate]]'s rate instead). Far
+    * above the corpus max so tested output is uncapped. */
+  val SubstrMaxOcc = 64
+
+  /** Maximal duplicated spans ≥ [[SubstrShingle]] tokens between
+    * document PAIRS — the exact-substring member of the published LLM
+    * dedup recipe (exact hash → MinHash near-dup → exact substring),
+    * the one [[textWindowDupRate]]'s docstring calls its
+    * coarse-grained cousin. Suffix arrays are the single-machine
+    * construction; the shuffle-native equivalent is SORTED SHINGLE
+    * RUNS: every k-token positional shingle is fingerprinted (md5, so
+    * the join key is 32 hex chars, never token text), fingerprints
+    * join position lists across documents, and a contiguous duplicated
+    * region appears as a run of consecutive positions on one DIAGONAL
+    * (pa − pb constant — the exact-match analogue of a dot-plot
+    * alignment band). Runs compress via the rownum-difference grouping
+    * trick (pa − row_number is constant within a run), and a run of r
+    * consecutive shingle starts covers r + k − 1 tokens. Output: one
+    * row per maximal span per (a_id < b_id) pair with both start
+    * offsets (1-based token positions).
+    *
+    * 100 TB shape: one narrow scan → positional explode (rows =
+    * corpus tokens), one occurrence-capped ([[SubstrMaxOcc]]) hash
+    * join on the fingerprint, then per-(pair, diagonal) windows whose
+    * partitions are bounded by document length. No pairwise document
+    * comparison and no global sort besides the output order; the
+    * fp join is the only super-linear step and the cap bounds it at
+    * C(cap,2) rows per fingerprint. */
+  def dedupSubstringExact(spark: SparkSession, dir: String): DataFrame =
+    substringRuns(spark, dir)
+      .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+      .orderBy(col("a_id"), col("b_id"), col("a_start"), col("b_start"))
+
+  /** Shared maximal-run frame: (a_id, b_id, diag, a_start, b_start,
+    * span_tokens), one row per maximal same-diagonal run of shared
+    * positional shingles. */
+  private def substringRuns(spark: SparkSession, dir: String): DataFrame = {
+    val k = SubstrShingle
+    val sh = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(when(size(col("t")) >= k,
+        sequence(lit(1), size(col("t")) - (k - 1)))
+        .otherwise(array())).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("t"), col("pos"), lit(k)), " "))
+          .as("fp"))
+    val capped = sh.join(
+      sh.groupBy(col("fp")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= SubstrMaxOcc).select("fp"),
+      Seq("fp"), "left_semi")
+    val pairs = capped.select(col("fp"), col("doc_id").as("a_id"),
+        col("pos").as("pa"))
+      .join(capped.select(col("fp"), col("doc_id").as("b_id"),
+        col("pos").as("pb")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .select(col("a_id"), col("b_id"), col("diag"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        col("span_tokens"))
+  }
+
+  /** Per-document duplicated-TOKEN census over [[dedupSubstringExact]]'s
+    * maximal spans — the number the substring-dedup paper actually
+    * reports ("X% of tokens sit inside a duplicated span"), i.e. the
+    * release-gate read of how much of each document is verbatim
+    * copied somewhere else in the corpus. Both endpoints of every
+    * pair-span contribute an interval; per document the intervals are
+    * UNION-merged (overlapping spans from different partner documents
+    * must not double-count tokens) via the classic sweep: an interval
+    * opens a new covered group when its start exceeds the running max
+    * end of everything before it. Output per affected document:
+    * merged-span count, covered token count, total tokens, permille.
+    * Cost on top of the run frame: one doc-keyed window + two keyed
+    * aggs — interval-list-sized, corpus-scale-free. */
+  def dedupSubstringCensus(spark: SparkSession, dir: String): DataFrame = {
+    val runs = substringRuns(spark, dir)
+    val iv = runs.select(col("a_id").as("doc_id"),
+        col("a_start").as("st"),
+        (col("a_start") + col("span_tokens") - 1).as("en"))
+      .unionByName(runs.select(col("b_id").as("doc_id"),
+        col("b_start").as("st"),
+        (col("b_start") + col("span_tokens") - 1).as("en")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("st"), col("en"))
+    val merged = iv
+      .withColumn("prev_max", max(col("en")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("st") > col("prev_max"), lit(1)).otherwise(lit(0)))
+      .withColumn("grp", sum(col("opens")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("en")) - min(col("st")) + 1).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("cov")).as("dup_tokens"))
+    merged.join(Tables(spark, dir).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens")),
+      "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        expr("(1000 * dup_tokens) div n_tokens").as("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusPackSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     Tables(spark, dir).documents

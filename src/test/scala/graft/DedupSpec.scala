@@ -317,4 +317,90 @@ class DedupSpec extends SparkSpec {
     }
     assert(m.values.map(_._1).sum == pairs.length.toLong)
   }
+
+  /** First-principles replay of the substring-run algorithm in plain
+    * Scala (shingle map → capped position pairs → maximal diagonal
+    * runs), independent of any Spark machinery. */
+  private lazy val substringGroundTruth
+      : (Map[Long, Array[String]], Set[(Long, Long, Int, Int, Long)]) = {
+    val k = TextOps.SubstrShingle
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1))
+      .toMap
+    val occ = scala.collection.mutable.Map
+      .empty[String, List[(Long, Int)]]
+    for ((id, t) <- docs; p <- 1 to t.length - k + 1)
+      occ.updateWith(t.slice(p - 1, p - 1 + k).mkString(" ")) {
+        prev => Some((id, p) :: prev.getOrElse(Nil))
+      }
+    val hits = scala.collection.mutable.Map
+      .empty[(Long, Long, Int), List[Int]] // (a, b, diag) -> pa list
+    for ((_, locs) <- occ if locs.size <= TextOps.SubstrMaxOcc;
+         (a, pa) <- locs; (b, pb) <- locs if a < b)
+      hits.updateWith((a, b, pa - pb)) {
+        prev => Some(pa :: prev.getOrElse(Nil))
+      }
+    val runs = hits.flatMap { case ((a, b, diag), pas) =>
+      val sorted = pas.sorted
+      // split sorted positions into maximal consecutive runs
+      val groups = sorted.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: rest), p) if h.head == p - 1 =>
+          (p :: h) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      groups.map(g => (a, b, g.min, g.min - diag,
+        (g.size + k - 1).toLong))
+    }.toSet
+    (docs, runs)
+  }
+
+  test("substring dedup reproduces the first-principles maximal runs") {
+    val (docs, expect) = substringGroundTruth
+    val got = TextOps.dedupSubstringExact(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("a_start"), r.getAs[Int]("b_start"),
+        r.getAs[Long]("span_tokens"))).toSet
+    assert(expect.nonEmpty, "corpus should contain shared spans")
+    assert(got == expect)
+    // every reported span is VERBATIM identical text in both documents
+    val k = TextOps.SubstrShingle
+    got.foreach { case (a, b, sa, sb, span) =>
+      assert(span >= k)
+      val (ta, tb) = (docs(a), docs(b))
+      assert(ta.slice(sa - 1, sa - 1 + span.toInt).sameElements(
+        tb.slice(sb - 1, sb - 1 + span.toInt)),
+        s"span not verbatim: ($a,$b,$sa,$sb,$span)")
+    }
+  }
+
+  test("substring census matches an independent interval-union sweep") {
+    val (docs, runs) = substringGroundTruth
+    // union-merge intervals per document from both endpoints
+    val byDoc = runs.toSeq.flatMap { case (a, b, sa, sb, span) =>
+      Seq((a, sa, sa + span.toInt - 1), (b, sb, sb + span.toInt - 1))
+    }.groupBy(_._1)
+    val expect = byDoc.map { case (id, ivs) =>
+      val covered = ivs.flatMap { case (_, st, en) => st to en }.toSet
+      // merged-span count = number of contiguous covered stretches
+      val nSpans = covered.toSeq.sorted.foldLeft((0, -10)) {
+        case ((n, prev), t) =>
+          (if (t == prev + 1) n else n + 1, t)
+      }._1.toLong
+      id -> (nSpans, covered.size.toLong)
+    }
+    val got = TextOps.dedupSubstringCensus(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_permille")))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (nSpans, dupTok, nTok, permille)) =>
+      assert((nSpans, dupTok) == expect(id), s"doc $id")
+      assert(nTok == docs(id).length.toLong)
+      assert(dupTok <= nTok)
+      assert(permille == 1000 * dupTok / nTok)
+    }
+  }
 }
