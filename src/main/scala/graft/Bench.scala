@@ -23,6 +23,11 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // NOTE: a THROWING key still contributes its elapsed wall time
+      // to `total` (the -1L is only the count() replacement value, not
+      // a time marker) — if a key ever starts failing, its row stays
+      // honest but `total` includes the time spent failing; check
+      // CORRECTNESS before reading bench deltas
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }

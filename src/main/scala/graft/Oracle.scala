@@ -714,11 +714,13 @@ object Oracle {
          ORDER BY walk_id"""
   }
 
-  /** Unrolled node2vec biased walk, replaying
+  /** Unrolled node2vec biased walk CTE chain, replaying
     * [[graft.ops.GraphOps.graphNode2vecWalk]]: step 1 uniform
     * min-hash, later steps the cumulative-weight draw over
-    * (return/adjacent/far) milli classes. */
-  private def node2vecWalkSql(steps: Int): String = {
+    * (return/adjacent/far) milli classes. Ends in
+    * `walks(walk_id, v1..vN)`; shared by the walk key and the
+    * walk-embedding key. */
+  private def node2vecWalkCtes(steps: Int): String = {
     def biasedCte(t: Int, fromExpr: String) = {
       val key = s"CAST(c.walk_id AS VARCHAR) || ':$t'"
       s"""s$t AS MATERIALIZED (
@@ -768,14 +770,57 @@ object Oracle {
       .map(t => s"LEFT JOIN (SELECT walk_id, v$t FROM s$t) t$t" +
         " USING (walk_id)").mkString(" ")
     val cols = (1 to steps).map(t => s"v$t").mkString(", ")
-    s"""WITH $EdgesCte,
+    s"""$EdgesCte,
          ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
          starts AS (SELECT DISTINCT 6000000000000 + o_orderkey
                       AS walk_id FROM orders),
          $s1,
-         $later
-         SELECT walk_id, $cols FROM starts $joins
-         ORDER BY walk_id"""
+         $later,
+         walks AS (SELECT walk_id, $cols FROM starts $joins)"""
+  }
+
+  /** Full node2vec walk statement (walk table, ordered). */
+  private def node2vecWalkSql(steps: Int): String =
+    s"""WITH ${node2vecWalkCtes(steps)}
+         SELECT walk_id, ${(1 to steps).map(t => s"v$t").mkString(", ")}
+         FROM walks ORDER BY walk_id"""
+
+  /** Walks → vectors, replaying [[graft.ops.VectorOps.graphWalkEmbed]]:
+    * skip-gram pairs (window ±2) over the walk table, PPMI scores in
+    * the 9dp round-then-decimal idiom, signed md5-parity random
+    * projection to [[graft.ops.VectorOps.WalkEmbedDims]] dims. */
+  private def walkEmbedSql(steps: Int): String = {
+    val dimExprs = (0 until graft.ops.VectorOps.WalkEmbedDims).map { j =>
+      val key = s"'graft-rp:' || CAST(c AS VARCHAR) || ':$j'"
+      s"CAST(sum(CASE WHEN ${md5Hash60Sql(key)} % 2 = 0 " +
+        s"THEN score ELSE -score END) AS DECIMAL(38,9))" +
+        s" AS d${"%02d".format(j)}"
+    }.mkString(",\n                ")
+    val seq = (1 to steps).map(t => s"v$t").mkString(", ")
+    s"""WITH ${node2vecWalkCtes(steps)},
+         wseq AS (SELECT [walk_id, $seq] AS s FROM walks),
+         pr0 AS MATERIALIZED (
+           SELECT s[i] AS a, s[j] AS b
+           FROM wseq, unnest(range(1, ${steps + 2})) u(i),
+                unnest(range(1, ${steps + 2})) w(j)
+           WHERE j > i AND j <= i + 2
+             AND s[i] IS NOT NULL AND s[j] IS NOT NULL),
+         pc AS (SELECT a AS v, b AS c FROM pr0
+                UNION ALL SELECT b, a FROM pr0),
+         nvc AS MATERIALIZED (
+           SELECT v, c, count(*) AS nvc FROM pc GROUP BY 1, 2),
+         nv AS (SELECT v, sum(nvc) AS nv FROM nvc GROUP BY 1),
+         ncx AS (SELECT c, sum(nvc) AS nc FROM nvc GROUP BY 1),
+         tt AS (SELECT sum(nvc) AS t FROM nvc),
+         sc AS (SELECT v, c,
+                       CAST(ROUND(ln((CAST(nvc AS DOUBLE) / nv)
+                         / (CAST(nc AS DOUBLE) / t)) + 1e-12, 9)
+                         AS DECIMAL(18,9)) AS score
+                FROM nvc JOIN nv USING (v) JOIN ncx USING (c)
+                CROSS JOIN tt)
+         SELECT v AS id,
+                $dimExprs
+         FROM sc WHERE score > 0 GROUP BY v ORDER BY id"""
   }
 
   /** Unrolled exact-integer HITS, replaying
@@ -1630,6 +1675,97 @@ object Oracle {
                  FROM s${r - 1} CROSS JOIN t$r)"""
     }.mkString
     base + steps
+  }
+
+  /** Unigram-LM tokenizer trainer replaying
+    * [[graft.ops.TextOps.corpusUnigramPrune]]: seeded substring vocab,
+    * exact nano-unit piece costs, the per-word Viterbi DP unrolled to
+    * [[graft.ops.TextOps.UnigramMaxWordLen]] positions with
+    * (cost, len, piece) tie-breaks, backpointer walk, usage-ranked
+    * prune. */
+  private def unigramPruneSql: String = {
+    import graft.ops.TextOps.{UnigramKeepTopK, UnigramMaxPieceLen,
+      UnigramMaxWordLen, UnigramSeedTopK}
+    val L = UnigramMaxWordLen
+    val P = UnigramMaxPieceLen
+    val bs = (1 to L).map { p =>
+      val arms = (1 to math.min(P, p)).map { l =>
+        s"""SELECT cv.w, b.cost + cv.cost_nano AS cost, cv.l, cv.piece
+            FROM ucv cv JOIN ub${p - l} b USING (w)
+            WHERE cv.p = $p AND cv.l = $l"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""ub$p AS MATERIALIZED (
+           SELECT w, cost, l AS bl, piece AS bp FROM (
+             SELECT a.*, row_number() OVER (PARTITION BY a.w
+               ORDER BY a.cost, a.l, a.piece) AS rn
+             FROM ($arms) a) t
+           WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val baUnion = (1 to L)
+      .map(p => s"SELECT w, $p AS pos, bl, bp FROM ub$p")
+      .mkString("\n                UNION ALL ")
+    val walks = (1 to L).map { s =>
+      s"""us$s AS (SELECT r.w, r.wc,
+             CASE WHEN a.bl IS NULL THEN r.pos
+                  ELSE r.pos - a.bl END AS pos,
+             CASE WHEN a.bp IS NULL THEN r.path
+                  ELSE r.path || [a.bp] END AS path
+           FROM us${s - 1} r LEFT JOIN uba a
+             ON a.w = r.w AND a.pos = r.pos)"""
+    }.mkString(",\n         ")
+    s"""WITH uw AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents) t
+           WHERE regexp_matches(w, '^[a-z]{1,$L}$$')
+           GROUP BY w),
+         ucand AS MATERIALIZED (
+           SELECT w, wc, i, l, substr(w, i, l) AS piece
+           FROM uw, unnest(range(1, length(w) + 1)) u(i),
+                unnest(range(1, ${P + 1})) v(l)
+           WHERE i + l - 1 <= length(w)),
+         ufreq AS MATERIALIZED (
+           SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
+           FROM ucand GROUP BY 1),
+         useed AS (SELECT piece, freq FROM ufreq
+                   WHERE length(piece) = 1
+                   UNION ALL
+                   SELECT piece, freq FROM (
+                     SELECT piece, freq, row_number() OVER (
+                       ORDER BY freq DESC, piece) AS rn
+                     FROM ufreq WHERE length(piece) > 1) t
+                   WHERE rn <= $UnigramSeedTopK),
+         utot AS (SELECT sum(freq) AS tot FROM useed),
+         ucost AS MATERIALIZED (
+           SELECT piece, freq,
+                  CAST(CAST(CAST(-ROUND(ln(CAST(freq AS DOUBLE) / tot)
+                    + 1e-12, 9) AS DECIMAL(18,9)) AS DECIMAL(28,9))
+                    * 1000000000 AS BIGINT) AS cost_nano
+           FROM useed CROSS JOIN utot),
+         ucv AS MATERIALIZED (
+           SELECT c.w, c.i + c.l - 1 AS p, c.l, c.piece, k.cost_nano
+           FROM ucand c JOIN ucost k USING (piece)),
+         ub0 AS (SELECT w, CAST(0 AS BIGINT) AS cost FROM uw),
+         $bs,
+         uba AS MATERIALIZED (
+                $baUnion),
+         us0 AS (SELECT w, wc, length(w) AS pos,
+                        CAST([] AS VARCHAR[]) AS path FROM uw),
+         $walks,
+         uuse AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS usage
+                  FROM (SELECT wc, unnest(path) AS piece FROM us$L) t
+                  GROUP BY 1),
+         uout AS MATERIALIZED (
+           SELECT k.piece, length(k.piece) AS piece_len,
+                  k.freq AS freq_w, COALESCE(u.usage, 0) AS usage
+           FROM ucost k LEFT JOIN uuse u USING (piece)),
+         urk AS (SELECT piece, row_number() OVER (
+                   ORDER BY usage DESC, piece) AS rn
+                 FROM uout WHERE piece_len > 1)
+         SELECT o.piece, o.piece_len, o.freq_w, o.usage,
+                (o.piece_len = 1 OR r.rn <= $UnigramKeepTopK) AS kept
+         FROM uout o LEFT JOIN urk r USING (piece)
+         ORDER BY usage DESC, o.piece"""
   }
 
   /** Temperature-scaled mixture weights replaying
@@ -3927,6 +4063,7 @@ object Oracle {
     "corpus_bpe_encode" -> bpeEncodeSql(6),
     "corpus_bpe_vocab" ->
       bpeVocabSql(6, ops.TextOps.BpeVocabTopK),
+    "corpus_unigram_prune" -> unigramPruneSql,
     "graph_shortest_paths_weighted_multi" -> spWeightedMultiSql(4),
 
     // replays GraphOps.graphAssortativity: symmetrized edge-end degree
@@ -4026,6 +4163,59 @@ object Oracle {
 
     "graph_random_walk" -> randomWalkSql(3),
     "graph_node2vec_walk" -> node2vecWalkSql(3),
+    "graph_walk_embed" -> walkEmbedSql(3),
+
+    // replays GraphOps.graphWarmCaches: each shared session cache's
+    // row count is a graph invariant — dedup/undirected edge counts,
+    // the edge-incident vertex census (the LPA seed and the Louvain
+    // labeling both carry one row per vertex), the canonical triangle
+    // enumeration, the capped brand-event frame
+    "graph_warm_caches" ->
+      s"""WITH $EdgesCte,
+         ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         verts AS (SELECT DISTINCT v FROM
+                     (SELECT src AS v FROM ded
+                      UNION ALL SELECT dst FROM ded)),
+         li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+         ranked AS (SELECT ok, pk, row_number() OVER (
+                      PARTITION BY ok ORDER BY pk) AS rn FROM li),
+         capped AS (SELECT ok, pk FROM ranked WHERE rn <= 32),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM capped a JOIN capped b
+             ON a.ok = b.ok AND a.pk < b.pk),
+         tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                 FROM e e1
+                 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         ocap AS (SELECT o_orderkey, o_custkey, o_orderdate FROM (
+                    SELECT o_orderkey, o_custkey, o_orderdate,
+                           row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS rn
+                    FROM orders)
+                  WHERE rn <= ${ops.Mining.MaxSeqOrders}),
+         ob AS (SELECT DISTINCT o_custkey AS cust, o_orderkey AS ok,
+                       o_orderdate AS od, p_brand AS brand
+                FROM ocap
+                JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN part ON l_partkey = p_partkey)
+         SELECT cache, n_rows FROM (
+           SELECT 'dedup_edges' AS cache,
+                  CAST(count(*) AS BIGINT) AS n_rows FROM ded
+           UNION ALL
+           SELECT 'und_edges', CAST(2 * count(*) AS BIGINT) FROM ded
+           UNION ALL
+           SELECT 'dedup_verts', CAST(count(*) AS BIGINT) FROM verts
+           UNION ALL
+           SELECT 'lpa_labels', CAST(count(*) AS BIGINT) FROM verts
+           UNION ALL
+           SELECT 'louvain_labels', CAST(count(*) AS BIGINT) FROM verts
+           UNION ALL
+           SELECT 'triangles', CAST(count(*) AS BIGINT) FROM tri
+           UNION ALL
+           SELECT 'seq_brand_events', CAST(count(*) AS BIGINT) FROM ob)
+         ORDER BY cache""",
 
     "graph_path_count" -> pathCountSql(3),
 

@@ -220,9 +220,16 @@ object Aggregations {
     * the `bit_or` aggregate (map-side combinable, commutative), and
     * the distinct count is Σ popcount — EXACT like count(DISTINCT)
     * but with two ordinary hash aggregations instead of a
-    * distinct-expand shuffle of raw ids: per-type state is
-    * (#chunks ≈ maxid/32) longs, not #users ids, and chunk rows merge
-    * associatively so skewed types cost the same as uniform ones.
+    * distinct-expand shuffle of raw ids: per-type state is the
+    * NON-EMPTY chunk set (the groupBy only creates chunks some user
+    * actually hits), i.e. between distinct/32 longs (dense id space,
+    * the 32× win) and distinct longs (fully sparse 64-bit ids, where
+    * the chunk trick degrades gracefully to count-distinct-equivalent
+    * state — never worse, just uncompressed; a roaring-style
+    * per-container array/bitmap switch is the layout that would
+    * recover compression there, a memory-format concern below the
+    * SQL surface). Chunk rows merge associatively so skewed types
+    * cost the same as uniform ones.
     * 32-bit chunks because a 63-bit shift overflows DuckDB's checked
     * BIGINT — the replay stays engine-neutral. Both counts emitted;
     * their equality is the operator's own proof. */

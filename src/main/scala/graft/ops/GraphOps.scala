@@ -459,6 +459,36 @@ object GraphOps {
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label"))
 
+  /** CACHE WARM-UP KEY — forces the shared session caches the graph /
+    * mining families ride (dedup edge frame + partitioned twins,
+    * vertex skeleton, LPA seed labels, Louvain labeling, the triangle
+    * enumeration, the capped brand-event frame) and reports each one's
+    * row count. Registered FIRST among the graph keys so BENCH COST
+    * ATTRIBUTION is window-stable: the builds land on this key's
+    * measured slot in both full runs and focused re-runs (previously
+    * whichever heavy key ran first absorbed them — `graph_louvain_move`
+    * read 16 s full-run vs 29 s focused-cold for the same work). The
+    * counts are real graph invariants (edge/vertex/triangle/event
+    * censuses), DuckDB-replayed like any other key. */
+  def graphWarmCaches(spark: SparkSession, dir: String): DataFrame = {
+    def row(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("cache"), col("n_rows"))
+    row("dedup_edges", GraphModel.dedupEdgesCached(spark, dir))
+      .unionByName(row("und_edges",
+        GraphModel.undEdgesCached(spark, dir)))
+      .unionByName(row("dedup_verts",
+        GraphModel.dedupVertsCached(spark, dir)))
+      .unionByName(row("lpa_labels", lpaLabelsCached(spark, dir)))
+      .unionByName(row("louvain_labels",
+        louvainLabelsCached(spark, dir)))
+      .unionByName(row("triangles",
+        GraphXAlgos.trianglesCached(spark, dir)))
+      .unionByName(row("seq_brand_events",
+        Mining.seqBrandEvents(spark, dir)))
+      .orderBy(col("cache"))
+  }
+
   /** Memoized Louvain labeling ([[louvainLabels]] over the shared LPA
     * seed, [[LouvainRounds]] rounds) — `graph_louvain`,
     * `graph_community_refine` and `graph_partition_agreement` all read
@@ -1933,7 +1963,25 @@ object GraphOps {
     * other hop); the per-walk window state is the out-degree, the
     * same envelope as the uniform walk. Dead-end walks end with null
     * tail columns, as the uniform walk does. */
-  def graphNode2vecWalk(spark: SparkSession, dir: String): DataFrame = {
+  /** Session memo for the node2vec walk table — the registered walk
+    * key and [[VectorOps.graphWalkEmbed]] (walks → vectors) both
+    * consume it; without the memo the 3-step biased build (the
+    * heaviest part of either key) would run once per consumer. The
+    * first consumer in bench order (`graph_node2vec_walk`) pays the
+    * build, the same attribution convention as the dedup-edge / LPA /
+    * triangle caches. */
+  private val n2vWalkCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+
+  def node2vecWalksCached(spark: SparkSession, dir: String): DataFrame =
+    n2vWalkCache.getOrElseUpdate((spark, dir),
+      buildNode2vecWalks(spark, dir).localCheckpoint(true))
+
+  def graphNode2vecWalk(spark: SparkSession, dir: String): DataFrame =
+    node2vecWalksCached(spark, dir)
+
+  private def buildNode2vecWalks(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = GraphModel.dedupEdgesCached(spark, dir)
     val adj = e.select(col("src").as("prev"), col("dst"),
       lit(1).as("is_adj"))

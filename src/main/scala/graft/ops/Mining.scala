@@ -230,7 +230,7 @@ object Mining {
     * orders×lineitem×part build ~5× per bench pass. */
   private val seqEvCache = scala.collection.concurrent.TrieMap[
     (SparkSession, String), DataFrame]()
-  private def seqBrandEvents(spark: SparkSession,
+  private[ops] def seqBrandEvents(spark: SparkSession,
       dir: String): DataFrame = seqEvCache.synchronized {
     seqEvCache.getOrElseUpdate((spark, dir), {
       val t = Tables(spark, dir)

@@ -1387,6 +1387,141 @@ object TextOps {
   /** Vocab size cap for [[corpusBpeVocab]]. */
   val BpeVocabTopK = 50
 
+  /** Unroll bound for [[corpusUnigramPrune]]'s per-word Viterbi DP —
+    * words longer than this are excluded from unigram training (the
+    * same boundedness convention as [[BpeRounds]]; at 100 TB the
+    * excluded tail is the pathological-token residue a tokenizer
+    * trainer drops anyway). */
+  val UnigramMaxWordLen = 12
+
+  /** Longest candidate piece in the unigram seed vocabulary. */
+  val UnigramMaxPieceLen = 4
+
+  /** Multi-char seed pieces admitted (by weighted substring frequency)
+    * before the EM/prune pass; single chars are always seeded so every
+    * word stays segmentable. */
+  val UnigramSeedTopK = 120
+
+  /** Multi-char pieces kept by the prune step (by Viterbi usage). */
+  val UnigramKeepTopK = 60
+
+  /** UNIGRAM-LM TOKENIZER TRAINER (SentencePiece-style), one hard-EM
+    * round + prune — the OTHER tokenizer family a data team compares
+    * against the BPE loop ([[corpusBpeMerges]]): instead of greedy
+    * merges, a SEED vocabulary is scored as a unigram language model
+    * and pruned to the pieces the corpus actually uses.
+    *
+    *  1. Seed: every ≤[[UnigramMaxPieceLen]]-char substring of the
+    *     word-frequency table, top-[[UnigramSeedTopK]] multi-char
+    *     pieces by weighted occurrence count, plus ALL single chars
+    *     (coverage guarantee — every word remains segmentable).
+    *  2. Piece cost = −ln(freq/total) through the 9dp
+    *     round-then-decimal idiom, scaled to EXACT nano units, so
+    *     Viterbi cost comparisons are BIGINT and engine-neutral.
+    *  3. E-step (hard EM, the Viterbi-EM variant of the published
+    *     forward-backward trainer): per word, the min-cost
+    *     segmentation by dynamic programming over character
+    *     positions, unrolled to [[UnigramMaxWordLen]] with
+    *     deterministic (cost, len, piece) tie-breaks; usage counts
+    *     weight each piece by word frequency.
+    *  4. Prune: keep the top-[[UnigramKeepTopK]] multi-char pieces by
+    *     (usage DESC, piece); single chars always survive — exactly
+    *     the trainer's drop-lowest-contribution step.
+    *
+    * Scale shape: the corpus collapses to the word-frequency table in
+    * one pass (the [[corpusBpeMerges]] argument); everything after is
+    * vocab-sized — candidate explode ≤ L·P rows per word, DP frames
+    * one row per (word, position), all joins keyed on the word. The
+    * seed is constant-size, so the DP join frames never exceed
+    * vocab × [[UnigramMaxPieceLen]] rows per position. */
+  def corpusUnigramPrune(spark: SparkSession, dir: String): DataFrame = {
+    val L = UnigramMaxWordLen
+    val P = UnigramMaxPieceLen
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val words = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike(s"^[a-z]{1,$L}$$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
+    val cand = words
+      .select(col("w"), col("wc"),
+        explode(expr("sequence(1, length(w))")).as("i"))
+      .select(col("w"), col("wc"), col("i"),
+        explode(expr(s"sequence(1, $P)")).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("w")))
+      .select(col("w"), col("wc"), col("i"), col("l"),
+        expr("substring(w, i, l)").as("piece"))
+    val freq = cand.groupBy(col("piece")).agg(sum(col("wc")).as("freq"))
+    val seed = freq.filter(length(col("piece")) === 1)
+      .unionByName(freq.filter(length(col("piece")) > 1)
+        .orderBy(col("freq").desc, col("piece"))
+        .limit(UnigramSeedTopK))
+    val tot = seed.agg(sum(col("freq")).as("tot"))
+    val costed = seed.crossJoin(broadcast(tot))
+      .select(col("piece"), col("freq"),
+        ((-round(log(col("freq").cast(DoubleType) / col("tot"))
+          + lit(1e-12), 9)).cast(dec) * lit(1000000000L))
+          .cast(LongType).as("cost_nano"))
+      .localCheckpoint(true)
+    val candV = cand
+      .join(costed.select(col("piece"), col("cost_nano")), "piece")
+      .select(col("w"), (col("i") + col("l") - 1).as("p"), col("l"),
+        col("piece"), col("cost_nano"))
+      .localCheckpoint(true)
+    // Viterbi DP: best(p) per word = min over piece lengths l of
+    // best(p-l) + cost(piece ending at p); each frame is one row per
+    // word, eagerly checkpointed (4-way branching lineage otherwise)
+    val bests = scala.collection.mutable.Map(
+      0 -> words.select(col("w"), lit(0L).as("cost")))
+    for (p <- 1 to L) {
+      val arms = (1 to math.min(P, p)).map { l =>
+        candV.filter(col("p") === p && col("l") === l)
+          .join(bests(p - l).select(col("w"), col("cost").as("pc")), "w")
+          .select(col("w"), (col("pc") + col("cost_nano")).as("cost"),
+            col("l"), col("piece"))
+      }
+      bests(p) = arms.reduce(_ unionByName _)
+        .groupBy(col("w"))
+        .agg(min(struct(col("cost"), col("l"), col("piece"))).as("m"))
+        .select(col("w"), col("m.cost").as("cost"), col("m.l").as("bl"),
+          col("m.piece").as("bp"))
+        .localCheckpoint(true)
+    }
+    val ba = (1 to L).map(p => bests(p).select(col("w"),
+      lit(p).as("pos"), col("bl"), col("bp"))).reduce(_ unionByName _)
+    // backpointer walk, L left-join levels: finished words (pos 0)
+    // stop matching and carry their path; linear lineage, no
+    // per-level checkpoint needed
+    var cur = words.select(col("w"), col("wc"),
+      length(col("w")).as("pos"),
+      array().cast("array<string>").as("path"))
+    for (_ <- 1 to L) {
+      cur = cur.join(ba, Seq("w", "pos"), "left")
+        .select(col("w"), col("wc"),
+          when(col("bl").isNotNull, col("pos") - col("bl"))
+            .otherwise(col("pos")).as("pos"),
+          when(col("bp").isNotNull,
+            concat(col("path"), array(col("bp"))))
+            .otherwise(col("path")).as("path"))
+    }
+    val usage = cur.select(col("wc"), explode(col("path")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("usage"))
+    val out = costed.select(col("piece"), col("freq").as("freq_w"))
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), length(col("piece")).as("piece_len"),
+        col("freq_w"), coalesce(col("usage"), lit(0L)).as("usage"))
+    val rk = out.filter(col("piece_len") > 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("usage").desc, col("piece"))))
+      .select(col("piece"), col("rn"))
+    out.join(rk, Seq("piece"), "left")
+      .select(col("piece"), col("piece_len"), col("freq_w"),
+        col("usage"),
+        (col("piece_len") === 1 ||
+          col("rn") <= UnigramKeepTopK).as("kept"))
+      .orderBy(col("usage").desc, col("piece"))
+  }
+
   /** TRAINED-VOCAB CENSUS — the artifact between training and encode
     * that a tokenizer build actually ships: every symbol the merge
     * table leaves in the corpus symbolization, with its occurrence

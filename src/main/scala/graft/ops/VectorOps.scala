@@ -1344,4 +1344,67 @@ object VectorOps {
         col("min_micro"), col("max_micro"))
       .orderBy(col("pos"))
   }
+
+  /** Output dimensionality of [[graphWalkEmbed]]. */
+  val WalkEmbedDims = 16
+
+  /** WALKS → VECTORS — the step that makes node2vec walks an
+    * EMBEDDING, closing the loop walk table → per-vertex vectors →
+    * the existing `embed_*` serving/quantization stack. The published
+    * equivalence (PMI-factorization view of skip-gram) says skip-gram
+    * embeddings factor the PPMI co-occurrence matrix, so the
+    * deterministic oracle-able construction is PPMI + fixed RANDOM
+    * PROJECTION (random indexing): (1) skip-gram pairs from each
+    * walk (window ±2 over the 4-vertex sequence, both directions,
+    * dead-end nulls dropped), (2) co-occurrence counts n(v,c) and
+    * marginals in one keyed agg each, (3) PPMI score
+    * max(0, ln((n_vc/n_v)/(n_c/T))) per pair — the [[Det]]-style
+    * 9dp-round-then-decimal idiom so both engines sum exact values,
+    * (4) dimension j of vertex v = Σ_c ppmi(v,c)·sign(c,j) with
+    * sign(c,j) = ±1 by the parity of the engine-neutral
+    * md5Hash60('graft-rp:c:j') — a signed random projection of v's
+    * PPMI row, computed by [[WalkEmbedDims]] conditional sums inside
+    * ONE agg pass (the sign matrix is a hash function, never
+    * materialized).
+    *
+    * 100 TB shape: pair explode is walk-table-linear (≤ 10 pairs per
+    * 4-vertex walk), everything downstream is keyed aggs on (v,c) /
+    * v / c — map-side combinable, no joins bigger than the pair
+    * frame, vertex-count output. Longer walks grow the window work
+    * linearly (window × steps), never quadratically in the corpus. */
+  def graphWalkEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val walks = GraphOps.node2vecWalksCached(spark, dir)
+    val pairs0 = walks
+      .select(array(col("walk_id"), col("v1"), col("v2"), col("v3"))
+        .as("s"))
+      .select(col("s"), explode(sequence(lit(1), lit(4))).as("i"))
+      .select(col("s"), col("i"),
+        explode(sequence(lit(1), lit(4))).as("j"))
+      .filter(col("j") > col("i") && col("j") <= col("i") + 2)
+      .select(element_at(col("s"), col("i")).as("a"),
+        element_at(col("s"), col("j")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val pc = pairs0.select(col("a").as("v"), col("b").as("c"))
+      .unionByName(pairs0.select(col("b").as("v"), col("a").as("c")))
+    val nvc = pc.groupBy(col("v"), col("c")).agg(count(lit(1)).as("nvc"))
+    val nv = nvc.groupBy(col("v")).agg(sum(col("nvc")).as("nv"))
+    val nc = nvc.groupBy(col("c")).agg(sum(col("nvc")).as("nc"))
+    val tot = nvc.agg(sum(col("nvc")).as("t"))
+    val scored = nvc.join(nv, "v").join(nc, "c")
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("c"),
+        round(log((col("nvc").cast(DoubleType) / col("nv"))
+          / (col("nc").cast(DoubleType) / col("t"))) + lit(1e-12), 9)
+          .cast(DecimalType(18, 9)).as("score"))
+      .filter(col("score") > 0)
+    val dims = (0 until WalkEmbedDims).map { j =>
+      val sign = TextOps.md5Hash60(concat_ws(":", lit("graft-rp"),
+        col("c").cast("string"), lit(j.toString))) % 2 === 0
+      sum(when(sign, col("score")).otherwise(-col("score")))
+        .cast(DecimalType(38, 9)).as(f"d$j%02d")
+    }
+    scored.groupBy(col("v").as("id"))
+      .agg(dims.head, dims.tail: _*)
+      .orderBy(col("id"))
+  }
 }

@@ -507,4 +507,68 @@ class CorpusOpsSpec extends SparkSpec {
         1000L * (nb * C - tot) / (nb * C))
     }
   }
+
+  test("unigram prune: seed, Viterbi segmentation, usage and prune " +
+      "recompute from first principles") {
+    val L = TextOps.UnigramMaxWordLen
+    val P = TextOps.UnigramMaxPieceLen
+    // word-frequency table from the raw corpus
+    val wc = docs.values.flatMap(_.split(" ", -1))
+      .filter(w => w.matches(s"^[a-z]{1,$L}$$"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // seed: all substrings ≤ P chars; singles + top multi by freq
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; i <- 0 until w.length;
+         l <- 1 to math.min(P, w.length - i))
+      freq.updateWith(w.substring(i, i + l)) {
+        p => Some(p.getOrElse(0L) + c)
+      }
+    val seed = freq.filter(_._1.length == 1).keySet ++
+      freq.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, f) => (-f, p) }
+        .take(TextOps.UnigramSeedTopK).map(_._1)
+    val tot = seed.toSeq.map(freq).sum
+    def costNano(p: String): Long = {
+      // Spark round(x, 9) rounds the shortest-decimal-string repr
+      // HALF_UP (= BigDecimal.valueOf semantics)
+      val r9 = BigDecimal.valueOf(
+        math.log(freq(p).toDouble / tot) + 1e-12)
+        .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      (-r9 * BigDecimal(1000000000L)).toLongExact
+    }
+    // Viterbi DP with (cost, len, piece) tie-break
+    def segment(w: String): Seq[String] = {
+      val best = Array.fill[(Long, Int, String)](w.length + 1)(null)
+      best(0) = (0L, 0, "")
+      for (p <- 1 to w.length) {
+        val arms = for (l <- 1 to math.min(P, p);
+             piece = w.substring(p - l, p) if seed(piece))
+          yield (best(p - l)._1 + costNano(piece), l, piece)
+        best(p) = arms.min
+      }
+      // backpointer walk (yields pieces end-to-start)
+      Iterator.iterate(w.length)(p => p - best(p)._2)
+        .takeWhile(_ > 0).map(p => best(p)._3).toSeq
+    }
+    val usage = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; p <- segment(w))
+      usage.updateWith(p)(u => Some(u.getOrElse(0L) + c))
+    val keptMulti = seed.toSeq.filter(_.length > 1)
+      .sortBy(p => (-usage.getOrElse(p, 0L), p))
+      .take(TextOps.UnigramKeepTopK).toSet
+    val rows = TextOps.corpusUnigramPrune(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("piece")).toSet == seed)
+    rows.foreach { r =>
+      val p = r.getAs[String]("piece")
+      assert(r.getAs[Int]("piece_len") == p.length)
+      assert(r.getAs[Long]("freq_w") == freq(p))
+      assert(r.getAs[Long]("usage") == usage.getOrElse(p, 0L), p)
+      assert(r.getAs[Boolean]("kept") ==
+        (p.length == 1 || keptMulti(p)), p)
+    }
+    // every word's Viterbi path reassembles the word exactly
+    wc.keys.foreach { w =>
+      assert(segment(w).reverse.mkString == w, w)
+    }
+  }
 }

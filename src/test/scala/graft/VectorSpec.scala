@@ -599,4 +599,49 @@ class VectorSpec extends SparkSpec {
       assert(r.getAs[Long]("max_micro") == ems.max)
     }
   }
+
+  test("walk embed: PPMI + signed projection recompute first-principles " +
+      "from the walk table") {
+    // the walk table itself is DuckDB-oracled; replay everything on top
+    val walks = graft.ops.GraphOps.graphNode2vecWalk(spark, sfDir)
+      .collect()
+      .map(r => Seq[Any](r.get(0), r.get(1), r.get(2), r.get(3))
+        .map(Option(_).map(_.asInstanceOf[Long])))
+    val pairs = walks.flatMap { s =>
+      for (i <- 0 until 4; j <- i + 1 until math.min(i + 3, 4);
+           a <- s(i); b <- s(j)) yield (a, b)
+    }
+    val pc = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val nvc = pc.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nv = pc.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nc = pc.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = pc.length.toLong
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val scored = nvc.toSeq.map { case ((v, c), n) =>
+      (v, c, BigDecimal.valueOf(
+        math.log((n.toDouble / nv(v)) / (nc(c).toDouble / t)) + 1e-12)
+        .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP))
+    }.filter(_._3 > 0)
+    val expect = scored.groupBy(_._1).view.mapValues { rows =>
+      (0 until VectorOps.WalkEmbedDims).map { j =>
+        rows.map { case (_, c, s) =>
+          if (md5h60(s"graft-rp:$c:$j") % 2 == 0) s else -s
+        }.sum
+      }
+    }.toMap
+    val got = VectorOps.graphWalkEmbed(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Long]("id")).toSet == expect.keySet)
+    got.foreach { r =>
+      val id = r.getAs[Long]("id")
+      (0 until VectorOps.WalkEmbedDims).foreach { j =>
+        val g = BigDecimal(r.getDecimal(j + 1))
+        assert(g == expect(id)(j), s"id $id dim $j: $g vs ${expect(id)(j)}")
+      }
+    }
+  }
 }
