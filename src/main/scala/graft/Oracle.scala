@@ -1500,6 +1500,37 @@ object Oracle {
       .replaceFirst("WITH ", "WITH RECURSIVE ")
   }
 
+  /** Leiden replay of [[graft.ops.GraphOps.graphLeiden]]: the shared
+    * Louvain chain, within-community components (the refine split,
+    * same recursive closure as [[communityRefineSql]]), each part
+    * re-seeded under its min member id, then the same unrolled
+    * mutual-best merge rounds over the repaired labeling. */
+  private def leidenSql(iters: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map(r =>
+      louvainMergeRoundSql(s"g${r - 1}", s"g$r")).mkString
+    val resteps = (1 to rounds).map(r =>
+      louvainMergeRoundSql(s"r${r - 1}", s"r$r")).mkString
+    (louvainBaseSql(iters) + steps + s""",
+         win AS MATERIALIZED (
+                 SELECT ded.src, ded.dst FROM ded
+                 JOIN g$rounds a ON a.id = ded.src
+                 JOIN g$rounds b ON b.id = ded.dst
+                 WHERE a.label = b.label),
+         wund AS MATERIALIZED (
+                 SELECT src AS a, dst AS b FROM win
+                 UNION ALL SELECT dst, src FROM win),
+         reach(src, dst) AS (
+           SELECT id, id FROM g$rounds
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN wund u ON u.a = r.dst),
+         r0 AS MATERIALIZED (
+                 SELECT src AS id, min(dst) AS label
+                 FROM reach GROUP BY src)""" + resteps + s"""
+         SELECT label, count(*) AS size FROM r$rounds
+         GROUP BY label ORDER BY label""")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+  }
+
   /** Exact-integer Rand index replaying
     * [[graft.ops.GraphOps.graphPartitionAgreement]]: the shared LPA
     * chain and the unrolled Louvain merge rounds, contingency cells,
@@ -3425,6 +3456,127 @@ object Oracle {
           WHERE l_orderkey % 10 = 0 AND l_linenumber = 1
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // replays Relational.tableSnapshotDiff — full-outer key diff of
+    // the through-1995 and through-1996 revenue snapshots, classified
+    // and censused with exact DECIMAL(18,4) deltas
+    "table_snapshot_diff" ->
+      """WITH a AS (SELECT o_custkey AS k,
+                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_a,
+                  count(*) AS n_a
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+          b AS (SELECT o_custkey AS k,
+                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_b,
+                  count(*) AS n_b
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+          j AS (SELECT CASE WHEN n_a IS NULL THEN 'added'
+                            WHEN n_b IS NULL THEN 'removed'
+                            WHEN rev_a = rev_b AND n_a = n_b
+                              THEN 'unchanged'
+                            ELSE 'changed' END AS diff_class,
+                       COALESCE(rev_b, 0) - COALESCE(rev_a, 0) AS delta
+                FROM a FULL JOIN b ON a.k = b.k)
+          SELECT diff_class, count(*) AS n_keys,
+                 CAST(ROUND(sum(delta), 2) AS DOUBLE) AS delta_total
+          FROM j GROUP BY 1 ORDER BY diff_class""",
+
+    // replays TimeSeries.eventsCupedLift — exact HUGEINT moments,
+    // remainder-subtraction floor divisions, quantized θ reused for
+    // every downstream number (identical integers both engines)
+    "events_cuped_lift" -> {
+      def fd(num: String, den: String): String =
+        s"""CASE WHEN ($den) = 0 THEN NULL
+            ELSE CAST((($num) - (((($num) % ($den)) + ($den))
+              % ($den))) // ($den) AS BIGINT) END"""
+      s"""WITH u AS (SELECT user_id,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS x,
+                 sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS y
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          per AS (SELECT ${md5Hash60Sql(
+            "'graft-ab:' || CAST(user_id AS VARCHAR)")} % 2 AS v,
+                 CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+               FROM u),
+          m AS (SELECT v, CAST(count(*) AS HUGEINT) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                  sum(x * y) AS sxy, sum(y * y) AS syy
+                FROM per GROUP BY 1),
+          a AS (SELECT n AS n_a, sx AS sx_a, sy AS sy_a, sxx AS sxx_a,
+                       sxy AS sxy_a, syy AS syy_a FROM m WHERE v = 0),
+          b AS (SELECT n AS n_b, sx AS sx_b, sy AS sy_b, sxx AS sxx_b,
+                       sxy AS sxy_b, syy AS syy_b FROM m WHERE v = 1),
+          j AS (SELECT *, n_a + n_b AS nn, sx_a + sx_b AS sxp,
+                       sy_a + sy_b AS syp FROM a CROSS JOIN b),
+          k AS (SELECT *,
+                  nn * (sxy_a + sxy_b) - sxp * syp AS aa,
+                  nn * (sxx_a + sxx_b) - sxp * sxp AS bb,
+                  nn * (syy_a + syy_b) - syp * syp AS dy
+                FROM j),
+          t AS (SELECT *,
+                  CAST(${fd("1000000 * aa", "bb")} AS HUGEINT) AS th
+                FROM k)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                 CAST(th AS BIGINT) AS theta_micro,
+                 ${fd("1000000 * sy_a", "n_a")} AS mean_y_a_micro,
+                 ${fd("1000000 * sy_b", "n_b")} AS mean_y_b_micro,
+                 ${fd("1000000 * sy_a * nn - th * (sx_a * nn - sxp * n_a)",
+                   "n_a * nn")} AS mean_yadj_a_micro,
+                 ${fd("1000000 * sy_b * nn - th * (sx_b * nn - sxp * n_b)",
+                   "n_b * nn")} AS mean_yadj_b_micro,
+                 ${fd("1000 * (1000000000000 * dy - 2000000 * th * aa" +
+                   " + th * th * bb)", "1000000000000 * dy")}
+                   AS varratio_permille
+          FROM t"""
+    },
+
+    // replays Stats.statsPsiDrift — pooled exact-cents equal-width
+    // bins, Laplace-smoothed shares, per-term floor(x·1e6 + 0.5)
+    // micro rounding (bit-deterministic; terms provably ≥ 0)
+    "stats_psi_drift" ->
+      """WITH o AS (SELECT year(o_orderdate) AS y,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+                WHERE year(o_orderdate) IN (1995, 1996)),
+          rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o),
+          c AS (SELECT (cents - lo) * 10 // (hi - lo + 1) AS bin,
+                  sum(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS n_a,
+                  sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS n_b
+                FROM o CROSS JOIN rng GROUP BY 1),
+          t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+          bins AS (SELECT unnest(range(0, 10)) AS bin),
+          f AS (SELECT bin, COALESCE(n_a, 0) AS n_a,
+                       COALESCE(n_b, 0) AS n_b,
+                       (COALESCE(n_a, 0) + 1) / (ta + 10) AS p,
+                       (COALESCE(n_b, 0) + 1) / (tb + 10) AS q
+                FROM bins LEFT JOIN c USING (bin) CROSS JOIN t)
+          SELECT bin, CAST(n_a AS BIGINT) AS n_a,
+                 CAST(n_b AS BIGINT) AS n_b,
+                 CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_micro,
+                 CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS q_micro,
+                 CAST(floor((p - q) * ln(p / q) * 1000000 + 0.5)
+                   AS BIGINT) AS term_micro
+          FROM f ORDER BY bin""",
+
+    // replays Stats.sampleReservoirGroup — the oracle runs the
+    // UNSALTED single-window form; the Spark side's two-phase salted
+    // cut agrees because a global top-k is invariant to pre-trimming
+    // each salt bucket past its own top-k
+    "sample_reservoir_group" ->
+      s"""WITH pri AS (SELECT source, doc_id,
+                 ${md5Hash60Sql("'rsv:' || CAST(doc_id AS VARCHAR)")}
+                   AS prio
+               FROM documents),
+          r AS (SELECT source, doc_id, prio,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY prio, doc_id) AS rk
+                FROM pri)
+          SELECT source, rk, doc_id, prio FROM r
+          WHERE rk <= 8 ORDER BY source, rk""",
+
     "join_skew_salted" ->
       s"""SELECT label, count(*) AS n_orders,
                  ${sqlSum2("o_totalprice")} AS sum_price
@@ -4055,6 +4207,7 @@ object Oracle {
     "graph_modularity" -> modularitySql(3),
     "graph_community_merge" -> communityMergeSql(3),
     "graph_louvain" -> louvainSql(3, 3),
+    "graph_leiden" -> leidenSql(3, 3),
     "graph_community_refine" -> communityRefineSql(3, 3),
     "graph_louvain_move" -> louvainMoveSql(3, 2, 3),
     "graph_louvain_weighted" -> louvainWeightedSql(3, 3),
@@ -4205,6 +4358,9 @@ object Oracle {
                   CAST(count(*) AS BIGINT) AS n_rows FROM ded
            UNION ALL
            SELECT 'und_edges', CAST(2 * count(*) AS BIGINT) FROM ded
+           UNION ALL
+           SELECT 'und_edges_by_dst', CAST(2 * count(*) AS BIGINT)
+           FROM ded
            UNION ALL
            SELECT 'dedup_verts', CAST(count(*) AS BIGINT) FROM verts
            UNION ALL
@@ -5774,6 +5930,32 @@ object Oracle {
                  (count(a_id) * 1000) // count(*) AS recall_permille
           FROM exact LEFT JOIN ann ON vec_id = a_id""",
 
+    // replays VectorOps.embedRerankBinary — hamming shortlist of 50
+    // over the packed 1-bit words, exact cosine rerank to top-10 (the
+    // matryoshka two-stage shape with an XOR+popcount coarse pass)
+    "embed_rerank_binary" ->
+      s"""WITH $BinaryCodesCtes,
+          p AS (SELECT code_lo AS plo, code_hi AS phi
+                FROM codes WHERE vec_id = 0),
+          sl AS (SELECT vec_id,
+                   CAST(bit_count(xor(code_lo, plo))
+                      + bit_count(xor(code_hi, phi)) AS BIGINT)
+                     AS hamming
+                 FROM codes CROSS JOIN p
+                 ORDER BY hamming, vec_id LIMIT 50),
+          ev AS (SELECT vec_id, label,
+                        CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+          en AS (SELECT vec_id, label, v,
+                        sqrt(list_sum(list_transform(range(1, 65),
+                          i -> v[i] * v[i]))) AS nrm FROM ev),
+          pe AS (SELECT v AS pv, nrm AS pn FROM en WHERE vec_id = 0)
+          SELECT en.vec_id, label, hamming,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                   i -> v[i] * pv[i])) / (nrm * pn), 4) AS cos_sim
+          FROM en JOIN sl ON en.vec_id = sl.vec_id CROSS JOIN pe
+          ORDER BY cos_sim DESC, en.vec_id LIMIT 10""",
+
     // matryoshka rerank: 16-dim prefix coarse cut, exact rerank —
     // both cuts on rounded scores with id tie-break
     "embed_matryoshka_topk" ->
@@ -7226,6 +7408,25 @@ object Oracle {
                  ORDER BY n_media DESC, magic_hex) AS rk FROM c)
          SELECT kind, magic_hex, n_media, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 5 ORDER BY kind, rk""",
+
+    // replays MultimodalOps.multimodalFrameSample: 64-byte frames,
+    // every 4th sampled, 8-byte head fingerprint — all byte math on
+    // the hex image so both engines slice identically
+    "multimodal_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+                           string_split(source, '_')[1] AS kind,
+                           hex(encode(text)) AS hx,
+                           CAST(octet_length(encode(text)) AS BIGINT)
+                             // 64 AS n_frames
+                    FROM documents),
+          s AS (SELECT doc_id, kind, hx,
+                       unnest(range(0, n_frames, 4)) AS frame_idx
+                FROM m WHERE n_frames > 0)
+          SELECT doc_id, kind, frame_idx,
+                 CAST(frame_idx * 64 AS BIGINT) AS byte_off,
+                 substr(hx, CAST(frame_idx * 128 + 1 AS INT), 16)
+                   AS frame_head_hex
+          FROM s ORDER BY doc_id, frame_idx""",
 
     // replays TextOps.dedupIncrementalLsh: the shared md5-affine
     // MinHash signature chain, bands split existing/new, bucket cap on

@@ -477,6 +477,8 @@ object GraphOps {
     row("dedup_edges", GraphModel.dedupEdgesCached(spark, dir))
       .unionByName(row("und_edges",
         GraphModel.undEdgesCached(spark, dir)))
+      .unionByName(row("und_edges_by_dst",
+        GraphModel.undEdgesByDstCached(spark, dir)))
       .unionByName(row("dedup_verts",
         GraphModel.dedupVertsCached(spark, dir)))
       .unionByName(row("lpa_labels", lpaLabelsCached(spark, dir)))
@@ -677,7 +679,21 @@ object GraphOps {
     val pairs = le.groupBy(col("la"), col("lb"))
       .agg(count(lit(1)).as("e_ab"))
     val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
-    val scored = pairs
+    mergeDecisionsOn(pairs, dc, mrow)
+  }
+
+  /** The merge-round decision core over an already-SUMMARIZED graph:
+    * `pairs` = (la < lb, e_ab) inter-community edge counts, `dc` =
+    * (label, dcv) community degree sums, `mrow` = the 1-row total edge
+    * count. Everything here is community-pair-sized — shared by
+    * [[communityMergeChk]] (which builds the summary from the vertex
+    * graph) and the contracted [[louvainLabels]] loop (which keeps the
+    * summary incrementally and never re-touches the vertex graph). */
+  private def mergeDecisionsOn(pairs: DataFrame, dc: DataFrame,
+      mrow: DataFrame, chk: Boolean = true, ordered: Boolean = true)
+      : (DataFrame, Seq[DataFrame]) = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored0 = pairs
       .join(dc.select(col("label").as("la"), col("dcv").as("da")), "la")
       .join(dc.select(col("label").as("lb"), col("dcv").as("db")), "lb")
       .crossJoin(mrow) // 1-row frame
@@ -688,7 +704,11 @@ object GraphOps {
         (lit(4L).cast(dec) * col("m") * col("m")).as("den"))
       .select(col("la"), col("lb"), col("e_ab"),
         expr(FloorDivMicro).as("delta_micro"))
-      .localCheckpoint(true) // community-pair-sized; le runs ONCE
+    // scored is read 4× below; checkpoint unless the caller's inputs
+    // are already materialized summaries (the contracted louvain loop,
+    // where the replayed subtree is community-pair-sized and a blocking
+    // checkpoint job costs more than the replays)
+    val scored = if (chk) scored0.localCheckpoint(true) else scored0
     val cand = scored
       .select(col("la").as("label"), col("lb").as("partner"),
         col("e_ab"), col("delta_micro"))
@@ -704,14 +724,16 @@ object GraphOps {
         col("m.e_ab").as("e_ab"), col("m.delta_micro").as("delta_micro"))
     val back = best.select(col("label").as("__bl"),
       col("partner").as("__bp"))
-    val out = best
+    val out0 = best
       .join(back, col("partner") === col("__bl"), "left")
       .select(col("label"), col("partner"), col("e_ab"),
         col("delta_micro"),
         coalesce(col("__bp") === col("label")
           && col("delta_micro") > 0L, lit(false)).as("accepted"))
-      .orderBy(col("label"))
-    (out, Seq(scored))
+    // the global sort costs a range-sampling job + a shuffle per call —
+    // skip it for internal callers that only filter the accepted rows
+    val out = if (ordered) out0.orderBy(col("label")) else out0
+    (out, if (chk) Seq(scored) else Seq.empty)
   }
 
   /** Registered surface: the merge round over the shared 3-round
@@ -743,12 +765,97 @@ object GraphOps {
     * where a single merge round under-fits. */
   def louvainLabels(ded: DataFrame, lab0: DataFrame,
       rounds: Int): DataFrame = {
-    // degrees depend on ded alone, not on the evolving labeling —
-    // aggregate once, reuse every round (the scorer reads it twice)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val deg = undDegreesOf(ded).localCheckpoint(true)
-    val out = louvainLoop(lab0, rounds,
-      lab => communityMergeChk(ded, lab, deg))
-    deg.unpersist(false)
+    val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
+      .localCheckpoint(true)
+    val out = louvainLabelsOn(ded, lab0, rounds, deg, mrow,
+      deg.count() <= SmallGraphVerts)
+    deg.unpersist(false); mrow.unpersist(false)
+    out
+  }
+
+  /** [[louvainLabels]] with the degree / edge-count frames supplied by
+    * the caller ([[graphLouvainMove]] shares them with the move phase).
+    *
+    * CONTRACTED loop (r11): the vertex graph is touched exactly TWICE
+    * regardless of the round count — one O(E) labeled-edge pass builds
+    * the round-1 summary (inter-community pair counts + community
+    * degree sums), and one O(V) remap at the end applies the accepted
+    * merge maps. In between, every round is community-pair-sized:
+    * e_ab and d_c are both additive under a min-label contraction
+    * (e_ab(A∪B, C) = e_ab(A,C) + e_ab(B,C); d_{A∪B} = d_A + d_B), so
+    * re-aggregating the remapped summary reproduces exactly what the
+    * pre-r11 loop recomputed from the vertex graph each round. Only
+    * the two vertex-graph passes and the tiny per-round merge maps are
+    * eagerly checkpointed — the community-sized round frames stay lazy
+    * (their replays cost less than blocking checkpoint jobs).
+    * Accepted-merge maps are at most half the community count (a
+    * matching), broadcast when provably small. */
+  private def louvainLabelsOn(ded: DataFrame, lab0: DataFrame,
+      rounds: Int, deg: DataFrame, mrow: DataFrame,
+      small: Boolean): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // community-sized output but an O(V) join to compute — checkpoint,
+    // or the un-checkpointed scored frame below replays it ~4× a round
+    val dc0 = deg.join(lab0, "id")
+      .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
+      .localCheckpoint(true)
+    var dc: DataFrame = dc0
+    val pairs0 = ded
+      .join(lab0.select(col("id").as("src"), col("label").as("sl")),
+        "src")
+      .join(lab0.select(col("id").as("dst"), col("label").as("dl")),
+        "dst")
+      .filter(col("sl") =!= col("dl"))
+      .select(least(col("sl"), col("dl")).as("la"),
+        greatest(col("sl"), col("dl")).as("lb"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("e_ab"))
+      .localCheckpoint(true)
+    var pairs = pairs0
+    val mergesAll = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val (decf, _) =
+        mergeDecisionsOn(pairs, dc, mrow, chk = false, ordered = false)
+      val merges = decf.filter(col("accepted"))
+        .select(col("label"),
+          least(col("label"), col("partner")).as("newlab"))
+        .localCheckpoint(true)
+      mergesAll += merges
+      if (r < rounds) {
+        // contract the summary — community-sized joins and re-aggs
+        // only, left lazy over the materialized round-1 summary
+        def mAs(k: String): DataFrame = {
+          val f = merges.select(col("label").as(k),
+            col("newlab").as("n" + k))
+          if (small) broadcast(f) else f
+        }
+        dc = dc.join(mAs("label"), Seq("label"), "left")
+          .select(coalesce(col("nlabel"), col("label")).as("label"),
+            col("dcv"))
+          .groupBy(col("label")).agg(sum(col("dcv")).cast(dec).as("dcv"))
+        pairs = pairs
+          .join(mAs("la"), Seq("la"), "left")
+          .join(mAs("lb"), Seq("lb"), "left")
+          .select(coalesce(col("nla"), col("la")).as("xa"),
+            coalesce(col("nlb"), col("lb")).as("xb"), col("e_ab"))
+          .filter(col("xa") =!= col("xb")) // merged pairs went internal
+          .select(least(col("xa"), col("xb")).as("la"),
+            greatest(col("xa"), col("xb")).as("lb"), col("e_ab"))
+          .groupBy(col("la"), col("lb")).agg(sum(col("e_ab")).as("e_ab"))
+      }
+    }
+    // the single O(V) pass: chain the round maps over the seed labeling
+    var lab = lab0
+    for (m <- mergesAll) {
+      val f = if (small) broadcast(m) else m
+      lab = lab.join(f, Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("newlab"), col("label")).as("label"))
+    }
+    val out = lab.localCheckpoint(true)
+    mergesAll.foreach(_.unpersist(false))
+    pairs0.unpersist(false)
     out
   }
 
@@ -819,6 +926,39 @@ object GraphOps {
       .orderBy(col("label"))
   }
 
+  /** LEIDEN COMMUNITIES — the repair [[graphCommunityRefine]] only
+    * AUDITS: (1) the shared Louvain labeling, (2) REFINE — split every
+    * community into its connected parts (exact min-label components of
+    * the within-community subgraph; global pointer jumping respects
+    * community boundaries for free because within-edges never cross
+    * labels) and make each part its own community under its min member
+    * id, (3) re-run the mutual-best merge rounds on the repaired
+    * labeling so modularity-justified merges reassemble what
+    * connectivity split. This is the Leiden paper's fix for Louvain's
+    * disconnected-community defect: every community entering the final
+    * merge phase is internally connected, and a merge of two connected
+    * communities sharing an edge stays connected. Cost on top of the
+    * cached Louvain chain: one labeled-edge pass for the within
+    * subgraph, the component rounds (each a keyed join + agg), and the
+    * CONTRACTED merge rounds — community-sized after their one O(E)
+    * summary pass. Output: final community sizes. */
+  def graphLeiden(spark: SparkSession, dir: String): DataFrame = {
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val lab = louvainLabelsCached(spark, dir)
+    val within = ded
+      .join(lab.select(col("id").as("src"), col("label").as("ls")),
+        "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("ld")),
+        "dst")
+      .filter(col("ls") === col("ld"))
+      .select(col("src").as("a_id"), col("dst").as("b_id"))
+    val seed = minLabelComponents(lab.select(col("id")), within)
+      .select(col("id"), col("cluster").as("label"))
+    louvainLabels(ded, seed, LouvainRounds)
+      .groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .orderBy(col("label"))
+  }
+
   /** Round budget for the phase-1 per-node sweep of
     * [[graphLouvainMove]] — bounded so the oracle can unroll it. */
   val LouvainMoveRounds = 2
@@ -852,42 +992,89 @@ object GraphOps {
       rounds: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val deg = undDegreesOf(ded).localCheckpoint(true)
-    val und = ded.select(col("src").as("v"), col("dst").as("n"))
-      .unionByName(ded.select(col("dst").as("v"), col("src").as("n")))
-      .localCheckpoint(true)
     val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
       .localCheckpoint(true)
+    val und = ded.select(col("src").as("v"), col("dst").as("n"))
+      .unionByName(ded.select(col("dst").as("v"), col("src").as("n")))
+    val out = louvainMoveLabelsOn(und, lab0, rounds, deg, mrow,
+      deg.count() <= SmallGraphVerts)
+    deg.unpersist(false); mrow.unpersist(false)
+    out
+  }
+
+  /** Vertex-count bound under which the community-sized side frames
+    * (d_c, accepted-move maps, merge maps — all ≤ the community count ≤
+    * the vertex count) are explicitly broadcast. localCheckpoint hides
+    * size stats from AQE, so the gate is one deg.count() per call —
+    * above it (billion-vertex cluster scale) every such join falls
+    * back to a keyed shuffle rather than risk the driver. */
+  private val SmallGraphVerts = 2000000L
+
+  /** [[louvainMoveLabels]] with the undirected (v, n) pair frame, the
+    * degree / edge-count frames and the broadcast gate supplied by the
+    * caller — [[graphLouvainMove]] shares them across phases and hands
+    * in the session-cached frames pre-partitioned so the per-round nk
+    * join reads the big side exchange-free. */
+  private def louvainMoveLabelsOn(und: DataFrame, lab0: DataFrame,
+      rounds: Int, deg: DataFrame, mrow: DataFrame,
+      small: Boolean): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     var lab = lab0
     var owned: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       // Catalyst does not deduplicate common subplans, and this round
-      // reads nk twice (own-community + target-community sides), dc
-      // twice (source/target degree sums) and best three times (both
-      // conflict expansions + the final move set) — without the eager
-      // checkpoints the candidate subtree replays ~4× per action
-      // (measured: 60.6 s → 18.1 s warm for the registered key at sf0.1)
-      val dc = deg.join(lab, "id")
-        .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
-        .localCheckpoint(true)
-      // k_ic: per vertex, how many neighbors sit in each community
+      // reads nk twice (candidate frame + d_c below) and best three
+      // times (both conflict expansions + the final move set) — without
+      // the eager checkpoints the candidate subtree replays ~4× per
+      // action (measured: 60.6 s → 18.1 s warm for the registered key
+      // at sf0.1 when the checkpoints landed in r9).
+      // k_ic: per vertex, how many neighbors sit in each community —
+      // the one O(2E) shuffle the round genuinely needs. Repartition by
+      // v BEFORE the agg: hashpartitioning(v) satisfies the (v, nl)
+      // clustering, survives the checkpoint, and lets the candidate
+      // frame's id-join below reuse it instead of reshuffling O(E) rows.
+      // (A delta-update of the previous round's nk — shift one unit
+      // k(n,a)→k(n,b) per accepted mover i:a→b per neighbor n — was
+      // tried in r11 and REVERTED: the full-outer merge forces a
+      // sort-merge pass over the whole nk frame, measured ~2× slower
+      // than this rebuild at sf0.1 despite touching less data.)
       val nk = und
         .join(lab.select(col("id").as("n"), col("label").as("nl")), "n")
+        .repartition(col("v"))
         .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("k"))
         .localCheckpoint(true)
-      val own = nk.select(col("v").as("oid"), col("nl").as("ol"),
-        col("k").as("k_own"))
-      val st = lab.join(deg, "id")
-        .join(own, col("id") === col("oid") && col("ol") === col("label"),
-          "left")
-        .select(col("id"), col("label").as("a"), col("d"),
-          coalesce(col("k_own"), lit(0L)).as("k_own"))
-      val cand = st
-        .join(nk.select(col("v").as("id"), col("nl").as("b"),
-          col("k").as("k_b")), "id")
+      // d_c = Σ_{i∈c} d_i = Σ_v k(v,c) exactly (both sides count the
+      // edge-ends incident to c), so the community degree frame falls
+      // out of the already-materialized nk — no second pass over the
+      // vertex set. Community-sized: on the broadcast path it stays
+      // LAZY (each broadcast exchange replays one cheap agg over the
+      // materialized nk — cheaper than a blocking checkpoint job); on
+      // the large-graph path it is checkpointed so the two shuffled
+      // joins don't recompute it (the pre-r11 shape always paid two
+      // full shuffles of the fat candidate frame for these joins).
+      val dc0 = nk.groupBy(col("nl"))
+        .agg(sum(col("k")).cast(dec).as("dcv"))
+      val dc = if (small) dc0 else dc0.localCheckpoint(true)
+      def dcAs(key: String, v: String): DataFrame = {
+        val f = dc.select(col("nl").as(key), col("dcv").as(v))
+        if (small) broadcast(f) else f
+      }
+      // attach (a, d_i, k_own) to every candidate row: join nk to the
+      // vertex frames on id, then read k_own back with a same-key
+      // window — co-partitioned after the join, so no extra shuffle
+      // (the pre-r11 `own` self-join reshuffled an O(E) frame for it),
+      // and the downstream best-move agg on id stays shuffle-free too.
+      val cand = nk
+        .select(col("v").as("id"), col("nl").as("b"), col("k").as("k_b"))
+        .join(lab.select(col("id"), col("label").as("a")), "id")
+        .join(deg, "id")
+        .withColumn("k_own",
+          coalesce(max(when(col("b") === col("a"), col("k_b")))
+            .over(Window.partitionBy(col("id"))), lit(0L)))
         .filter(col("b") =!= col("a"))
-        .join(dc.select(col("label").as("a"), col("dcv").as("da")), "a")
-        .join(dc.select(col("label").as("b"), col("dcv").as("db")), "b")
-        .crossJoin(mrow) // 1-row frame
+        .join(dcAs("a", "da"), "a")
+        .join(dcAs("b", "db"), "b")
+        .crossJoin(broadcast(mrow)) // 1-row frame
         .select(col("id"), col("a"), col("b"),
           (lit(1000000L).cast(dec) * (lit(4L).cast(dec) * col("m")
             * (col("k_b").cast(dec) - col("k_own").cast(dec))
@@ -910,42 +1097,69 @@ object GraphOps {
         .unionByName(best.select(col("b").as("c"), col("id"),
           col("delta_micro")))
       // community winner by (delta DESC, id ASC) — same agg shape; a
-      // move is accepted only when it wins BOTH its communities
+      // move is accepted only when it wins BOTH its communities, i.e.
+      // it is the winner of its source AND its target community. The
+      // winner map is community-sized, so the both-wins check is two
+      // broadcast probes of the best frame (ReuseExchange dedups the
+      // two identical winner broadcasts inside the one job) instead of
+      // a second keyed shuffle.
       val win = ex.groupBy(col("c"))
         .agg(max(struct(col("delta_micro"), (-col("id")).as("ni")))
           .as("m"))
-        .select((-col("m.ni")).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("nw"))
-        .filter(col("nw") === 2).select(col("id"))
-      val acc = best.join(win, "id").select(col("id"), col("b"))
+        .select(col("c"), (-col("m.ni")).as("wid"))
+      def winAs(k: String, v: String): DataFrame = {
+        val f = win.select(col("c").as(k), col("wid").as(v))
+        if (small) broadcast(f) else f
+      }
+      val acc0 = best
+        .join(winAs("a", "wa"), "a").filter(col("id") === col("wa"))
+        .join(winAs("b", "wb"), "b").filter(col("id") === col("wb"))
+        .select(col("id"), col("b"))
+      // accepted moves ≤ half the community count (winning pairs are
+      // disjoint), so the vertex gate also covers broadcasting them
+      val acc = if (small) broadcast(acc0) else acc0
       val next = lab.join(acc, Seq("id"), "left")
         .select(col("id"), coalesce(col("b"), col("label")).as("label"))
         .localCheckpoint(true)
-      dc.unpersist(false)
+      if (!small) dc.unpersist(false)
       nk.unpersist(false)
       best.unpersist(false)
       owned.foreach(_.unpersist(false))
       owned = Some(next)
       lab = next
     }
-    deg.unpersist(false)
-    und.unpersist(false)
-    mrow.unpersist(false)
     lab
   }
 
   /** Registered surface: TWO-PHASE LOUVAIN — [[LouvainMoveRounds]]
     * per-node sweep rounds to repair the LPA seed, then the
     * [[LouvainRounds]] mutual-best merge-and-contract rounds; output =
-    * final community sizes. */
+    * final community sizes. The degree and total-edge-count frames are
+    * label-independent, so the two phases share one materialization. */
   def graphLouvainMove(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ded = GraphModel.dedupEdgesCached(spark, dir)
-    val moved = louvainMoveLabels(ded, lpaLabelsCached(spark, dir),
-      LouvainMoveRounds)
-    val out = louvainLabels(ded, moved, LouvainRounds)
+    // degree falls out of the src-partitioned undirected cache with NO
+    // exchange (groupBy(src) rides the persisted partitioning); the
+    // dst-partitioned twin feeds the move rounds' nk join so the O(2E)
+    // side needs no exchange either — the same frames every centrality
+    // key already shares, so warm runs pay zero builds here
+    val deg = GraphModel.undEdgesCached(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint(true)
+    val und = GraphModel.undEdgesByDstCached(spark, dir)
+      .select(col("src").as("v"), col("dst").as("n"))
+    val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
+      .localCheckpoint(true)
+    val small = deg.count() <= SmallGraphVerts
+    val moved = louvainMoveLabelsOn(und, lpaLabelsCached(spark, dir),
+      LouvainMoveRounds, deg, mrow, small)
+    val out = louvainLabelsOn(ded, moved, LouvainRounds, deg, mrow, small)
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label")).localCheckpoint(true)
     moved.unpersist(false) // ours, absorbed by the merge checkpoints
+    deg.unpersist(false); mrow.unpersist(false)
     out
   }
 

@@ -223,4 +223,35 @@ object MultimodalOps {
       .withColumn("flag_high", col("entropy_bits_micro") > 7900000L)
       .orderBy(col("media_id"))
   }
+
+  /** FRAME SAMPLING — the video-pipeline plumbing for "decode every
+    * k-th frame": the payload is treated as a fixed-width frame array
+    * (64-byte frames standing in for the codec's GOP structure, which
+    * the stubbed decoder cannot parse in this container), every 4th
+    * frame is sampled DETERMINISTICALLY (idx 0, 4, 8, … — the
+    * reproducible-preprocessing requirement), and each sampled frame
+    * emits its byte offset plus an 8-byte head fingerprint. All byte
+    * math runs on the hex image of the payload so both engines slice
+    * identically. Scale shape: pure per-row columnar work — the frame
+    * explode multiplies rows by n_frames/4 but never shuffles, and at
+    * 100 TB the offsets feed ranged reads of the media store instead
+    * of full-payload decodes; a real decoder slots in as a mapInPandas
+    * over exactly this (doc, offset) frame plan. */
+  def multimodalFrameSample(spark: SparkSession, dir: String)
+      : DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        element_at(split(col("source"), "_"), 1).as("kind"),
+        hex(col("text").cast("binary")).as("hx"),
+        expr("CAST(length(CAST(text AS BINARY)) div 64 AS BIGINT)")
+          .as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("kind"), col("hx"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(4L)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("kind"), col("frame_idx"),
+        (col("frame_idx") * 64).as("byte_off"),
+        expr("substring(hx, CAST(frame_idx * 128 + 1 AS INT), 16)")
+          .as("frame_head_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 }

@@ -176,4 +176,45 @@ object Relational {
            LIMIT 2) t
          ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""")
   }
+
+  /** SNAPSHOT DIFF — the "what changed between two loads" audit every
+    * incremental pipeline runs before publishing: snapshot A =
+    * per-customer order revenue through 1995, snapshot B = through
+    * 1996, FULL OUTER join on the key, every key classified added /
+    * removed / changed / unchanged, census per class with the EXACT
+    * cents delta (DECIMAL(18,4) accumulation, the [[graft.ops.Det]]
+    * money rule). The general shape diffs two independently-produced
+    * tables, so the join is the operator: at 100 TB both snapshots are
+    * written bucketed on the key and the full-outer join is
+    * exchange-free; when the snapshots share lineage (as here) a
+    * single conditional-aggregate scan is the cheaper special case,
+    * but it cannot diff what the pipeline didn't produce itself.
+    * `removed` cannot occur for cumulative facts — emitting the class
+    * anyway keeps the operator contract total. */
+  def tableSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val money = DecimalType(18, 4)
+    val o = Tables(spark, dir).orders
+    def snap(until: String): DataFrame = o
+      .filter(col("o_orderdate") < lit(until))
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("o_totalprice").cast(money)).as("rev"),
+        count(lit(1)).as("n"))
+    val a = snap("1996-01-01")
+      .select(col("k"), col("rev").as("rev_a"), col("n").as("n_a"))
+    val b = snap("1997-01-01")
+      .select(col("k"), col("rev").as("rev_b"), col("n").as("n_b"))
+    a.join(b, Seq("k"), "full")
+      .select(
+        when(col("n_a").isNull, lit("added"))
+          .when(col("n_b").isNull, lit("removed"))
+          .when(col("rev_a") === col("rev_b")
+            && col("n_a") === col("n_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("diff_class"),
+        (coalesce(col("rev_b"), lit(0).cast(money))
+          - coalesce(col("rev_a"), lit(0).cast(money))).as("delta"))
+      .groupBy(col("diff_class"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(col("delta")), 2).cast(DoubleType).as("delta_total"))
+      .orderBy(col("diff_class"))
+  }
 }

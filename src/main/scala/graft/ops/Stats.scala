@@ -151,6 +151,84 @@ object Stats {
         Det.sum2(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("l_returnflag"))
 
+  /** POPULATION STABILITY INDEX — the drift monitor a pipeline runs
+    * between two ingestion snapshots before trusting the new one: the
+    * 1995 vs 1996 order-value distributions, 10 equal-width bins over
+    * the POOLED exact-cents range (integer bin math — (x−lo)·10 div
+    * (hi−lo+1) is provably in [0,9], no clamp), Laplace-smoothed bin
+    * shares p=(n+1)/(N+10) so empty bins contribute finite terms
+    * deterministically (the usual ε, made exact), and the standard
+    * per-bin term (p−q)·ln(p/q) micro-rounded per term exactly like
+    * the entropy family (identical double inputs both engines → the
+    * rounding is engine-stable). Output: all 10 bins with counts,
+    * smoothed shares and term — Σterm_micro is the PSI; > 0.2 is the
+    * conventional "investigate" rail. One scan + one keyed agg + two
+    * 1-row broadcasts: the same plan at any scale. */
+  def statsPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(year(col("o_orderdate")).as("y"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("y").isin(1995, 1996))
+    val rng = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val counts = o.crossJoin(broadcast(rng))
+      .select(col("y"),
+        expr("(cents - lo) * 10 div (hi - lo + 1)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("y") === 1995, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("y") === 1996, 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("ta"),
+      sum(col("n_b")).as("tb"))
+    spark.range(10).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        ((col("n_a") + 1) / (col("ta") + 10)).as("p"),
+        ((col("n_b") + 1) / (col("tb") + 10)).as("q"))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        // floor(x + 0.5) round-half-up: bit-deterministic cross-engine
+        // (the int8-quantization rule); every rounded value here is
+        // provably ≥ 0 (p−q and ln(p/q) share a sign)
+        floor(col("p") * 1000000.0 + 0.5).as("p_micro"),
+        floor(col("q") * 1000000.0 + 0.5).as("q_micro"),
+        floor((col("p") - col("q")) * log(col("p") / col("q"))
+          * 1000000.0 + 0.5).as("term_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** DISTRIBUTED RESERVOIR SAMPLE — a fixed-size (k = 8) uniform
+    * without-replacement sample PER SOURCE from the document corpus,
+    * derandomized the md5Hash60 way: each doc draws priority
+    * u = hash(doc_id), and the k smallest priorities per group ARE a
+    * reservoir sample whose random stream is the hash (the classic
+    * priority-sampling equivalence), reproducible across engines and
+    * runs. Scale shape: per-source top-k through a window is a HOT-KEY
+    * hazard (one partition per source at 100 TB), so the cut runs in
+    * two phases — local top-k per (source, salt-bucket) bounds every
+    * partition at k·32 candidate rows, then the global per-source cut
+    * ranks only those survivors. The oracle replays the unsalted
+    * single-window form; the two plans agree because the global top-k
+    * is invariant to pre-filtering any bucket past its own top-k. */
+  def sampleReservoirGroup(spark: SparkSession, dir: String): DataFrame = {
+    val pri = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"))
+      .withColumn("prio", TextOps.md5Hash60(
+        concat_ws(":", lit("rsv"), col("doc_id"))))
+      .withColumn("salt", pmod(col("prio"), lit(32)))
+    val local = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("prio"), col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("prio"), col("doc_id"))
+    pri
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 8)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= 8)
+      .select(col("source"), col("rk"), col("doc_id"), col("prio"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Data profiling: per-column null count / exact distinct count /
     * min / max over lineitem — the first query any ingestion pipeline
     * runs on a new 100 TB drop. One aggregate per profiled column,

@@ -921,6 +921,83 @@ object TimeSeries {
           * lit(1000000.0)).cast("long").as("z_micro"))
   }
 
+  /** CUPED VARIANCE REDUCTION — the adjusted A/B read every mature
+    * experimentation platform ships next to the raw lift: per user,
+    * pre-period spend x (purchases before Jan 16) is the covariate for
+    * post-period spend y, θ = cov(x,y)/var(x) pooled, and the variant
+    * means are compared on y_adj = y − θ·(x − μx). Everything runs on
+    * EXACT integer moments (cents; DECIMAL(38,0) sums) and θ is
+    * QUANTIZED to micro-units by the remainder-subtraction floor
+    * division — the quantized θ is then THE θ for every downstream
+    * number, so both engines compute identical integers end to end
+    * (CUPED's guarantee degrades by at most 1e-6·σx, irrelevant; the
+    * determinism is what buys the oracle). Because Σ(x−μx) = 0, the
+    * adjusted variant means and the pooled variance ratio all fall out
+    * of the per-variant moment rows — ONE user-keyed agg + a 2-row agg
+    * and scalar algebra, no second pass at any scale (the var-ratio
+    * intermediate is ~1e38 at billion-user scale — the documented
+    * DECIMAL(38,0)/HUGEINT ceiling). varratio_permille < 1000 is the
+    * variance CUPED removed. */
+  def eventsCupedLift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def fd(num: String, den: String): String =
+      s"""CASE WHEN $den = 0 THEN NULL
+          ELSE CAST((($num) - (((($num) % ($den)) + ($den)) % ($den)))
+            div ($den) AS BIGINT) END"""
+    val per = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit("2024-01-16"),
+          expr("CAST(round(value * 100) AS BIGINT)"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit("2024-01-16"),
+          expr("CAST(round(value * 100) AS BIGINT)"))
+          .otherwise(0L)).as("y"))
+      .select((TextOps.md5Hash60(concat(lit("graft-ab:"),
+          col("user_id").cast("string"))) % 2).as("v"),
+        col("x").cast(dec).as("x"), col("y").cast(dec).as("y"))
+    val m = per.groupBy(col("v"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .localCheckpoint(true) // 2-row frame read by both pivot legs
+    def leg(v: Int, sfx: String): DataFrame =
+      m.filter(col("v") === v).select(
+        Seq("n", "sx", "sy", "sxx", "sxy", "syy")
+          .map(c => col(c).as(s"$c$sfx")): _*)
+    leg(0, "_a").crossJoin(leg(1, "_b"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("sxp", col("sx_a") + col("sx_b"))
+      .withColumn("syp", col("sy_a") + col("sy_b"))
+      .withColumn("aa", col("nn") * (col("sxy_a") + col("sxy_b"))
+        - col("sxp") * col("syp"))
+      .withColumn("bb", col("nn") * (col("sxx_a") + col("sxx_b"))
+        - col("sxp") * col("sxp"))
+      .withColumn("dy", col("nn") * (col("syy_a") + col("syy_b"))
+        - col("syp") * col("syp"))
+      .withColumn("theta_micro", expr(fd("1000000 * aa", "bb")))
+      // decimal-first θ so the θ² product can never wrap a BIGINT
+      .withColumn("th", col("theta_micro").cast(dec))
+      .select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("theta_micro"),
+        expr(fd("1000000 * sy_a", "n_a")).as("mean_y_a_micro"),
+        expr(fd("1000000 * sy_b", "n_b")).as("mean_y_b_micro"),
+        expr(fd("1000000 * sy_a * nn - th * " +
+          "(sx_a * nn - sxp * n_a)", "n_a * nn"))
+          .as("mean_yadj_a_micro"),
+        expr(fd("1000000 * sy_b * nn - th * " +
+          "(sx_b * nn - sxp * n_b)", "n_b * nn"))
+          .as("mean_yadj_b_micro"),
+        expr(fd("1000 * (1000000000000 * dy - 2000000 * th " +
+          "* aa + th * th * bb)",
+          "1000000000000 * dy")).as("varratio_permille"))
+  }
+
   /** Absorption-probability horizon (transitions). */
   val AbsorbSteps = 6
 

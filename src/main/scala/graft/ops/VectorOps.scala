@@ -1325,6 +1325,41 @@ object VectorOps {
         expr("(hits * 1000) div k").as("recall_permille"))
   }
 
+  /** BINARY TWO-STAGE RETRIEVAL — the production serving shape the
+    * 1-bit codes exist FOR, the [[embedMatryoshkaTopk]] sibling with
+    * Hamming instead of a prefix dot: stage 1 scans ONLY the packed
+    * code words (16 bytes/vector vs 512 for the float64 corpus — at
+    * 100 TB the codes are a separate 32×-smaller column file, and the
+    * scan is XOR + popcount per row with a size-50 TakeOrdered heap,
+    * no shuffle of the corpus); stage 2 fetches the full vectors for
+    * just the 50 shortlisted ids (broadcast semi-join here; a
+    * point-lookup against the id-sorted store on a cluster) and
+    * exact-cosine reranks to the final top-10. Both cuts rank on
+    * engine-stable values (integer Hamming / rounded cosine, id
+    * tie-breaks), so the two-stage result is deterministic
+    * cross-engine. */
+  def embedRerankBinary(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val codes = binaryCodes(spark, dir)
+    val probeC = codes.filter(col("vec_id") === 0)
+      .select(col("code_lo").as("plo"), col("code_hi").as("phi"))
+    val shortlist = codes.crossJoin(broadcast(probeC))
+      .select(col("vec_id"),
+        expr("bit_count(code_lo ^ plo) + bit_count(code_hi ^ phi)")
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(50)
+    val t = Tables(spark, dir)
+    withNorm(t)
+      .join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(probeOf(t)))
+      .select(col("vec_id"), col("label"), col("hamming"),
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_nrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def embedDimVariance(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     Tables(spark, dir).embeddings

@@ -879,6 +879,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("leiden: sizes match a driver-side union-find refine replay, " +
+      "modularity never below plain louvain") {
+    import spark.implicits._
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir)
+    val lou = GraphOps.louvainLabels(ded,
+      GraphOps.lpaExactOn(ded, 3,
+        Some(GraphModel.dedupVertsCached(spark, sfDir))),
+      GraphOps.LouvainRounds)
+    val lab = lou.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // refine replay: union-find over within-community edges, each
+    // part re-seeded under its MIN member id (the operator's contract)
+    val within = ded.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => lab(e._1) == lab(e._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    lab.keys.foreach(v => parent(v) = v)
+    within.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val minOfRoot = lab.keys.groupBy(find)
+      .view.mapValues(_.min).toMap
+    val seed = lab.keys.toSeq.map(v => (v, minOfRoot(find(v))))
+      .toDF("id", "label")
+    val remerged = GraphOps.louvainLabels(ded, seed,
+      GraphOps.LouvainRounds)
+    val expected = remerged.groupBy(col("label"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("label")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("size"))).toSeq
+    val got = GraphOps.graphLeiden(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("size"))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == lab.size.toLong)
+    // splitting a disconnected community into parts strictly raises Q
+    // (the dropped cross-term −2·d_A·d_B/(4m²) had no e_AB to offset
+    // it) and the merge rounds are monotone — so leiden ≥ louvain
+    val qLou = GraphOps.modularityStatsOn(ded, lou)
+      .collect()(0).getAs[Long]("q_micro")
+    val qLei = GraphOps.modularityStatsOn(ded, remerged)
+      .collect()(0).getAs[Long]("q_micro")
+    assert(qLei >= qLou, s"leiden $qLei < louvain $qLou")
+  }
+
   test("butterfly count: C(cn,2) exact off the projection weights, " +
       "descending top-10") {
     val rows = GraphXAlgos.butterflyCount(spark, sfDir).collect()

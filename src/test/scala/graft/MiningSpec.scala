@@ -716,4 +716,97 @@ class MiningSpec extends SparkSpec {
       assert(g >= 0L && g < 1000000L)
     }
   }
+
+  test("reservoir sample: per source exactly min(8, group size) rows, " +
+      "and they are the hash-priority minima (salted cut = unsalted)") {
+    val rows = graft.ops.Stats.sampleReservoirGroup(spark, sfDir)
+      .collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def prio(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rsv:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expect = docs.groupBy(_._1).view.mapValues(_.map(_._2)
+      .sortBy(id => (prio(id), id)).take(8).toSeq).toMap
+    val got = rows.groupBy(_.getString(0))
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq ==
+        (1 to rs.length))
+      assert(rs.sortBy(_.getAs[Int]("rk"))
+        .map(_.getAs[Long]("doc_id")).toSeq == expect(src), src)
+      rs.foreach(r =>
+        assert(r.getAs[Long]("prio") == prio(r.getAs[Long]("doc_id"))))
+    }
+  }
+
+  test("psi drift: 10 bins, counts partition both years, terms " +
+      "non-negative and match a driver-side smoothed recompute") {
+    val rows = graft.ops.Stats.statsPsiDrift(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderdate").cast("string"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0).take(4).toInt,
+        math.round(r.getDouble(1) * 100)))
+      .filter(t => t._1 == 1995 || t._1 == 1996)
+    val lo = o.map(_._2).min; val hi = o.map(_._2).max
+    def bin(c: Long): Long = (c - lo) * 10 / (hi - lo + 1)
+    val na = o.filter(_._1 == 1995).groupBy(t => bin(t._2)).view
+      .mapValues(_.length.toLong).toMap
+    val nb = o.filter(_._1 == 1996).groupBy(t => bin(t._2)).view
+      .mapValues(_.length.toLong).toMap
+    val (ta, tb) = (na.values.sum, nb.values.sum)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getAs[Long]("n_a") == na.getOrElse(b, 0L))
+      assert(r.getAs[Long]("n_b") == nb.getOrElse(b, 0L))
+      val p = (na.getOrElse(b, 0L) + 1).toDouble / (ta + 10)
+      val q = (nb.getOrElse(b, 0L) + 1).toDouble / (tb + 10)
+      assert(r.getAs[Long]("p_micro") ==
+        math.floor(p * 1000000.0 + 0.5).toLong)
+      val term = math.floor((p - q) * math.log(p / q)
+        * 1000000.0 + 0.5).toLong
+      assert(r.getAs[Long]("term_micro") == term, s"bin $b")
+      assert(term >= 0L) // (p−q) and ln(p/q) always share a sign
+    }
+    assert(rows.map(_.getAs[Long]("n_a")).sum == ta)
+    assert(rows.map(_.getAs[Long]("n_b")).sum == tb)
+  }
+
+  test("snapshot diff: classes partition the key set, unchanged has " +
+      "zero delta, added equals the new customers' full revenue") {
+    val rows = graft.ops.Relational.tableSnapshotDiff(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("delta_total"))).toMap
+    assert(!rows.contains("removed")) // cumulative facts only grow
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate").cast("string"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def cents(x: Double): Long = math.round(x * 100)
+    val a = o.filter(_._2 < "1996-01-01").groupBy(_._1).view
+      .mapValues(g => (g.map(t => cents(t._3)).sum, g.length)).toMap
+    val b = o.filter(_._2 < "1997-01-01").groupBy(_._1).view
+      .mapValues(g => (g.map(t => cents(t._3)).sum, g.length)).toMap
+    val added = b.keySet -- a.keySet
+    val changed = a.keySet.filter(k => b(k) != a(k))
+    val unchanged = a.keySet.filter(k => b(k) == a(k))
+    assert(rows("added")._1 == added.size.toLong)
+    assert(rows.get("changed").map(_._1).getOrElse(0L) ==
+      changed.size.toLong)
+    assert(rows.get("unchanged").map(_._1).getOrElse(0L) ==
+      unchanged.size.toLong)
+    assert(rows.get("unchanged").forall(_._2 == 0.0))
+    val addedCents = added.toSeq.map(k => b(k)._1).sum
+    assert(math.round(rows("added")._2 * 100) == addedCents)
+    val changedCents = changed.toSeq.map(k => b(k)._1 - a(k)._1).sum
+    rows.get("changed").foreach(c =>
+      assert(math.round(c._2 * 100) == changedCents))
+  }
 }

@@ -136,4 +136,30 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Boolean]("flag_high") == (h > 7900000L))
     }
   }
+
+  test("frame sample: every 4th 64-byte frame, offsets and head " +
+      "fingerprints match a per-payload byte recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = MultimodalOps.multimodalFrameSample(spark, sfDir)
+      .collect()
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    val expTotal = texts.values.map { t =>
+      val nf = t.getBytes("UTF-8").length / 64
+      if (nf > 0) (nf + 3) / 4 else 0
+    }.sum
+    assert(rows.length == expTotal)
+    rows.take(200).foreach { r =>
+      val idx = r.getAs[Long]("frame_idx")
+      assert(idx % 4 == 0)
+      assert(r.getAs[Long]("byte_off") == idx * 64)
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      assert(idx * 64 + 64 <= bytes.length) // only FULL frames sampled
+      val head = bytes.slice(idx.toInt * 64, idx.toInt * 64 + 8)
+        .map("%02X".format(_)).mkString
+      assert(r.getAs[String]("frame_head_hex") == head, r.getLong(0))
+    }
+  }
 }

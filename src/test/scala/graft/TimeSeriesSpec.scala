@@ -754,4 +754,59 @@ class TimeSeriesSpec extends SparkSpec {
       .mapValues(_.head.getAs[Long]("cohort_users")).values.sum
     assert(sizes <= nUsers)
   }
+
+  test("cuped lift: exact-moment recompute reproduces every field, " +
+      "adjustment removes variance") {
+    val r = graft.ops.TimeSeries.eventsCupedLift(spark, sfDir)
+      .collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("string"), col("value"))
+      .collect().map(e => (e.getLong(0), e.getString(1), e.getDouble(2)))
+    val per = ev.groupBy(_._1).map { case (uid, es) =>
+      val x = es.filter(_._2 < "2024-01-16")
+        .map(e => math.round(e._3 * 100)).sum
+      val y = es.filter(_._2 >= "2024-01-16")
+        .map(e => math.round(e._3 * 100)).sum
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-ab:$uid".getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16) % 2
+      (v, BigInt(x), BigInt(y))
+    }.toSeq
+    def mom(v: Long) = {
+      val g = per.filter(_._1 == v)
+      (BigInt(g.length), g.map(_._2).sum, g.map(_._3).sum,
+        g.map(t => t._2 * t._2).sum, g.map(t => t._2 * t._3).sum,
+        g.map(t => t._3 * t._3).sum)
+    }
+    val (na, sxa, sya, sxxa, sxya, syya) = mom(0)
+    val (nb, sxb, syb, sxxb, sxyb, syyb) = mom(1)
+    val (nn, sxp, syp) = (na + nb, sxa + sxb, sya + syb)
+    val aa = nn * (sxya + sxyb) - sxp * syp
+    val bb = nn * (sxxa + sxxb) - sxp * sxp
+    val dy = nn * (syya + syyb) - syp * syp
+    def fd(num: BigInt, den: BigInt): BigInt =
+      (num - ((num % den + den) % den)) / den
+    val th = fd(BigInt(1000000) * aa, bb)
+    assert(r.getAs[Long]("n_a") == na.toLong)
+    assert(r.getAs[Long]("n_b") == nb.toLong)
+    assert(r.getAs[Long]("theta_micro") == th.toLong)
+    assert(r.getAs[Long]("mean_y_a_micro") ==
+      fd(BigInt(1000000) * sya, na).toLong)
+    assert(r.getAs[Long]("mean_yadj_a_micro") ==
+      fd(BigInt(1000000) * sya * nn - th * (sxa * nn - sxp * na),
+        na * nn).toLong)
+    assert(r.getAs[Long]("mean_yadj_b_micro") ==
+      fd(BigInt(1000000) * syb * nn - th * (sxb * nn - sxp * nb),
+        nb * nn).toLong)
+    val vr = fd(BigInt(1000) * (BigInt("1000000000000") * dy
+      - BigInt(2000000) * th * aa + th * th * bb),
+      BigInt("1000000000000") * dy)
+    assert(r.getAs[Long]("varratio_permille") == vr.toLong)
+    // optimal θ can only shrink variance; quantizing θ to micro-units
+    // perturbs the ratio by ≤ (1e-6)²·var(x)/var(y), so at worst the
+    // floor lands exactly on 1000 — never above, never negative
+    assert(vr >= 0 && vr <= 1000, vr.toString)
+  }
 }

@@ -577,6 +577,37 @@ class VectorSpec extends SparkSpec {
     assert(r.getAs[Long]("recall_permille") == hits * 100L)
   }
 
+  test("binary two-stage rerank: 10 rows, probe found at hamming 0, " +
+      "exact-cosine descending, shortlist contains the rerank") {
+    val rows = VectorOps.embedRerankBinary(spark, sfDir).collect()
+    assert(rows.length == 10)
+    // the probe's own code XORs to zero → hamming 0 → it survives the
+    // shortlist, and exact cosine with itself ranks it first
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Long]("hamming") == 0L)
+    assert(rows.head.getAs[Double]("cos_sim") == 1.0)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    sims.sliding(2).foreach(w => assert(w(1) <= w(0)))
+    // every reranked row's coarse distance is bounded by the packed
+    // word width (60 bits populated across the two words)
+    rows.foreach(r => assert(r.getAs[Long]("hamming") >= 0L
+      && r.getAs[Long]("hamming") <= 64L))
+    // stage-2 candidates all come from the stage-1 hamming-50 cut:
+    // the exact top-10 of the SHORTLIST, not of the corpus — so each
+    // returned id must sit inside the 50 smallest hamming distances
+    val shortlist = VectorOps.embedQuantizeBinary(spark, sfDir)
+      .collect().map { r =>
+        val lo = r.getAs[Long]("code_lo"); val hi = r.getAs[Long]("code_hi")
+        (r.getAs[Long]("vec_id"), lo, hi)
+      }
+    val (plo, phi) = shortlist.find(_._1 == 0L).map(t => (t._2, t._3)).get
+    val ranked = shortlist.map { case (id, lo, hi) =>
+      (java.lang.Long.bitCount(lo ^ plo)
+        + java.lang.Long.bitCount(hi ^ phi), id)
+    }.sortBy(identity).take(50).map(_._2).toSet
+    rows.foreach(r => assert(ranked.contains(r.getAs[Long]("vec_id"))))
+  }
+
   test("dim variance: 64 rows, exact moments match the direct " +
       "recompute, variance non-negative") {
     val rows = VectorOps.embedDimVariance(spark, sfDir).collect()
