@@ -3481,6 +3481,40 @@ object Oracle {
                  CAST(ROUND(sum(delta), 2) AS DOUBLE) AS delta_total
           FROM j GROUP BY 1 ORDER BY diff_class""",
 
+    // replays Relational.sqlRecursiveReach — the same WITH RECURSIVE
+    // reversed tree-BFS, depth-bounded in the recursion
+    "sql_recursive_reach" ->
+      s"""WITH RECURSIVE $EdgesCte,
+          reach AS (
+            SELECT CAST(${graft.GraphModel.RegionOff} + r_regionkey
+                     AS BIGINT) AS region,
+                   CAST(${graft.GraphModel.RegionOff} + r_regionkey
+                     AS BIGINT) AS id,
+                   0 AS depth
+            FROM region
+            UNION ALL
+            SELECT r.region, e.src, r.depth + 1
+            FROM reach r JOIN edges e ON e.dst = r.id
+            WHERE r.depth < 3)
+          SELECT region, CAST(depth AS INT) AS depth,
+                 count(DISTINCT id) AS n_vertices
+          FROM reach GROUP BY region, depth
+          ORDER BY region, depth""",
+
+    // replays Sources.scanSchemaEvolution — the oracle reads the
+    // source rows directly: the 1995 batch lacks the priority column,
+    // so every row of it is NULL under the merged schema
+    "scan_schema_evolution" ->
+      """WITH o AS (SELECT year(o_orderdate) AS y,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+          SELECT CAST(y AS INT) AS batch,
+                 count(*) AS n_rows,
+                 CAST(CASE WHEN y = 1995 THEN count(*) ELSE 0 END
+                   AS BIGINT) AS n_null_priority,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM o GROUP BY y ORDER BY batch""",
+
     // replays TimeSeries.eventsCupedLift — exact HUGEINT moments,
     // remainder-subtraction floor divisions, quantized θ reused for
     // every downstream number (identical integers both engines)

@@ -177,6 +177,38 @@ object Relational {
          ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""")
   }
 
+  /** RECURSIVE CTE front-end — `WITH RECURSIVE` through `spark.sql`
+    * (Spark 4's recursive-CTE support), the declarative twin of the
+    * DataFrame iteration loops the graph family hand-rolls: a reversed
+    * BFS from every region vertex down the ownership tree (region ←
+    * nation ← customer ← orders), depth-bounded in the recursion's
+    * WHERE. The reversed subgraph is a TREE (every child has one
+    * parent), so UNION ALL recursion carries no path multiplicity and
+    * the per-depth frontier join is the same keyed join the manual
+    * loop would issue — the exhibit is that the SQL surface accepts
+    * the recursive form and plans the identical per-level joins.
+    * Output: vertices reached per (region, depth). */
+  def sqlRecursiveReach(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraphModel.edges(spark, dir)
+      .createOrReplaceTempView("graft_edges")
+    Tables(spark, dir).region.createOrReplaceTempView("graft_region")
+    spark.sql(
+      s"""WITH RECURSIVE reach AS (
+           SELECT CAST(${graft.GraphModel.RegionOff} + r_regionkey
+                    AS BIGINT) AS region,
+                  CAST(${graft.GraphModel.RegionOff} + r_regionkey
+                    AS BIGINT) AS id,
+                  0 AS depth
+           FROM graft_region
+           UNION ALL
+           SELECT r.region, e.src AS id, r.depth + 1
+           FROM reach r JOIN graft_edges e ON e.dst = r.id
+           WHERE r.depth < 3)
+         SELECT region, depth, count(DISTINCT id) AS n_vertices
+         FROM reach GROUP BY region, depth
+         ORDER BY region, depth""")
+  }
+
   /** SNAPSHOT DIFF — the "what changed between two loads" audit every
     * incremental pipeline runs before publishing: snapshot A =
     * per-customer order revenue through 1995, snapshot B = through

@@ -226,4 +226,38 @@ object Sources {
         Det.sum2(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** SCHEMA EVOLUTION — the read path that keeps a long-lived dataset
+    * usable while producers upgrade: a v1 batch (1995 orders: key +
+    * exact cents) and a v2 batch (1996 orders: the SAME columns plus a
+    * priority column a later producer added) land under one dataset
+    * root as partition directories; `mergeSchema` unifies the footers
+    * at read time, v1 rows surface the new column as NULL, and the
+    * per-batch census proves which side is which. The write is setup;
+    * the graded surface is the read. Scale note: mergeSchema footers
+    * are reconciled on the driver per file — at 100 TB you pin the
+    * merged schema in a catalog and pass it explicitly; the NULL-fill
+    * semantics this key checks are identical either way. */
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = materialize(spark, dir, "evo") { b =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("y"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority"))
+      o.filter(col("y") === 1995)
+        .select(col("o_orderkey"), col("cents"))
+        .write.parquet(s"$b/batch=1995")
+      o.filter(col("y") === 1996)
+        .select(col("o_orderkey"), col("cents"), col("o_orderpriority"))
+        .write.parquet(s"$b/batch=1996")
+    }
+    spark.read.option("mergeSchema", "true").option("basePath", base)
+      .parquet(s"$base/batch=1995", s"$base/batch=1996")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderpriority").isNull.cast("long"))
+          .as("n_null_priority"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("batch"))
+  }
 }

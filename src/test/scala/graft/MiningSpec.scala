@@ -744,6 +744,46 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("recursive CTE reach: per-depth counts equal the direct " +
+      "frontier recompute (region tree: nations, cust+supp, orders)") {
+    val rows = graft.ops.Relational.sqlRecursiveReach(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getAs[Long]("n_vertices")).toMap
+    val t = Tables(spark, sfDir)
+    val nat = t.nation.select(col("n_regionkey"), col("n_nationkey"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    val custN = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => r.getInt(1)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val suppN = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => r.getInt(1)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    // depth 3 reaches an order via its customer (BY) OR via any of
+    // its lineitem suppliers (FROM) — distinct order vertices
+    val custNat = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suppNat = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ords = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val liSupp = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val off = graft.GraphModel.RegionOff
+    nat.groupBy(_._1).foreach { case (reg, ns) =>
+      val region = off + reg
+      assert(rows((region, 0)) == 1L)
+      assert(rows((region, 1)) == ns.length.toLong)
+      val nkeys = ns.map(_._2).toSet
+      assert(rows((region, 2)) ==
+        ns.map(n => custN.getOrElse(n._2, 0L)
+          + suppN.getOrElse(n._2, 0L)).sum)
+      val reached3 = (ords.filter(o => nkeys(custNat(o._2))).map(_._1)
+        ++ liSupp.filter(l => nkeys(suppNat(l._2))).map(_._1)).toSet
+      assert(rows.get((region, 3)).getOrElse(0L) ==
+        reached3.size.toLong, s"region $reg depth 3")
+    }
+  }
+
   test("psi drift: 10 bins, counts partition both years, terms " +
       "non-negative and match a driver-side smoothed recompute") {
     val rows = graft.ops.Stats.statsPsiDrift(spark, sfDir).collect()

@@ -113,4 +113,28 @@ class SourceSinkSpec extends SparkSpec {
     assert(r.getAs[Int]("max_chars") == d.getInt(3))
     assert(r.getAs[Long]("n_distinct") == d.getLong(4))
   }
+
+  test("schema evolution: v1 rows NULL-fill the added column, batch " +
+      "censuses equal a direct per-year recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Sources.scanSchemaEvolution(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1995, 1996))
+    val by = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(year(col("o_orderdate")).as("y"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .filter(col("y").isin(1995, 1996))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (n, s) = by(r.getInt(0))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("sum_cents") == s)
+      // the v1 batch predates the priority column: every row NULL;
+      // the v2 batch wrote it: no NULLs
+      assert(r.getAs[Long]("n_null_priority") ==
+        (if (r.getInt(0) == 1995) n else 0L))
+    }
+  }
 }
