@@ -4402,6 +4402,8 @@ object Oracle {
            UNION ALL
            SELECT 'louvain_labels', CAST(count(*) AS BIGINT) FROM verts
            UNION ALL
+           SELECT 'within_parts', CAST(count(*) AS BIGINT) FROM verts
+           UNION ALL
            SELECT 'triangles', CAST(count(*) AS BIGINT) FROM tri
            UNION ALL
            SELECT 'seq_brand_events', CAST(count(*) AS BIGINT) FROM ob)

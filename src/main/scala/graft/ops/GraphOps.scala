@@ -484,6 +484,8 @@ object GraphOps {
       .unionByName(row("lpa_labels", lpaLabelsCached(spark, dir)))
       .unionByName(row("louvain_labels",
         louvainLabelsCached(spark, dir)))
+      .unionByName(row("within_parts",
+        withinPartsCached(spark, dir)))
       .unionByName(row("triangles",
         GraphXAlgos.trianglesCached(spark, dir)))
       .unionByName(row("seq_brand_events",
@@ -908,22 +910,39 @@ object GraphOps {
     * label joins + the component rounds — each one keyed join/agg. */
   def graphCommunityRefine(spark: SparkSession, dir: String)
       : DataFrame = {
-    val ded = GraphModel.dedupEdgesCached(spark, dir)
     val lab = louvainLabelsCached(spark, dir)
-    val within = ded
-      .join(lab.select(col("id").as("src"), col("label").as("ls")),
-        "src")
-      .join(lab.select(col("id").as("dst"), col("label").as("ld")),
-        "dst")
-      .filter(col("ls") === col("ld"))
-      .select(col("src").as("a_id"), col("dst").as("b_id"))
-    val parts = minLabelComponents(lab.select(col("id")), within)
-    parts.join(lab, "id")
+    withinPartsCached(spark, dir).join(lab, "id")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_nodes"),
         countDistinct(col("cluster")).as("n_parts"))
       .withColumn("is_split", col("n_parts") > 1)
       .orderBy(col("label"))
+  }
+
+  /** Memoized within-community connected parts of the shared Louvain
+    * labeling — (id, cluster = min reachable member id over edges that
+    * stay inside the vertex's community). `graph_community_refine`
+    * (the audit) and `graph_leiden` (the repair) consume the IDENTICAL
+    * frame, so the labeled-edge pass + pointer-jumping component
+    * rounds run once per (session, dir); same retention contract as
+    * the LPA/Louvain caches, warmed by [[graphWarmCaches]]. */
+  private val withinPartsCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  private def withinPartsCached(spark: SparkSession,
+      dir: String): DataFrame = withinPartsCache.synchronized {
+    withinPartsCache.getOrElseUpdate((spark, dir), {
+      val ded = GraphModel.dedupEdgesCached(spark, dir)
+      val lab = louvainLabelsCached(spark, dir)
+      val within = ded
+        .join(lab.select(col("id").as("src"), col("label").as("ls")),
+          "src")
+        .join(lab.select(col("id").as("dst"), col("label").as("ld")),
+          "dst")
+        .filter(col("ls") === col("ld"))
+        .select(col("src").as("a_id"), col("dst").as("b_id"))
+      minLabelComponents(lab.select(col("id")), within)
+        .localCheckpoint(true)
+    })
   }
 
   /** LEIDEN COMMUNITIES — the repair [[graphCommunityRefine]] only
@@ -944,15 +963,7 @@ object GraphOps {
     * summary pass. Output: final community sizes. */
   def graphLeiden(spark: SparkSession, dir: String): DataFrame = {
     val ded = GraphModel.dedupEdgesCached(spark, dir)
-    val lab = louvainLabelsCached(spark, dir)
-    val within = ded
-      .join(lab.select(col("id").as("src"), col("label").as("ls")),
-        "src")
-      .join(lab.select(col("id").as("dst"), col("label").as("ld")),
-        "dst")
-      .filter(col("ls") === col("ld"))
-      .select(col("src").as("a_id"), col("dst").as("b_id"))
-    val seed = minLabelComponents(lab.select(col("id")), within)
+    val seed = withinPartsCached(spark, dir)
       .select(col("id"), col("cluster").as("label"))
     louvainLabels(ded, seed, LouvainRounds)
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
