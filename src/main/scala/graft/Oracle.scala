@@ -6768,6 +6768,60 @@ object Oracle {
         """ FROM lg ORDER BY user_id, ts_sec, event_id"""
     },
 
+    // replays TimeSeries.timeseriesForecastEval — the Holt chain, a
+    // per-user lead, HUGEINT error sums, floor-div means + skill
+    "timeseries_forecast_eval" -> {
+      val (wl, wb) = graft.ops.TimeSeries.holtWeights(8)
+      def comb(ws: Seq[Long]): String = ws.zipWithIndex.map {
+        case (wj, j) =>
+          s"((l$j * $wj) - (((l$j * $wj) % 65536 + 65536) % 65536))" +
+            " // 65536"
+      }.mkString(" + ")
+      def fd(num: String, den: String): String =
+        s"""CASE WHEN ($den) = 0 THEN NULL
+            ELSE CAST((($num) - (((($num) % ($den)) + ($den))
+              % ($den))) // ($den) AS BIGINT) END"""
+      """WITH p AS (SELECT user_id, event_id,
+                           date_trunc('second', ts) AS ts_sec,
+                           CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                AS BIGINT) AS v_micro
+                    FROM events WHERE event_type = 'purchase'),
+         lg AS (SELECT user_id, event_id, ts_sec, v_micro,
+                """ +
+        (0 to 7).map(k =>
+          s"COALESCE(lag(v_micro, $k) OVER w, 0) AS l$k")
+          .mkString(", ") +
+        """ FROM p
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+         h AS (SELECT user_id, event_id, ts_sec, v_micro,
+                """ + s"(${comb(wl)}) + (${comb(wb)}) AS f" +
+        """ FROM lg),
+         e AS (SELECT f, v_micro AS cur,
+                      lead(v_micro, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts_sec, event_id) AS nxt
+               FROM h),
+         g AS (SELECT CAST(f AS HUGEINT) AS f,
+                      CAST(cur AS HUGEINT) AS cur,
+                      CAST(nxt AS HUGEINT) AS nxt
+               FROM e WHERE nxt IS NOT NULL),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      sum(abs(f - nxt)) AS ae,
+                      sum(abs(cur - nxt)) AS nae,
+                      sum(CASE WHEN abs(f) + abs(nxt) > 0
+                          THEN CAST(1 AS HUGEINT) ELSE 0 END) AS ns,
+                      sum(CASE WHEN abs(f) + abs(nxt) > 0
+                          THEN (2000 * abs(f - nxt))
+                            // (abs(f) + abs(nxt))
+                          ELSE 0 END) AS st
+               FROM g)
+         SELECT CAST(n AS BIGINT) AS n_eval,
+                """ + s"${fd("ae", "n")} AS mae_micro, " +
+        s"${fd("nae", "n")} AS naive_mae_micro, " +
+        s"${fd("st", "ns")} AS smape_permille, " +
+        s"${fd("1000 * (nae - ae)", "nae")} AS skill_permille" +
+        " FROM s"
+    },
+
     // trailing-20 z-score: decimal-exact frame sums, identical double
     // division/sqrt, epsilon-rounded like Det.avg2
     "timeseries_anomaly" ->

@@ -545,6 +545,48 @@ object TimeSeries {
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
   }
 
+  /** FORECAST BACKTEST — closes the forecasting loop the way the
+    * `embed_recall_*` keys close ANN: every [[timeseriesHolt]] row's
+    * one-step-ahead forecast (level + trend) is scored against the
+    * SAME user's next actual purchase, next to the NAIVE persistence
+    * baseline (predict the current value) — the bar any forecast must
+    * beat to justify existing. All error algebra is exact-integer:
+    * absolute errors in micro-units, per-point sMAPE term =
+    * 2000·|f−a| div (|f|+|a|) (non-negative, so truncation = floor on
+    * both engines; zero denominators excluded by the shared filter),
+    * DECIMAL(38,0) sums, remainder-subtraction floor divisions for the
+    * means and the skill score 1000·(1 − MAE/naiveMAE). One extra
+    * keyed window + a 1-row agg over the Holt frame — the eval costs
+    * one pass at any scale. */
+  def timeseriesForecastEval(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def fd(num: String, den: String): String =
+      s"""CASE WHEN $den = 0 THEN NULL
+          ELSE CAST((($num) - (((($num) % ($den)) + ($den)) % ($den)))
+            div ($den) AS BIGINT) END"""
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val e = timeseriesHolt(spark, dir)
+      .withColumn("nxt", lead(col("v_micro"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("forecast_micro").as("f"), col("v_micro").as("cur"),
+        col("nxt"))
+    e.agg(count(lit(1)).cast(dec).as("n"),
+        sum(abs(col("f") - col("nxt")).cast(dec)).as("ae"),
+        sum(abs(col("cur") - col("nxt")).cast(dec)).as("nae"),
+        sum(when(abs(col("f")) + abs(col("nxt")) > 0, 1L)
+          .otherwise(0L)).cast(dec).as("ns"),
+        sum(when(abs(col("f")) + abs(col("nxt")) > 0,
+          expr("(2000 * abs(f - nxt)) div (abs(f) + abs(nxt))"))
+          .otherwise(0L).cast(dec)).as("st"))
+      .select(col("n").cast("long").as("n_eval"),
+        expr(fd("ae", "n")).as("mae_micro"),
+        expr(fd("nae", "n")).as("naive_mae_micro"),
+        expr(fd("st", "ns")).as("smape_permille"),
+        expr(fd("1000 * (nae - ae)", "nae")).as("skill_permille"))
+  }
+
   /** Trailing-window z-score anomaly detection: each purchase value
     * scored against the SAME user's previous 20 purchases (mean/std
     * from decimal-EXACT frame sums Σx/Σx², the [[graft.ops.Stats]]

@@ -755,6 +755,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sizes <= nUsers)
   }
 
+  test("forecast eval: exact recompute from the holt frame, skill " +
+      "identity holds") {
+    val r = graft.ops.TimeSeries.timeseriesForecastEval(spark, sfDir)
+      .collect().head
+    val h = graft.ops.TimeSeries.timeseriesHolt(spark, sfDir)
+      .select(col("user_id"), col("ts_sec"), col("event_id"),
+        col("v_micro"), col("forecast_micro")).collect()
+      .map(x => (x.getLong(0), x.get(1).toString, x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+      .groupBy(_._1).values.flatMap { g =>
+        val s = g.sortBy(t => (t._2, t._3))
+        s.zip(s.drop(1)).map { case (a, b) => (a._5, a._4, b._4) }
+      }.toSeq // (forecast, cur, next-actual)
+    val n = h.size.toLong
+    assert(r.getAs[Long]("n_eval") == n)
+    val ae = h.map(t => BigInt((t._1 - t._3).abs)).sum
+    val nae = h.map(t => BigInt((t._2 - t._3).abs)).sum
+    def fd(num: BigInt, den: BigInt): BigInt =
+      (num - ((num % den + den) % den)) / den
+    assert(r.getAs[Long]("mae_micro") == fd(ae, BigInt(n)).toLong)
+    assert(r.getAs[Long]("naive_mae_micro") == fd(nae, BigInt(n)).toLong)
+    val terms = h.filter(t => t._1.abs + t._3.abs > 0)
+      .map(t => BigInt(2000) * BigInt((t._1 - t._3).abs)
+        / (BigInt(t._1.abs) + BigInt(t._3.abs)))
+    assert(r.getAs[Long]("smape_permille") ==
+      fd(terms.sum, BigInt(terms.size)).toLong)
+    assert(r.getAs[Long]("skill_permille") ==
+      fd(BigInt(1000) * (nae - ae), nae).toLong)
+    // purchases are near-noise, so persistence is a strong baseline:
+    // the skill score must be SMALL either way — the honest read this
+    // eval key exists to surface (|skill| < 100 permille on this data)
+    assert(math.abs(r.getAs[Long]("skill_permille")) < 100L)
+  }
+
   test("cuped lift: exact-moment recompute reproduces every field, " +
       "adjustment removes variance") {
     val r = graft.ops.TimeSeries.eventsCupedLift(spark, sfDir)
