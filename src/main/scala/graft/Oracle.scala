@@ -262,6 +262,72 @@ object Oracle {
          ORDER BY bc_micro DESC, id LIMIT 50"""
   }
 
+  /** Unrolled landmark EDGE betweenness, replaying
+    * [[graft.ops.GraphOps.graphEdgeBetweenness]]: the identical
+    * forward σ-layers and backward vertex deltas as [[betweennessSql]]
+    * plus per-layer edge-term CTEs (σ_v·(1e6+δ_w) // σ_w for each tree
+    * edge), canonicalized and summed across landmarks. */
+  private def edgeBetweennessSql(depth: Int,
+      landmarks: Seq[Long]): String = {
+    def lm(tag: String, src: Long): String = {
+      val fw = (1 to depth).map { k =>
+        val visited = (0 until k)
+          .map(j => s"SELECT id FROM ${tag}_l$j").mkString(" UNION ")
+        s""",
+         ${tag}_l$k AS (SELECT u.dst AS id,
+                   CAST(SUM(l.paths) AS BIGINT) AS paths
+                 FROM und u JOIN ${tag}_l${k - 1} l ON u.src = l.id
+                 WHERE u.dst NOT IN ($visited)
+                 GROUP BY u.dst)"""
+      }.mkString
+      val bw = ((depth - 1) to 1 by -1).map { k =>
+        s""",
+         ${tag}_d$k AS (SELECT l.id,
+                   CAST(COALESCE(SUM(
+                     (l.paths * (1000000 + t.d)) // t.paths), 0)
+                     AS BIGINT) AS d
+                 FROM ${tag}_l$k l LEFT JOIN (
+                   SELECT u.src AS sid, lw.paths, dw.d
+                   FROM und u
+                   JOIN ${tag}_l${k + 1} lw ON lw.id = u.dst
+                   JOIN ${tag}_d${k + 1} dw ON dw.id = u.dst) t
+                   ON t.sid = l.id
+                 GROUP BY l.id)"""
+      }.mkString
+      val ew = ((depth - 1) to 0 by -1).map { k =>
+        s""",
+         ${tag}_e$k AS (SELECT l.id AS v, t.w,
+                   CAST((l.paths * (1000000 + t.d)) // t.pw AS BIGINT)
+                     AS term
+                 FROM ${tag}_l$k l JOIN (
+                   SELECT u.src AS sid, u.dst AS w,
+                          lw.paths AS pw, dw.d
+                   FROM und u
+                   JOIN ${tag}_l${k + 1} lw ON lw.id = u.dst
+                   JOIN ${tag}_d${k + 1} dw ON dw.id = u.dst) t
+                   ON t.sid = l.id)"""
+      }.mkString
+      s""",
+         ${tag}_l0 AS (SELECT CAST($src AS BIGINT) AS id,
+                       CAST(1 AS BIGINT) AS paths)$fw,
+         ${tag}_d$depth AS (SELECT id, CAST(0 AS BIGINT) AS d
+                            FROM ${tag}_l$depth)$bw$ew"""
+    }
+    val ctes = landmarks.zipWithIndex
+      .map { case (s, i) => lm(s"em$i", s) }.mkString
+    val selects = landmarks.indices.flatMap { i =>
+      (0 until depth).map(k => s"SELECT v, w, term FROM em${i}_e$k")
+    }.mkString(" UNION ALL ")
+    s"""WITH $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded)$ctes
+         SELECT least(v, w) AS a, greatest(v, w) AS b,
+                CAST(SUM(term) AS BIGINT) AS ebc_micro
+         FROM ($selects) GROUP BY 1, 2
+         ORDER BY ebc_micro DESC, a, b LIMIT 50"""
+  }
+
   /** Unrolled landmark harmonic closeness, replaying
     * [[graft.ops.GraphOps.graphClosenessHarmonic]]: dist-only BFS
     * layers per landmark, reciprocal-distance micro-units
@@ -4413,6 +4479,8 @@ object Oracle {
 
     "graph_betweenness" ->
       betweennessSql(3, Seq(3000000000001L, 4000000000001L)),
+    "graph_edge_betweenness" ->
+      edgeBetweennessSql(3, Seq(3000000000001L, 4000000000001L)),
 
     "graph_betweenness_weighted" -> wBetweennessSql(4),
     "graph_closeness_weighted" -> wClosenessSql(4),

@@ -1654,6 +1654,67 @@ object GraphOps {
     out
   }
 
+  /** EDGE BETWEENNESS (the Girvan–Newman driver) — the same
+    * landmark-bounded Brandes machinery as [[graphBetweenness]],
+    * accumulated on EDGES instead of vertices: the per-edge dependency
+    * σ_v/σ_w·(1+δ_w) for tree edge (v at layer k → w at k+1) is
+    * EXACTLY the pre-aggregation row of the vertex backward sweep, so
+    * the edge variant costs the same joins with the final agg keyed on
+    * the canonical edge — and the vertex delta recursion falls out as
+    * δ_v = Σ of v's outgoing edge terms (left-join keeps zero-delta
+    * vertices alive for the next round). Edges are canonicalized
+    * (min, max) before the cross-landmark sum, since a pair can be
+    * traversed in either direction depending on the source. This is
+    * the "which relationship carries the traffic" read and the cut
+    * ranking Girvan–Newman community detection peels. */
+  def graphEdgeBetweenness(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val und = GraphModel.undEdgesCached(spark, dir)
+    val undByDst = GraphModel.undEdgesByDstCached(spark, dir)
+    val depth = 3
+    val layers = bfsSigmaLayersMulti(und, BetweennessLandmarks, depth)
+    var delta = layers(depth).select(col("lm"), col("id"),
+      lit(0L).as("d"))
+    var eAcc: Option[DataFrame] = None
+    val eks = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (k <- (depth - 1) to 0 by -1) {
+      val succ = layers(k + 1).join(delta, Seq("lm", "id"))
+        .select(col("lm").as("c_lm"), col("id").as("w"),
+          col("paths").as("sw"), col("d").as("dw"))
+      val contrib = undByDst.join(succ, undByDst("dst") === succ("w"))
+        .select(col("c_lm"), col("src"), col("w"), col("sw"), col("dw"))
+      // checkpointed: read by the edge accumulator AND the next
+      // round's delta derivation
+      val ek = layers(k)
+        .join(contrib, col("lm") === col("c_lm") &&
+          col("id") === col("src"))
+        .select(col("lm"), col("id").as("v"), col("w"),
+          expr("(paths * (1000000 + dw)) div sw").as("term"))
+        .localCheckpoint(true)
+      eks += ek
+      eAcc = Some(eAcc.map(_.unionByName(ek)).getOrElse(ek))
+      if (k >= 1) {
+        val dsum = ek.groupBy(col("lm"), col("v"))
+          .agg(sum(col("term")).as("ds"))
+          .withColumnRenamed("v", "id")
+        delta = layers(k)
+          .join(dsum, Seq("lm", "id"), "left")
+          .select(col("lm"), col("id"),
+            coalesce(col("ds"), lit(0L)).as("d"))
+      }
+    }
+    val out = eAcc.get
+      .groupBy(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b"))
+      .agg(sum(col("term")).as("ebc_micro"))
+      .orderBy(col("ebc_micro").desc, col("a"), col("b"))
+      .limit(50)
+      .localCheckpoint(true)
+    eks.foreach(_.unpersist(false))
+    layers.foreach(_.unpersist(false))
+    out
+  }
+
   /** MULTI-LANDMARK weighted distances — the batched multi-source frame
     * pattern (state keyed (lm, id), like [[bfsSigmaLayersMulti]])
     * applied to MIN-PLUS relaxation over multiplicity-weighted edges.

@@ -924,6 +924,53 @@ class GraphSpec extends SparkSpec {
     assert(qLei >= qLou, s"leiden $qLei < louvain $qLou")
   }
 
+  test("edge betweenness: exact driver-side Brandes replay " +
+      "reproduces the top-50 edges") {
+    val rows = GraphOps.graphEdgeBetweenness(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("ebc_micro")))
+      .toSeq
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (ded ++ ded.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val landmarks = Seq(GraphModel.CustomerOff + 1L,
+      GraphModel.SupplierOff + 1L)
+    val depth = 3
+    val acc = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (s <- landmarks) {
+      val layers = scala.collection.mutable.Buffer(Map(s -> 1L))
+      var visited = Set(s)
+      for (k <- 1 to depth) {
+        val next = scala.collection.mutable
+          .Map.empty[Long, Long].withDefaultValue(0L)
+        for ((v, sig) <- layers(k - 1);
+             n <- adj.getOrElse(v, Array.empty[Long]) if !visited(n))
+          next(n) += sig
+        layers += next.toMap
+        visited ++= next.keySet
+      }
+      var delta: Map[Long, Long] =
+        layers(depth).map { case (v, _) => v -> 0L }
+      for (k <- (depth - 1) to 0 by -1) {
+        val dnew = scala.collection.mutable
+          .Map.empty[Long, Long].withDefaultValue(0L)
+        for ((v, sv) <- layers(k);
+             w <- adj.getOrElse(v, Array.empty[Long])
+             if layers(k + 1).contains(w)) {
+          val term = (BigInt(sv) * (1000000L + delta.getOrElse(w, 0L))
+            / layers(k + 1)(w)).toLong
+          acc((math.min(v, w), math.max(v, w))) += term
+          dnew(v) += term
+        }
+        delta = dnew.toMap
+      }
+    }
+    val top = acc.toSeq.sortBy { case ((a, b), t) => (-t, a, b) }
+      .take(50).map { case ((a, b), t) => (a, b, t) }
+    assert(rows == top)
+  }
+
   test("butterfly count: C(cn,2) exact off the projection weights, " +
       "descending top-10") {
     val rows = GraphXAlgos.butterflyCount(spark, sfDir).collect()
