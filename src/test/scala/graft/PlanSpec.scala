@@ -250,4 +250,38 @@ class PlanSpec extends SparkSpec {
     if (idx >= 0)
       assert(!p.substring(idx).contains("documents.parquet"), p)
   }
+
+  test("binary rerank: both stages are TakeOrdered heaps and the " +
+      "shortlist probes the corpus via broadcast") {
+    val p = physical(
+      graft.ops.VectorOps.embedRerankBinary(spark, sfDir))
+    assert(p.split("TakeOrderedAndProject").length >= 3, p) // 2 stages
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("reservoir sample: the row_number<=k cuts get map-side " +
+      "WindowGroupLimit before any exchange") {
+    val p = physical(
+      graft.ops.Stats.sampleReservoirGroup(spark, sfDir))
+    assert(p.split("WindowGroupLimit").length >= 3, p)
+  }
+
+  test("recursive CTE plans as UnionLoop per-level joins, not an " +
+      "unrolled scan per depth") {
+    val df = graft.ops.Relational.sqlRecursiveReach(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"), p)
+  }
+
+  test("snapshot diff full-outer join: both snapshot aggs are " +
+      "partial+final over ONE orders scan shape each, no broadcast " +
+      "of a fact side") {
+    val p = physical(
+      graft.ops.Relational.tableSnapshotDiff(spark, sfDir))
+    assert((p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) && p.contains("FullOuter"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
