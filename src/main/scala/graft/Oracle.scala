@@ -267,8 +267,8 @@ object Oracle {
     * forward σ-layers and backward vertex deltas as [[betweennessSql]]
     * plus per-layer edge-term CTEs (σ_v·(1e6+δ_w) // σ_w for each tree
     * edge), canonicalized and summed across landmarks. */
-  private def edgeBetweennessSql(depth: Int,
-      landmarks: Seq[Long]): String = {
+  private def edgeBetweennessCtes(depth: Int,
+      landmarks: Seq[Long]): (String, String) = {
     def lm(tag: String, src: Long): String = {
       val fw = (1 to depth).map { k =>
         val visited = (0 until k)
@@ -318,6 +318,12 @@ object Oracle {
     val selects = landmarks.indices.flatMap { i =>
       (0 until depth).map(k => s"SELECT v, w, term FROM em${i}_e$k")
     }.mkString(" UNION ALL ")
+    (ctes, selects)
+  }
+
+  private def edgeBetweennessSql(depth: Int,
+      landmarks: Seq[Long]): String = {
+    val (ctes, selects) = edgeBetweennessCtes(depth, landmarks)
     s"""WITH $EdgesCte,
          ded AS (SELECT DISTINCT src, dst FROM edges),
          und AS (SELECT src, dst FROM ded
@@ -326,6 +332,50 @@ object Oracle {
                 CAST(SUM(term) AS BIGINT) AS ebc_micro
          FROM ($selects) GROUP BY 1, 2
          ORDER BY ebc_micro DESC, a, b LIMIT 50"""
+  }
+
+  /** Girvan–Newman cut replay for
+    * [[graft.ops.GraphOps.graphGirvanNewmanCut]]: the shared
+    * edge-betweenness CTEs, top-10 cut set, and the seed-component
+    * closure (the bounded single-seed shape of the
+    * connected-components oracle) over the full and the cut graph. */
+  private def girvanNewmanSql(depth: Int,
+      landmarks: Seq[Long]): String = {
+    val (ctes, selects) = edgeBetweennessCtes(depth, landmarks)
+    s"""WITH RECURSIVE $EdgesCte,
+         ded AS (SELECT DISTINCT src, dst FROM edges),
+         und AS (SELECT src, dst FROM ded
+                 UNION ALL SELECT dst, src FROM ded)$ctes,
+         ebc AS MATERIALIZED (
+           SELECT least(v, w) AS a, greatest(v, w) AS b
+           FROM (SELECT v, w, CAST(SUM(term) AS BIGINT) AS e
+                 FROM ($selects) GROUP BY 1, 2
+                 ORDER BY e DESC, least(v, w), greatest(v, w)
+                 LIMIT 10)),
+         kept AS MATERIALIZED (
+           SELECT d.src, d.dst FROM ded d LEFT JOIN ebc
+             ON least(d.src, d.dst) = ebc.a
+             AND greatest(d.src, d.dst) = ebc.b
+           WHERE ebc.a IS NULL),
+         undk AS (SELECT src, dst FROM kept
+                  UNION ALL SELECT dst, src FROM kept),
+         compb(id) AS (
+           SELECT CAST(1000000000000 AS BIGINT)
+           UNION
+           SELECT u.dst FROM und u JOIN compb c ON u.src = c.id),
+         compa(id) AS (
+           SELECT CAST(1000000000000 AS BIGINT)
+           UNION
+           SELECT u.dst FROM undk u JOIN compa c ON u.src = c.id)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM ebc)
+                  AS n_cut_edges,
+                (SELECT CAST(count(*) AS BIGINT) FROM compb)
+                  AS size_before,
+                (SELECT CAST(count(*) AS BIGINT) FROM compa)
+                  AS size_after,
+                (SELECT CAST(count(*) AS BIGINT) FROM compb)
+                - (SELECT CAST(count(*) AS BIGINT) FROM compa)
+                  AS detached"""
   }
 
   /** Unrolled landmark harmonic closeness, replaying
@@ -4481,6 +4531,8 @@ object Oracle {
       betweennessSql(3, Seq(3000000000001L, 4000000000001L)),
     "graph_edge_betweenness" ->
       edgeBetweennessSql(3, Seq(3000000000001L, 4000000000001L)),
+    "graph_girvan_newman_cut" ->
+      girvanNewmanSql(3, Seq(3000000000001L, 4000000000001L)),
 
     "graph_betweenness_weighted" -> wBetweennessSql(4),
     "graph_closeness_weighted" -> wClosenessSql(4),

@@ -1715,6 +1715,45 @@ object GraphOps {
     out
   }
 
+  /** GIRVAN–NEWMAN CUT — one round of the algorithm edge betweenness
+    * exists for: remove the top-10 [[graphEdgeBetweenness]] edges (the
+    * traffic-carrying bridges) and measure what happens to the seed
+    * component (region 0's — the giant component's anchor, the same
+    * seed the connected-components oracle bounds itself to): size
+    * before, size after, and how many vertices the cut DETACHED. The
+    * cut set is 10 rows (broadcast anti-join against the edge list);
+    * the two component labelings are the shared min-label pointer
+    * jumping. A detached count of zero is itself the finding — on this
+    * corpus the top bridges are parallel-path hubs, so Girvan–Newman
+    * needs deeper peeling before the giant component splits, which is
+    * exactly what this census tells an analyst before they commit to
+    * the expensive full loop. */
+  def graphGirvanNewmanCut(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ded = GraphModel.dedupEdgesCached(spark, dir)
+    val verts = GraphModel.dedupVertsCached(spark, dir).select(col("id"))
+    val cut = graphEdgeBetweenness(spark, dir).limit(10)
+      .select(col("a"), col("b"))
+    val kept = ded.join(broadcast(cut),
+      least(ded("src"), ded("dst")) === col("a") &&
+        greatest(ded("src"), ded("dst")) === col("b"), "left_anti")
+    def seedSize(pairs: DataFrame): DataFrame = {
+      val parts = minLabelComponents(verts, pairs)
+      val seedC = parts
+        .filter(col("id") === lit(GraphModel.RegionOff))
+        .select(col("cluster").as("sc"))
+      parts.join(broadcast(seedC), col("cluster") === col("sc"))
+        .agg(count(lit(1)).as("n"))
+    }
+    seedSize(ded.select(col("src").as("a_id"), col("dst").as("b_id")))
+      .select(col("n").as("size_before"))
+      .crossJoin(seedSize(kept.select(col("src").as("a_id"),
+        col("dst").as("b_id"))).select(col("n").as("size_after")))
+      .crossJoin(broadcast(cut.agg(count(lit(1)).as("n_cut_edges"))))
+      .select(col("n_cut_edges"), col("size_before"), col("size_after"),
+        (col("size_before") - col("size_after")).as("detached"))
+  }
+
   /** MULTI-LANDMARK weighted distances — the batched multi-source frame
     * pattern (state keyed (lm, id), like [[bfsSigmaLayersMulti]])
     * applied to MIN-PLUS relaxation over multiplicity-weighted edges.

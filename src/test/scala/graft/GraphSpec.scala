@@ -971,6 +971,34 @@ class GraphSpec extends SparkSpec {
     assert(rows == top)
   }
 
+  test("girvan-newman cut: seed-component census matches a " +
+      "union-find replay of the top-10 cut") {
+    val r = GraphOps.graphGirvanNewmanCut(spark, sfDir).collect().head
+    val ded = GraphModel.dedupEdgesCached(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val cut = GraphOps.graphEdgeBetweenness(spark, sfDir).limit(10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getAs[Long]("n_cut_edges") == cut.size.toLong)
+    def seedComp(edges: Seq[(Long, Long)]): Long = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val q = find(p); parent(x) = q; q }
+      }
+      (ded.map(_._1) ++ ded.map(_._2)).foreach(v => parent(v) = v)
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val root = find(graft.GraphModel.RegionOff)
+      parent.keys.count(v => find(v) == root).toLong
+    }
+    val before = seedComp(ded)
+    val kept = ded.filterNot(e =>
+      cut((math.min(e._1, e._2), math.max(e._1, e._2))))
+    val after = seedComp(kept)
+    assert(r.getAs[Long]("size_before") == before)
+    assert(r.getAs[Long]("size_after") == after)
+    assert(r.getAs[Long]("detached") == before - after)
+  }
+
   test("butterfly count: C(cn,2) exact off the projection weights, " +
       "descending top-10") {
     val rows = GraphXAlgos.butterflyCount(spark, sfDir).collect()
