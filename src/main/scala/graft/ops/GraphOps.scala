@@ -962,12 +962,24 @@ object GraphOps {
     * CONTRACTED merge rounds — community-sized after their one O(E)
     * summary pass. Output: final community sizes. */
   def graphLeiden(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ded = GraphModel.dedupEdgesCached(spark, dir)
     val seed = withinPartsCached(spark, dir)
       .select(col("id"), col("cluster").as("label"))
-    louvainLabels(ded, seed, LouvainRounds)
+    // same shared-frame discipline as graphLouvainMove: degree rides
+    // the src-partitioned undirected cache exchange-free
+    val deg = GraphModel.undEdgesCached(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint(true)
+    val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
+      .localCheckpoint(true)
+    val out = louvainLabelsOn(ded, seed, LouvainRounds, deg, mrow,
+      deg.count() <= SmallGraphVerts)
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
-      .orderBy(col("label"))
+      .orderBy(col("label")).localCheckpoint(true)
+    deg.unpersist(false); mrow.unpersist(false)
+    out
   }
 
   /** Round budget for the phase-1 per-node sweep of
@@ -1668,6 +1680,19 @@ object GraphOps {
     * the "which relationship carries the traffic" read and the cut
     * ranking Girvan–Newman community detection peels. */
   def graphEdgeBetweenness(spark: SparkSession, dir: String)
+      : DataFrame = edgeBetweennessCache.synchronized {
+    edgeBetweennessCache.getOrElseUpdate((spark, dir),
+      edgeBetweennessBuild(spark, dir))
+  }
+
+  /** Memoized [[graphEdgeBetweenness]] result (a checkpointed 50-row
+    * frame) — `graph_girvan_newman_cut` consumes the identical ranking
+    * for its cut set, so the Brandes sweeps run once per
+    * (session, dir). */
+  private val edgeBetweennessCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), DataFrame]()
+
+  private def edgeBetweennessBuild(spark: SparkSession, dir: String)
       : DataFrame = {
     val und = GraphModel.undEdgesCached(spark, dir)
     val undByDst = GraphModel.undEdgesByDstCached(spark, dir)
