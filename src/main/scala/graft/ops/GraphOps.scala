@@ -796,6 +796,21 @@ object GraphOps {
     * matching), broadcast when provably small. */
   private def louvainLabelsOn(ded: DataFrame, lab0: DataFrame,
       rounds: Int, deg: DataFrame, mrow: DataFrame,
+      small: Boolean): DataFrame =
+    louvainContractedOn(
+      ded.select(col("src"), col("dst"), lit(1L).as("w")),
+      lab0, rounds, deg, mrow, small)
+
+  /** The weighted generalization [[louvainLabelsOn]] delegates to
+    * (unweighted = weight 1, where Σw degenerates to the edge count):
+    * `wded(src, dst, w)` with `deg` = the matching (weighted) degree
+    * frame and `mrow` = the 1-row Σw. ΔQ = (4·W·w_ab − 2·D_a·D_b) /
+    * (4·W²) has the identical exact-integer shape for both, so the
+    * decision core, the contraction (w_ab and D_c are additive under
+    * min-label merges) and the final one-pass remap are shared —
+    * [[graphLouvainWeighted]] gets the r11 contraction for free. */
+  private def louvainContractedOn(wded: DataFrame, lab0: DataFrame,
+      rounds: Int, deg: DataFrame, mrow: DataFrame,
       small: Boolean): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // community-sized output but an O(V) join to compute — checkpoint,
@@ -804,15 +819,15 @@ object GraphOps {
       .groupBy(col("label")).agg(sum(col("d")).cast(dec).as("dcv"))
       .localCheckpoint(true)
     var dc: DataFrame = dc0
-    val pairs0 = ded
+    val pairs0 = wded
       .join(lab0.select(col("id").as("src"), col("label").as("sl")),
         "src")
       .join(lab0.select(col("id").as("dst"), col("label").as("dl")),
         "dst")
       .filter(col("sl") =!= col("dl"))
       .select(least(col("sl"), col("dl")).as("la"),
-        greatest(col("sl"), col("dl")).as("lb"))
-      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("e_ab"))
+        greatest(col("sl"), col("dl")).as("lb"), col("w"))
+      .groupBy(col("la"), col("lb")).agg(sum(col("w")).as("e_ab"))
       .localCheckpoint(true)
     var pairs = pairs0
     val mergesAll = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -859,32 +874,6 @@ object GraphOps {
     mergesAll.foreach(_.unpersist(false))
     pairs0.unpersist(false)
     out
-  }
-
-  /** The shared merge-and-contract driver: per round run `scorer` on
-    * the current labeling, remap accepted (mutual positive) pairs to
-    * their min label, checkpoint, release the scorer's handles and the
-    * previous round's checkpoint. `lab0` is the caller's — never
-    * unpersisted here. */
-  private def louvainLoop(lab0: DataFrame, rounds: Int,
-      scorer: DataFrame => (DataFrame, Seq[DataFrame])): DataFrame = {
-    var lab = lab0
-    var owned: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
-      val (dec, hs) = scorer(lab)
-      val merges = dec.filter(col("accepted"))
-        .select(col("label"),
-          least(col("label"), col("partner")).as("newlab"))
-      val next = lab.join(merges, Seq("label"), "left")
-        .select(col("id"),
-          coalesce(col("newlab"), col("label")).as("label"))
-        .localCheckpoint(true)
-      hs.foreach(_.unpersist(false))
-      owned.foreach(_.unpersist(false))
-      owned = Some(next)
-      lab = next
-    }
-    lab
   }
 
   /** Registered surface: final community sizes after
@@ -1316,13 +1305,17 @@ object GraphOps {
       .unionByName(wded.select(col("dst").as("id"), col("w")))
       .groupBy(col("id")).agg(sum(col("w")).as("d"))
       .localCheckpoint(true)
-    val labs = louvainLoop(lpaLabelsCached(spark, dir), LouvainRounds,
-      lab => communityMergeWeightedChk(wded, lab, wdeg))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mrow = wded.agg(sum(col("w")).cast(dec).as("m"))
+      .localCheckpoint(true)
+    val labs = louvainContractedOn(wded, lpaLabelsCached(spark, dir),
+      LouvainRounds, wdeg, mrow, wdeg.count() <= SmallGraphVerts)
     val out = labs
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label")).localCheckpoint(true)
     labs.unpersist(false)
     wdeg.unpersist(false)
+    mrow.unpersist(false)
     wded.unpersist(false)
     out
   }
