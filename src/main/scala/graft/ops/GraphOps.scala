@@ -873,6 +873,7 @@ object GraphOps {
     val out = lab.localCheckpoint(true)
     mergesAll.foreach(_.unpersist(false))
     pairs0.unpersist(false)
+    dc0.unpersist(false)
     out
   }
 
