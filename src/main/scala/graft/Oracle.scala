@@ -902,14 +902,19 @@ object Oracle {
          FROM walks ORDER BY walk_id"""
 
   /** Walks → vectors, replaying [[graft.ops.VectorOps.graphWalkEmbed]]:
-    * skip-gram pairs (window ±2) over the walk table, PPMI scores in
-    * the 9dp round-then-decimal idiom, signed md5-parity random
-    * projection to [[graft.ops.VectorOps.WalkEmbedDims]] dims. */
+    * skip-gram pairs (window ±2) over the walk table, the exact
+    * integer rational association score
+    * score_micro = (1e6·nvc·t) // (nv·nc) kept where the lift ratio
+    * exceeds 1, signed md5-parity random projection to
+    * [[graft.ops.VectorOps.WalkEmbedDims]] dims. No transcendental on
+    * the hashed surface — HUGEINT arithmetic matches Spark's
+    * DECIMAL(38,0) `div` exactly (all operands positive, so floor
+    * and truncating division agree). */
   private def walkEmbedSql(steps: Int): String = {
     val dimExprs = (0 until graft.ops.VectorOps.WalkEmbedDims).map { j =>
       val key = s"'graft-rp:' || CAST(c AS VARCHAR) || ':$j'"
       s"CAST(sum(CASE WHEN ${md5Hash60Sql(key)} % 2 = 0 " +
-        s"THEN score ELSE -score END) AS DECIMAL(38,9))" +
+        s"THEN score_micro ELSE -score_micro END) AS DECIMAL(38,0))" +
         s" AS d${"%02d".format(j)}"
     }.mkString(",\n                ")
     val seq = (1 to steps).map(t => s"v$t").mkString(", ")
@@ -929,14 +934,13 @@ object Oracle {
          ncx AS (SELECT c, sum(nvc) AS nc FROM nvc GROUP BY 1),
          tt AS (SELECT sum(nvc) AS t FROM nvc),
          sc AS (SELECT v, c,
-                       CAST(ROUND(ln((CAST(nvc AS DOUBLE) / nv)
-                         / (CAST(nc AS DOUBLE) / t)) + 1e-12, 9)
-                         AS DECIMAL(18,9)) AS score
+                       (CAST(nvc AS HUGEINT) * 1000000 * t)
+                         // (CAST(nv AS HUGEINT) * nc) AS score_micro
                 FROM nvc JOIN nv USING (v) JOIN ncx USING (c)
                 CROSS JOIN tt)
          SELECT v AS id,
                 $dimExprs
-         FROM sc WHERE score > 0 GROUP BY v ORDER BY id"""
+         FROM sc WHERE score_micro > 1000000 GROUP BY v ORDER BY id"""
   }
 
   /** Unrolled exact-integer HITS, replaying
@@ -6375,6 +6379,25 @@ object Oracle {
           -- Spark session_window MERGES an event exactly gap after the
           -- previous one (verified empirically at sf0.1: the single
           -- exact-30-min gap stays one session) → strictly-greater here
+          flagged AS (SELECT user_id, ts_sec, value,
+            CASE WHEN lag(ts_sec) OVER w IS NULL
+                   OR ts_sec - lag(ts_sec) OVER w > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+          sess AS (SELECT user_id, ts_sec, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged)
+          SELECT user_id, min(ts_sec) AS session_start,
+                 count(*) AS n_events, ${sqlSum2("value")} AS sum_value
+          FROM sess GROUP BY user_id, sid
+          ORDER BY user_id, session_start""",
+
+    // same batch sessionization as stream_session_window — the stateful
+    // flatMapGroupsWithState fold must converge to exactly this
+    "stream_stateful_sessions" ->
+      s"""WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts_sec,
+                             value FROM events),
           flagged AS (SELECT user_id, ts_sec, value,
             CASE WHEN lag(ts_sec) OVER w IS NULL
                    OR ts_sec - lag(ts_sec) OVER w > INTERVAL '30 minutes'

@@ -964,10 +964,14 @@ object GraphOps {
       .localCheckpoint(true)
     val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
       .localCheckpoint(true)
-    val out = louvainLabelsOn(ded, seed, LouvainRounds, deg, mrow,
+    val labs = louvainLabelsOn(ded, seed, LouvainRounds, deg, mrow,
       deg.count() <= SmallGraphVerts)
+    val out = labs
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label")).localCheckpoint(true)
+    // labs is the O(V) checkpoint louvainContractedOn returns — release
+    // it once the size census is materialized, like graphLouvainWeighted
+    labs.unpersist(false)
     deg.unpersist(false); mrow.unpersist(false)
     out
   }
@@ -1168,9 +1172,13 @@ object GraphOps {
     val small = deg.count() <= SmallGraphVerts
     val moved = louvainMoveLabelsOn(und, lpaLabelsCached(spark, dir),
       LouvainMoveRounds, deg, mrow, small)
-    val out = louvainLabelsOn(ded, moved, LouvainRounds, deg, mrow, small)
+    val labs = louvainLabelsOn(ded, moved, LouvainRounds, deg, mrow, small)
+    val out = labs
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label")).localCheckpoint(true)
+    // labs is the O(V) checkpoint louvainContractedOn returns — release
+    // it once the size census is materialized, like graphLouvainWeighted
+    labs.unpersist(false)
     moved.unpersist(false) // ours, absorbed by the merge checkpoints
     deg.unpersist(false); mrow.unpersist(false)
     out
@@ -1751,7 +1759,10 @@ object GraphOps {
       : DataFrame = {
     val ded = GraphModel.dedupEdgesCached(spark, dir)
     val verts = GraphModel.dedupVertsCached(spark, dir).select(col("id"))
-    val cut = graphEdgeBetweenness(spark, dir).limit(10)
+    // re-assert the order before limit: row order over a checkpointed
+    // LogicalRDD carries no contract, so the top-10 must re-sort
+    val cut = graphEdgeBetweenness(spark, dir)
+      .orderBy(col("ebc_micro").desc, col("a"), col("b")).limit(10)
       .select(col("a"), col("b"))
     val kept = ded.join(broadcast(cut),
       least(ded("src"), ded("dst")) === col("a") &&
@@ -2318,8 +2329,10 @@ object GraphOps {
     (SparkSession, String), DataFrame]()
 
   def node2vecWalksCached(spark: SparkSession, dir: String): DataFrame =
-    n2vWalkCache.getOrElseUpdate((spark, dir),
-      buildNode2vecWalks(spark, dir).localCheckpoint(true))
+    n2vWalkCache.synchronized {
+      n2vWalkCache.getOrElseUpdate((spark, dir),
+        buildNode2vecWalks(spark, dir).localCheckpoint(true))
+    }
 
   def graphNode2vecWalk(spark: SparkSession, dir: String): DataFrame =
     node2vecWalksCached(spark, dir)

@@ -335,7 +335,13 @@ object GraphXAlgos {
     * shape both engines — the same discipline that made BM25 and the
     * entropy ops oracle-able). Shared neighbors connect both ends,
     * so deg z ≥ 2 and ln never hits zero. Same degree-capped
-    * candidate join as [[linkPredict]]; top-50 by (score, a, b). */
+    * candidate join as [[linkPredict]]; top-50 by (score, a, b).
+    *
+    * Transcendental provenance (r12 audit): distinct ln inputs =
+    * distinct capped degrees (≤ the [[cappedNeighborsCached]] cap, a
+    * few dozen small integers) — an enumerable domain at the micro
+    * quantum; this safety does NOT transfer to wide rational domains
+    * (the r11 walk-embed lesson). */
   def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
     val (_, f) = cappedNeighborsCached(spark, dir)
     f.join(f.select(col("a").as("b"), col("n")), "n")

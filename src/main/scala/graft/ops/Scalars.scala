@@ -48,7 +48,15 @@ object Scalars {
         last_day(col("o_orderdate")).as("month_end"))
       .orderBy(col("o_orderkey"))
 
-  /** round/abs/pow/ln/sqrt/sign + integer div/mod over orders. */
+  /** round/abs/pow/ln/sqrt/sign + integer div/mod over orders.
+    *
+    * Transcendental provenance (r12 audit): sqrt is IEEE-754
+    * correctly-rounded — bit-identical across engines by spec; ln/pow
+    * are libm-sensitive, but at the 6dp quantum a cross-engine flip
+    * needs the true value within ~1 ulp (≈2e-15) of a 0.5e-6 boundary
+    * — P ≈ 4e-9 per distinct 2dp price, ~1e-4 corpus-wide at sf0.1
+    * (the r11 `graph_walk_embed` failure was the same hazard at the
+    * 1000× tighter 9dp quantum over 18k values). */
   def scalarMath(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .select(col("o_orderkey"),

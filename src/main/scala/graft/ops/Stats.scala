@@ -159,8 +159,10 @@ object Stats {
     * shares p=(n+1)/(N+10) so empty bins contribute finite terms
     * deterministically (the usual ε, made exact), and the standard
     * per-bin term (p−q)·ln(p/q) micro-rounded per term exactly like
-    * the entropy family (identical double inputs both engines → the
-    * rounding is engine-stable). Output: all 10 bins with counts,
+    * the entropy family (identical double inputs both engines; at the
+    * micro quantum a libm-variance flip needs a ~2e-15-wide boundary
+    * hit — P ≈ 4e-9 per bin × 10 bins, r12 audit). Output: all 10
+    * bins with counts,
     * smoothed shares and term — Σterm_micro is the PSI; > 0.2 is the
     * conventional "investigate" rail. One scan + one keyed agg + two
     * 1-row broadcasts: the same plan at any scale. */
@@ -591,7 +593,12 @@ object Stats {
     * share in exact micro by integer div, the Benford reference in
     * identically-shaped double micro-rounded. One digit-keyed agg —
     * the corpus reduces to 9 rows in a single map-side-combined
-    * pass. */
+    * pass.
+    *
+    * Transcendental provenance (r12 audit): the log domain is EXACTLY
+    * 9 values (digit 1–9) — StatsSpec enumerates them and asserts each
+    * unrounded micro value sits ≥ 1e-3 from its round-half boundary,
+    * so no libm variance (~1e-15) can flip the rounding. */
   def statsBenford(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).orders
       .select(substring(expr(
@@ -612,7 +619,11 @@ object Stats {
     * source, ln(L) = uniform). Per-(source, lang) terms
     * −p·ln p are micro-rounded BEFORE the per-source sum, so the
     * entropy is an exact BIGINT sum of identically-shaped double
-    * terms. One (source, lang) keyed agg + a source-keyed reduce. */
+    * terms. One (source, lang) keyed agg + a source-keyed reduce.
+    *
+    * Transcendental provenance (r12 audit): distinct ln inputs =
+    * (source, lang) cells (~100); at the micro quantum a libm flip
+    * needs a ~2e-15 boundary hit — P ≈ 4e-9 per cell. */
   def statsEntropy(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .groupBy(col("source"), col("lang"))
@@ -647,7 +658,7 @@ object Stats {
     (SparkSession, String), DataFrame]()
 
   private def contingencyCellsCached(spark: SparkSession,
-      dir: String): DataFrame =
+      dir: String): DataFrame = contingencyCache.synchronized {
     contingencyCache.getOrElseUpdate((spark, dir), {
       val o = Tables(spark, dir).documents
         .groupBy(col("lang"), col("source"))
@@ -666,6 +677,7 @@ object Stats {
             / col("e") * lit(1000000.0)).cast(LongType))
         .localCheckpoint(true)
     })
+  }
 
   def statsChi2(spark: SparkSession, dir: String): DataFrame = {
     // the R×C contingency cells ride the session memo (shared with

@@ -752,6 +752,115 @@ object Streaming {
       }
   }
 
+  /** One sessionization input row. */
+  final case class SessEvent(user_id: Long, ts_sec: java.sql.Timestamp,
+    value: Double)
+
+  /** One maintained session aggregate: epoch-milli bounds over the
+    * member event times plus exact cents (the corpus's doubles are 2dp,
+    * so per-event cents are exact and the sum needs no decimal). */
+  final case class SessAgg(start_ms: Long, end_ms: Long, n_events: Long,
+    cents: Long)
+
+  /** Per-user state: the session list plus the user's batch count. */
+  final case class SessState(sessions: List[SessAgg], n_upd: Long)
+
+  /** One emitted session row. `upd_seq` is the user's batch count at
+    * emission time — every batch that touches a user re-emits that
+    * user's COMPLETE session list (a late event can merge two previous
+    * sessions, so per-session upserts would leave stale rows behind),
+    * and the read side keeps only each user's newest emission. */
+  final case class SessionOut(user_id: Long,
+    session_start: java.sql.Timestamp, n_events: Long, sum_value: Double,
+    upd_seq: Long)
+
+  /** Inactivity gap of the stateful sessionizer — same 30 minutes as
+    * [[sessions]], and the same merge rule Spark's `session_window`
+    * applies (an event EXACTLY gap after the previous one still merges;
+    * verified empirically, see the `stream_session_window` oracle). */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** TRUE STATEFUL SESSIONIZATION — the arbitrary-state operator
+    * `session_window` cannot express: per-user session AGGREGATES
+    * (never raw events) carried across micro-batches via
+    * flatMapGroupsWithState, with late events handled exactly — a late
+    * arrival extends a session, starts its own, or BRIDGES two existing
+    * sessions into one (single-linkage on the time line: an interior
+    * point is always within gap of the nearer endpoint of its
+    * straddling pair, so absorb-and-sweep over [start,end] aggregates
+    * is lossless). Each batch folds the user's new events into the
+    * session list by one sort + linear sweep (merge when
+    * next.start − cur.end ≤ gap), then re-emits the user's complete
+    * list tagged with the batch count.
+    *
+    * State per user = its session aggregates — bounded by the user's
+    * activity span, not the stream; the production variant closes
+    * sessions once the event-time watermark passes end + gap
+    * (GroupStateTimeout.EventTimeTimeout), emitting them as final and
+    * evicting, so live state is only the OPEN tail. Kept timeout-free
+    * here because the registered run must equal the batch oracle
+    * INCLUDING each user's last session, which never times out before
+    * the file source drains. */
+  def sessionFoldStream(ev: Dataset[SessEvent]): Dataset[SessionOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[SessEvent],
+         state: GroupState[SessState]) =>
+          val prev = state.getOption.getOrElse(SessState(Nil, 0L))
+          val singles = batch.map { e =>
+            SessAgg(e.ts_sec.getTime, e.ts_sec.getTime, 1L,
+              math.rint(e.value * 100).toLong)
+          }.toList
+          val merged = (prev.sessions ++ singles)
+            .sortBy(s => (s.start_ms, s.end_ms))
+            .foldLeft(List.empty[SessAgg]) {
+              case (cur :: done, s)
+                  if s.start_ms - cur.end_ms <= SessionGapMs =>
+                SessAgg(cur.start_ms, math.max(cur.end_ms, s.end_ms),
+                  cur.n_events + s.n_events, cur.cents + s.cents) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+          val upd = prev.n_upd + 1
+          state.update(SessState(merged, upd))
+          merged.iterator.map(s => SessionOut(uid,
+            new java.sql.Timestamp(s.start_ms), s.n_events,
+            s.cents / 100.0, upd))
+      }
+  }
+
+  /** Registered surface of [[sessionFoldStream]]: the event file stream
+    * folded through the stateful sessionizer, each batch's emissions
+    * committed to the checkpointed parquet upsert log (same
+    * effectively-once foreachBatch loop as the CDC/degree keys), read
+    * back as each user's NEWEST complete emission. Final sessions equal
+    * the batch `session_window` sessionization, which the DuckDB oracle
+    * replays via lag/cumsum — the streamed-fold-equals-batch check. */
+  def streamStatefulSessions(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = upsertDirs.synchronized {
+      upsertDirs.getOrElseUpdate((spark, dir, "sess"), {
+        val b = graft.TempDirs.create(
+          s"graft-sesssink-${runIds.incrementAndGet()}")
+        import spark.implicits._
+        val ev = eventsStream(spark, dir)
+          .select(col("user_id"),
+            date_trunc("second", col("ts")).as("ts_sec"), col("value"))
+          .as[SessEvent]
+        runUpsertLog(spark, b, sessionFoldStream(ev).toDF())
+        b
+      })
+    }
+    val log = spark.read.parquet(s"$base/out")
+    val mx = log.groupBy(col("user_id")).agg(max(col("upd_seq")).as("mx"))
+    log.join(mx, "user_id")
+      .filter(col("upd_seq") === col("mx"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** True streaming custom state: per-user running purchase totals via
     * flatMapGroupsWithState (Update mode). State is one fixed-size
     * record per user — bounded by user cardinality; with event-time

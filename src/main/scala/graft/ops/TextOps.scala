@@ -445,7 +445,13 @@ object TextOps {
 
   /** Top-3 terms per source by tf-idf (idf = ln((D+1)/(df+1))).
     * Window ordered on the ROUNDED score so cross-engine last-ulp ln
-    * drift cannot flip ranks. */
+    * drift cannot flip ranks.
+    *
+    * Transcendental provenance (r12 audit): the hashed `tfidf` is a
+    * 6dp-rounded ln over distinct (D, df) pairs (≤ vocab size, ~1e4);
+    * a libm flip needs a ~2e-15 hit on a 0.5e-6 boundary — P ≈ 4e-9
+    * per pair, ~4e-5 corpus-wide (vs ~7% at the 9dp quantum that
+    * failed r11's walk embed). */
   def textTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val toks = docs.select(col("doc_id"), col("source"),
@@ -560,7 +566,15 @@ object TextOps {
     * disagree — the [[Det.avg2]] rule applied to transcendentals.
     * On this synthetic corpus (uniform token distribution) accuracy is
     * near-random — tests assert pipeline shape and determinism, not
-    * accuracy. */
+    * accuracy.
+    *
+    * Transcendental provenance (r12 audit): the 9dp-rounded ln scores
+    * are NOT on the hashed surface — only the per-doc ARGMAX language
+    * and its boolean are. A single-score boundary flip (±1e-9)
+    * changes the output only if two language totals tie within 1e-9,
+    * a second coincidence on top of the ~4e-6-per-value boundary hit;
+    * quantizing to integer rationals is unavailable here because the
+    * classifier sums LOGS (products of rationals are unbounded). */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val toks = docs.select(col("doc_id"), col("lang"),
@@ -1418,6 +1432,12 @@ object TextOps {
     *  2. Piece cost = −ln(freq/total) through the 9dp
     *     round-then-decimal idiom, scaled to EXACT nano units, so
     *     Viterbi cost comparisons are BIGINT and engine-neutral.
+    *     (Transcendental provenance, r12 audit: distinct ln inputs =
+    *     seed vocab ≈ [[UnigramSeedTopK]] + singles; 9dp is the tight
+    *     quantum — P ≈ 4e-6 per piece of a libm boundary flip, ~2e-3
+    *     corpus-wide, and a flipped nano cost must ALSO change a
+    *     Viterbi argmin to surface. Accepted: coarsening the quantum
+    *     would perturb segmentations for marginal risk reduction.)
     *  3. E-step (hard EM, the Viterbi-EM variant of the published
     *     forward-backward trainer): per word, the min-cost
     *     segmentation by dynamic programming over character
@@ -1673,7 +1693,12 @@ object TextOps {
     * the engines to disagree on. Shape: one corpus tokenize (doc
     * lengths + query-term tf), a |Q|-row df broadcast, a 2-row stats
     * broadcast — the only shuffle is the per-doc tf groupBy, so at
-    * 100 TB the cost is the scan plus one keyed agg on doc_id. */
+    * 100 TB the cost is the scan plus one keyed agg on doc_id.
+    *
+    * Transcendental provenance (r12 audit): the ln feeds a micro-
+    * rounded per-row product; distinct ln inputs = distinct df values
+    * of the ≤4 query terms, so exposure is ≤4 × P(2e-15 boundary hit
+    * at the 1e-6 quantum) ≈ 2e-8. */
   private[graft] def bm25MicroOf(spark: SparkSession, dir: String)
       : DataFrame = {
     val toks = Tables(spark, dir).documents

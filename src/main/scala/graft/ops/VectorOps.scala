@@ -1392,10 +1392,15 @@ object VectorOps {
     * PROJECTION (random indexing): (1) skip-gram pairs from each
     * walk (window ±2 over the 4-vertex sequence, both directions,
     * dead-end nulls dropped), (2) co-occurrence counts n(v,c) and
-    * marginals in one keyed agg each, (3) PPMI score
-    * max(0, ln((n_vc/n_v)/(n_c/T))) per pair — the [[Det]]-style
-    * 9dp-round-then-decimal idiom so both engines sum exact values,
-    * (4) dimension j of vertex v = Σ_c ppmi(v,c)·sign(c,j) with
+    * marginals in one keyed agg each, (3) the association score is
+    * the EXACT INTEGER RATIONAL score_micro =
+    * (1e6·n_vc·T) div (n_v·n_c), kept where the lift ratio exceeds
+    * 1 (score_micro > 1e6) — a monotone transform of PMI with the
+    * same positive-association support, and, unlike a rounded double
+    * `ln`, free of libm/engine-version rounding boundaries on the
+    * hashed surface (a 9dp-rounded `ln` variant shipped in r11 and
+    * hash-diverged between DuckDB builds),
+    * (4) dimension j of vertex v = Σ_c score(v,c)·sign(c,j) with
     * sign(c,j) = ±1 by the parity of the engine-neutral
     * md5Hash60('graft-rp:c:j') — a signed random projection of v's
     * PPMI row, computed by [[WalkEmbedDims]] conditional sums inside
@@ -1428,15 +1433,15 @@ object VectorOps {
     val scored = nvc.join(nv, "v").join(nc, "c")
       .crossJoin(broadcast(tot))
       .select(col("v"), col("c"),
-        round(log((col("nvc").cast(DoubleType) / col("nv"))
-          / (col("nc").cast(DoubleType) / col("t"))) + lit(1e-12), 9)
-          .cast(DecimalType(18, 9)).as("score"))
-      .filter(col("score") > 0)
+        expr("""CAST((CAST(nvc AS DECIMAL(38,0)) * 1000000 * t)
+                 div (CAST(nv AS DECIMAL(38,0)) * nc) AS BIGINT)""")
+          .as("score_micro"))
+      .filter(col("score_micro") > 1000000L)
     val dims = (0 until WalkEmbedDims).map { j =>
       val sign = TextOps.md5Hash60(concat_ws(":", lit("graft-rp"),
         col("c").cast("string"), lit(j.toString))) % 2 === 0
-      sum(when(sign, col("score")).otherwise(-col("score")))
-        .cast(DecimalType(38, 9)).as(f"d$j%02d")
+      sum(when(sign, col("score_micro")).otherwise(-col("score_micro")))
+        .cast(DecimalType(38, 0)).as(f"d$j%02d")
     }
     scored.groupBy(col("v").as("id"))
       .agg(dims.head, dims.tail: _*)

@@ -402,6 +402,11 @@ class MiningSpec extends SparkSpec {
       assert(r.getAs[Long]("obs_micro") == 1000000L * exp(d) / total)
       val b = math.log(1.0 + 1.0 / d) / math.log(10.0) * 1000000.0
       assert(r.getAs[Long]("benford_micro") == math.floor(b + 0.5).toLong)
+      // transcendental-provenance guarantee (r12 audit): every value in
+      // the enumerable 9-point log domain sits far from its round-half
+      // boundary, so no cross-engine libm variance (~1e-15) can flip it
+      val frac = b - math.floor(b)
+      assert(math.abs(frac - 0.5) > 1e-3, s"digit $d near boundary: $b")
     }
     val s = rows.map(_.getAs[Long]("obs_micro")).sum
     assert(s > 999900L && s <= 1000000L) // floor-div shortfall only

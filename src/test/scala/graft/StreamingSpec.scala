@@ -124,6 +124,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: late events extend, open, and BRIDGE " +
+      "sessions across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streaming.SessEvent]
+    val q = Streaming.sessionFoldStream(input.toDS())
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("update").start()
+    try {
+      // batch 1 — user 1: one session (10:00, 10:10); user 2: two
+      // sessions 50 minutes apart (10:00 and 10:50)
+      input.addData(
+        Streaming.SessEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streaming.SessEvent(1L, ts("2024-01-01 10:10:00"), 2.0),
+        Streaming.SessEvent(2L, ts("2024-01-01 10:00:00"), 5.0),
+        Streaming.SessEvent(2L, ts("2024-01-01 10:50:00"), 7.0))
+      q.processAllAvailable()
+      val mid = spark.table("sess_t").as[Streaming.SessionOut].collect()
+      assert(mid.count(_.user_id == 2L) == 2) // two sessions before the bridge
+      // batch 2 — all LATE in event time: user 1 gets an in-session
+      // event (10:05, extends) and a far-away one (14:00, new session);
+      // user 2 gets 10:25 — within gap of BOTH 10:00 and 10:50, so the
+      // two previous sessions must merge into one
+      input.addData(
+        Streaming.SessEvent(1L, ts("2024-01-01 10:05:00"), 4.0),
+        Streaming.SessEvent(1L, ts("2024-01-01 14:00:00"), 8.0),
+        Streaming.SessEvent(2L, ts("2024-01-01 10:25:00"), 3.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_t").as[Streaming.SessionOut].collect()
+      def latest(uid: Long): Seq[Streaming.SessionOut] = {
+        val rows = all.filter(_.user_id == uid)
+        val mx = rows.map(_.upd_seq).max
+        rows.filter(_.upd_seq == mx).sortBy(_.session_start.getTime).toSeq
+      }
+      val u1 = latest(1L)
+      assert(u1.map(s => (s.session_start, s.n_events, s.sum_value)) ==
+        Seq((ts("2024-01-01 10:00:00"), 3L, 7.0),
+          (ts("2024-01-01 14:00:00"), 1L, 8.0)))
+      val u2 = latest(2L)
+      assert(u2.map(s => (s.session_start, s.n_events, s.sum_value)) ==
+        Seq((ts("2024-01-01 10:00:00"), 3L, 15.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization registered key equals the batch " +
+      "session_window sessionization") {
+    val got = Streaming.streamStatefulSessions(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val want = graft.ops.Streaming.streamSessionWindow(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("sum_value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("transformWithState (4.x StatefulProcessor) matches the " +
       "flatMapGroupsWithState totals") {
     val sess = spark

@@ -631,8 +631,8 @@ class VectorSpec extends SparkSpec {
     }
   }
 
-  test("walk embed: PPMI + signed projection recompute first-principles " +
-      "from the walk table") {
+  test("walk embed: exact rational association + signed projection " +
+      "recompute first-principles from the walk table") {
     // the walk table itself is DuckDB-oracled; replay everything on top
     val walks = graft.ops.GraphOps.graphNode2vecWalk(spark, sfDir)
       .collect()
@@ -653,10 +653,8 @@ class VectorSpec extends SparkSpec {
         .map("%02x".format(_)).mkString.take(15), 16)
     }
     val scored = nvc.toSeq.map { case ((v, c), n) =>
-      (v, c, BigDecimal.valueOf(
-        math.log((n.toDouble / nv(v)) / (nc(c).toDouble / t)) + 1e-12)
-        .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP))
-    }.filter(_._3 > 0)
+      (v, c, BigDecimal(BigInt(1000000) * n * t / (BigInt(nv(v)) * nc(c))))
+    }.filter(_._3 > 1000000)
     val expect = scored.groupBy(_._1).view.mapValues { rows =>
       (0 until VectorOps.WalkEmbedDims).map { j =>
         rows.map { case (_, c, s) =>
