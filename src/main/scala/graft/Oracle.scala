@@ -2870,6 +2870,34 @@ object Oracle {
 
     // replays Aggregations.aggBitmapDistinct — OR-aggregated 32-bit
     // chunks, distinct = sum of popcounts, exact twin side by side
+    // roaring container-layout census: exact counts + the array/bitmap
+    // container switch at the real 4096 threshold, all-integer
+    "agg_bitmap_roaring" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         c AS (SELECT event_type, user_id // 65536 AS cont,
+                      count(*) AS card
+               FROM d GROUP BY 1, 2),
+         k AS (SELECT event_type, CAST(count(*) * 8 AS BIGINT)
+                        AS chunk_bytes
+               FROM (SELECT DISTINCT event_type, user_id // 32 AS bkt
+                     FROM d) GROUP BY 1),
+         r AS (SELECT event_type,
+                      CAST(sum(card) AS BIGINT) AS n_users,
+                      CAST(count(*) AS BIGINT) AS n_containers,
+                      CAST(sum(CASE WHEN card <= 4096 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_array_containers,
+                      CAST(count(*)
+                        - sum(CASE WHEN card <= 4096 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bitmap_containers,
+                      CAST(sum(CASE WHEN card <= 4096 THEN card * 2
+                               ELSE 8192 END) AS BIGINT) AS roaring_bytes
+               FROM c GROUP BY 1)
+         SELECT event_type, n_users, n_containers, n_array_containers,
+                n_bitmap_containers, roaring_bytes, chunk_bytes,
+                (1000 * roaring_bytes) // chunk_bytes
+                  AS permille_vs_chunks
+         FROM r JOIN k USING (event_type) ORDER BY event_type""",
+
     "agg_bitmap_distinct" ->
       """WITH ch AS (SELECT event_type, user_id // 32 AS bkt,
                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))

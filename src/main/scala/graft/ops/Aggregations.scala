@@ -233,6 +233,56 @@ object Aggregations {
     * 32-bit chunks because a 63-bit shift overflows DuckDB's checked
     * BIGINT — the replay stays engine-neutral. Both counts emitted;
     * their equality is the operator's own proof. */
+  /** ROARING-LAYOUT DISTINCT — the sparse-safe sibling of
+    * [[aggBitmapDistinct]] (the SCALING.md caveat row's "container
+    * switch is the real fix", r12): ids are split into roaring's
+    * 64Ki-value containers (`user div 65536`) and each container
+    * CHOOSES its layout by the real roaring rule — cardinality ≤ 4096
+    * → sorted ARRAY of 16-bit offsets (2 B/value), else a fixed 8 KiB
+    * BITMAP — so sparse id spaces pay per-VALUE, dense ones per-RANGE,
+    * and the worst case of either layout is bounded. Emitted per
+    * event type: the exact distinct count (Σ container cardinalities
+    * — containers partition the id space, so this IS exact), the
+    * container census by layout, and the state-size comparison
+    * against the dense 32-bit-chunk layout (8 B per non-empty chunk).
+    *
+    * Plan shape: ONE distinct-pair hash agg (map-side combinable),
+    * then two container-keyed aggs over the distinct set — no
+    * distinct-expand shuffle, no per-row state; at 100 TB the state
+    * is the distinct (type, container) grid, orders below the event
+    * count. All-integer output — nothing transcendental or float on
+    * the hashed surface. */
+  def aggBitmapRoaring(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("dup"))
+    val conts = d
+      .groupBy(col("event_type"), expr("user_id div 65536").as("cont"))
+      .agg(count(lit(1)).as("card"))
+      .select(col("event_type"), col("card"),
+        when(col("card") <= 4096, col("card") * 2)
+          .otherwise(lit(8192L)).as("bytes"),
+        when(col("card") <= 4096, 1L).otherwise(0L).as("is_array"))
+    val chunks = d
+      .groupBy(col("event_type"), expr("user_id div 32").as("bkt"))
+      .agg(count(lit(1)).as("cc"))
+      .groupBy(col("event_type"))
+      .agg((count(lit(1)) * 8).as("chunk_bytes"))
+    conts.groupBy(col("event_type"))
+      .agg(sum(col("card")).as("n_users"),
+        count(lit(1)).as("n_containers"),
+        sum(col("is_array")).as("n_array_containers"),
+        (count(lit(1)) - sum(col("is_array"))).as("n_bitmap_containers"),
+        sum(col("bytes")).as("roaring_bytes"))
+      .join(chunks, "event_type")
+      .select(col("event_type"), col("n_users"), col("n_containers"),
+        col("n_array_containers"), col("n_bitmap_containers"),
+        col("roaring_bytes"), col("chunk_bytes"),
+        expr("(1000 * roaring_bytes) div chunk_bytes")
+          .as("permille_vs_chunks"))
+      .orderBy(col("event_type"))
+  }
+
   def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
     val chunks = Tables(spark, dir).events
       .select(col("event_type"),

@@ -534,6 +534,35 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("roaring layout: container census replays first-principles, " +
+      "counts exact, layout rule and byte accounting hold") {
+    val rows = graft.ops.Aggregations.aggBitmapRoaring(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val pairs = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = pairs.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val users = byType(t).map(_._2).distinct
+      val conts = users.groupBy(_ / 65536).view.mapValues(_.length).toMap
+      val chunks = users.map(_ / 32).distinct.length
+      assert(r.getAs[Long]("n_users") == users.length.toLong)
+      assert(r.getAs[Long]("n_containers") == conts.size.toLong)
+      val arr = conts.values.count(_ <= 4096)
+      assert(r.getAs[Long]("n_array_containers") == arr.toLong)
+      assert(r.getAs[Long]("n_bitmap_containers") ==
+        (conts.size - arr).toLong)
+      val bytes = conts.values
+        .map(c => if (c <= 4096) 2L * c else 8192L).sum
+      assert(r.getAs[Long]("roaring_bytes") == bytes)
+      assert(r.getAs[Long]("chunk_bytes") == 8L * chunks)
+      assert(r.getAs[Long]("permille_vs_chunks") ==
+        1000L * bytes / (8L * chunks))
+    }
+  }
+
   test("mann-whitney: 2U1 matches the brute-force pairwise count and " +
       "U1 + U2 = 2·na·nb") {
     val r = graft.ops.Stats.statsMannWhitney(spark, sfDir).collect().head
