@@ -2378,6 +2378,69 @@ object Oracle {
         FROM en CROSS JOIN p
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** Partitioned-NSW beam search replaying
+    * [[graft.ops.VectorOps.embedAnnNsw]]: md5-deterministic shards,
+    * per-shard 6-NN layer-0 graph on the rounded cosine, unrolled
+    * [[graft.ops.VectorOps.NswHops]] expand→score→top-beam rounds from
+    * the min-id entry, cross-shard top-10 merge. The cosine float
+    * shape mirrors the Spark side exactly: dot / (nrm_a · nrm_b) with
+    * per-vector nrm = sqrt(dot(v,v)). */
+  private lazy val EmbedAnnNswSql: String = {
+    import graft.ops.VectorOps.{NswShards, NswDegree, NswBeam, NswHops}
+    val shardKey = md5Hash60Sql("'graft-nsw:' || CAST(vec_id AS VARCHAR)")
+    def simTo(av: String, an: String, bv: String, bn: String) =
+      s"ROUND(list_sum(list_transform(range(1, 65), " +
+        s"i -> $av[i] * $bv[i])) / ($an * $bn), 4)"
+    val hops = (1 to NswHops).map { h =>
+      val prev = s"b${h - 1}"
+      s"""c$h AS (SELECT DISTINCT shard, vec_id FROM (
+              SELECT shard, vec_id FROM $prev
+              UNION ALL
+              SELECT g.shard, g.dst AS vec_id
+              FROM $prev JOIN nsw_g g
+                ON $prev.shard = g.shard AND $prev.vec_id = g.src)),
+         b$h AS (SELECT shard, vec_id, sim FROM (
+              SELECT c.shard, c.vec_id,
+                     ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim,
+                     row_number() OVER (PARTITION BY c.shard
+                       ORDER BY ${simTo("en.v", "en.nrm", "p.pv", "p.pn")}
+                         DESC, c.vec_id) AS rn
+              FROM c$h c JOIN nsw_en en
+                ON c.shard = en.shard AND c.vec_id = en.vec_id
+              CROSS JOIN p) t
+            WHERE rn <= $NswBeam)"""
+    }.mkString(",\n         ")
+    s"""WITH nsw_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+         nsw_en AS MATERIALIZED (
+           SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> v[i] * v[i]))) AS nrm,
+                  $shardKey % $NswShards AS shard
+           FROM nsw_e),
+         nsw_g AS MATERIALIZED (
+           SELECT shard, src, dst FROM (
+             SELECT a.shard, a.vec_id AS src, b.vec_id AS dst,
+                    row_number() OVER (PARTITION BY a.shard, a.vec_id
+                      ORDER BY ${simTo("a.v", "a.nrm", "b.v", "b.nrm")}
+                        DESC, b.vec_id) AS rn
+             FROM nsw_en a JOIN nsw_en b
+               ON a.shard = b.shard AND a.vec_id <> b.vec_id) t
+           WHERE rn <= $NswDegree),
+         p AS (SELECT v AS pv, nrm AS pn FROM nsw_en WHERE vec_id = 0),
+         b0 AS (SELECT s.shard, s.vec_id,
+                       ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim
+                FROM (SELECT shard, min(vec_id) AS vec_id
+                      FROM nsw_en GROUP BY 1) s
+                JOIN nsw_en en
+                  ON s.shard = en.shard AND s.vec_id = en.vec_id
+                CROSS JOIN p),
+         $hops
+         SELECT vec_id, shard, sim AS cos_sim
+         FROM b$NswHops
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   /** Shared BM25 CTE chain replaying [[graft.ops.TextOps.bm25MicroOf]]
     * term for term — the k1/b constants and the fixed query interpolate
     * from TextOps so the two engines cannot drift, and per-term scores
@@ -6021,6 +6084,16 @@ object Oracle {
          WHERE rn <= 3 ORDER BY probe_id, rn""",
 
     "embed_cosine_topk" -> EmbedCosineTopkSql,
+
+    "embed_ann_nsw" -> EmbedAnnNswSql,
+
+    // recall@10 of the partitioned-NSW beam search vs the exact top-10
+    "embed_recall_nsw" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM ($EmbedAnnNswSql))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
 
     // recall@10 of the IVF path vs the exact top-10: both retrieval
     // plans replayed verbatim (the shared vals above), scored by a

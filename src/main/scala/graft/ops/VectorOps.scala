@@ -1380,6 +1380,114 @@ object VectorOps {
       .orderBy(col("pos"))
   }
 
+  /** NSW index/search constants — small so the oracle can unroll the
+    * beam loop, engine-shared via interpolation into the SQL. */
+  val NswShards = 4
+  val NswDegree = 6
+  val NswBeam = 8
+  val NswHops = 3
+
+  /** Memoized per-shard NSW index: (verts, edges). Verts carry the
+    * md5-deterministic shard id; edges are each vector's
+    * [[NswDegree]] nearest IN-SHARD neighbors by rounded cosine (the
+    * layer-0 NSW graph — greedy-searchable because near neighbors
+    * chain). Build = one within-shard self-join, O(N·shard_size):
+    * bounded because the shard count SCALES with the corpus (each
+    * shard is one index server's partition at serving time), so
+    * shard_size is a constant, not N/const. Synchronized +
+    * localCheckpoint: the [[int8Codes]] retention contract. */
+  private val nswCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def nswIndexCached(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = nswCache.synchronized {
+    nswCache.getOrElseUpdate((spark, dir), {
+      VectorExpressions.register(spark)
+      val verts = withNorm(Tables(spark, dir))
+        .select(col("vec_id"),
+          pmod(TextOps.md5Hash60(concat_ws(":", lit("graft-nsw"),
+            col("vec_id").cast("string"))), lit(NswShards)).as("shard"),
+          col("v"), col("nrm"))
+        .localCheckpoint(true)
+      val a = verts.select(col("shard"), col("vec_id").as("src"),
+        col("v").as("av"), col("nrm").as("an"))
+      val b = verts.select(col("shard"), col("vec_id").as("dst"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val w = Window.partitionBy(col("shard"), col("src"))
+        .orderBy(col("sim").desc, col("dst"))
+      val edges = a.join(b, Seq("shard"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("shard"), col("src"), col("dst"),
+          round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 4)
+            .as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NswDegree)
+        .select(col("shard"), col("src"), col("dst"))
+        .localCheckpoint(true)
+      (verts, edges)
+    })
+  }
+
+  /** PARTITIONED NSW ANN — the Spark-native approximation of the
+    * serving-default graph index (HNSW without the hierarchy): the
+    * corpus splits into [[NswShards]] md5-deterministic shards, each
+    * shard holds its own layer-0 NSW graph ([[nswIndexCached]]), and a
+    * query runs the SAME search every NSW server runs — start at the
+    * shard's deterministic entry point (min vec_id), then [[NswHops]]
+    * rounds of expand-neighbors → score vs probe → keep the
+    * [[NswBeam]] best per shard (beam search; rounded cosine with id
+    * tie-breaks so the walk is engine-replayable) — and the per-shard
+    * beams merge into the global top-10 (the scatter-gather every
+    * sharded ANN service does). Search touches beam·degree·hops
+    * vectors PER SHARD instead of the shard's full contents; at 100 TB
+    * each shard is one executor-resident graph and the query cost is
+    * S small keyed lookups, not a corpus scan — the recall price is
+    * measured by [[embedRecallNsw]] exactly like the IVF/PQ/binary
+    * paths. */
+  def embedAnnNsw(spark: SparkSession, dir: String): DataFrame = {
+    val (verts, edges) = nswIndexCached(spark, dir)
+    val probe = probeOf(Tables(spark, dir))
+    def scoreOf(ids: DataFrame): DataFrame =
+      ids.join(verts, Seq("shard", "vec_id"))
+        .crossJoin(broadcast(probe))
+        .select(col("shard"), col("vec_id"),
+          round(dot(col("v"), col("probe_vec"))
+            / (col("nrm") * col("probe_nrm")), 4).as("sim"))
+    val wB = Window.partitionBy(col("shard"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    var beam = scoreOf(
+      verts.groupBy(col("shard")).agg(min(col("vec_id")).as("vec_id")))
+    for (_ <- 1 to NswHops) {
+      val expand = beam.select(col("shard"), col("vec_id").as("src"))
+        .join(edges, Seq("shard", "src"))
+        .select(col("shard"), col("dst").as("vec_id"))
+      val cand = beam.select(col("shard"), col("vec_id"))
+        .unionByName(expand).distinct()
+      // each hop's beam is S·B rows — checkpoint to keep the unioned
+      // lineage from replaying earlier hops exponentially
+      beam = scoreOf(cand)
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= NswBeam).drop("rn")
+        .localCheckpoint(true)
+    }
+    beam
+      .select(col("vec_id"), col("shard"), col("sim").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Recall@10 of the partitioned-NSW beam search vs the exact cosine
+    * top-10 — the eval row that sits beside [[embedRecallEval]] /
+    * [[embedRecallPq]] / int8 / binary: same k-row left join, same
+    * integer permille. */
+  def embedRecallNsw(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    val ann = embedAnnNsw(spark, dir).select(col("vec_id").as("a_id"))
+    exact.join(ann, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
+
   /** Output dimensionality of [[graphWalkEmbed]]. */
   val WalkEmbedDims = 16
 

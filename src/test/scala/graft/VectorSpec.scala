@@ -47,6 +47,60 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("partitioned NSW: shard graph + beam search replay " +
+      "first-principles, probe finds itself, recall measured") {
+    import VectorOps.{NswShards, NswDegree, NswBeam, NswHops}
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val shardOf = vecs.keys.map(id =>
+      id -> md5h60(s"graft-nsw:$id") % NswShards).toMap
+    val nrm = vecs.view.mapValues(v =>
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))).toMap
+    def sim(a: Long, b: Long): BigDecimal = {
+      var d = 0.0
+      var i = 0
+      while (i < vecs(a).length) { d += vecs(a)(i) * vecs(b)(i); i += 1 }
+      BigDecimal.valueOf(d / (nrm(a) * nrm(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val byShard = vecs.keys.toSeq.groupBy(shardOf)
+    // layer-0 graph: per vector, NswDegree nearest in-shard by
+    // (rounded sim desc, dst asc)
+    val nbrs = vecs.keys.map { s =>
+      s -> byShard(shardOf(s)).filter(_ != s)
+        .map(d => (sim(s, d), d)).sortBy { case (sm, d) => (-sm, d) }
+        .take(NswDegree).map(_._2)
+    }.toMap
+    // beam search from the min-id entry per shard
+    val finalBeams = byShard.map { case (sh, members) =>
+      var beam = Seq(members.min)
+      for (_ <- 1 to NswHops) {
+        val cand = (beam ++ beam.flatMap(nbrs)).distinct
+        beam = cand.map(c => (sim(c, 0L), c))
+          .sortBy { case (sm, c) => (-sm, c) }.take(NswBeam).map(_._2)
+      }
+      sh -> beam
+    }
+    val expect = finalBeams.values.flatten.toSeq
+      .map(c => (sim(c, 0L), c)).sortBy { case (sm, c) => (-sm, c) }
+      .take(10)
+    val got = VectorOps.embedAnnNsw(spark, sfDir).collect()
+      .map(r => (BigDecimal(r.getDouble(2)), r.getLong(0)))
+    assert(got.toSeq == expect.map { case (sm, c) => (sm, c) })
+    assert(got.map(_._2).contains(0L), "probe must find itself")
+    val r = VectorOps.embedRecallNsw(spark, sfDir).collect().head
+    assert(r.getAs[Long]("k") == 10L)
+    assert(r.getAs[Long]("recall_permille") ==
+      r.getAs[Long]("hits") * 1000 / 10)
+  }
+
   test("kNN per label returns 5 members of the right label, ranked") {
     val rows = VectorOps.embedKnnPerLabel(spark, sfDir).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
