@@ -4607,6 +4607,8 @@ object Oracle {
            SELECT 'und_edges_by_dst', CAST(2 * count(*) AS BIGINT)
            FROM ded
            UNION ALL
+           SELECT 'und_degrees', CAST(count(*) AS BIGINT) FROM verts
+           UNION ALL
            SELECT 'dedup_verts', CAST(count(*) AS BIGINT) FROM verts
            UNION ALL
            SELECT 'lpa_labels', CAST(count(*) AS BIGINT) FROM verts

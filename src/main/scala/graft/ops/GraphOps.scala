@@ -479,6 +479,7 @@ object GraphOps {
         GraphModel.undEdgesCached(spark, dir)))
       .unionByName(row("und_edges_by_dst",
         GraphModel.undEdgesByDstCached(spark, dir)))
+      .unionByName(row("und_degrees", undDegCached(spark, dir)._1))
       .unionByName(row("dedup_verts",
         GraphModel.dedupVertsCached(spark, dir)))
       .unionByName(row("lpa_labels", lpaLabelsCached(spark, dir)))
@@ -491,6 +492,38 @@ object GraphOps {
       .unionByName(row("seq_brand_events",
         Mining.seqBrandEvents(spark, dir)))
       .orderBy(col("cache"))
+  }
+
+  /** Memoized unweighted degree frame (id, d) with its vertex count —
+    * built exchange-free off the src-partitioned undirected cache.
+    * `graph_leiden` and `graph_louvain_move` previously each rebuilt
+    * (and eagerly checkpointed, and counted) the identical frame; one
+    * build per (session, dir), warmed by [[graphWarmCaches]] (r12). */
+  private val undDegCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, Long)]()
+  private[graft] def undDegCached(spark: SparkSession,
+      dir: String): (DataFrame, Long) = undDegCache.synchronized {
+    undDegCache.getOrElseUpdate((spark, dir), {
+      val d = GraphModel.undEdgesCached(spark, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(true)
+      (d, d.count())
+    })
+  }
+
+  /** Memoized 1-row deduped-edge-count frame (m, DECIMAL(38,0)) — the
+    * modularity denominator every merge/move phase crosses in; one
+    * count over the cached edge frame per (session, dir). */
+  private val mRowCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  private[graft] def edgeCountRowCached(spark: SparkSession,
+      dir: String): DataFrame = mRowCache.synchronized {
+    mRowCache.getOrElseUpdate((spark, dir),
+      GraphModel.dedupEdgesCached(spark, dir)
+        .agg(count(lit(1))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("m"))
+        .localCheckpoint(true))
   }
 
   /** Memoized Louvain labeling ([[louvainLabels]] over the shared LPA
@@ -831,36 +864,55 @@ object GraphOps {
       .localCheckpoint(true)
     var pairs = pairs0
     val mergesAll = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (r <- 1 to rounds) {
+    val lazyChks = scala.collection.mutable.Buffer.empty[DataFrame]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
       val (decf, _) =
         mergeDecisionsOn(pairs, dc, mrow, chk = false, ordered = false)
       val merges = decf.filter(col("accepted"))
         .select(col("label"),
           least(col("label"), col("partner")).as("newlab"))
         .localCheckpoint(true)
-      mergesAll += merges
-      if (r < rounds) {
-        // contract the summary — community-sized joins and re-aggs
-        // only, left lazy over the materialized round-1 summary
-        def mAs(k: String): DataFrame = {
-          val f = merges.select(col("label").as(k),
-            col("newlab").as("n" + k))
-          if (small) broadcast(f) else f
+      // a dry round proves a fixed point: an empty remap leaves the
+      // summary unchanged, so every later round re-derives the same
+      // empty decision — skip the remaining rounds' job trains (r12;
+      // output-identical by induction, the isEmpty probe is one cheap
+      // scan of the just-checkpointed merge map)
+      if (merges.isEmpty) { dry = true; merges.unpersist(false) }
+      else {
+        mergesAll += merges
+        if (r < rounds) {
+          // contract the summary — community-sized joins and re-aggs
+          // only, over the materialized round-1 summary. The remapped
+          // frames are LAZY checkpoints (r12): each is read twice (the
+          // next round's scorer + its own remap / the two dc sides), so
+          // materialize-on-first-use halves the chain replays without
+          // the blocking job an eager checkpoint would cost.
+          def mAs(k: String): DataFrame = {
+            val f = merges.select(col("label").as(k),
+              col("newlab").as("n" + k))
+            if (small) broadcast(f) else f
+          }
+          dc = dc.join(mAs("label"), Seq("label"), "left")
+            .select(coalesce(col("nlabel"), col("label")).as("label"),
+              col("dcv"))
+            .groupBy(col("label")).agg(sum(col("dcv")).cast(dec).as("dcv"))
+            .localCheckpoint(false)
+          pairs = pairs
+            .join(mAs("la"), Seq("la"), "left")
+            .join(mAs("lb"), Seq("lb"), "left")
+            .select(coalesce(col("nla"), col("la")).as("xa"),
+              coalesce(col("nlb"), col("lb")).as("xb"), col("e_ab"))
+            .filter(col("xa") =!= col("xb")) // merged pairs went internal
+            .select(least(col("xa"), col("xb")).as("la"),
+              greatest(col("xa"), col("xb")).as("lb"), col("e_ab"))
+            .groupBy(col("la"), col("lb")).agg(sum(col("e_ab")).as("e_ab"))
+            .localCheckpoint(false)
+          lazyChks += dc; lazyChks += pairs
         }
-        dc = dc.join(mAs("label"), Seq("label"), "left")
-          .select(coalesce(col("nlabel"), col("label")).as("label"),
-            col("dcv"))
-          .groupBy(col("label")).agg(sum(col("dcv")).cast(dec).as("dcv"))
-        pairs = pairs
-          .join(mAs("la"), Seq("la"), "left")
-          .join(mAs("lb"), Seq("lb"), "left")
-          .select(coalesce(col("nla"), col("la")).as("xa"),
-            coalesce(col("nlb"), col("lb")).as("xb"), col("e_ab"))
-          .filter(col("xa") =!= col("xb")) // merged pairs went internal
-          .select(least(col("xa"), col("xb")).as("la"),
-            greatest(col("xa"), col("xb")).as("lb"), col("e_ab"))
-          .groupBy(col("la"), col("lb")).agg(sum(col("e_ab")).as("e_ab"))
       }
+      r += 1
     }
     // the single O(V) pass: chain the round maps over the seed labeling
     var lab = lab0
@@ -872,6 +924,7 @@ object GraphOps {
     }
     val out = lab.localCheckpoint(true)
     mergesAll.foreach(_.unpersist(false))
+    lazyChks.foreach(_.unpersist(false))
     pairs0.unpersist(false)
     dc0.unpersist(false)
     out
@@ -952,27 +1005,21 @@ object GraphOps {
     * CONTRACTED merge rounds — community-sized after their one O(E)
     * summary pass. Output: final community sizes. */
   def graphLeiden(spark: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ded = GraphModel.dedupEdgesCached(spark, dir)
     val seed = withinPartsCached(spark, dir)
       .select(col("id"), col("cluster").as("label"))
-    // same shared-frame discipline as graphLouvainMove: degree rides
-    // the src-partitioned undirected cache exchange-free
-    val deg = GraphModel.undEdgesCached(spark, dir)
-      .groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint(true)
-    val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
-      .localCheckpoint(true)
+    // shared session frames (r12): degree + edge count ride the same
+    // caches graph_louvain_move consumes — zero builds on a warm run
+    val (deg, nVerts) = undDegCached(spark, dir)
+    val mrow = edgeCountRowCached(spark, dir)
     val labs = louvainLabelsOn(ded, seed, LouvainRounds, deg, mrow,
-      deg.count() <= SmallGraphVerts)
+      nVerts <= SmallGraphVerts)
     val out = labs
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label")).localCheckpoint(true)
     // labs is the O(V) checkpoint louvainContractedOn returns — release
     // it once the size census is materialized, like graphLouvainWeighted
     labs.unpersist(false)
-    deg.unpersist(false); mrow.unpersist(false)
     out
   }
 
@@ -1154,22 +1201,18 @@ object GraphOps {
     * final community sizes. The degree and total-edge-count frames are
     * label-independent, so the two phases share one materialization. */
   def graphLouvainMove(spark: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ded = GraphModel.dedupEdgesCached(spark, dir)
     // degree falls out of the src-partitioned undirected cache with NO
     // exchange (groupBy(src) rides the persisted partitioning); the
     // dst-partitioned twin feeds the move rounds' nk join so the O(2E)
-    // side needs no exchange either — the same frames every centrality
-    // key already shares, so warm runs pay zero builds here
-    val deg = GraphModel.undEdgesCached(spark, dir)
-      .groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint(true)
+    // side needs no exchange either — r12: degree + edge count are now
+    // session caches shared with graph_leiden, so warm runs pay zero
+    // builds AND zero per-key checkpoint/count jobs here
+    val (deg, nVerts) = undDegCached(spark, dir)
     val und = GraphModel.undEdgesByDstCached(spark, dir)
       .select(col("src").as("v"), col("dst").as("n"))
-    val mrow = ded.agg(count(lit(1)).cast(dec).as("m"))
-      .localCheckpoint(true)
-    val small = deg.count() <= SmallGraphVerts
+    val mrow = edgeCountRowCached(spark, dir)
+    val small = nVerts <= SmallGraphVerts
     val moved = louvainMoveLabelsOn(und, lpaLabelsCached(spark, dir),
       LouvainMoveRounds, deg, mrow, small)
     val labs = louvainLabelsOn(ded, moved, LouvainRounds, deg, mrow, small)
@@ -1180,7 +1223,6 @@ object GraphOps {
     // it once the size census is materialized, like graphLouvainWeighted
     labs.unpersist(false)
     moved.unpersist(false) // ours, absorbed by the merge checkpoints
-    deg.unpersist(false); mrow.unpersist(false)
     out
   }
 

@@ -4,14 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 
-/** Dev-only timing probe for graph_louvain_move: warm-cache phase
-  * costs plus a per-job trace (duration + call-site) of one full key
-  * execution — the tool that attributed the r11 rewrite (the key is
-  * job-count-bound at sf0.1, ~90 small jobs, no single hot stage).
-  * Not registered; run via `sbt "runMain graft.ops.LouvainProbe"`. */
+/** Dev-only timing probe (r12: parameterized on any registered key,
+  * default graph_louvain_move): warm-cache phase costs plus a per-job
+  * trace (duration + call-site) of one full key execution — the tool
+  * that attributed the r11 rewrite (the key is job-count-bound at
+  * sf0.1, ~90 small jobs, no single hot stage). Not registered; run
+  * via `sbt "runMain graft.ops.LouvainProbe [key]"`. */
 object LouvainProbe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
+    val key = args.headOption.getOrElse("graph_louvain_move")
+    val fn = graft.SparkEntry.queries(key)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -25,8 +28,7 @@ object LouvainProbe {
       r
     }
     time("warm caches")(GraphOps.graphWarmCaches(spark, dir).count())
-    time("full key (warm #0)")(
-      GraphOps.graphLouvainMove(spark, dir).count())
+    time("full key (warm #0)")(fn(spark, dir).count())
     @volatile var trace = false
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -43,8 +45,7 @@ object LouvainProbe {
       }
     })
     trace = true
-    time("full key (traced)")(
-      GraphOps.graphLouvainMove(spark, dir).count())
+    time("full key (traced)")(fn(spark, dir).count())
     trace = false
     spark.stop()
   }
