@@ -471,6 +471,31 @@ object GraphOps {
     * counts are real graph invariants (edge/vertex/triangle/event
     * censuses), DuckDB-replayed like any other key. */
   def graphWarmCaches(spark: SparkSession, dir: String): DataFrame = {
+    // r12: force the INDEPENDENT cache chains concurrently — Spark
+    // accepts job submissions from multiple threads, and the four
+    // chains below share no builder locks except through their
+    // dependency order (both label chains start by taking the
+    // dedup-edge lock; the loser blocks until the winner's build
+    // lands, then reuses it — no cycles, no double builds). Probe
+    // breakdown at sf0.1: label chain ded 7.0 → lpa 6.7 → louvain 6.9
+    // → within 6.1 ≈ 27 s is the critical path; triangles 11.6,
+    // undirected twins ~2.5 and brand events 2.1 all hide inside it,
+    // cutting the sequential ~46 s to ~the label chain's length.
+    {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val chains = Seq(
+        Future { // ded → verts → LPA → Louvain → within-parts
+          withinPartsCached(spark, dir); () },
+        Future { // undirected twins + degrees (parallel to the labels)
+          GraphModel.undEdgesCached(spark, dir)
+          GraphModel.undEdgesByDstCached(spark, dir)
+          undDegCached(spark, dir); () },
+        Future { GraphXAlgos.trianglesCached(spark, dir); () },
+        Future { Mining.seqBrandEvents(spark, dir); () })
+      chains.foreach(Await.result(_, Duration.Inf))
+    }
     def row(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_rows"))
         .select(lit(name).as("cache"), col("n_rows"))
@@ -535,9 +560,15 @@ object GraphOps {
     (SparkSession, String), DataFrame]()
   private def louvainLabelsCached(spark: SparkSession,
       dir: String): DataFrame = louvainLabelsCache.synchronized {
-    louvainLabelsCache.getOrElseUpdate((spark, dir),
-      louvainLabels(GraphModel.dedupEdgesCached(spark, dir),
-        lpaLabelsCached(spark, dir), LouvainRounds))
+    louvainLabelsCache.getOrElseUpdate((spark, dir), {
+      // r12: ride the session degree/edge-count caches instead of
+      // louvainLabels' own per-call builds (one eager checkpoint + one
+      // count job saved on the warm path)
+      val (deg, nVerts) = undDegCached(spark, dir)
+      louvainLabelsOn(GraphModel.dedupEdgesCached(spark, dir),
+        lpaLabelsCached(spark, dir), LouvainRounds, deg,
+        edgeCountRowCached(spark, dir), nVerts <= SmallGraphVerts)
+    })
   }
 
   /** Community quality over the final [[lpaExactOn]] labels: per

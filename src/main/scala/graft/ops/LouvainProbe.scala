@@ -27,6 +27,24 @@ object LouvainProbe {
       println(f"[probe] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    if (key == "graph_warm_caches") {
+      // per-stage breakdown via the registered keys that trigger each
+      // session cache (marginal time = that cache's build)
+      time("dedup_edges")(graft.GraphModel.dedupEdgesCached(spark, dir).count())
+      time("und_edges")(graft.GraphModel.undEdgesCached(spark, dir).count())
+      time("und_by_dst")(graft.GraphModel.undEdgesByDstCached(spark, dir).count())
+      time("und_degrees")(GraphOps.undDegCached(spark, dir)._1.count())
+      time("dedup_verts")(graft.GraphModel.dedupVertsCached(spark, dir).count())
+      time("lpa_labels")(
+        graft.SparkEntry.queries("graph_lpa_exact")(spark, dir).count())
+      time("louvain_labels")(
+        graft.SparkEntry.queries("graph_louvain")(spark, dir).count())
+      time("within_parts")(graft.SparkEntry
+        .queries("graph_community_refine")(spark, dir).count())
+      time("triangles")(graft.SparkEntry
+        .queries("graph_triangle_count")(spark, dir).count())
+      time("brand_events")(Mining.seqBrandEvents(spark, dir).count())
+    }
     time("warm caches")(GraphOps.graphWarmCaches(spark, dir).count())
     time("full key (warm #0)")(fn(spark, dir).count())
     @volatile var trace = false
