@@ -7635,6 +7635,31 @@ object Oracle {
 
     // replays TimeSeries.timeseriesSeasonalDow; DuckDB dayofweek is
     // 0-based Sunday, Spark's is 1-based — hence the +1
+    // STL-style exact split at 7x scale: centered 7-day window sum
+    // (full windows only), d7 = 7x - trend, dow floor-mean seasonal
+    "timeseries_stl_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, day, x,
+                      CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+                      count(*) OVER w AS w_n,
+                      CAST(SUM(x) OVER w AS BIGINT) AS trend7
+               FROM daily
+               WINDOW w AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t AS (SELECT event_type, day, dow, x, trend7,
+                      7 * x - trend7 AS d7
+               FROM g WHERE w_n = 7),
+         s AS (SELECT event_type, dow,
+                      CAST(SUM(d7) AS BIGINT) // count(*) AS seas7
+               FROM t GROUP BY 1, 2)
+         SELECT t.event_type, t.day, t.x, t.trend7, t.d7, s.seas7,
+                t.d7 - s.seas7 AS resid7
+         FROM t JOIN s ON t.event_type = s.event_type AND t.dow = s.dow
+         ORDER BY t.event_type, t.day""",
+
     "timeseries_seasonal_dow" ->
       """WITH ev AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
                             CAST(hour(ts) AS INT) AS hod,

@@ -701,6 +701,41 @@ object TimeSeries {
       .orderBy(col("kind"), col("bucket"))
   }
 
+  /** STL-STYLE DECOMPOSITION of the daily per-type cent series into
+    * trend + day-of-week seasonal + residual — the full classical
+    * split next to [[timeseriesSeasonalDow]]'s index census, kept
+    * EXACT by working at 7× scale so no mean ever divides: trend is
+    * the centered 7-day window SUM (only days with the full window
+    * emit — the standard MA edge rule), detrended d = 7·x − trend,
+    * seasonal s(dow) = floor-mean of d per day-of-week (integer div),
+    * residual = d − s(dow). Σ(d) over a dow bucket fits BIGINT for
+    * cent totals to ~10¹² per day; longer/denser series prescale x.
+    * Shape: one keyed agg to the daily grid, two windows partitioned
+    * by event_type (trend + the implicit day order), one dow-keyed
+    * broadcast-sized agg joined back — a single exchange on
+    * event_type plus a grid-sized join, at any scale. */
+  def timeseriesStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(wMa))
+      .withColumn("trend7", sum(col("x")).over(wMa))
+      .filter(col("w_n") === 7)
+      .withColumn("d7", lit(7L) * col("x") - col("trend7"))
+    val seas = trended.groupBy(col("event_type"), col("dow"))
+      .agg(expr("sum(d7) div count(1)").as("seas7"))
+    trended.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("x"), col("trend7"),
+        col("d7"), col("seas7"), (col("d7") - col("seas7")).as("resid7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** CUSUM CHANGEPOINT detection per event-type series — where did the
     * daily level shift? The classic statistic is the cumulative sum of
     * deviations from the mean, argmax'd; forming the mean would put a

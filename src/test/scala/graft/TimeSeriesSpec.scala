@@ -535,6 +535,51 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("stl decompose: trend+seasonal+residual reassemble exactly at " +
+      "7x scale, full-window rule holds, dow means recompute") {
+    val rows = graft.ops.TimeSeries.timeseriesStlDecompose(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = Tables(spark, sfDir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString,
+        r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // interior days only: n - 6 rows per type with >= 7 days
+    val expectRows = daily.values.map(s => math.max(0, s.length - 6)).sum
+    assert(rows.length == expectRows)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rs) =>
+      val series = daily(et)
+      val trendOf = series.sliding(7).map { w =>
+        (w(3)._2, w.map(_._3).sum) // center day -> 7-day sum
+      }.toMap
+      val d7Of = series.drop(3).dropRight(3).map { case (_, day, x) =>
+        day -> (7L * x - trendOf(day))
+      }.toMap
+      val dowMean = d7Of.toSeq.groupBy { case (day, _) =>
+        java.time.LocalDate.parse(day).getDayOfWeek.getValue % 7 + 1
+      }.view.mapValues { ds =>
+        val s = ds.map(_._2).sum; s / ds.length // Long division truncates
+      }.toMap
+      rs.foreach { r =>
+        val day = r.getAs[java.sql.Date]("day").toString
+        val dow = java.time.LocalDate.parse(day)
+          .getDayOfWeek.getValue % 7 + 1
+        assert(r.getAs[Long]("trend7") == trendOf(day))
+        assert(r.getAs[Long]("d7") == d7Of(day))
+        assert(r.getAs[Long]("seas7") == dowMean(dow), s"$et $day")
+        // the decomposition reassembles exactly: 7x = trend + seas + resid
+        assert(7L * r.getAs[Long]("x") ==
+          r.getAs[Long]("trend7") + r.getAs[Long]("seas7")
+            + r.getAs[Long]("resid7"))
+      }
+    }
+  }
+
   test("asof tolerance: matched rows within the window, unmatched rows " +
       "survive with null prior, tolerance only removes matches") {
     val tol = graft.ops.Joins.joinAsofTolerance(spark, sfDir).collect()
