@@ -3845,6 +3845,25 @@ object Oracle {
           ORDER BY column_name"""
     },
 
+    // key-skew census: max-to-mean frequency ratio per shuffle key
+    "profile_key_skew" -> {
+      def skew(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS key_name,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(c) AS BIGINT) AS max_freq,
+                 (1000 * max(c) * count(*)) // CAST(sum(c) AS BIGINT)
+                   AS skew_permille
+          FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)"""
+      s"""${skew("events.user_id", "events", "user_id")}
+          UNION ALL ${skew("lineitem.l_orderkey", "lineitem",
+            "l_orderkey")}
+          UNION ALL ${skew("lineitem.l_partkey", "lineitem",
+            "l_partkey")}
+          UNION ALL ${skew("orders.o_custkey", "orders", "o_custkey")}
+          ORDER BY key_name"""
+    },
+
     // §2.3bis subqueries + recursive CTE
     "subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -7635,6 +7654,38 @@ object Oracle {
 
     // replays TimeSeries.timeseriesSeasonalDow; DuckDB dayofweek is
     // 0-based Sunday, Spark's is 1-based — hence the +1
+    // U-shaped multi-touch attribution: exact permille credits by
+    // position, remainder of the middle floor-split to the FIRST touch
+    "events_attribution_position" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec,
+                            event_type
+                     FROM events),
+         conv AS (SELECT user_id, event_id AS conv_id,
+                         ts_sec AS conv_ts
+                  FROM ev WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_id AS touch_id,
+                          ts_sec AS touch_ts,
+                          event_type AS touch_type
+                   FROM ev WHERE event_type IN ('click', 'view')),
+         j AS (SELECT conv_id, touch_id, touch_ts, touch_type,
+                      row_number() OVER (PARTITION BY conv_id
+                        ORDER BY touch_ts, touch_id) AS pos,
+                      count(*) OVER (PARTITION BY conv_id) AS k
+               FROM conv JOIN touch USING (user_id)
+               WHERE touch_ts < conv_ts
+                 AND touch_ts >= conv_ts - INTERVAL 7 DAY)
+         SELECT conv_id, touch_id, CAST(pos AS BIGINT) AS pos,
+                CAST(k AS BIGINT) AS k, touch_type,
+                CAST(CASE WHEN k = 1 THEN 1000
+                     WHEN k = 2 THEN 500
+                     WHEN pos = k THEN 400
+                     WHEN pos = 1
+                       THEN 400 + 200 - (200 // (k - 2)) * (k - 2)
+                     ELSE 200 // (k - 2) END AS BIGINT)
+                  AS credit_permille
+         FROM j ORDER BY conv_id, pos""",
+
     // STL-style exact split at 7x scale: centered 7-day window sum
     // (full windows only), d7 = 7x - trend, dow floor-mean seasonal
     "timeseries_stl_decompose" ->

@@ -261,6 +261,36 @@ object Stats {
       .orderBy(col("column_name"))
   }
 
+  /** KEY-SKEW CENSUS — the partition-planning read that decides
+    * whether a 100 TB join/agg on a key needs salting BEFORE the job
+    * runs: per candidate shuffle key, the row count, exact distinct
+    * count, the heaviest key's frequency, and `skew_permille` =
+    * (1000·max_freq·n_distinct) div n — the max-to-mean frequency
+    * ratio ×1000, where 1000 means perfectly uniform and ≫1000 means
+    * one reducer partition drowns (the `join_skew_salted` trigger
+    * condition, quantified). Each key costs one groupBy + one 1-row
+    * agg (both map-side combinable); no values are emitted so heavy
+    * ties need no tie-break. */
+  def profileKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def skew(name: String, df: DataFrame,
+        key: org.apache.spark.sql.Column) =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_freq"))
+        .select(lit(name).as("key_name"), col("n_rows"),
+          col("n_distinct"), col("max_freq"),
+          expr("(1000 * max_freq * n_distinct) div n_rows")
+            .as("skew_permille"))
+    skew("events.user_id", t.events, col("user_id"))
+      .unionByName(skew("lineitem.l_orderkey", t.lineitem,
+        col("l_orderkey")))
+      .unionByName(skew("lineitem.l_partkey", t.lineitem,
+        col("l_partkey")))
+      .unionByName(skew("orders.o_custkey", t.orders, col("o_custkey")))
+      .orderBy(col("key_name"))
+  }
+
   /** Salted skew join EXHIBIT: the fact side's 3-value hot key
     * (o_orderstatus) is joined against a dim replicated across 8
     * salts, with facts salted by a hash of their unique key. The JOIN

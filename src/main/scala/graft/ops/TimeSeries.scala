@@ -671,6 +671,56 @@ object TimeSeries {
       .orderBy(col("conv_id"))
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the
+    * fractional-credit sibling of [[eventsAttribution]]'s last-touch
+    * rule: every click/view in the 7-day window strictly before a
+    * purchase earns exact-permille credit by position — 1000 for a
+    * lone touch, 500/500 for a pair, else 400 first / 400 last and
+    * the middle 200 floor-split across the k−2 interior touches with
+    * the remainder going to the FIRST touch (documented so credits
+    * sum to exactly 1000 per conversion on both engines). Touches
+    * rank by (ts, event_id) — total order, engine-stable.
+    *
+    * Shape: purchases × in-window touches is a per-user time-range
+    * join — bounded by each user's 7-day activity, never the user's
+    * full history; at 100 TB the join buckets both sides by
+    * (user, day) so a conversion probes ≤ 8 buckets, and per-row
+    * state stays one window of touches. One window per conversion
+    * ranks positions. */
+  def eventsAttributionPosition(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_sec").as("conv_ts"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts_sec").as("touch_ts"), col("event_type").as("touch_type"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val wAll = Window.partitionBy(col("conv_id"))
+    conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr("interval 7 days"))
+      .select(col("conv_id"), col("user_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"), col("touch_type"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("credit_permille",
+        when(col("k") === 1, 1000L)
+          .when(col("k") === 2, 500L)
+          .when(col("pos") === col("k"), 400L)
+          .when(col("pos") === 1,
+            lit(400L) + lit(200L) - expr("(200 div (k - 2)) * (k - 2)"))
+          .otherwise(expr("200 div (k - 2)")))
+      .select(col("conv_id"), col("touch_id"), col("pos"), col("k"),
+        col("touch_type"), col("credit_permille"))
+      .orderBy(col("conv_id"), col("pos"))
+  }
+
   /** SEASONAL index decomposition of the event-value series along its
     * two natural cycles — day-of-week and hour-of-day: per bucket, the
     * event count, exact cent total, and the seasonal index in integer

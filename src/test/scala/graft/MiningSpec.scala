@@ -563,6 +563,32 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("key skew census: stats recompute per key, uniform keys read " +
+      "~1000 permille, skew is max-to-mean exactly") {
+    val rows = graft.ops.Stats.profileKeySkew(spark, sfDir).collect()
+    assert(rows.length == 4)
+    def recompute(table: String, key: String): (Long, Long, Long) = {
+      val c = spark.read.parquet(s"$sfDir/$table.parquet")
+        .groupBy(col(key)).agg(count(lit(1)).as("c")).collect()
+        .map(_.getLong(1))
+      (c.sum, c.length.toLong, c.max)
+    }
+    val expect = Map(
+      "events.user_id" -> recompute("events", "user_id"),
+      "lineitem.l_orderkey" -> recompute("lineitem", "l_orderkey"),
+      "lineitem.l_partkey" -> recompute("lineitem", "l_partkey"),
+      "orders.o_custkey" -> recompute("orders", "o_custkey"))
+    rows.foreach { r =>
+      val (n, d, mx) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_distinct") == d)
+      assert(r.getAs[Long]("max_freq") == mx)
+      val sk = r.getAs[Long]("skew_permille")
+      assert(sk == 1000L * mx * d / n)
+      assert(sk >= 1000L) // max >= mean always
+    }
+  }
+
   test("mann-whitney: 2U1 matches the brute-force pairwise count and " +
       "U1 + U2 = 2·na·nb") {
     val r = graft.ops.Stats.statsMannWhitney(spark, sfDir).collect().head

@@ -535,6 +535,40 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("position attribution: credits sum to exactly 1000 permille " +
+      "per conversion, positions rank by time, window respected") {
+    val rows = graft.ops.TimeSeries
+      .eventsAttributionPosition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byConv = rows.groupBy(_.getAs[Long]("conv_id"))
+    byConv.foreach { case (cid, rs) =>
+      assert(rs.map(_.getAs[Long]("credit_permille")).sum == 1000L,
+        s"conv $cid credits must sum to 1000")
+      val k = rs.head.getAs[Long]("k")
+      assert(rs.length.toLong == k)
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (1L to k).toSeq)
+      if (k >= 3) {
+        val byPos = rs.map(r =>
+          r.getAs[Long]("pos") -> r.getAs[Long]("credit_permille")).toMap
+        assert(byPos(k) == 400L)
+        val mid = 200L / (k - 2)
+        assert(byPos(1L) == 400L + 200L - mid * (k - 2))
+        (2L until k).foreach(p => assert(byPos(p) == mid))
+      }
+    }
+    // window respected: every touch strictly precedes its conversion
+    // by at most 7 days (recompute from the raw events)
+    val ts = Tables(spark, sfDir).events
+      .select(col("event_id"), date_trunc("second", col("ts")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    rows.foreach { r =>
+      val gap = ts(r.getAs[Long]("conv_id")) - ts(r.getAs[Long]("touch_id"))
+      assert(gap > 0 && gap <= 7L * 24 * 3600 * 1000)
+    }
+  }
+
   test("stl decompose: trend+seasonal+residual reassemble exactly at " +
       "7x scale, full-window rule holds, dow means recompute") {
     val rows = graft.ops.TimeSeries.timeseriesStlDecompose(spark, sfDir)
