@@ -3845,6 +3845,37 @@ object Oracle {
           ORDER BY column_name"""
     },
 
+    // Spearman via doubled average ranks (exact integer tie handling),
+    // Pearson on the ranks with the final guarded sqrt division only
+    "stats_spearman" ->
+      """WITH spend AS (SELECT o_custkey,
+                               CAST(SUM(CAST(round(o_totalprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS y
+                        FROM orders GROUP BY 1),
+         pairs AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x, y
+                   FROM customer JOIN spend ON c_custkey = o_custkey),
+         ranked AS (SELECT
+             2 * rank() OVER (ORDER BY x)
+               + count(*) OVER (PARTITION BY x) - 1 AS rx,
+             2 * rank() OVER (ORDER BY y)
+               + count(*) OVER (PARTITION BY y) - 1 AS ry
+           FROM pairs),
+         m AS (SELECT count(*) AS n,
+                      CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+                      CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+                      CAST(SUM(CAST(rx AS HUGEINT) * rx) AS HUGEINT)
+                        AS sxx,
+                      CAST(SUM(CAST(ry AS HUGEINT) * ry) AS HUGEINT)
+                        AS syy,
+                      CAST(SUM(CAST(rx AS HUGEINT) * ry) AS HUGEINT)
+                        AS sxy
+               FROM ranked)
+         SELECT n,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+         FROM m""",
+
     // key-skew census: max-to-mean frequency ratio per shuffle key
     "profile_key_skew" -> {
       def skew(name: String, table: String, key: String) =

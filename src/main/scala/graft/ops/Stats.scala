@@ -261,6 +261,59 @@ object Stats {
       .orderBy(col("column_name"))
   }
 
+  /** SPEARMAN RANK CORRELATION of customer account balance vs total
+    * order spend — the monotone-association read Pearson ([[statsLinreg]]
+    * family) misses. Ranks carry ties EXACTLY via doubled average
+    * ranks: r2 = 2·rank_min + (tie_size − 1) = rank_min + rank_max is
+    * always an integer, so every moment (Σr2, Σr2², Σr2x·r2y) is an
+    * exact DECIMAL(38,0) sum and ρ = Pearson on the doubled ranks (the
+    * 2× cancels). The only float is the final guarded sqrt division,
+    * rounded 6dp — the [[TimeSeries.timeseriesAcf]] determinism
+    * argument (sqrt is IEEE-correctly-rounded; r12 transcendental
+    * audit).
+    *
+    * Scale: the ranking windows here are GLOBAL sorts (one partition)
+    * — fine at the census's n = customer count; at 10⁹ customers the
+    * rank becomes rangepartition + partition-offset zipWithIndex (the
+    * standard distributed rank), identical values downstream. */
+  def statsSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = Tables(spark, dir)
+    val spend = t.orders.groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("y"))
+    val pairs = t.customer
+      .select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+    def r2Of(c: String): org.apache.spark.sql.Column = {
+      val wr = Window.orderBy(col(c))
+      val wt = Window.partitionBy(col(c))
+      // rank() is the tie-group's min rank; adding (tie_size - 1)
+      // yields min+max = twice the average rank, always integral
+      (lit(2L) * rank().over(wr) + count(lit(1)).over(wt) - lit(1L))
+    }
+    val ranked = pairs
+      .withColumn("rx", r2Of("x"))
+      .withColumn("ry", r2Of("y"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(dec)).as("sx"),
+        sum(col("ry").cast(dec)).as("sy"),
+        sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(dec)).as("syy"),
+        sum((col("rx") * col("ry")).cast(dec)).as("sxy"))
+      .select(col("n"),
+        // each variance term is an exact decimal; cast to double BEFORE
+        // the cross product (the decimal product would pass 10^38)
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType)
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)
+            * (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType)), 6).as("rho"))
+  }
+
   /** KEY-SKEW CENSUS — the partition-planning read that decides
     * whether a 100 TB join/agg on a key needs salting BEFORE the job
     * runs: per candidate shuffle key, the row count, exact distinct

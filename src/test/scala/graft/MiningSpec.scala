@@ -563,6 +563,41 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("spearman: rho matches a first-principles average-rank " +
+      "recompute and lies in [-1, 1]") {
+    val r = graft.ops.Stats.statsSpearman(spark, sfDir).collect().head
+    val spend = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+    val pairs = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select("x", "y").collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    def avgRank2(vs: Array[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      // doubled average rank = min_rank + max_rank per tie group
+      sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> (g.map(_._2 + 1L).min + g.map(_._2 + 1L).max)
+      }
+    }
+    val rxm = avgRank2(pairs.map(_._1)); val rym = avgRank2(pairs.map(_._2))
+    val rx = pairs.map(p => BigInt(rxm(p._1)))
+    val ry = pairs.map(p => BigInt(rym(p._2)))
+    val n = BigInt(pairs.length)
+    val num = (n * rx.zip(ry).map { case (a, b) => a * b }.sum
+      - rx.sum * ry.sum).toDouble
+    val den = math.sqrt(
+      (n * rx.map(a => a * a).sum - rx.sum * rx.sum).toDouble
+        * (n * ry.map(a => a * a).sum - ry.sum * ry.sum).toDouble)
+    val expect = BigDecimal.valueOf(num / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n") == pairs.length.toLong)
+    assert(r.getAs[Double]("rho") == expect)
+    assert(math.abs(r.getAs[Double]("rho")) <= 1.0)
+  }
+
   test("key skew census: stats recompute per key, uniform keys read " +
       "~1000 permille, skew is max-to-mean exactly") {
     val rows = graft.ops.Stats.profileKeySkew(spark, sfDir).collect()
