@@ -3845,6 +3845,16 @@ object Oracle {
           ORDER BY column_name"""
     },
 
+    // footer-stat aggregate (Spark answers it from parquet metadata;
+    // DuckDB recomputes from rows — equality IS the exactness proof)
+    "scan_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+                min(l_orderkey) AS min_orderkey,
+                max(l_orderkey) AS max_orderkey,
+                min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty
+         FROM lineitem""",
+
     // Spearman via doubled average ranks (exact integer tie handling),
     // Pearson on the ranks with the final guarded sqrt division only
     "stats_spearman" ->

@@ -42,6 +42,54 @@ object Relational {
       .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")))
 
+  /** AGGREGATE PUSHDOWN — count/min/max answered from parquet FOOTER
+    * statistics, no row ever decoded: with
+    * `spark.sql.parquet.aggregatePushdown` on, the whole-table
+    * MIN/MAX/COUNT plan compiles to a metadata walk
+    * (`PushedAggregation` in the scan node, PlanSpec-asserted) — at
+    * 100 TB this is the difference between a footer read per file and
+    * a full-corpus scan. Restricted to the footer-exact shapes: no
+    * filter, no group-by, non-nested columns (Spark falls back to a
+    * real scan otherwise — the key exists to pin that this plan does
+    * NOT). The conf flips back after planning: it is per-query here so
+    * the other 300 keys keep their default planner. */
+  /** Run `body` with parquet aggregate pushdown enabled, restoring the
+    * previous setting after (PlanSpec reuses this to assert the
+    * `PushedAggregation` scan shape on the raw frame). */
+  private[graft] def withAggPushdown[A](spark: SparkSession)
+      (body: => A): A = {
+    // pushdown lives in the V2 ParquetScan only — route parquet off the
+    // V1 list for the scope of this query (both confs restored after)
+    val keys = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" ->
+        "avro,csv,json,kafka,orc,text")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** The raw footer-aggregable frame (plan it under [[withAggPushdown]]
+    * or it degrades to a row scan). */
+  private[graft] def aggPushdownFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
+  def scanAggPushdown(spark: SparkSession, dir: String): DataFrame =
+    withAggPushdown(spark) {
+      // plan + execute while the conf is on; the checkpoint pins the
+      // metadata-derived result
+      aggPushdownFrame(spark, dir).localCheckpoint(true)
+    }
+
   /** Compound AND/OR/NOT + BETWEEN + IN-list, all codegen'd builtins. */
   def filterPredicate(spark: SparkSession, dir: String): DataFrame =
     totalOrder(Tables(spark, dir).lineitem

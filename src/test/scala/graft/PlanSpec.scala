@@ -29,6 +29,16 @@ class PlanSpec extends SparkSpec {
       "l_linenumber:int,l_quantity:double>"), p)
   }
 
+  test("whole-table min/max/count pushes into the parquet footer " +
+      "(PushedAggregation, no row decode)") {
+    val p = Relational.withAggPushdown(spark) {
+      physical(Relational.aggPushdownFrame(spark, sfDir))
+    }
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p)
+    assert(p.contains("MIN(l_orderkey)"), p)
+    assert(p.contains("MAX(l_quantity)"), p)
+  }
+
   test("dim⋈fact join plans as BroadcastHashJoin") {
     val p = physical(Joins.joinBroadcast(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
