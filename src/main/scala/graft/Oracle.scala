@@ -6556,6 +6556,15 @@ object Oracle {
           FROM sess GROUP BY user_id, sid
           ORDER BY user_id, session_start""",
 
+    // the transformWithState run's final state = the batch per-user
+    // purchase census, integers end to end
+    "stream_tws_running" ->
+      """SELECT user_id, count(*) AS n_purchases,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY user_id""",
+
     // same batch sessionization as stream_session_window — the stateful
     // flatMapGroupsWithState fold must converge to exactly this
     "stream_stateful_sessions" ->

@@ -658,6 +658,98 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Exact-cents running state for the REGISTERED transformWithState
+    * key (the double-accumulating [[RunningTotal]] demo cannot be
+    * oracled: double fold order drifts ULPs across engines; cents are
+    * exact for the corpus's 2dp values). */
+  final case class CentsTotal(user_id: Long, n_purchases: Long,
+    total_cents: Long)
+
+  /** The cents-exact StatefulProcessor behind [[streamTwsRunning]] —
+    * same typed ValueState shape as [[RunningTotalProcessor]]. */
+  class RunningCentsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, PurchaseEvent, CentsTotal] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var state: streaming.ValueState[CentsTotal] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[CentsTotal]("cents",
+        Encoders.product[CentsTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[PurchaseEvent],
+        timerValues: TimerValues): Iterator[CentsTotal] = {
+      val prev = Option(state.get()).getOrElse(CentsTotal(key, 0L, 0L))
+      var n = prev.n_purchases
+      var cents = prev.total_cents
+      rows.foreach { e => n += 1; cents += math.rint(e.value * 100).toLong }
+      val updated = CentsTotal(key, n, cents)
+      state.update(updated)
+      Iterator.single(updated)
+    }
+  }
+
+  /** The typed transformWithState pipeline of [[streamTwsRunning]]
+    * (shared with the MemoryStream test). */
+  def statefulCentsTws(ev: Dataset[PurchaseEvent])
+      : Dataset[CentsTotal] = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ev.groupByKey(_.user_id)
+      .transformWithState(new RunningCentsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Run `body` with the RocksDB state store provider (required by
+    * transformWithState), restoring the previous provider after. */
+  private def withRocksDbState[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** REGISTERED transformWithState run — the Spark 4.x arbitrary-state
+    * API (the documented successor to flatMapGroupsWithState) driven
+    * end to end as a production shape, not just a test: file-source
+    * purchase stream → typed StatefulProcessor holding one exact-cents
+    * record per user in ROCKSDB state (the at-scale state backend,
+    * scoped via [[withRocksDbState]]) → each batch's updates committed
+    * to the parquet upsert log → latest state per key read back. Final
+    * state equals the batch per-user purchase census, which the DuckDB
+    * oracle replays — integers end to end, no float fold order on the
+    * hashed surface. */
+  def streamTwsRunning(spark: SparkSession, dir: String): DataFrame = {
+    val base = upsertDirs.synchronized {
+      upsertDirs.getOrElseUpdate((spark, dir, "tws"), {
+        val b = graft.TempDirs.create(
+          s"graft-twssink-${runIds.incrementAndGet()}")
+        import spark.implicits._
+        val purchases = eventsStream(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("ts_sec"), col("value"))
+          .as[PurchaseEvent]
+        withRocksDbState(spark) {
+          runUpsertLog(spark, b, statefulCentsTws(purchases).toDF())
+        }
+        b
+      })
+    }
+    latestByBatch(spark, s"$base/out", Seq("user_id"),
+      Seq("n_purchases", "total_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** One CDC input row. */
   final case class UserEvent(user_id: Long, event_id: Long,
     ts_sec: java.sql.Timestamp, value: Double)

@@ -218,6 +218,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cents transformWithState: exact totals across batches (the " +
+      "registered key's processor)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val input = MemoryStream[PurchaseEvent]
+    val q = Streaming.statefulCentsTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_cents_t")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        PurchaseEvent(7L, 1L, ts("2024-01-01 09:00:00"), 2.53),
+        PurchaseEvent(8L, 2L, ts("2024-01-01 09:00:30"), 1.01))
+      q.processAllAvailable()
+      input.addData(PurchaseEvent(7L, 3L, ts("2024-01-01 09:01:00"), 7.49))
+      q.processAllAvailable()
+      val latest = spark.table("tws_cents_t")
+        .as[Streaming.CentsTotal].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(_.n_purchases) }
+      assert(latest(7L).total_cents == 1002L)
+      assert(latest(7L).n_purchases == 2L)
+      assert(latest(8L).total_cents == 101L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup with watermark keeps first of duplicate ids") {
     val sess = spark
     import sess.implicits._
