@@ -4682,6 +4682,35 @@ object Oracle {
            SELECT 'seq_brand_events', CAST(count(*) AS BIGINT) FROM ob)
          ORDER BY cache""",
 
+    // Katz: exact directed path counts p_t, attenuated once per TERM
+    // (1000*p_t) // 2^t with beta = 1/2, T = 3 — engine-exact BIGINTs
+    "graph_katz_centrality" ->
+      s"""WITH $EdgesCte,
+         ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         verts AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM ded UNION SELECT dst FROM ded)),
+         p0 AS (SELECT id, CAST(1 AS BIGINT) AS p FROM verts),
+         p1 AS (SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS p
+                FROM verts v LEFT JOIN (
+                  SELECT d.dst AS id, SUM(c.p) AS s
+                  FROM p0 c JOIN ded d ON d.src = c.id
+                  GROUP BY d.dst) m ON m.id = v.id),
+         p2 AS (SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS p
+                FROM verts v LEFT JOIN (
+                  SELECT d.dst AS id, SUM(c.p) AS s
+                  FROM p1 c JOIN ded d ON d.src = c.id
+                  GROUP BY d.dst) m ON m.id = v.id),
+         p3 AS (SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS p
+                FROM verts v LEFT JOIN (
+                  SELECT d.dst AS id, SUM(c.p) AS s
+                  FROM p2 c JOIN ded d ON d.src = c.id
+                  GROUP BY d.dst) m ON m.id = v.id)
+         SELECT p1.id,
+                (1000 * p1.p) // 2 + (1000 * p2.p) // 4
+                  + (1000 * p3.p) // 8 AS katz_milli
+         FROM p1 JOIN p2 ON p1.id = p2.id JOIN p3 ON p1.id = p3.id
+         ORDER BY katz_milli DESC, p1.id LIMIT 50""",
+
     "graph_path_count" -> pathCountSql(3),
 
     "graph_betweenness" ->

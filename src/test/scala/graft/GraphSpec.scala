@@ -483,6 +483,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("katz centrality: top-50 matches a first-principles attenuated " +
+      "path-count recompute") {
+    val rows = GraphOps.graphKatzCentrality(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val edges = GraphModel.dedupEdgesCached(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var p = verts.map(_ -> 1L).toMap
+    val katz = scala.collection.mutable.Map(
+      verts.map(_ -> 0L).toSeq: _*)
+    for (t <- 1 to 3) {
+      val nxt = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => p.getOrElse(e._1, 0L)).sum
+      }
+      p = verts.map(v => v -> nxt.getOrElse(v, 0L)).toMap
+      verts.foreach(v => katz(v) += 1000L * p(v) / (1L << t))
+    }
+    val expect = katz.toSeq.sortBy { case (v, k) => (-k, v) }.take(50)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      expect.map { case (v, k) => (v, k) })
+  }
+
   test("vertex upsert: last-write-wins by version, inserts flagged") {
     import spark.implicits._
     val existing = Seq(
