@@ -3855,6 +3855,29 @@ object Oracle {
                 max(l_quantity) AS max_qty
          FROM lineitem""",
 
+    // power analysis: K_micro = floor((z_0.025 + z_0.20)^2 * 1e6) =
+    // 7848878 shared verbatim with the Spark side; exact HUGEINT
+    // ceiling division
+    "stats_power_sample_size" ->
+      """WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                             AS HUGEINT) AS s1,
+                           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                             * CAST(round(value * 100) AS BIGINT))
+                             AS HUGEINT) AS s2
+                    FROM events WHERE event_type = 'purchase'),
+         d AS (SELECT n, s1, s2,
+                      CAST(s1 // n AS BIGINT) AS mean_cents,
+                      CAST(s1 // (20 * n) AS BIGINT) AS delta_cents
+               FROM m)
+         SELECT CAST(n AS BIGINT) AS n_obs, mean_cents, delta_cents,
+                CAST((2 * 7848878 * (n * s2 - s1 * s1)
+                      + (1000000 * n * n * delta_cents * delta_cents)
+                      - 1)
+                  // (1000000 * n * n * delta_cents * delta_cents)
+                  AS BIGINT) AS n_required_per_arm
+         FROM d""",
+
     // Spearman via doubled average ranks (exact integer tie handling),
     // Pearson on the ranks with the final guarded sqrt division only
     "stats_spearman" ->
@@ -6584,6 +6607,39 @@ object Oracle {
                  count(*) AS n_events, ${sqlSum2("value")} AS sum_value
           FROM sess GROUP BY user_id, sid
           ORDER BY user_id, session_start""",
+
+    // session census over the same lag/cumsum sessionization; Spark's
+    // session_window end = last event + gap, so dur = (max-min) + 1800
+    "events_session_stats" ->
+      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts_sec
+                     FROM events),
+         flagged AS (SELECT user_id, ts_sec,
+            CASE WHEN lag(ts_sec) OVER w IS NULL
+                   OR ts_sec - lag(ts_sec) OVER w > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+         sess AS (SELECT user_id, ts_sec,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged),
+         per AS (SELECT user_id, sid, count(*) AS n_events,
+                        CAST(epoch(max(ts_sec)) - epoch(min(ts_sec))
+                          AS BIGINT) + 1800 AS dur_sec
+                 FROM sess GROUP BY 1, 2),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                        CAST(sum(n_events) AS BIGINT) AS n_events_total,
+                        CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_single,
+                        CAST(sum(dur_sec) AS BIGINT) AS dur_total,
+                        CAST(max(n_events) AS BIGINT) AS max_events
+                 FROM per)
+         SELECT n_sessions, n_events_total,
+                (1000 * n_single) // n_sessions AS single_permille,
+                (1000 * n_events_total) // n_sessions
+                  AS mean_events_milli,
+                dur_total // n_sessions AS mean_dur_sec,
+                max_events
+         FROM tot""",
 
     // the transformWithState run's final state = the batch per-user
     // purchase census, integers end to end

@@ -314,6 +314,41 @@ object Stats {
               .cast(DoubleType)), 6).as("rho"))
   }
 
+  /** POWER ANALYSIS / SAMPLE-SIZE CALCULATOR — the design step that
+    * belongs BEFORE `events_ab_lift`/`events_cuped_lift` run: from the
+    * observed purchase-value distribution, the per-arm n required to
+    * detect a 5%-of-mean shift at α = 0.05 two-sided with 80% power,
+    * n = 2·(z_{α/2}+z_β)²·σ²/δ². The z constants are fixed LITERALS in
+    * micro units ((1.959964 + 0.841621)² → K_micro = 7848878, shared
+    * verbatim with the oracle — no normal quantile is ever computed),
+    * σ² and δ stay exact integer rationals in cents, and the ceiling
+    * division is (num + den − 1) div den — engine-exact end to end.
+    * One scan → one 1-row moment agg; the magnitudes pass BIGINT at
+    * corpus scale so the sums are DECIMAL(38,0). */
+  def statsPowerSampleSize(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s1"),
+        sum((col("c") * col("c")).cast(dec)).as("s2"))
+      .select(col("n"), col("s1"), col("s2"),
+        expr("CAST(s1 div n AS BIGINT)").as("mean_cents"),
+        expr("CAST(s1 div (20 * n) AS BIGINT)").as("delta_cents"))
+      .select(col("n").as("n_obs"), col("mean_cents"),
+        col("delta_cents"),
+        // var = (n*s2 - s1^2)/n^2; n_req = ceil(2*K*var/delta^2) with
+        // K = K_micro/1e6 — one fused exact ceiling division
+        expr("""CAST((2 * 7848878 * (n * s2 - s1 * s1)
+                 + (1000000 * CAST(n AS DECIMAL(38,0)) * n
+                    * delta_cents * delta_cents) - 1)
+                div (1000000 * CAST(n AS DECIMAL(38,0)) * n
+                     * delta_cents * delta_cents) AS BIGINT)""")
+          .as("n_required_per_arm"))
+  }
+
   /** KEY-SKEW CENSUS — the partition-planning read that decides
     * whether a 100 TB join/agg on a key needs salting BEFORE the job
     * runs: per candidate shuffle key, the row count, exact distinct

@@ -67,6 +67,36 @@ object Streaming {
     sessions(eventsSec(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** SESSION CENSUS over the 30-minute sessionization — the
+    * engagement read an analyst takes from the session table before
+    * anything else: per user-session, its event count and duration;
+    * aggregated to one corpus row of n_sessions, single-event share
+    * (permille), exact mean events ×1000, and mean duration in
+    * seconds (both floor-div — engine-exact). Rides the SAME
+    * `session_window` grouping as `stream_session_window`, so the
+    * census is consistent with the sessionization every downstream
+    * key uses; two keyed aggs, map-side combinable. */
+  def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsSec(spark, dir)
+      .groupBy(session_window(col("ts_sec"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(col("session_window.end"))
+          - unix_timestamp(col("session_window.start"))).as("dur_sec"))
+    s.agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events_total"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("n_single"),
+        sum(col("dur_sec")).as("dur_total"),
+        max(col("n_events")).as("max_events"))
+      .select(col("n_sessions"), col("n_events_total"),
+        expr("(1000 * n_single) div n_sessions").as("single_permille"),
+        expr("(1000 * n_events_total) div n_sessions")
+          .as("mean_events_milli"),
+        expr("dur_total div n_sessions").as("mean_dur_sec"),
+        col("max_events"))
+  }
+
   /** Deduplication: first event per (user, type). Batch analog uses
     * min(event_id) for a deterministic "first" (dropDuplicates keeps an
     * arbitrary row); the streaming variant in tests uses

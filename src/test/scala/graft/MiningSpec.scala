@@ -563,6 +563,63 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("power analysis: n_required matches the closed form computed " +
+      "with exact rationals, ceiling holds") {
+    val r = graft.ops.Stats.statsPowerSampleSize(spark, sfDir)
+      .collect().head
+    val cents = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)")).collect()
+      .map(_.getLong(0)).map(BigInt(_))
+    val n = BigInt(cents.length)
+    val s1 = cents.sum; val s2 = cents.map(c => c * c).sum
+    val mean = s1 / n
+    val delta = s1 / (20 * n)
+    val num = 2 * BigInt(7848878) * (n * s2 - s1 * s1)
+    val den = BigInt(1000000) * n * n * delta * delta
+    val nreq = (num + den - 1) / den
+    assert(r.getAs[Long]("n_obs") == n.toLong)
+    assert(r.getAs[Long]("mean_cents") == mean.toLong)
+    assert(r.getAs[Long]("delta_cents") == delta.toLong)
+    assert(r.getAs[Long]("n_required_per_arm") == nreq.toLong)
+    // sanity: the ceiling never undershoots the real-valued formula
+    val exact = 2.0 * 7.848878 * ((n * s2 - s1 * s1).toDouble
+      / (n * n).toDouble) / (delta * delta).toDouble
+    assert(nreq.toDouble >= exact - 1e-9)
+  }
+
+  test("session stats: census recomputes from a first-principles " +
+      "sessionization, single-event share consistent") {
+    val r = graft.ops.Streaming.eventsSessionStats(spark, sfDir)
+      .collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).cast("long")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val sessions = ev.values.flatMap { ts =>
+      val buf = scala.collection.mutable.Buffer.empty[Seq[Long]]
+      var cur = scala.collection.mutable.Buffer(ts.head)
+      ts.tail.foreach { t =>
+        if (t - cur.last > 1800L) { buf += cur.toSeq
+          cur = scala.collection.mutable.Buffer(t) }
+        else cur += t
+      }
+      buf += cur.toSeq
+      buf
+    }.toSeq
+    val nS = sessions.length.toLong
+    assert(r.getAs[Long]("n_sessions") == nS)
+    assert(r.getAs[Long]("n_events_total") ==
+      sessions.map(_.length.toLong).sum)
+    assert(r.getAs[Long]("single_permille") ==
+      1000L * sessions.count(_.length == 1) / nS)
+    assert(r.getAs[Long]("mean_dur_sec") ==
+      sessions.map(s => s.last - s.head + 1800L).sum / nS)
+    assert(r.getAs[Long]("max_events") ==
+      sessions.map(_.length.toLong).max)
+  }
+
   test("spearman: rho matches a first-principles average-rank " +
       "recompute and lies in [-1, 1]") {
     val r = graft.ops.Stats.statsSpearman(spark, sfDir).collect().head
