@@ -5795,6 +5795,53 @@ object Oracle {
            FROM ds) t
          WHERE rk = 1 ORDER BY doc_id""",
 
+    // curriculum: integer quality permille -> ntile(3) terciles over
+    // the (q desc, doc_id) total order -> md5-shuffled in-phase rank
+    "corpus_curriculum_plan" ->
+      s"""WITH sc AS (SELECT doc_id,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(t, x -> list_contains(
+                        ['the','a','of','to','and','in','is','it'], x)))
+                        AS BIGINT) AS n_stop
+               FROM (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents) d),
+         q AS (SELECT doc_id,
+                      (1000 * (n_tokens - n_stop)) // (n_tokens + 1)
+                        AS q_permille
+               FROM sc),
+         ph AS (SELECT doc_id, q_permille,
+                       CAST(ntile(3) OVER (ORDER BY q_permille DESC,
+                         doc_id) AS BIGINT) AS phase
+                FROM q)
+         SELECT doc_id, q_permille, phase,
+                CAST(row_number() OVER (PARTITION BY phase
+                  ORDER BY ${md5Hash60Sql(
+                    "'graft-curr:' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS BIGINT) AS pos_in_phase
+         FROM ph ORDER BY phase, pos_in_phase""",
+
+    // Pareto concentration: top-k cut at ceil(n*p/100), permille share
+    "events_value_concentration" ->
+      """WITH per AS (SELECT user_id,
+                        CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS v
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY 1),
+         ranked AS (SELECT v,
+                      CAST(row_number() OVER (ORDER BY v DESC, user_id)
+                        AS BIGINT) AS rk,
+                      CAST(SUM(v) OVER (ORDER BY v DESC, user_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM per),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(SUM(v) AS BIGINT) AS t FROM ranked)
+         SELECT p AS top_pct, rk AS n_users_top,
+                (1000 * cum) // t AS value_permille
+         FROM ranked CROSS JOIN tot
+         CROSS JOIN (SELECT unnest([1, 5, 10]) AS p) ps
+         WHERE rk = (n * p + 99) // 100
+         ORDER BY top_pct""",
+
     "text_quality_score" ->
       """SELECT doc_id, n_tokens, n_stop, avg_tok_len, n_chars,
                 ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 3) AS stop_ratio,

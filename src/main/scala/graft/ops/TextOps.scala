@@ -487,6 +487,42 @@ object TextOps {
   /** Per-doc quality features: token count, mean token length, stopword
     * ratio, and a rational quality score (no transcendentals → exact
     * cross-engine arithmetic). */
+  /** CURRICULUM PLAN — the ordering step a curriculum-training run
+    * feeds its data loader: every document gets (1) an exact-integer
+    * quality proxy q_permille = (1000·(tokens − stopwords)) div
+    * (tokens + 1) (the [[textQualityScore]] signal, integer-quantized
+    * so the plan is engine-exact), (2) a curriculum PHASE = quality
+    * tercile via ntile(3) over the total order (q desc, doc_id) —
+    * phase 1 trains first on the cleanest text, and (3) a
+    * deterministic md5-shuffled position within its phase (the
+    * [[corpusShuffleDeterministic]] discipline, so the loader's read
+    * order is reproducible run to run). Global windows at census
+    * scale; at 10⁹ docs the rank swaps to rangepartition +
+    * partition-offset (values identical). */
+  def corpusCurriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(filter(col("t"), t => array_contains(stopArr, t)))
+          .cast(LongType).as("n_stop"))
+      .select(col("doc_id"),
+        expr("(1000 * (n_tokens - n_stop)) div (n_tokens + 1)")
+          .as("q_permille"))
+    val wQ = Window.orderBy(col("q_permille").desc, col("doc_id"))
+    val phased = scored.withColumn("phase",
+      ntile(3).over(wQ).cast(LongType))
+    val wP = Window.partitionBy(col("phase"))
+      .orderBy(md5Hash60(concat_ws(":", lit("graft-curr"),
+        col("doc_id").cast("string"))), col("doc_id"))
+    phased.withColumn("pos_in_phase",
+        row_number().over(wP).cast(LongType))
+      .select(col("doc_id"), col("q_permille"), col("phase"),
+        col("pos_in_phase"))
+      .orderBy(col("phase"), col("pos_in_phase"))
+  }
+
   def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val stopArr = array(Stopwords.map(lit): _*)
     Tables(spark, dir).documents

@@ -671,6 +671,37 @@ object TimeSeries {
       .orderBy(col("conv_id"))
   }
 
+  /** VALUE CONCENTRATION — how much of total purchase value the top
+    * 1% / 5% / 10% of users capture (the Pareto read next to
+    * `stats_gini_lorenz`'s full curve): users ranked by exact cent
+    * totals (value desc, id tie-break), top-k cut at k = ceil(n·p/100)
+    * = (n·p + 99) div 100, captured share in integer permille. One
+    * user-keyed agg + one ranked window + three grid rows. */
+  def eventsValueConcentration(spark: SparkSession,
+      dir: String): DataFrame = {
+    val per = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+    val w = Window.orderBy(col("v").desc, col("user_id"))
+    val ranked = per
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("v").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true) // read once per pct row below
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("v")).as("t"))
+    val out = Seq(1L, 5L, 10L).map { p =>
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rk") === expr(s"(n * $p + 99) div 100"))
+        .select(lit(p).as("top_pct"), col("rk").as("n_users_top"),
+          expr("(1000 * cum) div t").as("value_permille"))
+    }.reduce(_.unionByName(_))
+    val res = out.orderBy(col("top_pct")).localCheckpoint(true)
+    ranked.unpersist(false)
+    res
+  }
+
   /** POSITION-BASED (U-shaped) multi-touch attribution — the
     * fractional-credit sibling of [[eventsAttribution]]'s last-touch
     * rule: every click/view in the 7-day window strictly before a

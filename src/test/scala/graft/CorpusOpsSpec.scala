@@ -571,4 +571,66 @@ class CorpusOpsSpec extends SparkSpec {
       assert(segment(w).reverse.mkString == w, w)
     }
   }
+
+  test("curriculum plan: phases are quality terciles, in-phase order " +
+      "is the deterministic md5 shuffle, every doc planned once") {
+    val rows = TextOps.corpusCurriculumPlan(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    assert(rows.map(_.getLong(0)).distinct.length == docs.size)
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "it")
+    val q = docs.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val ns = t.count(stop)
+      id -> 1000L * (t.length - ns) / (t.length + 1)
+    }
+    rows.foreach(r => assert(r.getLong(1) == q(r.getLong(0))))
+    // phases partition the (q desc, id) total order into terciles:
+    // every phase-1 doc ranks before every phase-2 doc, etc.
+    val ordered = rows.sortBy(r => (-r.getLong(1), r.getLong(0)))
+      .map(_.getLong(2))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    val sizes = rows.groupBy(_.getLong(2)).view.mapValues(_.length)
+    assert(sizes.values.max - sizes.values.min <= 1) // ntile balance
+    // in-phase positions are contiguous 1..k and follow the md5 order
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    rows.groupBy(_.getLong(2)).values.foreach { ph =>
+      val byPos = ph.sortBy(_.getLong(3))
+      assert(byPos.map(_.getLong(3)).toSeq == (1L to ph.length).toSeq)
+      val keys = byPos.map(r =>
+        (md5h60(s"graft-curr:${r.getLong(0)}"), r.getLong(0)))
+      assert(keys.zip(keys.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+    }
+  }
+
+  test("value concentration: top-k shares recompute exactly and are " +
+      "monotone in the percentile") {
+    val rows = graft.ops.TimeSeries
+      .eventsValueConcentration(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L, 10L))
+    val per = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = per.sortBy { case (u, v) => (-v, u) }.map(_._2)
+    val total = ranked.sum
+    val n = ranked.length.toLong
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      val k = (n * p + 99) / 100
+      assert(r.getLong(1) == k)
+      assert(r.getLong(2) == 1000L * ranked.take(k.toInt).sum / total)
+    }
+    val shares = rows.map(_.getLong(2))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    // the heaviest 1% of users capture at least 1% (10 permille) of
+    // value by construction — they are the above-average tail
+    assert(shares.head >= 10L)
+  }
 }
