@@ -7893,6 +7893,43 @@ object Oracle {
          FROM t JOIN s ON t.event_type = s.event_type AND t.dow = s.dow
          ORDER BY t.event_type, t.day""",
 
+    // seasonally-adjusted anomaly: exact cross-multiplied |z| >= 2 on
+    // the STL residuals — (n*r - m)^2 >= 4*(n*s2 - m^2), HUGEINT
+    "timeseries_anomaly_seasonal" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, day, x,
+                      CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+                      count(*) OVER w AS w_n,
+                      CAST(SUM(x) OVER w AS BIGINT) AS trend7
+               FROM daily
+               WINDOW w AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t AS (SELECT event_type, day, dow, x, trend7,
+                      7 * x - trend7 AS d7
+               FROM g WHERE w_n = 7),
+         s AS (SELECT event_type, dow,
+                      CAST(SUM(d7) AS BIGINT) // count(*) AS seas7
+               FROM t GROUP BY 1, 2),
+         r AS (SELECT t.event_type, t.day, t.x,
+                      t.d7 - s.seas7 AS resid7
+               FROM t JOIN s ON t.event_type = s.event_type
+                 AND t.dow = s.dow),
+         mom AS (SELECT event_type,
+                        CAST(count(*) AS HUGEINT) AS n,
+                        CAST(SUM(CAST(resid7 AS HUGEINT)) AS HUGEINT)
+                          AS m,
+                        CAST(SUM(CAST(resid7 AS HUGEINT) * resid7)
+                          AS HUGEINT) AS s2
+                 FROM r GROUP BY 1)
+         SELECT r.event_type, r.day, r.x, r.resid7,
+                (n * r.resid7 - m) * (n * r.resid7 - m)
+                  >= 4 * (n * s2 - m * m) AS is_anomaly
+         FROM r JOIN mom ON r.event_type = mom.event_type
+         ORDER BY r.event_type, r.day""",
+
     "timeseries_seasonal_dow" ->
       """WITH ev AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
                             CAST(hour(ts) AS INT) AS hod,

@@ -817,6 +817,34 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** SEASONALLY-ADJUSTED ANOMALY flags — `timeseries_anomaly` on the
+    * raw series confounds seasonality with outliers; this key flags
+    * days whose [[timeseriesStlDecompose]] RESIDUAL is extreme, i.e.
+    * after trend and day-of-week effects are removed. The |z| ≥ 2 test
+    * is cross-multiplied into exact integers: with per-type residual
+    * moments (n, m = Σr, s2 = Σr²), flag ⇔ (n·r − m)² ≥ 4·(n·s2 − m²)
+    * — n²·(r − mean)² vs 4·n²·σ² with every term an exact
+    * DECIMAL(38,0) (the squares pass BIGINT at corpus scale), so the
+    * flag is engine-identical with no float z ever formed. One extra
+    * 1-row-per-type moment agg over the STL grid. */
+  def timeseriesAnomalySeasonal(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stl = timeseriesStlDecompose(spark, dir)
+      .select(col("event_type"), col("day"), col("x"), col("resid7"))
+    val moments = stl.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("resid7").cast(dec)).as("m"),
+        sum((col("resid7") * col("resid7")).cast(dec)).as("s2"))
+    stl.join(broadcast(moments), "event_type")
+      .select(col("event_type"), col("day"), col("x"), col("resid7"),
+        ((col("n") * col("resid7").cast(dec) - col("m"))
+          * (col("n") * col("resid7").cast(dec) - col("m"))
+          >= lit(4L) * (col("n") * col("s2") - col("m") * col("m")))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** CUSUM CHANGEPOINT detection per event-type series — where did the
     * daily level shift? The classic statistic is the cumulative sum of
     * deviations from the mean, argmax'd; forming the mean would put a

@@ -535,6 +535,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonal anomaly: exact cross-multiplied z-test matches a " +
+      "float z recompute away from the boundary") {
+    val rows = graft.ops.TimeSeries
+      .timeseriesAnomalySeasonal(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val stl = graft.ops.TimeSeries.timeseriesStlDecompose(spark, sfDir)
+      .select(col("event_type"), col("day"), col("resid7")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(rows.length == stl.length)
+    val byType = stl.groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val rs = byType(et).map(_._3).map(BigInt(_))
+      val n = BigInt(rs.length); val m = rs.sum
+      val s2 = rs.map(x => x * x).sum
+      val resid = BigInt(r.getLong(3))
+      val lhs = (n * resid - m) * (n * resid - m)
+      val rhs = 4 * (n * s2 - m * m)
+      assert(r.getBoolean(4) == (lhs >= rhs),
+        s"$et ${r.getDate(1)}")
+      // float cross-check away from the exact boundary
+      if (lhs != rhs && rhs.signum > 0) {
+        val z = (resid.toDouble - m.toDouble / n.toDouble) /
+          math.sqrt((n * s2 - m * m).toDouble / (n * n).toDouble)
+        if (math.abs(math.abs(z) - 2.0) > 1e-6)
+          assert(r.getBoolean(4) == (math.abs(z) >= 2.0))
+      }
+    }
+    // sanity: anomalies exist but are a minority
+    val flags = rows.count(_.getBoolean(4))
+    assert(flags < rows.length / 2)
+  }
+
   test("position attribution: credits sum to exactly 1000 permille " +
       "per conversion, positions rank by time, window respected") {
     val rows = graft.ops.TimeSeries
