@@ -914,7 +914,7 @@ object Oracle {
     val dimExprs = (0 until graft.ops.VectorOps.WalkEmbedDims).map { j =>
       val key = s"'graft-rp:' || CAST(c AS VARCHAR) || ':$j'"
       s"CAST(sum(CASE WHEN ${md5Hash60Sql(key)} % 2 = 0 " +
-        s"THEN score_micro ELSE -score_micro END) AS DECIMAL(38,0))" +
+        s"THEN score_micro ELSE -score_micro END) AS BIGINT)" +
         s" AS d${"%02d".format(j)}"
     }.mkString(",\n                ")
     val seq = (1 to steps).map(t => s"v$t").mkString(", ")

@@ -1548,8 +1548,12 @@ object VectorOps {
     val dims = (0 until WalkEmbedDims).map { j =>
       val sign = TextOps.md5Hash60(concat_ws(":", lit("graft-rp"),
         col("c").cast("string"), lit(j.toString))) % 2 === 0
+      // DECIMAL(38,0) for the overflow-safe SUM, but the HASHED output
+      // column is BIGINT: the driver's two read paths canonicalize
+      // DECIMAL differently (r12's only red row), and max |dim| ≈ 1e11
+      // leaves 8 orders of headroom under 2^63.
       sum(when(sign, col("score_micro")).otherwise(-col("score_micro")))
-        .cast(DecimalType(38, 0)).as(f"d$j%02d")
+        .cast(DecimalType(38, 0)).cast("long").as(f"d$j%02d")
     }
     scored.groupBy(col("v").as("id"))
       .agg(dims.head, dims.tail: _*)

@@ -47,6 +47,18 @@ class OperatorSmokeSpec extends SparkSpec {
           s"$name: nested output column(s) would crash the driver's " +
             s"comparator: ${nested.map(f => s"${f.name}: ${f.dataType}")
               .mkString(", ")}")
+        // DECIMAL ban on the hashed surface: the driver's hasher
+        // canonicalizes DECIMAL differently between its DuckDB and
+        // parquet read paths (r12: graph_walk_embed value-identical
+        // yet hash-red — the only key with DECIMAL output). DECIMAL
+        // stays fine in intermediate arithmetic; the FINAL select must
+        // cast to BIGINT/DOUBLE/STRING/DATE/TIMESTAMP/BOOLEAN.
+        val decimals = df.schema.fields.filter(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        assert(decimals.isEmpty,
+          s"$name: DECIMAL on the hashed output surface — cast to " +
+            s"BIGINT: ${decimals.map(f => s"${f.name}: ${f.dataType}")
+              .mkString(", ")}")
       }
       assert(df.count() > 0, s"$name returned no rows")
     }
