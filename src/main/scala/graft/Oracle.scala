@@ -2441,6 +2441,101 @@ object Oracle {
          ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
 
+  /** Shared CTE chain replaying [[graft.ops.VectorOps]]' NSW DELTA
+    * splice: base graph over vec_id % 5 ≠ NswDeltaMod, forward k-NN of
+    * the delta batch against the base, and the backlink re-trim — ends
+    * with `nd_delta`, `nd_g0`, `nd_fwd`, `nd_spl` (all (shard, src,
+    * dst, sim)). Used by embed_index_nsw_delta and
+    * embed_recall_nsw_delta. */
+  private lazy val NswDeltaCtes: String = {
+    import graft.ops.VectorOps.{NswShards, NswDegree, NswDeltaMod}
+    val shardKey = md5Hash60Sql("'graft-nsw:' || CAST(vec_id AS VARCHAR)")
+    def simTo(av: String, an: String, bv: String, bn: String) =
+      s"ROUND(list_sum(list_transform(range(1, 65), " +
+        s"i -> $av[i] * $bv[i])) / ($an * $bn), 4)"
+    def knn(srcRel: String) =
+      s"""SELECT shard, src, dst, sim FROM (
+             SELECT a.shard, a.vec_id AS src, b.vec_id AS dst,
+                    ${simTo("a.v", "a.nrm", "b.v", "b.nrm")} AS sim,
+                    row_number() OVER (PARTITION BY a.shard, a.vec_id
+                      ORDER BY ${simTo("a.v", "a.nrm", "b.v", "b.nrm")}
+                        DESC, b.vec_id) AS rn
+             FROM $srcRel a JOIN nd_base b
+               ON a.shard = b.shard AND a.vec_id <> b.vec_id) t
+           WHERE rn <= $NswDegree"""
+    s"""nsw_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+        nsw_en AS MATERIALIZED (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(range(1, 65),
+                   i -> v[i] * v[i]))) AS nrm,
+                 $shardKey % $NswShards AS shard
+          FROM nsw_e),
+        nd_base AS (SELECT * FROM nsw_en
+                    WHERE vec_id % 5 <> $NswDeltaMod),
+        nd_delta AS (SELECT * FROM nsw_en
+                     WHERE vec_id % 5 = $NswDeltaMod),
+        nd_g0 AS MATERIALIZED (${knn("nd_base")}),
+        nd_fwd AS MATERIALIZED (${knn("nd_delta")}),
+        nd_spl AS MATERIALIZED (
+          SELECT shard, src, dst, sim FROM (
+            SELECT shard, src, dst, sim,
+                   row_number() OVER (PARTITION BY shard, src
+                     ORDER BY sim DESC, dst) AS rn
+            FROM (SELECT shard, src, dst, sim FROM nd_g0
+                  UNION ALL
+                  SELECT shard, dst AS src, src AS dst, sim
+                  FROM nd_fwd) u) t
+          WHERE rn <= $NswDegree)"""
+  }
+
+  /** Beam search replay over the POST-INSERT delta graph — identical
+    * hop unroll to [[EmbedAnnNswSql]] but walking `nd_pg` (spliced
+    * base adjacency ∪ forward delta edges) with entry points over the
+    * full post-insert vertex set. */
+  private lazy val EmbedAnnNswDeltaSql: String = {
+    import graft.ops.VectorOps.{NswBeam, NswHops}
+    def simTo(av: String, an: String, bv: String, bn: String) =
+      s"ROUND(list_sum(list_transform(range(1, 65), " +
+        s"i -> $av[i] * $bv[i])) / ($an * $bn), 4)"
+    val hops = (1 to NswHops).map { h =>
+      val prev = s"b${h - 1}"
+      s"""c$h AS (SELECT DISTINCT shard, vec_id FROM (
+              SELECT shard, vec_id FROM $prev
+              UNION ALL
+              SELECT g.shard, g.dst AS vec_id
+              FROM $prev JOIN nd_pg g
+                ON $prev.shard = g.shard AND $prev.vec_id = g.src)),
+         b$h AS (SELECT shard, vec_id, sim FROM (
+              SELECT c.shard, c.vec_id,
+                     ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim,
+                     row_number() OVER (PARTITION BY c.shard
+                       ORDER BY ${simTo("en.v", "en.nrm", "p.pv", "p.pn")}
+                         DESC, c.vec_id) AS rn
+              FROM c$h c JOIN nsw_en en
+                ON c.shard = en.shard AND c.vec_id = en.vec_id
+              CROSS JOIN p) t
+            WHERE rn <= $NswBeam)"""
+    }.mkString(",\n         ")
+    s"""WITH $NswDeltaCtes,
+         nd_pg AS MATERIALIZED (
+           SELECT shard, src, dst FROM nd_spl
+           UNION ALL
+           SELECT shard, src, dst FROM nd_fwd),
+         p AS (SELECT v AS pv, nrm AS pn FROM nsw_en WHERE vec_id = 0),
+         b0 AS (SELECT s.shard, s.vec_id,
+                       ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim
+                FROM (SELECT shard, min(vec_id) AS vec_id
+                      FROM nsw_en GROUP BY 1) s
+                JOIN nsw_en en
+                  ON s.shard = en.shard AND s.vec_id = en.vec_id
+                CROSS JOIN p),
+         $hops
+         SELECT vec_id, shard, sim AS cos_sim
+         FROM b$NswHops
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   /** Shared BM25 CTE chain replaying [[graft.ops.TextOps.bm25MicroOf]]
     * term for term — the k1/b constants and the fixed query interpolate
     * from TextOps so the two engines cannot drift, and per-term scores
@@ -3877,6 +3972,41 @@ object Oracle {
                   // (1000000 * n * n * delta_cents * delta_cents)
                   AS BIGINT) AS n_required_per_arm
          FROM d""",
+
+    // Welch's t² as one exact integer rational over per-arm HUGEINT
+    // moments; the |t| >= 2 flag decided on the rational, never a float
+    "stats_ttest_welch" ->
+      s"""WITH u AS (SELECT user_id,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         uv AS (SELECT ${md5Hash60Sql(
+                  "'graft-ab:' || CAST(user_id AS VARCHAR)")}
+                  % 2 AS v, x
+                FROM u),
+         m AS (SELECT v, CAST(count(*) AS HUGEINT) AS n,
+                      CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+                      CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+               FROM uv GROUP BY 1),
+         av AS (SELECT n AS n_a, s1 AS s1_a, s2 AS s2_a FROM m
+                WHERE v = 0),
+         bv AS (SELECT n AS n_b, s1 AS s1_b, s2 AS s2_b FROM m
+                WHERE v = 1),
+         c AS (SELECT *, (s1_a * n_b - s1_b * n_a) AS df,
+                      (n_a * s2_a - s1_a * s1_a) AS va,
+                      (n_b * s2_b - s1_b * s1_b) AS vb
+               FROM av CROSS JOIN bv),
+         t AS (SELECT n_a, n_b, s1_a, s1_b,
+                      CAST((1000 * df * df * (n_a - 1) * (n_b - 1))
+                        // (va * n_b * n_b * (n_b - 1)
+                            + vb * n_a * n_a * (n_a - 1))
+                        AS BIGINT) AS t2_milli
+               FROM c)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST(s1_a // n_a AS BIGINT) AS mean_a_cents,
+                CAST(s1_b // n_b AS BIGINT) AS mean_b_cents,
+                t2_milli, t2_milli >= 4000 AS is_significant
+         FROM t""",
 
     // Spearman via doubled average ranks (exact integer tie handling),
     // Pearson on the ranks with the final guarded sqrt division only
@@ -6256,6 +6386,40 @@ object Oracle {
                  (count(a_id) * 1000) // count(*) AS recall_permille
           FROM exact LEFT JOIN ann ON vec_id = a_id""",
 
+    // the NSW insert census: per shard, arrivals, forward edges,
+    // backlink-spliced base vertices, and degree-bound evictions
+    "embed_index_nsw_delta" ->
+      s"""WITH $NswDeltaCtes
+          SELECT a.shard,
+                 CAST(n_new AS BIGINT) AS n_new,
+                 CAST(COALESCE(n_fwd_edges, 0) AS BIGINT)
+                   AS n_fwd_edges,
+                 CAST(COALESCE(n_spliced, 0) AS BIGINT) AS n_spliced,
+                 CAST(COALESCE(n_evicted, 0) AS BIGINT) AS n_evicted
+          FROM (SELECT shard, count(*) AS n_new
+                FROM nd_delta GROUP BY 1) a
+          LEFT JOIN (SELECT shard, count(*) AS n_fwd_edges
+                     FROM nd_fwd GROUP BY 1) b USING (shard)
+          LEFT JOIN (SELECT shard, count(DISTINCT src) AS n_spliced
+                     FROM nd_spl
+                     WHERE dst % 5 = ${graft.ops.VectorOps.NswDeltaMod}
+                     GROUP BY 1) c USING (shard)
+          LEFT JOIN (SELECT g.shard, count(*) AS n_evicted
+                     FROM nd_g0 g
+                     WHERE NOT EXISTS (SELECT 1 FROM nd_spl s
+                       WHERE s.shard = g.shard AND s.src = g.src
+                         AND s.dst = g.dst)
+                     GROUP BY 1) d USING (shard)
+          ORDER BY a.shard""",
+
+    // recall@10 over the post-insert graph vs the exact top-10
+    "embed_recall_nsw_delta" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM ($EmbedAnnNswDeltaSql))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
+
     // recall@10 of the IVF path vs the exact top-10: both retrieval
     // plans replayed verbatim (the shared vals above), scored by a
     // k-row left join — integer permille so the metric is engine-exact
@@ -6655,8 +6819,9 @@ object Oracle {
           FROM sess GROUP BY user_id, sid
           ORDER BY user_id, session_start""",
 
-    // session census over the same lag/cumsum sessionization; Spark's
-    // session_window end = last event + gap, so dur = (max-min) + 1800
+    // session census over the same lag/cumsum sessionization; dur is
+    // the real event span max(ts)-min(ts) (0 for single-event
+    // sessions), NOT Spark's gap-inclusive session_window.end - start
     "events_session_stats" ->
       """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts_sec
                      FROM events),
@@ -6671,7 +6836,7 @@ object Oracle {
             FROM flagged),
          per AS (SELECT user_id, sid, count(*) AS n_events,
                         CAST(epoch(max(ts_sec)) - epoch(min(ts_sec))
-                          AS BIGINT) + 1800 AS dur_sec
+                          AS BIGINT) AS dur_sec
                  FROM sess GROUP BY 1, 2),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
                         CAST(sum(n_events) AS BIGINT) AS n_events_total,
@@ -7976,6 +8141,76 @@ object Oracle {
                 CAST(abs(sv) AS BIGINT) AS cusum_stat,
                 CASE WHEN sv < 0 THEN 'up' ELSE 'down' END AS direction
          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // rank-based Pettitt changepoint over the same daily grid: doubled
+    // average ranks (2*rank + ties - 1), U_t = cum(R2) - t*(n+1),
+    // argmax |U| over t < n — exact integers end to end
+    "timeseries_pettitt" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2),
+         rk AS (SELECT event_type, day,
+                  CAST(2 * rank() OVER (PARTITION BY event_type
+                         ORDER BY x)
+                       + count(*) OVER (PARTITION BY event_type, x)
+                       - 1 AS BIGINT) AS r2,
+                  CAST(row_number() OVER w AS BIGINT) AS t,
+                  CAST(count(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         uv AS (SELECT event_type, day, n, t,
+                  CAST(SUM(r2) OVER (PARTITION BY event_type
+                         ORDER BY day ROWS UNBOUNDED PRECEDING)
+                       - t * (n + 1) AS BIGINT) AS u
+                FROM rk),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY abs(u) DESC, day) AS rn
+               FROM uv WHERE t < n)
+         SELECT event_type, n AS n_days, day AS cp_day,
+                CAST(abs(u) AS BIGINT) AS k_stat,
+                CASE WHEN u < 0 THEN 'up' ELSE 'down' END AS direction
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // rolling 14-day purchase×click correlation as exact integer r²:
+    // HUGEINT window moments over the zero-filled day spine
+    "timeseries_rolling_r2" ->
+      """WITH counts AS (SELECT CAST(ts AS DATE) AS day,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS BIGINT) AS x,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                         ELSE 0 END) AS BIGINT) AS y
+              FROM events WHERE event_type IN ('purchase', 'click')
+              GROUP BY 1),
+         spine AS (SELECT CAST(unnest(generate_series(
+                     (SELECT min(day) FROM counts),
+                     (SELECT max(day) FROM counts),
+                     INTERVAL 1 DAY)) AS DATE) AS day),
+         grid AS (SELECT s.day, COALESCE(c.x, 0) AS x,
+                         COALESCE(c.y, 0) AS y
+                  FROM spine s LEFT JOIN counts c ON s.day = c.day),
+         m AS (SELECT day,
+                 CAST(count(*) OVER w AS HUGEINT) AS nw,
+                 CAST(SUM(x) OVER w AS HUGEINT) AS sx,
+                 CAST(SUM(y) OVER w AS HUGEINT) AS sy,
+                 CAST(SUM(x * y) OVER w AS HUGEINT) AS sxy,
+                 CAST(SUM(x * x) OVER w AS HUGEINT) AS sxx,
+                 CAST(SUM(y * y) OVER w AS HUGEINT) AS syy
+               FROM grid
+               WINDOW w AS (ORDER BY day
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         v AS (SELECT day, nw * sxy - sx * sy AS cov,
+                      nw * sxx - sx * sx AS vx,
+                      nw * syy - sy * sy AS vy
+               FROM m WHERE nw = 14)
+         SELECT day,
+                CASE WHEN vx = 0 OR vy = 0 THEN NULL
+                     ELSE CAST((1000 * cov * cov) // (vx * vy)
+                       AS BIGINT) END AS r2_permille,
+                CASE WHEN cov > 0 THEN 'pos' WHEN cov < 0 THEN 'neg'
+                     ELSE 'zero' END AS direction
+         FROM v ORDER BY day""",
 
     // replays TimeSeries.timeseriesAcf — lag() pairing over the same
     // daily cent series as the cusum key; exact BIGINT moments, float

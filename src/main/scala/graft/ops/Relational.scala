@@ -51,25 +51,27 @@ object Relational {
     * a full-corpus scan. Restricted to the footer-exact shapes: no
     * filter, no group-by, non-nested columns (Spark falls back to a
     * real scan otherwise — the key exists to pin that this plan does
-    * NOT). The conf flips back after planning: it is per-query here so
-    * the other 300 keys keep their default planner. */
-  /** Run `body` with parquet aggregate pushdown enabled, restoring the
-    * previous setting after (PlanSpec reuses this to assert the
-    * `PushedAggregation` scan shape on the raw frame). */
+    * NOT). The conf lives in a per-query child session so the other
+    * 300+ keys keep their default planner even when planned
+    * concurrently. */
+  /** Run `body` against an ISOLATED child session (shared
+    * SparkContext, private SQLConf) with parquet aggregate pushdown
+    * enabled. A set/restore on the SHARED session raced with
+    * concurrent planning (graphWarmCaches submits jobs from futures):
+    * any query planned during the window would silently get the V2
+    * parquet source + pushdown planner. `newSession()` scopes both
+    * confs to this query for its whole lifetime, nothing to restore.
+    * (PlanSpec reuses this to assert the `PushedAggregation` scan
+    * shape on the raw frame.) */
   private[graft] def withAggPushdown[A](spark: SparkSession)
-      (body: => A): A = {
-    // pushdown lives in the V2 ParquetScan only — route parquet off the
-    // V1 list for the scope of this query (both confs restored after)
-    val keys = Seq(
-      "spark.sql.parquet.aggregatePushdown" -> "true",
-      "spark.sql.sources.useV1SourceList" ->
-        "avro,csv,json,kafka,orc,text")
-    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-    keys.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
+      (body: SparkSession => A): A = {
+    val s = spark.newSession()
+    // pushdown lives in the V2 ParquetScan only — route parquet off
+    // the V1 list inside the child session
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,text")
+    body(s)
   }
 
   /** The raw footer-aggregable frame (plan it under [[withAggPushdown]]
@@ -84,10 +86,10 @@ object Relational {
         max(col("l_quantity")).as("max_qty"))
 
   def scanAggPushdown(spark: SparkSession, dir: String): DataFrame =
-    withAggPushdown(spark) {
-      // plan + execute while the conf is on; the checkpoint pins the
-      // metadata-derived result
-      aggPushdownFrame(spark, dir).localCheckpoint(true)
+    withAggPushdown(spark) { s =>
+      // plan + execute inside the conf-isolated session; the
+      // checkpoint pins the metadata-derived result
+      aggPushdownFrame(s, dir).localCheckpoint(true)
     }
 
   /** Compound AND/OR/NOT + BETWEEN + IN-list, all codegen'd builtins. */

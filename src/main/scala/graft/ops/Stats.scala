@@ -349,6 +349,58 @@ object Stats {
           .as("n_required_per_arm"))
   }
 
+  /** WELCH'S T-TEST on per-user purchase spend between the two
+    * experiment arms (the `graft-ab` hash split [[graft.ops.TimeSeries
+    * .eventsAbLift]] uses) — the unequal-variance two-sample test an
+    * experimenter runs on a CONTINUOUS metric where the proportion
+    * z-test doesn't apply. Everything stays exact: per-arm integer
+    * moments (n, s1 = Σx, s2 = Σx² in cents, DECIMAL(38,0) sums), and
+    * t² is formed as ONE integer rational — with Δ = s1_a·n_b −
+    * s1_b·n_a and V_i = n_i·s2_i − s1_i², t² = Δ²·(n_a−1)(n_b−1) /
+    * (V_a·n_b²(n_b−1) + V_b·n_a²(n_a−1)) — quantized once to
+    * t2_milli by truncating division; `is_significant` is t² ≥ 4
+    * (the |t| ≥ 2 line), decided on the exact rational so the flag
+    * can never straddle an engine rounding boundary. Magnitudes:
+    * Δ²·(n−1)² ~ 1e32 at sf0.1 — inside the documented
+    * DECIMAL(38,0)/HUGEINT ceiling (the [[statsPowerSampleSize]]
+    * bound; the TimeSeriesSpec headroom guard pins it). One user-keyed
+    * agg + a 2-row agg — no second pass at any scale. */
+  def statsTtestWelch(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val users = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .select((graft.ops.TextOps.md5Hash60(concat(lit("graft-ab:"),
+        col("user_id").cast("string"))) % 2).as("v"), col("x"))
+    val m = users.groupBy(col("v"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("s1"),
+        sum((col("x") * col("x")).cast(dec)).as("s2"))
+      .localCheckpoint(true) // 2-row frame read by both pivot legs
+    val a = m.filter(col("v") === 0)
+      .select(col("n").as("n_a"), col("s1").as("s1_a"),
+        col("s2").as("s2_a"))
+    val b = m.filter(col("v") === 1)
+      .select(col("n").as("n_b"), col("s1").as("s1_b"),
+        col("s2").as("s2_b"))
+    a.crossJoin(b)
+      .select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("CAST(s1_a div n_a AS BIGINT)").as("mean_a_cents"),
+        expr("CAST(s1_b div n_b AS BIGINT)").as("mean_b_cents"),
+        expr("""CAST((1000 * (s1_a * n_b - s1_b * n_a)
+                       * (s1_a * n_b - s1_b * n_a)
+                       * (n_a - 1) * (n_b - 1))
+                 div ((n_a * s2_a - s1_a * s1_a)
+                        * n_b * n_b * (n_b - 1)
+                      + (n_b * s2_b - s1_b * s1_b)
+                        * n_a * n_a * (n_a - 1)) AS BIGINT)""")
+          .as("t2_milli"))
+      .withColumn("is_significant", col("t2_milli") >= 4000L)
+  }
+
   /** KEY-SKEW CENSUS — the partition-planning read that decides
     * whether a 100 TB join/agg on a key needs salting BEFORE the job
     * runs: per candidate shuffle key, the row count, exact distinct

@@ -75,14 +75,18 @@ object Streaming {
     * seconds (both floor-div — engine-exact). Rides the SAME
     * `session_window` grouping as `stream_session_window`, so the
     * census is consistent with the sessionization every downstream
-    * key uses; two keyed aggs, map-side combinable. */
+    * key uses; two keyed aggs, map-side combinable. Duration is the
+    * REAL event span (last event − first event within the session),
+    * not Spark's `session_window.end − start`, which bakes in the
+    * 30-min gap (end = last event + gap) and would report 1800 s for
+    * single-event sessions. */
   def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
     val s = eventsSec(spark, dir)
       .groupBy(session_window(col("ts_sec"), "30 minutes"),
         col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        (unix_timestamp(col("session_window.end"))
-          - unix_timestamp(col("session_window.start"))).as("dur_sec"))
+        (unix_timestamp(max(col("ts_sec")))
+          - unix_timestamp(min(col("ts_sec")))).as("dur_sec"))
     s.agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events_total"),
         sum(when(col("n_events") === 1, 1L).otherwise(0L))
@@ -642,7 +646,10 @@ object Streaming {
   final case class PurchaseEvent(user_id: Long, event_id: Long,
     ts_sec: java.sql.Timestamp, value: Double)
 
-  /** Per-user state carried across micro-batches. */
+  /** Per-user emission shape of the running-total demos. The carried
+    * STATE is always [[CentsTotal]] (exact integer cents — the repo's
+    * stateful discipline: no Double ever accumulates across batches);
+    * `total` here is only the cents/100 display conversion at emit. */
   final case class RunningTotal(user_id: Long, n_purchases: Long,
     total: Double)
 
@@ -657,23 +664,22 @@ object Streaming {
     import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
     import org.apache.spark.sql.{Encoders, streaming}
 
-    @transient private var state: streaming.ValueState[RunningTotal] = _
+    @transient private var state: streaming.ValueState[CentsTotal] = _
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      state = getHandle.getValueState[RunningTotal]("running",
-        Encoders.product[RunningTotal], TTLConfig.NONE)
+      state = getHandle.getValueState[CentsTotal]("running",
+        Encoders.product[CentsTotal], TTLConfig.NONE)
 
     override def handleInputRows(key: Long,
         rows: Iterator[PurchaseEvent],
         timerValues: TimerValues): Iterator[RunningTotal] = {
-      val prev = Option(state.get()).getOrElse(RunningTotal(key, 0L, 0.0))
+      val prev = Option(state.get()).getOrElse(CentsTotal(key, 0L, 0L))
       var n = prev.n_purchases
-      var total = prev.total
-      rows.foreach { e => n += 1; total += e.value }
-      val updated = RunningTotal(key, n, math.rint(total * 100) / 100)
-      state.update(updated)
-      Iterator.single(updated)
+      var cents = prev.total_cents
+      rows.foreach { e => n += 1; cents += math.rint(e.value * 100).toLong }
+      state.update(CentsTotal(key, n, cents))
+      Iterator.single(RunningTotal(key, n, cents / 100.0))
     }
   }
 
@@ -735,17 +741,19 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
-  /** Run `body` with the RocksDB state store provider (required by
-    * transformWithState), restoring the previous provider after. */
-  private def withRocksDbState[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
+  /** An ISOLATED child session (shared SparkContext, private SQLConf)
+    * with the RocksDB state store provider (required by
+    * transformWithState). The earlier set/restore on the SHARED
+    * session could hand the RocksDB provider to any stateful query
+    * planned concurrently (graphWarmCaches submits from futures);
+    * scoping the conf to a throwaway `newSession()` removes the race
+    * and leaves nothing to restore. */
+  private def rocksDbSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+    s
   }
 
   /** REGISTERED transformWithState run — the Spark 4.x arbitrary-state
@@ -753,7 +761,7 @@ object Streaming {
     * end to end as a production shape, not just a test: file-source
     * purchase stream → typed StatefulProcessor holding one exact-cents
     * record per user in ROCKSDB state (the at-scale state backend,
-    * scoped via [[withRocksDbState]]) → each batch's updates committed
+    * scoped via [[rocksDbSession]]) → each batch's updates committed
     * to the parquet upsert log → latest state per key read back. Final
     * state equals the batch per-user purchase census, which the DuckDB
     * oracle replays — integers end to end, no float fold order on the
@@ -763,15 +771,17 @@ object Streaming {
       upsertDirs.getOrElseUpdate((spark, dir, "tws"), {
         val b = graft.TempDirs.create(
           s"graft-twssink-${runIds.incrementAndGet()}")
-        import spark.implicits._
-        val purchases = eventsStream(spark, dir)
+        // the whole pipeline (source, stateful transform, sink run)
+        // lives on the conf-isolated session so the RocksDB provider
+        // applies to THIS query and leaks to none
+        val iso = rocksDbSession(spark)
+        import iso.implicits._
+        val purchases = eventsStream(iso, dir)
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"),
             date_trunc("second", col("ts")).as("ts_sec"), col("value"))
           .as[PurchaseEvent]
-        withRocksDbState(spark) {
-          runUpsertLog(spark, b, statefulCentsTws(purchases).toDF())
-        }
+        runUpsertLog(iso, b, statefulCentsTws(purchases).toDF())
         b
       })
     }
@@ -996,14 +1006,13 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[PurchaseEvent],
-         state: GroupState[RunningTotal]) =>
-          val prev = state.getOption.getOrElse(RunningTotal(uid, 0L, 0.0))
+         state: GroupState[CentsTotal]) =>
+          val prev = state.getOption.getOrElse(CentsTotal(uid, 0L, 0L))
           var n = prev.n_purchases
-          var total = prev.total
-          batch.foreach { e => n += 1; total += e.value }
-          val updated = RunningTotal(uid, n, math.rint(total * 100) / 100)
-          state.update(updated)
-          Iterator(updated)
+          var cents = prev.total_cents
+          batch.foreach { e => n += 1; cents += math.rint(e.value * 100).toLong }
+          state.update(CentsTotal(uid, n, cents))
+          Iterator(RunningTotal(uid, n, cents / 100.0))
       }
   }
 }

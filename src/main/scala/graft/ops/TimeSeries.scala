@@ -788,7 +788,12 @@ object TimeSeries {
     * EXACT by working at 7× scale so no mean ever divides: trend is
     * the centered 7-day window SUM (only days with the full window
     * emit — the standard MA edge rule), detrended d = 7·x − trend,
-    * seasonal s(dow) = floor-mean of d per day-of-week (integer div),
+    * seasonal s(dow) = per-day-of-week mean of d under TRUNCATING
+    * integer division (toward zero — Spark `div` and DuckDB `//`
+    * agree; NOT floor division, which differs for the negative Σ(d7)
+    * a near-zero-centered residual bucket commonly produces — an
+    * oracle port to an engine with true floor `//` like Python must
+    * truncate explicitly),
     * residual = d − s(dow). Σ(d) over a dow bucket fits BIGINT for
     * cent totals to ~10¹² per day; longer/denser series prescale x.
     * Shape: one keyed agg to the daily grid, two windows partitioned
@@ -881,6 +886,106 @@ object TimeSeries {
         col("day").as("cp_day"), abs(col("s")).as("cusum_stat"),
         when(col("s") < 0, "up").otherwise("down").as("direction"))
       .orderBy(col("event_type"))
+  }
+
+  /** PETTITT CHANGEPOINT — the RANK-based (distribution-free) sibling
+    * of [[timeseriesCusum]]: where the CUSUM statistic reacts to mean
+    * shifts in the raw cents (and so to outliers), Pettitt's
+    * U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) reacts to any location
+    * shift and ignores magnitudes. Computed WITHOUT the O(n²) double
+    * sum via the rank identity U_t = Σ_{i≤t}(2r_i − (n+1)) (the
+    * within-prefix sgn terms cancel by antisymmetry); ties carry
+    * exactly through DOUBLED average ranks R2 = 2·rank + tiesize − 1
+    * (the [[graft.ops.Stats.statsSpearman]] device, always integral),
+    * giving U_t = Σ_{i≤t} R2_i − t·(n+1) — every value an exact
+    * BIGINT, both engines identical. Changepoint = argmax |U_t| over
+    * t < n (U_n ≡ 0), earliest-day tie-break; direction reads the
+    * sign (negative U = earlier days rank LOW = level shifted up).
+    * Shape: one keyed agg to the daily grid + windows partitioned by
+    * event_type — the series-op one-exchange discipline; ranks are
+    * per-type windows over the bounded day grid, never corpus-sized. */
+  def timeseriesPettitt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val wt = Window.partitionBy(col("event_type"), col("x"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val u = daily
+      .withColumn("r2", lit(2L) * rank().over(wr)
+        + count(lit(1)).over(wt) - lit(1L))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("r2")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("u", col("cum") - col("t") * (col("n") + lit(1L)))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("u")).desc, col("day"))
+    u.filter(col("t") < col("n"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("cp_day"), abs(col("u")).as("k_stat"),
+        when(col("u") < 0, "up").otherwise("down").as("direction"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ROLLING WINDOW CORRELATION between the purchase and click daily
+    * count series — the co-movement monitor (did the two metrics
+    * decouple this week?) next to [[timeseriesXcorr]]'s global lag
+    * scan. Emitted as exact integer r²: with 14-day window moments
+    * (Σx, Σy, Σxy, Σx², Σy²), cov_n = n·Σxy − ΣxΣy and var_n
+    * likewise, r2_permille = (1000·cov_n²) div (varx_n·vary_n) —
+    * Pearson r² without the sqrt that would put a float on the hashed
+    * surface; `direction` carries cov's sign so r is recoverable.
+    * Zero-variance windows yield NULL (flat series have no defined
+    * correlation). Products are DECIMAL(38,0): cov² ~ 1e33 at 1000×
+    * this corpus's daily counts — inside the documented ceiling.
+    * Shape: one keyed agg to a day spine (gap days = explicit zero
+    * counts, like [[timeseriesXcorr]]'s bucket spine) + ONE ordered
+    * window over the bounded day grid — never corpus-sized. */
+  def timeseriesRollingR2(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = Tables(spark, dir).events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("y"))
+    val spine = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    spine
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("nw") === 14)
+      .select(col("day"),
+        (col("nw") * col("sxy") - col("sx") * col("sy")).cast(dec)
+          .as("cov"),
+        (col("nw") * col("sxx") - col("sx") * col("sx")).cast(dec)
+          .as("vx"),
+        (col("nw") * col("syy") - col("sy") * col("sy")).cast(dec)
+          .as("vy"))
+      .select(col("day"),
+        when(col("vx") === 0 || col("vy") === 0, lit(null))
+          .otherwise(expr(
+            "CAST((1000 * cov * cov) div (vx * vy) AS BIGINT)"))
+          .as("r2_permille"),
+        when(col("cov") > 0, "pos").when(col("cov") < 0, "neg")
+          .otherwise("zero").as("direction"))
+      .orderBy(col("day"))
   }
 
   /** AUTOCORRELATION FUNCTION per event-type series — Pearson r of the

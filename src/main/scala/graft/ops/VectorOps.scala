@@ -1445,6 +1445,15 @@ object VectorOps {
     * paths. */
   def embedAnnNsw(spark: SparkSession, dir: String): DataFrame = {
     val (verts, edges) = nswIndexCached(spark, dir)
+    nswBeamSearch(spark, dir, verts, edges)
+  }
+
+  /** The scatter-gather beam search shared by [[embedAnnNsw]] and
+    * [[embedRecallNswDelta]] — per shard: deterministic entry (min
+    * vec_id), [[NswHops]] rounds of expand → score → keep-[[NswBeam]],
+    * then the global top-10 merge. */
+  private def nswBeamSearch(spark: SparkSession, dir: String,
+      verts: DataFrame, edges: DataFrame): DataFrame = {
     val probe = probeOf(Tables(spark, dir))
     def scoreOf(ids: DataFrame): DataFrame =
       ids.join(verts, Seq("shard", "vec_id"))
@@ -1482,6 +1491,120 @@ object VectorOps {
   def embedRecallNsw(spark: SparkSession, dir: String): DataFrame = {
     val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
     val ann = embedAnnNsw(spark, dir).select(col("vec_id").as("a_id"))
+    exact.join(ann, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
+
+  /** The NSW delta split: vec_id % 5 == [[NswDeltaMod]] stands in for
+    * the day's arrivals (the [[embedIndexDeltaAssign]] convention);
+    * everything else is the committed base index. */
+  val NswDeltaMod = 3
+
+  /** Memoized POST-INSERT NSW index: (vertsAll, g0, fwd, spliced).
+    * The INCREMENTAL maintenance path the persisted-NSW family was
+    * missing ([[embedIndexDeltaAssign]] is the IVF analog): the base
+    * graph `g0` is built over the committed corpus only (vec_id % 5 ≠
+    * [[NswDeltaMod]]), then the delta batch inserts WITHOUT a rebuild —
+    * (1) `fwd`: each arrival's [[NswDegree]] nearest in-shard BASE
+    * neighbors (one delta⋈base within-shard join, O(batch·shard_size),
+    * never corpus-pairwise), (2) `spliced`: real NSW backlinking — a
+    * base vertex u gains each arrival d that SELECTED u as a forward
+    * neighbor as a candidate (cosine is symmetric, so d's rounded sim
+    * is u's), and u's adjacency re-trims to the top-[[NswDegree]] of
+    * (old edges ∪ backlink candidates) by (sim desc, dst) — the
+    * degree-bound prune every NSW insert runs, deterministic and
+    * engine-replayable. Post-insert graph = spliced (base srcs) ∪ fwd
+    * (delta srcs), searched by the unchanged [[nswBeamSearch]]. */
+  private val nswDeltaCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+  private def nswDeltaIndexCached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    nswDeltaCache.synchronized {
+      nswDeltaCache.getOrElseUpdate((spark, dir), {
+        VectorExpressions.register(spark)
+        val verts = withNorm(Tables(spark, dir))
+          .select(col("vec_id"),
+            pmod(TextOps.md5Hash60(concat_ws(":", lit("graft-nsw"),
+              col("vec_id").cast("string"))), lit(NswShards)).as("shard"),
+            col("v"), col("nrm"))
+          .localCheckpoint(true)
+        val base = verts.filter(col("vec_id") % 5 =!= NswDeltaMod)
+        val delta = verts.filter(col("vec_id") % 5 === NswDeltaMod)
+        val b = base.select(col("shard"), col("vec_id").as("dst"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        val w = Window.partitionBy(col("shard"), col("src"))
+          .orderBy(col("sim").desc, col("dst"))
+        def knnToBase(src: DataFrame): DataFrame =
+          src.select(col("shard"), col("vec_id").as("src"),
+              col("v").as("av"), col("nrm").as("an"))
+            .join(b, Seq("shard"))
+            .filter(col("src") =!= col("dst"))
+            .select(col("shard"), col("src"), col("dst"),
+              round(dot(col("av"), col("bv")) / (col("an") * col("bn")),
+                4).as("sim"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= NswDegree)
+            .select(col("shard"), col("src"), col("dst"), col("sim"))
+        val g0 = knnToBase(base).localCheckpoint(true)
+        val fwd = knnToBase(delta).localCheckpoint(true)
+        // backlink: u's candidate list = old adjacency ∪ arrivals that
+        // picked u; re-trim to the degree bound
+        val backc = fwd.select(col("shard"), col("dst").as("src"),
+          col("src").as("dst"), col("sim"))
+        val spliced = g0.unionByName(backc)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= NswDegree)
+          .select(col("shard"), col("src"), col("dst"), col("sim"))
+          .localCheckpoint(true)
+        (verts, g0, fwd, spliced)
+      })
+    }
+
+  /** NSW INCREMENTAL INSERT census — the maintenance report of the
+    * [[nswDeltaIndexCached]] splice, per shard: arrivals, forward
+    * edges added, base vertices whose adjacency changed (gained ≥1
+    * arrival), and base edges evicted by the degree-bound prune. All
+    * exact integer counts; one small agg per frame over the already
+    * built index. */
+  def embedIndexNswDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (verts, g0, fwd, spliced) = nswDeltaIndexCached(spark, dir)
+    val nNew = verts.filter(col("vec_id") % 5 === NswDeltaMod)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_new"))
+    val nFwd = fwd.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_fwd_edges"))
+    val nSpliced = spliced.filter(col("dst") % 5 === NswDeltaMod)
+      .select(col("shard"), col("src")).distinct()
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_spliced"))
+    val nEvicted = g0.select(col("shard"), col("src"), col("dst"))
+      .join(spliced.select(col("shard"), col("src"), col("dst")),
+        Seq("shard", "src", "dst"), "left_anti")
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_evicted"))
+    nNew
+      .join(nFwd, Seq("shard"), "left")
+      .join(nSpliced, Seq("shard"), "left")
+      .join(nEvicted, Seq("shard"), "left")
+      .select(col("shard"),
+        col("n_new"),
+        coalesce(col("n_fwd_edges"), lit(0L)).as("n_fwd_edges"),
+        coalesce(col("n_spliced"), lit(0L)).as("n_spliced"),
+        coalesce(col("n_evicted"), lit(0L)).as("n_evicted"))
+      .orderBy(col("shard"))
+  }
+
+  /** Recall@10 of the beam search over the POST-INSERT NSW graph vs
+    * the exact cosine top-10 over the FULL corpus — the re-eval that
+    * closes the insert loop (arrivals must be reachable through the
+    * spliced backlinks for the searcher to ever return them): same
+    * k-row left join and integer permille as [[embedRecallNsw]]. */
+  def embedRecallNswDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (verts, _, fwd, spliced) = nswDeltaIndexCached(spark, dir)
+    val edges = spliced.select(col("shard"), col("src"), col("dst"))
+      .unionByName(fwd.select(col("shard"), col("src"), col("dst")))
+    val ann = nswBeamSearch(spark, dir, verts, edges)
+      .select(col("vec_id").as("a_id"))
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
     exact.join(ann, col("vec_id") === col("a_id"), "left")
       .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
       .select(col("k"), col("hits"),

@@ -504,6 +504,13 @@ class GraphSpec extends SparkSpec {
     val expect = katz.toSeq.sortBy { case (v, k) => (-k, v) }.take(50)
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       expect.map { case (v, k) => (v, k) })
+    // the sparse-frontier plan drops exact-zero vertices before the
+    // top-50 cut — valid ONLY while >= 50 vertices are in-linked (each
+    // then carries t1 >= 500); pin the precondition so a corpus change
+    // fails here, not as a silent oracle drift
+    assert(edges.map(_._2).distinct.length >= 50,
+      "katz sparse-frontier precondition: need >= 50 in-linked vertices")
+    assert(rows.forall(_.getLong(1) > 0L))
   }
 
   test("vertex upsert: last-write-wins by version, inserts flagged") {

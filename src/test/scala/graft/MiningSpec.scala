@@ -614,8 +614,9 @@ class MiningSpec extends SparkSpec {
       sessions.map(_.length.toLong).sum)
     assert(r.getAs[Long]("single_permille") ==
       1000L * sessions.count(_.length == 1) / nS)
+    // real event span (last - first), not the gap-inclusive window
     assert(r.getAs[Long]("mean_dur_sec") ==
-      sessions.map(s => s.last - s.head + 1800L).sum / nS)
+      sessions.map(s => s.last - s.head).sum / nS)
     assert(r.getAs[Long]("max_events") ==
       sessions.map(_.length.toLong).max)
   }

@@ -31,8 +31,8 @@ class PlanSpec extends SparkSpec {
 
   test("whole-table min/max/count pushes into the parquet footer " +
       "(PushedAggregation, no row decode)") {
-    val p = Relational.withAggPushdown(spark) {
-      physical(Relational.aggPushdownFrame(spark, sfDir))
+    val p = Relational.withAggPushdown(spark) { s =>
+      physical(Relational.aggPushdownFrame(s, sfDir))
     }
     assert(p.contains("PushedAggregation: [COUNT(*)"), p)
     assert(p.contains("MIN(l_orderkey)"), p)

@@ -568,6 +568,167 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flags < rows.length / 2)
   }
 
+  test("DECIMAL(38,0) headroom guard: the documented magnitude bounds " +
+      "behind the anomaly-seasonal and power-sample-size cross-" +
+      "multiplies hold with >= 1 order of headroom") {
+    // Both keys keep 128-bit-exact products at DECIMAL(38,0)/HUGEINT;
+    // past the documented corpus scale they would overflow (ANSI throw
+    // on Spark 4, saturation on DuckDB). This test recomputes every
+    // product that the queries form and pins it <= 10^37 so scale
+    // growth fails HERE, loudly, not at query time. (ADVICE r12.)
+    val bound = BigInt(10).pow(37)
+    // anomaly_seasonal: products over per-type residual moments
+    val stl = graft.ops.TimeSeries.timeseriesStlDecompose(spark, sfDir)
+      .select(col("event_type"), col("resid7")).collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    stl.foreach { case (et, rs) =>
+      val n = BigInt(rs.length); val m = rs.sum
+      val s2 = rs.map(x => x * x).sum
+      val maxAbsR = rs.map(_.abs).max
+      assert(m * m <= bound, s"$et: m^2 near DECIMAL(38,0) overflow")
+      assert((n * maxAbsR + m.abs).pow(2) <= bound,
+        s"$et: (n*r - m)^2 near DECIMAL(38,0) overflow")
+      assert(4 * (n * s2 + m * m) <= bound,
+        s"$et: 4*(n*s2 - m^2) near DECIMAL(38,0) overflow")
+    }
+    // power_sample_size: 2*K*(n*s2 - s1^2) and 1e6*n^2*delta^2
+    val cents = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)")).collect()
+      .map(r => BigInt(r.getLong(0)))
+    val n = BigInt(cents.length)
+    val s1 = cents.sum
+    val s2 = cents.map(x => x * x).sum
+    val delta = s1 / (20 * n)
+    assert(2 * 7848878 * (n * s2 + s1 * s1) <= bound,
+      "power: 2*K*(n*s2 - s1^2) near DECIMAL(38,0) overflow")
+    assert(BigInt(1000000) * n * n * delta * delta <= bound,
+      "power: 1e6*n^2*delta^2 near DECIMAL(38,0) overflow")
+  }
+
+  test("pettitt: rank identity matches the O(n²) double-sign sum, " +
+      "argmax and direction agree") {
+    val rows = graft.ops.TimeSeries.timeseriesPettitt(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et)
+      val n = xs.length
+      // brute-force Pettitt: U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+      val us = (1 until n).map { t =>
+        var u = 0L
+        for (i <- 0 until t; j <- t until n)
+          u += java.lang.Long.signum(xs(i)._2 - xs(j)._2)
+        (xs(t - 1)._1, u)
+      }
+      val best = us.maxBy { case (d, u) => (math.abs(u), d > "") }
+      val bestK = us.map { case (_, u) => math.abs(u) }.max
+      val bestDay = us.filter { case (_, u) => math.abs(u) == bestK }
+        .map(_._1).min
+      val bestU = us.find(_._1 == bestDay).get._2
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(r.getAs[Long]("k_stat") == bestK, s"$et k")
+      assert(r.getAs[java.sql.Date]("cp_day").toString == bestDay,
+        s"$et day (brute best=$best)")
+      assert(r.getAs[String]("direction") ==
+        (if (bestU < 0) "up" else "down"))
+    }
+  }
+
+  test("rolling r2: window moments recompute exactly, r2 in [0,1000], " +
+      "direction tracks covariance sign") {
+    val rows = graft.ops.TimeSeries.timeseriesRollingR2(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val grid = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("y"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.toEpochDay)
+    val d0 = grid.head._1
+    val d1 = grid.last._1
+    val byDay = grid.map(t => t._1 -> (t._2, t._3)).toMap
+    val spine = Iterator.iterate(d0)(_.plusDays(1))
+      .takeWhile(!_.isAfter(d1))
+      .map(d => (d, byDay.getOrElse(d, (0L, 0L)))).toVector
+    val expect = (13 until spine.length).map { i =>
+      val w = spine.slice(i - 13, i + 1).map(_._2)
+      val n = BigInt(14)
+      val sx = BigInt(w.map(_._1).sum); val sy = BigInt(w.map(_._2).sum)
+      val sxy = w.map(t => BigInt(t._1) * t._2).sum
+      val sxx = w.map(t => BigInt(t._1) * t._1).sum
+      val syy = w.map(t => BigInt(t._2) * t._2).sum
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      val r2 = if (vx == 0 || vy == 0) None
+        else Some((BigInt(1000) * cov * cov / (vx * vy)).toLong)
+      (spine(i)._1.toString, r2,
+        if (cov > 0) "pos" else if (cov < 0) "neg" else "zero")
+    }
+    assert(rows.length == expect.length)
+    rows.zip(expect).foreach { case (r, (day, r2, dirn)) =>
+      assert(r.getAs[java.sql.Date]("day").toString == day)
+      val got = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(got == r2, s"$day r2")
+      got.foreach(v => assert(v >= 0 && v <= 1000, s"$day range"))
+      assert(r.getAs[String]("direction") == dirn)
+    }
+  }
+
+  test("welch t-test: exact-moment recompute reproduces every field, " +
+      "flag matches a float t² away from the boundary") {
+    val r = graft.ops.Stats.statsTtestWelch(spark, sfDir).collect().head
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val (ga, gb) = users.partition { case (u, _) =>
+      md5h60(s"graft-ab:$u") % 2 == 0 }
+    def mom(g: Array[(Long, Long)]) = (BigInt(g.length),
+      g.map(t => BigInt(t._2)).sum, g.map(t => BigInt(t._2).pow(2)).sum)
+    val (na, s1a, s2a) = mom(ga); val (nb, s1b, s2b) = mom(gb)
+    assert(r.getAs[Long]("n_a") == na.toLong)
+    assert(r.getAs[Long]("n_b") == nb.toLong)
+    assert(r.getAs[Long]("mean_a_cents") == (s1a / na).toLong)
+    assert(r.getAs[Long]("mean_b_cents") == (s1b / nb).toLong)
+    val df = s1a * nb - s1b * na
+    val va = na * s2a - s1a * s1a; val vb = nb * s2b - s1b * s1b
+    val num = BigInt(1000) * df * df * (na - 1) * (nb - 1)
+    val den = va * nb * nb * (nb - 1) + vb * na * na * (na - 1)
+    assert(r.getAs[Long]("t2_milli") == (num / den).toLong)
+    assert(r.getAs[Boolean]("is_significant") == (num / den >= 4000))
+    // float cross-check away from the boundary
+    val t2f = (df.toDouble * df.toDouble * (na - 1).toDouble
+      * (nb - 1).toDouble) / den.toDouble
+    if (math.abs(t2f - 4.0) > 1e-3)
+      assert(r.getAs[Boolean]("is_significant") == (t2f >= 4.0))
+    // headroom guard (the TimeSeriesSpec DECIMAL(38,0) discipline)
+    assert(num.abs <= BigInt(10).pow(37) && den <= BigInt(10).pow(37))
+  }
+
   test("position attribution: credits sum to exactly 1000 permille " +
       "per conversion, positions rank by time, window respected") {
     val rows = graft.ops.TimeSeries

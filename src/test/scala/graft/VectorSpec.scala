@@ -101,6 +101,35 @@ class VectorSpec extends SparkSpec {
       r.getAs[Long]("hits") * 1000 / 10)
   }
 
+  test("NSW delta insert: splice invariants hold — degree bound kept, " +
+      "arrivals reachable via backlinks, evictions accounted") {
+    import VectorOps.{NswDegree, NswDeltaMod}
+    val census = VectorOps.embedIndexNswDelta(spark, sfDir).collect()
+    assert(census.nonEmpty)
+    val totNew = census.map(_.getAs[Long]("n_new")).sum
+    val nDelta = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === NswDeltaMod).count()
+    assert(totNew == nDelta, "every arrival lands in exactly one shard")
+    census.foreach { r =>
+      // each arrival links to at most NswDegree base neighbors
+      assert(r.getAs[Long]("n_fwd_edges") <=
+        NswDegree * r.getAs[Long]("n_new"))
+      // a spliced base vertex implies at least one backlink candidate,
+      // and candidates only come from forward edges
+      assert(r.getAs[Long]("n_spliced") <= r.getAs[Long]("n_fwd_edges"))
+      // the degree-bound prune evicts at most one base edge per
+      // accepted backlink (adjacency size never grows past the bound)
+      assert(r.getAs[Long]("n_evicted") <= r.getAs[Long]("n_fwd_edges"))
+    }
+    // some backlinks must actually land: an insert that never splices
+    // leaves arrivals unreachable and the searcher blind to them
+    assert(census.map(_.getAs[Long]("n_spliced")).sum > 0)
+    val rec = VectorOps.embedRecallNswDelta(spark, sfDir).collect().head
+    assert(rec.getAs[Long]("k") == 10L)
+    assert(rec.getAs[Long]("recall_permille") ==
+      rec.getAs[Long]("hits") * 1000 / 10)
+  }
+
   test("kNN per label returns 5 members of the right label, ranked") {
     val rows = VectorOps.embedKnnPerLabel(spark, sfDir).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
@@ -722,7 +751,9 @@ class VectorSpec extends SparkSpec {
     got.foreach { r =>
       val id = r.getAs[Long]("id")
       (0 until VectorOps.WalkEmbedDims).foreach { j =>
-        val g = BigDecimal(r.getDecimal(j + 1))
+        // output dims are BIGINT since the r12 type-surface fix (the
+        // DECIMAL(38,0) sum is internal only)
+        val g = BigDecimal(r.getLong(j + 1))
         assert(g == expect(id)(j), s"id $id dim $j: $g vs ${expect(id)(j)}")
       }
     }
