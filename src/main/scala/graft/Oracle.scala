@@ -5362,6 +5362,72 @@ object Oracle {
     // replays TextOps.corpusSourceOverlap: the near-minhash verified
     // pair chain (identical to dedup_near_minhash), censused by the
     // canonicalized source pair — "which sources copy from each other"
+    // near-dup rate by source: the verified-pair chain (identical to
+    // dedup_near_minhash), exploded to distinct member docs, then a
+    // doc-keyed left join + per-source permille
+    "dedup_source_rate" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS jaccard
+                  FROM ints
+                  JOIN sz0 sa ON sa.doc_id = a_id
+                  JOIN sz0 sb ON sb.doc_id = b_id)
+                WHERE jaccard >= 0.5),
+         nid AS (SELECT DISTINCT doc_id FROM (
+                  SELECT a_id AS doc_id FROM jp
+                  UNION ALL SELECT b_id AS doc_id FROM jp)),
+         r AS (SELECT d.source, count(*) AS n_docs,
+                      CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_near_docs
+               FROM documents d LEFT JOIN nid n ON d.doc_id = n.doc_id
+               GROUP BY 1)
+         SELECT source, n_docs, n_near_docs,
+                (1000 * n_near_docs) // n_docs AS near_permille
+         FROM r ORDER BY source""",
+
+    // (source, lang) token-share governance grid with the over-cap flag
+    "corpus_mix_report" ->
+      """WITH g AS (SELECT source, lang, count(*) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                  AS n_tokens
+              FROM documents GROUP BY 1, 2),
+         t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
+         SELECT source, lang, n_docs, n_tokens,
+                (1000 * n_tokens) // tot AS share_permille,
+                (1000 * n_tokens) // tot > 300 AS over_cap
+         FROM g CROSS JOIN t ORDER BY source, lang""",
+
     "corpus_source_overlap" ->
       s"""WITH $Tri0Ctes,
          hb AS (SELECT doc_id, g,
@@ -8263,6 +8329,51 @@ object Oracle {
 
     // replays MultimodalOps.multimodalMagicCensus: first-4-bytes hex
     // per blob, top-5 magics per modality
+    // replays MultimodalOps.multimodalPhashDedup: the 16-bit hex-digit
+    // frequency signature via length-replace counting, exact-collision
+    // census, and the capped banded hamming-1..2 self-join
+    "multimodal_phash_dedup" -> {
+      val bits = (0 until 16).map { j =>
+        val d = "0123456789ABCDEF"(j)
+        s"""CASE WHEN 16 * (length(hx) - length(replace(hx, '$d', '')))
+              > length(hx) THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH hh AS (SELECT doc_id AS media_id,
+                 string_split(source, '_')[1] AS kind,
+                 hex(encode(text)) AS hx
+               FROM documents),
+         sig AS MATERIALIZED (SELECT media_id, kind,
+                 CAST($bits AS BIGINT) AS phash FROM hh),
+         census AS (SELECT kind, count(*) AS n_media,
+                 count(DISTINCT phash) AS n_distinct_phash,
+                 count(*) - count(DISTINCT phash) AS n_dup_copies
+               FROM sig GROUP BY 1),
+         bandrows AS (SELECT media_id, kind, phash, 1 AS band,
+                 phash // 256 AS bv FROM sig
+               UNION ALL
+               SELECT media_id, kind, phash, 0 AS band,
+                 phash % 256 AS bv FROM sig),
+         capped AS (SELECT kind, band, bv, media_id, phash FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY kind, band, bv ORDER BY media_id) AS rn
+                 FROM bandrows) t
+               WHERE rn <= ${ops.MultimodalOps.PhashBandCap}),
+         pr AS (SELECT DISTINCT x.kind, x.media_id AS ida,
+                 y.media_id AS idb, x.phash AS pa, y.phash AS pb
+               FROM capped x JOIN capped y
+                 ON x.kind = y.kind AND x.band = y.band AND x.bv = y.bv
+                AND x.media_id < y.media_id),
+         np AS (SELECT kind, count(*) AS n_near_pairs FROM pr
+               WHERE bit_count(xor(pa, pb)) BETWEEN 1 AND 2
+               GROUP BY 1)
+         SELECT c.kind, c.n_media,
+                CAST(c.n_distinct_phash AS BIGINT) AS n_distinct_phash,
+                CAST(c.n_dup_copies AS BIGINT) AS n_dup_copies,
+                CAST(COALESCE(np.n_near_pairs, 0) AS BIGINT)
+                  AS n_near_pairs
+         FROM census c LEFT JOIN np USING (kind) ORDER BY c.kind"""
+    },
+
     "multimodal_magic_census" ->
       """WITH m AS (SELECT string_split(source, '_')[1] AS kind,
                            substr(hex(encode(text)), 1, 8) AS magic_hex

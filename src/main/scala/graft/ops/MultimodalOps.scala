@@ -128,6 +128,78 @@ object MultimodalOps {
           .as("n_dup_copies"))
       .orderBy(col("kind"))
 
+  /** Bucket cap for the banded hamming join below — the
+    * [[graft.ops.TextOps]] LSH-bucket discipline applied to signature
+    * bands; shared with the oracle. */
+  private[graft] val PhashBandCap = 64
+
+  /** PERCEPTUAL-HASH-style near-dup census over the media store — the
+    * codec-free analog of image aHash: a 16-bit content signature
+    * (bit j = hex digit j occurs above its mean frequency in the
+    * payload's hex image — a byte-histogram shape descriptor,
+    * deterministic in any engine), then (1) exact-signature collision
+    * counts and (2) NEAR pairs at hamming distance 1-2 found by a
+    * BANDED self-join: signatures meet iff their high or low byte
+    * matches (pigeonhole: every hamming-1 pair is guaranteed caught;
+    * a hamming-2 pair only when both flips land in one band — the
+    * documented recall trade of banding), with each (kind, band,
+    * value) bucket capped at [[PhashBandCap]] members by media_id (the
+    * LSH-bucket cap, so the join is never quadratic in a heavy
+    * bucket). A real deployment widens the signature to 64 bits off
+    * decoded pixels — the banding, cap, and popcount-verify plumbing
+    * here are exactly that pipeline's. Per kind: media count, distinct
+    * signatures, exact collisions, near pairs. (On this corpus the
+    * word-soup payloads have near-uniform digit histograms, so most
+    * signatures collide — which is precisely what makes the bucket cap
+    * bind at sf0.1 and proves the join stays bounded under degenerate
+    * signatures, the worst case a real store hits.) */
+  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hexDigits = "0123456789ABCDEF"
+    val sig = Tables(spark, dir).documents
+      .select(col("doc_id").as("media_id"),
+        element_at(split(col("source"), "_"), 1).as("kind"),
+        hex(col("text").cast("binary")).as("hx"))
+      .withColumn("n", length(col("hx")).cast("long"))
+      .withColumn("phash", (0 until 16).map { j =>
+        val d = hexDigits(j)
+        when(lit(16L) * (col("n")
+            - length(expr(s"replace(hx, '$d', '')")).cast("long"))
+          > col("n"), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _))
+      .select(col("media_id"), col("kind"), col("phash"))
+      .localCheckpoint(true) // read by the census + both band legs
+    val census = sig.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct(col("phash")).as("n_distinct_phash"),
+        (count(lit(1)) - countDistinct(col("phash")))
+          .as("n_dup_copies"))
+    val bands = sig
+      .select(col("media_id"), col("kind"), col("phash"),
+        lit(1).as("band"), expr("phash div 256").as("bv"))
+      .unionByName(sig.select(col("media_id"), col("kind"),
+        col("phash"), lit(0).as("band"), expr("phash % 256").as("bv")))
+    val wCap = Window.partitionBy(col("kind"), col("band"), col("bv"))
+      .orderBy(col("media_id"))
+    val capped = bands.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= PhashBandCap)
+      .select(col("kind"), col("band"), col("bv"),
+        col("media_id"), col("phash"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"), Seq("kind", "band", "bv"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("kind"), col("x.media_id").as("ida"),
+        col("y.media_id").as("idb"), col("x.phash").as("pa"),
+        col("y.phash").as("pb"))
+      .distinct() // a pair matching both bands counts once
+      .filter(expr("bit_count(pa ^ pb) BETWEEN 1 AND 2"))
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_near_pairs"))
+    census.join(pairs, Seq("kind"), "left")
+      .select(col("kind"), col("n_media"), col("n_distinct_phash"),
+        col("n_dup_copies"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"))
+      .orderBy(col("kind"))
+  }
+
   /** MAGIC-NUMBER census — the format-validation read an ingest
     * pipeline runs before any decode: the first 4 bytes of every blob
     * hex-encoded (the "magic", codec-free) censused per modality,

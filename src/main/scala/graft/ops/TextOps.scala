@@ -1655,6 +1655,53 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** NEAR-DUP RATE BY SOURCE — the dedup-observability report a
+    * pipeline owner reads after the MinHash pass: per source, how many
+    * documents sit in at least one verified near-duplicate pair
+    * ("which crawl is dirtiest"), as an exact permille. Rides the
+    * memoized [[dedupNearMinhash]] pair frame; marginal cost is one
+    * distinct over the pair ids + a doc-keyed left join + one source
+    * agg. (Exact-hash dup rate is the degenerate sibling here — this
+    * corpus has no byte-identical docs, [[dedupExact]] documents
+    * that — so the rate that MEANS something is the near-dup one.) */
+  def dedupSourceRate(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    val near = dedupNearMinhash(spark, dir)
+    val nearIds = near.select(col("a_id").as("doc_id"))
+      .unionByName(near.select(col("b_id").as("doc_id"))).distinct()
+    src.join(nearIds.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_near_docs"))
+      .select(col("source"), col("n_docs"), col("n_near_docs"),
+        expr("(1000 * n_near_docs) div n_docs").as("near_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** MIX GOVERNANCE REPORT — the (source, lang) token-share table a
+    * pretraining-mix owner signs off on before a run: per cell, doc
+    * and token counts, the exact permille share of the corpus token
+    * budget, and an over-cap flag against the standard
+    * no-single-slice-dominates rule (300‰ here — the knob; this
+    * uniform synthetic mix trips nothing, by construction — the flag
+    * column is the contract, the threshold the config). One map-side
+    * token count + one keyed agg + a 1-row broadcast total;
+    * grid-sized output at any corpus scale. */
+  def corpusMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir).documents
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    g.crossJoin(broadcast(g.agg(sum(col("n_tokens")).as("tot"))))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("n_tokens"),
+        expr("(1000 * n_tokens) div tot").as("share_permille"))
+      .withColumn("over_cap", col("share_permille") > 300L)
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Token-length HISTOGRAM per source in power-of-two buckets — the
     * sequence-length profile a packing/batching planner reads before
     * fixing a context budget (which sources are short-form, where the

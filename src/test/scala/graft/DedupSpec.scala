@@ -286,6 +286,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("source rate: per-source near-dup doc counts regroup the " +
+      "verified pairs' member set, permille exact") {
+    val rows = TextOps.dedupSourceRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nearIds = TextOps.dedupNearMinhash(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val bySrc = srcOf.groupBy(_._2)
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val ids = bySrc(s).map(_._1)
+      val hits = ids.count(nearIds)
+      assert(r.getAs[Long]("n_docs") == ids.length.toLong)
+      assert(r.getAs[Long]("n_near_docs") == hits.toLong, s)
+      assert(r.getAs[Long]("near_permille") ==
+        1000L * hits / ids.length)
+    }
+    // non-degenerate on this corpus: some docs DO sit in near pairs
+    assert(rows.map(_.getAs[Long]("n_near_docs")).sum > 0)
+  }
+
+  test("mix report: token shares sum to the corpus budget, permille " +
+      "recomputes exactly, cap flag consistent") {
+    val rows = TextOps.corpusMixReport(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    val docTotal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(tot == docTotal, "every token lands in exactly one cell")
+    rows.foreach { r =>
+      val share = 1000L * r.getAs[Long]("n_tokens") / tot
+      assert(r.getAs[Long]("share_permille") == share)
+      assert(r.getAs[Boolean]("over_cap") == (share > 300L))
+    }
+  }
+
   test("split leakage: spine complete, pair census regroups the " +
       "near-dup pairs under the salted-hash split, doc mass conserved") {
     val rows = TextOps.corpusSplitLeakage(spark, sfDir).collect()

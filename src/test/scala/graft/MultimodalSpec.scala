@@ -73,6 +73,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash dedup: signature recomputes from the hex histogram, " +
+      "near pairs verified at hamming 1-2 under the bucket cap") {
+    val rows = MultimodalOps.multimodalPhashDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute every signature from first principles
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val hx = r.getAs[String]("text").getBytes("UTF-8")
+          .map("%02X".format(_)).mkString
+        val counts = hx.groupBy(identity).view.mapValues(_.length)
+        val phash = (0 until 16).map { j =>
+          val d = "0123456789ABCDEF"(j)
+          if (16L * counts.getOrElse(d, 0) > hx.length) 1L << j else 0L
+        }.sum
+        (r.getLong(0), r.getAs[String]("source").split("_")(0), phash)
+      }
+    val byKind = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val sigs = byKind(kind).map(_._3)
+      assert(r.getAs[Long]("n_media") == sigs.length.toLong)
+      assert(r.getAs[Long]("n_distinct_phash") ==
+        sigs.distinct.length.toLong)
+      assert(r.getAs[Long]("n_dup_copies") ==
+        (sigs.length - sigs.distinct.length).toLong)
+      // brute-force the banded near-pair count with the cap
+      val members = byKind(kind).sortBy(_._1)
+      def bucketed(band: Long => Long) = members
+        .groupBy(m => band(m._3)).values
+        .flatMap(_.sortBy(_._1).take(MultimodalOps.PhashBandCap))
+        .toSet
+      val hi = bucketed(_ / 256); val lo = bucketed(_ % 256)
+      val pairs = (for {
+        a <- members; b <- members
+        if a._1 < b._1
+        if (hi(a) && hi(b) && a._3 / 256 == b._3 / 256) ||
+          (lo(a) && lo(b) && a._3 % 256 == b._3 % 256)
+        h = java.lang.Long.bitCount(a._3 ^ b._3)
+        if h >= 1 && h <= 2
+      } yield (a._1, b._1)).distinct
+      assert(r.getAs[Long]("n_near_pairs") == pairs.length.toLong,
+        s"$kind near pairs")
+    }
+  }
+
   test("shard plan: mass conserved, shards contiguous, assignment " +
       "replays the offset rule exactly") {
     import org.apache.spark.sql.functions._
