@@ -2441,6 +2441,87 @@ object Oracle {
          ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
 
+  /** Two-layer HNSW replay: layer-1 graph over the md5-promoted
+    * quarter, a narrow routing beam from the layer-1 entry, then the
+    * layer-0 beam seeded by the routed beam — [[EmbedAnnNswSql]]'s
+    * chain with the descent bolted on. */
+  private lazy val EmbedAnnHnswSql: String = {
+    import graft.ops.VectorOps.{NswShards, NswDegree, NswBeam, NswHops,
+      HnswL1Mod, HnswL1Beam}
+    val shardKey = md5Hash60Sql("'graft-nsw:' || CAST(vec_id AS VARCHAR)")
+    val lvlKey = md5Hash60Sql("'graft-hnsw:' || CAST(vec_id AS VARCHAR)")
+    def simTo(av: String, an: String, bv: String, bn: String) =
+      s"ROUND(list_sum(list_transform(range(1, 65), " +
+        s"i -> $av[i] * $bv[i])) / ($an * $bn), 4)"
+    def hops(pfx: String, graph: String, beam: Int) =
+      (1 to NswHops).map { h =>
+        val prev = s"$pfx${h - 1}"
+        s"""${pfx}c$h AS (SELECT DISTINCT shard, vec_id FROM (
+                SELECT shard, vec_id FROM $prev
+                UNION ALL
+                SELECT g.shard, g.dst AS vec_id
+                FROM $prev JOIN $graph g
+                  ON $prev.shard = g.shard AND $prev.vec_id = g.src)),
+           $pfx$h AS (SELECT shard, vec_id, sim FROM (
+                SELECT c.shard, c.vec_id,
+                       ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim,
+                       row_number() OVER (PARTITION BY c.shard
+                         ORDER BY ${simTo("en.v", "en.nrm",
+                           "p.pv", "p.pn")} DESC, c.vec_id) AS rn
+                FROM ${pfx}c$h c JOIN nsw_en en
+                  ON c.shard = en.shard AND c.vec_id = en.vec_id
+                CROSS JOIN p) t
+              WHERE rn <= $beam)"""
+      }.mkString(",\n         ")
+    s"""WITH nsw_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+         nsw_en AS MATERIALIZED (
+           SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> v[i] * v[i]))) AS nrm,
+                  $shardKey % $NswShards AS shard
+           FROM nsw_e),
+         nsw_g AS MATERIALIZED (
+           SELECT shard, src, dst FROM (
+             SELECT a.shard, a.vec_id AS src, b.vec_id AS dst,
+                    row_number() OVER (PARTITION BY a.shard, a.vec_id
+                      ORDER BY ${simTo("a.v", "a.nrm", "b.v", "b.nrm")}
+                        DESC, b.vec_id) AS rn
+             FROM nsw_en a JOIN nsw_en b
+               ON a.shard = b.shard AND a.vec_id <> b.vec_id) t
+           WHERE rn <= $NswDegree),
+         l1 AS (SELECT * FROM nsw_en
+                WHERE $lvlKey % $HnswL1Mod = 0),
+         g1 AS MATERIALIZED (
+           SELECT shard, src, dst FROM (
+             SELECT a.shard, a.vec_id AS src, b.vec_id AS dst,
+                    row_number() OVER (PARTITION BY a.shard, a.vec_id
+                      ORDER BY ${simTo("a.v", "a.nrm", "b.v", "b.nrm")}
+                        DESC, b.vec_id) AS rn
+             FROM l1 a JOIN l1 b
+               ON a.shard = b.shard AND a.vec_id <> b.vec_id) t
+           WHERE rn <= $NswDegree),
+         p AS (SELECT v AS pv, nrm AS pn FROM nsw_en WHERE vec_id = 0),
+         ent AS (SELECT al.shard,
+                        COALESCE(l.vec_id, al.vec_id) AS vec_id
+                 FROM (SELECT shard, min(vec_id) AS vec_id
+                       FROM nsw_en GROUP BY 1) al
+                 LEFT JOIN (SELECT shard, min(vec_id) AS vec_id
+                            FROM l1 GROUP BY 1) l
+                   ON al.shard = l.shard),
+         a0 AS (SELECT e.shard, e.vec_id,
+                       ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim
+                FROM ent e JOIN nsw_en en
+                  ON e.shard = en.shard AND e.vec_id = en.vec_id
+                CROSS JOIN p),
+         ${hops("a", "g1", HnswL1Beam)},
+         b0 AS (SELECT shard, vec_id, sim FROM a$NswHops),
+         ${hops("b", "nsw_g", NswBeam)}
+         SELECT vec_id, shard, sim AS cos_sim
+         FROM b$NswHops
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   /** Shared CTE chain replaying [[graft.ops.VectorOps]]' NSW DELTA
     * splice: base graph over vec_id % 5 ≠ NswDeltaMod, forward k-NN of
     * the delta batch against the base, and the backlink re-trim — ends
@@ -6448,6 +6529,16 @@ object Oracle {
     "embed_recall_nsw" ->
       s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
           ann AS (SELECT vec_id AS a_id FROM ($EmbedAnnNswSql))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
+
+    "embed_ann_hnsw" -> EmbedAnnHnswSql,
+
+    // recall@10 of the two-layer HNSW descent vs the exact top-10
+    "embed_recall_hnsw" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM ($EmbedAnnHnswSql))
           SELECT count(*) AS k, count(a_id) AS hits,
                  (count(a_id) * 1000) // count(*) AS recall_permille
           FROM exact LEFT JOIN ann ON vec_id = a_id""",

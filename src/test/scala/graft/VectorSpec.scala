@@ -101,6 +101,35 @@ class VectorSpec extends SparkSpec {
       r.getAs[Long]("hits") * 1000 / 10)
   }
 
+  test("HNSW descent: upper-layer routing never hurts recall vs the " +
+      "flat entry, probe found, layer-1 is the md5-promoted quarter") {
+    val hnsw = VectorOps.embedAnnHnsw(spark, sfDir).collect()
+    assert(hnsw.length == 10)
+    assert(hnsw.map(_.getLong(0)).contains(0L), "probe must find itself")
+    val rH = VectorOps.embedRecallHnsw(spark, sfDir).collect().head
+      .getAs[Long]("recall_permille")
+    val rN = VectorOps.embedRecallNsw(spark, sfDir).collect().head
+      .getAs[Long]("recall_permille")
+    // the routed entry starts the layer-0 beam NEARER the target than
+    // the fixed min-id entry; on this corpus that closes the flat
+    // search's miss (600‰ → 1000‰ at sf0.01). Equality is possible on
+    // other corpora, regression is the bug.
+    assert(rH >= rN, s"hnsw $rH < flat $rN")
+    // level assignment is the deterministic hash quarter
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ids = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+    val nL1 = ids.count(id => md5h60(s"graft-hnsw:$id")
+      % VectorOps.HnswL1Mod == 0)
+    assert(nL1 > 0 && nL1 < ids.length)
+    assert(math.abs(nL1.toDouble / ids.length - 0.25) < 0.1,
+      s"layer-1 share ${nL1.toDouble / ids.length} far from 1/4")
+  }
+
   test("NSW delta insert: splice invariants hold — degree bound kept, " +
       "arrivals reachable via backlinks, evictions accounted") {
     import VectorOps.{NswDegree, NswDeltaMod}
