@@ -132,6 +132,16 @@ object GraphModel {
       vertsWithOutDegree(dedupEdgesCached(spark, dir)
         .select(col("src"), col("dst"))).persist())
 
+  private val dedupVertCountCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+
+  /** Memoized row count of [[dedupVertsCached]] — the broadcast-gate
+    * input the exact-iteration family reads (one cheap job over the
+    * persisted frame, once per (session, dir)). */
+  def dedupVertCountCached(spark: SparkSession, dir: String): Long =
+    dedupVertCountCache.getOrElseUpdate((spark, dir),
+      dedupVertsCached(spark, dir).count())
+
   /** All vertices: (id, kind, name). */
   def vertices(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -237,7 +237,8 @@ object GraphOps {
     GraphModel.vertsWithOutDegree(e).persist()
 
   def pagerankExactOn(edges: DataFrame, iters: Int,
-      sharedVerts: Option[DataFrame] = None): DataFrame = {
+      sharedVerts: Option[DataFrame] = None,
+      small: Boolean = false): DataFrame = {
     // contract: `edges` holds DEDUPLICATED (src, dst) pairs — the
     // registered callers pass GraphModel.dedupEdgesCached, so repeating
     // the distinct here would re-shuffle the edge table per call; they
@@ -254,13 +255,19 @@ object GraphOps {
     // edges; their rank is damped away, matching the oracle CTE).
     val e = edges.select(col("src"), col("dst"))
     val verts = sharedVerts.getOrElse(buildVertsOd(e))
+    // the r13 exchange diet: with `small` (the SmallGraphVerts gate,
+    // vertex-count frames fit a broadcast), the contrib and msgs
+    // frames broadcast into their joins — per iteration the ONLY
+    // exchange left is the message agg; at scale the gate flips back
+    // to keyed joins against the src-partitioned edge cache
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var rank = verts.select(col("id"), col("od"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = rank.filter(col("od") > 0)
         .select(col("id").as("src"), expr("r div od").as("c"))
-      val msgs = e.join(contrib, "src")
+      val msgs = e.join(g(contrib), "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      rank = verts.join(msgs, verts("id") === msgs("dst"), "left")
+      rank = verts.join(g(msgs), verts("id") === msgs("dst"), "left")
         .select(col("id"), col("od"),
           (lit(150000L) + expr("(coalesce(s, 0) * 85) div 100")).as("r"))
     }
@@ -280,7 +287,9 @@ object GraphOps {
     * arithmetic. */
   def pagerankExact(spark: SparkSession, dir: String): DataFrame =
     pagerankExactOn(GraphModel.dedupEdgesCached(spark, dir), 5,
-        Some(GraphModel.dedupVertsCached(spark, dir)))
+        Some(GraphModel.dedupVertsCached(spark, dir)),
+        small = GraphModel.dedupVertCountCached(spark, dir)
+          <= SmallGraphVerts)
       .select(col("id"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("id"))
       .limit(50)
@@ -295,7 +304,8 @@ object GraphOps {
     * keep rank 0. Same order-independent arithmetic → DuckDB-oracled
     * via the same unrolled CTE shape. */
   def pagerankPersonalizedOn(edges: DataFrame, sources: DataFrame,
-      iters: Int, sharedVerts: Option[DataFrame] = None): DataFrame = {
+      iters: Int, sharedVerts: Option[DataFrame] = None,
+      small: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val baseVerts = sharedVerts.getOrElse(buildVertsOd(e))
     // the teleport flag is per-query (it depends on `sources`), so the
@@ -308,14 +318,15 @@ object GraphOps {
         when(col("sid").isNotNull, lit(150000L)).otherwise(lit(0L))
           .as("tp"))
       .persist()
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var rank = verts.select(col("id"), col("od"), col("tp"),
       when(col("tp") > 0, lit(1000000L)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = rank.filter(col("od") > 0 && col("r") > 0)
         .select(col("id").as("src"), expr("r div od").as("c"))
-      val msgs = e.join(contrib, "src")
+      val msgs = e.join(g(contrib), "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      rank = verts.join(msgs, verts("id") === msgs("dst"), "left")
+      rank = verts.join(g(msgs), verts("id") === msgs("dst"), "left")
         .select(col("id"), col("od"), col("tp"),
           (col("tp") + expr("(coalesce(s, 0) * 85) div 100")).as("r"))
     }
@@ -334,7 +345,9 @@ object GraphOps {
       .select((lit(GraphModel.CustomerOff) + col("c_custkey")).as("sid"))
     pagerankPersonalizedOn(
       GraphModel.dedupEdgesCached(spark, dir), sources, 5,
-      Some(GraphModel.dedupVertsCached(spark, dir)))
+      Some(GraphModel.dedupVertsCached(spark, dir)),
+      small = GraphModel.dedupVertCountCached(spark, dir)
+        <= SmallGraphVerts)
       .select(col("id"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("id"))
       .limit(50)
@@ -356,7 +369,7 @@ object GraphOps {
     * r ≤ V·10^6 and w ≤ max multiplicity (single digits here), so
     * r·w stays orders of magnitude under 2^63 even at 1000×. */
   def pagerankWeightedExactOn(edgesMulti: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, small: Boolean = false): DataFrame = {
     val we = edgesMulti.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .repartition(col("src")).persist()
@@ -366,14 +379,15 @@ object GraphOps {
       .join(wout, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("wt"), lit(0L)).as("wt"))
       .persist()
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var rank = verts.select(col("id"), col("wt"),
       lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = rank.filter(col("wt") > 0)
         .select(col("id").as("src"), col("r"), col("wt"))
-      val msgs = we.join(contrib, "src")
+      val msgs = we.join(g(contrib), "src")
         .groupBy(col("dst")).agg(sum(expr("(r * w) div wt")).as("s"))
-      rank = verts.join(msgs, verts("id") === msgs("dst"), "left")
+      rank = verts.join(g(msgs), verts("id") === msgs("dst"), "left")
         .select(col("id"), col("wt"),
           (lit(150000L) + expr("(coalesce(s, 0) * 85) div 100")).as("r"))
     }
@@ -388,7 +402,9 @@ object GraphOps {
     * tie-break). */
   def pagerankWeightedExact(spark: SparkSession,
       dir: String): DataFrame =
-    pagerankWeightedExactOn(GraphModel.edgesCached(spark, dir), 5)
+    pagerankWeightedExactOn(GraphModel.edgesCached(spark, dir), 5,
+      small = GraphModel.dedupVertCountCached(spark, dir)
+        <= SmallGraphVerts)
       .select(col("id"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("id"))
       .limit(50)
@@ -406,7 +422,8 @@ object GraphOps {
     * vertex's label multiset each round (the same trick
     * `assignToCentroids` uses). Label state is one long per vertex. */
   def lpaExactOn(edges: DataFrame, iters: Int,
-      sharedVerts: Option[DataFrame] = None): DataFrame = {
+      sharedVerts: Option[DataFrame] = None,
+      small: Boolean = false): DataFrame = {
     // same deduplicated-input contract as [[pagerankExactOn]]; the
     // shared (id, od) skeleton serves here as the vertex set (od unused)
     val ded = edges.select(col("src"), col("dst"))
@@ -420,14 +437,15 @@ object GraphOps {
     val verts = sharedVerts.map(_.select(col("id"))).getOrElse(
       ded.select(col("src").as("id"))
         .unionByName(ded.select(col("dst").as("id"))).distinct().persist())
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var lab = verts.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
-      val pick = und.join(lab, und("n") === lab("id"))
+      val pick = und.join(g(lab), und("n") === lab("id"))
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("newlab"))
-      lab = verts.join(pick, verts("id") === pick("v"), "left")
+      lab = verts.join(g(pick), verts("id") === pick("v"), "left")
         .select(verts("id"),
           coalesce(col("newlab"), verts("id")).as("label"))
     }
@@ -451,7 +469,9 @@ object GraphOps {
       dir: String): DataFrame = lpaLabelsCache.synchronized {
     lpaLabelsCache.getOrElseUpdate((spark, dir),
       lpaExactOn(GraphModel.dedupEdgesCached(spark, dir), 3,
-        Some(GraphModel.dedupVertsCached(spark, dir))))
+        Some(GraphModel.dedupVertsCached(spark, dir)),
+        small = GraphModel.dedupVertCountCached(spark, dir)
+          <= SmallGraphVerts))
   }
 
   def lpaExact(spark: SparkSession, dir: String): DataFrame =
@@ -1540,7 +1560,8 @@ object GraphOps {
     * the edge cache's partitioning. */
   def hitsExactOn(edges: DataFrame, iters: Int,
       sharedVerts: Option[DataFrame] = None,
-      edgesByDst: Option[DataFrame] = None): DataFrame = {
+      edgesByDst: Option[DataFrame] = None,
+      small: Boolean = false): DataFrame = {
     // the unnormalized-sum trick is only overflow-safe while
     // (max-indeg × max-outdeg)^iters < 2^63; 2 rounds hold that bound
     // at 1000× this corpus, more would need the normalization back —
@@ -1557,22 +1578,34 @@ object GraphOps {
     val verts = sharedVerts.map(_.select(col("id"))).getOrElse(
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct().persist())
-    var hub = verts.select(col("id"), lit(1L).as("h"))
-    var auth = verts.select(col("id"), lit(0L).as("a"))
-    for (_ <- 1 to iters) {
-      val a = e.join(hub.select(col("id").as("src"), col("h")), "src")
-        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
-      auth = verts.join(a.select(col("dst").as("id"), col("s")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0L)).as("a"))
-      val h = eByDst.join(auth.select(col("id").as("dst"), col("a")),
-          "dst")
-        .groupBy(col("src")).agg(sum(col("a")).as("s"))
-      hub = verts.join(h.select(col("src").as("id"), col("s")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0L)).as("h"))
+    // r13 exchange diet (the katz shape): state frames stay SPARSE
+    // through the rounds (a zero auth/hub contributes nothing to any
+    // sum — dropping the row is value-identical) and ride gated
+    // broadcasts into the edge joins; auth₁ is just the in-degree (no
+    // join — hub₀ ≡ 1). The full-vertex zero rows are restored ONCE at
+    // the end by two broadcast left joins.
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
+    var auth = e.groupBy(col("dst")).agg(count(lit(1)).as("a"))
+      .select(col("dst").as("id"), col("a"))
+    var hub = eByDst
+      .join(g(auth.select(col("id").as("dst"), col("a"))), "dst")
+      .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      .select(col("src").as("id"), col("h"))
+    for (_ <- 2 to iters) {
+      auth = e.join(g(hub.select(col("id").as("src"), col("h"))), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("id"), col("a"))
+      hub = eByDst
+        .join(g(auth.select(col("id").as("dst"), col("a"))), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("id"), col("h"))
     }
-    val out = auth.join(hub, "id").localCheckpoint(true)
+    val out = verts
+      .join(g(auth), Seq("id"), "left")
+      .join(g(hub), Seq("id"), "left")
+      .select(col("id"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("h"), lit(0L)).as("h"))
+      .localCheckpoint(true)
     if (sharedVerts.isEmpty) verts.unpersist(false): Unit
     out
   }
@@ -1583,7 +1616,9 @@ object GraphOps {
   def hitsExact(spark: SparkSession, dir: String): DataFrame =
     hitsExactOn(GraphModel.dedupEdgesCached(spark, dir), 2,
         Some(GraphModel.dedupVertsCached(spark, dir)),
-        Some(GraphModel.dedupEdgesByDstCached(spark, dir)))
+        Some(GraphModel.dedupEdgesByDstCached(spark, dir)),
+        small = GraphModel.dedupVertCountCached(spark, dir)
+          <= SmallGraphVerts)
       .select(col("id"), col("a").as("auth"), col("h").as("hub"))
       .orderBy(col("auth").desc, col("id"))
       .limit(50)
