@@ -1968,6 +1968,29 @@ object Oracle {
     * [[graft.ops.TextOps.corpusBpeEncode]]: the trained chain's final
     * symbolization joined back to every whitespace token, OOV tokens
     * charged one token each. */
+  /** Per-language fertility over the same trained vocab as
+    * [[bpeEncodeSql]] — tokens per word and chars per token in exact
+    * milli. */
+  private def bpeFertilitySql(rounds: Int): String =
+    bpeCtes(rounds) + s""",
+         enc AS (SELECT w, CAST(len(string_split(syms, '|')) AS BIGINT)
+                          AS n_sym
+                 FROM s$rounds),
+         dw AS (SELECT * FROM (
+                  SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+                WHERE length(w) > 0),
+         g AS (SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(SUM(COALESCE(e.n_sym, 1)) AS BIGINT) AS n_tokens,
+                CAST(SUM(length(w)) AS BIGINT) AS n_chars
+               FROM dw LEFT JOIN enc e USING (w)
+               GROUP BY lang)
+         SELECT lang, n_words, n_tokens,
+                (1000 * n_tokens) // n_words AS fertility_milli,
+                (1000 * n_chars) // n_tokens AS chars_per_token_milli
+         FROM g ORDER BY lang"""
+
   private def bpeEncodeSql(rounds: Int): String =
     bpeCtes(rounds) + s""",
          enc AS (SELECT w, CAST(len(string_split(syms, '|')) AS BIGINT)
@@ -4753,6 +4776,30 @@ object Oracle {
     "graph_partition_agreement" -> partitionAgreementSql(3, 3),
     "corpus_bpe_merges" -> bpeMergesSql(6),
     "corpus_bpe_encode" -> bpeEncodeSql(6),
+    "corpus_fertility_lang" -> bpeFertilitySql(6),
+
+    // naive one-doc-per-sequence truncation/padding waste at the fixed
+    // context length — exact integers, the packing motivation table
+    "corpus_truncation_waste" -> {
+      val l = graft.ops.TextOps.TruncContextLen
+      s"""WITH t AS (SELECT source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+         g AS (SELECT source, count(*) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN n_tok > $l THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_trunc_docs,
+                CAST(SUM(greatest(n_tok - $l, 0)) AS BIGINT)
+                  AS tokens_lost,
+                CAST(SUM(greatest($l - n_tok, 0)) AS BIGINT)
+                  AS pad_tokens
+               FROM t GROUP BY 1)
+         SELECT source, n_docs, n_tokens, n_trunc_docs, tokens_lost,
+                pad_tokens,
+                (1000 * (tokens_lost + pad_tokens)) // (n_docs * $l)
+                  AS waste_permille
+         FROM g ORDER BY source"""
+    },
     "corpus_bpe_vocab" ->
       bpeVocabSql(6, ops.TextOps.BpeVocabTopK),
     "corpus_unigram_prune" -> unigramPruneSql,
@@ -5443,6 +5490,62 @@ object Oracle {
     // replays TextOps.corpusSourceOverlap: the near-minhash verified
     // pair chain (identical to dedup_near_minhash), censused by the
     // canonicalized source pair — "which sources copy from each other"
+    // threshold sweep over the bounded LSH candidate slice: exact
+    // integer-milli Jaccard per candidate, five cuts on a fixed spine
+    "dedup_minhash_sweep" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1),
+         jm AS (SELECT i.a_id, i.b_id,
+                       (1000 * inter) // (sa.n + sb.n - inter)
+                         AS j_milli
+                FROM ints i JOIN sz0 sa ON sa.doc_id = i.a_id
+                            JOIN sz0 sb ON sb.doc_id = i.b_id),
+         th AS (SELECT CAST(unnest([300, 400, 500, 600, 700])
+                  AS BIGINT) AS threshold_milli),
+         px AS (SELECT threshold_milli, a_id, b_id
+                FROM th JOIN jm ON j_milli >= threshold_milli),
+         np AS (SELECT threshold_milli, count(*) AS n_pairs
+                FROM px GROUP BY 1),
+         nd AS (SELECT threshold_milli, count(DISTINCT d) AS n_docs
+                FROM (SELECT threshold_milli, a_id AS d FROM px
+                      UNION ALL
+                      SELECT threshold_milli, b_id AS d FROM px)
+                GROUP BY 1)
+         SELECT t.threshold_milli,
+                CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+         FROM th t LEFT JOIN np USING (threshold_milli)
+                   LEFT JOIN nd USING (threshold_milli)
+         ORDER BY t.threshold_milli""",
+
     // near-dup rate by source: the verified-pair chain (identical to
     // dedup_near_minhash), exploded to distinct member docs, then a
     // doc-keyed left join + per-source permille

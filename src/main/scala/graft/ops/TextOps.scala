@@ -1631,6 +1631,90 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** TOKENIZER FERTILITY BY LANGUAGE — the per-language eval every
+    * multilingual tokenizer report leads with: tokens emitted per
+    * whitespace word (fertility) and characters covered per token,
+    * both exact milli ratios over the SAME trained BPE vocab
+    * [[corpusBpeEncode]] applies per source. A language whose
+    * fertility runs high is being fragmented by the vocab — the
+    * signal that triggers retraining with rebalanced data. One word
+    * explode + a broadcast vocab join + a lang-keyed agg. */
+  def corpusFertilityLang(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeTrainedCached(spark, dir)._2
+      .select(col("w"),
+        expr("size(split(syms, '\\\\|'))").cast("long").as("n_sym"))
+    Tables(spark, dir).documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L))).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("(1000 * n_tokens) div n_words").as("fertility_milli"),
+        expr("(1000 * n_chars) div n_tokens")
+          .as("chars_per_token_milli"))
+      .orderBy(col("lang"))
+  }
+
+  /** Context length for [[corpusTruncationWaste]] — sized so this
+    * corpus's 30-60-word docs land on BOTH sides (some truncate, some
+    * pad). Shared with the oracle. */
+  val TruncContextLen = 32L
+
+  /** TRUNCATION/PADDING WASTE census — the motivation table for
+    * sequence packing ([[corpusPackSequences]]' "why" number): under
+    * the naive one-document-per-sequence loader at context length
+    * [[TruncContextLen]], per source: docs truncated, tokens lost past
+    * the context, pad tokens burned on short docs, and the combined
+    * waste as a permille of the total sequence budget (n_docs·L).
+    * One map-side token count + one keyed agg. */
+  def corpusTruncationWaste(spark: SparkSession, dir: String): DataFrame = {
+    val L = TruncContextLen
+    Tables(spark, dir).documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("n_tok") > L, 1L).otherwise(0L))
+          .as("n_trunc_docs"),
+        sum(greatest(col("n_tok") - L, lit(0L))).as("tokens_lost"),
+        sum(greatest(lit(L) - col("n_tok"), lit(0L))).as("pad_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_trunc_docs"), col("tokens_lost"), col("pad_tokens"),
+        expr(s"(1000 * (tokens_lost + pad_tokens)) div (n_docs * $L)")
+          .as("waste_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** THRESHOLD SWEEP for the near-dup detector — the tuning curve a
+    * dedup owner reads before fixing the Jaccard cut ([[embedAnnIvf]]'s
+    * `embed_ann_tuning` counterpart for text): over the SAME bounded
+    * LSH candidate slice, pair and member-doc counts at five exact
+    * integer-milli thresholds. The exact-overlap frame computes once
+    * (checkpointed) and the five cuts read it — marginal cost five
+    * tiny aggs. Zero-intersection candidates can never pass any
+    * threshold here, so the inner-join overlap is value-identical to
+    * the detector's left join. */
+  def dedupMinhashSweep(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cand) = minhashSigCand(spark, dir)
+    val j = exactOverlap(shingles(spark, dir), cand)
+      .select(col("a_id"), col("b_id"),
+        expr("(1000 * inter) div (na + nb - inter)").as("j_milli"))
+      .localCheckpoint(true)
+    Seq(300L, 400L, 500L, 600L, 700L).map { t =>
+      val p = j.filter(col("j_milli") >= t)
+      val docs = p.select(col("a_id").as("d"))
+        .unionByName(p.select(col("b_id").as("d"))).distinct()
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select(lit(t).as("threshold_milli"), col("n_pairs"),
+          col("n_docs"))
+    }.reduce(_ unionByName _).orderBy(col("threshold_milli"))
+  }
+
   /** CROSS-SOURCE duplication census — which sources copy from each
     * other: the verified near-dup pairs from [[dedupNearMinhash]]
     * (same memoized signature/candidate frames) grouped by the

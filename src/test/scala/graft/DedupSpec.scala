@@ -311,6 +311,69 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_near_docs")).sum > 0)
   }
 
+  test("minhash sweep: counts monotone non-increasing in threshold, " +
+      "the 300-cut covers every verified detector pair") {
+    val rows = TextOps.dedupMinhashSweep(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("threshold_milli")).toSeq ==
+      Seq(300L, 400L, 500L, 600L, 700L))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    pairs.zip(pairs.tail).foreach { case (a, b) =>
+      assert(a >= b, "pair counts must fall as the threshold rises") }
+    docs.zip(docs.tail).foreach { case (a, b) => assert(a >= b) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs")) }
+    // every detector pair (rounded j >= 0.5 => floor-milli >= 499)
+    // survives the 300 cut
+    val detector = TextOps.dedupNearMinhash(spark, sfDir).count()
+    assert(pairs.head >= detector)
+    assert(pairs.head > 0, "sweep found no candidates at 300")
+  }
+
+  test("fertility by lang: totals reconcile with the per-source " +
+      "encode census, ratios recompute exactly") {
+    val byLang = TextOps.corpusFertilityLang(spark, sfDir).collect()
+    val bySource = TextOps.corpusBpeEncode(spark, sfDir).collect()
+    assert(byLang.nonEmpty)
+    // same corpus, same vocab — the two groupings must agree in total
+    assert(byLang.map(_.getAs[Long]("n_words")).sum ==
+      bySource.map(_.getAs[Long]("n_words")).sum)
+    assert(byLang.map(_.getAs[Long]("n_tokens")).sum ==
+      bySource.map(_.getAs[Long]("n_tokens")).sum)
+    byLang.foreach { r =>
+      assert(r.getAs[Long]("fertility_milli") ==
+        1000L * r.getAs[Long]("n_tokens") / r.getAs[Long]("n_words"))
+      // BPE can only split words: fertility >= 1 token/word
+      assert(r.getAs[Long]("fertility_milli") >= 1000L)
+    }
+  }
+
+  test("truncation waste: per-source loss/pad recompute from the raw " +
+      "token counts, permille exact") {
+    val rows = TextOps.corpusTruncationWaste(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val l = TextOps.TruncContextLen
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val ts = toks(s).map(_._2)
+      assert(r.getAs[Long]("n_docs") == ts.length.toLong)
+      assert(r.getAs[Long]("n_trunc_docs") == ts.count(_ > l).toLong)
+      val lost = ts.map(t => math.max(t - l, 0L)).sum
+      val pad = ts.map(t => math.max(l - t, 0L)).sum
+      assert(r.getAs[Long]("tokens_lost") == lost)
+      assert(r.getAs[Long]("pad_tokens") == pad)
+      assert(r.getAs[Long]("waste_permille") ==
+        1000L * (lost + pad) / (ts.length * l))
+    }
+    // the chosen L must exercise BOTH sides on this corpus
+    assert(rows.map(_.getAs[Long]("tokens_lost")).sum > 0)
+    assert(rows.map(_.getAs[Long]("pad_tokens")).sum > 0)
+  }
+
   test("mix report: token shares sum to the corpus budget, permille " +
       "recomputes exactly, cap flag consistent") {
     val rows = TextOps.corpusMixReport(spark, sfDir).collect()
