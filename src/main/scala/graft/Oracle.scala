@@ -4077,6 +4077,58 @@ object Oracle {
                   AS BIGINT) AS n_required_per_arm
          FROM d""",
 
+    // derandomized permutation test: 64 md5-salted relabelings, the
+    // extreme call one HUGEINT cross-multiply per relabeling
+    "stats_permutation_test" ->
+      s"""WITH u AS (SELECT user_id,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ob AS (SELECT ${md5Hash60Sql(
+                  "'graft-ab:' || CAST(user_id AS VARCHAR)")}
+                  % 2 AS v, x
+                FROM u),
+         oa AS (SELECT
+                  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_a,
+                  CAST(SUM(CASE WHEN v = 0 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_a,
+                  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_b,
+                  CAST(SUM(CASE WHEN v = 1 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_b
+                FROM ob),
+         od AS (SELECT abs(s1_a * n_b - s1_b * n_a) AS d_obs,
+                       n_a * n_b AS w_obs,
+                       CAST(s1_a // n_a AS BIGINT) AS mean_a_cents,
+                       CAST(s1_b // n_b AS BIGINT) AS mean_b_cents
+                FROM oa),
+         pv AS (SELECT b, x,
+                  ${md5Hash60Sql("'graft-perm:' || CAST(b AS VARCHAR)" +
+                    " || ':' || CAST(user_id AS VARCHAR)")} % 2 AS v
+                FROM u, range(0, ${graft.ops.Stats.PermTestB}) AS rb(b)),
+         pa AS (SELECT b,
+                  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_a,
+                  CAST(SUM(CASE WHEN v = 0 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_a,
+                  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_b,
+                  CAST(SUM(CASE WHEN v = 1 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_b
+                FROM pv GROUP BY 1),
+         pd AS (SELECT b, abs(s1_a * n_b - s1_b * n_a) AS delta,
+                       n_a * n_b AS w
+                FROM pa),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_perms,
+                  CAST(SUM(CASE WHEN delta * w_obs >= d_obs * w
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+                FROM pd CROSS JOIN od)
+         SELECT n_perms, n_extreme,
+                (1000 * n_extreme) // n_perms AS p_permille,
+                mean_a_cents, mean_b_cents
+         FROM ex CROSS JOIN od""",
+
     // Welch's t² as one exact integer rational over per-arm HUGEINT
     // moments; the |t| >= 2 flag decided on the rational, never a float
     "stats_ttest_welch" ->
@@ -7454,6 +7506,66 @@ object Oracle {
                 CAST((n * 1000) // t AS BIGINT) AS permille
          FROM tr JOIN tot USING (event_type)
          ORDER BY event_type, next_type""",
+
+    // per-from-state Shannon entropy of the transition matrix rows:
+    // the statsEntropy discipline (micro-rounded terms, BIGINT sum)
+    "events_transition_entropy" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec,
+                            event_type
+                     FROM events),
+         s AS (SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) AS next_type
+               FROM ev),
+         tr AS (SELECT event_type, next_type, count(*) AS n FROM s
+                WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+                 FROM tr GROUP BY 1),
+         terms AS (SELECT tr.event_type, t,
+                     CAST(round(-(CAST(n AS DOUBLE) / t)
+                       * log2(CAST(n AS DOUBLE) / t) * 1000000.0)
+                       AS BIGINT) AS term_micro
+                   FROM tr JOIN tot USING (event_type))
+         SELECT event_type, max(t) AS n_transitions,
+                count(*) AS n_next_states,
+                CAST(sum(term_micro) AS BIGINT) AS entropy_bits_micro
+         FROM terms GROUP BY 1 ORDER BY event_type""",
+
+    // Mann-Kendall trend: grid-squared sign sum + the exact
+    // tie-corrected 18*var(S); the 2-sigma call is one integer
+    // cross-multiply
+    "timeseries_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2),
+         s AS (SELECT a.event_type,
+                 CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                          WHEN b.x < a.x THEN -1 ELSE 0 END)
+                   AS BIGINT) AS s_stat
+               FROM daily a JOIN daily b
+                 ON a.event_type = b.event_type AND a.day < b.day
+               GROUP BY 1),
+         nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM daily GROUP BY 1),
+         tc AS (SELECT event_type,
+                  CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT)
+                    AS tcorr
+                FROM (SELECT event_type, x, count(*) AS c
+                      FROM daily GROUP BY 1, 2) t
+                WHERE c > 1 GROUP BY 1),
+         v AS (SELECT s.event_type, n_days, s_stat,
+                 CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                      - COALESCE(tcorr, 0) AS BIGINT) AS var18
+               FROM s JOIN nn USING (event_type)
+                      LEFT JOIN tc USING (event_type))
+         SELECT event_type, n_days, s_stat, var18,
+                18 * s_stat * s_stat >= 4 * var18 AS is_significant,
+                CASE WHEN s_stat > 0 THEN 'up'
+                     WHEN s_stat < 0 THEN 'down'
+                     ELSE 'flat' END AS direction
+         FROM v ORDER BY event_type""",
 
     // last-touch attribution: carry-forward over the per-user total
     // order (last_value IGNORE NULLS, strictly-prior frame), 7-day

@@ -401,6 +401,68 @@ object Stats {
       .withColumn("is_significant", col("t2_milli") >= 4000L)
   }
 
+  /** Number of derandomized relabelings [[statsPermutationTest]]
+    * draws — shared with the oracle. */
+  val PermTestB = 64
+
+  /** PERMUTATION TEST, DERANDOMIZED — the resampling-based
+    * significance read (no normality assumption, unlike
+    * [[statsTtestWelch]]) made fully engine-reproducible: instead of
+    * RNG relabelings, [[PermTestB]] md5-salted arm assignments
+    * (`graft-perm:<b>:<user>`) stand in for the permutation draw, and
+    * the p-value is the share of relabelings whose |mean gap| reaches
+    * the observed split's. The mean comparison never divides: with
+    * Δ = |s1_a·n_b − s1_b·n_a| and w = n_a·n_b, relabeling b is
+    * extreme ⇔ Δ_b·w_obs ≥ Δ_obs·w_b — one DECIMAL(38,0)
+    * cross-multiply per relabeling. Cost: the user frame explodes
+    * ×[[PermTestB]] into ONE map-side-combinable (b, arm) agg — a
+    * single pass at any scale, no per-permutation jobs. */
+  def statsPermutationTest(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val users = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .localCheckpoint(true) // read by the observed split + the explode
+    def arms(df: DataFrame) = df
+      .groupBy(col("b"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).cast(dec)
+          .as("n_a"),
+        sum(when(col("v") === 0, col("x")).otherwise(0L)).cast(dec)
+          .as("s1_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).cast(dec)
+          .as("n_b"),
+        sum(when(col("v") === 1, col("x")).otherwise(0L)).cast(dec)
+          .as("s1_b"))
+      .select(col("b"),
+        abs(col("s1_a") * col("n_b") - col("s1_b") * col("n_a"))
+          .as("delta"),
+        (col("n_a") * col("n_b")).as("w"),
+        col("n_a"), col("n_b"), col("s1_a"), col("s1_b"))
+    val obs = arms(users.select(lit(-1).as("b"), col("x"),
+      (graft.ops.TextOps.md5Hash60(concat(lit("graft-ab:"),
+        col("user_id").cast("string"))) % 2).as("v")))
+      .select(col("delta").as("d_obs"), col("w").as("w_obs"),
+        expr("CAST(s1_a div n_a AS BIGINT)").as("mean_a_cents"),
+        expr("CAST(s1_b div n_b AS BIGINT)").as("mean_b_cents"))
+    val perms = arms(users
+      .select(col("user_id"), col("x"),
+        explode(sequence(lit(0), lit(PermTestB - 1))).as("b"))
+      .withColumn("v", graft.ops.TextOps.md5Hash60(concat_ws(":",
+        lit("graft-perm"), col("b").cast("string"),
+        col("user_id").cast("string"))) % 2))
+    perms.crossJoin(broadcast(obs))
+      .select((col("delta") * col("w_obs")
+        >= col("d_obs") * col("w")).cast("long").as("ex"),
+        col("mean_a_cents"), col("mean_b_cents"))
+      .groupBy(col("mean_a_cents"), col("mean_b_cents"))
+      .agg(count(lit(1)).as("n_perms"), sum(col("ex")).as("n_extreme"))
+      .select(col("n_perms"), col("n_extreme"),
+        expr("(1000 * n_extreme) div n_perms").as("p_permille"),
+        col("mean_a_cents"), col("mean_b_cents"))
+  }
+
   /** KEY-SKEW CENSUS — the partition-planning read that decides
     * whether a 100 TB join/agg on a key needs salting BEFORE the job
     * runs: per candidate shuffle key, the row count, exact distinct

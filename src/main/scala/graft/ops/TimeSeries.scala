@@ -932,6 +932,86 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** MANN-KENDALL TREND TEST per event-type series — the
+    * distribution-free "is this metric trending?" read next to
+    * [[timeseriesPettitt]]'s "where did it shift?": S = Σ_{i<j}
+    * sgn(x_j − x_i) over the day-ordered daily cents, with the exact
+    * tie-corrected variance 18·var(S) = n(n−1)(2n+5) − Σ_t
+    * t(t−1)(2t+5), and the |S| ≥ 2·σ call decided by the
+    * cross-multiplied INTEGER inequality 18·S² ≥ 4·(18·var) — no
+    * float ever forms. The pair sum is a per-type GRID² self-join:
+    * the day grid is bounded (series length, never corpus rows), so
+    * at 100 TB this join is exactly as big as it is here — the same
+    * bound [[timeseriesPettitt]]'s rank windows lean on. */
+  def timeseriesMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+      .localCheckpoint(true) // grid frame read by three consumers
+    val a = daily.select(col("event_type"), col("day").as("di"),
+      col("x").as("xi"))
+    val b = daily.select(col("event_type"), col("day").as("dj"),
+      col("x").as("xj"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+    val n = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .groupBy(col("event_type"))
+      .agg(sum(expr("c * (c - 1) * (2 * c + 5)")).as("tcorr"))
+    s.join(n, "event_type").join(ties, Seq("event_type"), "left")
+      .select(col("event_type"), col("n").as("n_days"), col("s"),
+        (expr("n * (n - 1) * (2 * n + 5)")
+          - coalesce(col("tcorr"), lit(0L))).as("var18"))
+      .select(col("event_type"), col("n_days"),
+        col("s").as("s_stat"), col("var18"),
+        (lit(18L) * col("s_stat") * col("s_stat")
+          >= lit(4L) * col("var18")).as("is_significant"),
+        when(col("s_stat") > 0, "up").when(col("s_stat") < 0, "down")
+          .otherwise("flat").as("direction"))
+      .orderBy(col("event_type"))
+  }
+
+  /** TRANSITION ENTROPY per from-state — how predictable is the next
+    * event given the current one? The one-row-per-state summary of
+    * [[eventsMarkovTransitions]]' full matrix: Shannon entropy of
+    * each from-state's next-state distribution, per-term micro-rounded
+    * BEFORE the sum (the [[graft.ops.Stats.statsEntropy]] discipline:
+    * exact BIGINT sums of identically-shaped double terms; distinct
+    * log inputs = transition cells, a handful, each ≫1e-3 from a
+    * rounding boundary). Same keyed aggs as the matrix key, plus a
+    * per-state reduce. */
+  def eventsTransitionEntropy(spark: SparkSession,
+      dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val seq = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val trans = seq.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("t"))
+    trans.join(totals, "event_type")
+      .select(col("event_type"), col("n"), col("t"),
+        round(-(col("n") / col("t"))
+          * (log(col("n") / col("t")) / log(lit(2.0)))
+          * lit(1000000.0)).cast("long").as("term_micro"))
+      .groupBy(col("event_type"))
+      .agg(max(col("t")).as("n_transitions"),
+        count(lit(1)).as("n_next_states"),
+        sum(col("term_micro")).as("entropy_bits_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** ROLLING WINDOW CORRELATION between the purchase and click daily
     * count series — the co-movement monitor (did the two metrics
     * decouple this week?) next to [[timeseriesXcorr]]'s global lag

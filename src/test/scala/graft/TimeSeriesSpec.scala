@@ -692,6 +692,107 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("mann-kendall: brute-force sign sum and tie-corrected variance " +
+      "reproduce every field, significance matches a float sigma " +
+      "check away from the boundary") {
+    val rows = graft.ops.TimeSeries.timeseriesMannKendall(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    rows.foreach { r =>
+      val xs = daily(r.getString(0))
+      val n = xs.length.toLong
+      var s = 0L
+      for (i <- xs.indices; j <- i + 1 until xs.length)
+        s += java.lang.Long.signum(xs(j) - xs(i))
+      val tcorr = xs.groupBy(identity).values.map(_.length.toLong)
+        .filter(_ > 1).map(c => c * (c - 1) * (2 * c + 5)).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tcorr
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("s_stat") == s)
+      assert(r.getAs[Long]("var18") == var18)
+      assert(r.getAs[Boolean]("is_significant") ==
+        (18 * s * s >= 4 * var18))
+      val z = s.toDouble / math.sqrt(var18.toDouble / 18.0)
+      if (math.abs(math.abs(z) - 2.0) > 1e-6)
+        assert(r.getAs[Boolean]("is_significant") == (math.abs(z) >= 2))
+      assert(r.getAs[String]("direction") ==
+        (if (s > 0) "up" else if (s < 0) "down" else "flat"))
+    }
+  }
+
+  test("transition entropy: per-state terms regroup the markov matrix, " +
+      "bounded by log2 of the fanout") {
+    val rows = graft.ops.TimeSeries.eventsTransitionEntropy(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val tr = graft.ops.TimeSeries.eventsMarkovTransitions(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val cells = tr(et)
+      val t = cells.map(_._3).sum
+      assert(r.getAs[Long]("n_transitions") == t)
+      assert(r.getAs[Long]("n_next_states") == cells.length.toLong)
+      val expect = cells.map { case (_, _, n) =>
+        math.round(-(n.toDouble / t)
+          * (math.log(n.toDouble / t) / math.log(2.0)) * 1e6)
+      }.sum
+      assert(r.getAs[Long]("entropy_bits_micro") == expect, et)
+      // entropy of a K-outcome distribution is at most log2(K)
+      val bound = math.log(cells.length.toDouble) / math.log(2.0) * 1e6
+      assert(r.getAs[Long]("entropy_bits_micro") <= bound + cells.length)
+      assert(r.getAs[Long]("entropy_bits_micro") >= 0L)
+    }
+  }
+
+  test("permutation test: observed split reproduced, every relabeling " +
+      "cross-multiply recomputes, p in [0, 1000]") {
+    val r = graft.ops.Stats.statsPermutationTest(spark, sfDir)
+      .collect().head
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    def split(f: Long => Long) = {
+      val (a, b) = users.partition { case (u, _) => f(u) == 0 }
+      (BigInt(a.length), a.map(t => BigInt(t._2)).sum,
+        BigInt(b.length), b.map(t => BigInt(t._2)).sum)
+    }
+    val (nao, s1ao, nbo, s1bo) = split(u => md5h60(s"graft-ab:$u") % 2)
+    assert(r.getAs[Long]("mean_a_cents") == (s1ao / nao).toLong)
+    assert(r.getAs[Long]("mean_b_cents") == (s1bo / nbo).toLong)
+    val dObs = (s1ao * nbo - s1bo * nao).abs
+    val wObs = nao * nbo
+    val extreme = (0 until graft.ops.Stats.PermTestB).count { b =>
+      val (na, s1a, nb, s1b) =
+        split(u => md5h60(s"graft-perm:$b:$u") % 2)
+      (s1a * nb - s1b * na).abs * wObs >= dObs * (na * nb)
+    }
+    assert(r.getAs[Long]("n_perms") ==
+      graft.ops.Stats.PermTestB.toLong)
+    assert(r.getAs[Long]("n_extreme") == extreme.toLong)
+    assert(r.getAs[Long]("p_permille") ==
+      1000L * extreme / graft.ops.Stats.PermTestB)
+    assert(r.getAs[Long]("p_permille") >= 0L &&
+      r.getAs[Long]("p_permille") <= 1000L)
+  }
+
   test("welch t-test: exact-moment recompute reproduces every field, " +
       "flag matches a float t² away from the boundary") {
     val r = graft.ops.Stats.statsTtestWelch(spark, sfDir).collect().head
