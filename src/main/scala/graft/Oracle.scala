@@ -3389,6 +3389,24 @@ object Oracle {
 
     // replays TimeSeries.eventsInterArrival: keyed lag gaps, then
     // exact quantiles off the per-type distinct-gap histogram
+    // discrete churn hazard over per-user purchase lifetimes in weeks:
+    // d/n per bucket exact, at-risk via a descending cumulative window
+    "events_churn_hazard" ->
+      """WITH life AS (SELECT user_id,
+                (CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+                 - CAST(epoch(date_trunc('second', min(ts))) AS BIGINT))
+                  // 604800 AS week
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         byw AS (SELECT week, count(*) AS n_churned
+                 FROM life GROUP BY 1),
+         r AS (SELECT week, n_churned,
+                 CAST(SUM(n_churned) OVER (ORDER BY week DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+               FROM byw)
+         SELECT week, n_at_risk, CAST(n_churned AS BIGINT) AS n_churned,
+                (1000 * n_churned) // n_at_risk AS hazard_permille
+         FROM r ORDER BY week""",
+
     "events_inter_arrival" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
                            date_trunc('second', ts) AS ts_sec
@@ -5999,6 +6017,48 @@ object Oracle {
          SELECT src AS doc_id, min(dst) AS cluster,
                 (min(dst) = src) AS is_canonical
          FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // dedup impact in tokens: the same recursive cluster chain, joined
+    // to per-doc token counts, censused per source
+    "corpus_dedup_impact" ->
+      s"""WITH RECURSIVE $NgramCtes,
+         raw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                        count(*) AS inter
+                 FROM tri a JOIN tri b
+                   ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS j
+                  FROM raw
+                  JOIN sz sa ON sa.doc_id = a_id
+                  JOIN sz sb ON sb.doc_id = b_id)
+                WHERE j >= 0.5),
+         und AS (SELECT a_id AS a, b_id AS b FROM jp
+                 UNION ALL SELECT b_id, a_id FROM jp),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         ),
+         cl AS (SELECT src AS doc_id, min(dst) AS cluster
+                FROM reach GROUP BY src),
+         tk AS (SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_tok
+                FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(SUM(CASE WHEN cluster <> tk.doc_id THEN 1 ELSE 0
+                         END) AS BIGINT) AS n_removed_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN cluster <> tk.doc_id THEN n_tok
+                         ELSE 0 END) AS BIGINT) AS tokens_removed,
+                (1000 * CAST(SUM(CASE WHEN cluster <> tk.doc_id
+                         THEN n_tok ELSE 0 END) AS BIGINT))
+                  // CAST(SUM(n_tok) AS BIGINT) AS removed_permille
+         FROM tk JOIN cl ON tk.doc_id = cl.doc_id
+         GROUP BY 1 ORDER BY source""",
 
     "text_ngram_jaccard" ->
       s"""WITH $NgramCtes,

@@ -1727,9 +1727,13 @@ object GraphOps {
     * are persisted: each is touched again by the next forward hop,
     * the visited anti-join, and two backward joins. */
   private def bfsSigmaLayersMulti(und: DataFrame, sources: Seq[Long],
-      depth: Int): Vector[DataFrame] = {
+      depth: Int, small: Boolean = false): Vector[DataFrame] = {
     val spark = und.sparkSession
     import spark.implicits._
+    // r13 exchange diet: the frontier (≤ lm·V rows, vertex-bounded)
+    // and the visited set ride gated broadcasts into the edge join /
+    // anti-join, so the src-partitioned und cache never re-shuffles
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var layer = sources.toDF("lm")
       .select(col("lm"), col("lm").as("id"), lit(1L).as("paths"))
       .persist()
@@ -1737,11 +1741,11 @@ object GraphOps {
     var out = Vector(layer)
     for (_ <- 1 to depth) {
       val next = und
-        .join(layer.select(col("lm"), col("id").as("src"),
-          col("paths")), "src")
+        .join(g(layer.select(col("lm"), col("id").as("src"),
+          col("paths"))), "src")
         .groupBy(col("lm"), col("dst")).agg(sum(col("paths")).as("paths"))
         .select(col("lm"), col("dst").as("id"), col("paths"))
-        .join(seen, Seq("lm", "id"), "left_anti")
+        .join(g(seen), Seq("lm", "id"), "left_anti")
         .persist()
       seen = seen.unionByName(next.select(col("lm"), col("id")))
       out = out :+ next
@@ -1776,11 +1780,14 @@ object GraphOps {
     * batched forward BFS + ONE batched backward accumulation — job
     * count independent of landmark count. Returns (lm, id, d). */
   def betweennessMulti(und: DataFrame, sources: Seq[Long],
-      depth: Int, undByDst: Option[DataFrame] = None): DataFrame = {
-    val layers = bfsSigmaLayersMulti(und, sources, depth)
+      depth: Int, undByDst: Option[DataFrame] = None,
+      small: Boolean = false): DataFrame = {
+    val layers = bfsSigmaLayersMulti(und, sources, depth, small)
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     // the backward sweep probes the edge frame on dst; a
     // dst-partitioned sibling removes that exchange per round (the
-    // same src/dst twin-cache rule as HITS)
+    // same src/dst twin-cache rule as HITS), and the gated broadcast
+    // of the successor frame removes the frontier-side one
     val eBack = undByDst.getOrElse(und)
     var delta = layers(depth).select(col("lm"), col("id"),
       lit(0L).as("d"))
@@ -1789,7 +1796,7 @@ object GraphOps {
       val succ = layers(k + 1).join(delta, Seq("lm", "id"))
         .select(col("lm").as("c_lm"), col("id").as("w"),
           col("paths").as("sw"), col("d").as("dw"))
-      val contrib = eBack.join(succ, eBack("dst") === succ("w"))
+      val contrib = eBack.join(g(succ), eBack("dst") === succ("w"))
         .select(col("c_lm"), col("src"), col("sw"), col("dw"))
       val dk = layers(k)
         .join(contrib, col("lm") === col("c_lm") &&
@@ -1824,7 +1831,9 @@ object GraphOps {
     val und = GraphModel.undEdgesCached(spark, dir)
     val undByDst = GraphModel.undEdgesByDstCached(spark, dir)
     val per = betweennessMulti(und, BetweennessLandmarks, 3,
-      Some(undByDst))
+      Some(undByDst),
+      small = GraphModel.dedupVertCountCached(spark, dir)
+        <= SmallGraphVerts)
     val out = per
       .groupBy(col("id")).agg(sum(col("d")).as("bc_micro"))
       .orderBy(col("bc_micro").desc, col("id"))
@@ -1867,7 +1876,11 @@ object GraphOps {
     val und = GraphModel.undEdgesCached(spark, dir)
     val undByDst = GraphModel.undEdgesByDstCached(spark, dir)
     val depth = 3
-    val layers = bfsSigmaLayersMulti(und, BetweennessLandmarks, depth)
+    val small = GraphModel.dedupVertCountCached(spark, dir) <=
+      SmallGraphVerts
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
+    val layers = bfsSigmaLayersMulti(und, BetweennessLandmarks, depth,
+      small)
     var delta = layers(depth).select(col("lm"), col("id"),
       lit(0L).as("d"))
     var eAcc: Option[DataFrame] = None
@@ -1876,7 +1889,7 @@ object GraphOps {
       val succ = layers(k + 1).join(delta, Seq("lm", "id"))
         .select(col("lm").as("c_lm"), col("id").as("w"),
           col("paths").as("sw"), col("d").as("dw"))
-      val contrib = undByDst.join(succ, undByDst("dst") === succ("w"))
+      val contrib = undByDst.join(g(succ), undByDst("dst") === succ("w"))
         .select(col("c_lm"), col("src"), col("w"), col("sw"), col("dw"))
       // checkpointed: read by the edge accumulator AND the next
       // round's delta derivation
@@ -2244,7 +2257,9 @@ object GraphOps {
       dir: String): Vector[DataFrame] = closenessSweepCache.synchronized {
     closenessSweepCache.getOrElseUpdate((spark, dir),
       bfsSigmaLayersMulti(GraphModel.undEdgesCached(spark, dir),
-        ClosenessLandmarks, 3))
+        ClosenessLandmarks, 3,
+        small = GraphModel.dedupVertCountCached(spark, dir)
+          <= SmallGraphVerts))
   }
 
   /** Characteristic path length estimate — mean BFS distance from

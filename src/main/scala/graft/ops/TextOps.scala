@@ -410,6 +410,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DEDUP IMPACT REPORT — what the near-dup clustering actually buys,
+    * in tokens: per source, the documents a canonical-only export
+    * would DROP (non-canonical members of [[dedupClusterCanonical]]'s
+    * clusters) and the token mass they carry, as an exact permille of
+    * the source's budget. This is the number a pipeline owner weighs
+    * against the dedup pass's cost — and joined with
+    * [[corpusMixReport]], the mix correction dedup implies. Rides the
+    * same cluster labeling; marginal cost one doc-keyed join + a
+    * source agg. */
+  def corpusDedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusterCanonical(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .join(cl, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L))
+          .as("n_removed_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(!col("is_canonical"), col("n_tok")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed_docs"),
+        col("n_tokens"), col("tokens_removed"),
+        expr("(1000 * tokens_removed) div n_tokens")
+          .as("removed_permille"))
+      .orderBy(col("source"))
+  }
+
   /** Token frequency per language (tokenize → explode → count). */
   def textTokenizeTf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents

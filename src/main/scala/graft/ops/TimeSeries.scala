@@ -932,6 +932,34 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** DISCRETE CHURN HAZARD — the survival read behind retention
+    * planning: per purchasing user, the observed lifetime in WEEKS
+    * (first purchase → last purchase), then for each week w the
+    * hazard = users whose lifetime ENDED at w over users still at
+    * risk at w (lifetime ≥ w) — the Kaplan-Meier discrete-hazard
+    * numerator/denominator kept as exact integers (the survival
+    * PRODUCT would force floats; d/n per bucket is the same
+    * information and engine-exact in permille). One user-keyed agg to
+    * lifetimes + one week-keyed agg + a cumulative window over the
+    * bounded week grid. */
+  def eventsChurnHazard(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts_sec"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_sec")).as("f"), max(col("ts_sec")).as("l"))
+      .select(expr(
+        "(CAST(l AS LONG) - CAST(f AS LONG)) div 604800").as("week"))
+    val byW = life.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    val wAtRisk = Window.orderBy(col("week").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byW.withColumn("n_at_risk", sum(col("n_churned")).over(wAtRisk))
+      .select(col("week"), col("n_at_risk"), col("n_churned"),
+        expr("(1000 * n_churned) div n_at_risk").as("hazard_permille"))
+      .orderBy(col("week"))
+  }
+
   /** MANN-KENDALL TREND TEST per event-type series — the
     * distribution-free "is this metric trending?" read next to
     * [[timeseriesPettitt]]'s "where did it shift?": S = Σ_{i<j}

@@ -311,6 +311,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_near_docs")).sum > 0)
   }
 
+  test("dedup impact: removed docs/tokens regroup the cluster " +
+      "labeling, permille exact, mass conserved") {
+    val rows = TextOps.corpusDedupImpact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cl = TextOps.dedupClusterCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_canonical")).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val ds = docs(s)
+      val removed = ds.filter(d => !cl(d._1))
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_removed_docs") == removed.length.toLong)
+      val tokRem = removed.map(_._3).sum
+      val tokAll = ds.map(_._3).sum
+      assert(r.getAs[Long]("tokens_removed") == tokRem)
+      assert(r.getAs[Long]("n_tokens") == tokAll)
+      assert(r.getAs[Long]("removed_permille") ==
+        1000L * tokRem / tokAll)
+    }
+    // this corpus HAS near-dup clusters — the report must be non-zero
+    assert(rows.map(_.getAs[Long]("n_removed_docs")).sum > 0)
+  }
+
   test("minhash sweep: counts monotone non-increasing in threshold, " +
       "the 300-cut covers every verified detector pair") {
     val rows = TextOps.dedupMinhashSweep(spark, sfDir).collect()

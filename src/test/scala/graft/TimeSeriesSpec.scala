@@ -692,6 +692,36 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("churn hazard: lifetimes recompute, at-risk telescopes, the " +
+      "last observed week always churns at 1000 permille") {
+    val rows = graft.ops.TimeSeries.eventsChurnHazard(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val life = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((date_trunc("second", max(col("ts"))).cast("long")
+        - date_trunc("second", min(col("ts"))).cast("long")).as("d"))
+      .collect().map(_.getAs[Long]("d") / 604800L)
+    val byW = life.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    assert(rows.map(_.getAs[Long]("week")).toSet == byW.keySet)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("week")
+      assert(r.getAs[Long]("n_churned") == byW(w))
+      val atRisk = life.count(_ >= w).toLong
+      assert(r.getAs[Long]("n_at_risk") == atRisk)
+      assert(r.getAs[Long]("hazard_permille") ==
+        1000L * byW(w) / atRisk)
+    }
+    // everyone still at risk at the max week churns there
+    assert(rows.maxBy(_.getAs[Long]("week"))
+      .getAs[Long]("hazard_permille") == 1000L)
+    // at-risk counts telescope down to the total user count at week 0..min
+    assert(rows.minBy(_.getAs[Long]("week"))
+      .getAs[Long]("n_at_risk") == life.length.toLong)
+  }
+
   test("mann-kendall: brute-force sign sum and tie-corrected variance " +
       "reproduce every field, significance matches a float sigma " +
       "check away from the boundary") {
