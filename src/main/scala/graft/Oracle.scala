@@ -3833,6 +3833,43 @@ object Oracle {
                   AS f_micro
          FROM a""",
 
+    // Brown-Forsythe Levene: the anova pipeline on |x - group median|
+    // with the exact rank-addressed lower median in cents
+    "stats_levene_bf" ->
+      """WITH x AS (SELECT o_orderstatus AS g,
+                CAST(round(o_totalprice) AS BIGINT) AS x
+              FROM orders),
+         rk AS (SELECT g, x,
+                  CAST(row_number() OVER (PARTITION BY g ORDER BY x)
+                    AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                FROM x),
+         med AS (SELECT g, x AS med FROM rk WHERE rn = (n + 1) // 2),
+         z AS (SELECT x.g, abs(x.x - med.med) AS z
+               FROM x JOIN med ON x.g = med.g),
+         grp AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+                  CAST(sum(z) AS HUGEINT) AS s1,
+                  CAST(sum(z * z) AS HUGEINT) AS s2
+                 FROM z GROUP BY 1),
+         t AS (SELECT ng, s1, s2,
+                      (1000 * s1 * s1) // ng AS b_milli,
+                      (1000 * (ng * s2 - s1 * s1)) // ng AS w_milli
+               FROM grp),
+         a AS (SELECT CAST(sum(ng) AS HUGEINT) AS n,
+                      CAST(count(*) AS HUGEINT) AS k,
+                      CAST(sum(s1) AS HUGEINT) AS s1t,
+                      CAST(sum(b_milli) AS HUGEINT) AS bsum,
+                      CAST(sum(w_milli) AS HUGEINT) AS ssw
+               FROM t)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                CAST(bsum - (1000 * s1t * s1t) // n AS BIGINT)
+                  AS ssb_milli,
+                CAST(ssw AS BIGINT) AS ssw_milli,
+                CAST((1000 * (bsum - (1000 * s1t * s1t) // n)
+                      * (n - k)) // (ssw * (k - 1)) AS BIGINT)
+                  AS f_milli
+         FROM a""",
+
     "stats_linreg" ->
       """WITH yearly AS (
            SELECT p_brand, CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
@@ -6996,6 +7033,29 @@ object Oracle {
          SELECT a_id, b_id, cos_sim FROM lp
          WHERE cos_sim >= 0.3
          ORDER BY a_id, b_id""",
+
+    // cosine threshold sweep over the same LSH candidate slice: each
+    // cut compares the 3dp-rounded cosine to the identical IEEE double
+    "embed_cosine_sweep" ->
+      s"""WITH $LshPairCtes,
+         th AS (SELECT CAST(unnest([300, 400, 500, 600]) AS BIGINT)
+                  AS threshold_milli),
+         px AS (SELECT threshold_milli, a_id, b_id
+                FROM th JOIN lp
+                  ON cos_sim >= CAST(threshold_milli AS DOUBLE) / 1000.0),
+         np AS (SELECT threshold_milli, count(*) AS n_pairs
+                FROM px GROUP BY 1),
+         nv AS (SELECT threshold_milli, count(DISTINCT d) AS n_vecs
+                FROM (SELECT threshold_milli, a_id AS d FROM px
+                      UNION ALL
+                      SELECT threshold_milli, b_id AS d FROM px)
+                GROUP BY 1)
+         SELECT t.threshold_milli,
+                CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(COALESCE(n_vecs, 0) AS BIGINT) AS n_vecs
+         FROM th t LEFT JOIN np USING (threshold_milli)
+                   LEFT JOIN nv USING (threshold_milli)
+         ORDER BY t.threshold_milli""",
 
     // LSH pair generation (same shared sign matrix) + exact transitive
     // closure + min-label election — replays VectorOps.dedupEmbedCosine

@@ -667,6 +667,58 @@ object Stats {
                 div (ssw * (k - 1)) AS BIGINT)""").as("f_micro"))
   }
 
+  /** BROWN–FORSYTHE LEVENE TEST — "are the group variances even
+    * comparable?", the check that belongs BEFORE [[statsAnova]]'s
+    * equal-variance assumption is trusted: the ANOVA F statistic
+    * computed on z = |x − group median| instead of x (the
+    * median-centered Brown–Forsythe variant — robust where classic
+    * Levene's mean-centering is outlier-dragged). The group median is
+    * the exact rank-addressed LOWER median in whole DOLLARS (an
+    * integer — no interpolation, both engines pick the identical
+    * element; dollars not cents, milli not micro, because Σz² at
+    * order-total magnitudes would push the SSW output past BIGINT —
+    * the documented corpus-scale unit choice: rescale units again at
+    * 100×, like the power/anomaly keys), z stays integer, and the F
+    * assembly is [[statsAnova]]'s exact pipeline at milli scale.
+    * Groups = order status over order totals. One sort-window per
+    * group for the median + the two ANOVA aggs. */
+  def statsLeveneBf(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = Tables(spark, dir).orders
+      .select(col("o_orderstatus").as("g"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("x"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("x"))
+    val wAll = Window.partitionBy(col("g"))
+    val med = x
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("x").as("med"))
+    val z = x.join(broadcast(med), "g")
+      .select(col("g"), abs(col("x") - col("med")).as("z"))
+    val grp = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("z").cast(dec)).as("s1"),
+        sum((col("z") * col("z")).cast(dec)).as("s2"))
+    grp.select(col("ng"), col("s1"), col("s2"),
+        expr("""CAST((CAST(1000 AS DECIMAL(38,0)) * s1 * s1) div ng
+                AS DECIMAL(38,0))""").as("b_milli"),
+        expr("""CAST((CAST(1000 AS DECIMAL(38,0))
+                 * (ng * s2 - s1 * s1))
+                div ng AS DECIMAL(38,0))""").as("w_milli"))
+      .agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("s1")).as("s1t"),
+        sum(col("b_milli")).as("bsum"), sum(col("w_milli")).as("ssw"))
+      .select(col("n"), col("k"),
+        expr("""CAST(bsum - (CAST(1000 AS DECIMAL(38,0)) * s1t * s1t)
+                div n AS BIGINT)""").as("ssb_milli"),
+        col("ssw").cast(LongType).as("ssw_milli"),
+        expr("""CAST((CAST(1000 AS DECIMAL(38,0))
+                 * (bsum - (CAST(1000 AS DECIMAL(38,0)) * s1t * s1t)
+                    div n) * (n - k))
+                div (ssw * (k - 1)) AS BIGINT)""").as("f_milli"))
+  }
+
   /** THEIL–SEN robust trend per brand — the MEDIAN of all pairwise
     * yearly-revenue slopes, the outlier-resistant sibling of
     * [[statsLinreg]]'s OLS (one anomalous year drags an OLS slope but

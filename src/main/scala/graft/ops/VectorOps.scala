@@ -811,6 +811,30 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** THRESHOLD SWEEP for the embedding near-dup detector — the
+    * [[graft.ops.TextOps.dedupMinhashSweep]] counterpart on the
+    * cosine side: pair and member counts at four cuts over the SAME
+    * bounded LSH candidate slice [[dedupEmbedCosine]] clusters from.
+    * Thresholds compare the 3dp-rounded cosine against exact double
+    * literals (both engines parse the same IEEE value), so every cut
+    * is engine-identical. The pair frame computes once (checkpointed);
+    * each cut is a tiny agg. */
+  def embedCosineSweep(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val pairs = pairSimLshOn(Tables(spark, dir).embeddings)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .localCheckpoint(true)
+    Seq(300L, 400L, 500L, 600L).map { t =>
+      val p = pairs.filter(col("cos_sim") >= lit(t.toDouble / 1000.0))
+      val vecs = p.select(col("a_id").as("d"))
+        .unionByName(p.select(col("b_id").as("d"))).distinct()
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(vecs.agg(count(lit(1)).as("n_vecs")))
+        .select(lit(t).as("threshold_milli"), col("n_pairs"),
+          col("n_vecs"))
+    }.reduce(_ unionByName _).orderBy(col("threshold_milli"))
+  }
+
   /** Multimodal join: documents ⋈ embeddings on doc_id=vec_id, English
     * docs only, similarity vs the probe. */
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {

