@@ -239,7 +239,15 @@ object Relational {
     * the recursive form and plans the identical per-level joins.
     * Output: vertices reached per (region, depth). */
   def sqlRecursiveReach(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraphModel.edges(spark, dir)
+    // the DEDUP edge cache, not the raw multi-edge frame: UNION ALL
+    // recursion enumerates PATHS, so each duplicate (src, dst)
+    // multiplies every path through it while count(DISTINCT id) —
+    // reachability — is provably unchanged (r13, hash-identical; the
+    // residual cost is the genuine level-3 path fanout, which a
+    // UNION-dedup recursion would bound — kept UNION ALL because this
+    // key exhibits Spark's UnionLoop surface as-is)
+    graft.GraphModel.dedupEdgesCached(spark, dir)
+      .select(col("src"), col("dst"))
       .createOrReplaceTempView("graft_edges")
     Tables(spark, dir).region.createOrReplaceTempView("graft_region")
     spark.sql(
