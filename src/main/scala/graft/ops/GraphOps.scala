@@ -1985,9 +1985,13 @@ object GraphOps {
     * as the single-source sibling); the backward DAG here is ≤ 3 deep,
     * so bounded rounds reach the true fixpoint with one spare round. */
   def shortestPathsWeightedMultiOn(wed: DataFrame, landmarks: Seq[Long],
-      rounds: Int): DataFrame = {
+      rounds: Int, small: Boolean = false): DataFrame = {
     val spark = wed.sparkSession
     import spark.implicits._
+    // r13 exchange diet: the frontier and old-distance frames
+    // (≤ lm·V rows) ride gated broadcasts so the weighted edge view
+    // never re-shuffles per round
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var dist = landmarks.toDF("lm")
       .select(col("lm"), col("lm").as("id"), lit(0L).as("d"))
       .persist()
@@ -1995,13 +1999,13 @@ object GraphOps {
     val retired = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
       val cand = wed
-        .join(frontier.select(col("lm"), col("id").as("dst"),
-          col("d").as("df")), "dst")
+        .join(g(frontier.select(col("lm"), col("id").as("dst"),
+          col("d").as("df"))), "dst")
         .groupBy(col("lm"), col("src"))
         .agg(min(col("df") + col("len")).as("dc"))
         .select(col("lm"), col("src").as("id"), col("dc"))
       val improved = cand
-        .join(dist.select(col("lm"), col("id"), col("d").as("dOld")),
+        .join(g(dist.select(col("lm"), col("id"), col("d").as("dOld"))),
           Seq("lm", "id"), "left")
         .filter(col("dOld").isNull || col("dc") < col("dOld"))
         .select(col("lm"), col("id"), col("dc").as("d"))
@@ -2020,11 +2024,21 @@ object GraphOps {
   }
 
   /** The multiplicity-weighted edge view shared by the weighted
-    * distance and weighted betweenness surfaces. */
+    * distance and weighted betweenness surfaces — memoized and
+    * PERSISTED pre-partitioned on `dst` (the key every relaxation
+    * round probes), so consumers stop re-aggregating the raw edge
+    * table once per join (r13; the exchange-reuse rule only dedups
+    * within one action, and the weighted family spans several). */
+  private val wedCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
   private def wedOf(spark: SparkSession, dir: String): DataFrame =
-    GraphModel.edgesCached(spark, dir)
-      .groupBy(col("src"), col("dst"))
-      .agg(expr("CAST(1000000 div count(1) AS BIGINT)").as("len"))
+    wedCache.synchronized {
+      wedCache.getOrElseUpdate((spark, dir),
+        GraphModel.edgesCached(spark, dir)
+          .groupBy(col("src"), col("dst"))
+          .agg(expr("CAST(1000000 div count(1) AS BIGINT)").as("len"))
+          .repartition(col("dst")).persist())
+    }
 
   /** Landmark set for the weighted family: all five region roots. */
   private val WeightedLandmarks: Seq[Long] =
@@ -2042,7 +2056,9 @@ object GraphOps {
       dir: String): DataFrame = spwMultiCache.synchronized {
     spwMultiCache.getOrElseUpdate((spark, dir),
       shortestPathsWeightedMultiOn(wedOf(spark, dir),
-        WeightedLandmarks, 4))
+        WeightedLandmarks, 4,
+        small = GraphModel.dedupVertCountCached(spark, dir)
+          <= SmallGraphVerts))
   }
 
   /** Registered surface: micro-unit weighted distances from all five
@@ -2407,24 +2423,37 @@ object GraphOps {
     * by. All-integer, total-order-free (the H-index of a multiset is
     * order-independent), hence DuckDB-replayable by unrolling. */
   def graphCoreness(spark: SparkSession, dir: String): DataFrame =
-    corenessOn(GraphModel.undEdgesCached(spark, dir), CorenessRounds)
+    corenessOn(GraphModel.undEdgesCached(spark, dir), CorenessRounds,
+      small = GraphModel.dedupVertCountCached(spark, dir)
+        <= SmallGraphVerts)
 
-  /** The h-index loop itself, separate for spec use on hand graphs. */
-  def corenessOn(und: DataFrame, rounds: Int): DataFrame = {
+  /** The h-index loop itself, separate for spec use on hand graphs.
+    * r13 exchange diet: `cur` (one long per vertex) and the per-round
+    * h frame ride gated broadcasts, so the src-partitioned edge cache
+    * never re-shuffles and the per-src window + h agg reuse its
+    * partitioning — the E-row exchange every round previously paid
+    * for joining on dst is gone (9.6 → 7.5 s warm-focused; the
+    * residual is the per-round eager checkpoint writes, which the
+    * h-index recurrence needs — each round reads its predecessor
+    * twice). */
+  def corenessOn(und: DataFrame, rounds: Int,
+      small: Boolean = false): DataFrame = {
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var cur = und.groupBy(col("src")).agg(count(lit(1)).as("c"))
       .select(col("src").as("id"), col("c"))
       .localCheckpoint(true)
     var retired = Vector(cur)
     for (_ <- 1 to rounds) {
       val nb = und
-        .join(cur.select(col("id").as("dst"), col("c").as("cn")), "dst")
+        .join(g(cur.select(col("id").as("dst"), col("c").as("cn"))),
+          "dst")
         .select(col("src"), col("cn"))
       val w = Window.partitionBy(col("src")).orderBy(col("cn").desc)
       val h = nb.withColumn("rn", row_number().over(w))
         .select(col("src"),
           least(col("rn").cast("long"), col("cn")).as("m"))
         .groupBy(col("src")).agg(max(col("m")).as("h"))
-      val nxt = cur.join(h, cur("id") === h("src"), "left")
+      val nxt = cur.join(g(h), cur("id") === h("src"), "left")
         .select(cur("id"),
           least(col("c"), coalesce(col("h"), lit(0L))).as("c"))
         .localCheckpoint(true)
