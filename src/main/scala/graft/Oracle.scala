@@ -3833,6 +3833,42 @@ object Oracle {
                   AS f_micro
          FROM a""",
 
+    // paired Wilcoxon signed-rank on the CUPED period split: doubled
+    // average ranks of |d|, exact tie-corrected 12*var, 2-sigma flag
+    // by one integer cross-multiply
+    "stats_wilcoxon_signed" ->
+      """WITH u AS (SELECT user_id,
+                CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END)
+                     - SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS d
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         dd AS (SELECT d, abs(d) AS ad FROM u WHERE d <> 0),
+         rk AS (SELECT d,
+                  CAST(2 * rank() OVER (ORDER BY ad)
+                       + count(*) OVER (PARTITION BY ad) - 1
+                    AS BIGINT) AS r2
+                FROM dd),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pos,
+                 CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END)
+                   AS BIGINT) AS t2_plus
+               FROM rk),
+         tc AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+                  AS tcorr
+                FROM (SELECT ad, count(*) AS t FROM dd GROUP BY 1) g),
+         v AS (SELECT n, n_pos, t2_plus,
+                 (n * (n + 1)) // 2 AS mu2,
+                 2 * n * (n + 1) * (2 * n + 1) - tcorr AS var12
+               FROM m CROSS JOIN tc)
+         SELECT n, n_pos, t2_plus, mu2, var12,
+                12 * (t2_plus - mu2) * (t2_plus - mu2) >= 4 * var12
+                  AS is_significant
+         FROM v""",
+
     // Brown-Forsythe Levene: the anova pipeline on |x - group median|
     // with the exact rank-addressed lower median in cents
     "stats_levene_bf" ->

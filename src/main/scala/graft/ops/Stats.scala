@@ -667,6 +667,50 @@ object Stats {
                 div (ssw * (k - 1)) AS BIGINT)""").as("f_micro"))
   }
 
+  /** WILCOXON SIGNED-RANK TEST — the PAIRED nonparametric sibling of
+    * [[statsMannWhitney]] (independent samples) on the CUPED period
+    * split: per user, d = post-period − pre-period purchase cents
+    * (the 2024-01-16 cut `events_cuped_lift` uses); zero differences
+    * drop (the standard convention), |d| ranks carry ties exactly via
+    * DOUBLED average ranks (the [[statsSpearman]] device), and
+    * T2⁺ = Σ R2(|d|) over positive d is the doubled test statistic.
+    * Significance at the 2σ line is ONE integer cross-multiply:
+    * with μ2 = n(n+1)/2 and var12 = 12·var(T2) = 2n(n+1)(2n+1) −
+    * Σ_t(t³ − t) (the exact tie-corrected normal-approximation
+    * variance, kept ×12 so it stays integral), flag ⇔
+    * 12·(T2⁺ − μ2)² ≥ 4·var12. One user-keyed agg + one rank window
+    * over the bounded pair set + a 1-row reduce. */
+  def statsWilcoxonSigned(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("ts") >= lit("2024-01-16"),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+        - sum(when(col("ts") < lit("2024-01-16"),
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)))
+        .as("d"))
+      .filter(col("d") =!= 0L)
+      .select(col("d"), abs(col("d")).as("ad"))
+    val wr = Window.orderBy(col("ad"))
+    val wt = Window.partitionBy(col("ad"))
+    val m = d.withColumn("r2", lit(2L) * rank().over(wr)
+        + count(lit(1)).over(wt) - lit(1L))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L))
+          .as("t2_plus"))
+    val ties = d.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("tcorr"))
+    m.crossJoin(ties)
+      .select(col("n"), col("n_pos"), col("t2_plus"),
+        expr("(n * (n + 1)) div 2").as("mu2"),
+        expr("2 * n * (n + 1) * (2 * n + 1) - tcorr").as("var12"))
+      .withColumn("is_significant",
+        expr("""12 * (t2_plus - mu2) * (t2_plus - mu2)
+                >= 4 * var12"""))
+  }
+
   /** BROWN–FORSYTHE LEVENE TEST — "are the group variances even
     * comparable?", the check that belongs BEFORE [[statsAnova]]'s
     * equal-variance assumption is trusted: the ANOVA F statistic

@@ -744,6 +744,42 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("wilcoxon signed-rank: doubled-rank statistic and tie-corrected " +
+      "variance recompute, flag matches a float z away from boundary") {
+    val r = graft.ops.Stats.statsWilcoxonSigned(spark, sfDir)
+      .collect().head
+    val ds = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("ts") >= lit("2024-01-16"),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+        - sum(when(col("ts") < lit("2024-01-16"),
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)))
+        .as("d")).collect().map(_.getAs[Long]("d")).filter(_ != 0L)
+    val n = ds.length.toLong
+    // doubled average ranks of |d|
+    val sorted = ds.map(math.abs).sorted
+    val r2Of = sorted.zipWithIndex.groupBy(_._1).view.mapValues { g =>
+      2L * (g.map(_._2).min + 1) + g.length - 1
+    }.toMap
+    val t2p = ds.filter(_ > 0).map(d => r2Of(math.abs(d))).sum
+    val tcorr = sorted.groupBy(identity).values
+      .map(_.length.toLong).map(t => t * t * t - t).sum
+    val mu2 = n * (n + 1) / 2
+    val var12 = 2 * n * (n + 1) * (2 * n + 1) - tcorr
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_pos") == ds.count(_ > 0).toLong)
+    assert(r.getAs[Long]("t2_plus") == t2p)
+    assert(r.getAs[Long]("mu2") == mu2)
+    assert(r.getAs[Long]("var12") == var12)
+    assert(r.getAs[Boolean]("is_significant") ==
+      (12 * (t2p - mu2) * (t2p - mu2) >= 4 * var12))
+    // float cross-check: z = (T - mu)/sigma with T = t2p/2 etc.
+    val z = (t2p - mu2) / 2.0 / math.sqrt(var12 / 48.0)
+    if (math.abs(math.abs(z) - 2.0) > 1e-6)
+      assert(r.getAs[Boolean]("is_significant") == (math.abs(z) >= 2.0))
+  }
+
   test("levene brown-forsythe: medians rank-addressed, z moments " +
       "recompute, F agrees with a float recompute to 1 micro-unit") {
     val r = graft.ops.Stats.statsLeveneBf(spark, sfDir).collect().head
