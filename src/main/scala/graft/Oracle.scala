@@ -2593,6 +2593,100 @@ object Oracle {
           WHERE rn <= $NswDegree)"""
   }
 
+  /** Layer-1 half of the HNSW delta splice, appended to
+    * [[NswDeltaCtes]]: the base layer-1 graph among base∩level-1
+    * members, forward k-NN of the level-1 arrivals, and the backlink
+    * re-trim — ends with `h1_delta`, `h1_fwd`, `h1_spl`. */
+  private lazy val HnswDeltaL1Ctes: String = {
+    import graft.ops.VectorOps.{NswDegree, HnswL1Mod, NswDeltaMod}
+    val lvlKey = md5Hash60Sql("'graft-hnsw:' || CAST(vec_id AS VARCHAR)")
+    def simTo(av: String, an: String, bv: String, bn: String) =
+      s"ROUND(list_sum(list_transform(range(1, 65), " +
+        s"i -> $av[i] * $bv[i])) / ($an * $bn), 4)"
+    def knn(srcRel: String) =
+      s"""SELECT shard, src, dst, sim FROM (
+             SELECT a.shard, a.vec_id AS src, b.vec_id AS dst,
+                    ${simTo("a.v", "a.nrm", "b.v", "b.nrm")} AS sim,
+                    row_number() OVER (PARTITION BY a.shard, a.vec_id
+                      ORDER BY ${simTo("a.v", "a.nrm", "b.v", "b.nrm")}
+                        DESC, b.vec_id) AS rn
+             FROM $srcRel a JOIN h1_base b
+               ON a.shard = b.shard AND a.vec_id <> b.vec_id) t
+           WHERE rn <= $NswDegree"""
+    s"""h1 AS (SELECT * FROM nsw_en WHERE $lvlKey % $HnswL1Mod = 0),
+        h1_base AS (SELECT * FROM h1 WHERE vec_id % 5 <> $NswDeltaMod),
+        h1_delta AS (SELECT * FROM h1 WHERE vec_id % 5 = $NswDeltaMod),
+        h1_g0 AS MATERIALIZED (${knn("h1_base")}),
+        h1_fwd AS MATERIALIZED (${knn("h1_delta")}),
+        h1_spl AS MATERIALIZED (
+          SELECT shard, src, dst, sim FROM (
+            SELECT shard, src, dst, sim,
+                   row_number() OVER (PARTITION BY shard, src
+                     ORDER BY sim DESC, dst) AS rn
+            FROM (SELECT shard, src, dst, sim FROM h1_g0
+                  UNION ALL
+                  SELECT shard, dst AS src, src AS dst, sim
+                  FROM h1_fwd) u) t
+          WHERE rn <= $NswDegree)"""
+  }
+
+  /** HNSW descent replay over the POST-INSERT two-layer graph:
+    * layer-1 routing beam over the spliced upper graph, then the
+    * layer-0 beam over the spliced base + forward delta edges. */
+  private lazy val EmbedAnnHnswDeltaSql: String = {
+    import graft.ops.VectorOps.{NswBeam, NswHops, HnswL1Beam}
+    def simTo(av: String, an: String, bv: String, bn: String) =
+      s"ROUND(list_sum(list_transform(range(1, 65), " +
+        s"i -> $av[i] * $bv[i])) / ($an * $bn), 4)"
+    def hops(pfx: String, graph: String, beam: Int) =
+      (1 to NswHops).map { h =>
+        val prev = s"$pfx${h - 1}"
+        s"""${pfx}c$h AS (SELECT DISTINCT shard, vec_id FROM (
+                SELECT shard, vec_id FROM $prev
+                UNION ALL
+                SELECT g.shard, g.dst AS vec_id
+                FROM $prev JOIN $graph g
+                  ON $prev.shard = g.shard AND $prev.vec_id = g.src)),
+           $pfx$h AS (SELECT shard, vec_id, sim FROM (
+                SELECT c.shard, c.vec_id,
+                       ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim,
+                       row_number() OVER (PARTITION BY c.shard
+                         ORDER BY ${simTo("en.v", "en.nrm",
+                           "p.pv", "p.pn")} DESC, c.vec_id) AS rn
+                FROM ${pfx}c$h c JOIN nsw_en en
+                  ON c.shard = en.shard AND c.vec_id = en.vec_id
+                CROSS JOIN p) t
+              WHERE rn <= $beam)"""
+      }.mkString(",\n         ")
+    s"""WITH $NswDeltaCtes,
+         $HnswDeltaL1Ctes,
+         e0 AS MATERIALIZED (
+           SELECT shard, src, dst FROM nd_spl
+           UNION ALL SELECT shard, src, dst FROM nd_fwd),
+         e1 AS MATERIALIZED (
+           SELECT shard, src, dst FROM h1_spl
+           UNION ALL SELECT shard, src, dst FROM h1_fwd),
+         p AS (SELECT v AS pv, nrm AS pn FROM nsw_en WHERE vec_id = 0),
+         ent AS (SELECT al.shard,
+                        COALESCE(l.vec_id, al.vec_id) AS vec_id
+                 FROM (SELECT shard, min(vec_id) AS vec_id
+                       FROM nsw_en GROUP BY 1) al
+                 LEFT JOIN (SELECT shard, min(vec_id) AS vec_id
+                            FROM h1 GROUP BY 1) l
+                   ON al.shard = l.shard),
+         a0 AS (SELECT e.shard, e.vec_id,
+                       ${simTo("en.v", "en.nrm", "p.pv", "p.pn")} AS sim
+                FROM ent e JOIN nsw_en en
+                  ON e.shard = en.shard AND e.vec_id = en.vec_id
+                CROSS JOIN p),
+         ${hops("a", "e1", HnswL1Beam)},
+         b0 AS (SELECT shard, vec_id, sim FROM a$NswHops),
+         ${hops("b", "e0", NswBeam)}
+         SELECT vec_id, shard, sim AS cos_sim
+         FROM b$NswHops
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   /** Beam search replay over the POST-INSERT delta graph — identical
     * hop unroll to [[EmbedAnnNswSql]] but walking `nd_pg` (spliced
     * base adjacency ∪ forward delta edges) with entry points over the
@@ -6856,6 +6950,47 @@ object Oracle {
                          AND s.dst = g.dst)
                      GROUP BY 1) d USING (shard)
           ORDER BY a.shard""",
+
+    // HNSW insert census: arrivals + level draws + per-layer forward
+    // edges + upper-layer backlink splices, per shard
+    "embed_index_hnsw_delta" ->
+      s"""WITH $NswDeltaCtes,
+          $HnswDeltaL1Ctes,
+          dl AS (SELECT shard, vec_id,
+                   ${md5Hash60Sql(
+                     "'graft-hnsw:' || CAST(vec_id AS VARCHAR)")}
+                     % ${graft.ops.VectorOps.HnswL1Mod} = 0 AS is_l1
+                 FROM nd_delta),
+          a AS (SELECT shard, count(*) AS n_new,
+                  CAST(SUM(CASE WHEN is_l1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_l1
+                FROM dl GROUP BY 1),
+          f0 AS (SELECT shard, count(*) AS n_fwd_l0 FROM nd_fwd
+                 GROUP BY 1),
+          f1 AS (SELECT shard, count(*) AS n_fwd_l1 FROM h1_fwd
+                 GROUP BY 1),
+          s1 AS (SELECT shard, count(DISTINCT src) AS n_spliced_l1
+                 FROM h1_spl
+                 WHERE dst % 5 = ${graft.ops.VectorOps.NswDeltaMod}
+                 GROUP BY 1)
+          SELECT a.shard, a.n_new, a.n_new_l1,
+                 CAST(COALESCE(n_fwd_l0, 0) AS BIGINT) AS n_fwd_l0,
+                 CAST(COALESCE(n_fwd_l1, 0) AS BIGINT) AS n_fwd_l1,
+                 CAST(COALESCE(n_spliced_l1, 0) AS BIGINT)
+                   AS n_spliced_l1
+          FROM a LEFT JOIN f0 USING (shard)
+                 LEFT JOIN f1 USING (shard)
+                 LEFT JOIN s1 USING (shard)
+          ORDER BY a.shard""",
+
+    // recall@10 of the hierarchical descent over the post-insert
+    // two-layer graph vs the exact top-10
+    "embed_recall_hnsw_delta" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM ($EmbedAnnHnswDeltaSql))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
 
     // recall@10 over the post-insert graph vs the exact top-10
     "embed_recall_nsw_delta" ->

@@ -1685,6 +1685,123 @@ object VectorOps {
       })
     }
 
+  /** Memoized HNSW DELTA layer-1 frames: (l1fwd, l1spliced) — the
+    * upper-layer half of the hierarchical insert. Level draw for
+    * arrivals is the SAME md5 quarter as [[hnswL1EdgesCached]] (an
+    * arrival's level is a pure function of its id, exactly as HNSW
+    * draws it at insert time); the base layer-1 graph is built among
+    * base∩level-1 members only, and the splice is the
+    * [[nswDeltaIndexCached]] backlink re-trim verbatim. Layer-0
+    * forward/splice frames are SHARED with the NSW delta — the
+    * hierarchical insert only ADDS the sparse upper-layer work. */
+  private val hnswDeltaCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def hnswDeltaL1Cached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = hnswDeltaCache.synchronized {
+    hnswDeltaCache.getOrElseUpdate((spark, dir), {
+      val (verts, _, _, _) = nswDeltaIndexCached(spark, dir)
+      val l1 = verts.filter(
+        TextOps.md5Hash60(concat_ws(":", lit("graft-hnsw"),
+          col("vec_id").cast("string"))) % HnswL1Mod === 0)
+      val base1 = l1.filter(col("vec_id") % 5 =!= NswDeltaMod)
+      val delta1 = l1.filter(col("vec_id") % 5 === NswDeltaMod)
+      val b = base1.select(col("shard"), col("vec_id").as("dst"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val w = Window.partitionBy(col("shard"), col("src"))
+        .orderBy(col("sim").desc, col("dst"))
+      def knn(src: DataFrame): DataFrame =
+        src.select(col("shard"), col("vec_id").as("src"),
+            col("v").as("av"), col("nrm").as("an"))
+          .join(b, Seq("shard"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("shard"), col("src"), col("dst"),
+            round(dot(col("av"), col("bv")) / (col("an") * col("bn")),
+              4).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= NswDegree)
+          .select(col("shard"), col("src"), col("dst"), col("sim"))
+      val g1 = knn(base1)
+      val fwd1 = knn(delta1).localCheckpoint(true)
+      val spliced1 = g1
+        .unionByName(fwd1.select(col("shard"), col("dst").as("src"),
+          col("src").as("dst"), col("sim")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NswDegree)
+        .select(col("shard"), col("src"), col("dst"), col("sim"))
+        .localCheckpoint(true)
+      (fwd1, spliced1)
+    })
+  }
+
+  /** HNSW INCREMENTAL INSERT census — [[embedIndexNswDelta]]'s
+    * hierarchical sibling, so index MAINTENANCE is symmetric across
+    * both graph-index shapes: per shard, arrivals, how many drew
+    * layer 1, and the forward-edge counts added at each layer (the
+    * layer-0 numbers are the shared NSW-delta frames; layer 1 adds
+    * the sparse upper-graph splice). */
+  def embedIndexHnswDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (verts, _, fwd0, _) = nswDeltaIndexCached(spark, dir)
+    val (fwd1, spliced1) = hnswDeltaL1Cached(spark, dir)
+    val deltas = verts.filter(col("vec_id") % 5 === NswDeltaMod)
+      .select(col("shard"), col("vec_id"),
+        (TextOps.md5Hash60(concat_ws(":", lit("graft-hnsw"),
+          col("vec_id").cast("string"))) % HnswL1Mod === 0).as("is_l1"))
+    val nNew = deltas.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("is_l1"), 1L).otherwise(0L)).as("n_new_l1"))
+    val nF0 = fwd0.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_fwd_l0"))
+    val nF1 = fwd1.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_fwd_l1"))
+    val nS1 = spliced1.filter(col("dst") % 5 === NswDeltaMod)
+      .select(col("shard"), col("src")).distinct()
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_spliced_l1"))
+    nNew
+      .join(nF0, Seq("shard"), "left")
+      .join(nF1, Seq("shard"), "left")
+      .join(nS1, Seq("shard"), "left")
+      .select(col("shard"), col("n_new"), col("n_new_l1"),
+        coalesce(col("n_fwd_l0"), lit(0L)).as("n_fwd_l0"),
+        coalesce(col("n_fwd_l1"), lit(0L)).as("n_fwd_l1"),
+        coalesce(col("n_spliced_l1"), lit(0L)).as("n_spliced_l1"))
+      .orderBy(col("shard"))
+  }
+
+  /** Recall@10 of the HNSW DESCENT over the POST-INSERT two-layer
+    * graph — the [[embedRecallNswDelta]] re-eval with the hierarchy:
+    * route across the spliced layer-1 graph, seed the layer-0 beam
+    * over the spliced base + forward delta edges, score vs the exact
+    * corpus top-10. */
+  def embedRecallHnswDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (verts, _, fwd0, spliced0) = nswDeltaIndexCached(spark, dir)
+    val (fwd1, spliced1) = hnswDeltaL1Cached(spark, dir)
+    val e0 = spliced0.select(col("shard"), col("src"), col("dst"))
+      .unionByName(fwd0.select(col("shard"), col("src"), col("dst")))
+    val e1 = spliced1.select(col("shard"), col("src"), col("dst"))
+      .unionByName(fwd1.select(col("shard"), col("src"), col("dst")))
+    val l1 = verts.filter(
+      TextOps.md5Hash60(concat_ws(":", lit("graft-hnsw"),
+        col("vec_id").cast("string"))) % HnswL1Mod === 0)
+    val entry = verts.groupBy(col("shard"))
+      .agg(min(col("vec_id")).as("v_all"))
+      .join(l1.groupBy(col("shard")).agg(min(col("vec_id")).as("v_l1")),
+        Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("v_l1"), col("v_all")).as("vec_id"))
+    val routed = nswBeamFrom(spark, dir, verts, e1, entry, HnswL1Beam)
+    val ann = nswBeamFrom(spark, dir, verts, e0,
+        routed.select(col("shard"), col("vec_id")), NswBeam)
+      .select(col("vec_id"), col("shard"), col("sim").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id").as("a_id"))
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    exact.join(ann, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
+
   /** NSW INCREMENTAL INSERT census — the maintenance report of the
     * [[nswDeltaIndexCached]] splice, per shard: arrivals, forward
     * edges added, base vertices whose adjacency changed (gained ≥1

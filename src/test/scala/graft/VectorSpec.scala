@@ -142,6 +142,34 @@ class VectorSpec extends SparkSpec {
       s"layer-1 share ${nL1.toDouble / ids.length} far from 1/4")
   }
 
+  test("HNSW delta insert: level draws match the md5 quarter, " +
+      "layer-1 forward edges bounded, descent recall >= flat delta") {
+    import VectorOps.{NswDegree, NswDeltaMod, HnswL1Mod}
+    val census = VectorOps.embedIndexHnswDelta(spark, sfDir).collect()
+    assert(census.nonEmpty)
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val nL1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+      .count(id => id % 5 == NswDeltaMod &&
+        md5h60(s"graft-hnsw:$id") % HnswL1Mod == 0)
+    assert(census.map(_.getAs[Long]("n_new_l1")).sum == nL1.toLong)
+    census.foreach { r =>
+      assert(r.getAs[Long]("n_new_l1") <= r.getAs[Long]("n_new"))
+      assert(r.getAs[Long]("n_fwd_l1") <=
+        NswDegree * r.getAs[Long]("n_new_l1"))
+      assert(r.getAs[Long]("n_spliced_l1") <= r.getAs[Long]("n_fwd_l1"))
+    }
+    val rH = VectorOps.embedRecallHnswDelta(spark, sfDir).collect()
+      .head.getAs[Long]("recall_permille")
+    val rN = VectorOps.embedRecallNswDelta(spark, sfDir).collect()
+      .head.getAs[Long]("recall_permille")
+    assert(rH >= rN, s"hierarchical delta $rH < flat delta $rN")
+  }
+
   test("NSW delta insert: splice invariants hold — degree bound kept, " +
       "arrivals reachable via backlinks, evictions accounted") {
     import VectorOps.{NswDegree, NswDeltaMod}
