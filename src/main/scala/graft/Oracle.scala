@@ -4314,6 +4314,44 @@ object Oracle {
                 mean_a_cents, mean_b_cents
          FROM ex CROSS JOIN od""",
 
+    // Cohen's d as exact d²-milli over the same per-arm HUGEINT
+    // moments; magnitude bands read off integer thresholds
+    "stats_cohens_d" ->
+      s"""WITH u AS (SELECT user_id,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         uv AS (SELECT ${md5Hash60Sql(
+                  "'graft-ab:' || CAST(user_id AS VARCHAR)")}
+                  % 2 AS v, x
+                FROM u),
+         m AS (SELECT v, CAST(count(*) AS HUGEINT) AS n,
+                      CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+                      CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+               FROM uv GROUP BY 1),
+         av AS (SELECT n AS n_a, s1 AS s1_a, s2 AS s2_a FROM m
+                WHERE v = 0),
+         bv AS (SELECT n AS n_b, s1 AS s1_b, s2 AS s2_b FROM m
+                WHERE v = 1),
+         c AS (SELECT n_a, n_b, s1_a, s1_b,
+                 CAST((1000 * (s1_a * n_b - s1_b * n_a)
+                         * (s1_a * n_b - s1_b * n_a)
+                         * (n_a + n_b - 2))
+                   // (n_a * n_b
+                       * ((n_a * s2_a - s1_a * s1_a) * n_b
+                          + (n_b * s2_b - s1_b * s1_b) * n_a))
+                   AS BIGINT) AS d2_milli
+               FROM av CROSS JOIN bv)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST(s1_a // n_a AS BIGINT) AS mean_a_cents,
+                CAST(s1_b // n_b AS BIGINT) AS mean_b_cents,
+                d2_milli,
+                CASE WHEN d2_milli >= 640 THEN 'large'
+                     WHEN d2_milli >= 250 THEN 'medium'
+                     WHEN d2_milli >= 40 THEN 'small'
+                     ELSE 'negligible' END AS magnitude
+         FROM c""",
+
     // Welch's t² as one exact integer rational over per-arm HUGEINT
     // moments; the |t| >= 2 flag decided on the rational, never a float
     "stats_ttest_welch" ->

@@ -401,6 +401,52 @@ object Stats {
       .withColumn("is_significant", col("t2_milli") >= 4000L)
   }
 
+  /** COHEN'S D EFFECT SIZE between the experiment arms — the number
+    * that belongs NEXT TO [[statsTtestWelch]]'s significance call: a
+    * large corpus makes a trivial gap "significant", and d says
+    * whether it matters. Kept exact as d² in milli: with
+    * Δ = s1_a·n_b − s1_b·n_a and V_i = n_i·s2_i − s1_i² (n_i·SS_i),
+    * d² = Δ²·(n_a+n_b−2) / (n_a·n_b·(V_a·n_b + V_b·n_a)) — one
+    * integer rational over the same DECIMAL(38,0) per-arm moments,
+    * quantized once; the conventional small/medium/large bands read
+    * off d² thresholds (0.2² = 40‰, 0.5² = 250‰, 0.8² = 640‰), so
+    * the label can never straddle an engine rounding boundary. */
+  def statsCohensD(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .select((graft.ops.TextOps.md5Hash60(concat(lit("graft-ab:"),
+        col("user_id").cast("string"))) % 2).as("v"), col("x"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("s1"),
+        sum((col("x") * col("x")).cast(dec)).as("s2"))
+      .localCheckpoint(true)
+    val a = m.filter(col("v") === 0).select(col("n").as("n_a"),
+      col("s1").as("s1_a"), col("s2").as("s2_a"))
+    val b = m.filter(col("v") === 1).select(col("n").as("n_b"),
+      col("s1").as("s1_b"), col("s2").as("s2_b"))
+    a.crossJoin(b)
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("CAST(s1_a div n_a AS BIGINT)").as("mean_a_cents"),
+        expr("CAST(s1_b div n_b AS BIGINT)").as("mean_b_cents"),
+        expr("""CAST((1000 * (s1_a * n_b - s1_b * n_a)
+                       * (s1_a * n_b - s1_b * n_a)
+                       * (n_a + n_b - 2))
+                 div (n_a * n_b
+                      * ((n_a * s2_a - s1_a * s1_a) * n_b
+                         + (n_b * s2_b - s1_b * s1_b) * n_a))
+                 AS BIGINT)""").as("d2_milli"))
+      .withColumn("magnitude",
+        when(col("d2_milli") >= 640L, "large")
+          .when(col("d2_milli") >= 250L, "medium")
+          .when(col("d2_milli") >= 40L, "small")
+          .otherwise("negligible"))
+  }
+
   /** Number of derandomized relabelings [[statsPermutationTest]]
     * draws — shared with the oracle. */
   val PermTestB = 64

@@ -744,6 +744,42 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("cohens d: exact rational d2 reproduces a float recompute, " +
+      "magnitude bands read off the integer thresholds") {
+    val r = graft.ops.Stats.statsCohensD(spark, sfDir).collect().head
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val (ga, gb) = users.partition { case (u, _) =>
+      md5h60(s"graft-ab:$u") % 2 == 0 }
+    def mom(g: Array[(Long, Long)]) = (BigInt(g.length),
+      g.map(t => BigInt(t._2)).sum, g.map(t => BigInt(t._2).pow(2)).sum)
+    val (na, s1a, s2a) = mom(ga); val (nb, s1b, s2b) = mom(gb)
+    val df = s1a * nb - s1b * na
+    val va = na * s2a - s1a * s1a; val vb = nb * s2b - s1b * s1b
+    val d2 = BigInt(1000) * df * df * (na + nb - 2) /
+      (na * nb * (va * nb + vb * na))
+    assert(r.getAs[Long]("d2_milli") == d2.toLong)
+    // float cross-check of the definition: d = (m1-m2)/s_pooled
+    val m1 = s1a.toDouble / na.toDouble
+    val m2 = s1b.toDouble / nb.toDouble
+    val sp2 = (va.toDouble / na.toDouble + vb.toDouble / nb.toDouble) /
+      (na + nb - 2).toDouble
+    val d2f = (m1 - m2) * (m1 - m2) / sp2
+    assert(math.abs(r.getAs[Long]("d2_milli") / 1000.0 - d2f) < 1e-2)
+    val expectMag =
+      if (d2 >= 640) "large" else if (d2 >= 250) "medium"
+      else if (d2 >= 40) "small" else "negligible"
+    assert(r.getAs[String]("magnitude") == expectMag)
+  }
+
   test("wilcoxon signed-rank: doubled-rank statistic and tie-corrected " +
       "variance recompute, flag matches a float z away from boundary") {
     val r = graft.ops.Stats.statsWilcoxonSigned(spark, sfDir)
