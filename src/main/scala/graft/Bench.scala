@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerTaskEnd}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,16 +22,58 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-key attribution probe (r14): every bench run records, per
+    // key, the scheduler-level truth the wall clock hides — job count,
+    // task count, summed executor task time, GC time, shuffle bytes —
+    // keyed by job group (set per key in the loop below) and dumped to
+    // bench_probe.json. A wall-time outlier is then adjudicable from
+    // the SAME run it appeared in: compute regressions move task
+    // seconds with the wall reading; window/scheduling artifacts leave
+    // task seconds flat while wall climbs. Jobs submitted off-thread
+    // (the graph_warm_caches concurrent chains) inherit the group via
+    // SparkContext's InheritableThreadLocal properties where the pool
+    // thread was spawned under it; anything else lands under "_".
+    val probe =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    val stageGroup =
+      new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    def acc(g: String): Array[Long] =
+      probe.computeIfAbsent(g, _ => new Array[Long](6))
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          .getOrElse("_")
+        js.stageIds.foreach(sid => stageGroup.put(sid, g))
+        val a = acc(g); a.synchronized { a(0) += 1 }
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val g = stageGroup.get(Int.box(te.stageId))
+        val m = te.taskMetrics
+        if (g != null && m != null) {
+          val a = acc(g)
+          a.synchronized {
+            a(1) += 1
+            a(2) += m.executorRunTime
+            a(3) += m.jvmGCTime
+            a(4) += m.shuffleReadMetrics.totalBytesRead
+            a(5) += m.shuffleWriteMetrics.bytesWritten
+          }
+        }
+      }
+    })
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup(name, name)
       // NOTE: a THROWING key still contributes its elapsed wall time
       // to `total` (the -1L is only the count() replacement value, not
       // a time marker) — if a key ever starts failing, its row stays
       // honest but `total` includes the time spent failing; check
       // CORRECTNESS before reading bench deltas
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.sparkContext.clearJobGroup()
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE …) would make
@@ -47,21 +92,52 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = toJson(results, total)
     println(json)
+    def writeFile(path: String, s: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        s.getBytes("UTF-8")): Unit
     // also persist to a file: the driver's stdout JSON-line scrape has
     // failed to parse before (sbt log prefixes) — the file is unambiguous.
     // Skipped under the dev-only SPARK_GRAFT_ONLY filter: a focused run
     // must not clobber the authoritative full-run artifact.
-    if (only.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-        json.getBytes("UTF-8")): Unit
+    if (only.isEmpty) writeFile("bench.json", json)
+    // the probe artifact: per key [jobs, tasks, task_ms, gc_ms,
+    // shuffle_read_b, shuffle_write_b]; focused runs get their own file
+    // so adjudication probes never clobber the full-run record
+    locally {
+      import scala.jdk.CollectionConverters._
+      val rows = probe.asScala.toSeq.sortBy(_._1).map { case (g, a) =>
+        s"\"" + g + "\":[" + a.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      writeFile(if (only.isEmpty) "bench_probe.json"
+        else "bench_probe_focused.json",
+        s"""{"unit":["jobs","tasks","task_ms","gc_ms","shuffle_read_b","shuffle_write_b"],"keys":$rows}""")
+    }
     // The driver captures only the LAST ~2000 chars of output, so the
-    // full ~110-query line above can never sit wholly inside its tail
-    // window (BENCH_r01–r03 all recorded parsed:null with the line's
-    // head cut off). Emit a compact line LAST — full total + the 15
-    // slowest queries, well under the window — so the tail always
-    // contains one complete parseable JSON line; the full map lives in
-    // bench.json.
-    println(toJson(results.toSeq.sortBy(-_._2).take(15), total))
+    // full ~9 KB per-key line above can never sit wholly inside its
+    // tail window. Two compact lines close the run so BOTH land inside
+    // it (r13 judge ask #6 — per-key round-over-round comparison must
+    // not depend on which keys make the slowest-N cut):
+    //  1. the FULL per-key map, positionally encoded: values in
+    //     DECISECONDS for the keys sorted lexicographically (the md5 of
+    //     the comma-joined sorted key list pins the decode order — any
+    //     SparkEntry registration drift changes it loudly);
+    //  2. the human-readable slowest-10 line LAST, format-identical to
+    //     every prior round (the driver's parsed headline).
+    // ~382 keys × ~3.3 chars ≈ 1.4 KB + ~0.5 KB — both fit with room
+    // for sbt's closing "[success]" line.
+    locally {
+      val sorted = results.toSeq.sortBy(_._1)
+      val keyList = sorted.map(_._1).mkString(",")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(keyList.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val vals = sorted.map(kv => math.round(kv._2 * 10).toString)
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"per_key_ds","n":${sorted.size},""" +
+        s""""unit":"ds","md5":"$md5","total":${fmt(total)},""" +
+        s""""vals":$vals}""")
+    }
+    println(toJson(results.toSeq.sortBy(-_._2).take(10), total))
     spark.stop()
   }
 }

@@ -5265,6 +5265,13 @@ object Oracle {
                 (1000 * p1.p) // 2 + (1000 * p2.p) // 4
                   + (1000 * p3.p) // 8 AS katz_milli
          FROM p1 JOIN p2 ON p1.id = p2.id JOIN p3 ON p1.id = p3.id
+         -- symmetric zero-drop (r13 advice): the Spark side never
+         -- emits zero-reach vertices (its sparse t1 stream IS the
+         -- in-degree >= 1 set, and p1 >= 1 implies katz >= 500), so
+         -- the oracle drops the same rows STRUCTURALLY instead of
+         -- relying on the ">= 50 in-linked vertices" invariant to
+         -- keep the zero tail out of the top-50
+         WHERE p1.p >= 1
          ORDER BY katz_milli DESC, p1.id LIMIT 50""",
 
     "graph_path_count" -> pathCountSql(3),

