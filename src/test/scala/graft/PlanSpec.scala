@@ -187,6 +187,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("distributed-rank family: every unpartitioned window orders " +
+      "the bounded __shard frame, never a data-sized one") {
+    // r14 never-regress pin (judge ask #2), STRICTER than the rank
+    // family test above: an Aggregate below the window is not enough —
+    // a per-user/per-customer agg is still corpus-sized. For the keys
+    // that globally rank a data-sized frame, the ONLY unpartitioned
+    // window allowed is Ranks.shardedRank's prefix-sum over the
+    // shard-count frame (bounded by the value domain), recognizable
+    // by its __shard order key. The frames below are checkpoint-free,
+    // so the assertion sees the full logical plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq(
+      "stats_spearman" ->
+        graft.ops.Stats.statsSpearman(spark, sfDir),
+      "stats_wilcoxon_signed" ->
+        graft.ops.Stats.statsWilcoxonSigned(spark, sfDir),
+      "events_value_concentration (ranked frame)" ->
+        graft.ops.TimeSeries.valueConcRanked(spark, sfDir),
+      "events_rfm_segment" ->
+        graft.ops.TimeSeries.eventsRfmSegment(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val ws = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(ws.nonEmpty,
+        s"$name: expected the bounded __shard offset window — " +
+          "did a checkpoint truncate the asserted frame?")
+      val bad = ws.filterNot(_.orderSpec.exists(
+        _.child.references.exists(_.name == "__shard")))
+      assert(bad.isEmpty,
+        s"$name: unpartitioned window over a non-__shard frame " +
+          s"(single-task global sort at scale):\n${bad.mkString("\n")}")
+    }
+  }
+
   test("louvain merge scorer selects winners via aggregation — no " +
       "Window in the pre-checkpoint plan") {
     // the round-10 perf pass replaced the per-community sorted window

@@ -774,8 +774,17 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_transitions") == t)
       assert(r.getAs[Long]("n_next_states") == cells.length.toLong)
       val expect = cells.map { case (_, _, n) =>
-        math.round(-(n.toDouble / t)
-          * (math.log(n.toDouble / t) / math.log(2.0)) * 1e6)
+        val term = -(n.toDouble / t) *
+          (math.log(n.toDouble / t) / math.log(2.0)) * 1e6
+        // boundary-distance guard (r13 advice): the op computes
+        // log2(p) (DuckDB-textually-identical) while this recompute
+        // uses ln/ln2 — the two can differ in the last ULP, so prove
+        // per-term that no value sits within 1e-3 of its round-half
+        // boundary, where such variance could flip the rounded micro
+        val frac = term - math.floor(term)
+        assert(math.abs(frac - 0.5) > 1e-3,
+          s"$et term near rounding boundary: $term")
+        math.round(term)
       }.sum
       assert(r.getAs[Long]("entropy_bits_micro") == expect, et)
       // entropy of a K-outcome distribution is at most log2(K)
