@@ -4352,6 +4352,134 @@ object Oracle {
                      ELSE 'negligible' END AS magnitude
          FROM c""",
 
+    // Cohen's kappa over the 2x2 rater confusion matrix: one exact
+    // rational 1000*(n*S - E) // (n^2 - E) in HUGEINT, S = agreement,
+    // E = marginal chance mass — same integer-flag discipline
+    "stats_cohens_kappa" ->
+      s"""WITH r AS (SELECT (n_chars >= 200) AS a,
+                 (n_chars >= 4 * len(string_split(text, ' '))
+                  AND n_chars <= 8 * len(string_split(text, ' '))) AS b
+               FROM documents),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n10,
+                 CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n00
+               FROM r)
+         SELECT n, n11, n10, n01, n00,
+                (1000 * (n11 + n00)) // n AS po_permille,
+                CAST((1000 * (CAST(n AS HUGEINT) * (n11 + n00)
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))))
+                  // (CAST(n AS HUGEINT) * n
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)))
+                  AS BIGINT) AS kappa_permille
+         FROM m""",
+
+    // Kendall tau-b on the bucketed (length, tokens) grid: exact
+    // HUGEINT concordant/discordant cell-pair masses + marginal tie
+    // corrections; the single float is the final sqrt ratio (the
+    // spearman discipline), rounded 6dp
+    "stats_kendall_tau" ->
+      s"""WITH cells AS (SELECT
+                 n_chars // ${graft.ops.Stats.KendallBxWidth} AS bx,
+                 CAST(len(string_split(text, ' ')) AS BIGINT)
+                   // ${graft.ops.Stats.KendallByWidth} AS by,
+                 CAST(count(*) AS HUGEINT) AS c
+               FROM documents GROUP BY 1, 2),
+         cd AS (SELECT
+                 COALESCE(SUM(CASE WHEN a.by < b.by
+                   THEN a.c * b.c END), 0) AS conc,
+                 COALESCE(SUM(CASE WHEN a.by > b.by
+                   THEN a.c * b.c END), 0) AS disc
+               FROM cells a JOIN cells b ON a.bx < b.bx),
+         nn AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells),
+         tx AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS tx2 FROM
+                 (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells
+                  GROUP BY bx)),
+         ty AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS ty2 FROM
+                 (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells
+                  GROUP BY by))
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST(conc AS BIGINT) AS concordant,
+                CAST(disc AS BIGINT) AS discordant,
+                ROUND(CAST(conc - disc AS DOUBLE) * 2.0
+                  / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                    * CAST(n * (n - 1) - ty2 AS DOUBLE)), 6) AS tau
+         FROM cd CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty""",
+
+    // Benjamini-Hochberg over the per-event-type family of
+    // derandomized permutation tests: one shared (type, b, arm) agg,
+    // then the step-up on the K-row grid in exact integers
+    "stats_fdr_bh" ->
+      s"""WITH u AS (SELECT user_id, event_type,
+                 CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+         ob AS (SELECT event_type, ${md5Hash60Sql(
+                  "'graft-ab:' || CAST(user_id AS VARCHAR)")}
+                  % 2 AS v, x
+                FROM u),
+         oa AS (SELECT event_type,
+                  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_a,
+                  CAST(SUM(CASE WHEN v = 0 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_a,
+                  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_b,
+                  CAST(SUM(CASE WHEN v = 1 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_b
+                FROM ob GROUP BY 1),
+         od AS (SELECT event_type,
+                       abs(s1_a * n_b - s1_b * n_a) AS d_obs,
+                       n_a * n_b AS w_obs
+                FROM oa),
+         pv AS (SELECT event_type, b, x,
+                  ${md5Hash60Sql("'graft-fdr:' || CAST(b AS VARCHAR)" +
+                    " || ':' || CAST(user_id AS VARCHAR)")} % 2 AS v
+                FROM u, range(0, ${graft.ops.Stats.FdrB}) AS rb(b)),
+         pa AS (SELECT event_type, b,
+                  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_a,
+                  CAST(SUM(CASE WHEN v = 0 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_a,
+                  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS n_b,
+                  CAST(SUM(CASE WHEN v = 1 THEN x ELSE 0 END)
+                    AS HUGEINT) AS s1_b
+                FROM pv GROUP BY 1, 2),
+         pd AS (SELECT event_type,
+                       abs(s1_a * n_b - s1_b * n_a) AS delta,
+                       n_a * n_b AS w
+                FROM pa),
+         px AS (SELECT pd.event_type,
+                  CAST(count(*) AS BIGINT) AS n_perms,
+                  CAST(SUM(CASE WHEN delta * w_obs >= d_obs * w
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+                FROM pd JOIN od ON pd.event_type = od.event_type
+                GROUP BY 1),
+         p AS (SELECT event_type,
+                 (1000 * n_extreme) // n_perms AS p_permille
+               FROM px),
+         rk AS (SELECT event_type, p_permille,
+                  CAST(row_number() OVER
+                    (ORDER BY p_permille, event_type) AS BIGINT)
+                    AS rank_asc,
+                  CAST(count(*) OVER () AS BIGINT) AS k
+                FROM p),
+         mp AS (SELECT *, max(CASE WHEN p_permille * k <= 50 * rank_asc
+                       THEN rank_asc END) OVER () AS max_pass
+                FROM rk)
+         SELECT event_type, p_permille, rank_asc,
+                (50 * rank_asc) // k AS bh_threshold_permille,
+                COALESCE(rank_asc <= max_pass, FALSE)
+                  AS is_significant
+         FROM mp ORDER BY rank_asc""",
+
     // Welch's t² as one exact integer rational over per-arm HUGEINT
     // moments; the |t| >= 2 flag decided on the rational, never a float
     "stats_ttest_welch" ->
@@ -6271,6 +6399,39 @@ object Oracle {
                   // CAST(SUM(n_tok) AS BIGINT) AS removed_permille
          FROM tk JOIN cl ON tk.doc_id = cl.doc_id
          GROUP BY 1 ORDER BY source""",
+
+    // cluster SIZE census over the same recursive transitive closure:
+    // per size s, how many clusters and documents
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $NgramCtes,
+         raw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                        count(*) AS inter
+                 FROM tri a JOIN tri b
+                   ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS j
+                  FROM raw
+                  JOIN sz sa ON sa.doc_id = a_id
+                  JOIN sz sb ON sb.doc_id = b_id)
+                WHERE j >= 0.5),
+         und AS (SELECT a_id AS a, b_id AS b FROM jp
+                 UNION ALL SELECT b_id, a_id FROM jp),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         ),
+         cl AS (SELECT src AS doc_id, min(dst) AS cluster
+                FROM reach GROUP BY src),
+         cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS s
+                FROM cl GROUP BY 1)
+         SELECT s AS cluster_size, CAST(count(*) AS BIGINT)
+                  AS n_clusters,
+                CAST(SUM(s) AS BIGINT) AS n_docs
+         FROM cs GROUP BY 1 ORDER BY cluster_size""",
 
     "text_ngram_jaccard" ->
       s"""WITH $NgramCtes,

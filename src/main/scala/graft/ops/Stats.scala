@@ -1162,4 +1162,175 @@ object Stats {
                      div (n_cust * tot) AS BIGINT)""").as("gini_micro"))
       .orderBy(col("n_name"))
   }
+
+  /** COHEN'S KAPPA between two document quality raters — the
+    * inter-rater agreement read a pipeline runs before trusting ANY
+    * single heuristic filter: raw agreement p_o overstates consensus
+    * when both raters pass almost everything, and kappa subtracts the
+    * chance agreement p_e the marginals alone would produce. Raters:
+    * A = length gate (n_chars ≥ 200), B = word-shape gate (average
+    * chars per whitespace token, separators included, in [4, 8] —
+    * i.e. 4·words ≤ n_chars ≤ 8·words, all integer). Kappa stays one
+    * exact rational: with agreement S = n11 + n00 and chance mass
+    * E = r1·c1 + r0·c0 (row × column marginals),
+    * kappa_permille = 1000·(n·S − E) div (n² − E) — products in
+    * DECIMAL(38,0) (n² passes BIGINT past ~3e9 docs), one truncating
+    * division, so the flag surface is engine-exact. One scan → one
+    * 2×2 confusion agg at any scale. */
+  def statsCohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rated = Tables(spark, dir).documents
+      .select(
+        (col("n_chars") >= 200L).as("a"),
+        ((col("n_chars") >= size(split(col("text"), " "))
+            .cast(LongType) * 4L) &&
+          (col("n_chars") <= size(split(col("text"), " "))
+            .cast(LongType) * 8L)).as("b"))
+    rated
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(1000 * (n11 + n00)) div n").as("po_permille"),
+        expr("""CAST((1000 * (CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00))))
+                 div (CAST(n AS DECIMAL(38,0)) * n
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)))
+                 AS BIGINT)""").as("kappa_permille"))
+  }
+
+  /** Bucket widths for [[statsKendallTau]] — shared with the oracle:
+    * chars per x-bucket, whitespace tokens per y-bucket. */
+  val KendallBxWidth = 32L
+  val KendallByWidth = 8L
+
+  /** KENDALL'S TAU-B between document length and token count, on the
+    * BUCKETED value grid — the rank-correlation sibling of
+    * [[statsSpearman]] whose concordant/discordant pair counts are
+    * exact integers. Raw Kendall is Θ(n²) pairs; bucketing both
+    * variables (widths [[KendallBxWidth]]/[[KendallByWidth]], a
+    * documented statistic change, not an approximation of raw tau)
+    * collapses the corpus to a VALUE-DOMAIN-bounded cell grid
+    * (≤ ~250 cells here; bounded by max doc length, not corpus rows),
+    * so C and D are one broadcast cell×cell join of weighted pairs:
+    * C = Σ c_i·c_j over cell pairs concordant in both coordinates,
+    * D likewise discordant. Tie corrections n1/n2 come from the
+    * marginal bucket masses; tau-b = (C−D)/√((n0−n1)(n0−n2)) is the
+    * single float — the [[statsSpearman]] sqrt discipline, rounded
+    * 6dp. Sums in DECIMAL(38,0) (pair counts reach n²), outputs cast
+    * BIGINT (rescale past ~3e9 docs, the documented ceiling). */
+  def statsKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = Tables(spark, dir).documents
+      .select(expr(s"n_chars div $KendallBxWidth").as("bx"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)" +
+          s" div $KendallByWidth").as("by"))
+      .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // bounded grid, probed five times below
+    val a = cells.select(col("bx").as("xa"), col("by").as("ya"),
+      col("c").cast(dec).as("ca"))
+    val b = cells.select(col("bx").as("xb"), col("by").as("yb"),
+      col("c").cast(dec).as("cb"))
+    val cd = broadcast(a).crossJoin(broadcast(b))
+      .filter(col("xa") < col("xb"))
+      .agg(
+        coalesce(sum(when(col("ya") < col("yb"),
+          col("ca") * col("cb"))), lit(0L).cast(dec)).as("conc"),
+        coalesce(sum(when(col("ya") > col("yb"),
+          col("ca") * col("cb"))), lit(0L).cast(dec)).as("disc"))
+    val n = cells.agg(sum(col("c").cast(dec)).as("n"))
+    val tx = cells.groupBy(col("bx")).agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum((col("t").cast(dec) * (col("t") - 1))),
+        lit(0L).cast(dec)).as("tx2")) // Σ t(t−1) = 2·n1
+    val ty = cells.groupBy(col("by")).agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum((col("t").cast(dec) * (col("t") - 1))),
+        lit(0L).cast(dec)).as("ty2"))
+    cd.crossJoin(n).crossJoin(tx).crossJoin(ty)
+      .select(col("n").cast(LongType).as("n"),
+        col("conc").cast(LongType).as("concordant"),
+        col("disc").cast(LongType).as("discordant"),
+        // n0 − n1 = (n(n−1) − Σt(t−1))/2; the ×2 factors cancel in
+        // the ratio, so compare against the un-halved products
+        round((col("conc") - col("disc")).cast(DoubleType) * 2.0
+          / sqrt((col("n") * (col("n") - 1) - col("tx2"))
+              .cast(DoubleType)
+            * (col("n") * (col("n") - 1) - col("ty2"))
+              .cast(DoubleType)), 6).as("tau"))
+  }
+
+  /** Relabeling count for [[statsFdrBh]] — shared with the oracle. */
+  val FdrB = 64
+
+  /** BENJAMINI–HOCHBERG FDR over a FAMILY of derandomized permutation
+    * tests — the multiple-testing correction an experiment platform
+    * needs the moment it tests one split against MANY metrics: at
+    * α = 5%, one-in-twenty raw tests "wins" by chance. Family = the
+    * five event types; per type, does the `graft-ab` hash split shift
+    * the per-user event COUNT? Each test is the
+    * [[statsPermutationTest]] device ([[FdrB]] md5-salted relabelings,
+    * `graft-fdr:<b>:<user>`, extremeness by DECIMAL cross-multiply —
+    * all K tests share ONE (type, b, arm) combinable agg, a single
+    * pass at any scale). BH step-up on the K-row grid: rank p
+    * ascending (type tie-break), raw pass ⇔ p_permille·K ≤ 50·rank
+    * (α = 50‰ in the same integer units), significant ⇔ rank ≤ max
+    * passing rank. The only windows run over the K-row family grid —
+    * bounded by the metric catalog, never the corpus. */
+  def statsFdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perUt = Tables(spark, dir).events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // read by the observed split + the explode
+    def arms(df: DataFrame) = df
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).cast(dec)
+          .as("n_a"),
+        sum(when(col("v") === 0, col("x")).otherwise(0L)).cast(dec)
+          .as("s1_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).cast(dec)
+          .as("n_b"),
+        sum(when(col("v") === 1, col("x")).otherwise(0L)).cast(dec)
+          .as("s1_b"))
+      .select(col("event_type"), col("b"),
+        abs(col("s1_a") * col("n_b") - col("s1_b") * col("n_a"))
+          .as("delta"),
+        (col("n_a") * col("n_b")).as("w"))
+    val obs = arms(perUt.select(col("event_type"), lit(-1).as("b"),
+        col("x"),
+        (graft.ops.TextOps.md5Hash60(concat(lit("graft-ab:"),
+          col("user_id").cast("string"))) % 2).as("v")))
+      .select(col("event_type"), col("delta").as("d_obs"),
+        col("w").as("w_obs"))
+    val perms = arms(perUt
+      .select(col("user_id"), col("event_type"), col("x"),
+        explode(sequence(lit(0), lit(FdrB - 1))).as("b"))
+      .withColumn("v", graft.ops.TextOps.md5Hash60(concat_ws(":",
+        lit("graft-fdr"), col("b").cast("string"),
+        col("user_id").cast("string"))) % 2))
+    val p = perms.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_perms"),
+        sum((col("delta") * col("w_obs") >= col("d_obs") * col("w"))
+          .cast("long")).as("n_extreme"))
+      .select(col("event_type"), col("n_perms"),
+        expr("(1000 * n_extreme) div n_perms").as("p_permille"))
+    // the K-row family grid: bounded windows (metric catalog size)
+    val wRank = Window.orderBy(col("p_permille"), col("event_type"))
+    val wAll = Window.partitionBy()
+    p.withColumn("rank_asc", row_number().over(wRank).cast(LongType))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("bh_pass_raw",
+        col("p_permille") * col("k") <= lit(50L) * col("rank_asc"))
+      .withColumn("max_pass", max(when(col("bh_pass_raw"),
+        col("rank_asc"))).over(wAll))
+      .select(col("event_type"), col("p_permille"), col("rank_asc"),
+        expr("(50 * rank_asc) div k").as("bh_threshold_permille"),
+        coalesce(col("rank_asc") <= col("max_pass"), lit(false))
+          .as("is_significant"))
+      .orderBy(col("rank_asc"))
+  }
 }

@@ -398,17 +398,49 @@ object TextOps {
     * Components via [[GraphOps.minLabelComponents]] (iterative
     * DataFrame min-label propagation, run until stable — any component
     * diameter, matching the oracle's exact transitive closure). */
-  def dedupClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = textNgramJaccard(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"))
-    val verts = Tables(spark, dir).documents
-      .select(col("doc_id").as("id"))
-    GraphOps.minLabelComponents(verts, pairs)
+  def dedupClusterCanonical(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelsCached(spark, dir)
       .select(col("id").as("doc_id"), col("cluster"),
         (col("id") === col("cluster")).as("is_canonical"))
       .orderBy(col("doc_id"))
+
+  /** Memoized near-dup cluster labeling (connected components over the
+    * exact-Jaccard ≥ 0.5 pair graph) — `dedup_cluster_canonical`,
+    * `corpus_dedup_impact` and `dedup_cluster_sizes` all consume the
+    * identical labeling, which previously re-ran the min-label loop
+    * per caller (r14). One build per (session, dir). */
+  private val clusterLabelsCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+  private[ops] def clusterLabelsCached(spark: SparkSession,
+      dir: String): DataFrame = clusterLabelsCache.synchronized {
+    clusterLabelsCache.getOrElseUpdate((spark, dir), {
+      val pairs = textNgramJaccard(spark, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val verts = Tables(spark, dir).documents
+        .select(col("doc_id").as("id"))
+      val (labels, chk) = GraphOps.minLabelComponentsChk(verts, pairs)
+      val out = labels.localCheckpoint(true)
+      chk.unpersist(false)
+      out
+    })
   }
+
+  /** NEAR-DUP CLUSTER SIZE CENSUS — the shape of the duplication a
+    * pipeline is about to collapse: for each cluster size s, how many
+    * clusters and how many documents sit in s-sized groups. The
+    * singleton row (s = 1) is the untouched mass; the tail tells a
+    * dedup owner whether duplication is a few huge families (boiler-
+    * plate, mirrored sites — worth a root-cause look) or broad
+    * pairwise noise. Rides the memoized cluster labeling; marginal
+    * cost two bounded aggs (cluster-keyed, then size-keyed). */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelsCached(spark, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("s"))
+      .groupBy(col("s").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("s")).as("n_docs"))
+      .orderBy(col("cluster_size"))
 
   /** DEDUP IMPACT REPORT — what the near-dup clustering actually buys,
     * in tokens: per source, the documents a canonical-only export

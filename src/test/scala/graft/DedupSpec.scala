@@ -117,6 +117,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster size census regroups the canonical labeling and " +
+      "partitions the corpus") {
+    val labels = TextOps.dedupClusterCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val expect = labels.groupBy(_._2).values
+      .map(_.length.toLong).groupBy(identity).view
+      .mapValues(g => (g.size.toLong, g.sum)).toMap
+    val rows = TextOps.dedupClusterSizes(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("cluster_size")).toSet ==
+      expect.keySet)
+    rows.foreach { r =>
+      val (nc, nd) = expect(r.getAs[Long]("cluster_size"))
+      assert(r.getAs[Long]("n_clusters") == nc)
+      assert(r.getAs[Long]("n_docs") == nd)
+    }
+    // the census partitions the corpus: doc masses sum to the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == labels.length)
+    // and this corpus HAS non-singleton near-dup families
+    assert(rows.exists(r => r.getAs[Long]("cluster_size") > 1L))
+  }
+
   test("exact dedup is a partition of the corpus") {
     val rows = TextOps.dedupExact(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum == 500L)

@@ -1111,4 +1111,127 @@ class MiningSpec extends SparkSpec {
     rows.get("changed").foreach(c =>
       assert(math.round(c._2 * 100) == changedCents))
   }
+
+  test("cohens kappa: confusion matrix recomputes from raw docs, " +
+      "kappa matches the exact BigInt rational and a float recompute") {
+    val r = graft.ops.Stats.statsCohensKappa(spark, sfDir)
+      .collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val rated = docs.map { case (nc, w) =>
+      (nc >= 200L, nc >= 4 * w && nc <= 8 * w) }
+    val n = rated.length.toLong
+    val n11 = rated.count { case (a, b) => a && b }.toLong
+    val n10 = rated.count { case (a, b) => a && !b }.toLong
+    val n01 = rated.count { case (a, b) => !a && b }.toLong
+    val n00 = n - n11 - n10 - n01
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n11") == n11)
+    assert(r.getAs[Long]("n10") == n10)
+    assert(r.getAs[Long]("n01") == n01)
+    assert(r.getAs[Long]("n00") == n00)
+    val e = BigInt(n11 + n10) * (n11 + n01) + BigInt(n01 + n00) * (n10 + n00)
+    val kappa = (BigInt(1000) * (BigInt(n) * (n11 + n00) - e)) /
+      (BigInt(n) * n - e)
+    assert(r.getAs[Long]("kappa_permille") == kappa.toLong)
+    // float cross-check of the definition
+    val po = (n11 + n00).toDouble / n
+    val pe = e.toDouble / (n.toDouble * n)
+    assert(math.abs(r.getAs[Long]("kappa_permille") / 1000.0 -
+      (po - pe) / (1 - pe)) < 2e-3)
+    // kappa must sit strictly below raw agreement unless pe = 0
+    assert(r.getAs[Long]("kappa_permille") <=
+      r.getAs[Long]("po_permille"))
+  }
+
+  test("kendall tau-b: brute-force pair census over the bucketed grid " +
+      "matches concordant/discordant and the tie-corrected tau") {
+    val r = graft.ops.Stats.statsKendallTau(spark, sfDir)
+      .collect().head
+    val pts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(expr(s"n_chars div ${graft.ops.Stats.KendallBxWidth}"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)" +
+          s" div ${graft.ops.Stats.KendallByWidth}"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    var conc = 0L; var disc = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val s = (pts(i)._1 - pts(j)._1) * (pts(i)._2 - pts(j)._2)
+      if (pts(i)._1 != pts(j)._1 && pts(i)._2 != pts(j)._2) {
+        if (s > 0) conc += 1 else disc += 1
+      }
+    }
+    val n = pts.length.toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("concordant") == conc)
+    assert(r.getAs[Long]("discordant") == disc)
+    val tx2 = pts.groupBy(_._1).values
+      .map(g => BigInt(g.length) * (g.length - 1)).sum
+    val ty2 = pts.groupBy(_._2).values
+      .map(g => BigInt(g.length) * (g.length - 1)).sum
+    val denom = math.sqrt(
+      (BigInt(n) * (n - 1) - tx2).toDouble *
+        (BigInt(n) * (n - 1) - ty2).toDouble)
+    val tau = BigDecimal((conc - disc) * 2.0 / denom)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("tau") - tau) < 2e-6)
+    assert(math.abs(r.getAs[Double]("tau")) <= 1.0)
+  }
+
+  test("fdr bh: per-type permutation p-values recompute exactly, " +
+      "step-up flags are a prefix of the p-ascending order") {
+    val rows = graft.ops.Stats.statsFdrBh(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ut = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getLong(2)))
+    val types = ut.map(_._2).distinct.sorted
+    val k = types.length.toLong
+    assert(rows.length.toLong == k)
+    val expectP = types.map { t =>
+      val g = ut.filter(_._2 == t)
+      def split(f: Long => Long) = {
+        val (a, b) = g.partition { case (u, _, _) => f(u) == 0 }
+        (BigInt(a.length), a.map(x => BigInt(x._3)).sum,
+          BigInt(b.length), b.map(x => BigInt(x._3)).sum)
+      }
+      val (na, s1a, nb, s1b) = split(u => md5h60(s"graft-ab:$u") % 2)
+      val dObs = (s1a * nb - s1b * na).abs; val wObs = na * nb
+      val ex = (0 until graft.ops.Stats.FdrB).count { b =>
+        val (pna, ps1a, pnb, ps1b) =
+          split(u => md5h60(s"graft-fdr:$b:$u") % 2)
+        (ps1a * pnb - ps1b * pna).abs * wObs >= dObs * (pna * pnb)
+      }
+      t -> 1000L * ex / graft.ops.Stats.FdrB
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_permille") ==
+        expectP(r.getAs[String]("event_type")))
+    }
+    // BH structure: ranks are 1..K in p-ascending (type tie-break)
+    // order, thresholds are (50 i) div K, and the significant set is
+    // exactly the prefix up to the LARGEST raw-passing rank
+    val byRank = rows.sortBy(_.getAs[Long]("rank_asc"))
+    assert(byRank.map(_.getAs[Long]("rank_asc")).toSeq ==
+      (1L to k).toSeq)
+    assert(byRank.map(r => (r.getAs[Long]("p_permille"),
+      r.getAs[String]("event_type"))).toSeq ==
+      byRank.map(r => (r.getAs[Long]("p_permille"),
+        r.getAs[String]("event_type"))).sortBy(identity).toSeq)
+    byRank.foreach(r => assert(r.getAs[Long]("bh_threshold_permille")
+      == 50L * r.getAs[Long]("rank_asc") / k))
+    val rawPass = byRank.map(r =>
+      r.getAs[Long]("p_permille") * k <= 50L * r.getAs[Long]("rank_asc"))
+    val iMax = rawPass.lastIndexOf(true)
+    byRank.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Boolean]("is_significant") == (i <= iMax)) }
+  }
 }
