@@ -1046,6 +1046,40 @@ object Oracle {
          ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
 
+  /** Per-round Lloyd convergence trace, replaying
+    * [[graft.ops.VectorOps.embedKmeansConvergence]]: the shared
+    * training chain plus a sim-KEEPING assignment CTE per round
+    * (identical argmax/tie-break, the rounded cosine retained), mean
+    * cohesion via the silhouette decimal-mean device, moved counts by
+    * joining consecutive assignments. */
+  private def kmeansConvergenceSql(k: Int, iters: Int): String = {
+    val assigns = (1 to iters).map { i =>
+      s""",
+         s$i AS (SELECT vec_id, cid, sim FROM (
+           SELECT e.vec_id, c${i - 1}.cid,
+                  ROUND(${kmCos("e.v", s"c${i - 1}.c")}, 6) AS sim,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ROUND(${kmCos("e.v", s"c${i - 1}.c")}, 6)
+                      DESC, c${i - 1}.cid) AS rk
+           FROM e, c${i - 1}) t WHERE rk = 1),
+         m$i AS (SELECT CAST($i AS BIGINT) AS round,
+                  CAST(count(*) AS BIGINT) AS n_vectors,
+                  ROUND(CAST(SUM(CAST(sim AS DECIMAL(27,10)))
+                      AS DOUBLE) / COUNT(*) + 1e-9, 6) AS mean_cos
+                 FROM s$i)"""
+    }.mkString
+    val rows = (1 to iters).map { i =>
+      val moved =
+        if (i == 1) "CAST(NULL AS BIGINT)"
+        else s"""(SELECT CAST(SUM(CASE WHEN s$i.cid <> s${i - 1}.cid
+                   THEN 1 ELSE 0 END) AS BIGINT)
+                  FROM s$i JOIN s${i - 1} USING (vec_id))"""
+      s"SELECT round, n_vectors, mean_cos, $moved AS n_moved FROM m$i"
+    }.mkString("\n         UNION ALL ")
+    kmeansTrainCtes(k, iters) + assigns +
+      s"\n         $rows\n         ORDER BY round"
+  }
+
   /** Centroid-based silhouette on top of the unrolled Lloyd chain,
     * replaying [[graft.ops.VectorOps.embedSilhouette]]: rounded-cosine
     * distances to all k trained centroids ranked per vector
@@ -6660,6 +6694,36 @@ object Oracle {
            FROM ds) t
          WHERE rk = 1 ORDER BY doc_id""",
 
+    // same detector chain, censused as the declared x detected
+    // confusion matrix
+    "corpus_lang_confusion" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         perlang AS (SELECT lang AS l, tok, count(*) AS c_lt
+                     FROM toks GROUP BY 1, 2),
+         lt AS (SELECT l, CAST(sum(c_lt) AS BIGINT) AS c_l
+                FROM perlang GROUP BY l),
+         tt AS (SELECT tok, count(*) AS c_t FROM toks GROUP BY tok),
+         g AS (SELECT count(*) AS c_all FROM toks),
+         scores AS (SELECT l, perlang.tok AS tok,
+                           CAST(ROUND(ln((CAST(c_lt AS DOUBLE) / c_l)
+                             / (CAST(c_t AS DOUBLE) / c_all)) + 1e-12, 9)
+                             AS DECIMAL(18,9)) AS score
+                    FROM perlang JOIN lt USING (l)
+                    JOIN tt ON perlang.tok = tt.tok CROSS JOIN g),
+         ds AS (SELECT doc_id, lang, l, SUM(score) AS total
+                FROM toks JOIN scores ON toks.tok = scores.tok
+                GROUP BY 1, 2, 3)
+         SELECT lang AS lang_true, predicted AS lang_pred,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM (
+           SELECT doc_id, lang, l AS predicted,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY total DESC, l DESC) AS rk
+           FROM ds) t
+         WHERE rk = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred""",
+
     // curriculum: integer quality permille -> ntile(3) terciles over
     // the (q desc, doc_id) total order -> md5-shuffled in-phase rank
     "corpus_curriculum_plan" ->
@@ -7487,6 +7551,7 @@ object Oracle {
     // into each other.
     "embed_ann_kmeans" -> annKmeansSql(8, 3),
     "embed_silhouette" -> silhouetteSql(8, 3),
+    "embed_kmeans_convergence" -> kmeansConvergenceSql(8, 3),
     "embed_pca_power" -> pcaPowerSql(ops.VectorOps.PcaRounds),
     "embed_mmr_rerank" -> mmrRerankSql(ops.VectorOps.MmrPicks),
     "embed_pca_project" -> pcaProjectSql(ops.VectorOps.PcaRounds),
@@ -8032,6 +8097,34 @@ object Oracle {
     // Mann-Kendall trend: grid-squared sign sum + the exact
     // tie-corrected 18*var(S); the 2-sigma call is one integer
     // cross-multiply
+    // breakout = (n x - S1)^2 > 4 (n S2 - S1^2) over the trailing
+    // 14-day window excluding the current day; HUGEINT moments
+    "timeseries_bollinger_breakout" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2),
+         wdw AS (SELECT event_type, day, x,
+                  CAST(count(*) OVER w AS HUGEINT) AS nw,
+                  SUM(CAST(x AS HUGEINT)) OVER w AS s1,
+                  SUM(CAST(x AS HUGEINT) * x) OVER w AS s2
+                 FROM daily
+                 WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)),
+         f AS (SELECT event_type, nw * x - s1 AS d,
+                      nw * s2 - s1 * s1 AS v
+               FROM wdw WHERE nw = 14),
+         c AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(CASE WHEN d > 0 AND d * d > 4 * v
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                 CAST(SUM(CASE WHEN d < 0 AND d * d > 4 * v
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+               FROM f GROUP BY 1)
+         SELECT event_type, n_days, n_hi, n_lo,
+                (1000 * (n_hi + n_lo)) // n_days AS breakout_permille
+         FROM c ORDER BY event_type""",
+
     "timeseries_mann_kendall" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -697,6 +697,23 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the detector-quality census over
+    * [[textLangId]]'s per-doc argmax: declared corpus language
+    * (rows) × detected language (columns, as grid rows), the table a
+    * pipeline owner reads before trusting the detector for routing or
+    * filtering — the diagonal is agreement, off-diagonal cells name
+    * exactly WHICH language pairs the n-gram vote confuses. On this
+    * synthetic corpus (uniform token distribution) the matrix is
+    * near-uniform by design — the key asserts the evaluation
+    * PIPELINE, the same contract as `text_lang_id` itself. Marginal
+    * cost over the detector: one bounded (lang × lang) agg. */
+  def corpusLangConfusion(spark: SparkSession, dir: String): DataFrame =
+    textLangId(spark, dir)
+      .groupBy(col("lang").as("lang_true"),
+        col("predicted").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+
   /** Document fingerprint: least [[md5Hash60]] over trigram shingles
     * (the winnowing/MinHash k=1 fingerprint) — DuckDB-oracled since
     * round 4. Identical-content docs get identical fingerprints. */

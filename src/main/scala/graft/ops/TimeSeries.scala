@@ -972,6 +972,50 @@ object TimeSeries {
       .orderBy(col("week"))
   }
 
+  /** BOLLINGER BREAKOUT CENSUS per event-type daily-cents series —
+    * the band-monitor read next to [[timeseriesCusum]]'s drift
+    * detector: a day is a breakout when it falls outside μ ± 2σ of
+    * the TRAILING 14 observed days (window EXCLUDES the current day,
+    * so the band is a genuine forecast envelope, not self-inflated by
+    * the outlier it is judging). Decided entirely in integers: with
+    * window moments (n=14, S1=Σx, S2=Σx²), x outside the band ⇔
+    * (n·x − S1)² > 4·(n·S2 − S1²) — the cross-multiplied z²>4 form,
+    * direction from the sign of n·x − S1. Moments in DECIMAL(38,0)
+    * (the square passes BIGINT once daily totals reach ~1e9 cents —
+    * the documented corpus-scale headroom rule). Windows run over the
+    * bounded per-type day grid, never corpus rows; days with an
+    * incomplete 14-day history are excluded on both engines. */
+  def timeseriesBollingerBreakout(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-14, -1)
+    daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("x").cast(dec)).over(w))
+      .withColumn("s2",
+        sum(col("x").cast(dec) * col("x").cast(dec)).over(w))
+      .filter(col("nw") === 14L)
+      .select(col("event_type"),
+        (col("nw") * col("x") - col("s1")).as("d"),
+        (col("nw") * col("s2") - col("s1") * col("s1")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("d") > 0 && col("d") * col("d") > lit(4) * col("v"),
+          1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("d") < 0 && col("d") * col("d") > lit(4) * col("v"),
+          1L).otherwise(0L)).as("n_lo"))
+      .select(col("event_type"), col("n_days"), col("n_hi"), col("n_lo"),
+        expr("(1000 * (n_hi + n_lo)) div n_days")
+          .as("breakout_permille"))
+      .orderBy(col("event_type"))
+  }
+
   /** MANN-KENDALL TREND TEST per event-type series — the
     * distribution-free "is this metric trending?" read next to
     * [[timeseriesPettitt]]'s "where did it shift?": S = Σ_{i<j}

@@ -1019,6 +1019,84 @@ object VectorOps {
     out
   }
 
+  /** K-MEANS CONVERGENCE TRACE — the "did the training budget
+    * converge?" read that belongs NEXT TO the k-means family
+    * ([[embedAnnKmeans]]/[[embedSilhouette]] consume the k=8,
+    * 3-iteration codebook; this key shows whether 3 iterations were
+    * enough): per Lloyd round, the assignment COHESION (mean rounded
+    * cosine of every vector to its assigned centroid — the
+    * cosine-space inertia analogue, higher = tighter) and how many
+    * vectors CHANGED cluster versus the previous round (the classic
+    * Lloyd stopping signal; a near-zero tail says the codebook is
+    * stable, a fat tail says budget more rounds). Replays
+    * [[kmeansQuantizer]]'s exact step (same deterministic seed,
+    * rounded-cosine argmax with cid tie-break, decimal-exact mean
+    * update with empty-cluster carry-forward) with the per-round
+    * assignment KEPT: each round is one broadcast-assign + one
+    * k×dim-state update — constant state at any corpus size, like the
+    * quantizer itself. Mean cosine uses the [[embedSilhouette]] float
+    * discipline (per-vector 6dp round → DECIMAL(27,10) sum → one
+    * double division, +1e-9, 6dp). */
+  def embedKmeansConvergence(spark: SparkSession,
+      dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    var cents = e.orderBy(col("vec_id")).limit(8)
+      .select(row_number().over(Window.orderBy(col("vec_id")))
+        .as("cid"), col("v").as("centroid"))
+    var prev: Option[DataFrame] = None
+    val retired = scala.collection.mutable.Buffer.empty[DataFrame]
+    val rounds = (1 to 3).map { i =>
+      val asg = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"),
+          round(cosine(col("v"), col("centroid")), 6).as("sim"),
+          col("cid"))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), col("v"), col("m.sim").as("sim"),
+          (-col("m.ncid")).as("cid"))
+        .localCheckpoint(true) // stats + update + next round's delta
+      retired += asg
+      val stats = asg.agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("sim").cast(DecimalType(27, 10)))
+            .cast(DoubleType) / count(lit(1)) + lit(1e-9), 6)
+            .as("mean_cos"))
+        .select(lit(i.toLong).as("round"), col("n_vectors"),
+          col("mean_cos"))
+      val row = prev match {
+        case Some(p) => stats.crossJoin(
+          asg.select(col("vec_id"), col("cid"))
+            .join(p.select(col("vec_id"), col("cid").as("pc")),
+              "vec_id")
+            .agg(sum((col("cid") =!= col("pc")).cast("long"))
+              .as("n_moved")))
+        case None => stats.withColumn("n_moved",
+          lit(null).cast("long"))
+      }
+      val updated = asg.select(col("cid"), posexplode(col("v")))
+        .toDF("cid", "pos", "x")
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(27, 10)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("ps"))
+        .select(col("cid"),
+          expr("transform(ps, p -> p.m)").as("new_centroid"))
+      cents = cents.join(updated, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("new_centroid"), col("centroid"))
+            .as("centroid"))
+      prev = Some(asg)
+      row
+    }
+    val out = rounds.reduce(_ unionByName _).orderBy(col("round"))
+      .localCheckpoint(true)
+    retired.foreach(_.unpersist(false))
+    out
+  }
+
   /** Round budget for [[embedPcaPower]] — bounded so the oracle can
     * unroll the identical chain. */
   val PcaRounds = 6

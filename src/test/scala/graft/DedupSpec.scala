@@ -152,6 +152,28 @@ class DedupSpec extends SparkSpec {
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
 
+  test("lang confusion matrix regroups the detector output and " +
+      "partitions the corpus; diagonal = the correct flags") {
+    val det = TextOps.textLangId(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted"),
+        r.getAs[Boolean]("correct")))
+    val expect = det.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.length.toLong).toMap
+    val rows = TextOps.corpusLangConfusion(spark, sfDir).collect()
+    assert(rows.map(r => (r.getAs[String]("lang_true"),
+      r.getAs[String]("lang_pred"))).toSet == expect.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == expect(
+        (r.getAs[String]("lang_true"), r.getAs[String]("lang_pred"))))
+    }
+    // cells partition the corpus; the diagonal mass is exactly the
+    // detector's own correct count
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == det.length)
+    val diag = rows.filter(r => r.getAs[String]("lang_true") ==
+      r.getAs[String]("lang_pred")).map(_.getAs[Long]("n_docs")).sum
+    assert(diag == det.count(_._3).toLong)
+  }
+
   test("PII scrub: no digits survive redaction, surrogate ids are " +
       "consistent per user and never the raw id") {
     val rows = TextOps.textRedactPii(spark, sfDir).collect()

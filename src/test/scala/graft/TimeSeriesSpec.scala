@@ -1256,4 +1256,42 @@ class TimeSeriesSpec extends SparkSpec {
     // floor lands exactly on 1000 — never above, never negative
     assert(vr >= 0 && vr <= 1000, vr.toString)
   }
+
+  test("bollinger breakout: trailing-window census recomputes " +
+      "from raw daily cents, current day excluded from its own band") {
+    val rows = graft.ops.TimeSeries
+      .timeseriesBollingerBreakout(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("x"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("x")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(v => BigInt(v._3)).toVector).toMap
+    daily.foreach { case (et, xs) =>
+      var nDays = 0L; var nHi = 0L; var nLo = 0L
+      for (i <- xs.indices if i >= 14) {
+        val w = xs.slice(i - 14, i)
+        val s1 = w.sum; val s2 = w.map(v => v * v).sum
+        val d = BigInt(14) * xs(i) - s1
+        val v = BigInt(14) * s2 - s1 * s1
+        nDays += 1
+        if (d > 0 && d * d > 4 * v) nHi += 1
+        if (d < 0 && d * d > 4 * v) nLo += 1
+      }
+      if (nDays > 0) {
+        val r = rows(et)
+        assert(r.getAs[Long]("n_days") == nDays, et)
+        assert(r.getAs[Long]("n_hi") == nHi, et)
+        assert(r.getAs[Long]("n_lo") == nLo, et)
+        assert(r.getAs[Long]("breakout_permille") ==
+          1000L * (nHi + nLo) / nDays, et)
+      } else assert(!rows.contains(et), et)
+    }
+  }
 }

@@ -827,4 +827,46 @@ class VectorSpec extends SparkSpec {
       }
     }
   }
+
+  test("kmeans convergence: round-1 cohesion recomputes exactly from " +
+      "the deterministic seed, trace structure holds") {
+    val rows = graft.ops.VectorOps
+      .embedKmeansConvergence(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L, 3L))
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    val n = vecs.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == n)
+      assert(math.abs(r.getAs[Double]("mean_cos")) <= 1.0 + 1e-6)
+    }
+    // round 1 has no predecessor; later rounds moved <= n
+    assert(rows.head.isNullAt(rows.head.fieldIndex("n_moved")))
+    rows.tail.foreach { r =>
+      val m = r.getAs[Long]("n_moved")
+      assert(m >= 0L && m <= n)
+    }
+    // exact round-1 recompute: seed = 8 smallest vec_ids, per-vector
+    // max rounded cosine (cid tie-break irrelevant to the max SIM),
+    // decimal sum -> one double division + 1e-9, 6dp
+    val cents = vecs.take(8).map(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val sims = vecs.map { case (_, v) =>
+      cents.map(c => BigDecimal(cos(v, c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).max }
+    val mean = (sims.sum.toDouble / n) + 1e-9
+    val expect = BigDecimal(mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head.getAs[Double]("mean_cos") - expect)
+      <= 1e-6)
+  }
 }
