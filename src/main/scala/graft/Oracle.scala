@@ -4415,6 +4415,37 @@ object Oracle {
                   AS BIGINT) AS kappa_permille
          FROM m""",
 
+    // Matthews correlation over the same 2x2 rater confusion matrix:
+    // exact HUGEINT numerator, single sqrt ratio, NULL on a zero
+    // marginal (both engines)
+    "stats_matthews_corr" ->
+      s"""WITH r AS (SELECT (n_chars >= 200) AS a,
+                 (n_chars >= 4 * len(string_split(text, ' '))
+                  AND n_chars <= 8 * len(string_split(text, ' '))) AS b
+               FROM documents),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n10,
+                 CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n00
+               FROM r),
+         mn AS (SELECT *, CAST(CAST(n11 AS HUGEINT) * n00
+                    - CAST(n10 AS HUGEINT) * n01 AS BIGINT) AS mcc_num
+                FROM m)
+         SELECT n, n11, n10, n01, n00, mcc_num,
+                CASE WHEN n11 + n10 = 0 OR n11 + n01 = 0
+                       OR n00 + n10 = 0 OR n00 + n01 = 0 THEN NULL
+                     ELSE ROUND(CAST(mcc_num AS DOUBLE)
+                       / sqrt(CAST(n11 + n10 AS DOUBLE)
+                         * CAST(n11 + n01 AS DOUBLE)
+                         * CAST(n00 + n10 AS DOUBLE)
+                         * CAST(n00 + n01 AS DOUBLE)), 6) END AS mcc
+         FROM mn""",
+
     // Kendall tau-b on the bucketed (length, tokens) grid: exact
     // HUGEINT concordant/discordant cell-pair masses + marginal tie
     // corrections; the single float is the final sqrt ratio (the
@@ -6466,6 +6497,54 @@ object Oracle {
                   AS n_clusters,
                 CAST(SUM(s) AS BIGINT) AS n_docs
          FROM cs GROUP BY 1 ORDER BY cluster_size""",
+
+    // quality-band x canonical-status cross-tab over the same
+    // recursive cluster chain + the curriculum q_permille CTE
+    "corpus_quality_vs_dedup" ->
+      s"""WITH RECURSIVE $NgramCtes,
+         raw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                        count(*) AS inter
+                 FROM tri a JOIN tri b
+                   ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS j
+                  FROM raw
+                  JOIN sz sa ON sa.doc_id = a_id
+                  JOIN sz sb ON sb.doc_id = b_id)
+                WHERE j >= 0.5),
+         und AS (SELECT a_id AS a, b_id AS b FROM jp
+                 UNION ALL SELECT b_id, a_id FROM jp),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         ),
+         cl AS (SELECT src AS doc_id, min(dst) AS cluster
+                FROM reach GROUP BY src),
+         sc AS (SELECT doc_id,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(t, x -> list_contains(
+                        ['the','a','of','to','and','in','is','it'], x)))
+                        AS BIGINT) AS n_stop
+               FROM (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents) d),
+         q AS (SELECT doc_id,
+                      (1000 * (n_tokens - n_stop)) // (n_tokens + 1)
+                        AS q
+               FROM sc),
+         bands AS (SELECT q.q // 100 AS q_band,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN cl.cluster <> cl.doc_id
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed_docs
+                   FROM q JOIN cl ON q.doc_id = cl.doc_id
+                   GROUP BY 1)
+         SELECT q_band, n_docs, n_removed_docs,
+                (1000 * n_removed_docs) // n_docs AS removed_permille
+         FROM bands ORDER BY q_band""",
 
     "text_ngram_jaccard" ->
       s"""WITH $NgramCtes,

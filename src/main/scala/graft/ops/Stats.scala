@@ -1203,6 +1203,47 @@ object Stats {
                  AS BIGINT)""").as("kappa_permille"))
   }
 
+  /** MATTHEWS CORRELATION (φ) between the same two raters as
+    * [[statsCohensKappa]] — the agreement coefficient reported NEXT
+    * TO kappa in practice: kappa corrects for chance via marginals,
+    * MCC is the 2×2 Pearson correlation and stays honest under class
+    * imbalance (a rater passing 99% of docs can still score high
+    * kappa; MCC collapses to ~0). Numerator n11·n00 − n10·n01 exact
+    * in DECIMAL(38,0) (emitted as BIGINT mcc_num); the single float
+    * is the final sqrt ratio over the four marginals (the
+    * [[statsSpearman]] discipline), 6dp; a zero marginal makes the
+    * coefficient undefined → NULL on both engines. One scan → one
+    * 2×2 agg at any scale. */
+  def statsMatthewsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val rated = Tables(spark, dir).documents
+      .select(
+        (col("n_chars") >= 200L).as("a"),
+        ((col("n_chars") >= size(split(col("text"), " "))
+            .cast(LongType) * 4L) &&
+          (col("n_chars") <= size(split(col("text"), " "))
+            .cast(LongType) * 8L)).as("b"))
+    rated
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("""CAST(CAST(n11 AS DECIMAL(38,0)) * n00
+                 - CAST(n10 AS DECIMAL(38,0)) * n01 AS BIGINT)""")
+          .as("mcc_num"))
+      .withColumn("mcc",
+        when(col("n11") + col("n10") === 0L ||
+            col("n11") + col("n01") === 0L ||
+            col("n00") + col("n10") === 0L ||
+            col("n00") + col("n01") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("mcc_num").cast(DoubleType)
+            / sqrt((col("n11") + col("n10")).cast(DoubleType)
+              * (col("n11") + col("n01")).cast(DoubleType)
+              * (col("n00") + col("n10")).cast(DoubleType)
+              * (col("n00") + col("n01")).cast(DoubleType)), 6)))
+  }
+
   /** Bucket widths for [[statsKendallTau]] — shared with the oracle:
     * chars per x-bucket, whitespace tokens per y-bucket. */
   val KendallBxWidth = 32L

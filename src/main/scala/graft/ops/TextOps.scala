@@ -585,6 +585,41 @@ object TextOps {
       .orderBy(col("phase"), col("pos_in_phase"))
   }
 
+  /** QUALITY × DEDUP CROSS-TAB — "is the near-dup collapse biased
+    * toward good or bad text?": per quality band (the curriculum
+    * q_permille quantized to 100-permille bands — a VALUE-DOMAIN cut,
+    * no ranking window), how many documents sit there and what share
+    * a canonical-only export would remove. A removal rate that climbs
+    * with quality is the red flag this table exists to catch (dedup
+    * eating the cleanest text, e.g. boilerplate-heavy high-scoring
+    * templates); flat bands mean the collapse is quality-neutral.
+    * Rides the session cluster labeling + one doc-keyed join + one
+    * bounded band agg. */
+  def corpusQualityVsDedup(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val q = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(filter(col("t"), t => array_contains(stopArr, t)))
+          .cast(LongType).as("n_stop"))
+      .select(col("doc_id"),
+        expr("(1000 * (n_tokens - n_stop)) div (n_tokens + 1)")
+          .as("q"))
+    val cl = clusterLabelsCached(spark, dir)
+      .select(col("id").as("doc_id"),
+        (col("id") =!= col("cluster")).as("removed"))
+    q.join(cl, "doc_id")
+      .groupBy(expr("q div 100").as("q_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("removed"), 1L).otherwise(0L))
+          .as("n_removed_docs"))
+      .select(col("q_band"), col("n_docs"), col("n_removed_docs"),
+        expr("(1000 * n_removed_docs) div n_docs")
+          .as("removed_permille"))
+      .orderBy(col("q_band"))
+  }
+
   def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val stopArr = array(Stopwords.map(lit): _*)
     Tables(spark, dir).documents

@@ -138,6 +138,33 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("cluster_size") > 1L))
   }
 
+  test("quality-vs-dedup cross-tab recomputes from the canonical " +
+      "labeling and the curriculum quality score") {
+    val removed = TextOps.dedupClusterCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        !r.getAs[Boolean]("is_canonical")).toMap
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "it")
+    val q = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getAs[String]("text").split(" ", -1)
+        val ns = t.count(stop)
+        r.getAs[Long]("doc_id") ->
+          1000L * (t.length - ns) / (t.length + 1)
+      }
+    val expect = q.groupBy(_._2 / 100).view.mapValues { g =>
+      (g.length.toLong, g.count(d => removed(d._1)).toLong) }.toMap
+    val rows = TextOps.corpusQualityVsDedup(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("q_band")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (nd, nr) = expect(r.getAs[Long]("q_band"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_removed_docs") == nr)
+      assert(r.getAs[Long]("removed_permille") == 1000L * nr / nd)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == q.length)
+  }
+
   test("exact dedup is a partition of the corpus") {
     val rows = TextOps.dedupExact(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum == 500L)

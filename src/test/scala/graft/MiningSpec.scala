@@ -1146,6 +1146,32 @@ class MiningSpec extends SparkSpec {
       r.getAs[Long]("po_permille"))
   }
 
+  test("matthews corr: numerator exact from the recomputed confusion " +
+      "matrix, mcc matches a float recompute and is bounded") {
+    val r = graft.ops.Stats.statsMatthewsCorr(spark, sfDir)
+      .collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val rated = docs.map { case (nc, w) =>
+      (nc >= 200L, nc >= 4 * w && nc <= 8 * w) }
+    val n11 = rated.count { case (a, b) => a && b }.toLong
+    val n10 = rated.count { case (a, b) => a && !b }.toLong
+    val n01 = rated.count { case (a, b) => !a && b }.toLong
+    val n00 = rated.length - n11 - n10 - n01
+    assert(r.getAs[Long]("mcc_num") ==
+      (BigInt(n11) * n00 - BigInt(n10) * n01).toLong)
+    val marg = Seq(n11 + n10, n11 + n01, n00 + n10, n00 + n01)
+    if (marg.contains(0L)) assert(r.isNullAt(r.fieldIndex("mcc")))
+    else {
+      val mcc = (BigInt(n11) * n00 - BigInt(n10) * n01).toDouble /
+        math.sqrt(marg.map(_.toDouble).product)
+      assert(math.abs(r.getAs[Double]("mcc") - mcc) < 2e-6)
+      assert(math.abs(r.getAs[Double]("mcc")) <= 1.0)
+    }
+  }
+
   test("kendall tau-b: brute-force pair census over the bucketed grid " +
       "matches concordant/discordant and the tie-corrected tau") {
     val r = graft.ops.Stats.statsKendallTau(spark, sfDir)
