@@ -4418,6 +4418,79 @@ object Oracle {
     // Matthews correlation over the same 2x2 rater confusion matrix:
     // exact HUGEINT numerator, single sqrt ratio, NULL on a zero
     // marginal (both engines)
+    // 10%-trimmed mean of per-customer spend: rank = row_number over
+    // (s, custkey), drop n//10 from each side, truncating-division
+    // means (replays Ranks.shardedRank's global order exactly)
+    "stats_trimmed_mean" ->
+      """WITH s AS (SELECT o_custkey,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS s
+               FROM orders GROUP BY 1),
+         r AS (SELECT s, row_number() OVER (ORDER BY s, o_custkey)
+                   AS rn
+               FROM s),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(s) AS BIGINT) AS tot
+               FROM s)
+         SELECT t.n, t.n // 10 AS k_dropped,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(t.tot // t.n AS BIGINT) AS mean_cents,
+                CAST(SUM(r.s) // count(*) AS BIGINT)
+                  AS trimmed_mean_cents
+         FROM r CROSS JOIN t
+         WHERE r.rn > t.n // 10 AND r.rn <= t.n - t.n // 10
+         GROUP BY t.n, t.tot""",
+
+    // Tukey-fence census per nation: percentile_disc-rank quartiles
+    // (value at rank ceil(q*n)), cross-multiplied integer fences
+    "stats_iqr_outliers" ->
+      """WITH s AS (SELECT o_custkey,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS s
+               FROM orders GROUP BY 1),
+         sc AS (SELECT s.o_custkey, s.s, c.c_nationkey
+                FROM s JOIN customer c ON c.c_custkey = s.o_custkey),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY s, o_custkey) AS rn,
+                 count(*) OVER (PARTITION BY c_nationkey) AS n
+               FROM sc),
+         q AS (SELECT c_nationkey, CAST(MAX(n) AS BIGINT) AS n,
+                 MIN(CASE WHEN rn = (n + 3) // 4 THEN s END) AS q1,
+                 MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN s END) AS q3
+               FROM r GROUP BY 1),
+         cen AS (SELECT sc.c_nationkey, q.n, q.q1, q.q3,
+                   CAST(SUM(CASE WHEN sc.s * 2 > 5 * q.q3 - 3 * q.q1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(SUM(CASE WHEN sc.s * 2 < 5 * q.q1 - 3 * q.q3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+                 FROM sc JOIN q USING (c_nationkey)
+                 GROUP BY 1, 2, 3, 4)
+         SELECT nn.n_name, cen.n, q1 AS q1_cents, q3 AS q3_cents,
+                n_low, n_high
+         FROM cen JOIN nation nn ON nn.n_nationkey = cen.c_nationkey
+         ORDER BY nn.n_name""",
+
+    // HHI of customer-spend concentration per nation: exact ppm with
+    // HUGEINT square-sum / squared-total headroom
+    "stats_hhi" ->
+      """WITH s AS (SELECT o_custkey,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS s
+               FROM orders GROUP BY 1),
+         n AS (SELECT c.c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(CAST(s AS HUGEINT)) AS HUGEINT) AS tot,
+                 SUM(CAST(s AS HUGEINT) * s) AS s2,
+                 CAST(MAX(s) AS HUGEINT) AS mx
+               FROM s JOIN customer c ON c.c_custkey = s.o_custkey
+               GROUP BY 1)
+         SELECT nn.n_name, n.n_customers,
+                CAST((1000000 * s2) // (tot * tot) AS BIGINT) AS hhi_ppm,
+                CAST((1000000 * mx) // tot AS BIGINT) AS top_share_ppm
+         FROM n JOIN nation nn ON nn.n_nationkey = n.c_nationkey
+         ORDER BY nn.n_name""",
+
     "stats_matthews_corr" ->
       s"""WITH r AS (SELECT (n_chars >= 200) AS a,
                  (n_chars >= 4 * len(string_split(text, ' '))
@@ -6894,6 +6967,50 @@ object Oracle {
          WHERE c.c >= 3
          ORDER BY c.c DESC, c.w1, c.w2 LIMIT 200""",
 
+    // per-source length deciles: percentile_disc boundaries off the
+    // (source, n_chars) cell frame, 10*cum >= d*n cross-multiply
+    "corpus_length_deciles" ->
+      """WITH cells AS (SELECT source, n_chars,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+         cum AS (SELECT source, n_chars,
+                   SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+                 FROM cells),
+         ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                FROM cells GROUP BY 1),
+         x AS (SELECT cum.source, cum.n_chars, cum.cum, ns.n, d.decile
+               FROM cum JOIN ns USING (source)
+               CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d
+               WHERE cum.cum * 10 >= d.decile * ns.n)
+         SELECT source, CAST(decile AS BIGINT) AS decile,
+                CAST(MIN(n_chars) AS BIGINT) AS boundary_chars
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // PMI collocations ranked by the exact integer lift (log2 is
+    // monotone, so no log ever forms); marginals and N derive from
+    // the single (w1,w2) count frame
+    "text_pmi_bigrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM
+                (SELECT t, unnest(range(1, len(t))) AS i FROM d)),
+         c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+               FROM bi GROUP BY 1, 2),
+         n AS (SELECT CAST(SUM(c) AS HUGEINT) AS nb FROM c),
+         cx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cx
+                FROM c GROUP BY 1),
+         cy AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS cy
+                FROM c GROUP BY 1)
+         SELECT c.w1, c.w2, c.c, cx.cx, cy.cy,
+                CAST((1000000 * CAST(c.c AS HUGEINT) * n.nb)
+                  // (CAST(cx.cx AS HUGEINT) * cy.cy) AS BIGINT)
+                  AS lift_ppm
+         FROM c JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+         WHERE c.c >= 20
+         ORDER BY lift_ppm DESC, c.w1, c.w2 LIMIT 30""",
+
     // replays TextOps.textOovRate: the same top-200 bigram LM as
     // corpus_ngram_lm, then per-document unseen-bigram permille
     "text_oov_rate" ->
@@ -9101,6 +9218,39 @@ object Oracle {
 
     // seasonally-adjusted anomaly: exact cross-multiplied |z| >= 2 on
     // the STL residuals — (n*r - m)^2 >= 4*(n*s2 - m^2), HUGEINT
+    // 14-day SMA RSI per event-type daily-cents series: integer
+    // permille, cross-multiplied overbought/oversold calls, NULL on a
+    // flat window; the first day has no delta and the first 13 deltas
+    // have no full history on either engine
+    "timeseries_rsi" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, day,
+                 x - lag(x) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS d
+               FROM daily),
+         gl AS (SELECT event_type, day,
+                  GREATEST(d, 0) AS g, GREATEST(-d, 0) AS l
+                FROM d WHERE d IS NOT NULL),
+         w AS (SELECT event_type, day,
+                 count(*) OVER tw AS nw,
+                 CAST(SUM(g) OVER tw AS BIGINT) AS gs,
+                 CAST(SUM(l) OVER tw AS BIGINT) AS ls
+               FROM gl WINDOW tw AS (PARTITION BY event_type
+                 ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day,
+                CASE WHEN gs + ls = 0 THEN NULL
+                     ELSE (1000 * gs) // (gs + ls) END AS rsi_permille,
+                CASE WHEN gs + ls = 0 THEN NULL
+                     WHEN gs * 3 >= ls * 7 THEN 'overbought'
+                     WHEN gs * 7 <= ls * 3 THEN 'oversold'
+                     ELSE 'neutral' END AS state
+         FROM w WHERE nw = 14
+         ORDER BY event_type, day""",
+
     "timeseries_anomaly_seasonal" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
                                CAST(SUM(CAST(round(value * 100) AS BIGINT))

@@ -70,6 +70,34 @@ object Ranks {
       "__shard" +: "__off" +: sums.map(p => s"__soff_${p._1}"): _*)
   }
 
+  /** Per-GROUP variant of [[shardedRank]]: a 1-based `rn` over
+    * `order` within each `group`, with the same two-phase shape — the
+    * per-(group, shard) windows are real partitioned sorts, and the
+    * offset frame (one row per group × shard) is bounded by
+    * catalog × value-domain, never the corpus, so the prefix window
+    * (PARTITIONED by group, ordered by `__shard`) is safe at any
+    * scale. The naive alternative — `Window.partitionBy(group)
+    * .orderBy(...)` straight over the data — funnels each group
+    * through ONE task: with a bounded group catalog (25 nations) over
+    * a corpus-sized frame that is the same single-node sort the
+    * global-rank keys just shed, split 25 ways. */
+  def groupedShardedRank(df: DataFrame, group: Seq[String],
+      shard: Column, order: Seq[Column], rn: String): DataFrame = {
+    val gs = group.map(col)
+    val s = df.withColumn("__shard", shard)
+    val offW = Window.partitionBy(gs: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = s.groupBy(gs :+ col("__shard"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .select(gs :+ col("__shard") :+
+        coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"): _*)
+    val shardW = Window.partitionBy(gs :+ col("__shard"): _*)
+      .orderBy(order: _*)
+    s.join(broadcast(offs), group :+ "__shard")
+      .withColumn(rn, col("__off") + row_number().over(shardW))
+      .drop("__shard", "__off")
+  }
+
   /** DOUBLED average rank over `order` by `c` (tie-aware): within a
     * tie group of size t whose min global rank is r, returns
     * 2r + t − 1 = min(rn) + max(rn) — always integral, the device

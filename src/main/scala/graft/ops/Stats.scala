@@ -1374,4 +1374,122 @@ object Stats {
           .as("is_significant"))
       .orderBy(col("rank_asc"))
   }
+
+  /** 10%-TRIMMED MEAN of per-customer lifetime spend — the
+    * outlier-robust central tendency a revenue dashboard shows next to
+    * the raw mean (whales drag the mean; the trimmed mean answers
+    * "what does a typical customer spend?"). Drops the k = n div 10
+    * lowest- and highest-ranked customers, rank built by the shared
+    * two-phase [[Ranks.shardedRank]] (spend-width shards — the
+    * `stats_spearman` cut, so no unpartitioned window ever sees the
+    * customer frame; the tie-break tail is `o_custkey`, making the
+    * dropped set deterministic even on tied spends). All integer
+    * cents; both means are truncating divisions. One ranked pass +
+    * one 1-row broadcast of (n, total). */
+  def statsTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("s"))
+    val ranked = Ranks.shardedRank(spend, expr("s div 10000000"),
+      Seq(col("s"), col("o_custkey")), "rn")
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("s")).as("tot"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("rn") > expr("n div 10") &&
+        col("rn") <= col("n") - expr("n div 10"))
+      .groupBy(col("n"), col("tot"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("s")).as("kept"))
+      .select(col("n"),
+        expr("CAST(n div 10 AS BIGINT)").as("k_dropped"),
+        col("n_kept"),
+        expr("CAST(tot div n AS BIGINT)").as("mean_cents"),
+        expr("CAST(kept div n_kept AS BIGINT)")
+          .as("trimmed_mean_cents"))
+  }
+
+  /** TUKEY-FENCE OUTLIER CENSUS of per-customer spend within each
+    * nation — the box-plot read next to [[mineOutlierMad]]'s
+    * MAD-based global detector: quartiles are exact percentile_disc
+    * ranks (value at rank ⌈q·n⌉), and the fences are decided by the
+    * cross-multiplied integer forms x > Q3 + 1.5·IQR ⇔ 2x > 5·Q3 −
+    * 3·Q1 and x < Q1 − 1.5·IQR ⇔ 2x < 5·Q1 − 3·Q3 — no float, no
+    * half-cent ever forms. The per-nation rank comes from
+    * [[Ranks.groupedShardedRank]]: a plain
+    * `Window.partitionBy(nation)` would funnel each nation's full
+    * customer list through one task (the corpus split only 25 ways);
+    * the grouped two-phase rank keeps every window either properly
+    * partitioned or bounded by nations × spend shards. */
+  def statsIqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val spend = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("s"))
+      .join(t.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+      .localCheckpoint(true) // ranked once, censused once
+    val ranked = Ranks.groupedShardedRank(spend, Seq("c_nationkey"),
+      expr("s div 10000000"), Seq(col("s"), col("o_custkey")), "rn")
+    val ns = spend.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    val qs = ranked.join(broadcast(ns), "c_nationkey")
+      .filter(col("rn") === expr("(n + 3) div 4") ||
+        col("rn") === expr("(3 * n + 3) div 4"))
+      .groupBy(col("c_nationkey"), col("n"))
+      .agg(
+        min(when(col("rn") === expr("(n + 3) div 4"), col("s")))
+          .as("q1"),
+        min(when(col("rn") === expr("(3 * n + 3) div 4"), col("s")))
+          .as("q3"))
+    spend.join(broadcast(qs), "c_nationkey")
+      .groupBy(col("c_nationkey"), col("n"), col("q1"), col("q3"))
+      .agg(
+        sum(when(col("s") * 2L > lit(5L) * col("q3")
+          - lit(3L) * col("q1"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("s") * 2L < lit(5L) * col("q1")
+          - lit(3L) * col("q3"), 1L).otherwise(0L)).as("n_low"))
+      .join(broadcast(t.nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .select(col("n_name"), col("n"), col("q1").as("q1_cents"),
+        col("q3").as("q3_cents"), col("n_low"), col("n_high"))
+      .orderBy(col("n_name"))
+  }
+
+  /** HERFINDAHL–HIRSCHMAN INDEX of customer-spend concentration within
+    * each nation market — the antitrust-style "is this market one
+    * whale or many minnows?" read next to [[statsGiniLorenz]]'s
+    * inequality curve: HHI = Σᵢ shareᵢ², emitted in exact ppm as
+    * (10⁶·Σsᵢ²) div (Σsᵢ)² with per-customer spend sᵢ in cents and
+    * both the square-sum and the squared total in DECIMAL(38,0) (a
+    * per-customer total past ~3·10⁹ cents would overflow a BIGINT
+    * square — the [[statsTtestWelch]] headroom rule). `top_share_ppm`
+    * is the largest single customer's share, the max-vs-sum-of-squares
+    * cross-read. Two keyed aggs (orders→customer, customer→nation) +
+    * one broadcast name join — no window, no pairwise anything. */
+  def statsHhi(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val t = Tables(spark, dir)
+    val spend = t.orders
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("s"))
+    spend
+      .join(t.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("s").cast(dec)).as("tot"),
+        sum(col("s").cast(dec) * col("s").cast(dec)).as("s2"),
+        max(col("s")).as("mx"))
+      .join(broadcast(t.nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .select(col("n_name"), col("n_customers"),
+        expr("CAST((1000000 * s2) div (tot * tot) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr("""CAST((1000000 * CAST(mx AS DECIMAL(38,0))) div tot
+                AS BIGINT)""").as("top_share_ppm"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -2142,4 +2142,67 @@ object TextOps {
                  AS BIGINT)""").as("waste_permille"))
       .orderBy(col("shard_id"))
   }
+
+  /** PER-SOURCE LENGTH DECILES — the distribution profile a corpus
+    * owner reads before choosing pack/truncation budgets per source:
+    * boundary d = the percentile_disc(d/10) document length, i.e. the
+    * smallest `n_chars` whose cumulative count reaches ⌈d·n/10⌉,
+    * decided by the integer cross-multiply 10·cum ≥ d·n. The
+    * cumulative window runs over the (source, n_chars) CELL frame —
+    * value-domain × catalog bounded (length domain ~500 values, never
+    * corpus rows), the [[graft.ops.Stats.statsPsiDrift]] histogram
+    * discipline — and the ×9 decile explode multiplies only that
+    * bounded frame. */
+  def corpusLengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum(col("c")).over(wCum))
+    val ns = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    cum.join(broadcast(ns), "source")
+      .select(col("source"), col("n_chars"), col("cum"), col("n"),
+        explode(sequence(lit(1L), lit(9L))).as("decile"))
+      .filter(col("cum") * 10L >= col("decile") * col("n"))
+      .groupBy(col("source"), col("decile"))
+      .agg(min(col("n_chars")).as("boundary_chars"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /** PMI COLLOCATIONS — the top adjacent word pairs by pointwise
+    * mutual information, the phrase-mining read next to
+    * [[corpusNgramLm]]'s conditional table: PMI = log₂(c(x,y)·N /
+    * (c(x)·c(y))), and since log₂ is monotone the ranking needs NO log
+    * at all — `lift_ppm` = (10⁶·c(x,y)·N) div (c(x)·c(y)) is the exact
+    * integer lift, bit-identical across engines where a float log's
+    * last ULP could straddle the round. One bigram explode → ONE
+    * (w1,w2) count agg (checkpointed: N, the prefix and the suffix
+    * marginals all derive from it by vocab-sized re-aggs, so the
+    * corpus is scanned once); min support 20 keeps the tail of
+    * one-off pairs from dominating the lift order. Top-30 by
+    * (lift_ppm, w1, w2) — fully tie-broken. */
+  def textPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).documents
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(t[i-1] AS w1, t[i] AS w2))""")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab²-bounded; read by all four aggs
+    val n = c.agg(sum(col("c")).as("nb"))
+    val cx = c.groupBy(col("w1")).agg(sum(col("c")).as("cx"))
+    val cy = c.groupBy(col("w2")).agg(sum(col("c")).as("cy"))
+    c.filter(col("c") >= 20L)
+      .join(cx, "w1").join(cy, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c"), col("cx"), col("cy"),
+        expr("""CAST((1000000 * CAST(c AS DECIMAL(38,0)) * nb)
+                div (CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
 }

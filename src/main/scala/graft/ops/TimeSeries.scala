@@ -1623,4 +1623,45 @@ object TimeSeries {
           .as("ltv_cents_per_user"))
       .orderBy(col("cohort_week"), col("age_week"))
   }
+
+  /** RELATIVE STRENGTH INDEX (14-day SMA form) per event-type daily
+    * cents series — the momentum companion to
+    * [[timeseriesBollingerBreakout]]'s band monitor: RSI =
+    * 100·G/(G+L) where G/L are the trailing-14 sums of up-/down-moves
+    * of the daily total. Everything integer-exact: the day deltas are
+    * cents, `rsi_permille` is one truncating division, and the
+    * overbought/oversold calls are the cross-multiplied forms RSI ≥ 70
+    * ⇔ 3G ≥ 7L and RSI ≤ 30 ⇔ 7G ≤ 3L — no float ever forms, and a
+    * flat 14-day window (G+L = 0) is NULL on both engines. Windows run
+    * over the bounded per-type day grid (series length, never corpus
+    * rows — the Bollinger/Mann-Kendall bound); days without a full
+    * 14-delta history are excluded on both engines. */
+  def timeseriesRsi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wTrail = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-13, 0)
+    daily
+      .withColumn("d", col("x") - lag(col("x"), 1).over(wLag))
+      .filter(col("d").isNotNull)
+      .withColumn("g", greatest(col("d"), lit(0L)))
+      .withColumn("l", greatest(-col("d"), lit(0L)))
+      .withColumn("nw", count(lit(1)).over(wTrail))
+      .withColumn("gs", sum(col("g")).over(wTrail))
+      .withColumn("ls", sum(col("l")).over(wTrail))
+      .filter(col("nw") === 14L)
+      .select(col("event_type"), col("day"),
+        when(col("gs") + col("ls") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(1000 * gs) div (gs + ls)"))
+          .as("rsi_permille"),
+        when(col("gs") + col("ls") === 0L, lit(null).cast("string"))
+          .when(col("gs") * 3L >= col("ls") * 7L, lit("overbought"))
+          .when(col("gs") * 7L <= col("ls") * 3L, lit("oversold"))
+          .otherwise(lit("neutral")).as("state"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -633,4 +633,65 @@ class CorpusOpsSpec extends SparkSpec {
     // value by construction — they are the above-average tail
     assert(shares.head >= 10L)
   }
+
+  test("pmi bigrams: lift is the exact integer ratio over brute-force " +
+      "counts, min support holds, ranking is total") {
+    val rows = graft.ops.TextOps.textPmiBigrams(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val bigrams = Tables(spark, sfDir).documents.collect()
+      .map(_.getAs[String]("text")).flatMap(t =>
+        t.split(" ", -1).sliding(2).filter(_.length == 2)
+          .map(p => (p(0), p(1))).toVector)
+    val n = BigInt(bigrams.length)
+    val pair = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val first = bigrams.groupBy(_._1).view.mapValues(_.length).toMap
+    val second = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val c = r.getAs[Long]("c")
+      assert(c >= 20 && c == pair((w1, w2)).toLong, (w1, w2))
+      assert(r.getAs[Long]("cx") == first(w1).toLong)
+      assert(r.getAs[Long]("cy") == second(w2).toLong)
+      assert(r.getAs[Long]("lift_ppm") ==
+        BigInt(1000000) * c * n / (BigInt(first(w1)) * second(w2)))
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.toSeq == lifts.sortBy(-_).toSeq, "not ranked by lift")
+    // the returned top-30 must dominate every excluded supported pair
+    val minReturned = lifts.last
+    val excludedMax = pair.filter(_._2 >= 20).collect {
+      case ((w1, w2), c)
+          if !rows.exists(r => r.getAs[String]("w1") == w1 &&
+            r.getAs[String]("w2") == w2) =>
+        BigInt(1000000) * c * n / (BigInt(first(w1)) * second(w2))
+    }
+    assert(excludedMax.isEmpty ||
+      excludedMax.max <= BigInt(minReturned))
+  }
+
+  test("length deciles: boundaries are exact percentile_disc values " +
+      "per source, monotone in d, and bracket the observed range") {
+    val rows = graft.ops.TextOps.corpusLengthDeciles(spark, sfDir)
+      .collect()
+    val bySrc = Tables(spark, sfDir).documents
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(rows.length == bySrc.size * 9)
+    rows.foreach { r =>
+      val ss = bySrc(r.getAs[String]("source"))
+      val d = r.getAs[Long]("decile")
+      val n = ss.length.toLong
+      // percentile_disc(d/10): value at 1-based rank ceil(d*n/10)
+      val expect = ss(((d * n + 9) / 10 - 1).toInt)
+      assert(r.getAs[Long]("boundary_chars") == expect,
+        (r.getAs[String]("source"), d))
+    }
+    bySrc.keys.foreach { src =>
+      val bs = rows.filter(_.getAs[String]("source") == src)
+        .sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("boundary_chars"))
+      assert(bs.zip(bs.tail).forall { case (a, b) => a <= b }, src)
+      assert(bs.head >= bySrc(src).head && bs.last <= bySrc(src).last)
+    }
+  }
 }

@@ -1260,4 +1260,94 @@ class MiningSpec extends SparkSpec {
     byRank.zipWithIndex.foreach { case (r, i) =>
       assert(r.getAs[Boolean]("is_significant") == (i <= iMax)) }
   }
+
+  test("hhi: exact ppm concentration recomputes from per-customer " +
+      "spend; bounds 1/n <= HHI <= 1 and top-share <= sqrt(HHI) hold") {
+    val rows = graft.ops.Stats.statsHhi(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val spend = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("o_custkey").agg(sum(col("c")).as("s"))
+      .join(spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .collect()
+      .map(r => (r.getAs[Int]("c_nationkey").toLong,
+        r.getAs[Long]("s")))
+      .groupBy(_._1).view.mapValues(_.map(v => BigInt(v._2))).toMap
+    val names = spark.read.parquet(s"$sfDir/nation.parquet").collect()
+      .map(r => r.getAs[String]("n_name") ->
+        r.getAs[Int]("n_nationkey").toLong).toMap
+    rows.foreach { r =>
+      val ss = spend(names(r.getAs[String]("n_name")))
+      val tot = ss.sum
+      val hhi = BigInt(1000000) * ss.map(v => v * v).sum / (tot * tot)
+      val top = BigInt(1000000) * ss.max / tot
+      assert(r.getAs[Long]("n_customers") == ss.size.toLong)
+      assert(r.getAs[Long]("hhi_ppm") == hhi)
+      assert(r.getAs[Long]("top_share_ppm") == top)
+      // 10^6/n <= HHI <= 10^6, and the max share can't exceed sqrt(HHI)
+      assert(hhi >= BigInt(1000000) / ss.size && hhi <= BigInt(1000000))
+      assert(top.toDouble <= math.sqrt(hhi.toDouble * 1e6) + 1)
+    }
+  }
+
+  test("trimmed mean: sharded global rank drops exactly the n/10 " +
+      "cheapest and priciest customers; both means recompute exactly") {
+    val r = graft.ops.Stats.statsTrimmedMean(spark, sfDir)
+      .collect().head
+    val ss = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("o_custkey").agg(sum(col("c")).as("s"))
+      .collect().map(x => (x.getAs[Long]("s"), x.getAs[Long]("o_custkey")))
+      .sortBy(identity).map(_._1)
+    val n = ss.length.toLong
+    val k = n / 10
+    val kept = ss.slice(k.toInt, (n - k).toInt)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("k_dropped") == k)
+    assert(r.getAs[Long]("n_kept") == n - 2 * k)
+    assert(r.getAs[Long]("mean_cents") ==
+      (ss.map(BigInt(_)).sum / n).toLong)
+    assert(r.getAs[Long]("trimmed_mean_cents") ==
+      (kept.map(BigInt(_)).sum / kept.length).toLong)
+    // the trim must bite from both tails: trimmed lies strictly
+    // inside [min kept, max kept]
+    assert(r.getAs[Long]("trimmed_mean_cents") >= kept.head &&
+      r.getAs[Long]("trimmed_mean_cents") <= kept.last)
+  }
+
+  test("iqr outliers: grouped sharded rank reproduces per-nation " +
+      "percentile_disc quartiles and the cross-multiplied fences") {
+    val rows = graft.ops.Stats.statsIqrOutliers(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val byNat = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("o_custkey").agg(sum(col("c")).as("s"))
+      .join(spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[Long]("s")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val keyOf = spark.read.parquet(s"$sfDir/nation.parquet").collect()
+      .map(r => r.getAs[String]("n_name") ->
+        r.getAs[Int]("n_nationkey")).toMap
+    rows.foreach { r =>
+      val ss = byNat(keyOf(r.getAs[String]("n_name")))
+      val n = ss.length.toLong
+      val q1 = ss(((n + 3) / 4 - 1).toInt)
+      val q3 = ss(((3 * n + 3) / 4 - 1).toInt)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("q1_cents") == q1)
+      assert(r.getAs[Long]("q3_cents") == q3)
+      assert(r.getAs[Long]("n_high") ==
+        ss.count(x => 2 * x > 5 * q3 - 3 * q1).toLong)
+      assert(r.getAs[Long]("n_low") ==
+        ss.count(x => 2 * x < 5 * q1 - 3 * q3).toLong)
+    }
+  }
 }

@@ -206,7 +206,9 @@ class PlanSpec extends SparkSpec {
       "events_value_concentration (ranked frame)" ->
         graft.ops.TimeSeries.valueConcRanked(spark, sfDir),
       "events_rfm_segment" ->
-        graft.ops.TimeSeries.eventsRfmSegment(spark, sfDir)
+        graft.ops.TimeSeries.eventsRfmSegment(spark, sfDir),
+      "stats_trimmed_mean" ->
+        graft.ops.Stats.statsTrimmedMean(spark, sfDir)
     ).foreach { case (name, df) =>
       val ws = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
@@ -220,6 +222,34 @@ class PlanSpec extends SparkSpec {
         s"$name: unpartitioned window over a non-__shard frame " +
           s"(single-task global sort at scale):\n${bad.mkString("\n")}")
     }
+  }
+
+  test("grouped sharded rank: stats_iqr_outliers runs NO unpartitioned " +
+      "window and no data-sized per-group sort") {
+    // Ranks.groupedShardedRank keeps every window either partitioned
+    // by (group, __shard) — disjoint slices — or partitioned by group
+    // over the shard-count frame; a bare partitionBy(nation) sort of
+    // the customer frame would appear as a Window whose child has no
+    // Aggregate bound and no __shard partition key
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.ops.Stats.statsIqrOutliers(spark, sfDir)
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in the grouped-rank plan")
+    val bare = ws.filter { w =>
+      val names = w.partitionSpec.flatMap(_.references.map(_.name))
+      !names.exists(_ == "__shard") && w.windowExpressions.exists(
+        _.references.exists(_.name.startsWith("__")) == false) &&
+        names == Seq("c_nationkey") && w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            => a }.isEmpty
+    }
+    assert(bare.isEmpty,
+      s"bare partitionBy(nation) window over a non-aggregated frame:\n" +
+        bare.mkString("\n"))
+    df.collect()
   }
 
   test("louvain merge scorer selects winners via aggregation — no " +

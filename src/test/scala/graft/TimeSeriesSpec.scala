@@ -1294,4 +1294,47 @@ class TimeSeriesSpec extends SparkSpec {
       } else assert(!rows.contains(et), et)
     }
   }
+
+  test("rsi: permille and state recompute from raw daily deltas; " +
+      "cross-multiplied calls agree with the permille thresholds") {
+    val out = graft.ops.TimeSeries.timeseriesRsi(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString) -> r).toMap
+    assert(out.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("x"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("x")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(v => (v._2, v._3)).toVector).toMap
+    var checked = 0
+    daily.foreach { case (et, xs) =>
+      val deltas = xs.indices.drop(1)
+        .map(i => (xs(i)._1, xs(i)._2 - xs(i - 1)._2))
+      for (i <- deltas.indices if i >= 13) {
+        val w = deltas.slice(i - 13, i + 1)
+        val g = w.map(_._2).filter(_ > 0).sum
+        val l = -w.map(_._2).filter(_ < 0).sum
+        val r = out((et, deltas(i)._1))
+        if (g + l == 0) {
+          assert(r.isNullAt(r.fieldIndex("rsi_permille")), et)
+          assert(r.isNullAt(r.fieldIndex("state")), et)
+        } else {
+          val rsi = 1000L * g / (g + l)
+          assert(r.getAs[Long]("rsi_permille") == rsi, (et, i))
+          val expState = if (3 * g >= 7 * l) "overbought"
+            else if (7 * g <= 3 * l) "oversold" else "neutral"
+          assert(r.getAs[String]("state") == expState, (et, i))
+          // the integer calls must agree with the permille thresholds
+          assert((expState == "overbought") == (rsi >= 700), (et, i))
+        }
+        checked += 1
+      }
+    }
+    assert(checked == out.size)
+  }
 }
