@@ -4418,6 +4418,94 @@ object Oracle {
     // Matthews correlation over the same 2x2 rater confusion matrix:
     // exact HUGEINT numerator, single sqrt ratio, NULL on a zero
     // marginal (both engines)
+    // exact two-predictor OLS via Cramer's rule on the day grid:
+    // x1 = days since the 1995-01-01 corpus epoch, x2 = weekend flag
+    // (duckdb dayofweek is 0=Sun..6=Sat; Spark's is 1=Sun..7=Sat),
+    // every determinant an exact HUGEINT, betas by truncating div
+    "stats_ols_two" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS y
+               FROM orders GROUP BY 1),
+         g AS (SELECT CAST(datediff('day', DATE '1995-01-01', day)
+                   AS BIGINT) AS x1,
+                 CASE WHEN dayofweek(day) IN (0, 6) THEN 1
+                      ELSE 0 END AS x2,
+                 y
+               FROM daily),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(SUM(CAST(x1 AS HUGEINT)) AS HUGEINT) AS sx1,
+                 CAST(SUM(CAST(x2 AS HUGEINT)) AS HUGEINT) AS sx2,
+                 CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+                 CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+                 CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+                 CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+                 CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+               FROM g),
+         d AS (SELECT CAST(n AS BIGINT) AS n_days,
+                 (n * (s11 * s22 - s12 * s12)
+                  - sx1 * (sx1 * s22 - s12 * sx2)
+                  + sx2 * (sx1 * s12 - s11 * sx2)) AS det,
+                 (sy * (s11 * s22 - s12 * s12)
+                  - sx1 * (s1y * s22 - s12 * s2y)
+                  + sx2 * (s1y * s12 - s11 * s2y)) AS d0,
+                 (n * (s1y * s22 - s12 * s2y)
+                  - sy * (sx1 * s22 - s12 * sx2)
+                  + sx2 * (sx1 * s2y - s1y * sx2)) AS d1,
+                 (n * (s11 * s2y - s1y * s12)
+                  - sx1 * (sx1 * s2y - s1y * sx2)
+                  + sy * (sx1 * s12 - s11 * sx2)) AS d2
+               FROM m)
+         SELECT n_days,
+                CAST((1000 * d0) // det AS BIGINT) AS beta0_milli,
+                CAST((1000 * d1) // det AS BIGINT) AS beta1_milli,
+                CAST((1000 * d2) // det AS BIGINT) AS beta2_milli
+         FROM d""",
+
+    // Mood's median test: pooled lower median by global rank, 2x2
+    // arm x above/<= census, chi2 exact via one HUGEINT rational and
+    // the 1e6*n*(ad-bc)^2 >= 3841459*M cross-multiplied call
+    "stats_mood_median" ->
+      s"""WITH u AS (SELECT user_id,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         uv AS (SELECT user_id, x, ${md5Hash60Sql(
+                  "'graft-ab:' || CAST(user_id AS VARCHAR)")}
+                  % 2 AS v
+                FROM u),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rn
+               FROM uv),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uv),
+         med AS (SELECT r.x AS median_cents FROM r CROSS JOIN t
+                 WHERE r.rn = (t.n + 1) // 2),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 med.median_cents,
+                 CAST(SUM(CASE WHEN v = 0 AND x <= median_cents
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+                 CAST(SUM(CASE WHEN v = 0 AND x > median_cents
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN v = 1 AND x <= median_cents
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(SUM(CASE WHEN v = 1 AND x > median_cents
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n11
+               FROM uv CROSS JOIN med GROUP BY 2),
+         k AS (SELECT *,
+                 CAST(n00 AS HUGEINT) * n11
+                   - CAST(n01 AS HUGEINT) * n10 AS dd,
+                 CAST(n00 + n01 AS HUGEINT) * (n10 + n11)
+                   * (n00 + n10) * (n01 + n11) AS marg
+               FROM c)
+         SELECT n, median_cents, n00, n01, n10, n11,
+                CASE WHEN marg = 0 THEN NULL
+                     ELSE CAST((1000 * CAST(n AS HUGEINT) * dd * dd)
+                       // marg AS BIGINT) END AS chi2_milli,
+                CASE WHEN marg = 0 THEN NULL
+                     ELSE (1000000 * CAST(n AS HUGEINT) * dd * dd)
+                       >= 3841459 * marg END AS is_significant
+         FROM k""",
+
     // 10%-trimmed mean of per-customer spend: rank = row_number over
     // (s, custkey), drop n//10 from each side, truncating-division
     // means (replays Ranks.shardedRank's global order exactly)
@@ -9218,6 +9306,39 @@ object Oracle {
 
     // seasonally-adjusted anomaly: exact cross-multiplied |z| >= 2 on
     // the STL residuals — (n*r - m)^2 >= 4*(n*s2 - m^2), HUGEINT
+    // 7/21-day SMA crossover census: 3*S7 > S21 integer compare,
+    // crosses = relation flips vs the previous complete day
+    "timeseries_sma_cross" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day,
+                 count(*) OVER t21 AS n21,
+                 CAST(SUM(x) OVER t7 AS BIGINT) AS s7,
+                 CAST(SUM(x) OVER t21 AS BIGINT) AS s21
+               FROM daily
+               WINDOW t7 AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               t21 AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
+         f AS (SELECT event_type, day, (s7 * 3 > s21) AS above
+               FROM w WHERE n21 = 21),
+         l AS (SELECT event_type, above,
+                 lag(above) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS prev
+               FROM f)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                  AS days_above,
+                CAST(SUM(CASE WHEN prev IS NOT NULL AND above
+                              AND NOT prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_golden,
+                CAST(SUM(CASE WHEN prev IS NOT NULL AND NOT above
+                              AND prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_death
+         FROM l GROUP BY 1 ORDER BY 1""",
+
     // 14-day SMA RSI per event-type daily-cents series: integer
     // permille, cross-multiplied overbought/oversold calls, NULL on a
     // flat window; the first day has no delta and the first 13 deltas

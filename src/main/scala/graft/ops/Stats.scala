@@ -1375,6 +1375,120 @@ object Stats {
       .orderBy(col("rank_asc"))
   }
 
+  /** TWO-PREDICTOR OLS, EXACT — daily order revenue regressed on a
+    * linear day index and a weekend flag, solved by CRAMER'S RULE on
+    * the 3×3 normal equations with every determinant an exact
+    * DECIMAL(38,0) integer (the multi-variable sibling of
+    * [[statsLinreg]]): with moments n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂²,
+    * Σy, Σx₁y, Σx₂y over the bounded day GRID (x₁ = days since
+    * 1995-01-01, the corpus epoch; x₂ = 1 on Sat/Sun), βₖ_milli =
+    * (1000·Dₖ) div D — truncation toward zero on both engines
+    * (DuckDB integer `//` truncates; the floor-on-DOUBLE trap never
+    * applies because no double forms). Magnitudes: the y-bearing
+    * determinants peak near n·Σx₁y·Σx₂² ~ 1e21 at sf0.1 and scale
+    * linearly in daily cents — inside DECIMAL(38,0) headroom until
+    * daily revenue passes ~1e25/grid³, far beyond any corpus. The
+    * regression runs on the day grid (one keyed agg then a 1-row
+    * moment agg), so the whole solve is corpus-size-independent. */
+  def statsOlsTwo(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables(spark, dir).orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      .select(
+        datediff(col("day"), lit("1995-01-01")).cast("long").as("x1"),
+        when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L)
+          .as("x2"),
+        col("y"))
+    val m = daily.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x1").cast(dec)).as("sx1"),
+      sum(col("x2").cast(dec)).as("sx2"),
+      sum(col("x1").cast(dec) * col("x1").cast(dec)).as("s11"),
+      sum(col("x1").cast(dec) * col("x2").cast(dec)).as("s12"),
+      sum(col("x2").cast(dec) * col("x2").cast(dec)).as("s22"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x1").cast(dec) * col("y").cast(dec)).as("s1y"),
+      sum(col("x2").cast(dec) * col("y").cast(dec)).as("s2y"))
+    def det(a1: String, a2: String, a3: String, b1: String, b2: String,
+        b3: String, c1: String, c2: String, c3: String): String =
+      s"""($a1 * ($b2 * $c3 - $b3 * $c2)
+          - $a2 * ($b1 * $c3 - $b3 * $c1)
+          + $a3 * ($b1 * $c2 - $b2 * $c1))"""
+    val d = det("n", "sx1", "sx2", "sx1", "s11", "s12",
+      "sx2", "s12", "s22")
+    val d0 = det("sy", "sx1", "sx2", "s1y", "s11", "s12",
+      "s2y", "s12", "s22")
+    val d1 = det("n", "sy", "sx2", "sx1", "s1y", "s12",
+      "sx2", "s2y", "s22")
+    val d2 = det("n", "sx1", "sy", "sx1", "s11", "s1y",
+      "sx2", "s12", "s2y")
+    m.select(col("n").cast(LongType).as("n_days"),
+      expr(s"CAST((1000 * $d0) div $d AS BIGINT)").as("beta0_milli"),
+      expr(s"CAST((1000 * $d1) div $d AS BIGINT)").as("beta1_milli"),
+      expr(s"CAST((1000 * $d2) div $d AS BIGINT)").as("beta2_milli"))
+  }
+
+  /** MOOD'S MEDIAN TEST between the experiment arms — the
+    * distribution-free companion to [[statsTtestWelch]] (no variance
+    * assumption at all: just "do the arms sit on the same side of the
+    * pooled median?"). The pooled LOWER median comes from the shared
+    * two-phase [[Ranks.shardedRank]] (rank (n+1) div 2 — never a
+    * single-partition window over the user frame), the 2×2 census
+    * (arm × above/≤) is one scan, and χ² = n·(ad−bc)²/(row·col
+    * marginals) is kept exact: `chi2_milli` is ONE truncating integer
+    * rational and `is_significant` is the cross-multiplied
+    * 10⁶·n·(ad−bc)² ≥ 3841459·M form (χ²₀.₀₅,₁ = 3.841459 as a micro
+    * literal shared with the oracle — no quantile function runs). A
+    * zero marginal makes the statistic undefined → NULL on both
+    * engines. Magnitudes: (ad−bc)² ≤ n⁴ — DECIMAL(38,0) holds to
+    * ~3·10⁷ users per arm; past that the documented rescale is
+    * dividing all four cells by a common 10^k (χ² then reads in units
+    * of 10^k·milli). */
+  def statsMoodMedian(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val users = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .select(col("user_id"), col("x"),
+        (graft.ops.TextOps.md5Hash60(concat(lit("graft-ab:"),
+          col("user_id").cast("string"))) % 2).as("v"))
+      .localCheckpoint(true) // ranked once, censused once
+    val ranked = Ranks.shardedRank(users, expr("x div 10000"),
+      Seq(col("x"), col("user_id")), "rn")
+    val n = users.agg(count(lit(1)).as("n"))
+    val med = ranked.crossJoin(broadcast(n))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("x").as("median_cents"))
+    val dd = "CAST(n00 AS DECIMAL(38,0)) * n11" +
+      " - CAST(n01 AS DECIMAL(38,0)) * n10"
+    val marg = "CAST(n00 + n01 AS DECIMAL(38,0)) * (n10 + n11)" +
+      " * (n00 + n10) * (n01 + n11)"
+    users.crossJoin(broadcast(med))
+      .groupBy(col("median_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") === 0 && col("x") <= col("median_cents"),
+          1L).otherwise(0L)).as("n00"),
+        sum(when(col("v") === 0 && col("x") > col("median_cents"),
+          1L).otherwise(0L)).as("n01"),
+        sum(when(col("v") === 1 && col("x") <= col("median_cents"),
+          1L).otherwise(0L)).as("n10"),
+        sum(when(col("v") === 1 && col("x") > col("median_cents"),
+          1L).otherwise(0L)).as("n11"))
+      .select(col("n"), col("median_cents"), col("n00"), col("n01"),
+        col("n10"), col("n11"),
+        expr(s"""CASE WHEN ($marg) = 0 THEN NULL
+                 ELSE CAST((1000 * CAST(n AS DECIMAL(38,0))
+                            * ($dd) * ($dd)) div ($marg) AS BIGINT)
+                 END""").as("chi2_milli"),
+        expr(s"""CASE WHEN ($marg) = 0 THEN NULL
+                 ELSE (1000000 * CAST(n AS DECIMAL(38,0))
+                       * ($dd) * ($dd)) >= 3841459 * ($marg)
+                 END""").as("is_significant"))
+  }
+
   /** 10%-TRIMMED MEAN of per-customer lifetime spend — the
     * outlier-robust central tendency a revenue dashboard shows next to
     * the raw mean (whales drag the mean; the trimmed mean answers

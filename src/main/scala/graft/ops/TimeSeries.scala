@@ -1624,6 +1624,45 @@ object TimeSeries {
       .orderBy(col("cohort_week"), col("age_week"))
   }
 
+  /** SMA CROSSOVER CENSUS (golden/death crosses) per event-type daily
+    * cents series — the trend-following signal next to
+    * [[timeseriesRsi]]'s momentum oscillator: the fast 7-day trailing
+    * mean crossing the slow 21-day one. The comparison never divides:
+    * SMA₇ > SMA₂₁ ⇔ 21·S₇ > 7·S₂₁ ⇔ 3·S₇ > S₂₁ (exact cents), a
+    * cross = the relation flipping vs the previous complete day
+    * (lag over the filtered per-type grid — identical frame on both
+    * engines). Windows run over the bounded day grid; days without a
+    * full 21-day history are excluded before the lag so the first
+    * retained day can never report a phantom cross. */
+  def timeseriesSmaCross(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    val w21 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-20, 0)
+    val flagged = daily
+      .withColumn("n21", count(lit(1)).over(w21))
+      .withColumn("s7", sum(col("x")).over(w7))
+      .withColumn("s21", sum(col("x")).over(w21))
+      .filter(col("n21") === 21L)
+      .withColumn("above", col("s7") * 3L > col("s21"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    flagged
+      .withColumn("prev", lag(col("above"), 1).over(wLag))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("above"), 1L).otherwise(0L)).as("days_above"),
+        sum(when(col("prev").isNotNull && col("above") && !col("prev"),
+          1L).otherwise(0L)).as("n_golden"),
+        sum(when(col("prev").isNotNull && !col("above") && col("prev"),
+          1L).otherwise(0L)).as("n_death"))
+      .orderBy(col("event_type"))
+  }
+
   /** RELATIVE STRENGTH INDEX (14-day SMA form) per event-type daily
     * cents series — the momentum companion to
     * [[timeseriesBollingerBreakout]]'s band monitor: RSI =

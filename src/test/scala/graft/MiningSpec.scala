@@ -1350,4 +1350,97 @@ class MiningSpec extends SparkSpec {
         ss.count(x => 2 * x < 5 * q1 - 3 * q3).toLong)
     }
   }
+
+  test("ols two: Cramer betas recompute from exact BigInt normal " +
+      "equations and the fit beats the intercept-only model") {
+    val r = graft.ops.Stats.statsOlsTwo(spark, sfDir).collect().head
+    val grid = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("day").agg(sum(col("c")).as("y"))
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long")
+          .as("x1"),
+        when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L)
+          .as("x2"), col("y"))
+      .collect()
+      .map(x => (BigInt(x.getAs[Long]("x1")),
+        BigInt(x.getAs[Long]("x2")), BigInt(x.getAs[Long]("y"))))
+    val n = BigInt(grid.length)
+    val sx1 = grid.map(_._1).sum; val sx2 = grid.map(_._2).sum
+    val s11 = grid.map(g => g._1 * g._1).sum
+    val s12 = grid.map(g => g._1 * g._2).sum
+    val s22 = grid.map(g => g._2 * g._2).sum
+    val sy = grid.map(_._3).sum
+    val s1y = grid.map(g => g._1 * g._3).sum
+    val s2y = grid.map(g => g._2 * g._3).sum
+    def det(m: Seq[Seq[BigInt]]): BigInt =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val d = det(Seq(Seq(n, sx1, sx2), Seq(sx1, s11, s12),
+      Seq(sx2, s12, s22)))
+    val d0 = det(Seq(Seq(sy, sx1, sx2), Seq(s1y, s11, s12),
+      Seq(s2y, s12, s22)))
+    val d1 = det(Seq(Seq(n, sy, sx2), Seq(sx1, s1y, s12),
+      Seq(sx2, s2y, s22)))
+    val d2 = det(Seq(Seq(n, sx1, sy), Seq(sx1, s11, s1y),
+      Seq(sx2, s12, s2y)))
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("beta0_milli") == (1000 * d0 / d))
+    assert(r.getAs[Long]("beta1_milli") == (1000 * d1 / d))
+    assert(r.getAs[Long]("beta2_milli") == (1000 * d2 / d))
+    // the OLS solution minimizes SSE, so it can't lose to b1=b2=0
+    val b0 = BigDecimal(d0) / BigDecimal(d)
+    val b1 = BigDecimal(d1) / BigDecimal(d)
+    val b2 = BigDecimal(d2) / BigDecimal(d)
+    val mean = BigDecimal(sy) / BigDecimal(n)
+    val sse = grid.map { g =>
+      val e = BigDecimal(g._3) -
+        (b0 + b1 * BigDecimal(g._1) + b2 * BigDecimal(g._2))
+      e * e
+    }.sum
+    val sst = grid.map { g =>
+      val e = BigDecimal(g._3) - mean; e * e }.sum
+    assert(sse <= sst)
+  }
+
+  test("mood median: pooled lower median, 2x2 census and the exact " +
+      "chi2 rational all recompute from the raw per-user spends") {
+    val r = graft.ops.Stats.statsMoodMedian(spark, sfDir)
+      .collect().head
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .select(col("user_id"), col("x"),
+        (graft.ops.TextOps.md5Hash60(concat(lit("graft-ab:"),
+          col("user_id").cast("string"))) % 2).as("v"))
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("x"),
+        x.getAs[Long]("v")))
+    val n = users.length.toLong
+    val med = users.map(u => (u._2, u._1)).sorted
+      .apply((((n + 1) / 2) - 1).toInt)._1
+    val n00 = users.count(u => u._3 == 0 && u._2 <= med).toLong
+    val n01 = users.count(u => u._3 == 0 && u._2 > med).toLong
+    val n10 = users.count(u => u._3 == 1 && u._2 <= med).toLong
+    val n11 = users.count(u => u._3 == 1 && u._2 > med).toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("median_cents") == med)
+    assert((r.getAs[Long]("n00"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n11")) ==
+      ((n00, n01, n10, n11)))
+    val dd = BigInt(n00) * n11 - BigInt(n01) * n10
+    val marg = BigInt(n00 + n01) * (n10 + n11) * (n00 + n10) *
+      (n01 + n11)
+    if (marg == 0) assert(r.isNullAt(r.fieldIndex("chi2_milli")))
+    else {
+      assert(r.getAs[Long]("chi2_milli") ==
+        (1000 * BigInt(n) * dd * dd / marg).toLong)
+      assert(r.getAs[Boolean]("is_significant") ==
+        (1000000 * BigInt(n) * dd * dd >= 3841459 * marg))
+      // both arms see both sides of the pooled median at this corpus
+      assert(n00 > 0 && n01 > 0 && n10 > 0 && n11 > 0)
+    }
+  }
 }

@@ -1337,4 +1337,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(checked == out.size)
   }
+
+  test("sma cross: 7/21 crossover census recomputes from raw daily " +
+      "cents; crosses only counted against a complete previous day") {
+    val rows = graft.ops.TimeSeries.timeseriesSmaCross(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("x"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("x")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(v => BigInt(v._3)).toVector).toMap
+    daily.foreach { case (et, xs) =>
+      val above = (20 until xs.length).map { i =>
+        val s7 = xs.slice(i - 6, i + 1).sum
+        val s21 = xs.slice(i - 20, i + 1).sum
+        s7 * 3 > s21
+      }
+      if (above.nonEmpty) {
+        val r = rows(et)
+        assert(r.getAs[Long]("n_days") == above.length.toLong, et)
+        assert(r.getAs[Long]("days_above") ==
+          above.count(identity).toLong, et)
+        assert(r.getAs[Long]("n_golden") == above.zip(above.tail)
+          .count { case (p, c) => c && !p }.toLong, et)
+        assert(r.getAs[Long]("n_death") == above.zip(above.tail)
+          .count { case (p, c) => p && !c }.toLong, et)
+      } else assert(!rows.contains(et), et)
+    }
+  }
 }
