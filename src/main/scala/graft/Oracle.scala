@@ -2435,6 +2435,26 @@ object Oracle {
         FROM en CROSS JOIN p
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** Matryoshka coarse(16-dim)-then-rerank(full) pipeline replaying
+    * [[graft.ops.VectorOps.embedMatryoshkaTopk]] — shared by the
+    * registered key and its recall census. */
+  private val EmbedMatryoshkaSql =
+    """WITH e AS (SELECT vec_id, label,
+                         CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       en AS (SELECT vec_id, label, v,
+                     sqrt(list_sum(list_transform(range(1, 65),
+                       i -> v[i] * v[i]))) AS nrm FROM e),
+       p AS (SELECT v AS pv, nrm AS pn FROM en WHERE vec_id = 0),
+       coarse AS (SELECT vec_id, label, v, nrm, pv, pn,
+                    ROUND(list_sum(list_transform(range(1, 17),
+                      i -> v[i] * pv[i])), 4) AS coarse_score
+                  FROM en CROSS JOIN p
+                  ORDER BY coarse_score DESC, vec_id LIMIT 50)
+       SELECT vec_id, label, coarse_score,
+              ROUND(list_sum(list_transform(range(1, 65),
+                      i -> v[i] * pv[i])) / (nrm * pn), 4) AS cos_sim
+       FROM coarse ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   /** Partitioned-NSW beam search replaying
     * [[graft.ops.VectorOps.embedAnnNsw]]: md5-deterministic shards,
     * per-shard 6-NN layer-0 graph on the rounded cosine, unrolled
@@ -7076,6 +7096,28 @@ object Oracle {
                 CAST(MIN(n_chars) AS BIGINT) AS boundary_chars
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // LM-table coverage sweep: share of total bigram mass captured by
+    // the top-k rows of the (c desc, w1, w2)-ordered conditional table
+    "corpus_lm_coverage_sweep" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM
+                (SELECT t, unnest(range(1, len(t))) AS i FROM d)),
+         c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+               FROM bi GROUP BY 1, 2),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w1, w2)
+                   AS rn
+               FROM c),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM c),
+         ks AS (SELECT unnest([50, 100, 200]) AS k)
+         SELECT CAST(ks.k AS BIGINT) AS k,
+                CAST(SUM(r.c) AS BIGINT) AS covered,
+                n.nb AS n_bigrams,
+                (1000 * CAST(SUM(r.c) AS BIGINT)) // n.nb
+                  AS coverage_permille
+         FROM r JOIN ks ON r.rn <= ks.k CROSS JOIN n
+         GROUP BY 1, 3 ORDER BY 1""",
+
     // PMI collocations ranked by the exact integer lift (log2 is
     // monotone, so no log ever forms); marginals and N derive from
     // the single (w1,w2) count frame
@@ -7678,22 +7720,16 @@ object Oracle {
 
     // matryoshka rerank: 16-dim prefix coarse cut, exact rerank —
     // both cuts on rounded scores with id tie-break
-    "embed_matryoshka_topk" ->
-      """WITH e AS (SELECT vec_id, label,
-                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         en AS (SELECT vec_id, label, v,
-                       sqrt(list_sum(list_transform(range(1, 65),
-                         i -> v[i] * v[i]))) AS nrm FROM e),
-         p AS (SELECT v AS pv, nrm AS pn FROM en WHERE vec_id = 0),
-         coarse AS (SELECT vec_id, label, v, nrm, pv, pn,
-                      ROUND(list_sum(list_transform(range(1, 17),
-                        i -> v[i] * pv[i])), 4) AS coarse_score
-                    FROM en CROSS JOIN p
-                    ORDER BY coarse_score DESC, vec_id LIMIT 50)
-         SELECT vec_id, label, coarse_score,
-                ROUND(list_sum(list_transform(range(1, 65),
-                        i -> v[i] * pv[i])) / (nrm * pn), 4) AS cos_sim
-         FROM coarse ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "embed_matryoshka_topk" -> EmbedMatryoshkaSql,
+
+    // recall@10 of the matryoshka coarse-then-rerank pipeline vs the
+    // exact full-dim top-10 (the same census as every other family)
+    "embed_recall_matryoshka" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($EmbedCosineTopkSql)),
+          ann AS (SELECT vec_id AS a_id FROM ($EmbedMatryoshkaSql))
+          SELECT count(*) AS k, count(a_id) AS hits,
+                 (count(a_id) * 1000) // count(*) AS recall_permille
+          FROM exact LEFT JOIN ann ON vec_id = a_id""",
 
     "embed_pair_sim_threshold" ->
       """WITH e AS (SELECT vec_id, label,
@@ -9306,6 +9342,27 @@ object Oracle {
 
     // seasonally-adjusted anomaly: exact cross-multiplied |z| >= 2 on
     // the STL residuals — (n*r - m)^2 >= 4*(n*s2 - m^2), HUGEINT
+    // hourly activity profile: exact permille share per (type, hour)
+    // cell; peak = modal hour with earliest-hour tie-break
+    "events_hourly_profile" ->
+      """WITH cells AS (SELECT event_type,
+                 CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+                 FROM cells GROUP BY 1),
+         pk AS (SELECT event_type, hr AS peak_hr FROM (
+                  SELECT event_type, hr, row_number() OVER (
+                    PARTITION BY event_type ORDER BY n DESC, hr) AS r
+                  FROM cells) WHERE r = 1)
+         SELECT c.event_type, c.hr, c.n,
+                (1000 * c.n) // t.t AS share_permille,
+                (c.hr = pk.peak_hr) AS is_peak
+         FROM cells c
+         JOIN tot t USING (event_type)
+         JOIN pk USING (event_type)
+         ORDER BY 1, 2""",
+
     // 7/21-day SMA crossover census: 3*S7 > S21 integer compare,
     // crosses = relation flips vs the previous complete day
     "timeseries_sma_cross" ->

@@ -2143,6 +2143,41 @@ object TextOps {
       .orderBy(col("shard_id"))
   }
 
+  /** LM-TABLE COVERAGE SWEEP — how much of the corpus bigram MASS a
+    * top-k conditional table captures, for k ∈ {50, 100, 200}: the
+    * sizing read behind [[corpusNgramLm]]'s fixed 200 (and behind
+    * [[textOovRate]]'s broadcast assumption — a table that needs
+    * k = 10⁶ rows to cover the mass stops being broadcastable). The
+    * rank runs over the AGGREGATED vocab²-bounded pair-count frame
+    * (the tolerated unpartitioned-window shape, same bound as
+    * [[textVocabZipf]]'s vocabulary rank), ordered by the LM's own
+    * (c desc, w1, w2) total order so "the top-k rows" here are
+    * EXACTLY the k rows the LM table would keep. Coverage in exact
+    * permille of total bigram occurrences. */
+  def corpusLmCoverageSweep(spark: SparkSession,
+      dir: String): DataFrame = {
+    val c = Tables(spark, dir).documents
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(t[i-1] AS w1, t[i] AS w2))""")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w1"), col("w2"))
+    val ranked = c.withColumn("rn", row_number().over(w))
+    val n = c.agg(sum(col("c")).as("nb"))
+    ranked
+      .select(col("c"), col("rn"),
+        explode(expr("array(50L, 100L, 200L)")).as("k"))
+      .filter(col("rn") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("c")).as("covered"))
+      .crossJoin(broadcast(n))
+      .select(col("k"), col("covered"), col("nb").as("n_bigrams"),
+        expr("(1000 * covered) div nb").as("coverage_permille"))
+      .orderBy(col("k"))
+  }
+
   /** PER-SOURCE LENGTH DECILES — the distribution profile a corpus
     * owner reads before choosing pack/truncation budgets per source:
     * boundary d = the percentile_disc(d/10) document length, i.e. the

@@ -1624,6 +1624,30 @@ object TimeSeries {
       .orderBy(col("cohort_week"), col("age_week"))
   }
 
+  /** HOURLY ACTIVITY PROFILE per event type — the diurnal-seasonality
+    * read next to [[timeseriesSeasonalDow]]'s day-of-week profile:
+    * counts and exact permille share per (type, hour-of-day) cell,
+    * with `is_peak` marking each type's modal hour (ties broken to
+    * the earliest hour by the max(struct) device — no window at all).
+    * One grid-keyed agg; the 5×24 output is catalog-sized at any
+    * corpus. */
+  def eventsHourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).events
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("t"),
+        max(struct(col("n"), (-col("hr")).as("nh"))).as("pk"))
+      .select(col("event_type"), col("t"),
+        (-col("pk.nh")).as("peak_hr"))
+    cells.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hr"), col("n"),
+        expr("(1000 * n) div t").as("share_permille"),
+        (col("hr") === col("peak_hr")).as("is_peak"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   /** SMA CROSSOVER CENSUS (golden/death crosses) per event-type daily
     * cents series — the trend-following signal next to
     * [[timeseriesRsi]]'s momentum oscillator: the fast 7-day trailing

@@ -132,6 +132,25 @@ object VectorOps {
       .limit(10)
   }
 
+  /** RECALL@10 of the matryoshka coarse-then-rerank pipeline vs the
+    * exact full-dim top-10 — closes the eval loop on
+    * [[embedMatryoshkaTopk]] the way every other index family already
+    * has one ([[embedRecallInt8]], [[embedRecallPq]],
+    * [[embedRecallNsw]]…): the number that says what the 16-dim
+    * prefix shortlist actually costs in answer quality, measured, not
+    * assumed. Same one-row census shape: exact top-10 LEFT JOIN the
+    * pipeline's top-10, hits → integer permille. */
+  def embedRecallMatryoshka(spark: SparkSession,
+      dir: String): DataFrame = {
+    val mat = embedMatryoshkaTopk(spark, dir)
+      .select(col("vec_id").as("a_id"))
+    val exact = embedCosineTopk(spark, dir).select(col("vec_id"))
+    exact.join(mat, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k"), count(col("a_id")).as("hits"))
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000) div k").as("recall_permille"))
+  }
+
   /** All vector pairs with cosine ≥ 0.3 within the same label — the
     * label equi-key bounds the self-join (SURVEY.md §7.4: every
     * self-join carries a partition key). */

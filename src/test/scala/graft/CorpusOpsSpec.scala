@@ -669,6 +669,31 @@ class CorpusOpsSpec extends SparkSpec {
       excludedMax.max <= BigInt(minReturned))
   }
 
+  test("lm coverage sweep: permille mass recomputes from brute-force " +
+      "bigram counts under the LM's own (c desc, w1, w2) order") {
+    val rows = graft.ops.TextOps.corpusLmCoverageSweep(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(50L, 100L, 200L))
+    val counts = Tables(spark, sfDir).documents.collect()
+      .map(_.getAs[String]("text")).flatMap(t =>
+        t.split(" ", -1).sliding(2).filter(_.length == 2)
+          .map(p => (p(0), p(1))).toVector)
+      .groupBy(identity).view.mapValues(_.length.toLong).toVector
+      .map { case ((w1, w2), c) => (c, w1, w2) }
+      .sortBy { case (c, w1, w2) => (-c, w1, w2) }
+    val nb = counts.map(_._1).sum
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k").toInt
+      val covered = counts.take(k).map(_._1).sum
+      assert(r.getAs[Long]("n_bigrams") == nb)
+      assert(r.getAs[Long]("covered") == covered, k)
+      assert(r.getAs[Long]("coverage_permille") == 1000 * covered / nb)
+    }
+    // coverage must be monotone in k
+    val cov = rows.map(_.getAs[Long]("covered"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+  }
+
   test("length deciles: boundaries are exact percentile_disc values " +
       "per source, monotone in d, and bracket the observed range") {
     val rows = graft.ops.TextOps.corpusLengthDeciles(spark, sfDir)

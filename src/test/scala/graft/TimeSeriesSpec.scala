@@ -1338,6 +1338,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == out.size)
   }
 
+  test("hourly profile: shares are exact permille per cell and is_peak " +
+      "marks each type's modal hour with earliest-hour tie-break") {
+    val rows = graft.ops.TimeSeries.eventsHourlyProfile(spark, sfDir)
+      .collect()
+    val cells = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = cells.groupBy(_._1._1)
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val hr = r.getAs[Long]("hr")
+      val n = cells((et, hr))
+      val t = byType(et).values.sum
+      assert(r.getAs[Long]("n") == n, (et, hr))
+      assert(r.getAs[Long]("share_permille") == 1000 * n / t, (et, hr))
+      val peak = byType(et).toVector
+        .map { case ((_, h), c) => (-c, h) }.min._2
+      assert(r.getAs[Boolean]("is_peak") == (hr == peak), (et, hr))
+    }
+  }
+
   test("sma cross: 7/21 crossover census recomputes from raw daily " +
       "cents; crosses only counted against a complete previous day") {
     val rows = graft.ops.TimeSeries.timeseriesSmaCross(spark, sfDir)

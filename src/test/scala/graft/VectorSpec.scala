@@ -869,4 +869,21 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("mean_cos") - expect)
       <= 1e-6)
   }
+
+  test("matryoshka recall: census equals the intersection of the two " +
+      "registered top-10s and the permille is the exact ratio") {
+    val exact = graft.ops.VectorOps.embedCosineTopk(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val mat = graft.ops.VectorOps.embedMatryoshkaTopk(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val r = graft.ops.VectorOps.embedRecallMatryoshka(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("k") == exact.size.toLong)
+    assert(r.getAs[Long]("hits") == (exact intersect mat).size.toLong)
+    assert(r.getAs[Long]("recall_permille") ==
+      1000L * (exact intersect mat).size / exact.size)
+    // a 16-of-64-dim coarse stage over a 50-candidate rerank should
+    // hold most of the exact set on this corpus
+    assert(r.getAs[Long]("recall_permille") >= 500L)
+  }
 }
