@@ -7075,6 +7075,80 @@ object Oracle {
          WHERE c.c >= 3
          ORDER BY c.c DESC, c.w1, c.w2 LIMIT 200""",
 
+    // per-source char-class split: each class counted as length minus
+    // the class-stripped length ('g' flag: duckdb regexp_replace is
+    // first-match-only by default, Spark's replaces all)
+    "text_char_class_profile" ->
+      """WITH d AS (SELECT source,
+                 CAST(length(text) AS BIGINT) AS nc,
+                 CAST(length(text) - length(regexp_replace(text,
+                   '[a-z]', '', 'g')) AS BIGINT) AS l,
+                 CAST(length(text) - length(regexp_replace(text,
+                   '[0-9]', '', 'g')) AS BIGINT) AS dg,
+                 CAST(length(text) - length(regexp_replace(text,
+                   '[ ]', '', 'g')) AS BIGINT) AS sp
+               FROM documents),
+         a AS (SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+                 CAST(SUM(l) AS BIGINT) AS letters,
+                 CAST(SUM(dg) AS BIGINT) AS digits,
+                 CAST(SUM(sp) AS BIGINT) AS spaces
+               FROM d GROUP BY 1)
+         SELECT source, n_chars,
+                (1000 * letters) // n_chars AS letters_permille,
+                (1000 * digits) // n_chars AS digits_permille,
+                (1000 * spaces) // n_chars AS spaces_permille,
+                (1000 * (n_chars - letters - digits - spaces))
+                  // n_chars AS other_permille
+         FROM a ORDER BY source""",
+
+    // per-source length gini off the value-domain cells: tie-group
+    // average-rank identity keeps the numerator all-integer
+    "corpus_length_gini" ->
+      """WITH cells AS (SELECT source, n_chars,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+         pc AS (SELECT source, n_chars, c,
+                  COALESCE(SUM(c) OVER (PARTITION BY source
+                    ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS prev
+                FROM cells),
+         ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(CAST(c AS HUGEINT) * n_chars) AS HUGEINT)
+                    AS sx
+                FROM cells GROUP BY 1),
+         g AS (SELECT pc.source, ns.n, ns.sx,
+                 SUM(CAST(pc.c AS HUGEINT) * pc.n_chars
+                     * (2 * pc.prev + pc.c - ns.n)) AS num
+               FROM pc JOIN ns USING (source) GROUP BY 1, 2, 3)
+         SELECT source, n AS n_docs,
+                CAST(sx // n AS BIGINT) AS mean_chars,
+                CAST((1000 * num) // (n * sx) AS BIGINT)
+                  AS gini_permille
+         FROM g ORDER BY source""",
+
+    // Heaps-law vocabulary growth: per token ONE min-first-doc agg,
+    // then bounded censuses per sweep point (no x4 corpus re-scan)
+    "corpus_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         fd AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS fd FROM
+                  (SELECT doc_id, unnest(t) AS tok FROM d)
+                GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         ks AS (SELECT unnest([10, 25, 50, 100]) AS pct),
+         v AS (SELECT ks.pct, CAST(count(*) AS BIGINT) AS vocab
+               FROM fd CROSS JOIN n
+               JOIN ks ON fd.fd * 100 < ks.pct * n.n
+               GROUP BY 1),
+         tk AS (SELECT ks.pct, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+                FROM d CROSS JOIN n
+                JOIN ks ON d.doc_id * 100 < ks.pct * n.n
+                GROUP BY 1)
+         SELECT CAST(v.pct AS BIGINT) AS pct, tk.n_docs, tk.n_tokens,
+                v.vocab
+         FROM v JOIN tk USING (pct) ORDER BY 1""",
+
     // per-source length deciles: percentile_disc boundaries off the
     // (source, n_chars) cell frame, 10*cum >= d*n cross-multiply
     "corpus_length_deciles" ->

@@ -2143,6 +2143,102 @@ object TextOps {
       .orderBy(col("shard_id"))
   }
 
+  /** CHARACTER-CLASS PROFILE per source — the byte-level sanity read
+    * a corpus owner runs before any tokenizer sees the data (binary
+    * junk, digit floods, and whitespace pathologies all show up here
+    * first): per source, total chars and the exact permille split
+    * into lowercase letters / digits / spaces / other, each class
+    * counted as length(text) − length(regexp_replace(text, class,
+    * '')) so the four counts sum to the total by construction. One
+    * scan → one catalog-sized agg; the regexes are anchored character
+    * classes (linear scans, no backtracking). */
+  def textCharClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    def cls(re: String): Column =
+      sum((length(col("text")) -
+        length(regexp_replace(col("text"), re, ""))).cast(LongType))
+    Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(sum(length(col("text")).cast(LongType)).as("n_chars"),
+        cls("[a-z]").as("letters"),
+        cls("[0-9]").as("digits"),
+        cls("[ ]").as("spaces"))
+      .select(col("source"), col("n_chars"),
+        expr("(1000 * letters) div n_chars").as("letters_permille"),
+        expr("(1000 * digits) div n_chars").as("digits_permille"),
+        expr("(1000 * spaces) div n_chars").as("spaces_permille"),
+        expr("""(1000 * (n_chars - letters - digits - spaces))
+                div n_chars""").as("other_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** LENGTH-INEQUALITY GINI per source — "is this source a uniform
+    * slab or a head of monsters over a tail of stubs?", the
+    * [[graft.ops.Stats.statsGiniLorenz]] read applied to document
+    * lengths, computed ENTIRELY on the value-domain (source, n_chars)
+    * cell frame: with cells ordered by value, tie-group average rank
+    * R̄ = prevCum + (c+1)/2, so the classic G = Σ x·(2R̄ − n − 1) /
+    * (n·Σx) becomes the all-integer Σ c·x·(2·prevCum + c − n) over
+    * cells — `gini_permille` is one truncating division, no float,
+    * no per-document rank. Cell windows are catalog × length-domain
+    * bounded (the [[corpusLengthDeciles]] frame). */
+  def corpusLengthGini(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = Tables(spark, dir).documents
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wPrev = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = cells
+      .withColumn("prev", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+    val ns = cells.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(dec) * col("n_chars")).as("sx"))
+    withCum.join(broadcast(ns), "source")
+      .groupBy(col("source"), col("n"), col("sx"))
+      .agg(sum(col("c").cast(dec) * col("n_chars")
+        * (lit(2L) * col("prev") + col("c") - col("n"))).as("num"))
+      .select(col("source"), col("n").as("n_docs"),
+        expr("CAST(sx div n AS BIGINT)").as("mean_chars"),
+        expr("CAST((1000 * num) div (n * sx) AS BIGINT)")
+          .as("gini_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** VOCABULARY GROWTH CURVE (Heaps' law, measured) — distinct word
+    * types seen in the first 10/25/50/100% of documents (doc_id
+    * order, ids contiguous 0..n−1 in this corpus — asserted by spec):
+    * the curve that sizes a tokenizer's vocab budget and says whether
+    * more data still buys new types. NO ×4 re-scan: each token's
+    * FIRST occurrence doc is one min-agg, then each sweep point is a
+    * bounded census over the (token, first_doc) frame; prefix token
+    * counts come from the per-doc length frame the same way. The
+    * prefix cut is the integer cross-multiply doc_id·100 < pct·n. */
+  def corpusVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    val lens = docs.select(col("doc_id"),
+      size(col("t")).cast(LongType).as("len"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val pcts = Seq(10L, 25L, 50L, 100L)
+    val vocab = firstDoc.crossJoin(broadcast(n))
+      .select(col("fd"), col("n"),
+        explode(expr(s"array(${pcts.mkString("L,")}L)")).as("pct"))
+      .filter(col("fd") * 100L < col("pct") * col("n"))
+      .groupBy(col("pct"), col("n")).agg(count(lit(1)).as("vocab"))
+    val toks = lens.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("len"), col("n"),
+        explode(expr(s"array(${pcts.mkString("L,")}L)")).as("pct"))
+      .filter(col("doc_id") * 100L < col("pct") * col("n"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+    vocab.join(toks, "pct")
+      .select(col("pct"), col("n_docs"), col("n_tokens"), col("vocab"))
+      .orderBy(col("pct"))
+  }
+
   /** LM-TABLE COVERAGE SWEEP — how much of the corpus bigram MASS a
     * top-k conditional table captures, for k ∈ {50, 100, 200}: the
     * sizing read behind [[corpusNgramLm]]'s fixed 200 (and behind

@@ -669,6 +669,78 @@ class CorpusOpsSpec extends SparkSpec {
       excludedMax.max <= BigInt(minReturned))
   }
 
+  test("char class profile: per-source counts recompute from raw " +
+      "text and the four classes partition every character") {
+    val rows = graft.ops.TextOps.textCharClassProfile(spark, sfDir)
+      .collect()
+    val bySrc = Tables(spark, sfDir).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val texts = bySrc(r.getAs[String]("source"))
+      val nc = texts.map(_.length.toLong).sum
+      val l = texts.map(_.count(c => c >= 'a' && c <= 'z').toLong).sum
+      val d = texts.map(_.count(c => c >= '0' && c <= '9').toLong).sum
+      val s = texts.map(_.count(_ == ' ').toLong).sum
+      assert(r.getAs[Long]("n_chars") == nc)
+      assert(r.getAs[Long]("letters_permille") == 1000 * l / nc)
+      assert(r.getAs[Long]("digits_permille") == 1000 * d / nc)
+      assert(r.getAs[Long]("spaces_permille") == 1000 * s / nc)
+      assert(r.getAs[Long]("other_permille") ==
+        1000 * (nc - l - d - s) / nc)
+    }
+  }
+
+  test("length gini: cell-frame identity matches the O(n^2) textbook " +
+      "mean-absolute-difference definition per source") {
+    val rows = graft.ops.TextOps.corpusLengthGini(spark, sfDir)
+      .collect()
+    val bySrc = Tables(spark, sfDir).documents
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    rows.foreach { r =>
+      val xs = bySrc(r.getAs[String]("source"))
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      // G = sum_i sum_j |xi - xj| / (2 n sum_x), exact via BigInt
+      val mad = (for (a <- xs; b <- xs) yield (BigInt(a) - b).abs).sum
+      val expect = 1000 * mad / (2 * n * sx)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("mean_chars") == sx / n)
+      assert(BigInt(r.getAs[Long]("gini_permille")) == expect,
+        r.getAs[String]("source"))
+    }
+  }
+
+  test("vocab growth: sweep points recompute from first-occurrence " +
+      "docs, curve is monotone with diminishing type yield") {
+    val rows = graft.ops.TextOps.corpusVocabGrowth(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("pct"))
+    assert(rows.map(_.getAs[Long]("pct")).toSeq ==
+      Seq(10L, 25L, 50L, 100L))
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1)))
+    val n = docs.length.toLong
+    // the contiguity assumption the prefix cut rides on
+    assert(docs.map(_._1).sorted.toSeq == (0L until n))
+    rows.foreach { r =>
+      val pct = r.getAs[Long]("pct")
+      val pref = docs.filter(_._1 * 100 < pct * n)
+      assert(r.getAs[Long]("n_docs") == pref.length.toLong)
+      assert(r.getAs[Long]("n_tokens") ==
+        pref.map(_._2.length.toLong).sum)
+      assert(r.getAs[Long]("vocab") ==
+        pref.flatMap(_._2).distinct.length.toLong)
+    }
+    val v = rows.map(_.getAs[Long]("vocab"))
+    assert(v.zip(v.tail).forall { case (a, b) => a <= b })
+  }
+
   test("lm coverage sweep: permille mass recomputes from brute-force " +
       "bigram counts under the LM's own (c desc, w1, w2) order") {
     val rows = graft.ops.TextOps.corpusLmCoverageSweep(spark, sfDir)
