@@ -5181,6 +5181,37 @@ object Oracle {
                  count(*) AS n_vertices
           FROM deg GROUP BY 1 ORDER BY bucket_lo""",
 
+    // degree gini off the degree-histogram cells (the length-gini
+    // tie-group average-rank identity — all-integer numerator)
+    "graph_degree_gini" ->
+      s"""WITH $EdgesCte,
+          outd AS (SELECT src AS id_o, count(*) AS out_deg
+                   FROM edges GROUP BY 1),
+          ind  AS (SELECT dst AS id_i, count(*) AS in_deg
+                   FROM edges GROUP BY 1),
+          deg AS (SELECT CAST(COALESCE(out_deg, 0)
+                    + COALESCE(in_deg, 0) AS BIGINT) AS d
+                  FROM outd FULL JOIN ind ON id_o = id_i),
+          cells AS (SELECT d, CAST(count(*) AS BIGINT) AS c
+                    FROM deg GROUP BY 1),
+          pc AS (SELECT d, c,
+                   COALESCE(SUM(c) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS prev
+                 FROM cells),
+          ns AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(c AS HUGEINT) * d) AS HUGEINT) AS sx
+                 FROM cells),
+          g AS (SELECT ns.n, ns.sx,
+                  SUM(CAST(pc.c AS HUGEINT) * pc.d
+                      * (2 * pc.prev + pc.c - ns.n)) AS num
+                FROM pc CROSS JOIN ns GROUP BY 1, 2)
+          SELECT n AS n_vertices,
+                 CAST((1000 * sx) // n AS BIGINT) AS mean_deg_milli,
+                 CAST((1000 * num) // (n * sx) AS BIGINT)
+                   AS gini_permille
+          FROM g""",
+
     "graph_neighbors_1hop" ->
       s"""WITH $EdgesCte
           SELECT src, dst, rel FROM edges
@@ -9416,6 +9447,84 @@ object Oracle {
 
     // seasonally-adjusted anomaly: exact cross-multiplied |z| >= 2 on
     // the STL residuals — (n*r - m)^2 >= 4*(n*s2 - m^2), HUGEINT
+    // Wald-Wolfowitz runs test per event-type series: zero deltas
+    // dropped, R = 1 + sign changes, z^2 exact via the
+    // S = n*R - 2ab - n identity; degenerate series -> NULL
+    "stats_runs_test" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, day,
+                 x - lag(x) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS d
+               FROM daily),
+         sg AS (SELECT event_type, day,
+                  CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+                FROM d WHERE d IS NOT NULL AND d <> 0),
+         l AS (SELECT event_type, sgn,
+                 lag(sgn) OVER (PARTITION BY event_type
+                                ORDER BY day) AS prev
+               FROM sg),
+         r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_up,
+                 CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_down,
+                 CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sgn
+                          THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+               FROM l GROUP BY 1)
+         SELECT event_type, n, n_up, n_down, runs,
+                CASE WHEN n_up = 0 OR n_down = 0
+                       OR 2 * n_up * n_down * (2 * n_up * n_down - n)
+                          <= 0 THEN NULL
+                     ELSE CAST((1000
+                       * (n * runs - 2 * n_up * n_down - n)
+                       * (n * runs - 2 * n_up * n_down - n) * (n - 1))
+                       // (2 * n_up * n_down
+                          * (2 * n_up * n_down - n)) AS BIGINT)
+                END AS z2_milli,
+                CASE WHEN n_up = 0 OR n_down = 0
+                       OR 2 * n_up * n_down * (2 * n_up * n_down - n)
+                          <= 0 THEN NULL
+                     ELSE (n * runs - 2 * n_up * n_down - n)
+                       * (n * runs - 2 * n_up * n_down - n) * (n - 1)
+                       >= 4 * (2 * n_up * n_down
+                               * (2 * n_up * n_down - n))
+                END AS is_significant
+         FROM r ORDER BY event_type""",
+
+    // bounce-rate census per session-start day over the SAME
+    // 30-minute sessionization as window_sessionize
+    "events_bounce_rate" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec
+                     FROM events),
+         flg AS (SELECT user_id, event_id, ts_sec,
+                   CASE WHEN lag(ts_sec) OVER w IS NULL
+                          OR ts_sec - lag(ts_sec) OVER w
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM ev WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_sec, event_id)),
+         s AS (SELECT user_id, ts_sec,
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM flg),
+         ses AS (SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts_sec) AS session_start
+                 FROM s GROUP BY 1, 2),
+         byday AS (SELECT CAST(session_start AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n_sessions,
+                     CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_bounce
+                   FROM ses GROUP BY 1)
+         SELECT day, n_sessions, n_bounce,
+                (1000 * n_bounce) // n_sessions AS bounce_permille
+         FROM byday ORDER BY day""",
+
     // hourly activity profile: exact permille share per (type, hour)
     // cell; peak = modal hour with earliest-hour tie-break
     "events_hourly_profile" ->

@@ -74,6 +74,36 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("bucket_lo"))
 
+  /** DEGREE GINI — hub inequality of the derived graph in one exact
+    * permille number, the scalar companion to [[graphDegreeHistogram]]
+    * ("how much of the connectivity lives in the part/nation hubs?"):
+    * the Lorenz/Gini device run on the DEGREE HISTOGRAM cells, never
+    * per-vertex ranks — with cells ordered by degree, tie-group
+    * average rank gives the all-integer numerator Σ c·d·(2·prevCum +
+    * c − n) (the corpus_length_gini identity; its spec proves the
+    * formula against the O(n²) definition). The one unpartitioned
+    * window runs over the distinct-degree frame — value-domain
+    * bounded. */
+  def graphDegreeGini(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = degree(spark, dir)
+      .groupBy(col("total_deg")).agg(count(lit(1)).as("c"))
+    val wPrev = Window.orderBy(col("total_deg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = cells
+      .withColumn("prev", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+    val ns = cells.agg(sum(col("c")).as("n"),
+      sum(col("c").cast(dec) * col("total_deg")).as("sx"))
+    withCum.crossJoin(broadcast(ns))
+      .groupBy(col("n"), col("sx"))
+      .agg(sum(col("c").cast(dec) * col("total_deg")
+        * (lit(2L) * col("prev") + col("c") - col("n"))).as("num"))
+      .select(col("n").as("n_vertices"),
+        expr("CAST((1000 * sx) div n AS BIGINT)").as("mean_deg_milli"),
+        expr("CAST((1000 * num) div (n * sx) AS BIGINT)")
+          .as("gini_permille"))
+  }
+
   /** Out-neighbors of a seed vertex set (rich customers) — one edge
     * join; the frontier side broadcasts when small. */
   def neighbors1hop(spark: SparkSession, dir: String): DataFrame = {

@@ -1375,6 +1375,53 @@ object Stats {
       .orderBy(col("rank_asc"))
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST per event-type daily series — "is the
+    * up/down sequence random, or does it streak/alternate?", the
+    * randomness check next to [[graft.ops.TimeSeries
+    * .timeseriesMannKendall]]'s monotone-trend test. Zero deltas are
+    * dropped (the standard convention — a flat day is neither up nor
+    * down), R = 1 + sign changes, and with S = n·R − 2·n₊·n₋ − n the
+    * exact identity z² = S²·(n−1) / (2·n₊·n₋·(2·n₊·n₋ − n)) makes
+    * both `z2_milli` and the |z| ≥ 2 call pure integer arithmetic —
+    * a one-sided degenerate series (n₊ or n₋ = 0, or a zero variance
+    * denominator) is NULL on both engines. Everything runs on the
+    * bounded per-type day grid. */
+  def statsRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signs = daily
+      .withColumn("d", col("x") - lag(col("x"), 1).over(wLag))
+      .filter(col("d").isNotNull && col("d") =!= 0L)
+      .select(col("event_type"), col("day"),
+        when(col("d") > 0L, 1L).otherwise(-1L).as("sgn"))
+    val runs = signs
+      .withColumn("prev", lag(col("sgn"), 1).over(wLag))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_down"),
+        (sum(when(col("prev").isNotNull &&
+          col("prev") =!= col("sgn"), 1L).otherwise(0L)) + 1L)
+          .as("runs"))
+    val s = "(n * runs - 2 * n_up * n_down - n)"
+    val den = "(2 * n_up * n_down * (2 * n_up * n_down - n))"
+    runs.select(col("event_type"), col("n"), col("n_up"),
+        col("n_down"), col("runs"),
+        expr(s"""CASE WHEN n_up = 0 OR n_down = 0 OR $den <= 0
+                 THEN NULL
+                 ELSE CAST((1000 * $s * $s * (n - 1)) div $den
+                   AS BIGINT) END""").as("z2_milli"),
+        expr(s"""CASE WHEN n_up = 0 OR n_down = 0 OR $den <= 0
+                 THEN NULL
+                 ELSE $s * $s * (n - 1) >= 4 * $den END""")
+          .as("is_significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** TWO-PREDICTOR OLS, EXACT — daily order revenue regressed on a
     * linear day index and a weekend flag, solved by CRAMER'S RULE on
     * the 3×3 normal equations with every determinant an exact

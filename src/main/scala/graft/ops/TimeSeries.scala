@@ -1624,6 +1624,25 @@ object TimeSeries {
       .orderBy(col("cohort_week"), col("age_week"))
   }
 
+  /** BOUNCE-RATE CENSUS per day — the share of sessions that ended
+    * after a single event, the engagement read product analytics puts
+    * next to [[eventsDauWau]]: sessions come from the SAME 30-minute
+    * gap rule as `window_sessionize` (one definition, reused by
+    * calling it — the rule can never fork), bounce = n_events = 1,
+    * bucketed by session-start day in exact permille. The
+    * sessionization windows are per-user (properly partitioned); the
+    * census is one day-grid agg on top. */
+  def eventsBounceRate(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.windowSessionize(spark, dir)
+      .groupBy(to_date(col("session_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounce"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        expr("(1000 * n_bounce) div n_sessions")
+          .as("bounce_permille"))
+      .orderBy(col("day"))
+
   /** HOURLY ACTIVITY PROFILE per event type — the diurnal-seasonality
     * read next to [[timeseriesSeasonalDow]]'s day-of-week profile:
     * counts and exact permille share per (type, hour-of-day) cell,

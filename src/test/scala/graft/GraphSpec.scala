@@ -1420,4 +1420,23 @@ class GraphSpec extends SparkSpec {
         (r.getString(0) == r.getString(1)))
     }
   }
+
+  test("degree gini: cell identity matches the O(n^2) definition over " +
+      "the recomputed degree list and flags the hub-heavy shape") {
+    val r = GraphOps.graphDegreeGini(spark, sfDir).collect().head
+    val degs = GraphOps.degree(spark, sfDir).collect()
+      .map(_.getAs[Long]("total_deg"))
+    val n = BigInt(degs.length)
+    val sx = degs.map(BigInt(_)).sum
+    assert(r.getAs[Long]("n_vertices") == n)
+    assert(r.getAs[Long]("mean_deg_milli") == 1000 * sx / n)
+    // exact gini from sorted ranks: G = sum (2i - n - 1) x_(i) / (n Sx)
+    val sorted = degs.sorted.map(BigInt(_))
+    val num = sorted.zipWithIndex
+      .map { case (x, i) => x * (2 * (i + 1) - n - 1) }.sum
+    assert(BigInt(r.getAs[Long]("gini_permille")) == 1000 * num / (n * sx))
+    // the derived graph is hub-heavy by construction (orders deg~2,
+    // parts/nations huge): inequality must be well above uniform
+    assert(r.getAs[Long]("gini_permille") >= 300L)
+  }
 }

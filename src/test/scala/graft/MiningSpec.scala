@@ -1404,6 +1404,48 @@ class MiningSpec extends SparkSpec {
     assert(sse <= sst)
   }
 
+  test("runs test: R, the sign census and the exact z2 rational all " +
+      "recompute from raw daily deltas with zeros dropped") {
+    val rows = graft.ops.Stats.statsRunsTest(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("x"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("x")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    daily.foreach { case (et, xs) =>
+      val sgns = xs.zip(xs.tail).map { case (a, b) => b - a }
+        .filter(_ != 0L).map(d => if (d > 0) 1L else -1L)
+      if (sgns.nonEmpty) {
+        val r = rows(et)
+        val n = sgns.length.toLong
+        val up = sgns.count(_ == 1L).toLong
+        val down = n - up
+        val runs = 1L + sgns.zip(sgns.tail).count(p => p._1 != p._2)
+        assert(r.getAs[Long]("n") == n, et)
+        assert(r.getAs[Long]("n_up") == up, et)
+        assert(r.getAs[Long]("n_down") == down, et)
+        assert(r.getAs[Long]("runs") == runs, et)
+        val den = BigInt(2) * up * down * (2 * up * down - n)
+        if (up == 0 || down == 0 || den <= 0)
+          assert(r.isNullAt(r.fieldIndex("z2_milli")), et)
+        else {
+          val s = BigInt(n) * runs - 2 * up * down - n
+          assert(r.getAs[Long]("z2_milli") ==
+            (1000 * s * s * (n - 1) / den).toLong, et)
+          assert(r.getAs[Boolean]("is_significant") ==
+            (s * s * (n - 1) >= 4 * den), et)
+        }
+      } else assert(!rows.contains(et), et)
+    }
+  }
+
   test("mood median: pooled lower median, 2x2 census and the exact " +
       "chi2 rational all recompute from the raw per-user spends") {
     val r = graft.ops.Stats.statsMoodMedian(spark, sfDir)

@@ -1338,6 +1338,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == out.size)
   }
 
+  test("bounce rate: census reconciles with the registered sessionize " +
+      "frame and the permille is the exact ratio") {
+    val ses = graft.ops.Windows.windowSessionize(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start")
+        .toLocalDateTime.toLocalDate.toString,
+        r.getAs[Long]("n_events")))
+    val rows = graft.ops.TimeSeries.eventsBounceRate(spark, sfDir)
+      .collect()
+    val byDay = ses.groupBy(_._1)
+    assert(rows.length == byDay.size)
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val s = byDay(day)
+      val b = s.count(_._2 == 1L).toLong
+      assert(r.getAs[Long]("n_sessions") == s.length.toLong, day)
+      assert(r.getAs[Long]("n_bounce") == b, day)
+      assert(r.getAs[Long]("bounce_permille") == 1000 * b / s.length,
+        day)
+    }
+  }
+
   test("hourly profile: shares are exact permille per cell and is_peak " +
       "marks each type's modal hour with earliest-hour tie-break") {
     val rows = graft.ops.TimeSeries.eventsHourlyProfile(spark, sfDir)
