@@ -6287,6 +6287,61 @@ object Oracle {
                 (1000 * n_near_docs) // n_docs AS near_permille
          FROM r ORDER BY source""",
 
+    // cross-source matrix over the SAME verified-pair chain as
+    // dedup_source_rate: unordered (least, greatest) source cells,
+    // exact permille share of all verified pairs
+    "dedup_cross_source_matrix" ->
+      s"""WITH $Tri0Ctes,
+         hb AS (SELECT doc_id, g,
+                       ${md5Hash60Sql("g")} % ${graft.ops.TextOps.MinhashP}
+                         AS hb
+                FROM tri0),
+         h AS (SELECT doc_id, g, i,
+                      (1000003 * (2*i + 1) * hb + 777767777 * (i + 1))
+                        % ${graft.ops.TextOps.MinhashP} AS hv
+               FROM hb, range(0, 16) AS ri(i)),
+         minh AS (SELECT doc_id, i, min(hv) AS mh
+                  FROM h GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS s
+                 FROM minh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+                          s[2*b+1] || ',' || s[2*b+2] AS bk
+                   FROM sig, range(0, 8) AS rb(b)),
+         bok AS (SELECT bands.* FROM bands
+                 JOIN (SELECT b, bk FROM bands GROUP BY b, bk
+                       HAVING count(*) <= ${graft.ops.TextOps.MaxLshBucket})
+                   c USING (b, bk)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bok x JOIN bok y
+                    ON x.b = y.b AND x.bk = y.bk
+                   AND x.doc_id < y.doc_id),
+         ints AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN tri0 a ON a.doc_id = c.a_id
+                  JOIN tri0 b ON b.doc_id = c.b_id AND b.g = a.g
+                  GROUP BY 1, 2),
+         sz0 AS (SELECT doc_id, count(*) AS n FROM tri0 GROUP BY 1),
+         jp AS (SELECT a_id, b_id FROM (
+                  SELECT a_id, b_id,
+                         ROUND(CAST(inter AS DOUBLE)
+                               / (sa.n + sb.n - inter), 3) AS jaccard
+                  FROM ints
+                  JOIN sz0 sa ON sa.doc_id = a_id
+                  JOIN sz0 sb ON sb.doc_id = b_id)
+                WHERE jaccard >= 0.5),
+         sp AS (SELECT LEAST(da.source, db.source) AS source_a,
+                       GREATEST(da.source, db.source) AS source_b
+                FROM jp
+                JOIN documents da ON da.doc_id = jp.a_id
+                JOIN documents db ON db.doc_id = jp.b_id),
+         m AS (SELECT source_a, source_b,
+                      CAST(count(*) AS BIGINT) AS n_pairs
+               FROM sp GROUP BY 1, 2),
+         t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM m)
+         SELECT source_a, source_b, n_pairs,
+                (1000 * n_pairs) // t.tot AS share_permille
+         FROM m CROSS JOIN t ORDER BY 1, 2""",
+
     // (source, lang) token-share governance grid with the over-cap flag
     "corpus_mix_report" ->
       """WITH g AS (SELECT source, lang, count(*) AS n_docs,
@@ -9447,6 +9502,44 @@ object Oracle {
 
     // seasonally-adjusted anomaly: exact cross-multiplied |z| >= 2 on
     // the STL residuals — (n*r - m)^2 >= 4*(n*s2 - m^2), HUGEINT
+    // Poisson dispersion test: D = (n*S2 - C^2)/C exact rational,
+    // the |D-(n-1)| >= 2*sqrt(2(n-1)) call squared to pure integers
+    "stats_poisson_dispersion" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS cc,
+                 CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+               FROM daily GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                CAST(cc AS BIGINT) AS n_events,
+                CAST((1000 * cc) // n AS BIGINT) AS mean_milli,
+                CAST((1000 * (n * s2 - cc * cc)) // cc AS BIGINT)
+                  AS d_milli,
+                ((n * s2 - cc * cc) > (n - 1) * cc)
+                  AS is_overdispersed,
+                (((n * s2 - cc * cc) - (n - 1) * cc)
+                 * ((n * s2 - cc * cc) - (n - 1) * cc)
+                 >= 8 * (n - 1) * cc * cc) AS is_significant
+         FROM m ORDER BY event_type""",
+
+    // repeat-purchase rate per first-purchase week cohort
+    "events_repeat_purchase_rate" ->
+      """WITH u AS (SELECT user_id,
+                 CAST(MIN(epoch(date_trunc('second', ts))) AS BIGINT)
+                   AS f,
+                 CAST(count(*) AS BIGINT) AS np
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT f // 604800 AS cohort_week,
+                 CAST(count(*) AS BIGINT) AS n_buyers,
+                 CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_repeat
+               FROM u GROUP BY 1)
+         SELECT cohort_week, n_buyers, n_repeat,
+                (1000 * n_repeat) // n_buyers AS repeat_permille
+         FROM c ORDER BY cohort_week""",
+
     // Wald-Wolfowitz runs test per event-type series: zero deltas
     // dropped, R = 1 + sign changes, z^2 exact via the
     // S = n*R - 2ab - n identity; degenerate series -> NULL

@@ -1375,6 +1375,38 @@ object Stats {
       .orderBy(col("rank_asc"))
   }
 
+  /** POISSON DISPERSION TEST per event-type daily COUNT series — "do
+    * events arrive Poisson, or do they burst?": the index of
+    * dispersion D = (n−1)·s²/x̄ reduces over daily counts c to the
+    * exact integer rational D = (n·Σc² − C²)/C with C = Σc, and the
+    * |D − (n−1)| ≥ 2·√(2(n−1)) normal call squares to the
+    * all-integer ((n·Σc² − C²) − (n−1)·C)² ≥ 8·(n−1)·C². Overdispersed
+    * (D above n−1, bursty) vs underdispersed (below, regularized) is
+    * read off the same exact numerator sign. One day-grid agg per
+    * type; Σc² in DECIMAL(38,0) (daily counts past ~3·10⁹ would
+    * overflow the BIGINT square — the standard headroom rule). */
+  def statsPoissonDispersion(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("cc"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+    val num = "(n * s2 - cc * cc)"
+    val dev = s"($num - (n - 1) * cc)"
+    m.select(col("event_type"), col("n").as("n_days"),
+        col("cc").cast(LongType).as("n_events"),
+        expr("CAST((1000 * cc) div n AS BIGINT)").as("mean_milli"),
+        expr(s"CAST((1000 * $num) div cc AS BIGINT)").as("d_milli"),
+        expr(s"$num > (n - 1) * cc").as("is_overdispersed"),
+        expr(s"$dev * $dev >= 8 * (n - 1) * cc * cc")
+          .as("is_significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** WALD–WOLFOWITZ RUNS TEST per event-type daily series — "is the
     * up/down sequence random, or does it streak/alternate?", the
     * randomness check next to [[graft.ops.TimeSeries

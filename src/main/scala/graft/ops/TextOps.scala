@@ -1877,6 +1877,37 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** CROSS-SOURCE NEAR-DUP MATRIX — which sources copy from which:
+    * the verified (Jaccard ≥ 0.5) near-dup pairs of
+    * [[dedupNearMinhash]] bucketed by their endpoints' source pair
+    * (unordered — least/greatest normalization so each cell appears
+    * once), with each cell's exact permille share of all verified
+    * pairs. The diagonal is within-source duplication (boilerplate);
+    * off-diagonal mass is cross-source contamination — the table a
+    * corpus owner reads before deciding WHICH source to drop. Rides
+    * the memoized verified-pair frame: marginal cost is two broadcast
+    * source lookups + one catalog²-sized agg. */
+  def dedupCrossSourceMatrix(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    val pairs = dedupNearMinhash(spark, dir)
+      .select(col("a_id"), col("b_id"))
+      .join(src.select(col("doc_id").as("a_id"),
+        col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"),
+        col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val m = pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val t = m.agg(sum(col("n_pairs")).as("tot"))
+    m.crossJoin(broadcast(t))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("(1000 * n_pairs) div tot").as("share_permille"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** MIX GOVERNANCE REPORT — the (source, lang) token-share table a
     * pretraining-mix owner signs off on before a run: per cell, doc
     * and token counts, the exact permille share of the corpus token

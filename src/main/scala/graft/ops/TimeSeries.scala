@@ -1624,6 +1624,30 @@ object TimeSeries {
       .orderBy(col("cohort_week"), col("age_week"))
   }
 
+  /** REPEAT-PURCHASE RATE per acquisition week — the retention
+    * quality read next to [[eventsRetentionCohort]]'s activity grid:
+    * for each first-purchase week cohort, how many buyers ever came
+    * back (lifetime purchase count ≥ 2), in exact permille. One
+    * user-keyed agg (first purchase second + lifetime count) → one
+    * cohort-week census; the week bucket is epoch-second div 604800
+    * (the [[eventsChurnHazard]] convention). */
+  def eventsRepeatPurchaseRate(spark: SparkSession,
+      dir: String): DataFrame = {
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(date_trunc('second', ts) AS LONG)").as("sec"))
+      .groupBy(col("user_id"))
+      .agg(min(col("sec")).as("f"), count(lit(1)).as("np"))
+      .select(expr("f div 604800").as("cohort_week"), col("np"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("np") >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("cohort_week"), col("n_buyers"), col("n_repeat"),
+        expr("(1000 * n_repeat) div n_buyers").as("repeat_permille"))
+      .orderBy(col("cohort_week"))
+  }
+
   /** BOUNCE-RATE CENSUS per day — the share of sessions that ended
     * after a single event, the engagement read product analytics puts
     * next to [[eventsDauWau]]: sessions come from the SAME 30-minute

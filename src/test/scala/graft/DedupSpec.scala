@@ -606,4 +606,34 @@ class DedupSpec extends SparkSpec {
       assert(permille == 1000 * dupTok / nTok)
     }
   }
+
+  test("cross-source matrix: cells recompute from the verified pair " +
+      "frame, are unordered-normalized, and shares sum to ~1000") {
+    val src = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+      .toMap
+    val pairs = graft.ops.TextOps.dedupNearMinhash(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val expect = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        if (sa <= sb) (sa, sb) else (sb, sa) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = graft.ops.TextOps.dedupCrossSourceMatrix(spark, sfDir)
+      .collect()
+    assert(rows.length == expect.size)
+    val tot = pairs.length.toLong
+    rows.foreach { r =>
+      val cell = (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b"))
+      assert(cell._1 <= cell._2, cell)
+      assert(r.getAs[Long]("n_pairs") == expect(cell), cell)
+      assert(r.getAs[Long]("share_permille") ==
+        1000 * expect(cell) / tot, cell)
+    }
+    val shares = rows.map(_.getAs[Long]("share_permille"))
+    assert(shares.sum <= 1000L && shares.sum >= 1000L - rows.length)
+  }
 }

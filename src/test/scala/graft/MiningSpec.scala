@@ -1404,6 +1404,41 @@ class MiningSpec extends SparkSpec {
     assert(sse <= sst)
   }
 
+  test("poisson dispersion: D recomputes as the exact rational over " +
+      "daily counts and the squared normal call matches the float one") {
+    val rows = graft.ops.Stats.statsPoissonDispersion(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("c")))
+      .groupBy(_._1).view.mapValues(_.map(v => BigInt(v._2))).toMap
+    rows.foreach { r =>
+      val cs = daily(r.getAs[String]("event_type"))
+      val n = BigInt(cs.length)
+      val cc = cs.sum
+      val s2 = cs.map(c => c * c).sum
+      val num = n * s2 - cc * cc
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("n_events") == cc)
+      assert(r.getAs[Long]("mean_milli") == 1000 * cc / n)
+      assert(r.getAs[Long]("d_milli") == 1000 * num / cc)
+      assert(r.getAs[Boolean]("is_overdispersed") ==
+        (num > (n - 1) * cc))
+      val dev = num - (n - 1) * cc
+      assert(r.getAs[Boolean]("is_significant") ==
+        (dev * dev >= 8 * (n - 1) * cc * cc))
+      // the integer call agrees with the float z formula
+      val d = num.toDouble / cc.toDouble
+      val z = (d - (n.toDouble - 1)) /
+        math.sqrt(2 * (n.toDouble - 1))
+      assert(r.getAs[Boolean]("is_significant") ==
+        (math.abs(z) >= 2.0 - 1e-12))
+    }
+  }
+
   test("runs test: R, the sign census and the exact z2 rational all " +
       "recompute from raw daily deltas with zeros dropped") {
     val rows = graft.ops.Stats.statsRunsTest(spark, sfDir).collect()

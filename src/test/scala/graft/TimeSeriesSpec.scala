@@ -1338,6 +1338,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == out.size)
   }
 
+  test("repeat purchase rate: cohort cells recompute from raw " +
+      "purchase streams and buyers partition across cohorts") {
+    val rows = graft.ops.TimeSeries
+      .eventsRepeatPurchaseRate(spark, sfDir).collect()
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(date_trunc('second', ts) AS LONG)").as("sec"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sec")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cohorts = users.toVector.map { case (_, secs) =>
+      (secs.min / 604800, secs.length) }
+    val byW = cohorts.groupBy(_._1)
+    assert(rows.length == byW.size)
+    assert(rows.map(_.getAs[Long]("n_buyers")).sum == users.size.toLong)
+    rows.foreach { r =>
+      val cs = byW(r.getAs[Long]("cohort_week"))
+      val rep = cs.count(_._2 >= 2).toLong
+      assert(r.getAs[Long]("n_buyers") == cs.length.toLong)
+      assert(r.getAs[Long]("n_repeat") == rep)
+      assert(r.getAs[Long]("repeat_permille") ==
+        1000 * rep / cs.length)
+    }
+  }
+
   test("bounce rate: census reconciles with the registered sessionize " +
       "frame and the permille is the exact ratio") {
     val ses = graft.ops.Windows.windowSessionize(spark, sfDir)
