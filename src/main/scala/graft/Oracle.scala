@@ -9502,6 +9502,22 @@ object Oracle {
 
     // seasonally-adjusted anomaly: exact cross-multiplied |z| >= 2 on
     // the STL residuals — (n*r - m)^2 >= 4*(n*s2 - m^2), HUGEINT
+    // log2-bucketed price histogram per order status: highest power
+    // of two <= cents via bit length (no float log)
+    "profile_price_histogram" ->
+      """WITH cells AS (SELECT o_orderstatus,
+                 CAST(1 << (length(bin(
+                   CAST(round(o_totalprice * 100) AS BIGINT))) - 1)
+                   AS BIGINT) AS bucket_lo,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1, 2),
+         tot AS (SELECT o_orderstatus, CAST(SUM(n) AS BIGINT) AS t
+                 FROM cells GROUP BY 1)
+         SELECT c.o_orderstatus, c.bucket_lo, c.n,
+                (1000 * c.n) // t.t AS share_permille
+         FROM cells c JOIN tot t USING (o_orderstatus)
+         ORDER BY 1, 2""",
+
     // Poisson dispersion test: D = (n*S2 - C^2)/C exact rational,
     // the |D-(n-1)| >= 2*sqrt(2(n-1)) call squared to pure integers
     "stats_poisson_dispersion" ->
@@ -9523,6 +9539,47 @@ object Oracle {
                  * ((n * s2 - cc * cc) - (n - 1) * cc)
                  >= 8 * (n - 1) * cc * cc) AS is_significant
          FROM m ORDER BY event_type""",
+
+    // new vs returning split per day off one min-first-day agg
+    "events_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+         fd AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1),
+         c AS (SELECT ud.day, CAST(count(*) AS BIGINT) AS n_active,
+                 CAST(SUM(CASE WHEN ud.day = fd.fday THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_new
+               FROM ud JOIN fd USING (user_id) GROUP BY 1)
+         SELECT day, n_active, n_new,
+                n_active - n_new AS n_returning,
+                (1000 * n_new) // n_active AS new_permille
+         FROM c ORDER BY day""",
+
+    // session-depth histogram over the shared 30-minute sessionization
+    "events_session_depth_histogram" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            date_trunc('second', ts) AS ts_sec
+                     FROM events),
+         flg AS (SELECT user_id, event_id, ts_sec,
+                   CASE WHEN lag(ts_sec) OVER w IS NULL
+                          OR ts_sec - lag(ts_sec) OVER w
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM ev WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_sec, event_id)),
+         s AS (SELECT user_id, ts_sec,
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM flg),
+         ses AS (SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events
+                 FROM s GROUP BY 1, 2),
+         h AS (SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+               FROM ses GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS tot FROM h)
+         SELECT n_events, n_sessions,
+                (1000 * n_sessions) // t.tot AS share_permille
+         FROM h CROSS JOIN t ORDER BY n_events""",
 
     // repeat-purchase rate per first-purchase week cohort
     "events_repeat_purchase_rate" ->

@@ -1375,6 +1375,30 @@ object Stats {
       .orderBy(col("rank_asc"))
   }
 
+  /** LOG₂-BUCKETED PRICE HISTOGRAM per order status — the
+    * power-of-two value-distribution read ([[graft.ops.GraphOps
+    * .graphDegreeHistogram]]'s device applied to money): bucket_lo =
+    * the highest power of two ≤ the order's cents (shiftleft/bin —
+    * no float log), counts and exact permille share per (status,
+    * bucket) cell. Output is status-catalog × ~2 dozen buckets at any
+    * corpus. */
+  def profilePriceHistogram(spark: SparkSession,
+      dir: String): DataFrame = {
+    val cells = Tables(spark, dir).orders
+      .select(col("o_orderstatus"),
+        expr("""shiftleft(1L, length(bin(
+                CAST(round(o_totalprice * 100) AS BIGINT))) - 1)""")
+          .as("bucket_lo"))
+      .groupBy(col("o_orderstatus"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("t"))
+    cells.join(broadcast(tot), "o_orderstatus")
+      .select(col("o_orderstatus"), col("bucket_lo"), col("n"),
+        expr("(1000 * n) div t").as("share_permille"))
+      .orderBy(col("o_orderstatus"), col("bucket_lo"))
+  }
+
   /** POISSON DISPERSION TEST per event-type daily COUNT series — "do
     * events arrive Poisson, or do they burst?": the index of
     * dispersion D = (n−1)·s²/x̄ reduces over daily counts c to the

@@ -1624,6 +1624,48 @@ object TimeSeries {
       .orderBy(col("cohort_week"), col("age_week"))
   }
 
+  /** NEW vs RETURNING split per day — the acquisition/retention mix
+    * behind every DAU chart ([[eventsDauWau]]'s companion): a user's
+    * first-seen day comes from ONE min-agg, each daily active user is
+    * then new (day = first day) or returning, shares in exact
+    * permille. Two keyed aggs + one broadcast of the first-day frame
+    * onto the (user, day) distinct frame — no window. */
+  def eventsNewVsReturning(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true) // read by the first-day agg AND the census
+    val firstDay = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("fday"))
+    ud.join(firstDay, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("fday"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        expr("(1000 * n_new) div n_active").as("new_permille"))
+      .orderBy(col("day"))
+  }
+
+  /** SESSION-DEPTH HISTOGRAM — how long sessions run, as the
+    * n_events → session-count distribution ([[eventsBounceRate]]'s
+    * bucket 1 generalized to the whole curve), with exact permille
+    * share per depth. Rides the SAME `window_sessionize` definition
+    * by calling it; the census is one value-domain-bounded agg (depth
+    * domain, never session count). */
+  def eventsSessionDepthHistogram(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ses = graft.ops.Windows.windowSessionize(spark, dir)
+      .groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+    val t = ses.agg(sum(col("n_sessions")).as("tot"))
+    ses.crossJoin(broadcast(t))
+      .select(col("n_events"), col("n_sessions"),
+        expr("(1000 * n_sessions) div tot").as("share_permille"))
+      .orderBy(col("n_events"))
+  }
+
   /** REPEAT-PURCHASE RATE per acquisition week — the retention
     * quality read next to [[eventsRetentionCohort]]'s activity grid:
     * for each first-purchase week cohort, how many buyers ever came

@@ -1404,6 +1404,32 @@ class MiningSpec extends SparkSpec {
     assert(sse <= sst)
   }
 
+  test("price histogram: log2 buckets recompute bitwise and shares " +
+      "partition each status to within truncation") {
+    val rows = graft.ops.Stats.profilePriceHistogram(spark, sfDir)
+      .collect()
+    val cells = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect()
+      .map { r =>
+        val c = r.getAs[Long]("c")
+        (r.getAs[String]("o_orderstatus"),
+          java.lang.Long.highestOneBit(c)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == cells.size)
+    val byStatus = cells.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("o_orderstatus"),
+        r.getAs[Long]("bucket_lo"))
+      assert(java.lang.Long.bitCount(k._2) == 1, k)
+      assert(r.getAs[Long]("n") == cells(k), k)
+      assert(r.getAs[Long]("share_permille") ==
+        1000 * cells(k) / byStatus(k._1), k)
+    }
+  }
+
   test("poisson dispersion: D recomputes as the exact rational over " +
       "daily counts and the squared normal call matches the float one") {
     val rows = graft.ops.Stats.statsPoissonDispersion(spark, sfDir)

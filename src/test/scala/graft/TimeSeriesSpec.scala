@@ -1338,6 +1338,53 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == out.size)
   }
 
+  test("new vs returning: daily split recomputes from first-seen " +
+      "days; day one is all-new and the split partitions actives") {
+    val rows = graft.ops.TimeSeries.eventsNewVsReturning(spark, sfDir)
+      .collect().sortBy(_.getAs[java.sql.Date]("day").toString)
+    val ud = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toString))
+    val first = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byDay = ud.groupBy(_._2)
+    assert(rows.length == byDay.size)
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val act = byDay(day)
+      val nNew = act.count(u => first(u._1) == day).toLong
+      assert(r.getAs[Long]("n_active") == act.length.toLong, day)
+      assert(r.getAs[Long]("n_new") == nNew, day)
+      assert(r.getAs[Long]("n_returning") == act.length - nNew, day)
+      assert(r.getAs[Long]("new_permille") ==
+        1000 * nNew / act.length, day)
+    }
+    assert(rows.head.getAs[Long]("new_permille") == 1000L)
+  }
+
+  test("session depth histogram: distribution reconciles with the " +
+      "registered sessionize frame and the bounce-rate bucket") {
+    val ses = graft.ops.Windows.windowSessionize(spark, sfDir)
+      .collect().map(_.getAs[Long]("n_events"))
+    val rows = graft.ops.TimeSeries
+      .eventsSessionDepthHistogram(spark, sfDir).collect()
+    val expect = ses.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("n_events")
+      assert(r.getAs[Long]("n_sessions") == expect(d), d)
+      assert(r.getAs[Long]("share_permille") ==
+        1000 * expect(d) / ses.length, d)
+    }
+    // bucket 1 must equal the bounce-rate keys' total bounce count
+    val bounces = graft.ops.TimeSeries.eventsBounceRate(spark, sfDir)
+      .collect().map(_.getAs[Long]("n_bounce")).sum
+    assert(rows.find(_.getAs[Long]("n_events") == 1L)
+      .map(_.getAs[Long]("n_sessions")).getOrElse(0L) == bounces)
+  }
+
   test("repeat purchase rate: cohort cells recompute from raw " +
       "purchase streams and buyers partition across cohorts") {
     val rows = graft.ops.TimeSeries
