@@ -261,17 +261,37 @@ object Mining {
     })
   }
 
+  /** Per-(cust, brand) earliest/latest event times in the scalar
+    * (date, orderkey) total order t = epochDay·10¹⁰ + orderkey — the
+    * witness frame both sequence miners reduce to (r14 rewrite: the
+    * event×event self-join with an event-level DISTINCT blew up on a
+    * brand-diverse draw — ~10⁸ distinct (cust, b…) candidates thrash
+    * the shared local-mode heap and their GC debris taxed every key
+    * AFTER the miners in bench order; min/max witnesses make both
+    * keys brand-grid-sized instead). */
+  private def seqBrandWitness(spark: SparkSession,
+      dir: String): DataFrame =
+    seqBrandEvents(spark, dir)
+      .select(col("cust"), col("brand"),
+        (datediff(col("od"), lit("1970-01-01")).cast(LongType)
+          * 10000000000L + col("ok")).as("t"))
+      .groupBy(col("cust"), col("brand"))
+      .agg(min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+
   def mineSeqPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ob = seqBrandEvents(spark, dir)
-    val a = ob.select(col("cust"), col("ok").as("ok_a"),
-      col("od").as("od_a"), col("brand").as("brand_a"))
-    val b = ob.select(col("cust"), col("ok").as("ok_b"),
-      col("od").as("od_b"), col("brand").as("brand_b"))
+    // a pair b₁→b₂ exists for a customer iff the EARLIEST b₁ precedes
+    // the LATEST b₂ (min/max are always admissible witnesses), so the
+    // census never touches event×event pairs: one witness join per
+    // customer (brands² rows), counts map-side-combinable into the
+    // ≤ brands² global grid — no DISTINCT over a data-sized frame
+    val w = seqBrandWitness(spark, dir)
+    val a = w.select(col("cust"), col("brand").as("brand_a"),
+      col("t_min"))
+    val b = w.select(col("cust"), col("brand").as("brand_b"),
+      col("t_max"))
     a.join(b, Seq("cust"))
-      .filter(col("od_a") < col("od_b") ||
-        (col("od_a") === col("od_b") && col("ok_a") < col("ok_b")))
-      .filter(col("brand_a") =!= col("brand_b"))
-      .select(col("cust"), col("brand_a"), col("brand_b")).distinct()
+      .filter(col("brand_a") =!= col("brand_b") &&
+        col("t_min") < col("t_max"))
       .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("seq_support"))
       .filter(col("seq_support") >= MinSupport)
@@ -287,37 +307,42 @@ object Mining {
     * occurrences (the DISTINCT before the census), and the global
     * top-20 is a TakeOrdered heap. */
   def mineSeqTriples(spark: SparkSession, dir: String): DataFrame = {
-    // Subsequence-witness reduction: a triple (b₁→b₂→b₃) exists for a
-    // customer iff SOME occurrence of b₂ lies strictly between the
-    // EARLIEST occurrence of b₁ and the LATEST occurrence of b₃ (the
-    // earliest/latest are always admissible witnesses for the outer
-    // legs). So legs 1 and 3 collapse to one (cust, brand) min/max row
-    // each and only the middle leg stays event-shaped — the candidate
-    // surface drops from |events|³ to |brands|²·|events| per customer
-    // (measured 18 s → ~1 s at sf0.1). Event order is the scalar
-    // t = epochDay·10¹⁰ + orderkey, the same (date, orderkey)
-    // lexicographic total order as mine_seq_pairs.
+    // Subsequence-witness reduction, aggregated at EVERY stage (r14):
+    // a triple (b₁→b₂→b₃) exists for a customer iff SOME occurrence
+    // of b₂ lies strictly between the EARLIEST b₁ and the LATEST b₃
+    // (the outer witnesses are always admissible). Stage 1 collapses
+    // the middle leg too: for each (cust, b₁, b₂) only the SMALLEST
+    // admissible middle time u = min{t ∈ T(b₂) : t > t_min(b₁)}
+    // matters (any other witness implies it), computed by one
+    // brands×events join per customer that aggregates straight down
+    // to the (cust, b₁, b₂) grid. Stage 2 joins the b₃ witnesses and
+    // feeds the ≤ brands³ global census DIRECTLY — each (cust, b₁,
+    // b₂, b₃) emits at most once, so there is NO event-level DISTINCT
+    // anywhere and the count is map-side-combinable (the r14
+    // brand-diverse draw put ~10⁸ rows through the old distinct; this
+    // form is grid-bounded per customer at any draw). Event order is
+    // the scalar t = epochDay·10¹⁰ + orderkey, as in mine_seq_pairs.
     val ob = seqBrandEvents(spark, dir)
       .select(col("cust"), col("brand"),
         (datediff(col("od"), lit("1970-01-01")).cast(LongType)
           * 10000000000L + col("ok")).as("t"))
-    val first = ob.groupBy(col("cust"), col("brand"))
-      .agg(min(col("t")).as("t_min"))
-      .select(col("cust"), col("brand").as("brand_a"), col("t_min"))
-    val last = ob.groupBy(col("cust"), col("brand"))
-      .agg(max(col("t")).as("t_max"))
-      .select(col("cust"), col("brand").as("brand_c"), col("t_max"))
-    first
+    val w = seqBrandWitness(spark, dir)
+    val first = w.select(col("cust"), col("brand").as("brand_a"),
+      col("t_min"))
+    val last = w.select(col("cust"), col("brand").as("brand_c"),
+      col("t_max"))
+    val mids = first
       .join(ob.select(col("cust"), col("brand").as("brand_b"),
         col("t")), Seq("cust"))
-      .filter(col("t_min") < col("t") &&
+      .filter(col("t") > col("t_min") &&
         col("brand_a") =!= col("brand_b"))
+      .groupBy(col("cust"), col("brand_a"), col("brand_b"))
+      .agg(min(col("t")).as("u"))
+    mids
       .join(last, Seq("cust"))
-      .filter(col("t") < col("t_max") &&
+      .filter(col("u") < col("t_max") &&
         col("brand_b") =!= col("brand_c") &&
         col("brand_a") =!= col("brand_c"))
-      .select(col("cust"), col("brand_a"), col("brand_b"),
-        col("brand_c")).distinct()
       .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
       .agg(count(lit(1)).as("seq_support"))
       .orderBy(col("seq_support").desc, col("brand_a"),
