@@ -9623,26 +9623,36 @@ object Oracle {
                    AS BIGINT) AS n_down,
                  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sgn
                           THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
-               FROM l GROUP BY 1)
+               FROM l GROUP BY 1),
+         -- HUGEINT headroom (Spark: DECIMAL(38,0)) — S^2*(n-1) with
+         -- |S| ~ n^2/2 passes int64 near n ~ 2500 days; BIGINT here
+         -- would raise Out of Range while Spark wraps, diverging the
+         -- failure modes (statsTtestWelch convention)
+         rh AS (SELECT event_type, n, n_up, n_down, runs,
+                  CAST(n AS HUGEINT) AS nH,
+                  CAST(n_up AS HUGEINT) AS upH,
+                  CAST(n_down AS HUGEINT) AS dnH,
+                  CAST(runs AS HUGEINT) AS runsH
+                FROM r)
          SELECT event_type, n, n_up, n_down, runs,
                 CASE WHEN n_up = 0 OR n_down = 0
-                       OR 2 * n_up * n_down * (2 * n_up * n_down - n)
+                       OR 2 * upH * dnH * (2 * upH * dnH - nH)
                           <= 0 THEN NULL
                      ELSE CAST((1000
-                       * (n * runs - 2 * n_up * n_down - n)
-                       * (n * runs - 2 * n_up * n_down - n) * (n - 1))
-                       // (2 * n_up * n_down
-                          * (2 * n_up * n_down - n)) AS BIGINT)
+                       * (nH * runsH - 2 * upH * dnH - nH)
+                       * (nH * runsH - 2 * upH * dnH - nH) * (nH - 1))
+                       // (2 * upH * dnH
+                          * (2 * upH * dnH - nH)) AS BIGINT)
                 END AS z2_milli,
                 CASE WHEN n_up = 0 OR n_down = 0
-                       OR 2 * n_up * n_down * (2 * n_up * n_down - n)
+                       OR 2 * upH * dnH * (2 * upH * dnH - nH)
                           <= 0 THEN NULL
-                     ELSE (n * runs - 2 * n_up * n_down - n)
-                       * (n * runs - 2 * n_up * n_down - n) * (n - 1)
-                       >= 4 * (2 * n_up * n_down
-                               * (2 * n_up * n_down - n))
+                     ELSE (nH * runsH - 2 * upH * dnH - nH)
+                       * (nH * runsH - 2 * upH * dnH - nH) * (nH - 1)
+                       >= 4 * (2 * upH * dnH
+                               * (2 * upH * dnH - nH))
                 END AS is_significant
-         FROM r ORDER BY event_type""",
+         FROM rh ORDER BY event_type""",
 
     // bounce-rate census per session-start day over the SAME
     // 30-minute sessionization as window_sessionize

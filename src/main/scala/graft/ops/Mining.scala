@@ -278,23 +278,59 @@ object Mining {
       .groupBy(col("cust"), col("brand"))
       .agg(min(col("t")).as("t_min"), max(col("t")).as("t_max"))
 
+  /** Brand → bit-position map over the witness frame's brand catalog
+    * (sorted order, asserted < 64 so a wider catalog fails loudly
+    * instead of silently aliasing mask bits) — the shared census-mask
+    * vocabulary of both sequence miners. Catalog-sized; riders
+    * broadcast it. */
+  private def brandBitMap(w: DataFrame): DataFrame =
+    w.select(col("brand")).distinct()
+      .withColumn("bit",
+        (row_number().over(Window.orderBy(col("brand"))) - 1)
+          .cast(LongType))
+      .filter(assert_true(col("bit") < 64,
+        lit("brand catalog exceeds the 64-bit census mask")).isNull)
+
   def mineSeqPairs(spark: SparkSession, dir: String): DataFrame = {
     // a pair b₁→b₂ exists for a customer iff the EARLIEST b₁ precedes
     // the LATEST b₂ (min/max are always admissible witnesses), so the
-    // census never touches event×event pairs: one witness join per
-    // customer (brands² rows), counts map-side-combinable into the
-    // ≤ brands² global grid — no DISTINCT over a data-sized frame
+    // census never touches event×event pairs. r15 BITMASK census (the
+    // [[mineSeqTriples]] device): the b-leg per (cust, a) is ONE long
+    // mask — a higher-order fold over the customer's catalog-sized
+    // (bit, t_max) array ORs in every brand whose latest event
+    // follows a's earliest — and the global grid is 64 bit-column
+    // sums over the (cust, a)-sized mask frame; the brands² row
+    // expansion never exists.
     val w = seqBrandWitness(spark, dir)
-    val a = w.select(col("cust"), col("brand").as("brand_a"),
-      col("t_min"))
-    val b = w.select(col("cust"), col("brand").as("brand_b"),
-      col("t_max"))
-    a.join(b, Seq("cust"))
-      .filter(col("brand_a") =!= col("brand_b") &&
-        col("t_min") < col("t_max"))
-      .groupBy(col("brand_a"), col("brand_b"))
-      .agg(count(lit(1)).as("seq_support"))
+    val bmap = brandBitMap(w)
+    val wb = w.join(broadcast(bmap), "brand")
+    val carr = wb.groupBy(col("cust"))
+      .agg(collect_list(struct(col("bit").as("cbit"), col("t_max")))
+        .as("cs"))
+    val masked = wb
+      .select(col("cust"), col("bit").as("abit"), col("t_min"))
+      .join(broadcast(carr), Seq("cust"))
+      .select(col("abit"),
+        expr("""aggregate(
+                filter(cs, c -> c.t_max > t_min AND c.cbit != abit),
+                0L,
+                (acc, c) -> acc | shiftleft(1L, CAST(c.cbit AS INT)))""")
+          .as("mask"))
+    val sums = masked.groupBy(col("abit"))
+      .agg(expr("sum(shiftrightunsigned(mask, 0) & 1)").as("c0"),
+        (1 until 64).map(i =>
+          expr(s"sum(shiftrightunsigned(mask, $i) & 1)").as(s"c$i")): _*)
+    sums
+      .select(col("abit"),
+        posexplode(array((0 until 64).map(i => col(s"c$i")): _*))
+          .as(Seq("bpos", "seq_support")))
       .filter(col("seq_support") >= MinSupport)
+      .join(broadcast(bmap.select(col("bit").as("abit"),
+        col("brand").as("brand_a"))), "abit")
+      .join(broadcast(bmap.select(col("bit").as("__bb"),
+        col("brand").as("brand_b"))),
+        col("bpos").cast(LongType) === col("__bb"))
+      .select(col("brand_a"), col("brand_b"), col("seq_support"))
       .orderBy(col("seq_support").desc, col("brand_a"), col("brand_b"))
   }
 
@@ -307,44 +343,73 @@ object Mining {
     * occurrences (the DISTINCT before the census), and the global
     * top-20 is a TakeOrdered heap. */
   def mineSeqTriples(spark: SparkSession, dir: String): DataFrame = {
-    // Subsequence-witness reduction, aggregated at EVERY stage (r14):
-    // a triple (b₁→b₂→b₃) exists for a customer iff SOME occurrence
-    // of b₂ lies strictly between the EARLIEST b₁ and the LATEST b₃
-    // (the outer witnesses are always admissible). Stage 1 collapses
-    // the middle leg too: for each (cust, b₁, b₂) only the SMALLEST
-    // admissible middle time u = min{t ∈ T(b₂) : t > t_min(b₁)}
-    // matters (any other witness implies it), computed by one
-    // brands×events join per customer that aggregates straight down
-    // to the (cust, b₁, b₂) grid. Stage 2 joins the b₃ witnesses and
-    // feeds the ≤ brands³ global census DIRECTLY — each (cust, b₁,
-    // b₂, b₃) emits at most once, so there is NO event-level DISTINCT
-    // anywhere and the count is map-side-combinable (the r14
-    // brand-diverse draw put ~10⁸ rows through the old distinct; this
-    // form is grid-bounded per customer at any draw). Event order is
-    // the scalar t = epochDay·10¹⁰ + orderkey, as in mine_seq_pairs.
+    // Subsequence-witness reduction (r14) + BITMASK census (r15): a
+    // triple (b₁→b₂→b₃) exists for a customer iff SOME occurrence of
+    // b₂ lies strictly between the EARLIEST b₁ and the LATEST b₃ (the
+    // outer witnesses are always admissible). Stage 1 collapses the
+    // middle leg: for each (cust, b₁, b₂) only the SMALLEST admissible
+    // middle time u = min{t ∈ T(b₂) : t > t_min(b₁)} matters, computed
+    // by one brands×events join per customer that aggregates straight
+    // down to the (cust, b₁, b₂) grid. Stage 2 — the r14 shape joined
+    // the b₃ witnesses back per customer, a grid×brands row explosion
+    // (~10⁸ rows on a brand-diverse draw, 1,877 task-s in the r14
+    // bench) feeding a census that only has ≤ brands³ cells. The brand
+    // catalog is ≤ 64, so the c-leg fits ONE LONG BITMASK per
+    // (cust, b₁, b₂) row: a 25-entry per-customer (bit, t_max) array
+    // rides a broadcast join, a higher-order fold ORs in every brand
+    // whose latest event lies past u, and the census is 64 bit-column
+    // sums over the grid-sized mask frame — the c-expansion never
+    // becomes rows at all. Brands are mapped to bit positions by
+    // sorted order (a catalog-sized rank, asserted < 64 so a wider
+    // catalog fails loudly instead of silently aliasing bits); the
+    // final cells map bits back to brand names. Event order is the
+    // scalar t = epochDay·10¹⁰ + orderkey, as in mine_seq_pairs.
     val ob = seqBrandEvents(spark, dir)
       .select(col("cust"), col("brand"),
         (datediff(col("od"), lit("1970-01-01")).cast(LongType)
           * 10000000000L + col("ok")).as("t"))
     val w = seqBrandWitness(spark, dir)
-    val first = w.select(col("cust"), col("brand").as("brand_a"),
+    val bmap = brandBitMap(w)
+    val wb = w.join(broadcast(bmap), "brand")
+    val first = wb.select(col("cust"), col("bit").as("abit"),
       col("t_min"))
-    val last = w.select(col("cust"), col("brand").as("brand_c"),
-      col("t_max"))
     val mids = first
-      .join(ob.select(col("cust"), col("brand").as("brand_b"),
-        col("t")), Seq("cust"))
-      .filter(col("t") > col("t_min") &&
-        col("brand_a") =!= col("brand_b"))
-      .groupBy(col("cust"), col("brand_a"), col("brand_b"))
+      .join(ob.join(broadcast(bmap), "brand")
+        .select(col("cust"), col("bit").as("bbit"), col("t")),
+        Seq("cust"))
+      .filter(col("t") > col("t_min") && col("bbit") =!= col("abit"))
+      .groupBy(col("cust"), col("abit"), col("bbit"))
       .agg(min(col("t")).as("u"))
-    mids
-      .join(last, Seq("cust"))
-      .filter(col("u") < col("t_max") &&
-        col("brand_b") =!= col("brand_c") &&
-        col("brand_a") =!= col("brand_c"))
-      .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
-      .agg(count(lit(1)).as("seq_support"))
+    val carr = wb.groupBy(col("cust"))
+      .agg(collect_list(struct(col("bit").as("cbit"), col("t_max")))
+        .as("cs"))
+    val masked = mids.join(broadcast(carr), Seq("cust"))
+      .select(col("abit"), col("bbit"),
+        expr("""aggregate(filter(cs, c -> c.t_max > u), 0L,
+                (acc, c) -> acc | shiftleft(1L, CAST(c.cbit AS INT)))""")
+          .as("mask"))
+    val sums = masked.groupBy(col("abit"), col("bbit"))
+      .agg(expr("sum(shiftrightunsigned(mask, 0) & 1)").as("c0"),
+        (1 until 64).map(i =>
+          expr(s"sum(shiftrightunsigned(mask, $i) & 1)").as(s"c$i")): _*)
+    val cells = sums
+      .select(col("abit"), col("bbit"),
+        posexplode(array((0 until 64).map(i => col(s"c$i")): _*))
+          .as(Seq("cpos", "seq_support")))
+      .filter(col("seq_support") > 0L &&
+        col("cpos").cast(LongType) =!= col("abit") &&
+        col("cpos").cast(LongType) =!= col("bbit"))
+    def nameOf(bitCol: String, out: String) =
+      broadcast(bmap.select(col("bit").as(bitCol),
+        col("brand").as(out)))
+    cells
+      .join(nameOf("abit", "brand_a"), "abit")
+      .join(nameOf("bbit", "brand_b"), "bbit")
+      .join(broadcast(bmap.select(col("bit").as("__cb"),
+        col("brand").as("brand_c"))),
+        col("cpos").cast(LongType) === col("__cb"))
+      .select(col("brand_a"), col("brand_b"), col("brand_c"),
+        col("seq_support"))
       .orderBy(col("seq_support").desc, col("brand_a"),
         col("brand_b"), col("brand_c"))
       .limit(20)

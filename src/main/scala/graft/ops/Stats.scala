@@ -1381,13 +1381,24 @@ object Stats {
     * the highest power of two ≤ the order's cents (shiftleft/bin —
     * no float log), counts and exact permille share per (status,
     * bucket) cell. Output is status-catalog × ~2 dozen buckets at any
-    * corpus. */
+    * corpus.
+    *
+    * PRECONDITION: cents ≥ 1. The shiftleft/bin device is only defined
+    * for positive inputs — `bin` of zero has length 1 (bucket 1 > the
+    * value) and a negative renders as 64 two's-complement bits
+    * (shiftleft by 63). o_totalprice is strictly positive in this
+    * corpus; the filter below makes a future non-positive-price corpus
+    * fail LOUDLY (assert_true) instead of mis-bucketing. Mirror in the
+    * oracle is unnecessary: the guard passes every row or errors. */
   def profilePriceHistogram(spark: SparkSession,
       dir: String): DataFrame = {
     val cells = Tables(spark, dir).orders
       .select(col("o_orderstatus"),
-        expr("""shiftleft(1L, length(bin(
-                CAST(round(o_totalprice * 100) AS BIGINT))) - 1)""")
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(assert_true(col("cents") >= 1L,
+        lit("profilePriceHistogram requires cents >= 1")).isNull)
+      .select(col("o_orderstatus"),
+        expr("shiftleft(1L, length(bin(cents)) - 1)")
           .as("bucket_lo"))
       .groupBy(col("o_orderstatus"), col("bucket_lo"))
       .agg(count(lit(1)).as("n"))
@@ -1463,17 +1474,26 @@ object Stats {
         (sum(when(col("prev").isNotNull &&
           col("prev") =!= col("sgn"), 1L).otherwise(0L)) + 1L)
           .as("runs"))
-    val s = "(n * runs - 2 * n_up * n_down - n)"
-    val den = "(2 * n_up * n_down * (2 * n_up * n_down - n))"
-    runs.select(col("event_type"), col("n"), col("n_up"),
+    // DECIMAL(38,0) headroom (oracle: HUGEINT) — |S| ~ n²/2 for a
+    // near-alternating series, so S²·(n−1) passes int64 near n ≈ 2500
+    // days; plain BIGINT would wrap silently here while DuckDB raises,
+    // and the failure modes diverge. Same convention as statsTtestWelch.
+    val s = "(nD * runsD - 2 * upD * dnD - nD)"
+    val den = "(2 * upD * dnD * (2 * upD * dnD - nD))"
+    runs
+      .withColumn("nD", col("n").cast(DecimalType(38, 0)))
+      .withColumn("upD", col("n_up").cast(DecimalType(38, 0)))
+      .withColumn("dnD", col("n_down").cast(DecimalType(38, 0)))
+      .withColumn("runsD", col("runs").cast(DecimalType(38, 0)))
+      .select(col("event_type"), col("n"), col("n_up"),
         col("n_down"), col("runs"),
         expr(s"""CASE WHEN n_up = 0 OR n_down = 0 OR $den <= 0
                  THEN NULL
-                 ELSE CAST((1000 * $s * $s * (n - 1)) div $den
+                 ELSE CAST((1000 * $s * $s * (nD - 1)) div $den
                    AS BIGINT) END""").as("z2_milli"),
         expr(s"""CASE WHEN n_up = 0 OR n_down = 0 OR $den <= 0
                  THEN NULL
-                 ELSE $s * $s * (n - 1) >= 4 * $den END""")
+                 ELSE $s * $s * (nD - 1) >= 4 * $den END""")
           .as("is_significant"))
       .orderBy(col("event_type"))
   }
