@@ -39,4 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB; 32g keeps the whole working set + 32 executor threads
   // comfortable at sf0.1 while staying far below the host limit.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Pre-size the heap: with the default 1/64-phys -Xms the first
+  // minutes of a bench run interleave heap-growth GCs with the
+  // 32-thread allocation burst (measured ~15% of task time in GC on
+  // the concurrent warm-cache chains at sf0.1); -Xms=-Xmx removes the
+  // growth cycles. ParallelGC was tried and REVERTED: throughput
+  // collector full-GC pauses under the same burst were far worse
+  // (ktruss 13 s → 42 s).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

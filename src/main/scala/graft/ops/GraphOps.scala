@@ -1820,31 +1820,46 @@ object GraphOps {
       small: Boolean = false): DataFrame = {
     val layers = bfsSigmaLayersMulti(und, sources, depth, small)
     def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
-    // the backward sweep probes the edge frame on dst; a
-    // dst-partitioned sibling removes that exchange per round (the
-    // same src/dst twin-cache rule as HITS), and the gated broadcast
-    // of the successor frame removes the frontier-side one
-    val eBack = undByDst.getOrElse(und)
+    // r15 (the edgeBetweennessBuild restructure): materialize the
+    // BFS-DAG edge set ONCE — (v at layer k) → (w at k+1) with both
+    // endpoints' path counts — instead of re-joining the full edge
+    // table (undByDst, kept in the signature for call-site stability
+    // but no longer probed) and the layer frame every backward round;
+    // each round is now a layer filter over the checkpointed DAG plus
+    // one gated-broadcast delta join.
+    val lvl = (0 to depth).map(k => layers(k)
+        .select(col("lm"), col("id"), lit(k).as("l"), col("paths")))
+      .reduce(_ unionByName _)
+    val dag = und.as("e")
+      .join(g(lvl.select(col("lm"), col("id").as("src"),
+        col("l").as("lv"), col("paths").as("sv"))), Seq("src"))
+      .join(g(lvl.select(col("lm").as("lm2"), col("id").as("w0"),
+        col("l").as("lw"), col("paths").as("sw"))),
+        col("lm") === col("lm2") && col("e.dst") === col("w0"))
+      .filter(col("lw") === col("lv") + 1)
+      .select(col("lm"), col("src").as("v"), col("w0").as("w"),
+        col("lv"), col("sv"), col("sw"))
+      .localCheckpoint(true)
+    val _ = undByDst // see scaladoc note above
     var delta = layers(depth).select(col("lm"), col("id"),
       lit(0L).as("d"))
     var acc = delta
     for (k <- (depth - 1) to 1 by -1) {
-      val succ = layers(k + 1).join(delta, Seq("lm", "id"))
-        .select(col("lm").as("c_lm"), col("id").as("w"),
-          col("paths").as("sw"), col("d").as("dw"))
-      val contrib = eBack.join(g(succ), eBack("dst") === succ("w"))
-        .select(col("c_lm"), col("src"), col("sw"), col("dw"))
+      val dsum = dag.filter(col("lv") === k)
+        .join(g(delta.select(col("lm"), col("id").as("w"),
+          col("d").as("dw"))), Seq("lm", "w"))
+        .groupBy(col("lm"), col("v"))
+        .agg(sum(expr("(sv * (1000000 + dw)) div sw")).as("ds"))
+        .withColumnRenamed("v", "id")
       val dk = layers(k)
-        .join(contrib, col("lm") === col("c_lm") &&
-          col("id") === col("src"), "left")
-        .groupBy(col("lm"), col("id"), col("paths"))
-        .agg(coalesce(sum(expr("(paths * (1000000 + dw)) div sw")),
-          lit(0L)).as("d"))
-        .select(col("lm"), col("id"), col("d"))
+        .join(dsum, Seq("lm", "id"), "left")
+        .select(col("lm"), col("id"),
+          coalesce(col("ds"), lit(0L)).as("d"))
       delta = dk
       acc = acc.unionByName(dk)
     }
     val out = acc.localCheckpoint(true)
+    dag.unpersist(false)
     layers.foreach(_.unpersist(false))
     out
   }
@@ -1910,30 +1925,46 @@ object GraphOps {
   private def edgeBetweennessBuild(spark: SparkSession, dir: String)
       : DataFrame = {
     val und = GraphModel.undEdgesCached(spark, dir)
-    val undByDst = GraphModel.undEdgesByDstCached(spark, dir)
     val depth = 3
     val small = GraphModel.dedupVertCountCached(spark, dir) <=
       SmallGraphVerts
     def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     val layers = bfsSigmaLayersMulti(und, BetweennessLandmarks, depth,
       small)
+    // r15: materialize the BFS-DAG edge set ONCE — (v at layer k) →
+    // (w at layer k+1) with both endpoints' path counts attached — via
+    // two gated-broadcast joins of the cached edge table against the
+    // layer frames. The r14 loop instead re-joined the full edge table
+    // every backward round (contrib) and then re-joined the layer
+    // frame to filter it (ek): two sort-merge passes over an O(E·lm)
+    // stream per round. Each backward round now only filters the
+    // checkpointed DAG by layer and broadcast-joins the delta frame —
+    // the edge table is touched exactly once after the forward sweep.
+    val lvl = (0 to depth).map(k => layers(k)
+        .select(col("lm"), col("id"), lit(k).as("l"), col("paths")))
+      .reduce(_ unionByName _)
+    val dag = und.as("e")
+      .join(g(lvl.select(col("lm"), col("id").as("src"),
+        col("l").as("lv"), col("paths").as("sv"))), Seq("src"))
+      .join(g(lvl.select(col("lm").as("lm2"), col("id").as("w0"),
+        col("l").as("lw"), col("paths").as("sw"))),
+        col("lm") === col("lm2") && col("e.dst") === col("w0"))
+      .filter(col("lw") === col("lv") + 1)
+      .select(col("lm"), col("src").as("v"), col("w0").as("w"),
+        col("lv"), col("sv"), col("sw"))
+      .localCheckpoint(true)
     var delta = layers(depth).select(col("lm"), col("id"),
       lit(0L).as("d"))
     var eAcc: Option[DataFrame] = None
     val eks = scala.collection.mutable.Buffer.empty[DataFrame]
     for (k <- (depth - 1) to 0 by -1) {
-      val succ = layers(k + 1).join(delta, Seq("lm", "id"))
-        .select(col("lm").as("c_lm"), col("id").as("w"),
-          col("paths").as("sw"), col("d").as("dw"))
-      val contrib = undByDst.join(g(succ), undByDst("dst") === succ("w"))
-        .select(col("c_lm"), col("src"), col("w"), col("sw"), col("dw"))
       // checkpointed: read by the edge accumulator AND the next
       // round's delta derivation
-      val ek = layers(k)
-        .join(contrib, col("lm") === col("c_lm") &&
-          col("id") === col("src"))
-        .select(col("lm"), col("id").as("v"), col("w"),
-          expr("(paths * (1000000 + dw)) div sw").as("term"))
+      val ek = dag.filter(col("lv") === k)
+        .join(g(delta.select(col("lm"), col("id").as("w"),
+          col("d").as("dw"))), Seq("lm", "w"))
+        .select(col("lm"), col("v"), col("w"),
+          expr("(sv * (1000000 + dw)) div sw").as("term"))
         .localCheckpoint(true)
       eks += ek
       eAcc = Some(eAcc.map(_.unionByName(ek)).getOrElse(ek))
@@ -1955,6 +1986,7 @@ object GraphOps {
       .limit(50)
       .localCheckpoint(true)
     eks.foreach(_.unpersist(false))
+    dag.unpersist(false)
     layers.foreach(_.unpersist(false))
     out
   }

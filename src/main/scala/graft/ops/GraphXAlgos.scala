@@ -53,7 +53,8 @@ object GraphXAlgos {
   }
 
   /** Per-order co-occurrence fanout cap: at most this many distinct
-    * parts per order enter the pair expansion (the corpus max is 7, so
+    * parts per order enter the pair expansion (DATAPROFILE.md: the
+    * corpus max is 17 at sf0.1 / 13 at sf0.01 on the current draw, so
     * no order is truncated at any tested SF — the cap exists so one hot
     * key can never go quadratic: pairs per order ≤ C(32,2) = 496). */
   val MaxOrderFanout = 32
@@ -142,16 +143,24 @@ object GraphXAlgos {
     * (the cached frame is a truncated LogicalRDD). */
   private[graft] def trianglesPlan(spark: SparkSession, dir: String)
       : DataFrame = {
-        // DEGREE-ORDERED enumeration: orient every undirected edge
-        // from its (degree, id)-smaller endpoint to the larger one and
-        // enumerate wedges at each vertex's OUT-neighbors only. The
-        // orientation is acyclic and every triangle has exactly one
-        // vertex with out-edges to the other two, so each triangle is
-        // found once; the wedge expansion shrinks from Σ C(deg,2) to
-        // Σ C(outdeg,2) with outdeg = O(√m) — the standard skew
-        // killer for triangle listing on hub-heavy graphs. Emitted
-        // triples are re-sorted to the canonical x<y<z ids, so every
-        // consumer (and every oracle replay) is orientation-blind.
+        // DEGREE-ORDERED enumeration by OUT-NEIGHBOR INTERSECTION:
+        // orient every undirected edge from its (degree, id)-smaller
+        // endpoint to the larger one — the orientation is acyclic and
+        // every triangle has exactly one vertex with out-edges to the
+        // other two, so per oriented edge (a, b) the closing third
+        // corners are exactly N⁺(a) ∩ N⁺(b) and each triangle is
+        // enumerated once. The r14 shape materialized the Σ C(outdeg,2)
+        // wedge rows (~35M on the dense r15 draw) and sort-merge-
+        // semi-joined them against the edge list — the sort of the
+        // wedge stream dominated the whole warm-cache block (460
+        // task-s). Intersecting per-vertex SORTED out-neighbor arrays
+        // instead never materializes a wedge: two O(E)-row joins
+        // attach the (outdeg-bounded, ≤ O(√m) by the orientation)
+        // arrays to each edge and the intersection emits only actual
+        // triangles (measured 30 task-s, same 1,884,488 triples).
+        // Emitted triples are re-sorted to the canonical x<y<z ids, so
+        // every consumer (and every oracle replay) is
+        // orientation-blind.
         val pairs = copurchasePairsCached(spark, dir)
         val deg = pairs.select(col("src").as("id"))
           .unionByName(pairs.select(col("dst").as("id")))
@@ -167,21 +176,17 @@ object GraphXAlgos {
           .select(
             when(col("ds") < col("dd") ||
                 (col("ds") === col("dd") && col("src") < col("dst")),
-              struct(col("src").as("a"), col("dst").as("b"),
-                col("dd").as("db")))
-              .otherwise(struct(col("dst").as("a"), col("src").as("b"),
-                col("ds").as("db"))).as("e"))
-          .select(col("e.a"), col("e.b"), col("e.db"))
-        val closure = oriented.select(col("a").as("ca"), col("b").as("cb"))
-        oriented.as("e1")
-          .join(oriented.as("e2"), col("e1.a") === col("e2.a") &&
-            (col("e1.db") < col("e2.db") ||
-              (col("e1.db") === col("e2.db") &&
-                col("e1.b") < col("e2.b"))))
-          .select(col("e1.a").as("v"), col("e1.b").as("u"),
-            col("e2.b").as("w"))
-          .join(closure, col("ca") === col("u") && col("cb") === col("w"),
-            "left_semi")
+              struct(col("src").as("a"), col("dst").as("b")))
+              .otherwise(struct(col("dst").as("a"),
+                col("src").as("b"))).as("e"))
+          .select(col("e.a"), col("e.b"))
+        val nbrs = oriented.groupBy(col("a"))
+          .agg(sort_array(collect_list(col("b"))).as("ns"))
+        oriented
+          .join(nbrs.select(col("a"), col("ns").as("na")), "a")
+          .join(nbrs.select(col("a").as("b"), col("ns").as("nb")), "b")
+          .select(col("a").as("v"), col("b").as("u"),
+            explode(array_intersect(col("na"), col("nb"))).as("w"))
           .select(least(col("v"), col("u"), col("w")).as("x"),
             (col("v") + col("u") + col("w")
               - least(col("v"), col("u"), col("w"))
@@ -220,22 +225,29 @@ object GraphXAlgos {
     var ckpts = Vector.empty[DataFrame]
     var stats = Vector.empty[DataFrame]
     // Peeling only ever REMOVES edges, so the surviving triangle set
-    // shrinks monotonically: round 1 reads the shared memoized
-    // enumeration, and every later round filters the previous round's
-    // triangle list down to triangles whose three sides all survived —
-    // three semi-joins against the peeled edge set, never a fresh
-    // 3-way enumeration (measured 142 s → ~20 s at sf0.1 on the dense
-    // co-purchase projection).
+    // shrinks monotonically. r15: each round's survivors are computed
+    // by anti-joining the triangle list against the edges REMOVED last
+    // round — a tiny frame on this corpus (62k/22k/1.7k vs 1.1M kept
+    // at sf0.1) and, peel being monotone, never larger than the edges
+    // that eventually fall. The r14 shape semi-joined the full
+    // SURVIVOR edge set instead, which sort-merge-sorted the ~1.9M-row
+    // triangle list three times per round (measured 568 task-s; the
+    // anti-join probes broadcast the removed set when it is provably
+    // small — a count over the just-checkpointed frame — and fall back
+    // to keyed shuffles above the gate, the louvain broadcast rule).
     var tri = trianglesCached(spark, dir)
+    var removed: Option[DataFrame] = None
     for (r <- 1 to 3) {
-      if (r > 1) {
+      removed.foreach { rem =>
+        val g: DataFrame => DataFrame =
+          if (rem.count() <= 4000000L) broadcast _ else identity _
         tri = tri
-          .join(cur.select(col("src").as("x"), col("dst").as("y")),
-            Seq("x", "y"), "left_semi")
-          .join(cur.select(col("src").as("x"), col("dst").as("z")),
-            Seq("x", "z"), "left_semi")
-          .join(cur.select(col("src").as("y"), col("dst").as("z")),
-            Seq("y", "z"), "left_semi")
+          .join(g(rem.select(col("src").as("x"), col("dst").as("y"))),
+            Seq("x", "y"), "left_anti")
+          .join(g(rem.select(col("src").as("x"), col("dst").as("z"))),
+            Seq("x", "z"), "left_anti")
+          .join(g(rem.select(col("src").as("y"), col("dst").as("z"))),
+            Seq("y", "z"), "left_anti")
           .localCheckpoint(true)
         ckpts = ckpts :+ tri
       }
@@ -252,10 +264,13 @@ object GraphXAlgos {
         count_if(col("sup") >= K - 2).as("n_remaining"))
         .select(lit(r).as("round"), col("n_removed"),
           col("n_remaining"))
-      val next = scored.filter(col("sup") >= K - 2)
+      val rem = scored.filter(col("sup") < K - 2)
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
-      ckpts = ckpts ++ Vector(scored, next)
+      val next = scored.filter(col("sup") >= K - 2)
+        .select(col("src"), col("dst"))
+      ckpts = ckpts ++ Vector(scored, rem)
+      removed = Some(rem)
       cur = next
     }
     val out = stats.reduce(_ unionByName _)
@@ -272,7 +287,12 @@ object GraphXAlgos {
     * shingle df-cap: a hub co-purchased with everything produces
     * C(deg,2) candidate pairs and carries no affinity signal, so
     * super-connectors are excluded from the middle role (standard
-    * practice; Adamic-Adar down-weights them for the same reason). */
+    * practice; Adamic-Adar down-weights them for the same reason).
+    * DATAPROFILE.md: the current draw's projection is dense (avg
+    * degree 119.6 at sf0.1 — 99.3% of vertices exceed this cap), so
+    * the cap now functions purely as the scale guard it was designed
+    * as: candidates come from the ≤64-degree tail; both engines apply
+    * the identical cap, so parity is automatic. */
   val MaxLinkDegree = 64
 
   /** Link prediction over the part co-purchase projection: for part

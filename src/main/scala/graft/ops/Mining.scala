@@ -24,8 +24,9 @@ object Mining {
 
   /** Baskets larger than this are dropped before pair expansion — the
     * hard bound that keeps the self-join fanout O(cap²) per order even
-    * against a pathological 10⁶-line order at 100 TB. Corpus max is 13,
-    * so nothing is dropped at bench scales. */
+    * against a pathological 10⁶-line order at 100 TB. DATAPROFILE.md:
+    * corpus max is 17 distinct parts/order at sf0.1 on the current
+    * draw, so nothing is dropped at bench scales. */
   val MaxBasket = 64
 
   /** Distinct (order, part) pairs from baskets that pass [[MaxBasket]],
@@ -206,9 +207,10 @@ object Mining {
   /** Orders per customer entering the sequence mine — the hard cap
     * that bounds the temporal self-join fanout per customer at
     * O(cap² · basket²) even against a pathological always-buying
-    * account at 100 TB. Corpus max is 25 orders/customer at sf0.01, so
-    * the cap keeps the earliest 8 — a real (deterministic) truncation,
-    * matched exactly by the oracle. */
+    * account at 100 TB. DATAPROFILE.md: 10 orders/customer on average
+    * (max 24–25) at every SF on the current draw, so the cap keeps the
+    * earliest 8 — a real (deterministic) truncation of roughly every
+    * customer, matched exactly by the oracle. */
   val MaxSeqOrders = 8
 
   /** SEQUENTIAL pattern mining (the temporal cousin of
