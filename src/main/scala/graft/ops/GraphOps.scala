@@ -1436,22 +1436,25 @@ object GraphOps {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
+    // wdeg and mrow stay LAZY (r15 job-count trim): each is one cheap
+    // agg over the checkpointed wded, read once (dc0 seed) / once per
+    // round (the broadcast 1-row cross) — replaying those beats three
+    // blocking checkpoint jobs; the broadcast gate rides the session
+    // vertex count (wded's vertex set IS the edge-incident set) so the
+    // wdeg.count() job disappears too.
     val wdeg = wded
       .select(col("src").as("id"), col("w"))
       .unionByName(wded.select(col("dst").as("id"), col("w")))
       .groupBy(col("id")).agg(sum(col("w")).as("d"))
-      .localCheckpoint(true)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val mrow = wded.agg(sum(col("w")).cast(dec).as("m"))
-      .localCheckpoint(true)
     val labs = louvainContractedOn(wded, lpaLabelsCached(spark, dir),
-      LouvainRounds, wdeg, mrow, wdeg.count() <= SmallGraphVerts)
+      LouvainRounds, wdeg, mrow,
+      GraphModel.dedupVertCountCached(spark, dir) <= SmallGraphVerts)
     val out = labs
       .groupBy(col("label")).agg(count(lit(1)).as("size"))
       .orderBy(col("label")).localCheckpoint(true)
     labs.unpersist(false)
-    wdeg.unpersist(false)
-    mrow.unpersist(false)
     wded.unpersist(false)
     out
   }

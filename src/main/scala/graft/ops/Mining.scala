@@ -303,26 +303,39 @@ object Mining {
     // follows a's earliest — and the global grid is 64 bit-column
     // sums over the (cust, a)-sized mask frame; the brands² row
     // expansion never exists.
-    val w = seqBrandWitness(spark, dir)
-    val bmap = brandBitMap(w)
-    val wb = w.join(broadcast(bmap), "brand")
+    // eager checkpoints on the small shared frames: Catalyst does not
+    // dedup common subplans, and this plan references bmap 3× and the
+    // bit-joined witness 2× — uncheckpointed, each reference replayed
+    // the witness groupBy chain; all three are witness-sized or
+    // smaller, and they are released once the catalog-sized result is
+    // materialized (the graphKtruss discipline).
+    val w = seqBrandWitness(spark, dir).localCheckpoint(true)
+    val bmap = brandBitMap(w).localCheckpoint(true)
+    val wb = w.join(broadcast(bmap), "brand").localCheckpoint(true)
+    // the per-brand bit is pre-shifted INTO the array struct (and the
+    // HOF is ONE aggregate with a CASE, not filter+aggregate): the
+    // lambda interpreter visits each element once with no shift/cast
+    // per visit — higher-order lambdas run interpreted, so element
+    // visits are the unit of cost here
     val carr = wb.groupBy(col("cust"))
-      .agg(collect_list(struct(col("bit").as("cbit"), col("t_max")))
-        .as("cs"))
+      .agg(collect_list(struct(
+        expr("shiftleft(1L, CAST(bit AS INT))").as("cbm"),
+        col("t_max"))).as("cs"))
     val masked = wb
-      .select(col("cust"), col("bit").as("abit"), col("t_min"))
+      .select(col("cust"), col("bit").as("abit"),
+        expr("shiftleft(1L, CAST(bit AS INT))").as("abm"),
+        col("t_min"))
       .join(broadcast(carr), Seq("cust"))
       .select(col("abit"),
-        expr("""aggregate(
-                filter(cs, c -> c.t_max > t_min AND c.cbit != abit),
-                0L,
-                (acc, c) -> acc | shiftleft(1L, CAST(c.cbit AS INT)))""")
+        expr("""aggregate(cs, 0L, (acc, c) ->
+                acc | CASE WHEN c.t_max > t_min AND c.cbm != abm
+                      THEN c.cbm ELSE 0L END)""")
           .as("mask"))
     val sums = masked.groupBy(col("abit"))
       .agg(expr("sum(shiftrightunsigned(mask, 0) & 1)").as("c0"),
         (1 until 64).map(i =>
           expr(s"sum(shiftrightunsigned(mask, $i) & 1)").as(s"c$i")): _*)
-    sums
+    val out = sums
       .select(col("abit"),
         posexplode(array((0 until 64).map(i => col(s"c$i")): _*))
           .as(Seq("bpos", "seq_support")))
@@ -334,6 +347,9 @@ object Mining {
         col("bpos").cast(LongType) === col("__bb"))
       .select(col("brand_a"), col("brand_b"), col("seq_support"))
       .orderBy(col("seq_support").desc, col("brand_a"), col("brand_b"))
+      .localCheckpoint(true)
+    w.unpersist(false); bmap.unpersist(false); wb.unpersist(false)
+    out
   }
 
   /** 3-step sequential patterns (brand₁ → brand₂ → brand₃ across a
@@ -371,8 +387,10 @@ object Mining {
         (datediff(col("od"), lit("1970-01-01")).cast(LongType)
           * 10000000000L + col("ok")).as("t"))
     val w = seqBrandWitness(spark, dir)
-    val bmap = brandBitMap(w)
-    val wb = w.join(broadcast(bmap), "brand")
+    // checkpointed shares + final unpersist: the mineSeqPairs replay
+    // discipline (bmap is referenced 4×, wb 2×)
+    val bmap = brandBitMap(w).localCheckpoint(true)
+    val wb = w.join(broadcast(bmap), "brand").localCheckpoint(true)
     val first = wb.select(col("cust"), col("bit").as("abit"),
       col("t_min"))
     val mids = first
@@ -382,13 +400,15 @@ object Mining {
       .filter(col("t") > col("t_min") && col("bbit") =!= col("abit"))
       .groupBy(col("cust"), col("abit"), col("bbit"))
       .agg(min(col("t")).as("u"))
+    // pre-shifted bits + single-pass CASE fold — see mineSeqPairs
     val carr = wb.groupBy(col("cust"))
-      .agg(collect_list(struct(col("bit").as("cbit"), col("t_max")))
-        .as("cs"))
+      .agg(collect_list(struct(
+        expr("shiftleft(1L, CAST(bit AS INT))").as("cbm"),
+        col("t_max"))).as("cs"))
     val masked = mids.join(broadcast(carr), Seq("cust"))
       .select(col("abit"), col("bbit"),
-        expr("""aggregate(filter(cs, c -> c.t_max > u), 0L,
-                (acc, c) -> acc | shiftleft(1L, CAST(c.cbit AS INT)))""")
+        expr("""aggregate(cs, 0L, (acc, c) ->
+                acc | CASE WHEN c.t_max > u THEN c.cbm ELSE 0L END)""")
           .as("mask"))
     val sums = masked.groupBy(col("abit"), col("bbit"))
       .agg(expr("sum(shiftrightunsigned(mask, 0) & 1)").as("c0"),
@@ -404,7 +424,7 @@ object Mining {
     def nameOf(bitCol: String, out: String) =
       broadcast(bmap.select(col("bit").as(bitCol),
         col("brand").as(out)))
-    cells
+    val out = cells
       .join(nameOf("abit", "brand_a"), "abit")
       .join(nameOf("bbit", "brand_b"), "bbit")
       .join(broadcast(bmap.select(col("bit").as("__cb"),
@@ -415,6 +435,9 @@ object Mining {
       .orderBy(col("seq_support").desc, col("brand_a"),
         col("brand_b"), col("brand_c"))
       .limit(20)
+      .localCheckpoint(true)
+    bmap.unpersist(false); wb.unpersist(false)
+    out
   }
 
   /** Batch MERGE (SCD1): apply a keyed change feed (U/I/D ops) to the
