@@ -7301,6 +7301,30 @@ object Oracle {
          WHERE c.c >= 20
          ORDER BY lift_ppm DESC, c.w1, c.w2 LIMIT 30""",
 
+    // replays TextOps.textBigramLogprob: per-distinct-bigram
+    // -ln P(w2|w1) micro-rounded ONCE (the BM25 convention), per-doc
+    // totals exact BIGINT sums
+    "text_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM
+                (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)),
+         cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_b
+                FROM bi GROUP BY 1, 2),
+         cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_w
+                FROM bi GROUP BY 1),
+         sc AS (SELECT w1, w2,
+                  CAST(round(1000000 * ln(CAST(c_w AS DOUBLE) / c_b))
+                    AS BIGINT) AS nll_micro
+                FROM cb JOIN cw USING (w1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(nll_micro) AS BIGINT) AS nll_total_micro,
+                CAST(SUM(nll_micro) AS BIGINT) // count(*)
+                  AS nll_avg_micro
+         FROM bi JOIN sc USING (w1, w2)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     // replays TextOps.textOovRate: the same top-200 bigram LM as
     // corpus_ngram_lm, then per-document unseen-bigram permille
     "text_oov_rate" ->

@@ -2367,4 +2367,48 @@ object TextOps {
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(30)
   }
+
+  /** CORPUS BIGRAM-LM SURPRISE per document — the perplexity-style
+    * quality signal ("how predictable is this document under a model
+    * of the corpus itself") that training-data pipelines rank and
+    * filter by: train the maximum-likelihood bigram model on the whole
+    * corpus (P(w₂|w₁) = c(w₁,w₂) / c(w₁·), both counts over the bigram
+    * stream so the conditional is exactly normalized), then score each
+    * document by its total and per-bigram negative log likelihood —
+    * the genuine-log upgrade of [[textLmScore]]'s log-free permille
+    * stand-in (full ML model, no top-200 truncation, real nats).
+    * Determinism discipline = the BM25/Adamic-Adar convention: each
+    * DISTINCT bigram's −ln P is micro-rounded ONCE
+    * (`round(1e6·ln(c_w/c_b))`, an enumerable input domain — distinct
+    * (c_w, c_b) count pairs, vocab²-bounded) and the per-doc totals
+    * are exact BIGINT sums of those integers, so summation order can
+    * never drift the hash. Cost: one bigram explode, two vocab-bounded
+    * count aggs, one broadcast-size score join back onto the stream. */
+  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(t[i-1] AS w1, t[i] AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true) // read 3× (two count aggs + the score join)
+    val cb = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_b"))
+    val cw = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_w"))
+    val scores = cb.join(cw, "w1")
+      .select(col("w1"), col("w2"),
+        expr("""CAST(round(1000000 * ln(CAST(c_w AS DOUBLE) / c_b))
+                AS BIGINT)""").as("nll_micro"))
+    val out = bi.join(scores, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll_micro")).as("nll_total_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_total_micro"),
+        expr("nll_total_micro div n_bigrams").as("nll_avg_micro"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    bi.unpersist(false)
+    out
+  }
 }

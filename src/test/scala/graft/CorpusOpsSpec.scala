@@ -65,6 +65,32 @@ class CorpusOpsSpec extends SparkSpec {
     expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
   }
 
+  test("text_bigram_logprob matches a first-principles recomputation") {
+    val got = TextOps.textBigramLogprob(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // corpus-wide ML bigram model from first principles
+    val allBi = docs.toSeq.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      if (t.length >= 2) t.sliding(2).map(p => (id, p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val cB = allBi.groupBy(b => (b._2, b._3)).map { case (k, v) =>
+      k -> v.size.toLong }
+    val cW = allBi.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nll = cB.map { case ((w1, w2), cb) =>
+      (w1, w2) -> math.round(1e6 * math.log(cW(w1).toDouble / cb)) }
+    val expected = allBi.groupBy(_._1).map { case (id, bs) =>
+      val total = bs.map(b => nll((b._2, b._3))).sum
+      id -> (bs.size.toLong, total, total / bs.size)
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // surprise is nonnegative: P(w2|w1) <= 1 exactly by construction
+    got.values.foreach { case (_, tot, avg) =>
+      assert(tot >= 0L && avg >= 0L) }
+  }
+
   test("text_contamination_ngram: hits recomputed from the shingle sets") {
     val srcByDoc = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "source").collect()
