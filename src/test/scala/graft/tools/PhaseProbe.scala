@@ -22,6 +22,11 @@ object PhaseProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A/B lever for the job-train adjudication: SPARK_GRAFT_AQE=false
+      // disables adaptive execution to measure its per-stage planning
+      // latency against its coalesce/skew wins
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val probe =
