@@ -134,6 +134,12 @@ class PlanSpec extends SparkSpec {
     val df = graft.ops.GraphXAlgos.trianglesPlan(spark, sfDir)
     val logical = df.queryExecution.analyzed.toString
     assert(!logical.toLowerCase.contains("broadcast"), logical)
+    // r15 shape guard: the enumeration must intersect sorted
+    // out-neighbor arrays — the wedge-row self-join it replaced sorted
+    // a ~35M-row stream through a sort-merge semi-join at sf0.1 and
+    // must not silently come back
+    assert(logical.contains("array_intersect"), logical)
+    assert(!logical.toLowerCase.contains("left_semi"), logical)
     assert(df.count() >= 0) // the hint-free plan still resolves and runs
   }
   test("persisted-IVF query plan has no training and prunes buckets") {
