@@ -221,7 +221,7 @@ object GraphXAlgos {
     * projection exactly like the triangle census. */
   def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
     val K = 4
-    var cur = copurchasePairsCached(spark, dir)
+    val cur = copurchasePairsCached(spark, dir)
     var ckpts = Vector.empty[DataFrame]
     var stats = Vector.empty[DataFrame]
     // Peeling only ever REMOVES edges, so the surviving triangle set
@@ -237,28 +237,67 @@ object GraphXAlgos {
     // to keyed shuffles above the gate, the louvain broadcast rule).
     var tri = trianglesCached(spark, dir)
     var removed: Option[DataFrame] = None
+    var scored: DataFrame = null
     for (r <- 1 to 3) {
-      removed.foreach { rem =>
-        val g: DataFrame => DataFrame =
-          if (rem.count() <= 4000000L) broadcast _ else identity _
-        tri = tri
-          .join(g(rem.select(col("src").as("x"), col("dst").as("y"))),
-            Seq("x", "y"), "left_anti")
-          .join(g(rem.select(col("src").as("x"), col("dst").as("z"))),
-            Seq("x", "z"), "left_anti")
-          .join(g(rem.select(col("src").as("y"), col("dst").as("z"))),
-            Seq("y", "z"), "left_anti")
-          .localCheckpoint(true)
-        ckpts = ckpts :+ tri
+      removed match {
+        case None =>
+          // round 1: the only full-size support aggregation — every
+          // triangle credits its three sides once
+          val support = tri
+            .select(col("x").as("src"), col("y").as("dst"))
+            .unionByName(tri.select(col("x").as("src"),
+              col("z").as("dst")))
+            .unionByName(tri.select(col("y").as("src"),
+              col("z").as("dst")))
+            .groupBy(col("src"), col("dst"))
+            .agg(count(lit(1)).as("sup"))
+          scored = cur.join(support, Seq("src", "dst"), "left")
+            .select(col("src"), col("dst"),
+              coalesce(col("sup"), lit(0L)).as("sup"))
+            .localCheckpoint(true)
+        case Some(rem) =>
+          // later rounds are DELTA-sized (r15): support only ever
+          // DECREASES, by exactly the dropped triangles' credits —
+          // so instead of re-aggregating the 3x|tri| union, collect
+          // the dropped set (triangles touching a removed edge, each
+          // once via union+distinct), count its per-edge credits, and
+          // subtract them from the surviving edges' scores
+          val g: DataFrame => DataFrame =
+            if (rem.count() <= 4000000L) broadcast _ else identity _
+          val dropped = tri
+            .join(g(rem.select(col("src").as("x"), col("dst").as("y"))),
+              Seq("x", "y"), "left_semi")
+            .unionByName(tri
+              .join(g(rem.select(col("src").as("x"),
+                col("dst").as("z"))), Seq("x", "z"), "left_semi"))
+            .unionByName(tri
+              .join(g(rem.select(col("src").as("y"),
+                col("dst").as("z"))), Seq("y", "z"), "left_semi"))
+            .distinct()
+            .localCheckpoint(true)
+          tri = tri
+            .join(g(rem.select(col("src").as("x"), col("dst").as("y"))),
+              Seq("x", "y"), "left_anti")
+            .join(g(rem.select(col("src").as("x"), col("dst").as("z"))),
+              Seq("x", "z"), "left_anti")
+            .join(g(rem.select(col("src").as("y"), col("dst").as("z"))),
+              Seq("y", "z"), "left_anti")
+            .localCheckpoint(true)
+          val dec = dropped
+            .select(col("x").as("src"), col("y").as("dst"))
+            .unionByName(dropped.select(col("x").as("src"),
+              col("z").as("dst")))
+            .unionByName(dropped.select(col("y").as("src"),
+              col("z").as("dst")))
+            .groupBy(col("src"), col("dst"))
+            .agg(count(lit(1)).as("dec"))
+          scored = scored.filter(col("sup") >= K - 2)
+            .join(dec, Seq("src", "dst"), "left")
+            .select(col("src"), col("dst"),
+              (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+            .localCheckpoint(true)
+          ckpts = ckpts ++ Vector(dropped, tri)
       }
-      val support = tri.select(col("x").as("src"), col("y").as("dst"))
-        .unionByName(tri.select(col("x").as("src"), col("z").as("dst")))
-        .unionByName(tri.select(col("y").as("src"), col("z").as("dst")))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
-      val scored = cur.join(support, Seq("src", "dst"), "left")
-        .select(col("src"), col("dst"),
-          coalesce(col("sup"), lit(0L)).as("sup"))
-        .localCheckpoint(true)
       stats = stats :+ scored.agg(
         count_if(col("sup") < K - 2).as("n_removed"),
         count_if(col("sup") >= K - 2).as("n_remaining"))
@@ -267,11 +306,8 @@ object GraphXAlgos {
       val rem = scored.filter(col("sup") < K - 2)
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
-      val next = scored.filter(col("sup") >= K - 2)
-        .select(col("src"), col("dst"))
       ckpts = ckpts ++ Vector(scored, rem)
       removed = Some(rem)
-      cur = next
     }
     val out = stats.reduce(_ unionByName _)
       .orderBy(col("round"))
