@@ -2482,14 +2482,18 @@ object GraphOps {
   /** The peel loop itself, over a SYMMETRIC (src, dst) pair frame —
     * separate so the census can be unit-tested on hand graphs. */
   def kcoreOn(und: DataFrame, K: Int, Rounds: Int): DataFrame = {
+    val spark = und.sparkSession
     var cur = und
     // the symmetric union puts every vertex on the src side, so the
     // degree frame's key set IS the remaining vertex set
     var verts = und.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
+    var nVerts = verts.count()
     var ckpts = Vector(verts)
     var stats = Vector.empty[DataFrame]
-    for (r <- 1 to Rounds) {
+    var r = 1
+    var dry = false
+    while (r <= Rounds && !dry) {
       val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val vd = verts
         .join(deg, verts("id") === deg("src"), "left")
@@ -2503,12 +2507,33 @@ object GraphOps {
       val keep = vd.filter(col("d") >= K).select(col("id"))
         .localCheckpoint(true)
       ckpts = ckpts ++ Vector(vd, keep)
-      cur = cur
-        .join(keep.select(col("id").as("sk")), col("src") === col("sk"))
-        .join(keep.select(col("id").as("dk")), col("dst") === col("dk"))
-        .select(col("src"), col("dst"))
+      val nKeep = keep.count()
+      // a dry round proves the fixpoint (the louvain device): no
+      // removal leaves the edge set — hence every later round's census
+      // — identical by determinism, so the remaining rows are
+      // synthesized below instead of replaying the peel-join chain
+      // (rounds 2..4 were re-executing the whole chain for zero
+      // removals on this corpus). The count is one cheap scan of the
+      // just-checkpointed keep frame.
+      dry = nKeep == nVerts
+      if (!dry) {
+        cur = cur
+          .join(keep.select(col("id").as("sk")),
+            col("src") === col("sk"))
+          .join(keep.select(col("id").as("dk")),
+            col("dst") === col("dk"))
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        ckpts = ckpts :+ cur
+      }
       verts = keep
+      nVerts = nKeep
+      r += 1
     }
+    for (rr <- r to Rounds)
+      stats = stats :+ spark.range(1)
+        .select(lit(rr).as("round"), lit(0L).as("n_removed"),
+          lit(nVerts).as("n_remaining"))
     val out = stats.reduce(_ unionByName _)
       .orderBy(col("round"))
       .localCheckpoint(true)
