@@ -709,7 +709,22 @@ object TextOps {
     * quantizing to integer rationals is unavailable here because the
     * classifier sums LOGS (products of rationals are unbounded). */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    // r15: spread the scan when the corpus arrives in fewer splits
+    // than cores. A single sub-rowgroup parquet file scans as ONE
+    // partition, and the scan stage is where the explode AND the
+    // map-side partial aggregations of every downstream groupBy run —
+    // the whole detector was a single-threaded pass (bench: 20 s wall
+    // at 1.1 effective cores for corpus_lang_confusion). At 100 TB the
+    // source is thousands of splits and the guard is false, so the
+    // extra shuffle never fires where it would actually cost.
+    val docsRaw = Tables(spark, dir).documents
+    val docs =
+      if (docsRaw.rdd.getNumPartitions
+          < docsRaw.sparkSession.sparkContext.defaultParallelism)
+        docsRaw.repartition(
+          docsRaw.sparkSession.sparkContext.defaultParallelism,
+          col("doc_id"))
+      else docsRaw
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val perLang = toks.groupBy(col("lang").as("l"), col("tok"))

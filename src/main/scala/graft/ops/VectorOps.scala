@@ -1103,10 +1103,20 @@ object VectorOps {
           .as("ps"))
         .select(col("cid"),
           expr("transform(ps, p -> p.m)").as("new_centroid"))
+      // r15: eager-checkpoint the k×dim centroid state per round
+      // (coalesced to one partition — it is 8 rows at ANY corpus
+      // size, constant state like the quantizer's codebook). Without
+      // this, round i's assignment plan re-derives every earlier
+      // round's centroid-update subtree (posexplode + two shuffles
+      // each) inside its broadcast build, and the whole trace ran
+      // near-single-core on recomputation: 21.3 s driver wall at 0.9
+      // effective cores in the r15 bench.
       cents = cents.join(updated, Seq("cid"), "left")
         .select(col("cid"),
           coalesce(col("new_centroid"), col("centroid"))
             .as("centroid"))
+        .coalesce(1).localCheckpoint(true)
+      retired += cents
       prev = Some(asg)
       row
     }
