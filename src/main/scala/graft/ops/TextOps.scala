@@ -725,22 +725,36 @@ object TextOps {
           docsRaw.sparkSession.sparkContext.defaultParallelism,
           col("doc_id"))
       else docsRaw
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
-    val perLang = toks.groupBy(col("lang").as("l"), col("tok"))
-      .agg(count(lit(1)).as("c_lt"))
+    // r15: collapse token OCCURRENCES to per-doc (tok, cnt) counts
+    // once, and derive every census (per-lang, per-token, grand) plus
+    // the scoring join from the compact frame. The occurrence-level
+    // sum Σ score equals the exact decimal Σ cnt·score, so the argmax
+    // — the only hashed surface — is bit-identical and the oracle is
+    // untouched; what changes is the join fan-out: the score probe
+    // now carries one row per DISTINCT (doc, token) instead of one
+    // per occurrence (bench: the confusion key read 51 task-s on the
+    // occurrence stream). Eager-checkpointed: the frame feeds both
+    // the model side and the scoring side of one action.
+    val tokCnt = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val perLang = tokCnt.groupBy(col("lang").as("l"), col("tok"))
+      .agg(sum(col("cnt")).as("c_lt"))
     val langTotals = perLang.groupBy(col("l")).agg(sum(col("c_lt")).as("c_l"))
-    val tokTotals = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
-    val grand = toks.agg(count(lit(1)).as("c_all"))
+    val tokTotals = tokCnt.groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("c_t"))
+    val grand = tokCnt.agg(sum(col("cnt")).as("c_all"))
     val scores = perLang.join(langTotals, "l").join(tokTotals, "tok")
       .crossJoin(broadcast(grand))
       .select(col("l"), col("tok"),
         round(log((col("c_lt").cast(DoubleType) / col("c_l"))
           / (col("c_t").cast(DoubleType) / col("c_all"))) + lit(1e-12), 9)
           .cast(DecimalType(18, 9)).as("score"))
-    val docScores = toks.join(scores, "tok")
+    val docScores = tokCnt.join(scores, "tok")
       .groupBy(col("doc_id"), col("lang"), col("l"))
-      .agg(sum(col("score")).as("total"))
+      .agg(sum(col("score") * col("cnt")).as("total"))
     docScores.groupBy(col("doc_id"), col("lang"))
       .agg(max_by(col("l"), struct(col("total"), col("l"))).as("predicted"))
       .withColumn("correct", col("predicted") === col("lang"))

@@ -1067,6 +1067,13 @@ object VectorOps {
     var prev: Option[DataFrame] = None
     val retired = scala.collection.mutable.Buffer.empty[DataFrame]
     val rounds = (1 to 3).map { i =>
+      // NOT checkpointed (r15): every consumer — the stats row, the
+      // moved-count join, the centroid update — lands in either the
+      // per-round cents checkpoint job below or the single final
+      // union action, where exchange reuse dedupes the shared
+      // subtree; the old per-round eager checkpoint bought nothing
+      // but a job, and the key's wall was pure job-train latency
+      // (41 jobs, 0.7 effective cores in the r15 bench).
       val asg = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"),
           round(cosine(col("v"), col("centroid")), 6).as("sim"),
@@ -1075,8 +1082,6 @@ object VectorOps {
         .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
         .select(col("vec_id"), col("v"), col("m.sim").as("sim"),
           (-col("m.ncid")).as("cid"))
-        .localCheckpoint(true) // stats + update + next round's delta
-      retired += asg
       val stats = asg.agg(count(lit(1)).as("n_vectors"),
           round(sum(col("sim").cast(DecimalType(27, 10)))
             .cast(DoubleType) / count(lit(1)) + lit(1e-9), 6)
