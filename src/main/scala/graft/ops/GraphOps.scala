@@ -1083,7 +1083,9 @@ object GraphOps {
           "dst")
         .filter(col("ls") === col("ld"))
         .select(col("src").as("a_id"), col("dst").as("b_id"))
-      minLabelComponents(lab.select(col("id")), within)
+      minLabelComponents(lab.select(col("id")), within,
+          small = GraphModel.dedupVertCountCached(spark, dir)
+            <= SmallGraphVerts)
         .localCheckpoint(true)
     })
   }
@@ -2141,7 +2143,9 @@ object GraphOps {
       val (labels, chk) = minLabelComponentsChk(
         GraphModel.dedupVertsCached(spark, dir).select(col("id")),
         GraphModel.dedupEdgesCached(spark, dir)
-          .select(col("src").as("a_id"), col("dst").as("b_id")))
+          .select(col("src").as("a_id"), col("dst").as("b_id")),
+        small = GraphModel.dedupVertCountCached(spark, dir)
+          <= SmallGraphVerts)
       val out = labels.localCheckpoint(true)
       chk.unpersist(false)
       out
@@ -2857,15 +2861,28 @@ object GraphOps {
     * [[minLabelComponentsChk]] and release the handle as soon as their
     * next eager checkpoint has absorbed the labels, so a long-lived
     * session doesn't park one block set per loop round. */
-  def minLabelComponents(verts: DataFrame, pairs: DataFrame): DataFrame =
-    minLabelComponentsChk(verts, pairs)._1
+  def minLabelComponents(verts: DataFrame, pairs: DataFrame,
+      small: Boolean = false): DataFrame =
+    minLabelComponentsChk(verts, pairs, small)._1
 
   /** As [[minLabelComponents]], but also returns the final
     * localCheckpoint handle that owns the labels' cached blocks —
     * `_2.unpersist(false)` once `_1` has been materialized into a
-    * downstream checkpoint. */
+    * downstream checkpoint.
+    *
+    * `small` (r15): when the caller KNOWS the vertex set is bounded
+    * (the [[SmallGraphVerts]] gate — measured, never assumed), the
+    * label frame rides explicit broadcasts into the neighbor and
+    * pointer-jump joins. The win is not the join strategy (AQE
+    * converts those at runtime anyway) but the JOB TRAIN: a static
+    * broadcast plans no shuffle query stage at all, so each of the
+    * loop's ~2·rounds actions stops paying 3-4 AQE stage round-trips
+    * — the tax that made the Borůvka/SCC keys 300+-job walls of
+    * scheduler latency on single-digit task-seconds. */
   def minLabelComponentsChk(verts: DataFrame,
-      pairs: DataFrame): (DataFrame, DataFrame) = {
+      pairs: DataFrame, small: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     val und = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
@@ -2885,8 +2902,8 @@ object GraphOps {
     while (!converged && round < 50) {
       round += 1
       val prop = undM
-        .join(labels.select(col("id").as("b_id"),
-          col("cluster").as("nb_cluster")), "b_id")
+        .join(g(labels.select(col("id").as("b_id"),
+          col("cluster").as("nb_cluster"))), "b_id")
         .groupBy(col("a_id"))
         .agg(min(col("nb_cluster")).as("min_nb"))
       // the previous cluster rides along as `prev`, so the
@@ -2895,10 +2912,11 @@ object GraphOps {
       // used to be (a measurable job tax for iterative callers like
       // Borůvka that invoke this once per outer round)
       val nextChk = labels
-        .join(prop.select(col("a_id").as("id"), col("min_nb")),
+        .join(g(prop.select(col("a_id").as("id"), col("min_nb"))),
           Seq("id"), "left")
-        .join(labels.select(col("id").as("jid"),
-          col("cluster").as("jump")), col("cluster") === col("jid"), "left")
+        .join(g(labels.select(col("id").as("jid"),
+          col("cluster").as("jump"))),
+          col("cluster") === col("jid"), "left")
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"),
             least(coalesce(col("min_nb"), col("cluster")),
@@ -3403,10 +3421,15 @@ object GraphOps {
       val att = withBrand.join(hub, Seq("p_brand"))
         .filter(col("hub") =!= col("p"))
         .select(col("hub").as("src"), col("p").as("dst"))
-      // contract: weak components of the cycle frame are SCCs already
+      // contract: weak components of the cycle frame are SCCs already.
+      // Broadcast gate: partsIn ⊆ the part table, so the (metadata-
+      // cheap) part row count is a sound measured bound for the
+      // SmallGraphVerts test — same job-train rationale as msfOn
+      val smallScc = t.part.count() <= SmallGraphVerts
       val (comp, compChk) = minLabelComponentsChk(
         partsIn.select(col("p").as("id")),
-        cyc.select(col("src").as("a_id"), col("dst").as("b_id")))
+        cyc.select(col("src").as("a_id"), col("dst").as("b_id")),
+        small = smallScc)
       // attachments between supernodes; within-supernode ones vanish
       val ce = att
         .join(comp.select(col("id").as("src"), col("cluster").as("csrc")),
@@ -3547,6 +3570,14 @@ object GraphOps {
       .unionByName(ew.select(col("v").as("id"))).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
+    // measured broadcast gate (one count over the already-cached
+    // frame): under it the per-round label joins and the contraction
+    // CC ride static broadcasts — no shuffle query stage, no AQE
+    // round-trip — which is where this key's 300+-job scheduler-
+    // latency wall came from; above it (billion-vertex forests)
+    // every join falls back to the keyed shuffle
+    val small = labels.count() <= SmallGraphVerts
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     // chosen-edge frames accumulate here and union+distinct ONCE at
     // the end — the forest is never read inside the loop, so
     // materializing it per round would only add a job per round
@@ -3565,9 +3596,9 @@ object GraphOps {
       // equal-weight edges between the same two components can both
       // win (each from its own side) and close a cycle.
       val pick = und
-        .join(labels.select(col("id").as("a"), col("comp").as("ca")),
+        .join(g(labels.select(col("id").as("a"), col("comp").as("ca"))),
           "a")
-        .join(labels.select(col("id").as("b"), col("comp").as("cb")),
+        .join(g(labels.select(col("id").as("b"), col("comp").as("cb"))),
           "b")
         .filter(col("ca") =!= col("cb"))
         .groupBy(col("ca"))
@@ -3584,10 +3615,10 @@ object GraphOps {
         val cpairs = pick.select(
           least(col("ca"), col("cb")).as("a_id"),
           greatest(col("ca"), col("cb")).as("b_id")).distinct()
-        val (cc, ccChk) = minLabelComponentsChk(cverts, cpairs)
+        val (cc, ccChk) = minLabelComponentsChk(cverts, cpairs, small)
         val nextLabels = labels
-          .join(cc.select(col("id").as("comp"),
-            col("cluster").as("newc")), "comp")
+          .join(g(cc.select(col("id").as("comp"),
+            col("cluster").as("newc"))), "comp")
           .select(col("id"), col("newc").as("comp"))
           .localCheckpoint(true)
         // nextLabels is eager, so the contraction's block set can go
