@@ -5446,6 +5446,17 @@ object Oracle {
     "graph_lpa_exact" -> lpaExactSql(3),
 
     "graph_community_stats" -> communityStatsSql(3),
+
+    // conductance = cut / (2*internal + cut) in exact permille over
+    // the same stats replay; positive-integer floor division on both
+    // engines, NULL for a community with no incident edges at all
+    "graph_community_conductance" ->
+      s"""SELECT label, size, n_internal, n_cut,
+          CAST(CASE WHEN 2 * n_internal + n_cut = 0 THEN NULL
+               ELSE (1000 * n_cut) // (2 * n_internal + n_cut)
+               END AS BIGINT) AS conductance_permille
+          FROM (${communityStatsSql(3)})
+          ORDER BY label""",
     "graph_modularity" -> modularitySql(3),
     "graph_community_merge" -> communityMergeSql(3),
     "graph_louvain" -> louvainSql(3, 3),
@@ -5680,6 +5691,33 @@ object Oracle {
          ORDER BY katz_milli DESC, p1.id LIMIT 50""",
 
     "graph_path_count" -> pathCountSql(3),
+
+    // replays GraphOps.graphEigenvectorCentrality: 3 power-iteration
+    // rounds over the undirected dedup graph, HUGEINT sums, per-round
+    // micro renormalization by the round max via exact floor division
+    // (positive integers — both engines truncate identically)
+    "graph_eigenvector_centrality" ->
+      s"""WITH $EdgesCte,
+         ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         und AS MATERIALIZED (
+           SELECT src, dst FROM ded
+           UNION ALL SELECT dst, src FROM ded),
+         v0 AS (SELECT DISTINCT src AS id,
+                       CAST(1000000 AS HUGEINT) AS v FROM und),
+         u1 AS (SELECT u.dst AS id, SUM(c.v) AS s
+                FROM und u JOIN v0 c ON u.src = c.id GROUP BY u.dst),
+         v1 AS (SELECT id, (1000000 * s)
+                  // (SELECT MAX(s) FROM u1) AS v FROM u1),
+         u2 AS (SELECT u.dst AS id, SUM(c.v) AS s
+                FROM und u JOIN v1 c ON u.src = c.id GROUP BY u.dst),
+         v2 AS (SELECT id, (1000000 * s)
+                  // (SELECT MAX(s) FROM u2) AS v FROM u2),
+         u3 AS (SELECT u.dst AS id, SUM(c.v) AS s
+                FROM und u JOIN v2 c ON u.src = c.id GROUP BY u.dst),
+         v3 AS (SELECT id, (1000000 * s)
+                  // (SELECT MAX(s) FROM u3) AS v FROM u3)
+         SELECT id, CAST(v AS BIGINT) AS eig_micro FROM v3
+         ORDER BY eig_micro DESC, id LIMIT 50""",
 
     "graph_betweenness" ->
       betweennessSql(3, Seq(3000000000001L, 4000000000001L)),

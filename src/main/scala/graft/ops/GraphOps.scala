@@ -679,6 +679,25 @@ object GraphOps {
     out
   }
 
+  /** PER-COMMUNITY CONDUCTANCE — the cut-quality read the
+    * [[graphCommunityStats]] scaladoc promises a caller can derive:
+    * φ(C) = cut / (2·internal + cut) in exact integer permille, the
+    * standard "how leaky is this community" score (0 = perfectly
+    * sealed, 1000 = all boundary). Pure positive-integer floor
+    * division, so both engines truncate identically; a community with
+    * no incident edges at all (den = 0 — an isolated singleton) gets
+    * NULL rather than a fabricated 0, on both sides. Cost on top of
+    * the stats pass: one projection. */
+  def graphCommunityConductance(spark: SparkSession,
+      dir: String): DataFrame =
+    graphCommunityStats(spark, dir)
+      .select(col("label"), col("size"), col("n_internal"),
+        col("n_cut"),
+        expr("""CAST(CASE WHEN 2 * n_internal + n_cut = 0 THEN NULL
+                ELSE (1000 * n_cut) div (2 * n_internal + n_cut)
+                END AS BIGINT)""").as("conductance_permille"))
+      .orderBy(col("label"))
+
   /** Global modularity of the exact-LPA communities in exact integer
     * micro-units — the single scalar a community detector is judged
     * by. Over the deduplicated directed edge set (m rows; undirected
@@ -1737,6 +1756,67 @@ object GraphOps {
           + coalesce(col("k3"), lit(0L))).as("katz_milli"))
       .orderBy(col("katz_milli").desc, col("id"))
       .limit(50)
+  }
+
+  /** Power-iteration round budget for [[graphEigenvectorCentrality]]
+    * — bounded so the oracle can unroll the identical chain. */
+  val EigenRounds = 3
+
+  /** EIGENVECTOR CENTRALITY, bounded + exact — the remaining member
+    * of the centrality family (degree / katz / HITS / pagerank /
+    * betweenness / closeness siblings): v ← A·v over the UNDIRECTED
+    * dedup graph for [[EigenRounds]] rounds from the all-ones seed,
+    * with the [[graft.ops.VectorOps.embedPcaPower]] renormalization
+    * discipline — after each round every score is rescaled to
+    * micro-units of the round max via `(1e6·s) div max(s)`, a single
+    * truncating division per vertex on POSITIVE integers, so every
+    * round is bit-identical cross-engine (no float norm, no sqrt).
+    * Sums and the rescale product run in DECIMAL(38,0) (HUGEINT):
+    * 1e6·s ≤ 1e12·d_max only stays under 2^63 while d_max < 9.2e6,
+    * a bound a 100 TB hub vertex can break. Per round: one edge⋈score
+    * join (score frame rides the measured [[SmallGraphVerts]]
+    * broadcast gate, so the src-partitioned edge cache never
+    * reshuffles) + one keyed sum + one 1-row max crossed in. Every
+    * und vertex has degree ≥ 1, so no zero-drop asymmetry exists on
+    * either engine. Top-50 by (score, id). */
+  def graphEigenvectorCentrality(spark: SparkSession,
+      dir: String): DataFrame =
+    eigenvectorOn(GraphModel.undEdgesCached(spark, dir), EigenRounds,
+      small = undDegCached(spark, dir)._2 <= SmallGraphVerts)
+
+  /** The power-iteration core on any undirected (src, dst) pair frame
+    * (both directions present) — separated so specs can drive a
+    * hand-built graph through the identical plan. */
+  def eigenvectorOn(und: DataFrame, rounds: Int,
+      small: Boolean = false): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def g(f: DataFrame): DataFrame = if (small) broadcast(f) else f
+    var v = und.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).cast(dec).as("v"))
+      .localCheckpoint(true)
+    val retired = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val u = und
+        .join(g(v.select(col("id").as("src"), col("v"))), "src")
+        .groupBy(col("dst")).agg(sum(col("v")).as("s"))
+        .select(col("dst").as("id"), col("s"))
+      val next = u
+        .crossJoin(broadcast(u.agg(max(col("s")).as("m"))))
+        .select(col("id"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * s) div m")
+            .cast(dec).as("v"))
+        .localCheckpoint(true)
+      retired += v
+      v = next
+    }
+    val out = v.select(col("id"),
+        col("v").cast("bigint").as("eig_micro"))
+      .orderBy(col("eig_micro").desc, col("id"))
+      .limit(50)
+      .localCheckpoint(true)
+    retired.foreach(_.unpersist(false))
+    v.unpersist(false)
+    out
   }
 
   /** Shortest-path COUNTING (the sigma values of Brandes'

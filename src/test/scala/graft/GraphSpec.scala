@@ -585,6 +585,53 @@ class GraphSpec extends SparkSpec {
     assert(scores.toSeq == scores.sortBy(-_).toSeq)
   }
 
+  test("community conductance: derives exactly from the stats frame") {
+    val stats = GraphOps.graphCommunityStats(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_internal"), r.getAs[Long]("n_cut"))).toMap
+    val cond = GraphOps.graphCommunityConductance(spark, sfDir)
+      .collect()
+    assert(cond.length == stats.size)
+    cond.foreach { r =>
+      val (internal, cut) = stats(r.getAs[Long]("label"))
+      val den = 2 * internal + cut
+      val expected: Any =
+        if (den == 0) null else (1000 * cut) / den
+      assert(r.get(r.fieldIndex("conductance_permille")) == expected)
+      // conductance lives in [0, 1000] whenever defined
+      if (den != 0) {
+        val c = r.getAs[Long]("conductance_permille")
+        assert(c >= 0L && c <= 1000L)
+      }
+    }
+  }
+
+  test("eigenvector centrality: hand-computed star graph rounds") {
+    import spark.implicits._
+    // star: center 1 — leaves 2, 3, 4 (undirected)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val und = pairs.toDF("src", "dst")
+      .unionByName(pairs.map(_.swap).toDF("src", "dst"))
+    val got = GraphOps.eigenvectorOn(und, 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("eig_micro"))
+      .toMap
+    // r1: u(center)=3e6, u(leaf)=1e6 → v center 1e6, leaf 333333
+    // r2: u(center)=3*333333=999999, u(leaf)=1e6 → v center 999999,
+    //     leaf 1e6 (the classic bipartite parity swing)
+    // r3: u(center)=3e6, u(leaf)=999999 → v center 1e6,
+    //     leaf (1e6*999999) div 3e6 = 333333
+    assert(got == Map(1L -> 1000000L, 2L -> 333333L, 3L -> 333333L,
+      4L -> 333333L))
+    // registered surface: positive scores, max = 1e6, sorted desc
+    val reg = GraphOps.graphEigenvectorCentrality(spark, sfDir)
+      .collect()
+    assert(reg.length == 50)
+    val scores = reg.map(_.getAs[Long]("eig_micro"))
+    assert(scores.head == 1000000L)
+    assert(scores.forall(_ > 0L))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+  }
+
   test("community stats: masses reconcile with the vertex and edge sets") {
     val rows = GraphOps.graphCommunityStats(spark, sfDir).collect()
     val ded = GraphModel.dedupEdgesCached(spark, sfDir)
