@@ -1830,19 +1830,25 @@ object GraphOps {
     * payload; at 100 TB the frontier co-partitions with the bucketed
     * edge table like every other hop join. */
   def graphPathCount(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphModel.dedupEdgesCached(spark, dir)
-    val und = e.select(col("src"), col("dst"))
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    // r15: ride the shared src-partitioned undirected cache instead
+    // of re-deriving the doubled frame per layer branch, and push the
+    // vertex-bounded frontier/visited frames through the measured
+    // broadcast gate — the cached edge table is scanned, never
+    // reshuffled, per hop (the bfsReachable discipline)
+    val und = GraphModel.undEdgesCached(spark, dir)
+    def g(f: DataFrame): DataFrame =
+      if (GraphModel.dedupVertCountCached(spark, dir)
+          <= SmallGraphVerts) broadcast(f) else f
     val source = GraphModel.CustomerOff + 1L
     var layer = spark.range(1)
       .select(lit(source).as("id"), lit(1L).as("paths"))
     var seen = layer.select(col("id"))
     var out = layer.select(col("id"), lit(0).as("dist"), col("paths"))
     for (k <- 1 to 3) {
-      val next = und.join(layer.select(col("id").as("src"), col("paths")),
-          "src")
+      val next = und.join(
+          g(layer.select(col("id").as("src"), col("paths"))), "src")
         .groupBy(col("dst")).agg(sum(col("paths")).as("paths"))
-        .join(seen, col("dst") === seen("id"), "left_anti")
+        .join(g(seen), col("dst") === seen("id"), "left_anti")
         .select(col("dst").as("id"), col("paths"))
       out = out.unionByName(
         next.select(col("id"), lit(k).as("dist"), col("paths")))
