@@ -557,6 +557,19 @@ object GraphOps {
         // frame) — forced here so the first weighted key benches
         // marginal cost instead of the whole relaxation
         Future { spwMultiCached(spark, dir); () },
+        // unweighted closeness/reach/eccentricity landmark sweep —
+        // lazily persisted layers, so force via the LAST layer (its
+        // lineage computes and caches the earlier ones). r15: the
+        // block runs at ~16 of 32 effective cores, so this ~70 task-s
+        // build hides in idle capacity instead of landing on
+        // graph_closeness_harmonic's clock (guide §2.6)
+        Future { closenessSweepCached(spark, dir).last.count(): Unit
+          () },
+        // frequent-pair mine stats (pair supports / item supports /
+        // basket count) — same idle-capacity argument; first consumer
+        // in bench order (mine_frequent_pairs) otherwise pays the
+        // basket pair expansion alone
+        Future { Mining.pairStatsCached(spark, dir); () },
         // GraphX view (DF→RDD conversion + partition build + cache) —
         // also unreported-but-forced (r15): the first Pregel key in
         // bench order was paying the graph build on its own clock
@@ -1193,7 +1206,7 @@ object GraphOps {
     * size stats from AQE, so the gate is one deg.count() per call —
     * above it (billion-vertex cluster scale) every such join falls
     * back to a keyed shuffle rather than risk the driver. */
-  private val SmallGraphVerts = 2000000L
+  private[ops] val SmallGraphVerts = 2000000L
 
   /** [[louvainMoveLabels]] with the undirected (v, n) pair frame, the
     * degree / edge-count frames and the broadcast gate supplied by the
@@ -2761,6 +2774,14 @@ object GraphOps {
     // monotonicity, so parity is unchanged.
     var converged = false
     var r = 0
+    // r15 note: a frontier-delta variant (recompute h only for
+    // neighbors of changed vertices) was tried and REVERTED — the
+    // per-round affected-set semi-join + distinct added more E-row
+    // work and query stages than the shrunken window saved on this
+    // draw (coreness tasks 1647 → 2708, wall up ~2×); the h-index
+    // frontier decays too slowly here for the delta to pay (guide
+    // §1.1: a fresh "ideal" plan is often slower — measure, then keep
+    // the empirical winner).
     while (r < rounds && !converged) {
       r += 1
       val nb = und
@@ -2998,12 +3019,25 @@ object GraphOps {
     var chk = verts.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     var labels = dropStats(chk)
+    // r15 FRONTIER DELTA (guide §2.3 — shuffle/aggregate fewer rows):
+    // the neighbor hop only needs to deliver labels that CHANGED last
+    // round. Labels are monotone nonincreasing and every decrease is
+    // redelivered, so the cumulative min of deliveries equals the min
+    // over neighbors' current labels — per-round states (and the round
+    // count) are IDENTICAL to the full propagation; only the E-row
+    // join output shrinks from |E| to |edges incident to the frontier|
+    // (measured: the within-community CC's rounds 2+ drop from
+    // E-sized aggs to near-empty ones). The pointer-jump join is NOT
+    // delta'd: a vertex can adopt a pointer whose label last changed
+    // rounds ago, so the jump must read the full current label table —
+    // it is V-sized and cheap where the hop is E-sized.
+    var changed = labels
     var converged = false
     var round = 0
     while (!converged && round < 50) {
       round += 1
       val prop = undM
-        .join(g(labels.select(col("id").as("b_id"),
+        .join(g(changed.select(col("id").as("b_id"),
           col("cluster").as("nb_cluster"))), "b_id")
         .groupBy(col("a_id"))
         .agg(min(col("nb_cluster")).as("min_nb"))
@@ -3031,6 +3065,11 @@ object GraphOps {
       chk.unpersist(false)
       chk = nextChk
       labels = dropStats(nextChk).select(col("id"), col("cluster"))
+      // next round's frontier: a lazy filter view over the cached
+      // checkpoint blocks — no extra job
+      changed = dropStats(nextChk)
+        .filter(col("cluster") =!= col("prev"))
+        .select(col("id"), col("cluster"))
     }
     undM.unpersist(false)
     (labels, chk)

@@ -60,7 +60,7 @@ object Mining {
     * per-order pair join is the family's only expensive surface, and
     * rebuilding it per query doubled the family's cost (the
     * lpaLabelsCached sharing discipline). */
-  private def pairStatsCached(spark: SparkSession, dir: String)
+  private[ops] def pairStatsCached(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = pairStatsCache.synchronized {
     pairStatsCache.getOrElseUpdate((spark, dir), {
       val bi = frequentBasketItems(Tables(spark, dir)).persist()

@@ -451,8 +451,13 @@ object Streaming {
           val contraction = if (mergePairs.isEmpty) None else {
             val lv = mergePairs.select(col("a_id").as("id"))
               .unionByName(mergePairs.select(col("b_id").as("id")))
-              .distinct()
-            Some(graft.ops.GraphOps.minLabelComponents(lv, mergePairs))
+              .distinct().localCheckpoint(true)
+            // measured broadcast gate (r15): the merge-pair label graph
+            // is batch-bounded; one count over the just-checkpointed
+            // frame lets the contraction loop plan static broadcasts
+            // instead of per-round AQE shuffle stages
+            Some(graft.ops.GraphOps.minLabelComponents(lv, mergePairs,
+              small = lv.count() <= graft.ops.GraphOps.SmallGraphVerts))
           }
           val next = contraction match {
             case None => all

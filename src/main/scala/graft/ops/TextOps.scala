@@ -419,7 +419,13 @@ object TextOps {
         .select(col("a_id"), col("b_id"))
       val verts = Tables(spark, dir).documents
         .select(col("doc_id").as("id"))
-      val (labels, chk) = GraphOps.minLabelComponentsChk(verts, pairs)
+      // measured broadcast gate (r15): the label loop's per-round
+      // joins ride static broadcasts under the same vertex bound as
+      // the graph family — one cheap count against the doc id column,
+      // and each of the ~2·rounds actions stops paying AQE shuffle-
+      // stage round-trips (the Borůvka/SCC job-train lesson)
+      val (labels, chk) = GraphOps.minLabelComponentsChk(verts, pairs,
+        small = verts.count() <= GraphOps.SmallGraphVerts)
       val out = labels.localCheckpoint(true)
       chk.unpersist(false)
       out

@@ -378,9 +378,19 @@ object VectorOps {
     * production you train on a sample, which this corpus effectively
     * is). */
   def kmeansQuantizer(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    // r15: eager-checkpoint the k-row centroid state per iteration,
+    // exactly like embedKmeansConvergence — without it iteration i's
+    // plan references cents twice (broadcast-assign build + the
+    // carry-forward join), so the assignment chain re-executed
+    // 2^iters-fold and embed_ann_kmeans ran 13 s at 1.3 effective
+    // cores on a 2,000-row table (guide §5: localCheckpoint to cut
+    // lineage; the state is 8 rows at ANY corpus size)
+    val retired = scala.collection.mutable.Buffer.empty[DataFrame]
     var cents = e.orderBy(col("vec_id")).limit(k)
       .select(row_number().over(Window.orderBy(col("vec_id"))).as("cid"),
         col("v").as("centroid"))
+      .coalesce(1).localCheckpoint(true)
+    retired += cents
     for (_ <- 1 to iters) {
       val updated = assignToCentroids(e, cents)
         .select(col("cid"), posexplode(col("v"))).toDF("cid", "pos", "x")
@@ -398,7 +408,13 @@ object VectorOps {
       cents = cents.join(updated, Seq("cid"), "left")
         .select(col("cid"),
           coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .coalesce(1).localCheckpoint(true)
+      retired += cents
     }
+    // the final state stays checkpointed for the caller (most memoize
+    // or persist it); only the intermediate rounds' block sets are
+    // released
+    retired.dropRight(1).foreach(_.unpersist(false))
     cents
   }
 
@@ -824,7 +840,13 @@ object VectorOps {
     val pairs = pairSimLshOn(emb)
       .filter(col("cos_sim") >= EmbedDedupThreshold)
       .select(col("a_id"), col("b_id"))
-    GraphOps.minLabelComponents(emb.select(col("vec_id").as("id")), pairs)
+    // measured broadcast gate (r15): same job-train diet as the text
+    // dedup clustering — the vector id set is one cheap count, and
+    // under the bound every label round plans static broadcasts
+    // instead of AQE shuffle stages
+    val verts = emb.select(col("vec_id").as("id"))
+    GraphOps.minLabelComponents(verts, pairs,
+        small = verts.count() <= GraphOps.SmallGraphVerts)
       .select(col("id").as("vec_id"), col("cluster"),
         (col("id") === col("cluster")).as("is_canonical"))
       .orderBy(col("vec_id"))
@@ -1606,8 +1628,13 @@ object VectorOps {
       verts: DataFrame, edges: DataFrame, seed: DataFrame,
       beamWidth: Int): DataFrame = {
     val probe = probeOf(Tables(spark, dir))
+    // r15: the beam/seed side is shards×beam rows at ANY corpus size
+    // (the index side is what grows), so it rides explicit broadcasts
+    // into the vertex-score and edge-expand joins — each hop stops
+    // planning an AQE shuffle stage for a ≤64-row frame (the same
+    // job-train diet as the label loops; guide §2.4/§3.1)
     def scoreOf(ids: DataFrame): DataFrame =
-      ids.join(verts, Seq("shard", "vec_id"))
+      verts.join(broadcast(ids), Seq("shard", "vec_id"), "left_semi")
         .crossJoin(broadcast(probe))
         .select(col("shard"), col("vec_id"),
           round(dot(col("v"), col("probe_vec"))
@@ -1618,8 +1645,9 @@ object VectorOps {
       .withColumn("rn", row_number().over(wB))
       .filter(col("rn") <= beamWidth).drop("rn")
     for (_ <- 1 to NswHops) {
-      val expand = beam.select(col("shard"), col("vec_id").as("src"))
-        .join(edges, Seq("shard", "src"))
+      val expand = edges
+        .join(broadcast(beam.select(col("shard"), col("vec_id").as("src"))),
+          Seq("shard", "src"))
         .select(col("shard"), col("dst").as("vec_id"))
       val cand = beam.select(col("shard"), col("vec_id"))
         .unionByName(expand).distinct()

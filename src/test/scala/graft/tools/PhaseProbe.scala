@@ -34,13 +34,14 @@ object PhaseProbe {
     val stageGroup =
       new java.util.concurrent.ConcurrentHashMap[Integer, String]()
     def acc(g: String): Array[Long] =
-      probe.computeIfAbsent(g, _ => new Array[Long](3))
+      probe.computeIfAbsent(g, _ => new Array[Long](4))
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val g = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
           .getOrElse("_")
         js.stageIds.foreach(sid => stageGroup.put(sid, g))
+        val a = acc(g); a.synchronized { a(3) += 1 }
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val g = stageGroup.get(Int.box(te.stageId))
@@ -59,9 +60,10 @@ object PhaseProbe {
       val r = f
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
-      val a = probe.getOrDefault(tag, new Array[Long](3))
-      println(f"[phase] $tag%-28s wall=$wall%7.2f s  tasks=${a(0)}%5d" +
-        f"  task_s=${a(1) / 1000.0}%8.1f  gc_s=${a(2) / 1000.0}%6.1f")
+      val a = probe.getOrDefault(tag, new Array[Long](4))
+      println(f"[phase] $tag%-28s wall=$wall%7.2f s  jobs=${a(3)}%4d" +
+        f"  tasks=${a(0)}%5d  task_s=${a(1) / 1000.0}%8.1f" +
+        f"  gc_s=${a(2) / 1000.0}%6.1f")
       r
     }
     import graft.{GraphModel, SparkEntry}
