@@ -1002,16 +1002,16 @@ object GraphOps {
     while (r <= rounds && !dry) {
       val (decf, _) =
         mergeDecisionsOn(pairs, dc, mrow, chk = false, ordered = false)
-      val merges = decf.filter(col("accepted"))
-        .select(col("label"),
-          least(col("label"), col("partner")).as("newlab"))
-        .localCheckpoint(true)
       // a dry round proves a fixed point: an empty remap leaves the
       // summary unchanged, so every later round re-derives the same
       // empty decision — skip the remaining rounds' job trains (r12;
-      // output-identical by induction, the isEmpty probe is one cheap
-      // scan of the just-checkpointed merge map)
-      if (merges.isEmpty) { dry = true; merges.unpersist(false) }
+      // output-identical by induction). r15: the row count rides the
+      // checkpoint job itself (chkCounting) instead of a second probe
+      val (merges, nMerges) = chkCounting(decf.filter(col("accepted"))
+        .select(col("label"),
+          least(col("label"), col("partner")).as("newlab")),
+        lit(true))
+      if (nMerges == 0) { dry = true; merges.unpersist(false) }
       else {
         mergesAll += merges
         if (r < rounds) {
@@ -2234,19 +2234,23 @@ object GraphOps {
     val retired = scala.collection.mutable.Buffer.empty[DataFrame]
     var done = false
     while (!done) {
-      val next = und
+      // frontier count rides the checkpoint job (chkCounting) — the
+      // per-hop isEmpty probe job is gone
+      val (next, nNext) = chkCounting(und
         .join(g(frontier.withColumnRenamed("id", "src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
-        .join(g(reached), Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) {
+        .join(g(reached), Seq("id"), "left_anti"),
+        lit(true))
+      if (nNext == 0) {
         next.unpersist(false)
         done = true
       } else {
         retired += reached
         retired += frontier
-        reached = reached.unionByName(next).localCheckpoint(true)
-        frontier = next
+        reached = reached.unionByName(next.select(col("id")))
+          .localCheckpoint(true)
+        frontier = next.select(col("id"))
+        retired += next
       }
     }
     retired.foreach(_.unpersist(false))
@@ -2673,19 +2677,20 @@ object GraphOps {
     var dry = false
     while (r <= Rounds && !dry) {
       val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val vd = verts
+      // the survivor count rides vd's checkpoint job (chkCounting);
+      // keep is a lazy filter view over the cached vd blocks — the
+      // separate keep checkpoint + count() pair (2 jobs/round) is gone
+      val (vd, nKeep) = chkCounting(verts
         .join(deg, verts("id") === deg("src"), "left")
-        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
-        .localCheckpoint(true)
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("d")),
+        col("d") >= K)
       stats = stats :+ vd.agg(
         count_if(col("d") < K).as("n_removed"),
         count_if(col("d") >= K).as("n_remaining"))
         .select(lit(r).as("round"), col("n_removed"),
           col("n_remaining"))
       val keep = vd.filter(col("d") >= K).select(col("id"))
-        .localCheckpoint(true)
-      ckpts = ckpts ++ Vector(vd, keep)
-      val nKeep = keep.count()
+      ckpts = ckpts :+ vd
       // a dry round proves the fixpoint (the louvain device): no
       // removal leaves the edge set — hence every later round's census
       // — identical by determinism, so the remaining rows are
@@ -2793,11 +2798,13 @@ object GraphOps {
         .select(col("src"),
           least(col("rn").cast("long"), col("cn")).as("m"))
         .groupBy(col("src")).agg(max(col("m")).as("h"))
-      val nxtChk = cur.join(g(h), cur("id") === h("src"), "left")
-        .select(cur("id"), col("c").as("pc"),
-          least(col("c"), coalesce(col("h"), lit(0L))).as("c"))
-        .localCheckpoint(true)
-      converged = nxtChk.filter(col("c") =!= col("pc")).isEmpty
+      // convergence count fused into the checkpoint job (chkCounting)
+      val (nxtChk, nChanged) = chkCounting(
+        cur.join(g(h), cur("id") === h("src"), "left")
+          .select(cur("id"), col("c").as("pc"),
+            least(col("c"), coalesce(col("h"), lit(0L))).as("c")),
+        col("c") =!= col("pc"))
+      converged = nChanged == 0
       retired = retired :+ nxtChk
       cur = nxtChk.select(col("id"), col("c"))
     }
@@ -2977,6 +2984,28 @@ object GraphOps {
   private def dropStats(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Eager localCheckpoint that ALSO counts, inside the same
+    * materialization job, the rows satisfying `cond` — via a
+    * nondeterministic side-effect UDF column (`__n`, dropped by every
+    * consumer's projection) evaluated as the rows stream into the
+    * cache. Replaces the per-round checkpoint + `filter(...).isEmpty`
+    * pair every iterative loop paid (2 driver jobs → 1; at ~40 ms
+    * scheduler latency per local job this is the dominant cost of the
+    * small-graph loops — Borůvka/SCC ran 240-260 jobs on <6 task-s).
+    * Task retries/speculation can only OVER-count, and callers compare
+    * the count to zero, so convergence is declared only when no row
+    * satisfied `cond` — an overcount costs one extra (value-identical)
+    * round, never a wrong result. */
+  private[ops] def chkCounting(df: DataFrame,
+      cond: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val acc = df.sparkSession.sparkContext.longAccumulator
+    val tick = udf { (b: Boolean) =>
+      if (b) acc.add(1L); true
+    }.asNondeterministic()
+    val chk = df.withColumn("__n", tick(cond)).localCheckpoint()
+    (chk, acc.value)
+  }
+
   /** One-shot entry: the returned labels view pins one checkpointed
     * block set for the session (callers that consume it once and stop
     * are fine). Iterative callers — [[msfOn]], [[sccLifted]] — use
@@ -3046,7 +3075,9 @@ object GraphOps {
       // checkpoint blocks — not the extra shuffle join per round it
       // used to be (a measurable job tax for iterative callers like
       // Borůvka that invoke this once per outer round)
-      val nextChk = labels
+      // convergence count rides the checkpoint job itself (see
+      // chkCounting) — the per-round filter().isEmpty probe job is gone
+      val (nextChk, nChanged) = chkCounting(labels
         .join(g(prop.select(col("a_id").as("id"), col("min_nb"))),
           Seq("id"), "left")
         .join(g(labels.select(col("id").as("jid"),
@@ -3055,9 +3086,9 @@ object GraphOps {
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"),
             least(coalesce(col("min_nb"), col("cluster")),
-              coalesce(col("jump"), col("cluster")))).as("cluster"))
-        .localCheckpoint()
-      converged = nextChk.filter(col("cluster") =!= col("prev")).isEmpty
+              coalesce(col("jump"), col("cluster")))).as("cluster")),
+        col("cluster") =!= col("prev"))
+      converged = nChanged == 0
       // nextChk is materialized (eager checkpoint) and the convergence
       // check above is done with it, so the predecessor's blocks can be
       // released now — without this every invocation permanently parked
@@ -3735,7 +3766,7 @@ object GraphOps {
       // (w, a, b) instead is the classic Borůvka cycle bug: two
       // equal-weight edges between the same two components can both
       // win (each from its own side) and close a cycle.
-      val pick = und
+      val pickPlan = und
         .join(g(labels.select(col("id").as("a"), col("comp").as("ca"))),
           "a")
         .join(g(labels.select(col("id").as("b"), col("comp").as("cb"))),
@@ -3746,9 +3777,11 @@ object GraphOps {
           greatest(col("a"), col("b")).as("v"), col("cb"))).as("m"))
         .select(col("ca"), col("m.w").as("w"), col("m.u").as("u"),
           col("m.v").as("v"), col("m.cb").as("cb"))
-        .localCheckpoint(true)
+      // pick's row count rides its checkpoint job (chkCounting) — the
+      // per-round isEmpty probe job is gone
+      val (pick, nPick) = chkCounting(pickPlan, lit(true))
       chosenFrames += pick.select(col("u"), col("v"), col("w"))
-      if (pick.isEmpty) done = true
+      if (nPick == 0) done = true
       else {
         // contract: CC over the picked COMPONENT pairs only
         val cverts = labels.select(col("comp").as("id")).distinct()

@@ -714,7 +714,23 @@ object TextOps {
     * a second coincidence on top of the ~4e-6-per-value boundary hit;
     * quantizing to integer rationals is unavailable here because the
     * classifier sums LOGS (products of rationals are unbounded). */
-  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized scored frame of [[textLangId]] — `text_lang_id` and
+    * `corpus_lang_confusion` consume the identical per-doc argmax, and
+    * each previously re-ran the whole detector (the costliest text
+    * scan outside the shingle family); one build per (session, dir),
+    * the lpaLabelsCached sharing discipline. The frame is doc-sized
+    * (one row per document). */
+  private val langIdCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]()
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    langIdCache.synchronized {
+      langIdCache.getOrElseUpdate((spark, dir),
+        textLangIdScored(spark, dir))
+    }.orderBy(col("doc_id"))
+
+  private def textLangIdScored(spark: SparkSession,
+      dir: String): DataFrame = {
     // r15: spread the scan when the corpus arrives in fewer splits
     // than cores. A single sub-rowgroup parquet file scans as ONE
     // partition, and the scan stage is where the explode AND the
@@ -761,10 +777,14 @@ object TextOps {
     val docScores = tokCnt.join(scores, "tok")
       .groupBy(col("doc_id"), col("lang"), col("l"))
       .agg(sum(col("score") * col("cnt")).as("total"))
-    docScores.groupBy(col("doc_id"), col("lang"))
+    val out = docScores.groupBy(col("doc_id"), col("lang"))
       .agg(max_by(col("l"), struct(col("total"), col("l"))).as("predicted"))
       .withColumn("correct", col("predicted") === col("lang"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    // out is materialized — the token-count intermediate's block set
+    // can be released (callers order/aggregate the doc-sized memo)
+    tokCnt.unpersist(false)
+    out
   }
 
   /** LANGUAGE-ID CONFUSION MATRIX — the detector-quality census over
@@ -1668,48 +1688,55 @@ object TextOps {
           + lit(1e-12), 9)).cast(dec) * lit(1000000000L))
           .cast(LongType).as("cost_nano"))
       .localCheckpoint(true)
-    val candV = cand
-      .join(costed.select(col("piece"), col("cost_nano")), "piece")
-      .select(col("w"), (col("i") + col("l") - 1).as("p"), col("l"),
-        col("piece"), col("cost_nano"))
-      .localCheckpoint(true)
-    // Viterbi DP: best(p) per word = min over piece lengths l of
-    // best(p-l) + cost(piece ending at p); each frame is one row per
-    // word, eagerly checkpointed (4-way branching lineage otherwise)
-    val bests = scala.collection.mutable.Map(
-      0 -> words.select(col("w"), lit(0L).as("cost")))
-    for (p <- 1 to L) {
-      val arms = (1 to math.min(P, p)).map { l =>
-        candV.filter(col("p") === p && col("l") === l)
-          .join(bests(p - l).select(col("w"), col("cost").as("pc")), "w")
-          .select(col("w"), (col("pc") + col("cost_nano")).as("cost"),
-            col("l"), col("piece"))
-      }
-      bests(p) = arms.reduce(_ unionByName _)
-        .groupBy(col("w"))
-        .agg(min(struct(col("cost"), col("l"), col("piece"))).as("m"))
-        .select(col("w"), col("m.cost").as("cost"), col("m.l").as("bl"),
-          col("m.piece").as("bp"))
-        .localCheckpoint(true)
-    }
-    val ba = (1 to L).map(p => bests(p).select(col("w"),
-      lit(p).as("pos"), col("bl"), col("bp"))).reduce(_ unionByName _)
-    // backpointer walk, L left-join levels: finished words (pos 0)
-    // stop matching and carry their path; linear lineage, no
-    // per-level checkpoint needed
-    var cur = words.select(col("w"), col("wc"),
-      length(col("w")).as("pos"),
-      array().cast("array<string>").as("path"))
-    for (_ <- 1 to L) {
-      cur = cur.join(ba, Seq("w", "pos"), "left")
-        .select(col("w"), col("wc"),
-          when(col("bl").isNotNull, col("pos") - col("bl"))
-            .otherwise(col("pos")).as("pos"),
-          when(col("bp").isNotNull,
-            concat(col("path"), array(col("bp"))))
-            .otherwise(col("path")).as("path"))
-    }
-    val usage = cur.select(col("wc"), explode(col("path")).as("piece"))
+    // Viterbi DP, r15 shape: the whole per-word DP runs as ONE fold
+    // expression over the word's character positions instead of the
+    // r14 per-position frame loop (L rounds × 4 union arms × a keyed
+    // agg + eager checkpoint each, plus L backpointer join levels —
+    // 126 driver jobs of pure scheduler/planning latency on
+    // vocab-sized frames). The piece costs ride a broadcast 1-row map
+    // (seed-vocab-sized — constant, like the centroid codebooks);
+    // each word evaluates exactly the same recurrence with the same
+    // (cost, l, piece) struct-min tie-break, so best paths — and the
+    // usage census the output is built from — are value-identical,
+    // and the oracle's unrolled DP CTEs are untouched. Per-word work
+    // is ≤ L·P map lookups; corpus volume only enters through the
+    // word-frequency weights, as before (guide §1.2: fix the job
+    // train, the per-task work was never the cost here).
+    val cmapRow = costed
+      .agg(map_from_entries(collect_list(
+        struct(col("piece"), col("cost_nano")))).as("cmap"))
+    val states =
+      s"""aggregate(
+            sequence(1, length(w)),
+            array(struct(0L AS c, 0 AS bl, '' AS bp)),
+            (acc, p) -> concat(acc, array(
+              array_min(filter(
+                transform(sequence(1, least($P, p)), l ->
+                  CASE WHEN element_at(cmap, substring(w, p-l+1, l))
+                            IS NOT NULL
+                       THEN struct(
+                         element_at(acc, p-l+1).c
+                           + element_at(cmap, substring(w, p-l+1, l))
+                           AS c,
+                         l AS bl,
+                         substring(w, p-l+1, l) AS bp)
+                  END),
+                x -> x IS NOT NULL)))))"""
+    val pathExpr =
+      s"""aggregate(
+            sequence(1, $L),
+            struct(length(w) AS pos,
+                   CAST(array() AS array<string>) AS path),
+            (s, i) -> CASE WHEN s.pos > 0
+              THEN struct(
+                s.pos - element_at(st, s.pos + 1).bl AS pos,
+                concat(s.path, array(element_at(st, s.pos + 1).bp))
+                  AS path)
+              ELSE s END,
+            s -> s.path)"""
+    val usage = words.crossJoin(broadcast(cmapRow))
+      .select(col("w"), col("wc"), expr(states).as("st"))
+      .select(col("wc"), explode(expr(pathExpr)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("wc")).as("usage"))
     val out = costed.select(col("piece"), col("freq").as("freq_w"))
       .join(usage, Seq("piece"), "left")
