@@ -280,6 +280,23 @@ object Mining {
       .groupBy(col("cust"), col("brand"))
       .agg(min(col("t")).as("t_min"), max(col("t")).as("t_max"))
 
+  /** Memoized (witness, brand-bit map, bit-joined witness) triple —
+    * [[mineSeqPairs]] and [[mineSeqTriples]] previously each rebuilt
+    * the identical three frames (and unpersisted them per call); one
+    * build per (session, dir), session-lifetime like
+    * [[seqBrandEvents]]. All three are witness-sized or smaller. */
+  private val seqWitnessCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  private def seqWitnessCached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = seqWitnessCache.synchronized {
+    seqWitnessCache.getOrElseUpdate((spark, dir), {
+      val w = seqBrandWitness(spark, dir).localCheckpoint(true)
+      val bmap = brandBitMap(w).localCheckpoint(true)
+      val wb = w.join(broadcast(bmap), "brand").localCheckpoint(true)
+      (w, bmap, wb)
+    })
+  }
+
   /** Brand → bit-position map over the witness frame's brand catalog
     * (sorted order, asserted < 64 so a wider catalog fails loudly
     * instead of silently aliasing mask bits) — the shared census-mask
@@ -306,12 +323,11 @@ object Mining {
     // eager checkpoints on the small shared frames: Catalyst does not
     // dedup common subplans, and this plan references bmap 3× and the
     // bit-joined witness 2× — uncheckpointed, each reference replayed
-    // the witness groupBy chain; all three are witness-sized or
-    // smaller, and they are released once the catalog-sized result is
-    // materialized (the graphKtruss discipline).
-    val w = seqBrandWitness(spark, dir).localCheckpoint(true)
-    val bmap = brandBitMap(w).localCheckpoint(true)
-    val wb = w.join(broadcast(bmap), "brand").localCheckpoint(true)
+    // the witness groupBy chain. r15: the triple is memoized
+    // ([[seqWitnessCached]]) — the triple miner reads the identical
+    // frames, so they persist for the session instead of being rebuilt
+    // and released per key.
+    val (_, bmap, wb) = seqWitnessCached(spark, dir)
     // the per-brand bit is pre-shifted INTO the array struct (and the
     // HOF is ONE aggregate with a CASE, not filter+aggregate): the
     // lambda interpreter visits each element once with no shift/cast
@@ -348,7 +364,6 @@ object Mining {
       .select(col("brand_a"), col("brand_b"), col("seq_support"))
       .orderBy(col("seq_support").desc, col("brand_a"), col("brand_b"))
       .localCheckpoint(true)
-    w.unpersist(false); bmap.unpersist(false); wb.unpersist(false)
     out
   }
 
@@ -386,11 +401,8 @@ object Mining {
       .select(col("cust"), col("brand"),
         (datediff(col("od"), lit("1970-01-01")).cast(LongType)
           * 10000000000L + col("ok")).as("t"))
-    val w = seqBrandWitness(spark, dir)
-    // checkpointed shares + final unpersist: the mineSeqPairs replay
-    // discipline (bmap is referenced 4×, wb 2×)
-    val bmap = brandBitMap(w).localCheckpoint(true)
-    val wb = w.join(broadcast(bmap), "brand").localCheckpoint(true)
+    // shared memoized witness frames — see seqWitnessCached
+    val (_, bmap, wb) = seqWitnessCached(spark, dir)
     val first = wb.select(col("cust"), col("bit").as("abit"),
       col("t_min"))
     val mids = first
@@ -436,7 +448,6 @@ object Mining {
         col("brand_b"), col("brand_c"))
       .limit(20)
       .localCheckpoint(true)
-    bmap.unpersist(false); wb.unpersist(false)
     out
   }
 

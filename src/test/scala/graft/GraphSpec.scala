@@ -1277,6 +1277,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("min-label components, frontier delta (r15): long path + " +
+      "pointer-adoption shape matches brute-force components") {
+    import spark.implicits._
+    // A 60-vertex path forces many propagation rounds (the frontier
+    // shrinks to the wavefront — the delta path the r15 rewrite
+    // exercises every round), and the star-with-late-attachment
+    // pattern (100—101 after 100 adopts label 40's chain) exercises
+    // the case the delta must NOT miss: a vertex adopting a pointer
+    // whose label last changed rounds ago (the jump join reads the
+    // full table, not the frontier — this test pins that).
+    val path = (1L to 59L).map(i => (i, i + 1))
+    val extra = Seq((40L, 100L), (100L, 101L), (200L, 201L))
+    val pairs = (path ++ extra).toDF("a_id", "b_id")
+    val verts = ((1L to 59L).map(identity) ++
+      Seq(40L, 60L, 100L, 101L, 200L, 201L)).distinct.toDF("id")
+    for (small <- Seq(false, true)) {
+      val got = GraphOps.minLabelComponents(verts, pairs, small)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: everything on the path + the 100/101 attachment
+      // is one component labeled 1; 200–201 is its own component
+      (1L to 60L).foreach(i => assert(got(i) == 1L, s"v$i small=$small"))
+      assert(got(100L) == 1L && got(101L) == 1L)
+      assert(got(200L) == 200L && got(201L) == 200L)
+    }
+  }
+
   test("boruvka msf: hand graph exact MST, corpus forest is a " +
       "spanning forest (|E| = |V| − components, total weight minimal " +
       "vs sampled alternatives)") {
